@@ -1,0 +1,66 @@
+package graft.embed
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import scala.util.hashing.MurmurHash3
+
+/** Text → dense vector embedding interface.
+  *
+  * The reference embeds chunks with sentence-transformers
+  * (`/root/reference/repo_to_vector.py:77-78,343`); that model is neither
+  * available offline nor oracle-reproducible, so the engine treats the
+  * embedder as a pluggable strategy. [[DeterministicEmbedder]] is the
+  * default: a seeded token-hash projection that is pure, fast, and
+  * identical on every executor — the canonical stand-in for batch model
+  * inference (the real-model variant would be the same `mapPartitions`
+  * shape with a per-partition model handle).
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Seeded hash-projection embedding: each lowercase whitespace token adds a
+  * signed magnitude to one of `dim` buckets; the result is L2-normalized.
+  * Zero-token text yields the all-zero vector (which the reference's cosine
+  * maps to score 0 — mock_vector_db_api.py:50-51).
+  */
+final class DeterministicEmbedder(val dim: Int = 64, seed: Int = 42) extends Embedder {
+  override def embed(text: String): Array[Float] = {
+    val v = new Array[Double](dim)
+    if (text != null) {
+      val it = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+      while (it.hasNext) {
+        val t = it.next()
+        val h = MurmurHash3.stringHash(t, seed)
+        val idx = math.floorMod(h, dim)
+        val sign = if (((h >>> 16) & 1) == 0) 1.0 else -1.0
+        val mag = 1.0 + ((h >>> 17) & 0x7).toDouble / 8.0
+        v(idx) += sign * mag
+      }
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += v(i) * v(i); i += 1 }
+    val out = new Array[Float](dim)
+    if (ss > 0) {
+      val n = math.sqrt(ss)
+      i = 0
+      while (i < dim) { out(i) = (v(i) / n).toFloat; i += 1 }
+    }
+    out
+  }
+}
+
+object Embedder {
+  val Default: Embedder = new DeterministicEmbedder()
+
+  /** Column form for DataFrame pipelines. The embedder instance is captured
+    * in the UDF closure and shipped once per task (tiny — it is stateless).
+    */
+  def embedUdf(e: Embedder = Default): UserDefinedFunction =
+    udf((s: String) => e.embed(s))
+
+  def embedColumn(c: Column, e: Embedder = Default): Column = embedUdf(e)(c)
+}

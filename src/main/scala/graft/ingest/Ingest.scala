@@ -1,0 +1,73 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.Chunker
+import graft.embed.Embedder
+
+/** The reference's ingest pipeline (clone → walk → filter → chunk → embed →
+  * store, `/root/reference/repo_to_vector.py:469-525`) re-expressed as one
+  * lazy DataFrame chain: scan → filters → chunk (1→N generator) → embed →
+  * parquet append. No shuffle anywhere — ingest is embarrassingly parallel;
+  * Catalyst fuses the filters into the scan stage (SURVEY.md §3.1).
+  */
+object Ingest {
+
+  /** Default extension allowlist, mirroring repo_to_vector.py:67-71. */
+  val DefaultExtensions: Seq[String] = Seq(
+    ".py", ".js", ".ts", ".java", ".c", ".cpp", ".h", ".hpp", ".cs", ".go",
+    ".rs", ".rb", ".php", ".scala", ".kt", ".swift", ".md", ".txt", ".json",
+    ".yaml", ".yml", ".toml", ".sql", ".sh")
+
+  val MaxFileBytes: Long = 10L * 1024 * 1024 // repo_to_vector.py:207-211
+
+  /** Scan a directory tree of source files into a (path, extension, size,
+    * content) table, applying the reference's filters F1-F4 + P1
+    * (SURVEY.md §2.2): hidden-path prune, extension allowlist, 10 MB size
+    * cap, non-empty content. Uses the binaryFile source so the size filter
+    * is evaluated on metadata before content is materialized.
+    */
+  def scanFiles(spark: SparkSession, rootDir: String,
+                extensions: Seq[String] = DefaultExtensions): DataFrame = {
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(rootDir)
+      .withColumn("path", regexp_replace(col("path"), s"^file:$rootDir/?", ""))
+      .withColumn("extension", regexp_extract(col("path"), "(\\.[^./]+)$", 1))
+      .filter(!col("path").rlike("(^|/)\\."))                    // F1 hidden
+      .filter(col("extension").isin(extensions: _*))             // F2 ext
+      .filter(col("length") <= MaxFileBytes)                     // F3 size
+      .withColumn("content", col("content").cast("string"))      // S3 decode
+      .filter(trim(col("content")) =!= "")                       // F4 empty
+      .select(col("path"), col("extension"), col("length").as("size"),
+        col("content"))
+  }
+
+  /** 1→N chunk generator (SURVEY.md §2.3): text column → one row per chunk
+    * with dense 0-based `chunk_index` and per-document `total_chunks` —
+    * the Spark-native phrasing of the reference's chunk loop + ordinal
+    * attachment (repo_to_vector.py:332,341,354-355). Single pass: the
+    * chunk array is materialized once, sized, then posexploded.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String = "text",
+                     chunkSize: Int = Chunker.DefaultChunkSize,
+                     overlap: Int = Chunker.DefaultOverlap): DataFrame = {
+    val chunkUdf = udf((s: String) => Chunker.chunk(s, chunkSize, overlap))
+    val keep = docs.columns.filter(_ != textCol).map(col).toSeq
+    docs.withColumn("chunks", chunkUdf(col(textCol)))
+      .withColumn("total_chunks", size(col("chunks")))
+      .select(keep ++ Seq(col("total_chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_index", "content"))): _*)
+  }
+
+  /** Full ingest: chunk + embed + timestamp — the document-chunk table of
+    * SURVEY.md §1.1 (path→doc_id, extension→source in the testdata analog).
+    */
+  def ingestDocuments(docs: DataFrame, textCol: String = "text",
+                      chunkSize: Int = Chunker.DefaultChunkSize,
+                      overlap: Int = Chunker.DefaultOverlap,
+                      embedder: Embedder = Embedder.Default): DataFrame =
+    chunkDocuments(docs, textCol, chunkSize, overlap)
+      .withColumn("embedding", Embedder.embedColumn(col("content"), embedder))
+      .withColumn("ingested_at", current_timestamp())
+}

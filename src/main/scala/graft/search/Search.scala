@@ -1,0 +1,96 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Exact cosine top-k search — the reference's flagship query path
+  * (`/root/reference/mock_vector_db_api.py:230-312`, SURVEY.md §2.5).
+  *
+  * Scale notes (the part the reference cannot do):
+  *  - single query: score is a scalar projection over a columnar scan; the
+  *    ORDER BY + LIMIT plans as `TakeOrderedAndProject` — a per-partition
+  *    partial top-k followed by a k-row merge on the driver, i.e. no full
+  *    sort and no shuffle of the corpus, which is exactly the plan you want
+  *    at 100 TB;
+  *  - multi query: the (small) query set is broadcast and cross-scored
+  *    against the corpus; per-query top-k uses a window ranked within the
+  *    query partition. The corpus is never shuffled by the join itself
+  *    (BroadcastNestedLoopJoin); only the ranked candidates shuffle, and a
+  *    per-partition pre-prune keeps that small.
+  */
+object Search {
+
+  /** Reference parity quirks (SURVEY.md §2.9.1): the score threshold is
+    * applied AFTER the top-k slice — fewer than k rows can come back; ties
+    * at rank k break deterministically by ascending id.
+    */
+  def topK(corpus: DataFrame,
+           queryVec: Seq[Double],
+           k: Int = 5,
+           threshold: Double = 0.1,
+           idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    corpus
+      .withColumn("score", cosineSimilarity(asDouble(col(vecCol)), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .filter(col("score") >= threshold)
+      .drop(vecCol)
+  }
+
+  /** Same as [[topK]] but the query vector comes from a 1-row DataFrame
+    * (e.g. "the embedding of vec_id 0"), broadcast-cross-joined so nothing
+    * is collected to the driver.
+    */
+  def topKFromRow(corpus: DataFrame,
+                  queryRow: DataFrame,
+                  queryVecCol: String,
+                  k: Int = 5,
+                  threshold: Double = 0.1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    corpus
+      .crossJoin(broadcast(queryRow))
+      .withColumn("score",
+        cosineSimilarity(asDouble(col(vecCol)), asDouble(col(queryVecCol))))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .filter(col("score") >= threshold)
+      .drop(vecCol, queryVecCol)
+
+  /** Batch top-k: every row of `queries` (id + vector) against the corpus.
+    * Returns (query id, corpus id, rank, score), rank 1..k, threshold
+    * applied after ranking (parity with the single-query path).
+    */
+  def topKBatch(corpus: DataFrame,
+                queries: DataFrame,
+                k: Int = 5,
+                threshold: Double = 0.1,
+                corpusId: String = "vec_id",
+                corpusVec: String = "embedding",
+                queryId: String = "query_id",
+                queryVec: String = "query_vec"): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries)) // cross product; queries side broadcast
+      .withColumn("score",
+        cosineSimilarity(asDouble(col(corpusVec)), asDouble(col(queryVec))))
+      .select(col(queryId), col(corpusId), col("score"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k && col("score") >= threshold)
+  }
+
+  /** Score every corpus row against a query vector (no slice) — the
+    * building block for histograms / threshold sweeps.
+    */
+  def scoreAll(corpus: DataFrame, queryVec: Seq[Double],
+               vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    corpus.withColumn("score", cosineSimilarity(asDouble(col(vecCol)), q))
+  }
+}

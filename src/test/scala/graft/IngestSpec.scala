@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+import graft.text.Chunker
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocuments: dense chunk_index, correct total_chunks, parity with Chunker") {
+    val docs = Seq(
+      (1L, "short doc"),
+      (2L, ("y" * 450)),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Ingest.chunkDocuments(docs, "text", chunkSize = 200, overlap = 50)
+      .select($"doc_id", $"chunk_index", $"total_chunks", $"content")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+
+    val exp2 = Chunker.chunk("y" * 450, 200, 50)
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq("short doc"))
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == exp2)
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == exp2.indices)
+    assert(got.filter(_._1 == 2L).forall(_._3 == exp2.length))
+    assert(!got.exists(_._1 == 3L)) // empty text → zero chunks
+  }
+
+  test("ingestDocuments attaches embeddings of the chunk content") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val row = Ingest.ingestDocuments(docs, "text").select($"content", $"embedding")
+      .as[(String, Seq[Float])].head()
+    assert(row._2 == graft.embed.Embedder.Default.embed(row._1).toSeq)
+  }
+
+  test("scanFiles applies hidden/extension/empty filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scan").toFile
+    def put(rel: String, content: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    put("keep.py", "print('hi')")
+    put("sub/keep.md", "# doc")
+    put(".hidden/skip.py", "nope")
+    put("skip.bin", "binary-ish")
+    put("empty.py", "   ")
+    val got = Ingest.scanFiles(spark, dir.getAbsolutePath)
+      .select($"path").as[String].collect().toSet
+    assert(got == Set("keep.py", "sub/keep.md"))
+  }
+}

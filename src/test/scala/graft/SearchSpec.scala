@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.Search
+
+/** Flagship-path parity spec (SURVEY.md §2.5, §2.9.1-2): cosine semantics,
+  * threshold-AFTER-limit ordering, deterministic tie-breaks.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Seq(1.0, 0.0), "a"),
+    (1L, Seq(0.9, 0.1), "b"),
+    (2L, Seq(0.0, 1.0), "c"),
+    (3L, Seq(-1.0, 0.0), "d"),
+    (4L, Seq(0.0, 0.0), "e") // zero-norm → score 0 by contract
+  ).toDF("vec_id", "embedding", "label")
+
+  test("topK: exact scores, descending order, id tie-break") {
+    val got = Search.topK(corpus, Seq(1.0, 0.0), k = 3, threshold = -2.0)
+      .select($"vec_id", $"score").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(1)._2 - 0.9 / math.sqrt(0.82)) < 1e-12)
+    assert(got(2)._2 == 0.0)
+  }
+
+  test("threshold is applied AFTER the top-k slice — can return fewer than k") {
+    // top-3 by score are ids 0 (1.0), 1 (~0.994), 2 (0.0); threshold 0.5
+    // kills id 2 INSIDE the slice → 2 rows, and id 4 (score 0) is never
+    // considered even though other sub-threshold rows were sliced away.
+    val got = Search.topK(corpus, Seq(1.0, 0.0), k = 3, threshold = 0.5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L))
+  }
+
+  test("zero-norm corpus vector scores 0, not NaN") {
+    val got = Search.scoreAll(
+        corpus.withColumn("embedding", transform($"embedding", _.cast("double"))),
+        Seq(1.0, 0.0))
+      .filter($"vec_id" === 4).select($"score").as[Double].head()
+    assert(got == 0.0)
+  }
+
+  test("zero-norm query vector scores 0 against everything") {
+    val got = Search.scoreAll(
+        corpus.withColumn("embedding", transform($"embedding", _.cast("double"))),
+        Seq(0.0, 0.0))
+      .select($"score").as[Double].collect()
+    assert(got.forall(_ == 0.0))
+  }
+
+  test("topKBatch ranks per query with threshold after ranking") {
+    val queries = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (200L, Seq(0.0, 1.0))
+    ).toDF("query_id", "query_vec")
+    val got = Search.topKBatch(corpus, queries, k = 2, threshold = 0.0)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // q100: best = 0 (1.0), then 1 (0.994); q200: best = 2 (1.0), then 1 (~0.11)
+    assert(got == Set((100L, 0L, 1), (100L, 1L, 2), (200L, 2L, 1), (200L, 1L, 2)))
+  }
+
+  test("topK plans a TakeOrderedAndProject (no full sort at scale)") {
+    val plan = Search.topK(corpus, Seq(1.0, 0.0), k = 3, threshold = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
