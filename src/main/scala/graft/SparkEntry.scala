@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
 import graft.ingest.Ingest
-import graft.search.Search
+import graft.search.{Ann, Search}
 import graft.stats.Stats
+import graft.text.TextAnalysis
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -199,6 +201,67 @@ object SparkEntry {
         max(col("total_chunks")).as("max_chunks_per_doc"))
 
   // ===========================================================================
+  // Near-dup dedup battery (MinHash-LSH / SimHash / n-gram Jaccard /
+  // embedding-cosine) + ANN — the training-data-pipeline extensions
+  // ===========================================================================
+
+  /** MinHash-LSH bucket table: (doc_id, band, band_hash). */
+  private def qMinhashBands(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBands(rd(s, dir, "documents"))
+
+  /** LSH candidate pairs verified with exact n-gram Jaccard. */
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(rd(s, dir, "documents"))
+
+  /** 32-bit SimHash per document. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("hs", Dedup.tokenHashes(col("text")))
+      .select(col("doc_id"), Dedup.simhash("hs").as("simhash"))
+
+  /** Language-ID histogram (stopword-hit heuristic). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .groupBy(TextAnalysis.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-source quality scores (composite heuristic). */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 4).as("avg_quality"))
+
+  /** BPE-ish token counting per source. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("bpe", TextAnalysis.bpeTokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("total_bpe_tokens"))
+
+  /** MOSS-style fingerprints, exploded (doc_id, fp). */
+  private def qFingerprints(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.fingerprints("text")).as("fp"))
+
+  /** Embedding-cosine near-dup pairs within sign-LSH buckets. */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(rd(s, dir, "embeddings"), threshold = 0.3)
+
+  /** IVF-style ANN top-5 (nprobe=1 sign bucket) for vec_id 0's vector. */
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qrow = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    Ann.ivfTopK(emb, qrow, "query_vec", k = 5)
+  }
+
+  /** LSH bucket occupancy — the ANN partition-skew diagnostic. */
+  private def qBucketStats(s: SparkSession, dir: String): DataFrame =
+    Ann.bucketStats(rd(s, dir, "embeddings"))
+
+  // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +277,16 @@ object SparkEntry {
     "q10_dedup_exact" -> (qDedupExact _),
     "q11_token_stats" -> (qTokenStats _),
     "q12_chunk_stats" -> (qChunkStats _),
+    "q13_minhash_bands" -> (qMinhashBands _),
+    "q14_minhash_pairs" -> (qMinhashPairs _),
+    "q15_simhash" -> (qSimhash _),
+    "q16_langid" -> (qLangId _),
+    "q17_quality_score" -> (qQualityScore _),
+    "q18_bpe_tokens" -> (qBpeTokens _),
+    "q19_fingerprints" -> (qFingerprints _),
+    "q20_embed_neardup" -> (qEmbedNearDup _),
+    "q21_ivf_topk" -> (qIvfTopK _),
+    "q22_bucket_stats" -> (qBucketStats _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -225,6 +298,37 @@ object SparkEntry {
       | THEN 0.0
       | ELSE list_dot_product(e, q) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q, q)))
       | END""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragment: cosine between two DOUBLE[] expressions with the
+    * zero-norm guard.
+    */
+  private def cosSqlAB(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0 OR sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       | END""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
+  private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** DuckDB fragment: sign-LSH bucket of a float-list column (Ann.signBucket). */
+  private def bucketSql(v: String, bits: Int = 8): String =
+    s"list_sum([CASE WHEN $v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, $bits)])"
+
+  /** DuckDB CTEs: words → distinct 3-gram shingles → 16-slot MinHash
+    * signature → 8 band hashes (mirrors Dedup.minhashBands exactly).
+    */
+  private val MinhashCtes =
+    s"""words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
+       |   ELSE [array_to_string(w, ' ')] END) AS shingles FROM words),
+       | sig AS (SELECT doc_id, [list_min([((2*j+1) * ${h32Sql("s")} + ((1000000007*(j+1)) % 4294967311)) % 4294967311
+       |   for s in shingles]) for j in range(0,16)] AS sig FROM sh),
+       | bands AS (SELECT doc_id, band, md5(array_to_string(sig[band*2+1:band*2+2], ',')) AS band_hash
+       |   FROM sig, (SELECT unnest(range(0,8)) AS band))""".stripMargin
+
+  private val EnStopSql = "['the','a','of','and','to','in','is','it']"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -310,5 +414,81 @@ object SparkEntry {
         | max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens,
         | min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q13_minhash_bands" ->
+      s"""WITH $MinhashCtes
+         |SELECT doc_id, band, band_hash FROM bands""".stripMargin,
+
+    "q14_minhash_pairs" ->
+      s"""WITH $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         | round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |   / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b""".stripMargin,
+
+    "q15_simhash" ->
+      s"""SELECT doc_id, list_sum([CASE WHEN
+         |  list_sum([CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         |  THEN (1::BIGINT << i) ELSE 0 END for i in range(0,32)])::BIGINT AS simhash
+         |FROM (SELECT doc_id, [${h32Sql("x")} for x in regexp_split_to_array(lower(trim(text)), '\\s+')] AS hs
+         |      FROM documents)""".stripMargin,
+
+    "q16_langid" ->
+      s"""WITH words AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | s AS (SELECT
+         |  len(list_filter(w, x -> list_contains($EnStopSql, x))) AS s_en,
+         |  len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','un','est'], x))) AS s_fr,
+         |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+         |  len(list_filter(w, x -> list_contains(['el','la','de','y','los','en','un','es'], x))) AS s_es,
+         |  len(list_filter(w, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+         | FROM words),
+         | m AS (SELECT *, greatest(s_en, s_fr, s_de, s_es, s_zh) AS mx FROM s)
+         |SELECT CASE WHEN mx = 0 THEN 'unknown' WHEN s_en = mx THEN 'en' WHEN s_fr = mx THEN 'fr'
+         |  WHEN s_de = mx THEN 'de' WHEN s_es = mx THEN 'es' ELSE 'zh' END AS pred_lang,
+         | count(*) AS n_docs FROM m GROUP BY 1""".stripMargin,
+
+    "q17_quality_score" ->
+      s"""WITH q AS (SELECT source, round((
+         |   least(len(w) / 100.0, 1.0)
+         | + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         | + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         | + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS q
+         | FROM (SELECT source, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents))
+         |SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+         |FROM q GROUP BY source""".stripMargin,
+
+    "q18_bpe_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        | sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS total_bpe_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q19_fingerprints" ->
+      s"""SELECT doc_id, unnest(list_distinct([h for h in
+         |  [${h32Sql("substr(t, i, 16)")} for i in range(1, greatest(len(t) - 15, 1) + 1)]
+         |  if h % 16 = 0])) AS fp
+         |FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)""".stripMargin,
+
+    "q20_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b, round(${cosSqlAB("x.v", "y.v")}, 6) AS score
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosSqlAB("x.v", "y.v")} >= 0.3""".stripMargin,
+
+    "q21_ivf_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         | q AS (SELECT v AS qv, bucket AS q_bucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, round(score, 6) AS score FROM (
+         | SELECT x.vec_id, ${cosSqlAB("x.v", "qv")} AS score
+         | FROM b x, q WHERE x.bucket = q.q_bucket
+         | ORDER BY score DESC, vec_id ASC LIMIT 5)""".stripMargin,
+
+    "q22_bucket_stats" ->
+      s"""SELECT ${bucketSql("embedding")} AS bucket, count(*) AS n_vectors
+         |FROM embeddings GROUP BY 1""".stripMargin,
   )
 }

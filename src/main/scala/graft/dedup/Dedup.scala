@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Near-duplicate detection for large text corpora — the operators a
+  * training-data pipeline layers on top of the reference's append-only
+  * corpus (which itself accumulates duplicates by design,
+  * `/root/reference/mock_vector_db_api.py:200` / SURVEY.md §2.7 "set ops").
+  *
+  * Everything here is pure Catalyst expressions (no UDFs): shingling and
+  * signatures are per-row higher-order functions (map-side, no shuffle),
+  * and the only shuffles are the band-bucket self-join and the final
+  * dedup — the canonical MinHash-LSH shape that scales linearly in corpus
+  * size instead of quadratically in pairs. Hashes derive from md5 prefixes
+  * (HashFunctions) so DuckDB can replay them bit-for-bit for the oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - signatures/bands stream map-side; only (band_hash, doc_id) pairs —
+  *    never the text — enter the candidate-pair shuffle;
+  *  - the band join is an equi-join on band_hash, so Spark hash-partitions
+  *    buckets across executors; a hot bucket (boilerplate text) is the one
+  *    skew risk — AQE skew-join handles it, or cap bucket size upstream;
+  *  - exact-Jaccard verification joins shingle SETS only for candidate
+  *    pairs (LSH-pruned), not all pairs.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 8 // rows per band r = 2 → candidate prob = 1-(1-j^2)^8
+
+  /** Lowercased whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles; texts shorter than n words fall back
+    * to a single whole-text shingle so every doc has ≥1 shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** 32-bit portable hash of one shingle (md5-prefix, DuckDB-replayable). */
+  private def h32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: for each of [[NumHashes]] universal-family hash
+    * functions, the minimum over the doc's shingles. Pure map-side
+    * expression — O(shingles × k) per row, no shuffle.
+    */
+  def minhashSignature(shingleCol: Column): Column = {
+    val hashed = transform(shingleCol, s => h32(s))
+    array((0 until NumHashes).map { j =>
+      array_min(transform(hashed,
+        h => pmod(lit(minhashA(j)) * h + lit(minhashB(j)), lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** LSH banding: signature → array of [[NumBands]] md5 band keys (each
+    * hashing r = k/bands consecutive signature slots).
+    */
+  def bandHashes(sig: Column): Column = {
+    val r = NumHashes / NumBands
+    array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        transform(slice(sig, b * r + 1, r), x => x.cast("string"))).cast("binary"))
+    }: _*)
+  }
+
+  /** docs → (doc_id, band, band_hash): one row per band per doc — the
+    * bucket table LSH joins on.
+    */
+  def minhashBands(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(bandHashes(minhashSignature(shingles(col(textCol)))))
+          .as(Seq("band", "band_hash")))
+
+  /** Candidate pairs: docs sharing any band bucket (doc_a < doc_b). The
+    * self-join shuffles only (band, band_hash, doc_id) triples.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val x = bands.select(col("band"), col("band_hash"), col(idCol).as("doc_a"))
+    val y = bands.select(col("band"), col("band_hash"), col(idCol).as("doc_b"))
+    x.join(y, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact word-n-gram Jaccard similarity
+    * (|A∩B| / |A∪B| over distinct shingles). Only candidate pairs pay the
+    * set comparison.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val pairs = candidatePairs(minhashBands(docs, idCol, textCol), idCol)
+    pairs
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-token 32-bit hashes of a text column (the SimHash input). */
+  def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))
+
+  /** 32-bit SimHash over a precomputed token-hash array column: bit i is
+    * set when the sum of ±1 votes from each token's hash bit i is
+    * positive. Near-dups differ in few bits (compare via
+    * bit_count(xor) ≤ t). Map-side expression; `(h div 2^i) % 2` is the
+    * bit probe (h is non-negative), identical in DuckDB as `(h >> i) & 1`.
+    */
+  def simhash(hashedColName: String): Column = expr(
+    s"""aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+       | IF(aggregate($hashedColName, 0L,
+       |      (s, h) -> s + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
+       |    shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** Exact duplicate groups by full-content hash: one row per distinct
+    * text, keeping the lowest id. The 100 TB shape: only (hash, id) pairs
+    * shuffle, never the content.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,83 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * scale path beyond the reference's exact brute-force scan
+  * (`/root/reference/mock_vector_db_api.py:275-282`).
+  *
+  * Partitioning strategy (100 TB posture): [[signBucket]] is an
+  * axis-aligned random-hyperplane LSH — a deterministic, data-independent
+  * coarse quantizer. The corpus is hash-partitioned by bucket; a query
+  * touches only its probe buckets, so the scan cost drops from O(N) to
+  * O(N / 2^bits × nprobe). Bucketing the stored table by `bucket`
+  * (`df.write.bucketBy`) makes the probe a partition-pruned read with no
+  * shuffle at all. Brute-force [[Search.topK]] remains the exact
+  * baseline / recall oracle.
+  */
+object Ann {
+
+  /** LSH bucket id from the signs of the first `bits` vector components
+    * (bit i set ⟺ component i > 0). Data-independent → identically
+    * computable in DuckDB for the oracle, and stable under appends —
+    * no retraining, unlike k-means IVF centroids.
+    */
+  def signBucket(vecColName: String, bits: Int = 8): Column =
+    expr(s"""aggregate(sequence(0, ${bits - 1}), 0L,
+            | (acc, i) -> acc + IF(element_at($vecColName, i + 1) > 0,
+            |   shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** Corpus + bucket column (materialize once; bucketBy for storage). */
+  def withBucket(corpus: DataFrame, vecCol: String = "embedding",
+                 bits: Int = 8): DataFrame =
+    corpus.withColumn("bucket", signBucket(vecCol, bits))
+
+  /** IVF-style top-k: score ONLY the corpus rows in the query row's own
+    * bucket (nprobe=1). `queryRow` is a 1-row (id?, vector) DataFrame;
+    * broadcast, so the corpus never shuffles.
+    */
+  def ivfTopK(corpus: DataFrame, queryRow: DataFrame, queryVecCol: String,
+              k: Int = 5, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queryRow
+      .withColumn("q_bucket", signBucket(queryVecCol, bits)))
+    withBucket(corpus, vecCol, bits)
+      .join(q, col("bucket") === col("q_bucket"))
+      .withColumn("score",
+        cosineSimilarity(asDouble(col(vecCol)), asDouble(col(queryVecCol))))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs in
+    * the SAME sign bucket are scored (each bucket joins with itself —
+    * an equi-join, not a cross join), then exact cosine ≥ threshold.
+    * The O(N²) pair space shrinks by ~2^bits; recall misses only pairs
+    * straddling a hyperplane.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.8,
+                   bits: Int = 8, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val b = withBucket(corpus, vecCol, bits)
+      .select(col("bucket"), col(idCol), asDouble(col(vecCol)).as("v"))
+    val x = b.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val y = b.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
+    x.join(y, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** Bucket occupancy histogram — the skew diagnostic for the partition
+    * strategy (a hot bucket → raise bits or salt that bucket).
+    */
+  def bucketStats(corpus: DataFrame, vecCol: String = "embedding",
+                  bits: Int = 8): DataFrame =
+    withBucket(corpus, vecCol, bits)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+}

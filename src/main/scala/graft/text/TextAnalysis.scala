@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, tokenization, and document fingerprinting. All are
+  * pure map-side Catalyst expressions (codegen-friendly, no UDFs, no
+  * shuffle), with md5-derived hashes so the DuckDB oracle can replay
+  * them exactly.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language heuristic. Ordered: earlier lists win score ties.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "y", "los", "en", "un", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Stopword hits for one language list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic language ID: the language whose stopword list scores the
+    * most token hits; ties resolve in [[StopwordLists]] order; zero hits
+    * everywhere → 'unknown'. (A production langid swaps in char-n-gram
+    * profiles behind the same column contract.)
+    */
+  def langId(text: Column): Column = {
+    val scored = StopwordLists.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    // when-chain in priority order: first language reaching the max score
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.foldRight[Column](lit("unknown")) {
+      case ((l, s), elseCol) => when(s === maxScore && maxScore > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length sufficiency, mean token
+    * length sanity, stopword presence, vocabulary diversity — equal
+    * weights, each clamped to [0,1]. Deterministic and oracle-portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val w = tokens(text)
+    val nTok = size(w).cast("double")
+    val nChars = length(text).cast("double")
+    val avgLen = nChars / nTok
+    val stopHits = stopwordHits(text, StopwordLists.head._2).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val avgLenScore = greatest(lit(0.0), lit(1.0) - abs(avgLen - 5.0) / 10.0)
+    val stopScore = least(stopHits / nTok * 5.0, lit(1.0))
+    val uniqScore = size(array_distinct(w)).cast("double") / nTok
+    round((lenScore + avgLenScore + stopScore + uniqScore) / 4.0, 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token (the usual pre-tokenizer
+    * regex shape).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** MOSS-style fingerprints: hashes of all char k-grams of the
+    * normalized text, thinned by keeping h ≡ 0 (mod modulo). Output:
+    * distinct array of fingerprint hashes per doc. Winnowing-lite —
+    * deterministic, portable, map-side. (expr-string form because
+    * `substr` with a per-element position has no Column-DSL variant.)
+    */
+  def fingerprints(textColName: String, k: Int = 16, modulo: Int = 16): Column =
+    expr(
+      s"""array_distinct(filter(
+         |  transform(sequence(1, greatest(length(lower(trim($textColName))) - ${k - 1}, 1)),
+         |    i -> cast(conv(substr(md5(cast(substr(lower(trim($textColName)), i, $k) as binary)), 1, 8), 16, 10) as bigint)),
+         |  h -> h % $modulo = 0))""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 1.0f, -1.0f, 1.0f)),
+    (1L, Seq(0.9f, 1.1f, -0.5f, 2.0f)),  // same orthant as 0
+    (2L, Seq(-1.0f, -1.0f, 1.0f, -1.0f)), // opposite orthant
+    (3L, Seq(1.0f, 1.0f, 1.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("signBucket encodes component signs as bits") {
+    val got = corpus.select($"vec_id", Ann.signBucket("embedding", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 11L) // bits 0,1,3 → 1+2+8
+    assert(got(1L) == 11L)
+    assert(got(2L) == 4L)  // only bit 2
+    assert(got(3L) == 15L)
+  }
+
+  test("ivfTopK searches only the query's bucket") {
+    val qrow = corpus.filter($"vec_id" === 0)
+      .select($"embedding".as("query_vec"))
+    val got = Ann.ivfTopK(corpus, qrow, "query_vec", k = 5, bits = 4)
+      .as[(Long, Double)].collect()
+    // bucket 11 contains ids 0 and 1 only; self scores 1.0 first
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    assert(got.head._2 == 1.0)
+  }
+
+  test("nearDupPairs only pairs same-bucket vectors above threshold") {
+    val got = Ann.nearDupPairs(corpus, threshold = 0.5, bits = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(got.head._3 > 0.5)
+  }
+
+  test("bucketStats partitions the corpus exactly") {
+    val got = Ann.bucketStats(corpus, bits = 4).as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 4L)
+    assert(got(11L) == 2L)
+  }
+}

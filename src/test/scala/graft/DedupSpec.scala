@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "ab") // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams; short text falls back to whole text") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).contains("the lazy dog"))
+    assert(sh(1L).distinct == sh(1L))
+    assert(sh(5L) == Seq("ab"))
+  }
+
+  test("identical docs share the full signature; near-dups share most of it") {
+    val sig = docs.select($"doc_id",
+        Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+    // E[shared slots] = jaccard(1,3) ≈ 0.4 → near-dup shares more than the
+    // unrelated doc (whose expected sharing is ~0)
+    val sharedNear = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    val sharedFar = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar, s"near=$sharedNear far=$sharedFar")
+    assert(sig(1L).length == Dedup.NumHashes)
+  }
+
+  test("candidatePairs surfaces the duplicate pair via band buckets") {
+    val pairs = Dedup.candidatePairs(Dedup.minhashBands(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // ordering invariant
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("nearDupPairs: exact dup has jaccard 1.0; near dup is high; verified only") {
+    val got = Dedup.nearDupPairs(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 2L)) == 1.0)
+    got.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("simhash: equal for identical text, different for unrelated text, 32-bit") {
+    val hs = docs.withColumn("hs", Dedup.tokenHashes($"text"))
+      .select($"doc_id", Dedup.simhash("hs").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(4L))
+    assert(hs.values.forall(v => v >= 0 && v < (1L << 32)))
+    // near-dups are close in Hamming distance
+    val dist = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    val farDist = java.lang.Long.bitCount(hs(1L) ^ hs(4L))
+    assert(dist < farDist, s"near=$dist far=$farDist")
+  }
+
+  test("exactDupGroups keeps lowest id and counts copies") {
+    val got = Dedup.exactDupGroups(docs)
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // docs 1,2 collapse
+    assert(got.size == 4)          // 5 docs, one dup pair
+  }
+}

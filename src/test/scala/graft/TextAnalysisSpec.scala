@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: stopword-hit heuristic with priority tie-break and unknown") {
+    val got = Seq(
+      "the cat sat on a mat and it is fine",   // en
+      "le chat est sur la table et les murs",  // fr
+      "der hund und die katze ist ein tier",   // de
+      "xyzzy qwerty plugh"                     // no stopwords → unknown
+    ).toDF("text").select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "fr", "de", "unknown"))
+  }
+
+  test("qualityScore lies in [0,1] and rewards diverse, stopword-bearing text") {
+    val df = Seq(
+      "the quick brown fox jumps over a lazy dog near the old riverbank today",
+      "aa aa aa aa aa aa aa aa"
+    ).toDF("text").select(TextAnalysis.qualityScore($"text").as("q"))
+    val Array(good, bad) = df.as[Double].collect()
+    assert(good >= 0 && good <= 1 && bad >= 0 && bad <= 1)
+    assert(good > bad)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val row = Seq("Hello world, it's 42 degrees!").toDF("text")
+      .select(TextAnalysis.tokenCount($"text"),
+        TextAnalysis.bpeTokenCount($"text"))
+      .as[(Int, Int)].head()
+    assert(row._1 == 5)
+    // hello | world | , | it | ' | s | 42 | degrees | ! = 9
+    assert(row._2 == 9)
+  }
+
+  test("fingerprints: deterministic, thinned, within 32-bit range") {
+    val df = Seq("the quick brown fox jumps over the lazy dog repeatedly and often")
+      .toDF("text")
+    val a = df.select(TextAnalysis.fingerprints("text")).as[Seq[Long]].head()
+    val b = df.select(TextAnalysis.fingerprints("text")).as[Seq[Long]].head()
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.forall(h => h % 16 == 0 && h >= 0 && h < (1L << 32)))
+    assert(a.distinct == a)
+  }
+
+  test("fingerprints of short text (< k chars) hash the whole text") {
+    val got = Seq("tiny").toDF("text")
+      .select(TextAnalysis.fingerprints("text")).as[Seq[Long]].head()
+    assert(got.length <= 1) // one gram, kept only if ≡0 mod 16
+  }
+}
