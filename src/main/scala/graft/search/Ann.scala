@@ -2,6 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
 import graft.functions.VectorFunctions._
 
 /** Approximate nearest-neighbor search over an embedding column — the
@@ -46,7 +47,7 @@ object Ann {
     withBucket(corpus, vecCol, bits)
       .join(q, col("bucket") === col("q_bucket"))
       .withColumn("score",
-        cosineSimilarity(asDouble(col(vecCol)), asDouble(col(queryVecCol))))
+        CosineSimilarity(col(vecCol), col(queryVecCol)))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("score"), 6).as("score"))
@@ -67,7 +68,7 @@ object Ann {
     val y = b.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
     x.join(y, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosineSimilarity(col("v_a"), col("v_b")))
+      .withColumn("score", CosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }

@@ -3,6 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
 import graft.functions.VectorFunctions._
 
 /** Exact cosine top-k search — the reference's flagship query path
@@ -34,7 +35,7 @@ object Search {
            vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(lit): _*)
     corpus
-      .withColumn("score", cosineSimilarity(asDouble(col(vecCol)), q))
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .filter(col("score") >= threshold)
@@ -55,7 +56,7 @@ object Search {
     corpus
       .crossJoin(broadcast(queryRow))
       .withColumn("score",
-        cosineSimilarity(asDouble(col(vecCol)), asDouble(col(queryVecCol))))
+        CosineSimilarity(col(vecCol), col(queryVecCol)))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .filter(col("score") >= threshold)
@@ -76,7 +77,7 @@ object Search {
     val scored = corpus
       .join(broadcast(queries)) // cross product; queries side broadcast
       .withColumn("score",
-        cosineSimilarity(asDouble(col(corpusVec)), asDouble(col(queryVec))))
+        CosineSimilarity(col(corpusVec), col(queryVec)))
       .select(col(queryId), col(corpusId), col("score"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId).asc)
@@ -91,6 +92,6 @@ object Search {
   def scoreAll(corpus: DataFrame, queryVec: Seq[Double],
                vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(lit): _*)
-    corpus.withColumn("score", cosineSimilarity(asDouble(col(vecCol)), q))
+    corpus.withColumn("score", CosineSimilarity(col(vecCol), q))
   }
 }

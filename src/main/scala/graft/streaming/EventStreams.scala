@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Event-time streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.7); its closest
+  * analog is the incremental batched `/add_documents` append
+  * (`/root/reference/mock_vector_db_api.py:150-228`). These operators are
+  * the Structured-Streaming-native generalization: every transform here is
+  * written against a plain DataFrame so the SAME code runs in batch mode
+  * (driver oracle checks) and under `readStream` (incremental execution
+  * with watermark-bounded state) — the canonical Spark pattern.
+  *
+  * Scale notes: windowed aggregations shuffle on (window, key) — state is
+  * partitioned across executors by key hash, and the watermark bounds
+  * state size, so throughput scales horizontally; sessionization with
+  * `session_window` uses the dedicated session-merge state store ops.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate (count + sum per event_type).
+    * On a stream: append-mode-safe once a watermark is set.
+    */
+  def tumblingAgg(events: DataFrame, windowDur: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Sliding event-time window aggregate — each event lands in
+    * windowDur/slideDur overlapping windows.
+    */
+  def slidingAgg(events: DataFrame, windowDur: String = "10 minutes",
+                 slideDur: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (built-in `session_window` — state-store-backed
+    * session merging when run as a stream).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Watermarked streaming variant of [[tumblingAgg]] — use on a
+    * `readStream` DataFrame with append output mode.
+    */
+  def tumblingAggStream(events: DataFrame, watermarkDelay: String = "10 minutes",
+                        windowDur: String = "10 minutes"): DataFrame =
+    tumblingAgg(events.withWatermark("ts", watermarkDelay), windowDur)
+
+  // =========================================================================
+  // Custom stateful sessionization (flatMapGroupsWithState) — the
+  // "custom state" extension point the built-in session_window can't
+  // express (e.g. emitting one record per CLOSED session only).
+  // =========================================================================
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Emit one record per closed session (closed = no event for `gapMs`,
+    * detected via event-time timeout on the watermark). State per user is
+    * a single running session — O(users) state, watermark-bounded.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[ClosedSession] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

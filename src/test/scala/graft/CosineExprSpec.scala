@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, VectorFunctions}
+
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+    (Seq(2.0, 0.0, 1.0), Seq(-3.0, 0.0, -1.5)),
+    (Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
+  ).toDF("a", "b")
+
+  test("native expression matches hand-computed values incl. zero-norm guard") {
+    val got = pairs.select(CosineSimilarity($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - -1.0) < 1e-15) // antiparallel (fp-rounded)
+    assert(got(3) == 0.0) // zero-norm → 0, not NaN
+  }
+
+  test("bit-identical to the higher-order-function form on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        CosineSimilarity($"embedding", $"qv").as("native"),
+        VectorFunctions.cosineSimilarity(
+          VectorFunctions.asDouble($"embedding"),
+          VectorFunctions.asDouble($"qv")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    // exact equality — same fold order, so the doubles must match bitwise
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("float and double element types both accepted") {
+    val f = Seq((Seq(1.0f, 2.0f), Seq(2.0, 4.0))).toDF("f", "d")
+    val got = f.select(CosineSimilarity($"f", $"d")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("dimension mismatch is a hard error (reference parity §2.9.8)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(CosineSimilarity($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("SQL surface via function registration") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+      .as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("GraftExtensions registers without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // injection itself must not throw
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStreams, StreamingIngest}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("tumbling window agg over a MemoryStream matches batch semantics") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingAggStream(events,
+      watermarkDelay = "5 minutes", windowDur = "10 minutes")
+      .select($"window.start".as("w"), $"event_type", $"n_events", $"sum_value")
+
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:10 windows
+      input.addData((ts(45), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(10), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("late event past the watermark is dropped from the stream") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = EventStreams.tumblingAggStream(
+      input.toDF().toDF("ts", "event_type", "value"),
+      watermarkDelay = "5 minutes", windowDur = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      input.addData((ts(1), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(59), "click", 1.0)) // watermark → 10:54
+      q.processAllAvailable()
+      input.addData((ts(2), "click", 100.0)) // too late, must be ignored
+      q.processAllAvailable()
+      val w0 = spark.table("late_out").filter($"window.start" === ts(0))
+        .select($"sum_value").as[Double].collect()
+      assert(w0.toSeq == Seq(1.0)) // the late 100.0 never lands
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling agg agree on the same data") {
+    val batch = Seq((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(12), "b", 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = EventStreams.tumblingAgg(batch)
+      .select($"window.start", $"event_type", $"n_events", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set((ts(0), "a", 2L, 3.0), (ts(10), "b", 1L, 3.0)))
+  }
+
+  test("session_window merges events within the gap (batch mode)") {
+    val batch = Seq(
+      (ts(0), 1L, 1.0), (ts(5), 1L, 1.0),  // session 1: 10:00-10:05(+gap)
+      (ts(40), 1L, 2.0),                    // session 2 (>30 min later)
+      (ts(0), 2L, 9.0))
+      .toDF("ts", "user_id", "value")
+    val got = EventStreams.sessionAgg(batch, gap = "10 minutes")
+      .select($"user_id", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 2.0), (1L, 1L, 2.0), (2L, 1L, 9.0)))
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions only") {
+    import EventStreams.Ev
+    val input = MemoryStream[Ev](spark)
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      input.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // still open
+      input.addData(Ev(1L, ts(30), 1.0)) // gap > 10 min → closes session 1
+      q.processAllAvailable()
+      input.addData(Ev(2L, ts(59), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(closed.contains((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming ingest appends chunk+embed output incrementally") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val docs1 = Seq((1L, "alpha beta gamma " * 30, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs1.write.parquet(src)
+    StreamingIngest.start(spark, src, sink, ckpt).awaitTermination()
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() > 1) // chunked into multiple rows
+    assert(out1.columns.toSet.contains("embedding"))
+
+    // second batch: only the NEW file is processed (checkpoint dedup)
+    Seq((2L, "delta epsilon", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    StreamingIngest.start(spark, src, sink, ckpt).awaitTermination()
+    val out2 = spark.read.parquet(sink)
+    assert(out2.filter($"doc_id" === 2L).count() == 1)
+    assert(out2.count() == out1.count() + 1)
+  }
+}
