@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
 import graft.ingest.Ingest
+import graft.multimodal.Multimodal
 import graft.search.{Ann, Search}
 import graft.stats.Stats
 import graft.text.TextAnalysis
@@ -24,6 +25,19 @@ object SparkEntry {
   private def t(dir: String, name: String): String = s"$dir/$name.parquet"
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(t(dir, name))
+
+  /** Read a table and, if the scan yields fewer partitions than the
+    * session's parallelism, round-robin repartition it. The text/dedup
+    * operators do orders-of-magnitude more per-row compute than I/O, so
+    * a single-file scan (one parquet row group → one partition) would pin
+    * the whole query to one core. At real scale the scan is already wide
+    * and this is a no-op; the shuffle only triggers on degenerate inputs.
+    */
+  private def rdWide(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = rd(s, dir, name)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (vec_id 0 scores 1.0 against itself, so ≥1 row always survives the
@@ -207,43 +221,50 @@ object SparkEntry {
 
   /** MinHash-LSH bucket table: (doc_id, band, band_hash). */
   private def qMinhashBands(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashBands(rd(s, dir, "documents"))
+    Dedup.minhashBands(rdWide(s, dir, "documents"))
 
   /** LSH candidate pairs verified with exact n-gram Jaccard. */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(rd(s, dir, "documents"))
+    Dedup.nearDupPairs(rdWide(s, dir, "documents"))
 
   /** 32-bit SimHash per document. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents")
+    rdWide(s, dir, "documents")
       .withColumn("hs", Dedup.tokenHashes(col("text")))
       .select(col("doc_id"), Dedup.simhash("hs").as("simhash"))
 
-  /** Language-ID histogram (stopword-hit heuristic). */
+  /** Language-ID histogram (stopword-hit heuristic); the token array is
+    * staged once per row, shared by all five language scorers.
+    */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents")
-      .groupBy(TextAnalysis.langId(col("text")).as("pred_lang"))
+    rdWide(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .groupBy(TextAnalysis.langIdFromTokens(col("w")).as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
-  /** Per-source quality scores (composite heuristic). */
+  /** Per-source quality scores (composite heuristic over staged tokens). */
   private def qQualityScore(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents")
-      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+    rdWide(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("q", TextAnalysis.qualityScoreFromTokens(col("text"), col("w")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 4).as("avg_quality"))
 
   /** BPE-ish token counting per source. */
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents")
+    rdWide(s, dir, "documents")
       .withColumn("bpe", TextAnalysis.bpeTokenCount(col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("total_bpe_tokens"))
 
-  /** MOSS-style fingerprints, exploded (doc_id, fp). */
+  /** MOSS-style fingerprints, exploded (doc_id, fp); the normalized text
+    * is staged so the lowercase pass runs once, not once per k-gram.
+    */
   private def qFingerprints(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents")
+    rdWide(s, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"),
-        explode(TextAnalysis.fingerprints("text")).as("fp"))
+        explode(TextAnalysis.fingerprintsOfNormalized("t")).as("fp"))
 
   /** Embedding-cosine near-dup pairs within sign-LSH buckets. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -260,6 +281,50 @@ object SparkEntry {
   /** LSH bucket occupancy — the ANN partition-skew diagnostic. */
   private def qBucketStats(s: SparkSession, dir: String): DataFrame =
     Ann.bucketStats(rd(s, dir, "embeddings"))
+
+  // ===========================================================================
+  // Multimodal columns (binary payload + typed metadata; decode stubbed —
+  // offline container — but schema/partitioning/batch plumbing real)
+  // ===========================================================================
+
+  /** documents → synthetic media table: payload = UTF-8 bytes of text.
+    * Stands in for real image/audio payloads so the binary-column
+    * operators have driver-runnable inputs at every SF.
+    */
+  private def mediaOf(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("image").as("kind"), lit("raw").as("format"),
+          lit(16).as("width"), col("n_chars").cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames")).as("meta"))
+
+  /** Per-payload content features (bytes, Shannon entropy, mean byte,
+    * distinct bytes) — one JVM pass per payload via mapPartitions.
+    */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadFeatures(mediaOf(s, dir))
+
+  /** Frame sampling (1→N binary generator): every 2nd 32-byte frame,
+    * then frames-per-media — exercises the generator + a reaggregation.
+    */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(mediaOf(s, dir), frameBytes = 32, stride = 2)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(length(col("frame"))).as("sampled_bytes"))
+
+  /** Decode (stub codec) + per-kind sample statistics — the
+    * decode→feature-extract pipeline shape over batched binary rows.
+    */
+  private def qDecodeStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(mediaOf(s, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_samples")).as("total_samples"),
+        round(avg(aggregate(col("samples"), lit(0.0d),
+          (acc, x) => acc + x) / col("n_samples")), 6).as("mean_sample"))
 
   // ===========================================================================
 
@@ -287,6 +352,9 @@ object SparkEntry {
     "q20_embed_neardup" -> (qEmbedNearDup _),
     "q21_ivf_topk" -> (qIvfTopK _),
     "q22_bucket_stats" -> (qBucketStats _),
+    "q23_media_features" -> (qMediaFeatures _),
+    "q24_frame_sample" -> (qFrameSample _),
+    "q25_decode_stats" -> (qDecodeStats _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -490,5 +558,13 @@ object SparkEntry {
     "q22_bucket_stats" ->
       s"""SELECT ${bucketSql("embedding")} AS bucket, count(*) AS n_vectors
          |FROM embeddings GROUP BY 1""".stripMargin,
+
+    // q23/q25 are rows-only: per-byte entropy / decoded-sample stats have
+    // no byte-level DuckDB phrasing for multibyte UTF-8 text.
+    "q24_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | ((strlen(text) // 32 + 1) // 2)::BIGINT AS n_frames_sampled,
+        | (32 * ((strlen(text) // 32 + 1) // 2))::BIGINT AS sampled_bytes
+        |FROM documents WHERE strlen(text) >= 32""".stripMargin,
   )
 }

@@ -48,17 +48,26 @@ object Dedup {
   private def h32(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: for each of [[NumHashes]] universal-family hash
-    * functions, the minimum over the doc's shingles. Pure map-side
-    * expression — O(shingles × k) per row, no shuffle.
+  /** MinHash signature over PRE-HASHED shingles: for each of [[NumHashes]]
+    * universal-family hash functions, the minimum over the doc's shingle
+    * hashes. Takes the hashed array (not the shingles) so callers stage
+    * the md5 pass as its own projection — md5 is the expensive part and
+    * must run once per shingle, not once per hash function. (Catalyst's
+    * CollapseProject keeps a non-cheap multi-referenced projection
+    * separate, so the staging survives optimization.)
     */
-  def minhashSignature(shingleCol: Column): Column = {
-    val hashed = transform(shingleCol, s => h32(s))
+  def minhashSignatureFromHashes(hashedCol: Column): Column =
     array((0 until NumHashes).map { j =>
-      array_min(transform(hashed,
+      array_min(transform(hashedCol,
         h => pmod(lit(minhashA(j)) * h + lit(minhashB(j)), lit(MinhashPrime))))
     }: _*)
-  }
+
+  /** Convenience single-expression form (tests, small data): hashes and
+    * signature in one tree — md5 is recomputed per hash function here, so
+    * prefer the staged [[minhashSignatureFromHashes]] on real corpora.
+    */
+  def minhashSignature(shingleCol: Column): Column =
+    minhashSignatureFromHashes(transform(shingleCol, s => h32(s)))
 
   /** LSH banding: signature → array of [[NumBands]] md5 band keys (each
     * hashing r = k/bands consecutive signature slots).
@@ -72,13 +81,17 @@ object Dedup {
   }
 
   /** docs → (doc_id, band, band_hash): one row per band per doc — the
-    * bucket table LSH joins on.
+    * bucket table LSH joins on. Staged as three projections (shingles →
+    * md5 hashes → signature/bands) so each expensive pass over the
+    * shingle array runs exactly once per row.
     */
   def minhashBands(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-        posexplode(bandHashes(minhashSignature(shingles(col(textCol)))))
-          .as(Seq("band", "band_hash")))
+    docs.select(col(idCol), shingles(col(textCol)).as("__sh"))
+      .select(col(idCol), transform(col("__sh"), s => h32(s)).as("__hashed"))
+      .select(col(idCol), minhashSignatureFromHashes(col("__hashed")).as("__sig"))
+      .select(col(idCol),
+        posexplode(bandHashes(col("__sig"))).as(Seq("band", "band_hash")))
 
   /** Candidate pairs: docs sharing any band bucket (doc_a < doc_b). The
     * self-join shuffles only (band, band_hash, doc_id) triples.

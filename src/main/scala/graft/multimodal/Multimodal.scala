@@ -1,0 +1,215 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for a training-data pipeline.
+  *
+  * The reference engine is text-only (`/root/reference/repo_to_vector.py`
+  * ingests UTF-8 source files and skips binary, `repo_to_vector.py:241-244`);
+  * a 100 TB training corpus is not. This module adds the Spark-side
+  * plumbing for opaque media payloads: a typed schema (binary payload +
+  * metadata struct), batched per-partition transforms with the same batch
+  * shape a vectorized (Arrow) UDF would see, and deterministic stand-ins
+  * for the codec step — the actual image/audio decoders are NOT available
+  * in this offline container, so `decodeStub` is a clearly-marked
+  * deterministic fake with the real interface; swap [[MediaCodec]] for a
+  * JNI/javacv-backed implementation in production.
+  *
+  * Scale posture:
+  *  - payloads stay in executor space end-to-end (no collect); transforms
+  *    are `mapPartitions` over columnar-read parquet binary;
+  *  - metadata (kind/width/height/...) is a separate small struct column,
+  *    so metadata-only queries prune the payload at the parquet scan
+  *    (column pruning — never read the bytes to count them);
+  *  - partition sizing: payload rows are wide, so callers should set
+  *    `spark.sql.files.maxPartitionBytes` down (or repartition by
+  *    byte-size) so one task's batch fits executor memory.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),        // image|audio|video
+    StructField("format", StringType, nullable = true),       // png|wav|mp4|...
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true), // audio
+    StructField("n_frames", IntegerType, nullable = true)))   // video
+
+  /** Full media-table schema: id, provenance, payload, metadata. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("doc_id", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", MetaSchema, nullable = false)))
+
+  /** Codec interface — the seam where a real decoder plugs in. Decode
+    * turns payload bytes into a row-major float pixel/sample buffer.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], meta: Row): Array[Float]
+  }
+
+  /** STUB codec (offline container has no image/audio libraries).
+    * Deterministic fake: each payload byte maps to a float in [0,1)
+    * (unsigned byte / 256). Interface, batch shape, and partitioning are
+    * the production-real parts; only this byte→sample map is fake.
+    */
+  object DecodeStub extends MediaCodec {
+    def decode(payload: Array[Byte], meta: Row): Array[Float] = {
+      val out = new Array[Float](payload.length)
+      var i = 0
+      while (i < payload.length) {
+        out(i) = (payload(i) & 0xff) / 256.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("samples", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Decode payloads partition-by-partition. The iterator-in/iterator-out
+    * shape is the JVM analog of a vectorized Python `mapInPandas` UDF:
+    * rows stream through in executor-sized batches, nothing materializes
+    * per-partition beyond the current row's buffers.
+    *
+    * Expects columns (media_id, payload, meta); emits
+    * (media_id, kind, n_samples, samples).
+    */
+  def decode(media: DataFrame, codec: MediaCodec = DecodeStub): DataFrame = {
+    val enc = Encoders.row(decodedSchema)
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val samples = codec.decode(payload, meta)
+          Row(id, meta.getString(0), samples.length, samples)
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor resize of a decoded image to w×h. Pure per-row
+    * compute (no shuffle); index math mirrors a standard NN resampler.
+    */
+  def resize(decoded: DataFrame, srcW: Int, srcH: Int,
+             dstW: Int, dstH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("samples", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = Encoders.row(schema)
+    decoded.select(col("media_id"), col("samples"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = r.getSeq[Float](1)
+          val out = new Array[Float](dstW * dstH)
+          var y = 0
+          while (y < dstH) {
+            val sy = y * srcH / dstH
+            var x = 0
+            while (x < dstW) {
+              val sx = x * srcW / dstW
+              val idx = sy * srcW + sx
+              out(y * dstW + x) = if (idx < src.length) src(idx) else 0.0f
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, out)
+        }
+      }(enc)
+  }
+
+  /** Sample every `stride`-th frame of a "video" payload: the payload is
+    * treated as n_frames contiguous frames of frameBytes each; emits one
+    * row per kept frame (1→N generator, like the text chunker).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+                   stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            Row(id, f, java.util.Arrays.copyOfRange(
+              payload, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }(enc)
+  }
+
+  /** Per-payload content features — byte count, Shannon entropy
+    * (bits/byte; the classic compressibility / junk-media filter signal),
+    * mean byte value, and distinct byte count — in ONE JVM pass per
+    * payload via mapPartitions. A histogram per row is O(n) with a
+    * 256-slot scratch array here; the pure-expression phrasing would be
+    * O(256·n) per row, so the imperative loop is the scale-correct choice
+    * (this is genuine per-partition imperative logic).
+    *
+    * Expects (media_id, payload); emits
+    * (media_id, n_bytes, entropy, mean_byte, n_distinct_bytes).
+    */
+  def payloadFeatures(media: DataFrame,
+                      idCol: String = "media_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("n_distinct_bytes", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val log2 = math.log(2.0)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        val hist = new Array[Long](256) // reused scratch, zeroed per row
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          java.util.Arrays.fill(hist, 0L)
+          var sum = 0L
+          var i = 0
+          while (i < payload.length) {
+            val b = payload(i) & 0xff
+            hist(b) += 1
+            sum += b
+            i += 1
+          }
+          val n = payload.length.toDouble
+          var entropy = 0.0
+          var distinct = 0
+          var j = 0
+          while (j < 256) {
+            if (hist(j) > 0) {
+              distinct += 1
+              val p = hist(j) / n
+              entropy -= p * math.log(p) / log2
+            }
+            j += 1
+          }
+          val mean = if (payload.length == 0) 0.0 else sum / n
+          Row(id, payload.length,
+            math.rint(entropy * 1e6) / 1e6, math.rint(mean * 1e6) / 1e6,
+            distinct)
+        }
+      }(enc)
+  }
+}

@@ -23,17 +23,24 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Stopword hits over a precomputed token-array column. */
+  def stopwordHitsIn(w: Column, words: Seq[String]): Column =
+    size(filter(w, t => t.isin(words.map(lit): _*)))
+
   /** Stopword hits for one language list. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    stopwordHitsIn(tokens(text), words)
 
-  /** Heuristic language ID: the language whose stopword list scores the
-    * most token hits; ties resolve in [[StopwordLists]] order; zero hits
-    * everywhere → 'unknown'. (A production langid swaps in char-n-gram
-    * profiles behind the same column contract.)
+  /** Heuristic language ID over a precomputed token-array column: the
+    * language whose stopword list scores the most token hits; ties
+    * resolve in [[StopwordLists]] order; zero hits everywhere →
+    * 'unknown'. Callers should stage the token array as its own
+    * projection (`withColumn("w", tokens(...))`) so the split/lower pass
+    * runs once, not once per language. (A production langid swaps in
+    * char-n-gram profiles behind the same column contract.)
     */
-  def langId(text: Column): Column = {
-    val scored = StopwordLists.map { case (l, ws) => l -> stopwordHits(text, ws) }
+  def langIdFromTokens(w: Column): Column = {
+    val scored = StopwordLists.map { case (l, ws) => l -> stopwordHitsIn(w, ws) }
     // when-chain in priority order: first language reaching the max score
     val maxScore = greatest(scored.map(_._2): _*)
     scored.foldRight[Column](lit("unknown")) {
@@ -41,22 +48,29 @@ object TextAnalysis {
     }
   }
 
-  /** Composite quality score in [0,1]: length sufficiency, mean token
-    * length sanity, stopword presence, vocabulary diversity — equal
-    * weights, each clamped to [0,1]. Deterministic and oracle-portable.
+  /** Single-expression convenience form (tests, small data). */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Composite quality score in [0,1] over the text and its precomputed
+    * token array: length sufficiency, mean token length sanity, stopword
+    * presence, vocabulary diversity — equal weights, each clamped to
+    * [0,1]. Deterministic and oracle-portable.
     */
-  def qualityScore(text: Column): Column = {
-    val w = tokens(text)
+  def qualityScoreFromTokens(text: Column, w: Column): Column = {
     val nTok = size(w).cast("double")
     val nChars = length(text).cast("double")
     val avgLen = nChars / nTok
-    val stopHits = stopwordHits(text, StopwordLists.head._2).cast("double")
+    val stopHits = stopwordHitsIn(w, StopwordLists.head._2).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val avgLenScore = greatest(lit(0.0), lit(1.0) - abs(avgLen - 5.0) / 10.0)
     val stopScore = least(stopHits / nTok * 5.0, lit(1.0))
     val uniqScore = size(array_distinct(w)).cast("double") / nTok
     round((lenScore + avgLenScore + stopScore + uniqScore) / 4.0, 6)
   }
+
+  /** Single-expression convenience form (tests, small data). */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -68,11 +82,28 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** MOSS-style fingerprints: hashes of all char k-grams of the
-    * normalized text, thinned by keeping h ≡ 0 (mod modulo). Output:
-    * distinct array of fingerprint hashes per doc. Winnowing-lite —
-    * deterministic, portable, map-side. (expr-string form because
-    * `substr` with a per-element position has no Column-DSL variant.)
+  /** MOSS-style fingerprints over an ALREADY-NORMALIZED (lowercased,
+    * trimmed) text column: hashes of all char k-grams, thinned by keeping
+    * h ≡ 0 (mod modulo). Output: distinct array of fingerprint hashes per
+    * doc. Winnowing-lite — deterministic, portable, map-side. The column
+    * must be a plain attribute (stage `lower(trim(text))` as its own
+    * projection first): the lambda body references it once per k-gram
+    * position, so an inlined normalization expression would re-lowercase
+    * the whole document O(length) times per row. (expr-string form
+    * because `substr` with a per-element position has no Column-DSL
+    * variant.)
+    */
+  def fingerprintsOfNormalized(normColName: String, k: Int = 16,
+                               modulo: Int = 16): Column =
+    expr(
+      s"""array_distinct(filter(
+         |  transform(sequence(1, greatest(length($normColName) - ${k - 1}, 1)),
+         |    i -> cast(conv(substr(md5(cast(substr($normColName, i, $k) as binary)), 1, 8), 16, 10) as bigint)),
+         |  h -> h % $modulo = 0))""".stripMargin)
+
+  /** Single-expression convenience form (tests, small data): normalizes
+    * inline, so the lowercase pass runs per k-gram — prefer staging
+    * `lower(trim(text))` + [[fingerprintsOfNormalized]] on real corpora.
     */
   def fingerprints(textColName: String, k: Int = 16, modulo: Int = 16): Column =
     expr(

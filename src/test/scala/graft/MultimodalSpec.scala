@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema, batched decode, resize, frame sampling,
+  * payload features. The decode *content* is the documented stub (offline
+  * container, SURVEY.md context); everything else — schema, partitioning,
+  * iterator batch shape, 1→N frame generator — is production-real and
+  * asserted here.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte], String, Int, Int)]) = {
+    val data = rows.map { case (id, payload, kind, w, h) =>
+      Row(id, Option.empty[Long].orNull, payload,
+        Row(kind, "raw", w, h, null, null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), Multimodal.MediaSchema)
+  }
+
+  test("decode stub: deterministic byte→[0,1) float map, schema + count") {
+    val payload = Array[Byte](0, 64, -128, -1) // unsigned: 0,64,128,255
+    val out = Multimodal.decode(mediaDf(Seq((1L, payload, "image", 2, 2))))
+    val r = out.collect().head
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_samples", "samples"))
+    assert(r.getAs[Int]("n_samples") == 4)
+    val s = r.getSeq[Float](r.fieldIndex("samples"))
+    assert(s == Seq(0.0f, 0.25f, 0.5f, 255 / 256.0f))
+  }
+
+  test("resize: nearest-neighbor 4x4 → 2x2 picks the expected pixels") {
+    // 4x4 image with value = row*4+col, as bytes
+    val payload = (0 until 16).map(_.toByte).toArray
+    val decoded = Multimodal.decode(mediaDf(Seq((7L, payload, "image", 4, 4))))
+    val out = Multimodal.resize(decoded, srcW = 4, srcH = 4, dstW = 2, dstH = 2)
+    val s = out.collect().head.getSeq[Float](1)
+    // NN with floor mapping: dst(0,0)=src(0,0)=0, dst(0,1)=src(0,2)=2,
+    // dst(1,0)=src(2,0)=8, dst(1,1)=src(2,2)=10 — each /256
+    assert(s == Seq(0 / 256.0f, 2 / 256.0f, 8 / 256.0f, 10 / 256.0f))
+  }
+
+  test("sampleFrames: 1→N generator, stride sampling, frame bytes exact") {
+    val payload = (0 until 12).map(_.toByte).toArray // 4 frames of 3 bytes
+    val out = Multimodal.sampleFrames(
+      mediaDf(Seq((3L, payload, "video", 1, 3))), frameBytes = 3, stride = 2)
+    val rows = out.orderBy("frame_index").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](0, 1, 2))
+    assert(rows(1).getAs[Array[Byte]](2).toSeq == Seq[Byte](6, 7, 8))
+  }
+
+  test("payloadFeatures: entropy/mean/distinct over known distributions") {
+    val uniform = Array.tabulate(256)(_.toByte) // all bytes once → H = 8
+    val constant = Array.fill(100)(7.toByte)    // one value → H = 0
+    val out = Multimodal.payloadFeatures(
+      mediaDf(Seq((1L, uniform, "image", 16, 16),
+                  (2L, constant, "audio", 0, 0))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u = out(1L)
+    assert(u.getAs[Int]("n_bytes") == 256)
+    assert(math.abs(u.getAs[Double]("entropy") - 8.0) < 1e-9)
+    assert(math.abs(u.getAs[Double]("mean_byte") - 127.5) < 1e-9)
+    assert(u.getAs[Int]("n_distinct_bytes") == 256)
+    val c = out(2L)
+    assert(c.getAs[Double]("entropy") == 0.0)
+    assert(c.getAs[Double]("mean_byte") == 7.0)
+    assert(c.getAs[Int]("n_distinct_bytes") == 1)
+  }
+
+  test("decode runs distributed across partitions (no driver collect)") {
+    val many = (0L until 64L).map(i =>
+      (i, Array.fill(8)((i % 127).toByte), "image", 2, 4))
+    val out = Multimodal.decode(mediaDf(many))
+    assert(out.rdd.getNumPartitions > 1)
+    assert(out.count() == 64)
+  }
+}
