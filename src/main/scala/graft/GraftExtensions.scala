@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
-  * functions for the SQL surface, so `SELECT cosine_sim(a, b)` works in
-  * `spark.sql(...)` as well as through the Column API.
+  * functions for the SQL surface, so `SELECT cosine_sim(a, b)` and
+  * `SELECT simhash32(hs)` work in `spark.sql(...)` as well as through
+  * the Column API.
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.GraftExtensions`.
@@ -19,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash(exprs.head)))
   }
 }

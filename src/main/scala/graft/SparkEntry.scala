@@ -107,6 +107,32 @@ object SparkEntry {
       .agg(round(avg(col("last_price")), 4).as("avg_last_price"),
         count(lit(1)).as("n_customers"))
 
+  /** A2 parity: histogram by category with the reference's 'unknown'
+    * default for null/empty keys (mock_vector_db_api.py:334-342) — over
+    * the part brand column (the testdata's closest categorical analog).
+    */
+  private def qExtHistogram(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .groupBy(coalesce(nullif(trim(col("lang")), lit("")), lit("unknown"))
+        .as("lang_key"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** P3 parity: result-display projection — top-k search results with
+    * content clipped to 120 chars + "..." (query_vector_db.py:204-206),
+    * embedding dropped (F7).
+    */
+  private def qDisplayResults(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    docs
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"),
+        when(length(col("text")) > 120,
+          concat(substring(col("text"), 1, 120), lit("...")))
+          .otherwise(col("text")).as("display_text"),
+        col("n_chars"))
+  }
+
   // ===========================================================================
   // Relational coverage (joins / windows / sort-limit — SURVEY.md §2.7
   // extensions; TPC-H-shaped over the driver testdata)
@@ -227,11 +253,13 @@ object SparkEntry {
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(rdWide(s, dir, "documents"))
 
-  /** 32-bit SimHash per document. */
+  /** 32-bit SimHash per document — native one-pass codegen expression
+    * (graft.functions.SimHash) over staged md5 token hashes.
+    */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     rdWide(s, dir, "documents")
       .withColumn("hs", Dedup.tokenHashes(col("text")))
-      .select(col("doc_id"), Dedup.simhash("hs").as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHash(col("hs")).as("simhash"))
 
   /** Language-ID histogram (stopword-hit heuristic); the token array is
     * staged once per row, shared by all five language scorers.
@@ -355,6 +383,8 @@ object SparkEntry {
     "q23_media_features" -> (qMediaFeatures _),
     "q24_frame_sample" -> (qFrameSample _),
     "q25_decode_stats" -> (qDecodeStats _),
+    "q26_lang_histogram" -> (qExtHistogram _),
+    "q27_display_results" -> (qDisplayResults _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -566,5 +596,17 @@ object SparkEntry {
         | ((strlen(text) // 32 + 1) // 2)::BIGINT AS n_frames_sampled,
         | (32 * ((strlen(text) // 32 + 1) // 2))::BIGINT AS sampled_bytes
         |FROM documents WHERE strlen(text) >= 32""".stripMargin,
+
+    "q26_lang_histogram" ->
+      """SELECT coalesce(nullif(trim(lang), ''), 'unknown') AS lang_key,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q27_display_results" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) > 120 THEN substr(text, 1, 120) || '...'
+        |      ELSE text END AS display_text,
+        | n_chars
+        |FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10""".stripMargin,
   )
 }
