@@ -81,12 +81,24 @@ object Dedup {
   }
 
   /** docs → (doc_id, band, band_hash): one row per band per doc — the
-    * bucket table LSH joins on. Staged as three projections (shingles →
-    * md5 hashes → signature/bands) so each expensive pass over the
-    * shingle array runs exactly once per row.
+    * bucket table LSH joins on. The shingle→hash→minima kernel is the
+    * native [[graft.functions.MinHashSignature]] expression (one fused
+    * JVM pass per row, value-identical to the expression-tree phrasing);
+    * only the 8 small band md5s remain expression-level.
     */
   def minhashBands(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        graft.functions.MinHashSignature(col("__w")).as("__sig"))
+      .select(col(idCol),
+        posexplode(bandHashes(col("__sig"))).as(Seq("band", "band_hash")))
+
+  /** Expression-tree variant of [[minhashBands]] (the oracle-documenting
+    * form; see the staged projections — each expensive pass runs once).
+    */
+  def minhashBandsExpr(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), shingles(col(textCol)).as("__sh"))
       .select(col(idCol), transform(col("__sh"), s => h32(s)).as("__hashed"))
       .select(col(idCol), minhashSignatureFromHashes(col("__hashed")).as("__sig"))
