@@ -206,6 +206,18 @@ object SparkEntry {
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding window (10 min size / 5 min slide) per event_type — each
+    * event lands in exactly two overlapping windows; mirrored in DuckDB
+    * by a 2-offset bucket expansion.
+    */
+  private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    readEvents(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   // ===========================================================================
   // Text analysis / dedup extensions (LLM-data-pipeline operators)
   // ===========================================================================
@@ -310,6 +322,21 @@ object SparkEntry {
   private def qBucketStats(s: SparkSession, dir: String): DataFrame =
     Ann.bucketStats(rd(s, dir, "embeddings"))
 
+  /** True-IVF ANN: k-means coarse quantizer (16 lists), nprobe=2 probe
+    * for vec_id 0's vector. Driver pulls ONLY the query vector and the
+    * 16 centroids; the corpus never leaves the executors. Rows-only
+    * check (k-means isn't DuckDB-replayable); recall vs the exact scan
+    * is asserted in AnnSpec.
+    */
+  private def qIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L)
+    Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
+  }
+
   // ===========================================================================
   // Multimodal columns (binary payload + typed metadata; decode stubbed —
   // offline container — but schema/partitioning/batch plumbing real)
@@ -385,6 +412,8 @@ object SparkEntry {
     "q25_decode_stats" -> (qDecodeStats _),
     "q26_lang_histogram" -> (qExtHistogram _),
     "q27_display_results" -> (qDisplayResults _),
+    "q28_ivf_kmeans" -> (qIvfKmeans _),
+    "q29_events_sliding" -> (qEventsSliding _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -608,5 +637,12 @@ object SparkEntry {
         |      ELSE text END AS display_text,
         | n_chars
         |FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // q28 is rows-only (k-means not DuckDB-replayable)
+    "q29_events_sliding" ->
+      """SELECT (floor(epoch(ts) / 300)::BIGINT - off) * 300 AS bucket_start,
+        | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events, (SELECT unnest([0, 1]) AS off)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -81,4 +81,61 @@ object Ann {
     withBucket(corpus, vecCol, bits)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
+
+  // =========================================================================
+  // True IVF: k-means coarse quantizer (data-dependent, higher recall per
+  // probe than the sign-LSH above, at the cost of a training pass and
+  // retraining drift under appends)
+  // =========================================================================
+
+  /** A built IVF index: the corpus with its `centroid_id` assignment
+    * (persist bucketed-by-centroid_id for shuffle-free probes) plus the
+    * tiny centroid table (driver-resident; O(nCentroids × dim)).
+    */
+  final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]])
+
+  /** Train the coarse quantizer and assign every vector to its nearest
+    * centroid. One ML fit (sampled Lloyd iterations) + one map-side
+    * transform; the assignment join never shuffles the corpus.
+    */
+  def buildIvf(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42L,
+               maxIter: Int = 10, vecCol: String = "embedding"): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("__fv",
+      array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__fv").setPredictionCol("centroid_id")
+      .fit(withVec)
+    IvfIndex(model.transform(withVec).drop("__fv"),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF probe: rank centroids against the query DRIVER-side (the
+    * centroid table is tiny), then score only the rows of the `nprobe`
+    * nearest inverted lists — a partition-pruned scan when the assigned
+    * table is stored bucketed by centroid_id, never a corpus shuffle.
+    */
+  def ivfSearch(index: IvfIndex, queryVec: Seq[Double], k: Int = 5,
+                nprobe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = index.centers.zipWithIndex
+      .map { case (c, i) => (i, cos(c, queryVec)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
+    val q = array(queryVec.map(lit): _*)
+    index.assigned
+      .filter(col("centroid_id").isin(probes.toSeq: _*))
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("centroid_id"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -44,4 +44,21 @@ class AnnSpec extends SparkSpec {
     assert(got.values.sum == 4L)
     assert(got(11L) == 2L)
   }
+
+  test("k-means IVF: self is top hit; probe lists cover the exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qVec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    // assignment is total and the centroid table matches
+    assert(index.assigned.count() == emb.count())
+    assert(index.centers.length == 4)
+    val got = Ann.ivfSearch(index, qVec, k = 3, nprobe = 4) // all lists → exact
+    val ids = got.collect().map(_.getLong(0)).toSeq
+    assert(ids.head == 0L) // self-similarity 1.0 wins
+    // with nprobe = all centroids, IVF must equal the exact scan's top-3
+    val exact = graft.search.Search.topK(emb, qVec, k = 3, threshold = -2.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == exact)
+  }
 }
