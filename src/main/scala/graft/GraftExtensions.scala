@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SimHash}
+import graft.functions.{ChunkText, CosineSimilarity, SimHash}
+import graft.text.Chunker
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * functions for the SQL surface, so `SELECT cosine_sim(a, b)` and
@@ -24,5 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("chunk_text"),
+      new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+      (exprs: Seq[Expression]) => {
+        def lit(i: Int, dflt: Int): Int =
+          if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue
+          else dflt
+        ChunkText(exprs.head,
+          lit(1, Chunker.DefaultChunkSize), lit(2, Chunker.DefaultOverlap))
+      }))
   }
 }

@@ -218,6 +218,19 @@ object SparkEntry {
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Session windows per user: events within a 5-minute gap merge into
+    * one session (`session_window` — the batch form of the streaming
+    * sessionizer in graft.streaming). Oracled in DuckDB with the classic
+    * gaps-and-islands lag/cumsum phrasing.
+    */
+  private def qEventsSession(s: SparkSession, dir: String): DataFrame =
+    readEvents(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("session_window.start")).as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   // ===========================================================================
   // Text analysis / dedup extensions (LLM-data-pipeline operators)
   // ===========================================================================
@@ -414,6 +427,7 @@ object SparkEntry {
     "q27_display_results" -> (qDisplayResults _),
     "q28_ivf_kmeans" -> (qIvfKmeans _),
     "q29_events_sliding" -> (qEventsSliding _),
+    "q30_events_session" -> (qEventsSession _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -644,5 +658,20 @@ object SparkEntry {
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events, (SELECT unnest([0, 1]) AS off)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q30_events_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 300 OR lag(ts) OVER w IS NULL
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | sessions AS (
+        |  SELECT user_id, ts, value,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT floor(epoch(min(ts)))::BIGINT AS session_start, user_id,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
   )
 }
