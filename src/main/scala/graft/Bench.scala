@@ -20,12 +20,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); without this the scan
+      // can't even infer the schema (SparkEntry.readEvents converts the
+      // nanos Long to an exact micros timestamp)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/session once (codegen, parquet footer cache paths).
+    // Warm the JVM/session once (codegen, parquet footer cache paths) and
+    // touch every table's footer/file listing so per-query numbers measure
+    // compute, not first-touch metadata I/O.
     spark.range(1000).selectExpr("sum(id)").collect()
+    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup skip ${f.getName}: ${e.getMessage}")
+        }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -350,6 +350,22 @@ object SparkEntry {
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 
+  /** Per-label embedding centroid via the typed Aggregator (map-side
+    * partial aggregation: shuffles labels × dim doubles, never N × dim
+    * exploded rows). Rounded per-element for the oracle, which phrases
+    * the same math as unnest → group by (label, idx) → ordered re-pack.
+    */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("n_vectors"),
+        posexplode(col("c")).as(Seq("dim", "m")))
+      .select(col("label"), col("dim"), round(col("m"), 6).as("m"),
+        col("n_vectors"))
+
   // ===========================================================================
   // Multimodal columns (binary payload + typed metadata; decode stubbed —
   // offline container — but schema/partitioning/batch plumbing real)
@@ -428,6 +444,7 @@ object SparkEntry {
     "q28_ivf_kmeans" -> (qIvfKmeans _),
     "q29_events_sliding" -> (qEventsSliding _),
     "q30_events_session" -> (qEventsSession _),
+    "q31_label_centroids" -> (qLabelCentroids _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -658,6 +675,15 @@ object SparkEntry {
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events, (SELECT unnest([0, 1]) AS off)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q31_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |   unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT label, dim, round(sum(v) / count(*), 6) AS m,
+        | count(*) AS n_vectors
+        |FROM ex GROUP BY label, dim""".stripMargin,
 
     "q30_events_session" ->
       """WITH marked AS (

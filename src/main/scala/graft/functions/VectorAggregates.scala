@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed aggregates over embedding columns — the UDAF extension point
+  * (SURVEY.md §2.7) for corpus-level vector statistics.
+  *
+  * Scale shape: an `Aggregator` gets map-side partial aggregation from
+  * Catalyst automatically, so a per-label centroid over N rows shuffles
+  * only (labels × dim) doubles — vs the posexplode phrasing, which is
+  * value-identical but shuffles N × dim exploded rows. The posexplode
+  * form doubles as the DuckDB-oracle documentation of the semantics.
+  */
+object VectorAggregates {
+
+  /** Element-wise sum + count accumulator. */
+  final case class VecBuf(var sum: Array[Double], var n: Long)
+
+  /** Mean vector (centroid) of an array<double> column. Null/empty
+    * input rows are ignored; mismatched dims throw (corpus assumed
+    * homogeneous, reference parity §2.9.8).
+    */
+  object CentroidAgg extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
+    override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: VecBuf, a: Seq[Double]): VecBuf = {
+      if (a == null || a.isEmpty) return b
+      if (b.n == 0L && b.sum.isEmpty) b.sum = new Array[Double](a.length)
+      require(b.sum.length == a.length,
+        s"centroid: dimension mismatch (${b.sum.length} vs ${a.length})")
+      var i = 0
+      while (i < a.length) { b.sum(i) += a(i); i += 1 }
+      b.n += 1
+      b
+    }
+
+    override def merge(x: VecBuf, y: VecBuf): VecBuf = {
+      if (y.n == 0L) return x
+      if (x.n == 0L) return y
+      require(x.sum.length == y.sum.length,
+        s"centroid: dimension mismatch (${x.sum.length} vs ${y.sum.length})")
+      var i = 0
+      while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      x.n += y.n
+      x
+    }
+
+    override def finish(b: VecBuf): Seq[Double] =
+      if (b.n == 0L) Seq.empty
+      else b.sum.map(_ / b.n).toSeq
+
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column form: `centroid($"embedding")` (input array<double>). */
+  val centroid: Column => Column = {
+    val f = udaf(CentroidAgg)
+    (c: Column) => f(c)
+  }
+}
