@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.search.Search
+
+/** Flagship-throughput probe: exact cosine top-k over a corpus large
+  * enough that task-scheduling overhead amortizes (the testdata tables
+  * are tiny — sf0.1 is 2 k vectors — so per-query bench numbers are
+  * dominated by Spark's fixed per-job latency, not scan rate; this main
+  * measures the actual docs/s the scan sustains, the number comparable
+  * to the reference's ~123 k docs/s single-thread rate, BASELINE.md).
+  *
+  * Usage: runMain graft.Throughput [sfDir] [replication]
+  */
+object Throughput {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = if (args.length > 1) args(1).toInt else 128
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-throughput")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qVec = base.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    // replicate to a corpus where scan rate, not job latency, dominates;
+    // unique vec_ids keep the top-k tie-break meaningful
+    val corpus = base.crossJoin(spark.range(rep).select(col("id").as("r")))
+      .select((col("vec_id") * rep + col("r")).as("vec_id"), col("embedding"))
+      .repartition(32)
+      .cache()
+    val n = corpus.count()
+
+    Search.topK(corpus, qVec, k = 10).collect() // warm codegen + cache
+    val runs = 5
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      Search.topK(corpus, qVec, k = 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = times.min
+    val rate = n / best
+    println(f"""{"metric":"scan_docs_per_sec","value":$rate%.0f,"unit":"docs/sec","corpus":$n,"best_sec":$best%.4f,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}
