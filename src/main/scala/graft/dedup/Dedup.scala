@@ -107,10 +107,29 @@ object Dedup {
 
   /** Candidate pairs: docs sharing any band bucket (doc_a < doc_b). The
     * self-join shuffles only (band, band_hash, doc_id) triples.
+    *
+    * `maxBucketSize` guards the quadratic blow-up of a hot bucket (at
+    * corpus scale, boilerplate text — license headers, templates — lands
+    * thousands of docs in one bucket, and a b-sized bucket emits b²/2
+    * pairs): buckets above the cap are skipped entirely, the standard
+    * LSH treatment — an over-full bucket is non-discriminative, and its
+    * members still pair through their other (rarer) bands. Default
+    * unlimited to keep the exact-LSH semantics (and the DuckDB oracle)
+    * unchanged.
     */
-  def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val x = bands.select(col("band"), col("band_hash"), col(idCol).as("doc_a"))
-    val y = bands.select(col("band"), col("band_hash"), col(idCol).as("doc_b"))
+  def candidatePairs(bands: DataFrame, idCol: String = "doc_id",
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) bands
+      else {
+        val small = bands.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .drop("__n")
+        bands.join(small, Seq("band", "band_hash"), "left_semi")
+      }
+    val x = bounded.select(col("band"), col("band_hash"), col(idCol).as("doc_a"))
+    val y = bounded.select(col("band"), col("band_hash"), col(idCol).as("doc_b"))
     x.join(y, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))

@@ -112,6 +112,42 @@ object Ann {
       model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist an IVF index partitioned by inverted list: one directory
+    * per centroid_id. A probe that filters on centroid_id then reads
+    * only nprobe directories (PartitionFilters in the scan, zero I/O for
+    * the other lists) — the storage layout that makes IVF an actual
+    * index at 100 TB rather than a full-scan-with-a-filter.
+    */
+  def writeIvf(index: IvfIndex, path: String): Unit =
+    index.assigned.write
+      .partitionBy("centroid_id")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Reload a persisted IVF index (centroids are re-derived as the mean
+    * of each list — exact for a converged assignment, and avoids a
+    * second artifact to keep in sync).
+    */
+  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+              vecCol: String = "embedding"): IvfIndex = {
+    val assigned = spark.read.parquet(path)
+    val byId = assigned
+      .groupBy(col("centroid_id"))
+      .agg(graft.functions.VectorAggregates.centroid(
+        asDouble(col(vecCol))).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    // dense array indexed by centroid_id; an empty inverted list (id
+    // never assigned) gets a zero vector, which cosine-scores 0 and is
+    // never probed first
+    val k = byId.keys.max + 1
+    val dim = byId.values.head.length
+    val centers = Array.tabulate(k)(i =>
+      byId.getOrElse(i, new Array[Double](dim)))
+    IvfIndex(assigned, centers)
+  }
+
   /** IVF probe: rank centroids against the query DRIVER-side (the
     * centroid table is tiny), then score only the rows of the `nprobe`
     * nearest inverted lists — a partition-pruned scan when the assigned

@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(dist < farDist, s"near=$dist far=$farDist")
   }
 
+  test("maxBucketSize skips hot buckets; members still pair via rarer bands") {
+    import graft.dedup.Dedup
+    // three docs in one bucket (band 0, hash H) + a rare pair elsewhere
+    val bands = Seq(
+      (1L, 0, "H"), (2L, 0, "H"), (3L, 0, "H"), // hot bucket, size 3
+      (1L, 1, "R"), (2L, 1, "R")                // rare bucket, size 2
+    ).toDF("doc_id", "band", "band_hash")
+    val unlimited = Dedup.candidatePairs(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(unlimited == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Dedup.candidatePairs(bands, maxBucketSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // hot bucket skipped; rare band pairs
+  }
+
   test("exactDupGroups keeps lowest id and counts copies") {
     val got = Dedup.exactDupGroups(docs)
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.search.Ann
+
+/** IVF persistence: the partitioned-by-inverted-list layout and the
+  * partition-pruned probe — the property that makes IVF an index (reads
+  * nprobe directories) instead of a full scan with a filter.
+  */
+class IvfStorageSpec extends SparkSpec {
+
+  test("writeIvf/readIvf round-trips and probes with partition pruning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    val dir = Files.createTempDirectory("ivf").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/index"
+    Ann.writeIvf(index, path)
+
+    val loaded = Ann.readIvf(spark, path)
+    assert(loaded.assigned.count() == emb.count())
+    assert(loaded.centers.length >= 1)
+
+    // probe results from the persisted index match the in-memory index
+    val fromDisk = Ann.ivfSearch(loaded, qVec, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inMem = Ann.ivfSearch(index, qVec, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fromDisk == inMem)
+
+    // the probe plan must prune partitions: the scan's PartitionFilters
+    // carries the centroid_id restriction
+    val probe = loaded.assigned.filter(col("centroid_id").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("centroid_id"))
+    // and the pruned read returns only those lists
+    assert(probe.select(col("centroid_id")).distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(Set(0, 1)))
+  }
+}

@@ -120,4 +120,28 @@ class StreamingSpec extends SparkSpec {
     assert(out2.filter($"doc_id" === 2L).count() == 1)
     assert(out2.count() == out1.count() + 1)
   }
+
+  test("streaming exact dedup drops in-horizon duplicate content") {
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDedup.dedupExactWithinWatermark(
+      docs, "ts", watermark = "10 minutes")
+
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "same text"),
+        (ts(2), 2L, "same text"),   // dup within batch
+        (ts(3), 3L, "other text"))
+      q.processAllAvailable()
+      input.addData((ts(5), 4L, "same text")) // dup across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+      assert(got.count() == 2) // one per distinct content
+      assert(got.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+      assert(got.columns.contains("text_hash"))
+    } finally q.stop()
+  }
 }
