@@ -350,6 +350,27 @@ object SparkEntry {
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 
+  /** The reference's ENTIRE pipeline as one lazy plan: documents →
+    * chunk (1→N) → embed (deterministic) → cosine top-5 against the
+    * embedding of a fixed query string, threshold after limit — §3.1 +
+    * §3.2 fused, no materialization between stages (vs the reference's
+    * five eagerly-materialized lists + two HTTP hops). Rows-only check:
+    * the hash-projection embedder is not SQL-expressible; chunker and
+    * cosine are separately oracle-checked (q12, q01).
+    */
+  private def qE2ePipeline(s: SparkSession, dir: String): DataFrame = {
+    val embedder = graft.embed.Embedder.Default
+    val corpus = Ingest.ingestDocuments(
+      rdWide(s, dir, "documents"), "text", chunkSize = 200, overlap = 50,
+      embedder = embedder)
+      .withColumn("chunk_id",
+        col("doc_id") * 1000 + col("chunk_index"))
+    val qVec = embedder.embed("alpha beta gamma").map(_.toDouble).toSeq
+    Search.topK(corpus, qVec, k = 5, threshold = 0.1, idCol = "chunk_id")
+      .select(col("doc_id"), col("chunk_index"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Per-label embedding centroid via the typed Aggregator (map-side
     * partial aggregation: shuffles labels × dim doubles, never N × dim
     * exploded rows). Rounded per-element for the oracle, which phrases
@@ -445,6 +466,7 @@ object SparkEntry {
     "q29_events_sliding" -> (qEventsSliding _),
     "q30_events_session" -> (qEventsSession _),
     "q31_label_centroids" -> (qLabelCentroids _),
+    "q32_e2e_pipeline" -> (qE2ePipeline _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the

@@ -70,4 +70,25 @@ object Ingest {
     chunkDocuments(docs, textCol, chunkSize, overlap)
       .withColumn("embedding", Embedder.embedColumn(col("content"), embedder))
       .withColumn("ingested_at", current_timestamp())
+
+  /** Name under which [[observedIngest]] registers its metrics. */
+  val MetricsName = "graft_ingest"
+
+  /** Ingest with observed metrics — the A8 ingest counters of the
+    * reference (`repo_to_vector.py:58-64,452-467`: chunks created,
+    * content bytes, files processed) as `df.observe` aggregates: computed
+    * inline by the executors during the SAME pass (no second job), and
+    * delivered to the driver via QueryExecutionListener / `Observation`.
+    */
+  def observedIngest(observation: org.apache.spark.sql.Observation,
+                     docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     chunkSize: Int = Chunker.DefaultChunkSize,
+                     overlap: Int = Chunker.DefaultOverlap,
+                     embedder: Embedder = Embedder.Default): DataFrame =
+    ingestDocuments(docs, textCol, chunkSize, overlap, embedder)
+      .observe(observation,
+        count(lit(1)).as("chunks_created"),
+        sum(length(col("content"))).as("content_chars"),
+        approx_count_distinct(col(idCol)).as("docs_processed_approx"))
 }

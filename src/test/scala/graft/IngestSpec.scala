@@ -48,4 +48,18 @@ class IngestSpec extends SparkSpec {
       .select($"path").as[String].collect().toSet
     assert(got == Set("keep.py", "sub/keep.md"))
   }
+
+  test("observedIngest reports A8 counters inline with the ingest pass") {
+    val obs = new org.apache.spark.sql.Observation("ingest_test")
+    val docs = Seq(
+      (1L, "alpha beta " * 40), // long enough to chunk
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Ingest.observedIngest(obs, docs, chunkSize = 100, overlap = 20)
+    val nRows = out.count() // one action; metrics piggyback on it
+    val m = obs.get
+    assert(m("chunks_created") == nRows)
+    assert(m("content_chars").asInstanceOf[Long] > 0L)
+    assert(m("docs_processed_approx").asInstanceOf[Long] == 2L)
+  }
 }
