@@ -258,7 +258,7 @@ object SparkEntry {
     * check; its semantics are unit/property-tested in Scala).
     */
   private def qChunkStats(s: SparkSession, dir: String): DataFrame =
-    Ingest.chunkDocuments(rd(s, dir, "documents"), "text",
+    Ingest.chunkDocuments(rdWide(s, dir, "documents"), "text",
         chunkSize = 200, overlap = 50)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -49,6 +49,29 @@ object Throughput {
     val best = times.min
     val rate = n / best
     println(f"""{"metric":"scan_docs_per_sec","value":$rate%.0f,"unit":"docs/sec","corpus":$n,"best_sec":$best%.4f,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+
+    // Ingest throughput: chunk (1→N) + embed + full materialization, the
+    // reference's convert path (its measured rate: ~43 chunks/s end-to-end,
+    // ~74 chunks/s embed-only — BASELINE.md).
+    corpus.unpersist()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(spark.range(math.max(rep / 16, 1)).select(col("id").as("r")))
+      .select((col("doc_id") * 10000 + col("r")).as("doc_id"), col("text"))
+      .repartition(32)
+      .cache()
+    docs.count()
+    import graft.ingest.Ingest
+    def ingestOnce(): Long = {
+      val t0 = System.nanoTime()
+      val chunks = Ingest.ingestDocuments(docs, "text",
+        chunkSize = 1000, overlap = 200)
+      chunks.write.format("noop").mode("overwrite").save()
+      System.nanoTime() - t0
+    }
+    ingestOnce() // warm
+    val nChunks = Ingest.chunkDocuments(docs, "text", 1000, 200).count()
+    val tIngest = ingestOnce() / 1e9
+    println(f"""{"metric":"ingest_chunks_per_sec","value":${nChunks / tIngest}%.0f,"unit":"chunks/sec","chunks":$nChunks,"sec":$tIngest%.3f}""")
     spark.stop()
   }
 }

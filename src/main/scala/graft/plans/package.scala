@@ -1,0 +1,35 @@
+package graft
+
+/** Catalyst plan-level extensions: deliberately empty.
+  *
+  * Audit result (SURVEY.md §4.1, verified per query with `graft.Explain`):
+  * every rewrite the reference hand-codes is a built-in Catalyst rule —
+  * filter-before-read is predicate pushdown (`PushedFilters` reaches the
+  * parquet scan), the embedding-column drop is column pruning
+  * (`ReadSchema`), the argsort-tail top-k is `LimitPushDown` +
+  * `TakeOrderedAndProject`, empty-input early exits are
+  * `PropagateEmptyRelation`. Custom logic lives one level down, where
+  * Catalyst is actually extensible without re-planning risk:
+  *
+  *  - scalar kernels as native `Expression`s with codegen
+  *    ([[graft.functions.CosineSimilarity]], [[graft.functions.SimHash]],
+  *    [[graft.functions.MinHashSignature]]);
+  *  - table-generating functions as a `Generator`
+  *    ([[graft.functions.ChunkText]]);
+  *  - aggregation as a typed `Aggregator`
+  *    ([[graft.functions.VectorAggregates.CentroidAgg]]);
+  *  - SQL registration via `SparkSessionExtensions`
+  *    ([[graft.GraftExtensions]]).
+  *
+  * The one plan-level rewrite that would earn its keep — routing a
+  * brute-force `orderBy(cosine).limit(k)` to an ANN index when one
+  * exists — is intentionally an explicit API instead
+  * ([[graft.search.Ann.ivfSearch]] over a persisted
+  * [[graft.search.Ann.writeIvf]] layout): an index probe changes result
+  * semantics (approximate recall), and silently trading exactness for
+  * speed inside the optimizer is the wrong default for an engine whose
+  * correctness gate is hash-exact oracle comparison. If a future caller
+  * wants transparent routing, the seam is a `Rule[LogicalPlan]` injected
+  * through [[graft.GraftExtensions]] matching that Sort+Limit shape.
+  */
+package object plans
