@@ -180,6 +180,35 @@ object SparkEntry {
       .filter(col("rn") <= 3)
   }
 
+  /** Anti join: customers who placed no orders — NOT EXISTS via
+    * left_anti (plans as a broadcast/shuffled hash anti join, no
+    * subquery re-scan).
+    */
+  private def qCustomersNoOrders(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(rd(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+
+  /** As-of join: each click enriched with the value of the user's most
+    * recent view at-or-before it (graft.ops.AsofJoin — one key shuffle +
+    * linear window sweep; DuckDB oracles it with native ASOF JOIN).
+    * Views are pre-deduplicated per (user, ts) by max event_id so the
+    * tie among same-instant views is well-defined on both engines.
+    */
+  private def qAsofClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("view_value"))
+    graft.ops.AsofJoin.asof(clicks, views, "user_id", "ts",
+        "view_value", outCol = "last_view_value")
+      .select(col("event_id"), col("user_id"),
+        round(col("last_view_value"), 4).as("last_view_value"))
+  }
+
   // ===========================================================================
   // Event-time windows (streaming-shaped batch over events)
   // ===========================================================================
@@ -467,6 +496,8 @@ object SparkEntry {
     "q30_events_session" -> (qEventsSession _),
     "q31_label_centroids" -> (qLabelCentroids _),
     "q32_e2e_pipeline" -> (qE2ePipeline _),
+    "q33_customers_no_orders" -> (qCustomersNoOrders _),
+    "q34_asof_click_view" -> (qAsofClickView _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -690,6 +721,21 @@ object SparkEntry {
         |      ELSE text END AS display_text,
         | n_chars
         |FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q33_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q34_asof_click_view" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        | views AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        | round(v.view_value, 4) AS last_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        | ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
 
     // q28 is rows-only (k-means not DuckDB-replayable)
     "q29_events_sliding" ->

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row at or before
+  * its timestamp, per key — the standard event-enrichment operator
+  * (market data, feature backfill) that Spark has no built-in for.
+  *
+  * Implementation is the scale-correct composition, not a range join:
+  * tag and UNION the two sides, then one window pass per key ordered by
+  * (ts, right-before-left) carrying `last(right value, ignoreNulls)`
+  * forward. Cost: ONE shuffle on the key (both sides co-partitioned),
+  * then a linear sorted sweep per partition — vs the O(|L|·|R|) per key
+  * of a naive `l.ts >= r.ts` theta-join. Skewed keys behave like any
+  * window aggregation (AQE/salting apply).
+  *
+  * Tie semantics: a right row AT the left row's timestamp matches
+  * (`>=`, DuckDB ASOF-compatible). Right rows must be unique per
+  * (key, ts) — pre-aggregate duplicates upstream (e.g. `max_by`) or the
+  * carried value among equal timestamps is unspecified.
+  */
+object AsofJoin {
+
+  /** Left rows enriched with `valueCol` from the latest right row whose
+    * `tsCol` ≤ the left row's; null when no prior right row exists.
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, outCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    // tag: right rows sort BEFORE left rows at the same timestamp so a
+    // same-instant right row is visible to the left row (>= semantics)
+    val l = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(right.schema(valueCol).dataType).as("__rv")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c)): _*)
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        col(valueCol).as("__rv")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+}
