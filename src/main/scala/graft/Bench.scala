@@ -32,7 +32,8 @@ object Bench {
     // touch every table's footer/file listing so per-query numbers measure
     // compute, not first-touch metadata I/O.
     spark.range(1000).selectExpr("sum(id)").collect()
-    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
       .foreach { f =>
         try spark.read.parquet(f.getPath).count()
         catch { case e: Throwable =>

@@ -20,20 +20,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash32 expects 1 argument, got ${exprs.length}")
+        SimHash(exprs.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("chunk_text"),
       new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
       (exprs: Seq[Expression]) => {
-        def lit(i: Int, dflt: Int): Int =
-          if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue
-          else dflt
+        require(exprs.nonEmpty && exprs.length <= 3,
+          s"chunk_text expects 1-3 arguments (text[, size[, overlap]]), " +
+            s"got ${exprs.length}")
+        def intArg(i: Int, name: String, dflt: Int): Int =
+          if (exprs.length <= i) dflt
+          else {
+            val ex = exprs(i)
+            require(ex.foldable, s"chunk_text $name must be a literal")
+            ex.eval() match {
+              case n: Number => n.intValue
+              case other => throw new IllegalArgumentException(
+                s"chunk_text $name must be a non-null integer, got $other")
+            }
+          }
         ChunkText(exprs.head,
-          lit(1, Chunker.DefaultChunkSize), lit(2, Chunker.DefaultOverlap))
+          intArg(1, "chunk_size", Chunker.DefaultChunkSize),
+          intArg(2, "overlap", Chunker.DefaultOverlap))
       }))
   }
 }

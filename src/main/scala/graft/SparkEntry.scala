@@ -392,8 +392,8 @@ object SparkEntry {
     val corpus = Ingest.ingestDocuments(
       rdWide(s, dir, "documents"), "text", chunkSize = 200, overlap = 50,
       embedder = embedder)
-      .withColumn("chunk_id",
-        col("doc_id") * 1000 + col("chunk_index"))
+      .withColumn("chunk_id", // 1e6 headroom: collision needs a ~150 MB doc
+        col("doc_id") * 1000000L + col("chunk_index"))
     val qVec = embedder.embed("alpha beta gamma").map(_.toDouble).toSeq
     Search.topK(corpus, qVec, k = 5, threshold = 0.1, idCol = "chunk_id")
       .select(col("doc_id"), col("chunk_index"),
@@ -410,7 +410,11 @@ object SparkEntry {
       .select(col("label"), col("embedding").cast("array<double>").as("e"))
       .groupBy(col("label"))
       .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"),
-        count(lit(1)).as("n_vectors"))
+        // count exactly the rows the centroid averages (null/empty
+        // embeddings are ignored by the Aggregator AND produce no rows
+        // under the oracle's unnest)
+        count(when(col("e").isNotNull && size(col("e")) > 0, lit(1)))
+          .as("n_vectors"))
       .select(col("label"), col("n_vectors"),
         posexplode(col("c")).as(Seq("dim", "m")))
       .select(col("label"), col("dim"), round(col("m"), 6).as("m"),

@@ -27,7 +27,11 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
-  val NumHashes = 16
+  /** Signature width — the single source of truth is the native kernel's
+    * default (graft.functions.MinHashSignature), which minhashBands uses;
+    * referencing it here keeps bandHashes' slicing in lockstep.
+    */
+  val NumHashes: Int = graft.functions.MinHashSignature.DefaultNumHashes
   val NumBands = 8 // rows per band r = 2 → candidate prob = 1-(1-j^2)^8
 
   /** Lowercased whitespace tokens of a text column. */

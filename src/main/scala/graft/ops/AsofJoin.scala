@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join: for each left row, the most recent right row at or before
   * its timestamp, per key — the standard event-enrichment operator
@@ -25,27 +26,34 @@ object AsofJoin {
 
   /** Left rows enriched with `valueCol` from the latest right row whose
     * `tsCol` ≤ the left row's; null when no prior right row exists.
+    * A matched right row whose VALUE is null yields null (the match
+    * still happens — ASOF semantics — hence the struct wrapper below:
+    * `last(..., ignoreNulls)` must skip only left rows, not null-valued
+    * right rows).
     */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            valueCol: String, outCol: String = "asof_value"): DataFrame = {
     val leftCols = left.columns
+    val rvType = right.schema(valueCol).dataType
     // tag: right rows sort BEFORE left rows at the same timestamp so a
     // same-instant right row is visible to the left row (>= semantics)
     val l = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
-        lit(null).cast(right.schema(valueCol).dataType).as("__rv")) ++
+        lit(null).cast(StructType(Seq(StructField("v", rvType))))
+          .as("__rv")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => col(c)): _*)
     val r = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
-        col(valueCol).as("__rv")) ++
+        struct(col(valueCol).as("v")).as("__rv")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .drop("__side", "__rv")
   }

@@ -95,9 +95,15 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
+                // merge iff strictly within the gap on EITHER side —
+                // same boundary rule as session_window (and the q30
+                // oracle): an event exactly gapMs away starts a new
+                // session. The backward case extends session_start so a
+                // late-but-in-watermark event is actually covered by the
+                // emitted span.
+                case Some(s) if t - s.end < gapMs && s.start - t < gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += ClosedSession(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.total)
@@ -108,7 +114,11 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // the timeout must not be at/behind the current watermark
+              // (Spark rejects it and fails the query); clamp forward —
+              // the session then closes on the next watermark advance
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -29,6 +29,17 @@ class AsofJoinSpec extends SparkSpec {
       (2L, "c3", Some(400.0)))) // same-timestamp view matches
   }
 
+  test("a matched right row with a NULL value yields null, not a stale value") {
+    val l = Seq((1L, ts(30), "c")).toDF("k", "ts", "p")
+    val r = Seq(
+      (1L, ts(10), Some(5.0)),
+      (1L, ts(20), Option.empty[Double]) // the match — value null
+    ).toDF("k", "ts", "v")
+    val got = AsofJoin.asof(l, r, "k", "ts", "v")
+      .select($"asof_value").as[Option[Double]].head()
+    assert(got.isEmpty) // ASOF matches ts(20); must NOT carry 5.0 forward
+  }
+
   test("keys never mix; left columns survive") {
     val l = Seq((1L, ts(1), "a"), (9L, ts(1), "b")).toDF("k", "ts", "payload")
     val r = Seq((1L, ts(0), 7.0)).toDF("k", "ts", "v")

@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: exact-gap event starts a NEW session (session_window parity)") {
+    import EventStreams.Ev
+    val input = MemoryStream[Ev](spark)
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_gap_out").start()
+    try {
+      // ts(0) and ts(10) are exactly gap apart → two sessions, matching
+      // session_window / the q30 oracle (merge only when delta < gap)
+      input.addData(Ev(7L, ts(0), 1.0), Ev(7L, ts(10), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(8L, ts(59), 1.0)) // advance watermark, close both
+      q.processAllAvailable()
+      val closed = spark.table("sessions_gap_out")
+        .filter($"user_id" === 7L)
+        .select($"n_events", $"total_value")
+        .as[(Long, Double)].collect().toSet
+      assert(closed == Set((1L, 1.0), (1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("streaming ingest appends chunk+embed output incrementally") {
     val base = Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
