@@ -133,6 +133,22 @@ object SparkEntry {
         col("n_chars"))
   }
 
+  /** Sketch-based variants of the exact stats — the 100 TB path where
+    * exact countDistinct's shuffle of every key is the bottleneck
+    * (SURVEY.md A3 note): HyperLogLog++ distinct + t-digest quantiles,
+    * both computed with map-side partial sketches that merge in O(sketch)
+    * per partition. Rows-only (sketch internals differ across engines).
+    */
+  private def qApproxStats(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        approx_count_distinct(col("lang"), rsd = 0.02).as("approx_langs"),
+        approx_count_distinct(md5(col("text").cast("binary")), rsd = 0.02)
+          .as("approx_distinct_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"))
+
   // ===========================================================================
   // Relational coverage (joins / windows / sort-limit — SURVEY.md §2.7
   // extensions; TPC-H-shaped over the driver testdata)
@@ -502,6 +518,7 @@ object SparkEntry {
     "q32_e2e_pipeline" -> (qE2ePipeline _),
     "q33_customers_no_orders" -> (qCustomersNoOrders _),
     "q34_asof_click_view" -> (qAsofClickView _),
+    "q35_approx_stats" -> (qApproxStats _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the

@@ -72,6 +72,18 @@ object Throughput {
     val nChunks = Ingest.chunkDocuments(docs, "text", 1000, 200).count()
     val tIngest = ingestOnce() / 1e9
     println(f"""{"metric":"ingest_chunks_per_sec","value":${nChunks / tIngest}%.0f,"unit":"chunks/sec","chunks":$nChunks,"sec":$tIngest%.3f}""")
+
+    // MinHash-LSH banding throughput (the dedup map-side kernel).
+    import graft.dedup.Dedup
+    def bandsOnce(): Double = {
+      val t0 = System.nanoTime()
+      Dedup.minhashBands(docs).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    bandsOnce() // warm
+    val nDocs = docs.count()
+    val tBands = bandsOnce()
+    println(f"""{"metric":"minhash_docs_per_sec","value":${nDocs / tBands}%.0f,"unit":"docs/sec","docs":$nDocs,"sec":$tBands%.3f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys — the manual counterpart to
+  * AQE's skew-join splitting, for the cases AQE doesn't cover
+  * (aggregations, and static plans where runtime re-planning is off).
+  *
+  * At 100 TB a zipfian key (one language, one boilerplate hash, one
+  * power user) can put most of a `groupBy` into one reducer task.
+  * Salting splits each key into `salt` sub-keys so the heavy partial
+  * aggregation fans out across `salt` tasks, then a cheap second
+  * aggregate (over ≤ keys × salt rows) merges the partials. Only
+  * DECOMPOSABLE aggregates survive two-phase evaluation — count/sum/
+  * min/max here; avg is derived as sum/count at the end.
+  */
+object Skew {
+
+  /** count/sum/min/max per key, two-phase over a random salt. The salt
+    * column uses a deterministic per-row hash of all columns rather than
+    * rand() so the operator stays reproducible (oracle-friendly).
+    */
+  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
+                     salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(salt)))
+    salted
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+        min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__s")).as("sum_value"),
+        min(col("__mn")).as("min_value"),
+        max(col("__mx")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_rows"))
+  }
+}
