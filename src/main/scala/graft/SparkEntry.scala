@@ -225,6 +225,49 @@ object SparkEntry {
         round(col("last_view_value"), 4).as("last_view_value"))
   }
 
+  /** Range join (graft.ops.RangeJoin): click/view event pairs of the
+    * same user within 120 s of each other — interval bucketing turns the
+    * |Δts| ≤ w predicate into an equi join + residual filter instead of
+    * a per-key nested loop.
+    */
+  private def qRangeJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    graft.ops.RangeJoin.withinWindow(clicks, views, "user_id",
+        "click_ts", "view_ts", windowSec = 120L)
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Rollup: per-(source, lang) counts with subtotals and a grand total
+    * (multi-level aggregation in ONE pass — Expand + single shuffle, vs
+    * three separate scans).
+    */
+  private def qRollupCounts(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().as("grp"))
+
+  /** Pivot: document counts per source with one column per language
+    * (explicit value list → deterministic schema, map-side conditional
+    * aggregation — no shuffle beyond the groupBy).
+    */
+  private def qPivotLangs(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "fr", "de", "es", "zh")
+    val pivoted = rd(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .count()
+    pivoted.select(col("source") +: langs.map(l =>
+      coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+  }
+
   // ===========================================================================
   // Event-time windows (streaming-shaped batch over events)
   // ===========================================================================
@@ -519,6 +562,9 @@ object SparkEntry {
     "q33_customers_no_orders" -> (qCustomersNoOrders _),
     "q34_asof_click_view" -> (qAsofClickView _),
     "q35_approx_stats" -> (qApproxStats _),
+    "q36_range_join" -> (qRangeJoinPairs _),
+    "q37_rollup_counts" -> (qRollupCounts _),
+    "q38_pivot_langs" -> (qPivotLangs _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -757,6 +803,28 @@ object SparkEntry {
         | round(v.view_value, 4) AS last_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         | ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "q36_range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        | ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND abs(floor(epoch(c.ts)) - floor(epoch(v.ts))) <= 120""".stripMargin,
+
+    "q37_rollup_counts" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | sum(n_chars)::BIGINT AS total_chars,
+        | GROUPING(source, lang) AS grp
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q38_pivot_langs" ->
+      """SELECT source,
+        | count(*) FILTER (WHERE lang = 'en') AS n_en,
+        | count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+        | count(*) FILTER (WHERE lang = 'de') AS n_de,
+        | count(*) FILTER (WHERE lang = 'es') AS n_es,
+        | count(*) FILTER (WHERE lang = 'zh') AS n_zh
+        |FROM documents GROUP BY source""".stripMargin,
 
     // q28 is rows-only (k-means not DuckDB-replayable)
     "q29_events_sliding" ->
