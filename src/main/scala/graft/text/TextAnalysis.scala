@@ -77,9 +77,17 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy: runs of letters, runs of digits, and single
     * punctuation marks each count as one token (the usual pre-tokenizer
-    * regex shape).
+    * regex shape). Native single-pass state machine — no regex engine,
+    * no match-array allocation (graft.functions.BpeTokenCount; the regex
+    * phrasing below documents the semantics and feeds the spec).
     */
   def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeTokenCount(lower(text))
+
+  /** Regex phrasing of [[bpeTokenCount]] — value-identical; the form the
+    * DuckDB oracle replays.
+    */
+  def bpeTokenCountRegex(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** MOSS-style fingerprints over an ALREADY-NORMALIZED (lowercased,

@@ -36,6 +36,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._2 == 9)
   }
 
+  test("native BPE count equals the regex phrasing on real docs + edge cases") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "   ", "a1b2!", "héllo wörld 中文 12a..b",
+        "tab\tnewline\nmix 0x0B", "🎉🎉 emoji42").toDF("text"))
+    val mism = docs.select(
+        TextAnalysis.bpeTokenCount(col("text")).as("native"),
+        TextAnalysis.bpeTokenCountRegex(col("text")).as("regex"))
+      .filter(col("native") =!= col("regex"))
+      .count()
+    assert(mism == 0L)
+  }
+
   test("fingerprints: deterministic, thinned, within 32-bit range") {
     val df = Seq("the quick brown fox jumps over the lazy dog repeatedly and often")
       .toDF("text")
