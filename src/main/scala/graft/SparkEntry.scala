@@ -186,6 +186,31 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TPC-H Q5 shape: revenue per nation for one region — the 6-table
+    * join chain. Join order: big⋈big (lineitem⋈orders) shuffles on the
+    * key; every dim (customer filtered by nation∈region, supplier,
+    * nation, region) broadcasts; the c_nationkey = s_nationkey predicate
+    * keeps the local-supplier semantics.
+    */
+  private def qRegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = rd(s, dir, "lineitem")
+    val o = rd(s, dir, "orders")
+    val c = rd(s, dir, "customer")
+    val su = rd(s, dir, "supplier")
+    val n = rd(s, dir, "nation")
+    val rg = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** First 3 orders per customer — ranking window (integer-exact output). */
   private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -565,6 +590,7 @@ object SparkEntry {
     "q36_range_join" -> (qRangeJoinPairs _),
     "q37_rollup_counts" -> (qRollupCounts _),
     "q38_pivot_langs" -> (qPivotLangs _),
+    "q39_regional_revenue" -> (qRegionalRevenue _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -825,6 +851,19 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q39_regional_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     // q28 is rows-only (k-means not DuckDB-replayable)
     "q29_events_sliding" ->
