@@ -459,7 +459,9 @@ object SparkEntry {
     val qVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L)
+    // maxIter 4: a demo probe needs a usable quantizer, not a converged
+    // one — training cost dominates this query's bench time otherwise
+    val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L, maxIter = 4)
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.embed.{DeterministicEmbedder, Embedder}
+import graft.text.Chunker
+
+/** ScalaCheck property tests (SURVEY.md §5): generator-driven invariants
+  * for the pure kernels — the Spark-level operators are covered by the
+  * per-operator specs and the DuckDB oracle; these pin the algebraic
+  * properties that must hold for EVERY input, not just fixtures.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Seeded generator sampling (the scalatest-scalacheck bridge isn't on
+    * the classpath; deterministic seeds keep failures reproducible).
+    */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen(Gen.Parameters.default.withSize(1 + i % 60), Seed(i.toLong)))
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val textGen: Gen[String] = Gen.sized { n =>
+    Gen.listOfN(math.min(n * 4, 600),
+      Gen.frequency((8, Gen.alphaNumChar), (2, Gen.const(' ')),
+        (1, Gen.const('\n')), (1, Gen.oneOf("!?.,;🎉中".toSeq))))
+      .map(_.mkString)
+  }
+
+  test("chunker: chunks cover the text exactly, in order, within size") {
+    val cases = samples(for {
+      t <- textGen; size <- Gen.choose(4, 64); ov <- Gen.choose(0, 63)
+    } yield (t, size, ov), 300)
+    cases.foreach { case (t, size, ovRaw) =>
+        val ov = ovRaw % size
+        val spans = Chunker.chunkSpans(t, size, ov)
+        if (t.isEmpty) assert(spans.isEmpty)
+        else {
+          assert(spans.head._1 == 0 && spans.last._2 == t.length)
+          assert(spans.forall { case (s, e) => e > s && e - s <= size })
+          // no gaps: each span starts at or before the previous end
+          spans.sliding(2).foreach {
+            case Seq((_, e1), (s2, _)) => assert(s2 <= e1)
+            case _ =>
+          }
+          assert(Chunker.chunk(t, size, ov) ==
+            spans.map { case (s, e) => t.substring(s, e) })
+        }
+    }
+  }
+
+  test("embedder: deterministic, unit-norm or zero, cosine bounded") {
+    val e: Embedder = new DeterministicEmbedder(dim = 32)
+    samples(Gen.zip(textGen, textGen), 200).foreach { case (a, b) =>
+      val va = e.embed(a)
+      assert(va.toSeq == e.embed(a).toSeq) // deterministic
+      val norm = math.sqrt(va.map(x => x.toDouble * x).sum)
+      assert(norm == 0.0 || math.abs(norm - 1.0) < 1e-4)
+      val c = cosineLocal(va, e.embed(b))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      // identical text → cosine 1 (or 0 for zero vectors)
+      val self = cosineLocal(va, va)
+      assert(self == 0.0 || math.abs(self - 1.0) < 1e-9)
+    }
+  }
+
+  test("top-k is the prefix of the full sort (threshold −∞)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e: Embedder = new DeterministicEmbedder(dim = 16)
+    samples(Gen.zip(Gen.choose(1, 10), Gen.choose(1L, 3L)), 6).foreach { case (k, seed) =>
+      val corpus = (0L until 40L)
+        .map(i => (i, e.embed(s"doc $i seed $seed").toSeq))
+        .toDF("vec_id", "embedding")
+      val q = e.embed(s"query $seed").map(_.toDouble).toSeq
+      val topk = graft.search.Search.topK(corpus, q, k = k, threshold = -2.0)
+        .select($"vec_id").as[Long].collect().toSeq
+      val full = graft.search.Search.scoreAll(corpus, q)
+        .orderBy(desc("score"), asc("vec_id"))
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(topk == full.take(k))
+    }
+  }
+}
