@@ -405,7 +405,7 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     rdWide(s, dir, "documents")
       .withColumn("w", TextAnalysis.tokens(col("text")))
-      .groupBy(TextAnalysis.langIdFromTokens(col("w")).as("pred_lang"))
+      .groupBy(graft.functions.LangId(col("w")).as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
   /** Per-source quality scores (composite heuristic over staged tokens). */

@@ -156,6 +156,42 @@ object Multimodal {
       }(enc)
   }
 
+  /** Framed audio energy: treat the payload as signed 8-bit PCM and emit
+    * per-frame RMS amplitude (normalized to [0,1]) — the
+    * silence-detection / audio-quality signal, and the audio analog of
+    * [[sampleFrames]]'s 1→N shape. A real codec decodes compressed audio
+    * to PCM upstream at the [[MediaCodec]] seam; the framing/RMS math
+    * here is the production-real part.
+    */
+  def pcmFrameRms(media: DataFrame, frameSamples: Int,
+                  idCol: String = "media_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = payload.length / frameSamples
+          (0 until nFrames).iterator.map { f =>
+            var ss = 0.0
+            var i = f * frameSamples
+            val end = i + frameSamples
+            while (i < end) {
+              val s = payload(i) / 128.0 // signed 8-bit → [-1, 1)
+              ss += s * s
+              i += 1
+            }
+            Row(id, f, math.sqrt(ss / frameSamples))
+          }
+        }
+      }(enc)
+  }
+
   /** Per-payload content features — byte count, Shannon entropy
     * (bits/byte; the classic compressibility / junk-media filter signal),
     * mean byte value, and distinct byte count — in ONE JVM pass per

@@ -73,6 +73,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(c.getAs[Int]("n_distinct_bytes") == 1)
   }
 
+  test("pcmFrameRms: silence → 0, full-scale square wave → known RMS") {
+    val silence = Array.fill(8)(0.toByte)
+    val square = Array.fill(8)(-128.toByte) // |s| = 1.0 each sample
+    val out = Multimodal.pcmFrameRms(
+      mediaDf(Seq((1L, silence, "audio", 0, 0), (2L, square, "audio", 0, 0))),
+      frameSamples = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == 4) // 2 payloads × 2 frames
+    out.filter(_._1 == 1L).foreach { case (_, _, rms) => assert(rms == 0.0) }
+    out.filter(_._1 == 2L).foreach { case (_, _, rms) =>
+      assert(math.abs(rms - 1.0) < 1e-12) }
+  }
+
   test("decode runs distributed across partitions (no driver collect)") {
     val many = (0L until 64L).map(i =>
       (i, Array.fill(8)((i % 127).toByte), "image", 2, 4))

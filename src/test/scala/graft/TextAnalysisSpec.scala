@@ -36,6 +36,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._2 == 9)
   }
 
+  test("native LangId equals the expression phrasing on real docs") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "la de la de", "the of la de und ist",
+        "xyzzy qwerty").toDF("text"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+    val mism = docs.select(
+        graft.functions.LangId(col("w")).as("native"),
+        TextAnalysis.langIdFromTokens(col("w")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mism == 0L)
+  }
+
   test("native BPE count equals the regex phrasing on real docs + edge cases") {
     import graft.text.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
