@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkText, CosineSimilarity, SimHash}
+import graft.functions.{BpeTokenCount, ChunkText, CosineSimilarity, LangId, MinHashSignature, SimHash}
 import graft.text.Chunker
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
@@ -32,6 +32,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"simhash32 expects 1 argument, got ${exprs.length}")
         SimHash(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_token_count expects 1 argument, got ${exprs.length}")
+        BpeTokenCount(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"lang_id expects 1 argument (token array), got ${exprs.length}")
+        LangId(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"minhash_signature expects 1 argument (token array), got ${exprs.length}")
+        MinHashSignature(exprs.head)
       }))
     e.injectFunction((
       FunctionIdentifier("chunk_text"),
