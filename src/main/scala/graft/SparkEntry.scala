@@ -304,8 +304,15 @@ object SparkEntry {
     */
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = rd(s, dir, "events")
+    // the driver testdata carries TIMESTAMP(NANOS) (readable only as a
+    // nanos Long under the legacy conf) — but accept an already-typed
+    // timestamp column too, so the same queries run on ordinary tables
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => ev
+    }
   }
 
   /** 10-minute tumbling window per event_type. Spark's `window()` aligns
