@@ -84,6 +84,20 @@ object Throughput {
     val nDocs = docs.count()
     val tBands = bandsOnce()
     println(f"""{"metric":"minhash_docs_per_sec","value":${nDocs / tBands}%.0f,"unit":"docs/sec","docs":$nDocs,"sec":$tBands%.3f}""")
+
+    // Near-dup verification on a clone-heavy corpus (the replication above
+    // makes every text an exact clique): naive pair expansion vs the
+    // exact-dedup-first pipeline.
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nPairsDeduped, tDeduped) = timed {
+      val (pairs, _) = Dedup.nearDupPairsDeduped(docs)
+      pairs.count()
+    }
+    println(f"""{"metric":"neardup_dedup_first_sec","value":$tDeduped%.3f,"unit":"sec","pairs":$nPairsDeduped,"docs":$nDocs}""")
+    val (nPairsNaive, tNaive) = timed(Dedup.nearDupPairs(docs).count())
+    println(f"""{"metric":"neardup_naive_sec","value":$tNaive%.3f,"unit":"sec","pairs":$nPairsNaive,"docs":$nDocs}""")
     spark.stop()
   }
 }

@@ -181,4 +181,42 @@ object Dedup {
                      textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup pairs with exact-dedup-first pipeline ordering — the
+    * production shape for corpora with heavy exact duplication
+    * (boilerplate, mirrored files): a c-member exact-clone clique would
+    * put C(c,2) trivially-jaccard-1.0 pairs through LSH banding and set
+    * comparison; instead, collapse each clique to its lowest-id
+    * representative FIRST (one hash aggregation — content never
+    * shuffles), run MinHash-LSH + exact Jaccard on distinct texts only,
+    * and report clone membership separately.
+    *
+    * Returns (pairs among representatives, exact groups with keep_id +
+    * n_copies). Pairs for clone members are recoverable by joining
+    * either side through its group's keep_id; materializing them is
+    * exactly the quadratic blow-up this exists to avoid.
+    */
+  def nearDupPairsDeduped(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          minJaccard: Double = 0.0,
+                          maxBucketSize: Int = Int.MaxValue)
+      : (DataFrame, DataFrame) = {
+    val groups = docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    val reps = docs
+      .join(groups.select(col("keep_id")),
+        col(idCol) === col("keep_id"), "left_semi")
+    val sh = reps.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val pairs = candidatePairs(
+        minhashBands(reps, idCol, textCol), idCol, maxBucketSize)
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    (pairs, groups)
+  }
 }

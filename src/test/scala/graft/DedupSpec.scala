@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L))) // hot bucket skipped; rare band pairs
   }
 
+  test("nearDupPairsDeduped: clones collapse to reps; near-dups still found") {
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), // 3-member exact clique
+      (4L, near),                          // near-dup of the clique
+      (5L, "completely different content with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val (pairs, groups) = Dedup.nearDupPairsDeduped(docs, minJaccard = 0.3)
+    val g = groups.select($"keep_id", $"n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(g(1L) == 3L && g(4L) == 1L && g(5L) == 1L)
+    val p = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(p == Set((1L, 4L))) // only the representative pairs; no C(3,2) clique pairs
+  }
+
   test("exactDupGroups keeps lowest id and counts copies") {
     val got = Dedup.exactDupGroups(docs)
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
