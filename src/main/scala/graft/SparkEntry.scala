@@ -437,7 +437,16 @@ object SparkEntry {
     rdWide(s, dir, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"),
-        explode(TextAnalysis.fingerprintsOfNormalized("t")).as("fp"))
+        explode(graft.functions.Fingerprints(col("t"))).as("fp"))
+
+  /** Duplicate clusters: connected components (min-label propagation)
+    * over the MinHash near-dup pair graph — pairwise similarity →
+    * keep-one-per-group assignments. DuckDB oracles the closure with a
+    * recursive CTE.
+    */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DupClusters.clusters(
+      Dedup.nearDupPairs(rdWide(s, dir, "documents"), minJaccard = 0.5))
 
   /** Embedding-cosine near-dup pairs within sign-LSH buckets. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -600,6 +609,7 @@ object SparkEntry {
     "q37_rollup_counts" -> (qRollupCounts _),
     "q38_pivot_langs" -> (qPivotLangs _),
     "q39_regional_revenue" -> (qRegionalRevenue _),
+    "q40_dup_clusters" -> (qDupClusters _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -860,6 +870,23 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q40_dup_clusters" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION SELECT doc_b, doc_a FROM pairs),
+         | reach(v, lbl) AS (
+         |   SELECT DISTINCT src, src FROM edges
+         |   UNION
+         |   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src)
+         |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin,
 
     "q39_regional_revenue" ->
       """SELECT n_name,

@@ -1,0 +1,35 @@
+package graft
+
+import graft.dedup.DupClusters
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation finds components across chains") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; {20,21,22}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 7L),
+      (10L, 11L),
+      (21L, 22L), (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val got = DupClusters.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("single pair and self-contained cliques converge in few rounds") {
+    val pairs = Seq((5L, 9L), (9L, 5L)).toDF("doc_a", "doc_b")
+    val got = DupClusters.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L))
+  }
+
+  test("long path still converges within maxIter (diameter propagation)") {
+    // path 0-1-2-...-12: min label must travel the whole diameter
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DupClusters.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.size == 13 && got.values.forall(_ == 0L))
+  }
+}

@@ -65,6 +65,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("native Fingerprints equals the expression phrasing on real docs") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "short", "exactly sixteen!", "🎉 unicode 中文 padding text here")
+        .toDF("text"))
+      .select(lower(trim(col("text"))).as("t"))
+    val mism = docs.select(
+        graft.functions.Fingerprints(col("t")).as("native"),
+        TextAnalysis.fingerprintsOfNormalized("t").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mism == 0L)
+  }
+
   test("fingerprints: deterministic, thinned, within 32-bit range") {
     val df = Seq("the quick brown fox jumps over the lazy dog repeatedly and often")
       .toDF("text")
