@@ -52,8 +52,17 @@ object DupClusters {
           "doc_id")
         .filter(col("cluster_id") =!= col("old"))
         .count()
+      labels.unpersist() // ≤ 2 checkpointed copies live at any time
       labels = next
       iter += 1
+    }
+    if (changed > 0) {
+      // silently-partial components would diverge from the exact closure
+      // (and the oracle); a diameter this large means maxIter is wrong
+      // for the graph — fail loudly instead
+      throw new IllegalStateException(
+        s"DupClusters.clusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     }
     labels
   }

@@ -57,6 +57,7 @@ object BatchInference {
   def embedPartitions(df: DataFrame, textCol: String,
                       loader: ModelLoader,
                       batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+
       StructField("embedding", ArrayType(FloatType, containsNull = false)))

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
@@ -35,12 +36,28 @@ case class LangId(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<string> tokens, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    LangId.classify(input.asInstanceOf[ArrayData])
+  // a null token array classifies as "unknown", matching the expression
+  // form (its when-chain falls through null comparisons to the otherwise
+  // branch) — so this expression never returns null
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.LangId.classify($a);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    LangId.classifyNullable(
+      if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        UTF8String ${ev.value} = graft.functions.LangId.classifyNullable(
+          ${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -70,6 +87,10 @@ object LangId {
   }
 
   private val unknown = UTF8String.fromString("unknown")
+
+  /** Null-tolerant entry used by eval and generated code. */
+  def classifyNullable(tokens: ArrayData): UTF8String =
+    if (tokens == null) unknown else classify(tokens)
 
   def classify(tokens: ArrayData): UTF8String = {
     val n = tokens.numElements()

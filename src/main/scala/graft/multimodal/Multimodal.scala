@@ -166,6 +166,7 @@ object Multimodal {
   def pcmFrameRms(media: DataFrame, frameSamples: Int,
                   idCol: String = "media_id",
                   payloadCol: String = "payload"): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be > 0, got $frameSamples")
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_index", IntegerType, nullable = false),
@@ -176,17 +177,20 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val nFrames = payload.length / frameSamples
-          (0 until nFrames).iterator.map { f =>
-            var ss = 0.0
-            var i = f * frameSamples
-            val end = i + frameSamples
-            while (i < end) {
-              val s = payload(i) / 128.0 // signed 8-bit → [-1, 1)
-              ss += s * s
-              i += 1
+          if (payload == null) Iterator.empty
+          else {
+            val nFrames = payload.length / frameSamples
+            (0 until nFrames).iterator.map { f =>
+              var ss = 0.0
+              var i = f * frameSamples
+              val end = i + frameSamples
+              while (i < end) {
+                val s = payload(i) / 128.0 // signed 8-bit → [-1, 1)
+                ss += s * s
+                i += 1
+              }
+              Row(id, f, math.sqrt(ss / frameSamples))
             }
-            Row(id, f, math.sqrt(ss / frameSamples))
           }
         }
       }(enc)

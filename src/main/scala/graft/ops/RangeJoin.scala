@@ -27,6 +27,11 @@ object RangeJoin {
   def withinWindow(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
                    windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    Seq("__b", "__b0").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"withinWindow: inputs must not carry a reserved '$c' column")
+    }
     val lb = unix_timestamp(col(leftTs))
     val rb = unix_timestamp(col(rightTs))
     val l = left

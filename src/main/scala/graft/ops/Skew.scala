@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** count/sum/min/max per key, two-phase over a random salt. The salt
-    * column uses a deterministic per-row hash of all columns rather than
-    * rand() so the operator stays reproducible (oracle-friendly).
+  /** count/sum/min/max per key, two-phase over a salt. The salt derives
+    * from `monotonically_increasing_id()` (partition id ⊕ row position),
+    * NOT a content hash: the motivating hot key is duplicated
+    * boilerplate, and byte-identical rows would all content-hash into
+    * ONE salt bucket, recreating the skew. Position-based salting
+    * spreads them evenly; the final aggregate is salt-invariant, so
+    * results stay deterministic regardless of assignment.
     */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be > 0, got $salt")
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     salted
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),

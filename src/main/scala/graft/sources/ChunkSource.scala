@@ -31,8 +31,9 @@ import graft.text.Chunker
   * Schema: (path, extension, chunk_index, total_chunks, content).
   *
   * Scale design: one InputPartition per file group (files are split
-  * round-robin into `spark.default.parallelism`-sized groups by the
-  * driver at planning time — chunk boundaries depend on whole-file
+  * round-robin into `spark.default.parallelism` groups by default —
+  * override with the `numPartitions` option — at planning time; chunk
+  * boundaries depend on whole-file
   * content, so a file is never split across partitions; the 10 MB cap
   * the reference enforces keeps any single file driver- and
   * task-friendly). Readers stream file-by-file, chunk-by-chunk; memory
@@ -81,10 +82,17 @@ private class ChunkScanBuilder(options: CaseInsensitiveStringMap)
     throw new IllegalArgumentException("graft-chunks: .load(path) required"))
   private val chunkSize =
     Option(options.get("chunkSize")).map(_.toInt).getOrElse(Chunker.DefaultChunkSize)
+  require(chunkSize > 0, s"graft-chunks: chunkSize must be > 0, got $chunkSize")
   private val overlap =
     Option(options.get("overlap")).map(_.toInt).getOrElse(Chunker.DefaultOverlap)
+  require(overlap >= 0 && overlap < chunkSize,
+    s"graft-chunks: overlap must be in [0, chunkSize), got $overlap")
   private val numPartitions =
-    Option(options.get("numPartitions")).map(_.toInt).getOrElse(8)
+    Option(options.get("numPartitions")).map(_.toInt).getOrElse(
+      // scale with the session by default; option overrides for tests/tuning
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+  require(numPartitions > 0,
+    s"graft-chunks: numPartitions must be > 0, got $numPartitions")
 
   override def build(): Scan = this
   override def readSchema(): StructType = ChunkSource.Schema

@@ -36,19 +36,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._2 == 9)
   }
 
-  test("native LangId equals the expression phrasing on real docs") {
+  test("native LangId equals the expression phrasing on real docs (null-safe)") {
     import graft.text.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
-      .union(Seq("", "la de la de", "the of la de und ist",
-        "xyzzy qwerty").toDF("text"))
+      .union(Seq(Some(""), Some("la de la de"), Some("the of la de und ist"),
+        Some("xyzzy qwerty"), None).toDF("text"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
     val mism = docs.select(
         graft.functions.LangId(col("w")).as("native"),
         TextAnalysis.langIdFromTokens(col("w")).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: nulls can't hide
       .count()
     assert(mism == 0L)
+    // null token array classifies as 'unknown' on BOTH forms, never null
+    val nulls = docs.filter(col("w").isNull)
+      .select(graft.functions.LangId(col("w"))).collect()
+    assert(nulls.nonEmpty && nulls.forall(_.getString(0) == "unknown"))
   }
 
   test("native BPE count equals the regex phrasing on real docs + edge cases") {
