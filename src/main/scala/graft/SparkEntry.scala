@@ -250,6 +250,19 @@ object SparkEntry {
         round(col("last_view_value"), 4).as("last_view_value"))
   }
 
+  /** Set operations (SURVEY §2.7 notes the reference has none beyond
+    * append-union): langs appearing in src0 but not src1 (EXCEPT) and
+    * in both (INTERSECT) — distinct set semantics, planned as hash
+    * aggregates + semi/anti joins.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val a = docs.filter(col("source") === "src0").select(col("lang"))
+    val b = docs.filter(col("source") === "src1").select(col("lang"))
+    a.except(b).withColumn("op", lit("except"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+  }
+
   /** Range join (graft.ops.RangeJoin): click/view event pairs of the
     * same user within 120 s of each other — interval bucketing turns the
     * |Δts| ≤ w predicate into an equi join + residual filter instead of
@@ -610,6 +623,7 @@ object SparkEntry {
     "q38_pivot_langs" -> (qPivotLangs _),
     "q39_regional_revenue" -> (qRegionalRevenue _),
     "q40_dup_clusters" -> (qDupClusters _),
+    "q41_set_ops" -> (qSetOps _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -870,6 +884,15 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q41_set_ops" ->
+      """SELECT lang, 'except' AS op FROM (
+        |  SELECT lang FROM documents WHERE source = 'src0'
+        |  EXCEPT SELECT lang FROM documents WHERE source = 'src1')
+        |UNION ALL
+        |SELECT lang, 'intersect' AS op FROM (
+        |  SELECT lang FROM documents WHERE source = 'src0'
+        |  INTERSECT SELECT lang FROM documents WHERE source = 'src1')""".stripMargin,
 
     "q40_dup_clusters" ->
       s"""WITH RECURSIVE $MinhashCtes,

@@ -123,6 +123,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer closed sessions equal batch session_window output") {
+    import EventStreams.Ev
+    val input = MemoryStream[Ev](spark)
+    val gapMs = 10 * 60 * 1000L
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev], gapMs)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_parity_out").start()
+    val evs = Seq( // user 1: two sessions (gap between 12 and 40)
+      Ev(1L, ts(0), 1.0), Ev(1L, ts(5), 2.0), Ev(1L, ts(12), 3.0),
+      Ev(1L, ts(40), 4.0), Ev(1L, ts(45), 5.0))
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(99L, ts(200), 0.0)) // advance watermark, close user 1
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity_out")
+        .filter($"user_id" === 1L)
+        .select(unix_timestamp($"session_start").as("s"),
+          $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = EventStreams.sessionAgg(
+          evs.toDF("user_id", "ts", "value"), gap = "10 minutes")
+        .filter($"user_id" === 1L)
+        .select(unix_timestamp($"session_window.start").as("s"),
+          $"n_events", $"sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming ingest appends chunk+embed output incrementally") {
     val base = Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
