@@ -250,6 +250,38 @@ object SparkEntry {
         round(col("last_view_value"), 4).as("last_view_value"))
   }
 
+  /** Deterministic train/val/test split + stratified sampling, both by
+    * content hash — the reproducible (and cross-engine-replayable) way
+    * to split a training corpus: membership depends only on the text, so
+    * re-runs, engines, and appends agree; no RNG state to version.
+    * Buckets: hash mod 10 → 0-7 train, 8 val, 9 test.
+    */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(graft.functions.HashFunctions.md5Int32(col("text")), lit(10)))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Vocabulary building: the 20 most frequent tokens corpus-wide with
+    * document frequency — explode → two-level aggregate → top-k
+    * (TakeOrderedAndProject; the shuffle carries (token, partial counts),
+    * never documents).
+    */
+  private def qTopTokens(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(20)
+
   /** Set operations (SURVEY §2.7 notes the reference has none beyond
     * append-union): langs appearing in src0 but not src1 (EXCEPT) and
     * in both (INTERSECT) — distinct set semantics, planned as hash
@@ -624,6 +656,8 @@ object SparkEntry {
     "q39_regional_revenue" -> (qRegionalRevenue _),
     "q40_dup_clusters" -> (qDupClusters _),
     "q41_set_ops" -> (qSetOps _),
+    "q42_hash_split" -> (qHashSplit _),
+    "q43_top_tokens" -> (qTopTokens _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -884,6 +918,20 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q42_hash_split" ->
+      s"""SELECT CASE WHEN ${h32Sql("text")} % 10 <= 7 THEN 'train'
+         |  WHEN ${h32Sql("text")} % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         | lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q43_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+        |FROM toks WHERE token <> ''
+        |GROUP BY token ORDER BY term_freq DESC, token ASC LIMIT 20""".stripMargin,
 
     "q41_set_ops" ->
       """SELECT lang, 'except' AS op FROM (
