@@ -62,6 +62,26 @@ object SparkEntry {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** L2 (Euclidean) nearest neighbors — the other standard metric over
+    * the same corpus: ascending distance top-k, expressed through the
+    * dot-product identity ‖a−b‖² = a·a − 2a·b + b·b so the oracle can
+    * replay it with list_dot_product.
+    */
+  private def qL2TopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val qrow = broadcast(emb.filter(col("vec_id") === 1)
+      .select(col("e").as("q")))
+    val dot = (a: String, b: String) => aggregate(
+      zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    emb.crossJoin(qrow)
+      .withColumn("dist2",
+        dot("e", "e") - lit(2.0) * dot("e", "q") + dot("q", "q"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("dist2"), 6).as("dist2"))
+  }
+
   /** Batch variant: the 4 vectors with vec_id in (0,1,2,3) each retrieve
     * their top-5 (excluding themselves), per-query ranking via window.
     */
@@ -658,6 +678,7 @@ object SparkEntry {
     "q41_set_ops" -> (qSetOps _),
     "q42_hash_split" -> (qHashSplit _),
     "q43_top_tokens" -> (qTopTokens _),
+    "q44_l2_topk" -> (qL2TopK _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -918,6 +939,16 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q44_l2_topk" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        | qv AS (SELECT e AS q FROM base WHERE vec_id = 1)
+        |SELECT vec_id, round(
+        |  list_dot_product(e, e) - 2.0 * list_dot_product(e, q) + list_dot_product(q, q),
+        |  6) AS dist2
+        |FROM base, qv ORDER BY
+        | list_dot_product(e, e) - 2.0 * list_dot_product(e, q) + list_dot_product(q, q) ASC,
+        | vec_id ASC LIMIT 10""".stripMargin,
 
     "q42_hash_split" ->
       s"""SELECT CASE WHEN ${h32Sql("text")} % 10 <= 7 THEN 'train'

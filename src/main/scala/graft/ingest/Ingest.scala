@@ -80,6 +80,35 @@ object Ingest {
     * inline by the executors during the SAME pass (no second job), and
     * delivered to the driver via QueryExecutionListener / `Observation`.
     */
+  /** Compact a parquet table's small files into `targetFiles` outputs —
+    * the maintenance pass an append-only store needs (every streaming
+    * micro-batch / ingest run leaves its own files; thousands of tiny
+    * files make listing and scan planning the bottleneck long before
+    * data size does). Rewrites into a temp dir first and swaps only
+    * after success, so a failed compaction never damages the table.
+    * Readers concurrent with the swap see the table vanish briefly —
+    * single-writer maintenance windows only (a table format with
+    * transactional commit is the 100 TB answer; plain parquet has no
+    * atomic directory swap).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be > 0, got $targetFiles")
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.rename(dst, bak)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(bak, dst) // restore on failure
+      throw new IllegalStateException(s"compact: could not swap $tmp into $path")
+    }
+    fs.delete(bak, true)
+  }
+
   def observedIngest(observation: org.apache.spark.sql.Observation,
                      docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id",
