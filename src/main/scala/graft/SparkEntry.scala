@@ -302,6 +302,36 @@ object SparkEntry {
       .orderBy(col("term_freq").desc, col("token").asc)
       .limit(20)
 
+  /** TF-IDF top terms: for the first 10 documents, their 3 most
+    * distinctive tokens by tf × (N/df) — term frequency from one explode
+    * + aggregate, document frequency from a token-level aggregate joined
+    * back (broadcast — the vocab head is small), ranked per document by
+    * a window. idf uses the exact rational N/df (not a log) so every
+    * weight is a ratio of integers and the oracle comparison is
+    * bit-exact rather than libm-dependent.
+    */
+  private def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val n = docs.count() // corpus size; tiny driver scalar
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .withColumn("weight",
+        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("doc_id") < 10)
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("weight"), 6).as("weight"))
+  }
+
   /** Set operations (SURVEY §2.7 notes the reference has none beyond
     * append-union): langs appearing in src0 but not src1 (EXCEPT) and
     * in both (INTERSECT) — distinct set semantics, planned as hash
@@ -679,6 +709,7 @@ object SparkEntry {
     "q42_hash_split" -> (qHashSplit _),
     "q43_top_tokens" -> (qTopTokens _),
     "q44_l2_topk" -> (qL2TopK _),
+    "q45_tfidf_top_terms" -> (qTfidfTopTerms _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -939,6 +970,22 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS n_es,
         | count(*) FILTER (WHERE lang = 'zh') AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q45_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        | t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+        | df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+        | n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        | ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf::DOUBLE * n.n / df.df::DOUBLE AS weight,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf::DOUBLE * n.n / df.df::DOUBLE DESC, tf.token ASC) AS rank
+        |  FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, rank, token, round(weight, 6) AS weight
+        |FROM ranked WHERE rank <= 3 AND doc_id < 10""".stripMargin,
 
     "q44_l2_topk" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
