@@ -838,6 +838,44 @@ object SparkEntry {
         | min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens
         |FROM documents GROUP BY source""".stripMargin,
 
+    // q12: the chunker's cursor loop (SURVEY §2.3/§2.9.3-4) replayed as a
+    // DuckDB recursive CTE. endExpr(s) mirrors Chunker.chunkSpans for
+    // chunkSize=200/overlap=50: in the non-final branch the window is
+    // exactly 200 chars, so the last '\n' (strictly past the midpoint,
+    // break char kept) is s+200-strpos(reverse(win), nl), else the last
+    // ' ' in the back half, else a hard cut; the cursor advances by
+    // end-50 only when that moves (degenerate-overlap guard).
+    "q12_chunk_stats" -> {
+      def endExpr(s: String): String =
+        s"""CASE WHEN $s + 200 >= len THEN len
+           | WHEN strpos(reverse(substr(t, $s+1, 200)), chr(10)) > 0
+           |      AND $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) > $s + 100
+           |   THEN $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) + 1
+           | WHEN strpos(reverse(substr(t, $s+101, 100)), ' ') > 0
+           |   THEN $s + 200 - strpos(reverse(substr(t, $s+101, 100)), ' ') + 1
+           | ELSE $s + 200 END""".stripMargin.replaceAll("\n", " ")
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, source, text AS t, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         | spans(doc_id, source, t, len, s, e) AS (
+         |  SELECT doc_id, source, t, len, 0, ${endExpr("0")} FROM docs0
+         |  UNION ALL
+         |  SELECT doc_id, source, t, len, ns, ${endExpr("ns")} FROM (
+         |    SELECT doc_id, source, t, len,
+         |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
+         |    FROM spans
+         |    WHERE len > 200) -- text <= chunkSize short-circuits to ONE
+         |                     -- chunk BEFORE the loop (Chunker early
+         |                     -- return); only long docs iterate
+         |  WHERE ns < len),
+         | per_doc AS (
+         |  SELECT doc_id, source, count(*) AS n FROM spans GROUP BY doc_id, source)
+         |SELECT source, sum(n)::BIGINT AS n_chunks,
+         | count(DISTINCT doc_id) AS n_docs,
+         | max(n)::INT AS max_chunks_per_doc
+         |FROM per_doc GROUP BY source""".stripMargin
+    },
+
     "q13_minhash_bands" ->
       s"""WITH $MinhashCtes
          |SELECT doc_id, band, band_hash FROM bands""".stripMargin,
