@@ -72,11 +72,13 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val qrow = broadcast(emb.filter(col("vec_id") === 1)
       .select(col("e").as("q")))
-    val dot = (a: String, b: String) => aggregate(
-      zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // VectorFunctions.dotProduct carries the bit-identical-to-DuckDB fold
+    // guarantee; the identity must use it, not a local re-implementation
     emb.crossJoin(qrow)
       .withColumn("dist2",
-        dot("e", "e") - lit(2.0) * dot("e", "q") + dot("q", "q"))
+        dotProduct(col("e"), col("e"))
+          - lit(2.0) * dotProduct(col("e"), col("q"))
+          + dotProduct(col("q"), col("q")))
       .orderBy(col("dist2").asc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("dist2"), 6).as("dist2"))
@@ -317,17 +319,22 @@ object SparkEntry {
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val n = docs.count() // corpus size; tiny driver scalar
-    val tf = toks.groupBy(col("doc_id"), col("token"))
+    // df must be CORPUS-wide, but tf/window/rank only matter for the 10
+    // reported docs — filter before the join so the shuffle, the ranking
+    // window, and the broadcast all carry ~10 documents' tokens, not the
+    // whole corpus (df streams past the tiny broadcast tf side)
+    val tf = toks.filter(col("doc_id") < 10)
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("token").asc)
-    tf.join(broadcast(df), "token")
+    df.join(broadcast(tf), "token")
       .withColumn("weight",
         col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3 && col("doc_id") < 10)
+      .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"),
         round(col("weight"), 6).as("weight"))
   }
@@ -469,8 +476,14 @@ object SparkEntry {
         max(col("toks")).as("max_tokens"),
         min(col("toks")).as("min_tokens"))
 
-  /** Chunk-pipeline stats (chunker is not SQL-expressible → rows-only
-    * check; its semantics are unit/property-tested in Scala).
+  /** Chunk-pipeline stats — FULL oracle: the chunker's cursor loop is
+    * replayed in DuckDB as a recursive CTE (see the q12 oracle SQL), so
+    * chunk counts are hash-compared, not just row-counted. The CTE
+    * measures characters in code points while the JVM chunker counts
+    * UTF-16 units — identical for BMP text (incl. CJK); astral-plane
+    * characters (emoji) would desynchronize the two (testdata is
+    * BMP-only; Scala-side semantics are additionally property-tested
+    * with astral inputs in ChunkerSpec/PropertySpec).
     */
   private def qChunkStats(s: SparkSession, dir: String): DataFrame =
     Ingest.chunkDocuments(rdWide(s, dir, "documents"), "text",
