@@ -69,4 +69,22 @@ class CosineExprSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // injection itself must not throw
   }
+
+  test("SQL surface: bpe_token_count / lang_id / minhash_signature") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      exprs => graft.functions.BpeTokenCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("lang_id",
+      exprs => graft.functions.LangId(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => graft.functions.MinHashSignature(exprs.head), "built-in")
+    assert(spark.sql("SELECT bpe_token_count('ab1 cd!') AS n")
+      .as[Int].head() == 4) // ab, 1, cd, !
+    assert(spark.sql("SELECT lang_id(array('the','of','and')) AS l")
+      .as[String].head() == "en")
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('a','b','c','d')) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length == 16 && sig.forall(_ >= 0))
+  }
 }
