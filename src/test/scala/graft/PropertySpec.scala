@@ -70,6 +70,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals per-row brute force on random event sets") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 15); nr <- Gen.choose(0, 15)
+      lts <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0, 50)))
+      rts <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0, 50)))
+    } yield (lts, rts)
+    samples(gen, 25).zipWithIndex.foreach { case ((lts, rts), i) =>
+      val left = lts.zipWithIndex
+        .map { case ((k, t), j) => (k, new Timestamp(t * 1000L), j.toLong) }
+        .toDF("k", "ts", "lid")
+      // right side unique per (k, ts) — the operator's contract
+      val rightRows = rts.distinct.zipWithIndex
+        .map { case ((k, t), j) => (k, new Timestamp(t * 1000L), j * 10.0 + i) }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val right = rightRows.toDF("k", "ts", "v")
+      val got = graft.ops.AsofJoin.asof(left, right, "k", "ts", "v")
+        .select($"lid", $"asof_value").as[(Long, Option[Double])]
+        .collect().toMap
+      // brute force: latest right at/before each left row per key
+      lts.zipWithIndex.foreach { case ((k, t), j) =>
+        val expect = rightRows.filter(r => r._1 == k && r._2.getTime <= t * 1000L)
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        assert(got(j.toLong) == expect,
+          s"case $i: lid $j key $k t $t: got ${got(j.toLong)} want $expect")
+      }
+    }
+  }
+
+  test("range join equals brute-force theta join on random event sets") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 12); nr <- Gen.choose(0, 12); w <- Gen.choose(1, 20)
+      lts <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 80)))
+      rts <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 80)))
+    } yield (lts, rts, w)
+    samples(gen, 25).foreach { case (lts, rts, w) =>
+      val left = lts.zipWithIndex
+        .map { case ((k, t), j) => (k, j.toLong, new Timestamp(t * 1000L)) }
+        .toDF("k", "lid", "lts")
+      val right = rts.zipWithIndex
+        .map { case ((k, t), j) => (k, j.toLong, new Timestamp(t * 1000L)) }
+        .toDF("k", "rid", "rts")
+      val got = graft.ops.RangeJoin
+        .withinWindow(left, right, "k", "lts", "rts", w.toLong)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        ((lk, lt), li) <- lts.zipWithIndex
+        ((rk, rt), ri) <- rts.zipWithIndex
+        if lk == rk && math.abs(lt - rt) <= w
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got == expect, s"w=$w lts=$lts rts=$rts")
+    }
+  }
+
   test("top-k is the prefix of the full sort (threshold −∞)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
