@@ -747,9 +747,12 @@ object SparkEntry {
   /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
   private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
-  /** DuckDB fragment: sign-LSH bucket of a float-list column (Ann.signBucket). */
+  /** DuckDB fragment: sign-LSH bucket of a float-list column (Ann.signBucket).
+    * list_sum returns HUGEINT; cast to BIGINT so the comparator hashes the
+    * same integer repr as Spark's LongType (HUGEINT → pandas float64 → "1.0").
+    */
   private def bucketSql(v: String, bits: Int = 8): String =
-    s"list_sum([CASE WHEN $v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, $bits)])"
+    s"(list_sum([CASE WHEN $v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, $bits)]))::BIGINT"
 
   /** DuckDB CTEs: words → distinct 3-gram shingles → 16-slot MinHash
     * signature → 8 band hashes (mirrors Dedup.minhashBands exactly).
