@@ -593,18 +593,20 @@ object SparkEntry {
     * chunk (1→N) → embed (deterministic) → cosine top-5 against the
     * embedding of a fixed query string, threshold after limit — §3.1 +
     * §3.2 fused, no materialization between stages (vs the reference's
-    * five eagerly-materialized lists + two HTTP hops). Rows-only check:
-    * the hash-projection embedder is not SQL-expressible; chunker and
-    * cosine are separately oracle-checked (q12, q01).
+    * five eagerly-materialized lists + two HTTP hops). FULL ORACLE: the
+    * [[graft.embed.Md5TokenEmbedder]] hashes tokens with md5 prefixes and
+    * stays in Double end-to-end, so DuckDB replays the entire pipeline —
+    * chunker recursive CTE → token bucket sums → cosine — hash-exact.
     */
   private def qE2ePipeline(s: SparkSession, dir: String): DataFrame = {
-    val embedder = graft.embed.Embedder.Default
-    val corpus = Ingest.ingestDocuments(
-      rdWide(s, dir, "documents"), "text", chunkSize = 200, overlap = 50,
-      embedder = embedder)
+    val embedder = new graft.embed.Md5TokenEmbedder()
+    val corpus = Ingest.chunkDocuments(
+      rdWide(s, dir, "documents"), "text", chunkSize = 200, overlap = 50)
+      .withColumn("embedding",
+        graft.embed.Embedder.embedDoubleColumn(col("content"), embedder))
       .withColumn("chunk_id", // 1e6 headroom: collision needs a ~150 MB doc
         col("doc_id") * 1000000L + col("chunk_index"))
-    val qVec = embedder.embed("alpha beta gamma").map(_.toDouble).toSeq
+    val qVec = embedder.embedDouble("alpha beta gamma").toSeq
     Search.topK(corpus, qVec, k = 5, threshold = 0.1, idCol = "chunk_id")
       .select(col("doc_id"), col("chunk_index"),
         round(col("score"), 6).as("score"))
@@ -747,6 +749,31 @@ object SparkEntry {
   /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
   private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** DuckDB fragment: the chunker's next-boundary rule (Chunker.chunk at
+    * size 200 / overlap 50) from cursor `s` over text column `t` with
+    * length column `len` — window is exactly 200 chars, so the last '\n'
+    * (strictly past the midpoint, break char kept) wins, else the last
+    * ' ' in the back half, else a hard cut.
+    */
+  private def chunkEndSql(s: String): String =
+    s"""CASE WHEN $s + 200 >= len THEN len
+       | WHEN strpos(reverse(substr(t, $s+1, 200)), chr(10)) > 0
+       |      AND $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) > $s + 100
+       |   THEN $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) + 1
+       | WHEN strpos(reverse(substr(t, $s+101, 100)), ' ') > 0
+       |   THEN $s + 200 - strpos(reverse(substr(t, $s+101, 100)), ' ') + 1
+       | ELSE $s + 200 END""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragment: Md5TokenEmbedder's per-token signed magnitude and
+    * bucket index from the 32-bit hash column `h` (sign bit 16, 3-bit
+    * magnitude at bit 17, bucket = h mod 64).
+    */
+  private val TokContribSql: String =
+    """h % 64 AS idx,
+      | (CASE WHEN (h // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |  * (1.0 + ((h // 131072) % 8) / 8.0) AS v""".stripMargin
+      .replaceAll("\n", " ")
+
   /** DuckDB fragment: sign-LSH bucket of a float-list column (Ann.signBucket).
     * list_sum returns HUGEINT; cast to BIGINT so the comparator hashes the
     * same integer repr as Spark's LongType (HUGEINT → pandas float64 → "1.0").
@@ -855,28 +882,20 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
 
     // q12: the chunker's cursor loop (SURVEY §2.3/§2.9.3-4) replayed as a
-    // DuckDB recursive CTE. endExpr(s) mirrors Chunker.chunkSpans for
+    // DuckDB recursive CTE. chunkEndSql(s) mirrors Chunker.chunkSpans for
     // chunkSize=200/overlap=50: in the non-final branch the window is
     // exactly 200 chars, so the last '\n' (strictly past the midpoint,
     // break char kept) is s+200-strpos(reverse(win), nl), else the last
     // ' ' in the back half, else a hard cut; the cursor advances by
     // end-50 only when that moves (degenerate-overlap guard).
     "q12_chunk_stats" -> {
-      def endExpr(s: String): String =
-        s"""CASE WHEN $s + 200 >= len THEN len
-           | WHEN strpos(reverse(substr(t, $s+1, 200)), chr(10)) > 0
-           |      AND $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) > $s + 100
-           |   THEN $s + 200 - strpos(reverse(substr(t, $s+1, 200)), chr(10)) + 1
-           | WHEN strpos(reverse(substr(t, $s+101, 100)), ' ') > 0
-           |   THEN $s + 200 - strpos(reverse(substr(t, $s+101, 100)), ' ') + 1
-           | ELSE $s + 200 END""".stripMargin.replaceAll("\n", " ")
       s"""WITH RECURSIVE docs0 AS (
          |  SELECT doc_id, source, text AS t, length(text) AS len
          |  FROM documents WHERE length(text) > 0),
          | spans(doc_id, source, t, len, s, e) AS (
-         |  SELECT doc_id, source, t, len, 0, ${endExpr("0")} FROM docs0
+         |  SELECT doc_id, source, t, len, 0, ${chunkEndSql("0")} FROM docs0
          |  UNION ALL
-         |  SELECT doc_id, source, t, len, ns, ${endExpr("ns")} FROM (
+         |  SELECT doc_id, source, t, len, ns, ${chunkEndSql("ns")} FROM (
          |    SELECT doc_id, source, t, len,
          |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
          |    FROM spans
@@ -1105,6 +1124,55 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     // q28 is rows-only (k-means not DuckDB-replayable)
+
+    // The ENTIRE reference pipeline replayed independently: chunker
+    // recursive CTE (as q12) → md5-token hash-projection embedding as
+    // sparse (chunk, bucket) sums → cosine vs the identically-embedded
+    // query literal → top-5 → threshold 0.1 AFTER the limit (§2.9.1).
+    // Chunks with zero tokens / no shared buckets score 0 on both sides.
+    "q32_e2e_pipeline" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, text AS t, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         | spans(doc_id, t, len, s, e) AS (
+         |  SELECT doc_id, t, len, 0, ${chunkEndSql("0")} FROM docs0
+         |  UNION ALL
+         |  SELECT doc_id, t, len, ns, ${chunkEndSql("ns")} FROM (
+         |    SELECT doc_id, t, len,
+         |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
+         |    FROM spans WHERE len > 200)
+         |  WHERE ns < len),
+         | chunks AS (
+         |  SELECT doc_id,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_index,
+         |   substr(t, s+1, e-s) AS c
+         |  FROM spans),
+         | tok AS (SELECT doc_id, chunk_index,
+         |   unnest(list_filter(regexp_split_to_array(lower(c), '\\s+'), x -> x <> '')) AS w
+         |  FROM chunks),
+         | contrib AS (SELECT doc_id, chunk_index, $TokContribSql
+         |  FROM (SELECT doc_id, chunk_index, ${h32Sql("w")} AS h FROM tok)),
+         | vecs AS (SELECT doc_id, chunk_index, idx, sum(v) AS s
+         |  FROM contrib GROUP BY 1, 2, 3),
+         | norms AS (SELECT doc_id, chunk_index, sqrt(sum(s * s)) AS n
+         |  FROM vecs GROUP BY 1, 2),
+         | qtok AS (SELECT unnest(['alpha', 'beta', 'gamma']) AS w),
+         | qcontrib AS (SELECT $TokContribSql
+         |  FROM (SELECT ${h32Sql("w")} AS h FROM qtok)),
+         | qvec AS (SELECT idx, sum(v) AS qs FROM qcontrib GROUP BY 1),
+         | qnorm AS (SELECT sqrt(sum(qs * qs)) AS qn FROM qvec),
+         | dots AS (SELECT v.doc_id, v.chunk_index, sum(v.s * q.qs) AS dot
+         |  FROM vecs v JOIN qvec q USING (idx) GROUP BY 1, 2),
+         | scored AS (SELECT ch.doc_id, ch.chunk_index,
+         |   CASE WHEN n.n IS NULL OR n.n = 0 OR qn = 0 OR dot IS NULL THEN 0.0
+         |        ELSE dot / (n.n * qn) END AS score
+         |  FROM chunks ch CROSS JOIN qnorm
+         |  LEFT JOIN norms n USING (doc_id, chunk_index)
+         |  LEFT JOIN dots USING (doc_id, chunk_index))
+         |SELECT doc_id, chunk_index, round(score, 6) AS score FROM (
+         |  SELECT * FROM scored
+         |  ORDER BY score DESC, doc_id ASC, chunk_index ASC LIMIT 5)
+         |WHERE score >= 0.1""".stripMargin,
     "q29_events_sliding" ->
       """SELECT (floor(epoch(ts) / 300)::BIGINT - off) * 300 AS bucket_start,
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value

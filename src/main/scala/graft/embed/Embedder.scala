@@ -53,6 +53,59 @@ final class DeterministicEmbedder(val dim: Int = 64, seed: Int = 42) extends Emb
   }
 }
 
+/** Oracle-replayable embedder: the token hash is the first 8 hex chars of
+  * md5 (the one hash Spark and DuckDB share bit-for-bit — see
+  * [[graft.functions.HashFunctions]]), and [[embedDouble]] keeps the whole
+  * computation in Double, so a scan→chunk→embed→cosine pipeline built on
+  * it can be hash-compared against an independent DuckDB SQL phrasing
+  * (q32's oracle). Bucket/sign/magnitude layout mirrors
+  * [[DeterministicEmbedder]]; only the hash family differs.
+  */
+final class Md5TokenEmbedder(val dim: Int = 64) extends Embedder {
+  override def embed(text: String): Array[Float] = {
+    val d = embedDouble(text)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { out(i) = d(i).toFloat; i += 1 }
+    out
+  }
+
+  /** Lossless form — no float cast, for oracle-exact pipelines. */
+  def embedDouble(text: String): Array[Double] = {
+    val v = new Array[Double](dim)
+    if (text != null) {
+      val it = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+      while (it.hasNext) {
+        val h = hash32(it.next())
+        val idx = (h % dim).toInt
+        val sign = if (((h >> 16) & 1L) == 0L) 1.0 else -1.0
+        val mag = 1.0 + ((h >> 17) & 7L).toDouble / 8.0
+        v(idx) += sign * mag
+      }
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += v(i) * v(i); i += 1 }
+    if (ss > 0) {
+      val n = math.sqrt(ss)
+      i = 0
+      while (i < dim) { v(i) = v(i) / n; i += 1 }
+    }
+    v
+  }
+
+  /** First 4 md5 bytes of the UTF-8 form, big-endian, as an unsigned
+    * 32-bit value — identical to `('0x' || substr(md5(t),1,8))::BIGINT`
+    * in DuckDB and `conv(substr(md5(t),1,8),16,10)` in Spark SQL.
+    */
+  private def hash32(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 object Embedder {
   val Default: Embedder = new DeterministicEmbedder()
 
@@ -63,4 +116,13 @@ object Embedder {
     udf((s: String) => e.embed(s))
 
   def embedColumn(c: Column, e: Embedder = Default): Column = embedUdf(e)(c)
+
+  /** Double-precision column form of [[Md5TokenEmbedder]] for
+    * oracle-exact pipelines (no float quantization between embed and
+    * cosine).
+    */
+  def embedDoubleColumn(c: Column, e: Md5TokenEmbedder): Column = {
+    val f = udf((s: String) => e.embedDouble(s))
+    f(c)
+  }
 }
