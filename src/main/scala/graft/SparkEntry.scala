@@ -652,9 +652,15 @@ object SparkEntry {
 
   /** Per-payload content features (bytes, Shannon entropy, mean byte,
     * distinct bytes) — one JVM pass per payload via mapPartitions.
+    * Oracle-checked: DuckDB rebuilds each byte histogram from
+    * hex(encode(text)) pairs and replays the entropy/mean math.
     */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.payloadFeatures(mediaOf(s, dir))
+      .select(col("media_id"), col("n_bytes"),
+        round(col("entropy"), 6).as("entropy"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        col("n_distinct_bytes"))
 
   /** Frame sampling (1→N binary generator): every 2nd 32-byte frame,
     * then frames-per-media — exercises the generator + a reaggregation.
@@ -987,13 +993,50 @@ object SparkEntry {
       s"""SELECT ${bucketSql("embedding")} AS bucket, count(*) AS n_vectors
          |FROM embeddings GROUP BY 1""".stripMargin,
 
-    // q23/q25 are rows-only: per-byte entropy / decoded-sample stats have
-    // no byte-level DuckDB phrasing for multibyte UTF-8 text.
+    // Byte-level replay for the multimodal stub payloads (payload = UTF-8
+    // bytes of text): hex(encode(text)) → 2-char pairs → per-byte rows.
+    // Entropy = -Σ (c/n)·ln(c/n)/ln(2) over the byte histogram, identical
+    // fold as Multimodal.payloadFeatures up to summation order (absorbed
+    // by round 6).
+    "q23_media_features" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |   octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
+        |  FROM documents),
+        | bytes AS (SELECT media_id, n_bytes,
+        |   unnest([('0x' || substr(hx, 2*i+1, 2))::BIGINT for i in range(0, n_bytes)]) AS byte
+        |  FROM b),
+        | hist AS (SELECT media_id, n_bytes, byte, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2, 3),
+        | feat AS (SELECT media_id, n_bytes,
+        |   sum(byte * c) AS bsum, count(*) AS n_distinct_bytes,
+        |   -sum((c / n_bytes::DOUBLE) * ln(c / n_bytes::DOUBLE) / ln(2)) AS entropy
+        |  FROM hist GROUP BY 1, 2)
+        |SELECT media_id, n_bytes::INT AS n_bytes, round(entropy, 6) AS entropy,
+        | round(bsum::DOUBLE / n_bytes, 6) AS mean_byte,
+        | n_distinct_bytes::INT AS n_distinct_bytes
+        |FROM feat""".stripMargin,
     "q24_frame_sample" ->
       """SELECT doc_id AS media_id,
         | ((strlen(text) // 32 + 1) // 2)::BIGINT AS n_frames_sampled,
         | (32 * ((strlen(text) // 32 + 1) // 2))::BIGINT AS sampled_bytes
         |FROM documents WHERE strlen(text) >= 32""".stripMargin,
+
+    // Decode-stub replay: sample_i = byte_i / 256, so each per-payload
+    // sample sum is EXACTLY Σbytes/256 (every partial sum is a multiple
+    // of 2^-8 — float/double associativity cannot diverge), and the
+    // per-row mean is the identical double division on both engines.
+    "q25_decode_stats" ->
+      """WITH b AS (SELECT doc_id,
+        |   octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        | per AS (SELECT doc_id, any_value(n) AS n,
+        |   sum(('0x' || substr(hx, 2*i+1, 2))::BIGINT) AS bsum
+        |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM b)
+        |  GROUP BY doc_id)
+        |SELECT 'image' AS kind, count(*) AS n_media,
+        | sum(n)::BIGINT AS total_samples,
+        | round(avg((bsum::DOUBLE / 256.0) / n), 6) AS mean_sample
+        |FROM per""".stripMargin,
 
     "q26_lang_histogram" ->
       """SELECT coalesce(nullif(trim(lang), ''), 'unknown') AS lang_key,

@@ -245,10 +245,10 @@ object Multimodal {
             }
             j += 1
           }
+          // unrounded: presentation rounding belongs to the query so the
+          // oracle can apply the identical HALF_UP round() on both sides
           val mean = if (payload.length == 0) 0.0 else sum / n
-          Row(id, payload.length,
-            math.rint(entropy * 1e6) / 1e6, math.rint(mean * 1e6) / 1e6,
-            distinct)
+          Row(id, payload.length, entropy, mean, distinct)
         }
       }(enc)
   }
