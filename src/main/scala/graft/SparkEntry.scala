@@ -683,6 +683,86 @@ object SparkEntry {
           (acc, x) => acc + x) / col("n_samples")), 6).as("mean_sample"))
 
   // ===========================================================================
+  // Round-2 additions: grouped top-k, exact-percentile outliers,
+  // correlation stats, count-sketch projection, stratified sampling,
+  // repetition ratio
+  // ===========================================================================
+
+  /** Top-3 documents per source by length — "best docs per domain". One
+    * shuffle on source; ranks are computed within each group, never via a
+    * global sort.
+    */
+  private def qGroupedTopK(s: SparkSession, dir: String): DataFrame =
+    Stats.topKPerGroup(
+        rdWide(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        Seq("source"), col("n_chars").desc, col("doc_id").asc, k = 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+
+  /** Per-language p95 length threshold (exact interpolated percentile)
+    * and the count of documents above it. The tiny per-lang threshold
+    * table broadcasts back onto the scan; at 100 TB swap `percentile`
+    * for `approx_percentile` (t-digest) and nothing else changes.
+    */
+  private def qP95Outliers(s: SparkSession, dir: String): DataFrame = {
+    val d = rdWide(s, dir, "documents").select("lang", "n_chars")
+    val th = d.groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.95)).as("p95"))
+    d.join(broadcast(th), "lang")
+      .filter(col("n_chars") > col("p95"))
+      .groupBy("lang")
+      .agg(round(first(col("p95")), 4).as("p95"),
+        count(lit(1)).as("n_above"))
+  }
+
+  /** Pearson correlation / sample covariance between document length and
+    * token count per source — the feature-diagnostics aggregate family
+    * (corr, covar_samp, stddev_samp) in one partial→final pass.
+    */
+  private def qCorrStats(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("toks"))
+      .groupBy("source")
+      .agg(round(corr(col("n_chars"), col("toks")), 6).as("corr_len_toks"),
+        round(covar_samp(col("n_chars"), col("toks")), 4).as("covar_len_toks"),
+        round(stddev_samp(col("n_chars")), 4).as("stddev_chars"),
+        count(lit(1)).as("n_docs"))
+
+  /** Count-sketch projection of every embedding 64 → 16 dims, exploded to
+    * scalar rows for the comparator. Cosine preservation is asserted in
+    * AnnSpec.
+    */
+  private def qSketchProject(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Ann.countSketchProject(col("embedding"), 64, 16))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), round(col("v"), 6).as("v"))
+
+  /** Deterministic stratified sample: 50% of src0/src1, 10% of the rest,
+    * keyed on md5(doc_id) per-mille buckets — RNG-free, stable under
+    * re-partitioning (see Stats.stratifiedSampleByHash).
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Stats.stratifiedSampleByHash(
+        rdWide(s, dir, "documents"), "source", "doc_id",
+        perMille = Map("src0" -> 500, "src1" -> 500), defaultPerMille = 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+
+  /** Word 5-gram repetition ratio per source (Gopher-style boilerplate
+    * signal): avg and max of `1 − distinct/total` n-grams.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.repetitionRatio(col("text"), n = 5).as("rep"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("rep")), 6).as("avg_rep"),
+        round(max(col("rep")), 6).as("max_rep"),
+        count(lit(1)).as("n_docs"))
+
+  // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -731,6 +811,12 @@ object SparkEntry {
     "q43_top_tokens" -> (qTopTokens _),
     "q44_l2_topk" -> (qL2TopK _),
     "q45_tfidf_top_terms" -> (qTfidfTopTerms _),
+    "q46_grouped_topk" -> (qGroupedTopK _),
+    "q47_p95_outliers" -> (qP95Outliers _),
+    "q48_corr_stats" -> (qCorrStats _),
+    "q49_sketch_project" -> (qSketchProject _),
+    "q50_stratified_sample" -> (qStratifiedSample _),
+    "q51_repetition" -> (qRepetition _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1102,6 +1188,62 @@ object SparkEntry {
         |  FROM tf JOIN df USING (token), n)
         |SELECT doc_id, rank, token, round(weight, 6) AS weight
         |FROM ranked WHERE rank <= 3 AND doc_id < 10""".stripMargin,
+
+    "q46_grouped_topk" ->
+      """SELECT source, rk::INT AS rk, doc_id, n_chars FROM (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+        | FROM documents) WHERE rk <= 3""".stripMargin,
+
+    "q47_p95_outliers" ->
+      """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, round(any_value(p95), 4) AS p95, count(*) AS n_above
+        |FROM documents JOIN th USING (lang)
+        |WHERE n_chars > p95 GROUP BY lang""".stripMargin,
+
+    "q48_corr_stats" ->
+      """WITH d AS (SELECT source, n_chars::DOUBLE AS n_chars,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS toks
+        | FROM documents)
+        |SELECT source, round(corr(n_chars, toks), 6) AS corr_len_toks,
+        | round(covar_samp(n_chars, toks), 4) AS covar_len_toks,
+        | round(stddev_samp(n_chars), 4) AS stddev_chars,
+        | count(*) AS n_docs
+        |FROM d GROUP BY source""".stripMargin,
+
+    "q49_sketch_project" ->
+      """WITH signs AS (SELECT i,
+        |  CASE WHEN ('0x' || substr(md5('cs_' || i), 1, 8))::BIGINT % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END AS sg
+        | FROM (SELECT unnest(range(0, 64)) AS i)),
+        | ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  unnest(embedding::DOUBLE[]) AS v
+        | FROM embeddings)
+        |SELECT vec_id, (i % 16)::INT AS dim, round(sum(v * sg), 6) AS v
+        |FROM ex JOIN signs USING (i) GROUP BY 1, 2""".stripMargin,
+
+    "q50_stratified_sample" ->
+      s"""SELECT source, count(*) AS n_kept FROM documents
+         |WHERE ${h32Sql("doc_id::VARCHAR")} % 1000 <
+         |  CASE WHEN source = 'src0' THEN 500
+         |       WHEN source = 'src1' THEN 500 ELSE 100 END
+         |GROUP BY 1""".stripMargin,
+
+    "q51_repetition" ->
+      """WITH g AS (SELECT source,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | r AS (SELECT source,
+        |  CASE WHEN len(w) < 5 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+        |  END AS rep
+        | FROM (SELECT source, w,
+        |   [array_to_string(w[i+1:i+5], ' ') for i in range(0, len(w)-4)] AS grams
+        |  FROM g))
+        |SELECT source, round(avg(rep), 6) AS avg_rep,
+        | round(max(rep), 6) AS max_rep, count(*) AS n_docs
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q44_l2_topk" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

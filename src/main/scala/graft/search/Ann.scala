@@ -73,6 +73,36 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Count-sketch random projection `inDim` → `outDim`: component i folds
+    * into output bucket `i % outDim` with a deterministic md5-derived sign,
+    * preserving inner products in expectation (Charikar count-sketch; the
+    * cheap member of the Johnson–Lindenstrauss family — one pass, no dense
+    * `inDim × outDim` matrix). Signs are fixed by `md5("cs_<i>")`, so any
+    * engine — and the DuckDB oracle — reconstructs the same projection.
+    * The expression is statically unrolled: codegen-friendly, no HOF
+    * interpretation in the hot path.
+    */
+  def countSketchProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim <= inDim, got $inDim -> $outDim")
+    val signs = Array.tabulate(inDim)(i => if (sketchHash(i) % 2 == 0) 1.0 else -1.0)
+    array((0 until outDim).map { j =>
+      (j until inDim by outDim)
+        .map(i => element_at(vec, i + 1).cast("double") * lit(signs(i)))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** First 8 md5 hex chars of "cs_<i>" as an unsigned 32-bit value —
+    * `('0x' || substr(md5('cs_' || i), 1, 8))::BIGINT` in DuckDB.
+    */
+  private[graft] def sketchHash(i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cs_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

@@ -45,4 +45,38 @@ object Stats {
     df.groupBy(col(pathCol))
       .agg(max_by(col(totalChunksCol), col(orderCol)).as("last_chunks"))
       .agg(avg(col("last_chunks")).as("avg_chunks_per_file"))
+
+  /** Top-k rows per group ("best documents per domain"). One shuffle on
+    * the group keys; the rank window never sorts globally, so at 100 TB
+    * each task ranks only its own groups. Ties are broken by `tieBreak`
+    * so the result is deterministic (and oracle-comparable).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   order: Column, tieBreak: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(order, tieBreak)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic stratified sampling: a row survives iff the md5-derived
+    * hash of its key falls under its stratum's per-mille fraction. RNG-free,
+    * so the sample is stable across runs/retries/executors — the property
+    * `df.sampleBy` (seeded Bernoulli per partition) cannot give when the
+    * partitioning changes. A pure narrow filter: no shuffle, pushes past
+    * nothing but reads only key + stratum columns.
+    */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, keyCol: String,
+                             perMille: Map[String, Int],
+                             defaultPerMille: Int): DataFrame = {
+    require((defaultPerMille +: perMille.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "per-mille fractions must be in [0,1000]")
+    val bucket = graft.functions.HashFunctions
+      .md5Int32(col(keyCol).cast("string")) % 1000
+    val cut = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < cut)
+  }
 }

@@ -119,4 +119,20 @@ object TextAnalysis {
          |  transform(sequence(1, greatest(length(lower(trim($textColName))) - ${k - 1}, 1)),
          |    i -> cast(conv(substr(md5(cast(substr(lower(trim($textColName)), i, $k) as binary)), 1, 8), 16, 10) as bigint)),
          |  h -> h % $modulo = 0))""".stripMargin)
+
+  /** Repetition ratio — the Gopher-style boilerplate signal: the fraction
+    * of a document's word n-grams that are repeats of an earlier n-gram
+    * (`1 − distinct/total`). 0.0 for texts with fewer than n words (no
+    * n-gram exists, nothing can repeat). Narrow per-row compute — at
+    * 100 TB this is a map stage fused into the scan.
+    */
+  def repetitionRatio(text: Column, n: Int = 5): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    when(size(w) < n, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
 }

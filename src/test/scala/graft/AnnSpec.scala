@@ -61,4 +61,53 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids == exact)
   }
+
+  test("countSketchProject: deterministic, linear, approximately angle-preserving") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val proj = vecs.select(col("vec_id"),
+        Ann.countSketchProject(col("embedding"), 64, 16).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(proj.values.forall(_.length == 16))
+    // deterministic across plans
+    val again = vecs.repartition(3).select(col("vec_id"),
+        Ann.countSketchProject(col("embedding"), 64, 16).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == proj)
+    // linearity: project(2x) == 2*project(x) exactly
+    val doubled = vecs.select(col("vec_id"),
+        Ann.countSketchProject(expr("transform(embedding, x -> x * 2)"), 64, 16).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    doubled.foreach { case (id, p) =>
+      p.zip(proj(id)).foreach { case (d2, d1) => assert(d2 == 2 * d1) }
+    }
+    // JL-style preservation: projected cosine correlates strongly with
+    // the original cosine over random pairs (count-sketch is unbiased
+    // for inner products; 64→16 keeps the signal well above noise)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val orig = vecs.as[(Long, Seq[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    val ids = orig.keys.toSeq.sorted
+    val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val xs = pairs.map { case (i, j) => cos(orig(i), orig(j)) }
+    val ys = pairs.map { case (i, j) => cos(proj(i), proj(j)) }
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(r > 0.5, s"projected/original cosine correlation too weak: $r")
+  }
+
+  test("countSketchProject validates dimensions") {
+    intercept[IllegalArgumentException] {
+      Ann.countSketchProject(col("embedding"), 16, 64)
+    }
+  }
 }

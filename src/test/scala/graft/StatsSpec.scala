@@ -33,4 +33,48 @@ class StatsSpec extends SparkSpec {
     // last write for a.py says 4 chunks; b.md says 1 → avg(4,1) = 2.5
     assert(got == 2.5)
   }
+
+  test("topKPerGroup keeps exactly k rows per group, ordered with tie-break") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g1", 1L, 10), ("g1", 2L, 30), ("g1", 3L, 30), ("g1", 4L, 20),
+      ("g2", 5L, 5)
+    ).toDF("g", "id", "v")
+    val got = Stats.topKPerGroup(df, Seq("g"), col("v").desc, col("id").asc, k = 2)
+      .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    // g1: v=30 twice → tie broken by id (2 before 3); g2 has only one row
+    assert(got == Set(("g1", 1, 2L), ("g1", 2, 3L), ("g2", 1, 5L)))
+  }
+
+  test("topKPerGroup rejects non-positive k") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("g", 1L)).toDF("g", "id")
+    intercept[IllegalArgumentException] {
+      Stats.topKPerGroup(df, Seq("g"), col("id"), col("id"), k = 0)
+    }
+  }
+
+  test("stratifiedSampleByHash is deterministic and honors per-stratum fractions") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 2000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("s", "id")
+    val keep = Stats.stratifiedSampleByHash(df, "s", "id",
+      perMille = Map("a" -> 500), defaultPerMille = 0)
+    // stratum b is fully dropped; stratum a keeps roughly half
+    val bySt = keep.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!bySt.contains("b"))
+    assert(bySt("a") > 350 && bySt("a") < 650, s"got ${bySt("a")}")
+    // deterministic: same input → identical sample (run twice, repartitioned)
+    val again = Stats.stratifiedSampleByHash(df.repartition(7), "s", "id",
+      perMille = Map("a" -> 500), defaultPerMille = 0)
+      .select("id").as[Long].collect().toSet
+    assert(again == keep.select("id").as[Long].collect().toSet)
+  }
+
+  test("stratifiedSampleByHash rejects out-of-range fractions") {
+    val df = Seq(("a", 1L)).toDF("s", "id")
+    intercept[IllegalArgumentException] {
+      Stats.stratifiedSampleByHash(df, "s", "id", Map("a" -> 1001), 100)
+    }
+  }
 }

@@ -100,4 +100,21 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.fingerprints("text")).as[Seq[Long]].head()
     assert(got.length <= 1) // one gram, kept only if ≡0 mod 16
   }
+
+  test("repetitionRatio: 0 for short/distinct text, positive for repeats") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "one two three",                          // < 5 words → 0
+      "a b c d e f g h",                        // all 5-grams distinct → 0
+      "x y z w v x y z w v x y z w v",          // heavy 5-gram repetition
+      ""                                        // empty → 0
+    ).toDF("text")
+    val got = docs.select(TextAnalysis.repetitionRatio(col("text"), 5).as("r"))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) == 0.0)
+    // 15 words → 11 grams; unique grams of period-5 sequence = 5 → 6/11 repeats
+    assert(math.abs(got(2) - 6.0 / 11.0) < 1e-12)
+    assert(got(3) == 0.0)
+  }
 }
