@@ -762,6 +762,42 @@ object SparkEntry {
         round(max(col("rep")), 6).as("max_rep"),
         count(lit(1)).as("n_docs"))
 
+  /** Benchmark decontamination: corpus docs sharing ≥2 distinct word
+    * 3-grams with any "benchmark" doc (doc_id < 10 stands in for the
+    * eval set). Benchmark side broadcasts; the corpus streams map-side.
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 10),
+        n = 3, minShared = 2)
+      .select(col("corpus_id"), col("benchmark_id"), col("n_shared"))
+  }
+
+  /** Greedy sequence packing into 512-token bins per source (training
+    * batch construction), reported as per-bin occupancy stats.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Ingest.packSequences(
+        rdWide(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+        "source", "doc_id", "toks", budget = 512L)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_toks"))
+
+  /** Cleaning-funnel observability: every document lands in exactly one
+    * bucket — its first-matching rejection reason or 'kept' — with
+    * per-bucket counts and mean token length.
+    */
+  private def qCleaningFunnel(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(TextAnalysis.tokens(col("text")).as("w"))
+      .select(TextAnalysis.cleaningReasonFromTokens(col("w")).as("reason"),
+        size(col("w")).as("toks"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("toks")), 4).as("avg_toks"))
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -817,6 +853,9 @@ object SparkEntry {
     "q49_sketch_project" -> (qSketchProject _),
     "q50_stratified_sample" -> (qStratifiedSample _),
     "q51_repetition" -> (qRepetition _),
+    "q52_contamination" -> (qContamination _),
+    "q53_pack_sequences" -> (qPackSequences _),
+    "q54_cleaning_funnel" -> (qCleaningFunnel _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1230,6 +1269,48 @@ object SparkEntry {
          |  CASE WHEN source = 'src0' THEN 500
          |       WHEN source = 'src1' THEN 500 ELSE 100 END
          |GROUP BY 1""".stripMargin,
+
+    "q52_contamination" ->
+      """WITH g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
+        |   ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |        FROM documents))
+        |SELECT a.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+        | len(list_intersect(a.sh, b.sh))::BIGINT AS n_shared
+        |FROM g a JOIN g b ON b.doc_id < 10 AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) >= 2""".stripMargin,
+
+    "q53_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS toks
+        | FROM documents),
+        | p AS (SELECT source, toks,
+        |  (sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) - toks) // 512 AS bin
+        | FROM d)
+        |SELECT source, bin::BIGINT AS bin, count(*) AS n_docs,
+        | sum(toks)::BIGINT AS total_toks
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q54_cleaning_funnel" ->
+      s"""WITH words AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         | s AS (SELECT len(w) AS n, len(list_distinct(w)) AS nd,
+         |  len(list_filter(w, x -> list_contains($EnStopSql, x))) AS s_en,
+         |  len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','un','est'], x))) AS s_fr,
+         |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+         |  len(list_filter(w, x -> list_contains(['el','la','de','y','los','en','un','es'], x))) AS s_es,
+         |  len(list_filter(w, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+         | FROM words),
+         | r AS (SELECT n,
+         |  CASE WHEN n < 15 THEN 'too_short'
+         |       WHEN nd::DOUBLE / n::DOUBLE < 0.45 THEN 'low_diversity'
+         |       WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'unknown_lang'
+         |       ELSE 'kept' END AS reason
+         | FROM s)
+         |SELECT reason, count(*) AS n_docs, round(avg(n), 4) AS avg_toks
+         |FROM r GROUP BY 1""".stripMargin,
 
     "q51_repetition" ->
       """WITH g AS (SELECT source,

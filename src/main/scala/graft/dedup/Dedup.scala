@@ -158,6 +158,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark-contamination scan (train/test decontamination): corpus
+    * documents sharing ≥ `minShared` distinct word n-gram shingles with
+    * any benchmark document. The benchmark side is exploded to
+    * (shingle → benchmark_id) and BROADCAST — eval/benchmark sets are
+    * tiny next to a 100 TB corpus, so the corpus streams map-side
+    * through the shingle join and only matching (corpus, benchmark)
+    * pairs reach the count aggregate. Shingles are distinct per doc, so
+    * the pair count IS the intersection size.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, minShared: Int = 2,
+                         excludeSelf: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val b = benchmark.select(col(idCol).as("benchmark_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val joined = c.join(broadcast(b), "sh")
+    val pairs = if (excludeSelf)
+      joined.filter(col("corpus_id") =!= col("benchmark_id")) else joined
+    pairs.groupBy(col("corpus_id"), col("benchmark_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-token 32-bit hashes of a text column (the SimHash input). */
   def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))
 

@@ -71,6 +71,28 @@ object Ingest {
       .withColumn("embedding", Embedder.embedColumn(col("content"), embedder))
       .withColumn("ingested_at", current_timestamp())
 
+  /** Greedy sequential sequence packing: assign each row to a bin so
+    * consecutive rows (in `orderCol` order within `groupCol`) fill a
+    * `budget`-sized token budget — the batch-construction step of a
+    * training pipeline (documents → fixed-token training sequences).
+    * bin = floor(exclusive-prefix-sum(weight) / budget): deterministic,
+    * one window pass, no driver state. A document straddling a boundary
+    * starts in the bin its prefix sum lands in (truncation/continuation
+    * is the consumer's policy). One shuffle on `groupCol`; at 100 TB
+    * pack per ingest partition instead (drop `groupCol` partitioning)
+    * to keep the window narrow.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__cum",
+        sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("bin", floor(col("__cum") / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Name under which [[observedIngest]] registers its metrics. */
   val MetricsName = "graft_ingest"
 

@@ -120,6 +120,21 @@ object TextAnalysis {
          |    i -> cast(conv(substr(md5(cast(substr(lower(trim($textColName)), i, $k) as binary)), 1, 8), 16, 10) as bigint)),
          |  h -> h % $modulo = 0))""".stripMargin)
 
+  /** First-matching rejection reason for a training-data cleaning funnel
+    * over a precomputed token-array column: 'too_short' (< minTokens),
+    * 'low_diversity' (type–token ratio < minTtr — word-soup/boilerplate),
+    * 'unknown_lang' (zero stopword hits in every [[StopwordLists]]
+    * language), else 'kept'. One narrow pass; the per-reason counts are
+    * the funnel observability a 100 TB cleaning job reports.
+    */
+  def cleaningReasonFromTokens(w: Column, minTokens: Int = 15,
+                               minTtr: Double = 0.45): Column =
+    when(size(w) < minTokens, lit("too_short"))
+      .when(size(array_distinct(w)).cast("double") / size(w).cast("double")
+        < minTtr, lit("low_diversity"))
+      .when(langIdFromTokens(w) === "unknown", lit("unknown_lang"))
+      .otherwise(lit("kept"))
+
   /** Repetition ratio — the Gopher-style boilerplate signal: the fraction
     * of a document's word n-grams that are repeats of an earlier n-gram
     * (`1 − distinct/total`). 0.0 for texts with fewer than n words (no

@@ -104,4 +104,24 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L))) // docs 1,2 collapse
     assert(got.size == 4)          // 5 docs, one dup pair
   }
+
+  test("contaminationPairs finds shared-shingle pairs vs a benchmark set") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // contains bench 3-grams
+      (11L, "alpha beta gamma unrelated tail words"), // one shared 3-gram only
+      (12L, "totally different text with no overlap here"),
+      (1L, "alpha beta gamma delta epsilon zeta")  // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" < 10)
+    val got = Dedup.contaminationPairs(corpus, bench, n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 10 shares all 4 distinct 3-grams with bench doc 1; doc 11 only
+    // one; self-pair (1,1) excluded
+    assert(got == Set((10L, 1L, 4L)))
+    // minShared=1 admits doc 11; excludeSelf=false admits the self pair
+    val loose = Dedup.contaminationPairs(corpus, bench, n = 3,
+        minShared = 1, excludeSelf = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose == Set((10L, 1L, 4L), (11L, 1L, 1L), (1L, 1L, 4L)))
+  }
 }

@@ -82,4 +82,26 @@ class IngestSpec extends SparkSpec {
     assert(m("content_chars").asInstanceOf[Long] > 0L)
     assert(m("docs_processed_approx").asInstanceOf[Long] == 2L)
   }
+
+  test("packSequences fills budget-sized bins in order, per group") {
+    val rows = Seq(
+      // group a: weights 300, 300, 300, 300 → exclusive cumsum 0/300/600/900
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 300L),
+      // group b: one oversized doc then a small one
+      ("b", 1L, 1200L), ("b", 2L, 10L)
+    ).toDF("g", "id", "w")
+    val got = Ingest.packSequences(rows, "g", "id", "w", budget = 512L)
+      .select($"g", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 0L), ("a", 2L, 0L),  // 0 and 300 both < 512
+      ("a", 3L, 1L), ("a", 4L, 1L),  // 600 and 900 in [512, 1024)
+      ("b", 1L, 0L), ("b", 2L, 2L))) // oversized doc pushes successor to bin 2
+    // deterministic under repartitioning
+    val again = Ingest.packSequences(rows.repartition(5), "g", "id", "w", 512L)
+      .select($"g", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Ingest.packSequences(rows, "g", "id", "w", budget = 0L)
+    }
+  }
 }

@@ -101,6 +101,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length <= 1) // one gram, kept only if ≡0 mod 16
   }
 
+  test("cleaningReasonFromTokens buckets by first matching reason") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "one two three",  // 3 tokens → too_short
+      // 16 distinct tokens incl stopwords → kept
+      "the quick brown fox jumps over a lazy dog while it rains in march today again",
+      // 16 tokens, only 2 distinct → low_diversity (checked before lang)
+      "spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham",
+      // 16 distinct tokens, no stopwords from any list → unknown_lang
+      "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16"
+    ).toDF("text")
+    val got = docs
+      .select(TextAnalysis.cleaningReasonFromTokens(
+        TextAnalysis.tokens(col("text"))).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("too_short", "kept", "low_diversity", "unknown_lang"))
+  }
+
   test("repetitionRatio: 0 for short/distinct text, positive for repeats") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
