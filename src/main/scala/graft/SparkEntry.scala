@@ -798,6 +798,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("toks")), 4).as("avg_toks"))
 
+  /** SimHash near-dup pairs with EXACT banded recall (hamming ≤ 3 over 4
+    * byte-bands — pigeonhole guarantees no missed pair; the oracle
+    * brute-forces all pairs and must agree exactly).
+    */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(rdWide(s, dir, "documents"), maxHamming = 3)
+
+  /** Symmetric int8 quantization of the embedding column (4× storage
+    * for a 100 TB vector corpus), exploded to scalar codes + per-vector
+    * scale for the comparator. Reconstruction error bound asserted in
+    * VectorFunctionsSpec.
+    */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    rd(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("__scale", maxAbs(col("v")))
+      .select(col("vec_id"), round(col("__scale"), 6).as("scale"),
+        posexplode(quantizeInt8(col("v"), col("__scale"))).as(Seq("dim", "q")))
+  }
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -856,6 +877,8 @@ object SparkEntry {
     "q52_contamination" -> (qContamination _),
     "q53_pack_sequences" -> (qPackSequences _),
     "q54_cleaning_funnel" -> (qCleaningFunnel _),
+    "q55_simhash_pairs" -> (qSimhashPairs _),
+    "q56_quantize" -> (qQuantize _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -894,6 +917,22 @@ object SparkEntry {
        | WHEN strpos(reverse(substr(t, $s+101, 100)), ' ') > 0
        |   THEN $s + 200 - strpos(reverse(substr(t, $s+101, 100)), ' ') + 1
        | ELSE $s + 200 END""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragment: doc_id + per-token 32-bit md5 hashes `hs`
+    * (Dedup.tokenHashes).
+    */
+  private def TokenHashesSql: String =
+    s"""SELECT doc_id, [${h32Sql("x")} for x in regexp_split_to_array(lower(trim(text)), '\\s+')] AS hs
+       | FROM documents""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragment: 32-bit SimHash of the `hs` token-hash list column
+    * (Dedup.simhash), aliased `simhash`.
+    */
+  private val SimhashSql: String =
+    """list_sum([CASE WHEN
+      |  list_sum([CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+      |  THEN (1::BIGINT << i) ELSE 0 END for i in range(0,32)])::BIGINT AS simhash""".stripMargin
+      .replaceAll("\n", " ")
 
   /** DuckDB fragment: Md5TokenEmbedder's per-token signed magnitude and
     * bucket index from the 32-bit hash column `h` (sign bit 16, 3-bit
@@ -1056,12 +1095,7 @@ object SparkEntry {
          |   / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b""".stripMargin,
 
-    "q15_simhash" ->
-      s"""SELECT doc_id, list_sum([CASE WHEN
-         |  list_sum([CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
-         |  THEN (1::BIGINT << i) ELSE 0 END for i in range(0,32)])::BIGINT AS simhash
-         |FROM (SELECT doc_id, [${h32Sql("x")} for x in regexp_split_to_array(lower(trim(text)), '\\s+')] AS hs
-         |      FROM documents)""".stripMargin,
+    "q15_simhash" -> s"SELECT doc_id, $SimhashSql FROM ($TokenHashesSql)",
 
     "q16_langid" ->
       s"""WITH words AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
@@ -1311,6 +1345,28 @@ object SparkEntry {
          | FROM s)
          |SELECT reason, count(*) AS n_docs, round(avg(n), 4) AS avg_toks
          |FROM r GROUP BY 1""".stripMargin,
+
+    // Oracle brute-forces ALL pairs; the engine's banded join must agree
+    // exactly because maxHamming(3) < nBands(4) makes banding lossless.
+    "q55_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, $SimhashSql FROM ($TokenHashesSql))
+         |SELECT id_a, id_b, hamming::INT AS hamming FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 3""".stripMargin,
+
+    // floor(127·v/scale + 0.5) — identical double ops on both engines
+    // (no engine-specific rounding mode in the contract)
+    "q56_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (SELECT vec_id, v,
+        |   list_max([abs(x) for x in v]) AS scale FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | generate_subscripts(v, 1) - 1 AS dim,
+        | unnest([CASE WHEN scale = 0 THEN 0
+        |   ELSE floor(127.0 * x / scale + 0.5)::INT END for x in v]) AS q
+        |FROM s""".stripMargin,
 
     "q51_repetition" ->
       """WITH g AS (SELECT source,

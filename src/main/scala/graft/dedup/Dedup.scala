@@ -187,6 +187,44 @@ object Dedup {
   /** Per-token 32-bit hashes of a text column (the SimHash input). */
   def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))
 
+  /** SimHash near-duplicate pairs by banded hamming join: each 32-bit
+    * simhash splits into `nBands` equal bit-bands; only pairs agreeing
+    * on at least one band are compared (pigeonhole: ≤ maxHamming bit
+    * errors with maxHamming < nBands ALWAYS leave one band intact, so
+    * banding loses no pair — recall is exact, unlike probabilistic
+    * MinHash banding). The O(N²) pair space shrinks to same-band-value
+    * buckets; the verify is one xor+bit_count per candidate.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3,
+                   nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 32 % nBands == 0, s"nBands must divide 32, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banding guarantees exact recall only for maxHamming < nBands, " +
+        s"got hamming $maxHamming with $nBands bands")
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    val sh = docs
+      .select(col(idCol), tokenHashes(col(textCol)).as("hs"))
+      .select(col(idCol), simhash("hs").as("sh"))
+    val banded = sh.select(col(idCol), col("sh"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * width).bitwiseAND(lit(mask)).as("key"))): _*))
+          .as("bk"))
+      .select(col(idCol), col("sh"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 32-bit SimHash over a precomputed token-hash array column: bit i is
     * set when the sum of ±1 votes from each token's hash bit i is
     * positive. Near-dups differ in few bits (compare via

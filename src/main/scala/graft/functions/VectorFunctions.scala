@@ -46,4 +46,25 @@ object VectorFunctions {
   /** Elementwise mean of an array column group is expressed at call sites
     * via posexplode + groupBy(pos) + avg; see Ann.centroids.
     */
+
+  /** Max-abs component of a vector — the int8 quantization scale. */
+  def maxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: q_i = floor(127·v_i/scale + 0.5)
+    * (deterministic floor-of-shifted, not banker's/HALF_UP rounding, so
+    * every engine — and the DuckDB oracle — reproduces the same codes
+    * bit-for-bit). scale = maxAbs(v); all-zero vectors quantize to zeros.
+    * 4× storage reduction for a 100 TB embedding column; reconstruction
+    * error ≤ scale/254 per component (verified in VectorFunctionsSpec).
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(lit(127.0) * x.cast("double") / scale + lit(0.5))
+          .cast("int")))
+
+  /** Inverse of [[quantizeInt8]]: v_i ≈ q_i·scale/127. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / lit(127.0))
 }

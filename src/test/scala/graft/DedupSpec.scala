@@ -105,6 +105,35 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 4)          // 5 docs, one dup pair
   }
 
+  test("simhashPairs equals the brute-force hamming scan (banding is lossless)") {
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 1
+      (4L, "entirely different words with nothing in common whatsoever"),
+      (5L, "more unrelated content that shares no tokens at all either")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(texts, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the same simhash values
+    val sh = texts
+      .select($"doc_id", Dedup.tokenHashes($"text").as("hs"))
+      .select($"doc_id", Dedup.simhash("hs").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expect)
+    assert(expect.contains((1L, 3L, 0))) // the exact dup is found
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(texts, maxHamming = 4, nBands = 4) // recall not guaranteed
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(texts, nBands = 5) // must divide 32
+    }
+  }
+
   test("contaminationPairs finds shared-shingle pairs vs a benchmark set") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"), // contains bench 3-grams
