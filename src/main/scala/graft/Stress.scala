@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress main: replicate an sf directory `factor`× with
+  * consistently shifted keys (every replica is a disjoint id-space, so
+  * joins/windows/dedup behave like a genuinely bigger corpus rather
+  * than a corrupted one), then run the full query battery against the
+  * replicated copy and print the same one-line JSON as [[Bench]].
+  *
+  * This is the reproducible form of the PERF.md stress probes: tiny-SF
+  * bench numbers measure fixed job latency, so scale behavior claims
+  * ("q14 inflates on clone-heavy corpora", "everything else stays flat")
+  * need a corpus that is actually bigger.
+  *
+  * Usage: runMain graft.Stress [sfDir] [factor] [workDir] [q1,q2,...]
+  * factor 0 reuses an already-replicated workDir (skip the copy); the
+  * optional 4th arg restricts the battery to the named queries.
+  *
+  * Key shifting per replica r: documents.doc_id += r·1e9, embeddings
+  * .vec_id += r·1e9, events.user_id += r·1e6, customer/orders/lineitem
+  * shift c_custkey/o_orderkey (and their FKs) by r·1e9. region/nation/
+  * part/supplier are dimensions — kept single-copy, FKs into them
+  * unshifted, exactly how a 100 TB star schema scales (facts grow,
+  * dims do not).
+  */
+object Stress {
+  private val IdStride = 1000000000L // 1e9: far above any testdata key
+  private val UserStride = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val workDir = args.lift(2).getOrElse("/tmp/graft-stress")
+    val only = args.lift(3).map(_.split(",").toSet)
+    require(factor >= 0, s"factor must be >= 0 (0 = reuse workDir), got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, shifts: Map[String, Long]): Unit = {
+      val src = s"$sfDir/$name.parquet"
+      if (!new java.io.File(src).exists()) return
+      val df = spark.read.parquet(src)
+      val out =
+        if (shifts.isEmpty || factor == 1) df
+        else {
+          val reps = spark.range(factor).withColumnRenamed("id", "__rep")
+          val crossed = df.crossJoin(reps)
+          shifts.foldLeft(crossed) { case (d, (c, stride)) =>
+            if (!df.columns.contains(c)) d
+            else d.withColumn(c, col(c) + col("__rep") * stride)
+          }.drop("__rep")
+        }
+      out.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+    }
+
+    if (factor > 0) {
+      System.err.println(s"[stress] replicating $sfDir x$factor -> $workDir")
+      val t0 = System.nanoTime()
+      replicate("documents", Map("doc_id" -> IdStride))
+      replicate("embeddings", Map("vec_id" -> IdStride))
+      replicate("events", Map("user_id" -> UserStride))
+      replicate("customer", Map("c_custkey" -> IdStride))
+      replicate("orders", Map("o_orderkey" -> IdStride, "o_custkey" -> IdStride))
+      replicate("lineitem", Map("l_orderkey" -> IdStride))
+      Seq("region", "nation", "part", "supplier").foreach(replicate(_, Map.empty))
+      System.err.println(f"[stress] replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else System.err.println(s"[stress] reusing $workDir")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try fn(spark, workDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - q0) / 1e9
+      System.err.println(f"[stress] $name%-24s $sec%8.3f s")
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"stress_total","value":${results.map(_._2).sum}%.3f,"unit":"sec","factor":$factor,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

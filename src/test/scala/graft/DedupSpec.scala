@@ -134,6 +134,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs on a clone-heavy corpus still equals brute force") {
+    // 8 base texts, each cloned 5x with distinct ids — the shape that
+    // made the doc-level band join quadratic before the distinct-value
+    // rewrite
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight",
+      "completely different words with nothing shared at all",
+      "spark plans shuffle exchange broadcast join aggregate scan",
+      "yet another base document with its own tokens here",
+      "final base text number seven quite unlike the others",
+      "and the eighth one closes the clone corpus"
+    )
+    val texts = (for ((t, b) <- bases.zipWithIndex; c <- 0 until 5)
+      yield ((b * 100 + c).toLong, t)).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(texts, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val sh = texts
+      .select($"doc_id", Dedup.tokenHashes($"text").as("hs"))
+      .select($"doc_id", Dedup.simhash("hs").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (for {
+      x <- sh.keys; y <- sh.keys if x < y
+      h = java.lang.Long.bitCount(sh(x) ^ sh(y)) if h <= 3
+    } yield (x, y, h)).toSet
+    assert(got == expect)
+    // every clone clique contributes its C(5,2)=10 hamming-0 pairs
+    assert(expect.count(_._3 == 0) >= bases.length * 10)
+  }
+
   test("contaminationPairs finds shared-shingle pairs vs a benchmark set") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"), // contains bench 3-grams
