@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, ChunkText, CosineSimilarity, LangId, MinHashSignature, SimHash}
+import graft.functions.{BpeTokenCount, ChunkText, CosineSimilarity, LangId, MinHashSignature, RepetitionRatio, SimHash}
 import graft.text.Chunker
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
@@ -56,6 +56,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"minhash_signature expects 1 argument (token array), got ${exprs.length}")
         MinHashSignature(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("repetition_ratio"),
+      new ExpressionInfo(classOf[RepetitionRatio].getName, "repetition_ratio"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"repetition_ratio expects 1-2 arguments (text[, n]), got ${exprs.length}")
+        val n =
+          if (exprs.length < 2) 5
+          else {
+            require(exprs(1).foldable, "repetition_ratio n must be a literal")
+            exprs(1).eval() match {
+              case v: Number => v.intValue
+              case other => throw new IllegalArgumentException(
+                s"repetition_ratio n must be a non-null integer, got $other")
+            }
+          }
+        RepetitionRatio(exprs.head, n)
       }))
     e.injectFunction((
       FunctionIdentifier("chunk_text"),

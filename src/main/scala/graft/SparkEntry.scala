@@ -756,7 +756,7 @@ object SparkEntry {
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     rdWide(s, dir, "documents")
       .select(col("source"),
-        TextAnalysis.repetitionRatio(col("text"), n = 5).as("rep"))
+        graft.functions.RepetitionRatio(col("text"), 5).as("rep"))
       .groupBy(col("source"))
       .agg(round(avg(col("rep")), 6).as("avg_rep"),
         round(max(col("rep")), 6).as("max_rep"),

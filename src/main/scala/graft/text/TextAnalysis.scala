@@ -132,7 +132,8 @@ object TextAnalysis {
     when(size(w) < minTokens, lit("too_short"))
       .when(size(array_distinct(w)).cast("double") / size(w).cast("double")
         < minTtr, lit("low_diversity"))
-      .when(langIdFromTokens(w) === "unknown", lit("unknown_lang"))
+      // native LangId kernel — spec-asserted equal to langIdFromTokens
+      .when(graft.functions.LangId(w) === "unknown", lit("unknown_lang"))
       .otherwise(lit("kept"))
 
   /** Repetition ratio — the Gopher-style boilerplate signal: the fraction

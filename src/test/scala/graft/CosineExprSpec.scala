@@ -87,4 +87,20 @@ class CosineExprSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(sig.length == 16 && sig.forall(_ >= 0))
   }
+
+  test("SQL surface: repetition_ratio with default and explicit n") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("repetition_ratio",
+      exprs => {
+        val n = if (exprs.length < 2) 5
+          else exprs(1).eval().asInstanceOf[Number].intValue
+        graft.functions.RepetitionRatio(exprs.head, n)
+      }, "built-in")
+    assert(spark.sql("SELECT repetition_ratio('a b c') AS r")
+      .as[Double].head() == 0.0) // < 5 tokens
+    val r2 = spark.sql("SELECT repetition_ratio('a b a b a b', 2) AS r")
+      .as[Double].head()
+    // grams: [a b, b a, a b, b a, a b] → 2 distinct of 5 → 0.6
+    assert(math.abs(r2 - 0.6) < 1e-12)
+  }
 }

@@ -119,6 +119,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("too_short", "kept", "low_diversity", "unknown_lang"))
   }
 
+  test("native RepetitionRatio equals the expression phrasing on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "a b c d e", "x y z w v x y z w v x y z w v",
+        "  leading spaces and  double  gaps here okay then",
+        "\tTAB lead with Upper Case REPEAT repeat Repeat case upper")
+        .toDF("text"))
+    for (n <- Seq(2, 5)) {
+      val mism = docs.select(
+          graft.functions.RepetitionRatio(col("text"), n).as("native"),
+          TextAnalysis.repetitionRatio(col("text"), n).as("hof"))
+        .filter(!(col("native") <=> col("hof")))
+        .count()
+      assert(mism == 0L, s"native/HOF divergence at n=$n")
+    }
+  }
+
   test("repetitionRatio: 0 for short/distinct text, positive for repeats") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
