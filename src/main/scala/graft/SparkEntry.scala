@@ -819,6 +819,40 @@ object SparkEntry {
         posexplode(quantizeInt8(col("v"), col("__scale"))).as(Seq("dim", "q")))
   }
 
+  /** Count-min sketch frequency estimates vs exact counts for five probe
+    * tokens (one present-heavy, one absent). Deterministic md5-family
+    * sketch → the oracle rebuilds it cell-for-cell (unlike HLL/t-digest
+    * in q35, which stay rows-only).
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = rdWide(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = graft.stats.CountMin.build(toks, "token")
+    val probes = Seq("table", "scan", "alpha", "data", "zzz_absent")
+      .toDF("token")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    graft.stats.CountMin.estimate(sketch, probes, "token")
+      .join(exact, Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+  }
+
+  /** Semi join (EXISTS): customers with at least one urgent order above
+    * 450 k — the companion to q33's anti join. Plans as a left-semi
+    * hash join; no row multiplication, orders never project past the
+    * join keys.
+    */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = rd(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 450000.0)
+    rd(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -879,6 +913,8 @@ object SparkEntry {
     "q54_cleaning_funnel" -> (qCleaningFunnel _),
     "q55_simhash_pairs" -> (qSimhashPairs _),
     "q56_quantize" -> (qQuantize _),
+    "q57_countmin" -> (qCountMin _),
+    "q58_semi_join" -> (qSemiJoin _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1367,6 +1403,36 @@ object SparkEntry {
         | unnest([CASE WHEN scale = 0 THEN 0
         |   ELSE floor(127.0 * x / scale + 0.5)::INT END for x in v]) AS q
         |FROM s""".stripMargin,
+
+    // Cell-for-cell count-min rebuild: same md5 universal family
+    // (a_j = 2j+1, b_j = 1000000007(j+1) mod p, p = 4294967311), same
+    // depth 4 × width 64 grid, same min-over-rows estimate.
+    "q57_countmin" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        | t AS (SELECT token FROM toks WHERE token <> ''),
+        | cells AS (SELECT j,
+        |   ((h * (2*j+1) + (1000000007*(j+1)) % 4294967311) % 4294967311) % 64 AS bucket
+        |  FROM (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM t),
+        |       (SELECT unnest(range(0, 4)) AS j)),
+        | sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        | probes AS (SELECT unnest(['table','scan','alpha','data','zzz_absent']) AS token),
+        | pe AS (SELECT token, j,
+        |   ((h * (2*j+1) + (1000000007*(j+1)) % 4294967311) % 4294967311) % 64 AS bucket
+        |  FROM (SELECT token, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM probes),
+        |       (SELECT unnest(range(0, 4)) AS j)),
+        | est AS (SELECT token, min(coalesce(cnt, 0)) AS est
+        |  FROM pe LEFT JOIN sketch USING (j, bucket) GROUP BY token),
+        | exact AS (SELECT token, count(*) AS exact FROM t GROUP BY token)
+        |SELECT token, est::BIGINT AS est, coalesce(exact, 0)::BIGINT AS exact
+        |FROM est LEFT JOIN exact USING (token)""".stripMargin,
+
+    "q58_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_totalprice > 450000.0)""".stripMargin,
 
     "q51_repetition" ->
       """WITH g AS (SELECT source,

@@ -71,6 +71,34 @@ class StatsSpec extends SparkSpec {
     assert(again == keep.select("id").as[Long].collect().toSet)
   }
 
+  test("count-min sketch never undercounts; exact on the heavy hitter") {
+    import graft.stats.CountMin
+    import org.apache.spark.sql.functions._
+    // 400 distinct rare tokens (forcing collisions in the 4x64 grid)
+    // plus one heavy hitter
+    val toks = ((0 until 400).map(i => s"tok$i") ++ Seq.fill(500)("heavy"))
+      .toDF("token")
+    val sketch = CountMin.build(toks, "token")
+    assert(sketch.count() <= 4 * 64)
+    val probes = ((0 until 400 by 37).map(i => s"tok$i") ++
+      Seq("heavy", "never_seen")).toDF("token")
+    val exact = toks.groupBy("token").count()
+    val got = CountMin.estimate(sketch, probes, "token")
+      .join(exact, Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("count"), lit(0L)).as("exact"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (t, est, ex) =>
+      assert(est >= ex, s"count-min undercounted $t: $est < $ex")
+    }
+    // the heavy hitter dwarfs collision noise: estimate is close
+    val (_, hEst, hEx) = got.find(_._1 == "heavy").get
+    assert(hEx == 500L && hEst >= 500L && hEst <= 520L)
+    intercept[IllegalArgumentException] {
+      CountMin.build(toks, "token", depth = 0)
+    }
+  }
+
   test("stratifiedSampleByHash rejects out-of-range fractions") {
     val df = Seq(("a", 1L)).toDF("s", "id")
     intercept[IllegalArgumentException] {
