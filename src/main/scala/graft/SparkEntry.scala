@@ -819,6 +819,44 @@ object SparkEntry {
         posexplode(quantizeInt8(col("v"), col("__scale"))).as(Seq("dim", "q")))
   }
 
+  /** The navigation/distribution window-function suite over each
+    * customer's order history: lag/lead (previous/next price), ntile
+    * quartile, cume_dist — one window spec, one shuffle on the
+    * partition key, restricted to c_custkey < 50 to bound output.
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    rd(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  /** Time-series gap-fill: each user's 5-minute activity buckets between
+    * their first and last event, absent buckets materialized with n = 0
+    * (sequence + explode — no driver loop, no cross join against a
+    * global calendar). user_id < 20 bounds the output.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 300).cast("long").as("bucket"))
+    val counts = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    val spans = ev.groupBy("user_id")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    spans.join(counts, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Count-min sketch frequency estimates vs exact counts for five probe
     * tokens (one present-heavy, one absent). Deterministic md5-family
     * sketch → the oracle rebuilds it cell-for-cell (unlike HLL/t-digest
@@ -915,6 +953,8 @@ object SparkEntry {
     "q56_quantize" -> (qQuantize _),
     "q57_countmin" -> (qCountMin _),
     "q58_semi_join" -> (qSemiJoin _),
+    "q59_window_suite" -> (qWindowSuite _),
+    "q60_gap_fill" -> (qGapFill _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1426,6 +1466,26 @@ object SparkEntry {
         | exact AS (SELECT token, count(*) AS exact FROM t GROUP BY token)
         |SELECT token, est::BIGINT AS est, coalesce(exact, 0)::BIGINT AS exact
         |FROM est LEFT JOIN exact USING (token)""".stripMargin,
+
+    "q59_window_suite" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        | ntile(4) OVER w AS quartile,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q60_gap_fill" ->
+      """WITH ev AS (SELECT user_id, floor(epoch(ts) / 300)::BIGINT AS bucket
+        |  FROM events WHERE user_id < 20),
+        | counts AS (SELECT user_id, bucket, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        | spans AS (SELECT user_id,
+        |   unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, bucket, coalesce(n, 0)::BIGINT AS n
+        |FROM spans LEFT JOIN counts USING (user_id, bucket)""".stripMargin,
 
     "q58_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c

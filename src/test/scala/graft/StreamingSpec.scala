@@ -198,4 +198,34 @@ class StreamingSpec extends SparkSpec {
       assert(got.columns.contains("text_hash"))
     } finally q.stop()
   }
+
+  test("streaming count-min merges to EXACTLY the batch sketch (mergeability)") {
+    import graft.streaming.StreamingCountMin
+    import graft.stats.CountMin
+    val base = Files.createTempDirectory("graft_cms").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq((1L, "alpha beta alpha", "en", "web", 0L),
+      (2L, "gamma beta", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingCountMin.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((3L, "alpha delta delta", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingCountMin.start(spark, src, store, ckpt).awaitTermination()
+
+    val merged = StreamingCountMin.sketchFromStore(spark, store)
+    val allToks = b1.union(b2)
+      .select(explode(graft.text.TextAnalysis.tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val direct = CountMin.build(allToks, "token")
+    // partial-cell addition == one-shot build, cell for cell
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      direct.as[(Int, Long, Long)].collect().toSet)
+    // and the estimates see across batch boundaries
+    val est = CountMin.estimate(merged,
+        Seq("alpha", "delta").toDF("token"), "token")
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 3L && est("delta") >= 2L)
+  }
 }
