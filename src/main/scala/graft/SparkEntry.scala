@@ -857,6 +857,24 @@ object SparkEntry {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Language-coverage reconciliation: FULL OUTER join of the observed
+    * per-language histogram against the expected-language checklist —
+    * rows appear for languages seen-but-unexpected AND
+    * expected-but-missing (n_docs = 0), the audit shape a curated
+    * training mix needs. Exercises the full-outer join plan (every
+    * other join flavor is covered by q07/q33/q34/q36/q58).
+    */
+  private def qLangCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val observed = rdWide(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val expected = Seq("en", "fr", "de", "es", "zh", "ja", "ko")
+      .toDF("lang").withColumn("expected", lit(true))
+    observed.join(expected, Seq("lang"), "full_outer")
+      .select(col("lang"), coalesce(col("n"), lit(0L)).as("n_docs"),
+        coalesce(col("expected"), lit(false)).as("expected"))
+  }
+
   /** Count-min sketch frequency estimates vs exact counts for five probe
     * tokens (one present-heavy, one absent). Deterministic md5-family
     * sketch → the oracle rebuilds it cell-for-cell (unlike HLL/t-digest
@@ -955,6 +973,7 @@ object SparkEntry {
     "q58_semi_join" -> (qSemiJoin _),
     "q59_window_suite" -> (qWindowSuite _),
     "q60_gap_fill" -> (qGapFill _),
+    "q61_lang_coverage" -> (qLangCoverage _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1486,6 +1505,15 @@ object SparkEntry {
         |  FROM ev GROUP BY user_id)
         |SELECT user_id, bucket, coalesce(n, 0)::BIGINT AS n
         |FROM spans LEFT JOIN counts USING (user_id, bucket)""".stripMargin,
+
+    "q61_lang_coverage" ->
+      """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | expected AS (SELECT unnest(['en','fr','de','es','zh','ja','ko']) AS lang,
+        |   true AS expected)
+        |SELECT coalesce(o.lang, e.lang) AS lang,
+        | coalesce(n, 0)::BIGINT AS n_docs,
+        | coalesce(expected, false) AS expected
+        |FROM observed o FULL OUTER JOIN expected e ON o.lang = e.lang""".stripMargin,
 
     "q58_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -144,4 +144,45 @@ class PropertySpec extends SparkSpec {
       assert(topk == full.take(k))
     }
   }
+
+  test("packSequences: bins are contiguous, ordered, and budget-aligned") {
+    import spark.implicits._
+    samples(Gen.zip(
+      Gen.listOfN(30, Gen.choose(1L, 400L)), Gen.choose(100L, 600L)), 20)
+      .foreach { case (weights, budget) =>
+        val df = weights.zipWithIndex
+          .map { case (w, i) => ("g", i.toLong, w) }.toDF("g", "id", "w")
+        val got = graft.ingest.Ingest.packSequences(df, "g", "id", "w", budget)
+          .select($"id", $"w", $"bin").as[(Long, Long, Long)]
+          .collect().sortBy(_._1)
+        // bin of each row == floor(exclusive prefix sum / budget), so:
+        var cum = 0L
+        got.foreach { case (_, w, bin) =>
+          assert(bin == cum / budget, s"bin mismatch at cum=$cum budget=$budget")
+          cum += w
+        }
+        // bins are non-decreasing in id order and start at 0
+        assert(got.head._3 == 0L)
+        got.sliding(2).foreach {
+          case Array((_, _, a), (_, _, b)) => assert(a <= b)
+          case _ =>
+        }
+      }
+  }
+
+  test("quantizeInt8 round-trip error is within half a code step for random vectors") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    samples(Gen.listOfN(24, Gen.choose(-5.0, 5.0)), 30).foreach { v =>
+      import graft.functions.VectorFunctions._
+      val df = Seq(Tuple1(v)).toDF("v")
+        .withColumn("s", maxAbs(col("v")))
+        .select(col("s"), dequantizeInt8(quantizeInt8(col("v"), col("s")), col("s")).as("b"))
+        .as[(Double, Seq[Double])].head()
+      val (scale, back) = df
+      v.zip(back).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 254.0 + 1e-12)
+      }
+    }
+  }
 }
