@@ -21,15 +21,17 @@ package graft
   *  - SQL registration via `SparkSessionExtensions`
   *    ([[graft.GraftExtensions]]).
   *
-  * The one plan-level rewrite that would earn its keep — routing a
-  * brute-force `orderBy(cosine).limit(k)` to an ANN index when one
-  * exists — is intentionally an explicit API instead
-  * ([[graft.search.Ann.ivfSearch]] over a persisted
-  * [[graft.search.Ann.writeIvf]] layout): an index probe changes result
-  * semantics (approximate recall), and silently trading exactness for
-  * speed inside the optimizer is the wrong default for an engine whose
-  * correctness gate is hash-exact oracle comparison. If a future caller
-  * wants transparent routing, the seam is a `Rule[LogicalPlan]` injected
-  * through [[graft.GraftExtensions]] matching that Sort+Limit shape.
+  * The one plan-level rewrite that earns its keep — routing a
+  * brute-force `orderBy(cosine).limit(k)` to an ANN bucket probe — is
+  * implemented as [[AnnTopKRewrite]], and it is OPT-IN
+  * (`spark.graft.ann.topkRewrite=true`, default off): an index probe
+  * changes result semantics (approximate recall), and silently trading
+  * exactness for speed inside the optimizer is the wrong default for an
+  * engine whose correctness gate is hash-exact oracle comparison. The
+  * explicit APIs ([[graft.search.Ann.ivfTopK]], and
+  * [[graft.search.Ann.ivfSearch]] over a persisted
+  * [[graft.search.Ann.writeIvf]] layout) remain the primary way to ask
+  * for approximate search; the rule exists for callers who want
+  * transparent routing of plans they cannot edit.
   */
 package object plans
