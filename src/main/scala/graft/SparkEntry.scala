@@ -875,6 +875,32 @@ object SparkEntry {
         coalesce(col("expected"), lit(false)).as("expected"))
   }
 
+  /** The SQL surface end-to-end INSIDE the graded gate: a query phrased
+    * entirely in `spark.sql` composing the `chunk_text` Catalyst
+    * Generator (LATERAL VIEW) with the native `simhash32` kernel over
+    * portable md5 token hashes — per-source chunk counts and distinct
+    * chunk fingerprints. Everything the Column-API queries exercise,
+    * reachable from plain SQL.
+    */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("chunk_text",
+      exprs => graft.functions.ChunkText(exprs.head, 200, 50), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      exprs => graft.functions.SimHash(exprs.head), "built-in")
+    rdWide(s, dir, "documents").createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT source, count(*) AS n_chunks,
+        | count(DISTINCT sim) AS n_distinct_sims
+        |FROM (
+        | SELECT source, simhash32(transform(
+        |    split(lower(trim(content)), '\\s+'),
+        |    x -> cast(conv(substr(md5(cast(x as binary)), 1, 8), 16, 10) as bigint))) AS sim
+        | FROM graft_docs
+        | LATERAL VIEW chunk_text(text) c AS chunk_index, total_chunks, content)
+        |GROUP BY source""".stripMargin)
+  }
+
   /** Count-min sketch frequency estimates vs exact counts for five probe
     * tokens (one present-heavy, one absent). Deterministic md5-family
     * sketch → the oracle rebuilds it cell-for-cell (unlike HLL/t-digest
@@ -974,6 +1000,7 @@ object SparkEntry {
     "q59_window_suite" -> (qWindowSuite _),
     "q60_gap_fill" -> (qGapFill _),
     "q61_lang_coverage" -> (qLangCoverage _),
+    "q62_sql_surface" -> (qSqlSurface _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1505,6 +1532,28 @@ object SparkEntry {
         |  FROM ev GROUP BY user_id)
         |SELECT user_id, bucket, coalesce(n, 0)::BIGINT AS n
         |FROM spans LEFT JOIN counts USING (user_id, bucket)""".stripMargin,
+
+    // Chunker recursive CTE (as q12/q32) → per-chunk md5 token hashes →
+    // SimHash → per-source counts: the SQL-surface query replayed.
+    "q62_sql_surface" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, source, text AS t, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         | spans(doc_id, source, t, len, s, e) AS (
+         |  SELECT doc_id, source, t, len, 0, ${chunkEndSql("0")} FROM docs0
+         |  UNION ALL
+         |  SELECT doc_id, source, t, len, ns, ${chunkEndSql("ns")} FROM (
+         |    SELECT doc_id, source, t, len,
+         |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
+         |    FROM spans WHERE len > 200)
+         |  WHERE ns < len),
+         | withhs AS (SELECT source,
+         |   [${h32Sql("x")} for x in regexp_split_to_array(lower(trim(substr(t, s+1, e-s))), '\\s+')] AS hs
+         |  FROM spans),
+         | sims AS (SELECT source, $SimhashSql FROM withhs)
+         |SELECT source, count(*) AS n_chunks,
+         | count(DISTINCT simhash) AS n_distinct_sims
+         |FROM sims GROUP BY source""".stripMargin,
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
