@@ -883,21 +883,24 @@ object SparkEntry {
     * reachable from plain SQL.
     */
   private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    // q62-private names: registering plain "chunk_text"/"simhash32" here
+    // would SHADOW the GraftExtensions registrations for the rest of the
+    // session with a builder that drops the size/overlap arguments
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("chunk_text",
+    reg.createOrReplaceTempFunction("graft_q62_chunk_text",
       exprs => graft.functions.ChunkText(exprs.head, 200, 50), "built-in")
-    reg.createOrReplaceTempFunction("simhash32",
+    reg.createOrReplaceTempFunction("graft_q62_simhash32",
       exprs => graft.functions.SimHash(exprs.head), "built-in")
-    rdWide(s, dir, "documents").createOrReplaceTempView("graft_docs")
+    rdWide(s, dir, "documents").createOrReplaceTempView("graft_q62_docs")
     s.sql(
       """SELECT source, count(*) AS n_chunks,
         | count(DISTINCT sim) AS n_distinct_sims
         |FROM (
-        | SELECT source, simhash32(transform(
+        | SELECT source, graft_q62_simhash32(transform(
         |    split(lower(trim(content)), '\\s+'),
         |    x -> cast(conv(substr(md5(cast(x as binary)), 1, 8), 16, 10) as bigint))) AS sim
-        | FROM graft_docs
-        | LATERAL VIEW chunk_text(text) c AS chunk_index, total_chunks, content)
+        | FROM graft_q62_docs
+        | LATERAL VIEW graft_q62_chunk_text(text) c AS chunk_index, total_chunks, content)
         |GROUP BY source""".stripMargin)
   }
 
@@ -1292,10 +1295,11 @@ object SparkEntry {
         |   sum(byte * c) AS bsum, count(*) AS n_distinct_bytes,
         |   -sum((c / n_bytes::DOUBLE) * ln(c / n_bytes::DOUBLE) / ln(2)) AS entropy
         |  FROM hist GROUP BY 1, 2)
-        |SELECT media_id, n_bytes::INT AS n_bytes, round(entropy, 6) AS entropy,
-        | round(bsum::DOUBLE / n_bytes, 6) AS mean_byte,
-        | n_distinct_bytes::INT AS n_distinct_bytes
-        |FROM feat""".stripMargin,
+        |SELECT b.media_id, b.n_bytes::INT AS n_bytes,
+        | round(coalesce(entropy, 0.0), 6) AS entropy,
+        | round(coalesce(bsum::DOUBLE / nullif(b.n_bytes, 0), 0.0), 6) AS mean_byte,
+        | coalesce(n_distinct_bytes, 0)::INT AS n_distinct_bytes
+        |FROM b LEFT JOIN feat ON b.media_id = feat.media_id""".stripMargin,
     "q24_frame_sample" ->
       """SELECT doc_id AS media_id,
         | ((strlen(text) // 32 + 1) // 2)::BIGINT AS n_frames_sampled,

@@ -219,12 +219,16 @@ object Dedup {
     val width = 32 / nBands
     val mask = (1L << width) - 1
     // native SimHash kernel (codegen, one pass) — the interpreted
-    // simhash("hs") phrasing is its spec-asserted equivalence witness;
-    // members is referenced by several joins below and recomputes per
-    // reference, so the per-pass cost matters
+    // simhash("hs") phrasing is its spec-asserted equivalence witness.
+    // members feeds FIVE plan references (vals, both crossPairs sides,
+    // both samePairs sides); localCheckpoint materializes the
+    // (doc_id, sh) projection once instead of re-scanning + re-hashing
+    // the corpus per reference (the DupClusters precedent — eager, so
+    // this call computes the simhash pass at invocation time)
     val members = docs
       .select(col(idCol), tokenHashes(col(textCol)).as("hs"))
       .select(col(idCol), graft.functions.SimHash(col("hs")).as("sh"))
+      .localCheckpoint()
     val vals = members.select(col("sh")).distinct()
     val banded = vals.select(col("sh"),
         explode(array((0 until nBands).map(b =>

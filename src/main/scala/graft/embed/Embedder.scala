@@ -74,7 +74,13 @@ final class Md5TokenEmbedder(val dim: Int = 64) extends Embedder {
   def embedDouble(text: String): Array[Double] = {
     val v = new Array[Double](dim)
     if (text != null) {
-      val it = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+      // lower through UTF8String (Spark lower()'s own path), NOT the
+      // locale-sensitive String.toLowerCase — under a Turkish default
+      // locale "I" would lowercase to dotless ı and break the bit-exact
+      // parity with the q32 oracle's lower()
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+      val it = lowered.split("\\s+").iterator.filter(_.nonEmpty)
       while (it.hasNext) {
         val h = hash32(it.next())
         val idx = (h % dim).toInt

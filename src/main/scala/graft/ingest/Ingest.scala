@@ -85,8 +85,14 @@ object Ingest {
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
+    // ROWS, not the default RANGE frame: RANGE includes ALL peer rows of
+    // a tied orderCol value in the running sum, which breaks the
+    // exclusive-prefix-sum contract whenever the ordering column is not
+    // unique (ties would all see the same post-tie cumulative weight)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__cum",
         sum(col(weightCol)).over(w) - col(weightCol))
       .withColumn("bin", floor(col("__cum") / budget).cast("long"))

@@ -223,7 +223,10 @@ object Multimodal {
         val hist = new Array[Long](256) // reused scratch, zeroed per row
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // null payload → same zero-feature row as an empty payload
+          // (F5-style tolerance: bad rows degrade, never NPE the scan)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
           java.util.Arrays.fill(hist, 0L)
           var sum = 0L
           var i = 0

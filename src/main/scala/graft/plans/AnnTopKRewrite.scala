@@ -42,8 +42,18 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "false").toBoolean
 
-  private def bits: Int =
-    SQLConf.get.getConfString(BitsKey, "8").toInt
+  private def bits: Int = {
+    val raw = SQLConf.get.getConfString(BitsKey, "8")
+    // validate HERE: optimizer-inserted expressions never run
+    // checkInputDataTypes, so a bad conf would otherwise surface as a
+    // wrapped shift (bits > 63) or a NumberFormatException mid-plan
+    val b = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$BitsKey must be an integer in [1, 63], got '$raw'")
+    }
+    require(b >= 1 && b <= 63, s"$BitsKey must be in [1, 63], got $b")
+    b
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -72,13 +82,21 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     }
 
   /** Idempotency under fixed-point optimizer runs: never re-probe a
-    * child that already carries a sign-bucket filter.
+    * subtree that ALREADY contains a sign-bucket filter ANYWHERE below.
+    * The deep search matters because this rule runs interleaved with
+    * PushDownPredicates (when injected via GraftExtensions): the probe
+    * filter inserted in iteration N gets pushed toward the scan, so an
+    * immediate-child check would see the original shape again in
+    * iteration N+1 and insert a duplicate probe every round until
+    * maxIterations. Conservative by design: a user-authored SignBucket
+    * predicate below the sort also suppresses the rewrite.
     */
-  private def alreadyProbed(plan: LogicalPlan): Boolean = plan match {
-    case Filter(cond, _) =>
-      cond.exists { case _: SignBucket => true; case _ => false }
-    case _ => false
-  }
+  private def alreadyProbed(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case Filter(cond, _) =>
+        cond.exists { case _: SignBucket => true; case _ => false }
+      case _ => false
+    }
 
   /** The bucket predicate, when the cosine is (vector attr, foldable
     * query) and the child is not already bucket-filtered on that attr.

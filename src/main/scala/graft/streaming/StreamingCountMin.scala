@@ -32,16 +32,21 @@ object StreamingCountMin {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val toks = batch
           .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
           .filter(col("token") =!= "")
+        // batchId-keyed subdir + overwrite = idempotent under foreachBatch's
+        // at-least-once replay (a crash between append and checkpoint
+        // commit re-runs the batch; a blind append would double-count it)
         CountMin.build(toks, "token", depth, width)
-          .write.mode("append").parquet(storeDir)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       }
       .start()
 
-  /** The current sketch: merge all partial cells by addition. */
+  /** The current sketch: merge all partial cells by addition (the
+    * batch_id partition column from the idempotent layout is ignored).
+    */
   def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir)
       .groupBy(col("j"), col("bucket"))

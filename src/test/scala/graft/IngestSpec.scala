@@ -104,4 +104,15 @@ class IngestSpec extends SparkSpec {
       Ingest.packSequences(rows, "g", "id", "w", budget = 0L)
     }
   }
+
+  test("packSequences: tied order values still bin by running row sum (ROWS frame)") {
+    // with the default RANGE frame, all three tied rows would see the
+    // post-tie cumulative sum and land together in a later bin
+    val rows = Seq(("g", 1L, 300L), ("g", 1L, 300L), ("g", 1L, 300L))
+      .toDF("g", "id", "w")
+    val bins = Ingest.packSequences(rows, "g", "id", "w", budget = 512L)
+      .select($"bin").as[Long].collect().sorted.toSeq
+    // exclusive prefix sums 0/300/600 → bins 0, 0, 1
+    assert(bins == Seq(0L, 0L, 1L))
+  }
 }
