@@ -105,6 +105,22 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("typed flatMap chunker equals the UDF+posexplode tier row-for-row") {
+    val docs = Seq(
+      (1L, "alpha beta gamma " * 40),
+      (2L, "tiny"),
+      (3L, ("line one\n" * 60) + "tail")
+    ).toDF("doc_id", "text")
+    val untyped = Ingest.chunkDocuments(docs, "text", chunkSize = 100, overlap = 20)
+      .select($"doc_id", $"chunk_index", $"total_chunks", $"content")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val typed = Ingest.chunkDocumentsTyped(
+        docs.as[Ingest.DocRow], chunkSize = 100, overlap = 20)
+      .collect().map(c => (c.doc_id, c.chunk_index, c.total_chunks, c.content))
+      .toSet
+    assert(typed == untyped && typed.nonEmpty)
+  }
+
   test("packSequences: tied order values still bin by running row sum (ROWS frame)") {
     // with the default RANGE frame, all three tied rows would see the
     // post-tie cumulative sum and land together in a later bin
