@@ -769,7 +769,7 @@ object SparkEntry {
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = rdWide(s, dir, "documents")
     Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 10),
-        n = 3, minShared = 2)
+        n = 3, minShared = 2, excludeSelf = true) // benchmark ⊂ corpus
       .select(col("corpus_id"), col("benchmark_id"), col("n_shared"))
   }
 

@@ -34,8 +34,11 @@ object Dedup {
   val NumHashes: Int = graft.functions.MinHashSignature.DefaultNumHashes
   val NumBands = 8 // rows per band r = 2 → candidate prob = 1-(1-j^2)^8
 
-  /** Lowercased whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lowercased whitespace tokens of a text column — the ONE corpus
+    * tokenization (delegates to TextAnalysis.tokens so dedup signatures
+    * can never desynchronize from the rest of the text pipeline).
+    */
+  def tokens(text: Column): Column = graft.text.TextAnalysis.tokens(text)
 
   /** Distinct word n-gram shingles; texts shorter than n words fall back
     * to a single whole-text shingle so every doc has ≥1 shingle.
@@ -48,9 +51,11 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
   }
 
-  /** 32-bit portable hash of one shingle (md5-prefix, DuckDB-replayable). */
-  private def h32(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+  /** 32-bit portable hash of one shingle (md5-prefix, DuckDB-replayable;
+    * the single definition lives in HashFunctions — duplicating the
+    * recipe here would let the oracle-critical hash drift).
+    */
+  private def h32(s: Column): Column = graft.functions.HashFunctions.md5Int32(s)
 
   /** MinHash signature over PRE-HASHED shingles: for each of [[NumHashes]]
     * universal-family hash functions, the minimum over the doc's shingle
@@ -145,10 +150,10 @@ object Dedup {
     * set comparison.
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
+                   textCol: String = "text", minJaccard: Double = 0.0,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
-    val pairs = candidatePairs(minhashBands(docs, idCol, textCol), idCol)
-    pairs
+    candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -166,11 +171,17 @@ object Dedup {
     * through the shingle join and only matching (corpus, benchmark)
     * pairs reach the count aggregate. Shingles are distinct per doc, so
     * the pair count IS the intersection size.
+    *
+    * `excludeSelf` defaults to FALSE: it is only meaningful when the
+    * benchmark rows are drawn from the corpus itself (shared id space).
+    * With independently-numbered datasets, dropping id-equal pairs
+    * would silently hide genuinely contaminated documents that happen
+    * to share an id with their benchmark twin.
     */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          n: Int = 3, minShared: Int = 2,
-                         excludeSelf: Boolean = true): DataFrame = {
+                         excludeSelf: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val c = corpus.select(col(idCol).as("corpus_id"),
       explode(shingles(col(textCol), n)).as("sh"))
@@ -306,22 +317,10 @@ object Dedup {
                           minJaccard: Double = 0.0,
                           maxBucketSize: Int = Int.MaxValue)
       : (DataFrame, DataFrame) = {
-    val groups = docs
-      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    val groups = exactDupGroups(docs, idCol, textCol)
     val reps = docs
       .join(groups.select(col("keep_id")),
         col(idCol) === col("keep_id"), "left_semi")
-    val sh = reps.select(col(idCol), shingles(col(textCol)).as("sh"))
-    val pairs = candidatePairs(
-        minhashBands(reps, idCol, textCol), idCol, maxBucketSize)
-      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    (pairs, groups)
+    (nearDupPairs(reps, idCol, textCol, minJaccard, maxBucketSize), groups)
   }
 }

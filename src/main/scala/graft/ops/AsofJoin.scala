@@ -43,13 +43,19 @@ object AsofJoin {
           .as("__rv")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => col(c)): _*)
-    val r = right.select(
+    // a NULL right timestamp can match nothing ("at or before" is never
+    // true of NULL) — and must not sort NULLS FIRST into the window where
+    // last(__rv) would hand its value to every left row as a phantom
+    // earliest match
+    val r = right.filter(col(tsCol).isNotNull).select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         struct(col(valueCol).as("v")).as("__rv")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // NULLS FIRST for left rows: a left row with a NULL timestamp sees an
+    // empty window prefix and gets a NULL match, as it should
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn(outCol,

@@ -32,13 +32,21 @@ object Skew {
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     salted
       .groupBy(col(keyCol), col("__salt"))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+      .agg(count(lit(1)).as("__n"),
+        // avg's denominator must be the NON-NULL value count (sum skips
+        // nulls; dividing by the all-rows count would deflate the mean
+        // of any key with null values, diverging from SQL avg())
+        count(col(valueCol)).as("__nv"),
+        sum(col(valueCol)).as("__s"),
         min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__nv")).as("__n_values"),
         sum(col("__s")).as("sum_value"),
         min(col("__mn")).as("min_value"),
         max(col("__mx")).as("max_value"))
-      .withColumn("avg_value", col("sum_value") / col("n_rows"))
+      .withColumn("avg_value",
+        col("sum_value") / nullif(col("__n_values"), lit(0L)))
+      .drop("__n_values")
   }
 }

@@ -30,10 +30,16 @@ object Ann {
             | (acc, i) -> acc + IF(element_at($vecColName, i + 1) > 0,
             |   shiftleft(1L, i), 0L))""".stripMargin)
 
-  /** Corpus + bucket column (materialize once; bucketBy for storage). */
+  /** Corpus + bucket column (materialize once; bucketBy for storage).
+    * Uses the native codegen [[graft.functions.SignBucket]] kernel —
+    * spec-asserted value-identical to [[signBucket]], which remains the
+    * oracle/witness phrasing — so bulk bucketing stays inside
+    * whole-stage codegen instead of the HOF interpreter.
+    */
   def withBucket(corpus: DataFrame, vecCol: String = "embedding",
                  bits: Int = 8): DataFrame =
-    corpus.withColumn("bucket", signBucket(vecCol, bits))
+    corpus.withColumn("bucket",
+      graft.functions.SignBucket(col(vecCol), bits))
 
   /** IVF-style top-k: score ONLY the corpus rows in the query row's own
     * bucket (nprobe=1). `queryRow` is a 1-row (id?, vector) DataFrame;
@@ -42,8 +48,12 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queryRow: DataFrame, queryVecCol: String,
               k: Int = 5, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queryRow
-      .withColumn("q_bucket", signBucket(queryVecCol, bits)))
+    // keep ONLY the query vector: any other queryRow column (typically
+    // the corpus id it was selected by) would collide with the corpus
+    // side after the join and make col(idCol) ambiguous
+    val q = broadcast(queryRow.select(col(queryVecCol))
+      .withColumn("q_bucket",
+        graft.functions.SignBucket(col(queryVecCol), bits)))
     withBucket(corpus, vecCol, bits)
       .join(q, col("bucket") === col("q_bucket"))
       .withColumn("score",
@@ -168,6 +178,9 @@ object Ann {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
+    require(byId.nonEmpty,
+      s"IVF store at $path is empty — nothing was assigned (was writeIvf " +
+        "called on an empty corpus, or is the path wrong?)")
     // dense array indexed by centroid_id; an empty inverted list (id
     // never assigned) gets a zero vector, which cosine-scores 0 and is
     // never probed first

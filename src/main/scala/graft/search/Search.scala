@@ -54,7 +54,10 @@ object Search {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame =
     corpus
-      .crossJoin(broadcast(queryRow))
+      // only the query vector crosses over: other queryRow columns
+      // (typically the id the row was selected by) would collide with
+      // the corpus side and make col(idCol) ambiguous
+      .crossJoin(broadcast(queryRow.select(col(queryVecCol))))
       .withColumn("score",
         CosineSimilarity(col(vecCol), col(queryVecCol)))
       .orderBy(col("score").desc, col(idCol).asc)

@@ -89,30 +89,38 @@ object EventStreams {
               new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
               s.n, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // merge iff strictly within the gap on EITHER side —
-                // same boundary rule as session_window (and the q30
-                // oracle): an event exactly gapMs away starts a new
-                // session. The backward case extends session_start so a
-                // late-but-in-watermark event is actually covered by the
-                // emitted span.
-                case Some(s) if t - s.end < gapMs && s.start - t < gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed += ClosedSession(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+            // interval-merge the open session with ALL batch events, in
+            // time order — a per-event fold against the newest session
+            // would mis-handle a late-but-in-watermark event that
+            // belongs BEFORE the open session (it must become its own
+            // earlier session, or merge with its own late neighbors,
+            // never evict the newer open session). Merge iff strictly
+            // within the gap — same boundary rule as session_window
+            // (and the q30 oracle): an event exactly gapMs away starts
+            // a new session.
+            val incoming = evs.toSeq.sortBy(_.ts.getTime)
+              .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+            val merged = (state.getOption.toList ++ incoming)
+              .sortBy(_.start)
+              .foldLeft(List.empty[SessionState]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.start - h.end < gapMs =>
+                    SessionState(h.start, math.max(h.end, s.end),
+                      h.n + s.n, h.total + s.total) :: t
+                  case _ => s :: acc
+                }
               }
-            }
-            cur.foreach { s =>
+              .reverse
+            // everything except the newest session is separated from it
+            // by >= gap and therefore closed; the newest stays in state.
+            // (An event arriving in a LATER batch that belongs to an
+            // already-emitted session starts a fresh session — append
+            // mode cannot retract; the window of that approximation is
+            // bounded by the watermark delay.)
+            val closed = merged.dropRight(1).map(s =>
+              ClosedSession(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total))
+            merged.lastOption.foreach { s =>
               state.update(s)
               // the timeout must not be at/behind the current watermark
               // (Spark rejects it and fails the query); clamp forward —
@@ -120,7 +128,7 @@ object EventStreams {
               state.setTimeoutTimestamp(
                 math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -40,6 +40,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.isEmpty) // ASOF matches ts(20); must NOT carry 5.0 forward
   }
 
+  test("NULL timestamps: right rows match nothing, left rows get no match") {
+    val clicks = Seq(
+      (1L, Some(ts(10)), "c1"),
+      (1L, None, "c_null") // left NULL ts: must match nothing
+    ).toDF("user_id", "ts", "click")
+    val views = Seq(
+      (1L, None, 42.0),    // right NULL ts: must never be anyone's match
+      (1L, Some(ts(20)), 100.0) // after every left row → unmatched too
+    ).toDF("user_id", "ts", "v")
+    val got = AsofJoin.asof(clicks, views, "user_id", "ts", "v")
+      .select($"click", $"asof_value")
+      .as[(String, Option[Double])].collect().toSet
+    assert(got == Set(("c1", None), ("c_null", None)))
+  }
+
   test("keys never mix; left columns survive") {
     val l = Seq((1L, ts(1), "a"), (9L, ts(1), "b")).toDF("k", "ts", "payload")
     val r = Seq((1L, ts(0), 7.0)).toDF("k", "ts", "v")

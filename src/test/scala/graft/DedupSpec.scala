@@ -173,14 +173,16 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta")  // the benchmark doc itself
     ).toDF("doc_id", "text")
     val bench = corpus.filter($"doc_id" < 10)
-    val got = Dedup.contaminationPairs(corpus, bench, n = 3, minShared = 2)
+    val got = Dedup.contaminationPairs(corpus, bench, n = 3, minShared = 2,
+        excludeSelf = true) // bench is drawn from the corpus: shared id space
       .as[(Long, Long, Long)].collect().toSet
     // doc 10 shares all 4 distinct 3-grams with bench doc 1; doc 11 only
     // one; self-pair (1,1) excluded
     assert(got == Set((10L, 1L, 4L)))
-    // minShared=1 admits doc 11; excludeSelf=false admits the self pair
+    // minShared=1 admits doc 11; the default (no self-exclusion — ids of
+    // independent datasets may collide) admits the self pair
     val loose = Dedup.contaminationPairs(corpus, bench, n = 3,
-        minShared = 1, excludeSelf = false)
+        minShared = 1)
       .as[(Long, Long, Long)].collect().toSet
     assert(loose == Set((10L, 1L, 4L), (11L, 1L, 1L), (1L, 1L, 4L)))
   }

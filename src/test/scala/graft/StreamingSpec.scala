@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: late-but-in-watermark event does not evict the open session") {
+    import EventStreams.Ev
+    val input = MemoryStream[Ev](spark)
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late_out").start()
+    try {
+      input.addData(Ev(5L, ts(60), 1.0))
+      q.processAllAvailable()
+      // a late event 25 min BEFORE the open session (disjoint by > gap)
+      // plus an extension of the open session, in one batch
+      input.addData(Ev(5L, ts(35), 7.0), Ev(5L, ts(65), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(6L, ts(300), 0.0)) // advance watermark, close all
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late_out")
+        .filter($"user_id" === 5L)
+        .select(unix_timestamp($"session_start").as("s"),
+          $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // the late event is its own session; [60, 65] stays ONE session —
+      // the pre-fix fold would have split it into [60,60] and [65,...]
+      assert(closed == Set(
+        (ts(35).getTime / 1000, 1L, 7.0),
+        (ts(60).getTime / 1000, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionizer closed sessions equal batch session_window output") {
     import EventStreams.Ev
     val input = MemoryStream[Ev](spark)
