@@ -30,7 +30,13 @@ final class DeterministicEmbedder(val dim: Int = 64, seed: Int = 42) extends Emb
   override def embed(text: String): Array[Float] = {
     val v = new Array[Double](dim)
     if (text != null) {
-      val it = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+      // locale-independent lowercase (UTF8String = Spark lower()'s own
+      // path): String.toLowerCase under a Turkish default locale maps I
+      // to dotless ı, making embeddings differ ACROSS EXECUTORS with
+      // different locales — breaking this embedder's determinism contract
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+      val it = lowered.split("\\s+").iterator.filter(_.nonEmpty)
       while (it.hasNext) {
         val t = it.next()
         val h = MurmurHash3.stringHash(t, seed)
@@ -103,12 +109,23 @@ final class Md5TokenEmbedder(val dim: Int = 64) extends Embedder {
   /** First 4 md5 bytes of the UTF-8 form, big-endian, as an unsigned
     * 32-bit value — identical to `('0x' || substr(md5(t),1,8))::BIGINT`
     * in DuckDB and `conv(substr(md5(t),1,8),16,10)` in Spark SQL.
+    * Reuses one MessageDigest per thread (the MinHashSignature /
+    * Fingerprints convention) — getInstance per token would pay a JCA
+    * provider lookup on the hottest loop of the embed path.
     */
   private def hash32(t: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = Md5TokenEmbedder.digestLocal.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+object Md5TokenEmbedder {
+  private[embed] val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }
 

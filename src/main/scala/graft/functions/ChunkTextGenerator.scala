@@ -43,7 +43,15 @@ case class ChunkText(child: Expression, chunkSize: Int, overlap: Int)
   override def collectionType: DataType = ArrayType(elementSchema, false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      // analysis-time guard: chunk_text(text, 0) would loop forever in
+      // the chunker's cursor (the Chunker.require would raise only at
+      // execution time, per row)
+      if (chunkSize < 1) TypeCheckResult.TypeCheckFailure(
+        s"chunk_text chunk_size must be >= 1, got $chunkSize")
+      else if (overlap < 0) TypeCheckResult.TypeCheckFailure(
+        s"chunk_text overlap must be >= 0, got $overlap")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"chunk_text expects a string column, got ${other.catalogString}")
   }

@@ -48,9 +48,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
             s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
 
-  private def leftFloat: Boolean =
+  // lazy vals: fixed per plan — a def would re-dispatch on dataType for
+  // every row of the interpreted path
+  private lazy val leftFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def rightFloat: Boolean =
+  private lazy val rightFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

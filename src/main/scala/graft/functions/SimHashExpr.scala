@@ -43,6 +43,13 @@ case class SimHash(child: Expression) extends UnaryExpression {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
+      } else {
+        // witness parity: the HOF form's IF((null div 2^i) % 2 = 1, 1, -1)
+        // takes the -1 branch for every bit, so a null element votes -1
+        // everywhere — skipping it would diverge from Dedup.simhash and
+        // the DuckDB oracle on arrays containing nulls
+        var b = 0
+        while (b < 32) { votes(b) -= 1; b += 1 }
       }
       i += 1
     }
@@ -72,6 +79,9 @@ case class SimHash(child: Expression) extends UnaryExpression {
          |    for (int $b = 0; $b < 32; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |    }
+         |  } else {
+         |    // null element = -1 vote on every bit (witness parity)
+         |    for (int $b = 0; $b < 32; $b++) { $votes[$b]--; }
          |  }
          |}
          |long $out = 0L;

@@ -32,7 +32,11 @@ object Ingest {
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(rootDir)
-      .withColumn("path", regexp_replace(col("path"), s"^file:$rootDir/?", ""))
+      // Pattern.quote: a rootDir containing regex metacharacters
+      // ("/data/repo(1)", "/tmp/c++") must strip literally, not throw
+      // PatternSyntaxException or over-match
+      .withColumn("path", regexp_replace(col("path"),
+        "^file:" + java.util.regex.Pattern.quote(rootDir) + "/?", ""))
       .withColumn("extension", regexp_extract(col("path"), "(\\.[^./]+)$", 1))
       .filter(!col("path").rlike("(^|/)\\."))                    // F1 hidden
       .filter(col("extension").isin(extensions: _*))             // F2 ext

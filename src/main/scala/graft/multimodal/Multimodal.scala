@@ -90,10 +90,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // bad rows degrade (zero samples, null kind), never NPE the scan
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
           val meta = r.getStruct(2)
           val samples = codec.decode(payload, meta)
-          Row(id, meta.getString(0), samples.length, samples)
+          val kind = if (meta == null) null else meta.getString(0)
+          Row(id, kind, samples.length, samples)
         }
       }(enc)
   }
@@ -142,11 +145,15 @@ object Multimodal {
       StructField("frame_index", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val enc = Encoders.row(schema)
+    require(frameBytes > 0, s"frameBytes must be > 0, got $frameBytes")
+    require(stride > 0, s"stride must be > 0, got $stride")
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // bad rows degrade (no frames), never NPE the scan
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
           val nFrames = payload.length / frameBytes
           (0 until nFrames by stride).iterator.map { f =>
             Row(id, f, java.util.Arrays.copyOfRange(

@@ -43,7 +43,12 @@ object Stats {
   def avgChunksPerFile(df: DataFrame, pathCol: String,
                        totalChunksCol: String, orderCol: String): DataFrame =
     df.groupBy(col(pathCol))
-      .agg(max_by(col(totalChunksCol), col(orderCol)).as("last_chunks"))
+      // composite max_by key: bare max_by makes no tie-break promise, so
+      // equal orderCol values (same ingest timestamp) would pick a
+      // partition-order-dependent winner; ties now break on the larger
+      // chunk count, deterministically
+      .agg(max_by(col(totalChunksCol),
+        struct(col(orderCol), col(totalChunksCol))).as("last_chunks"))
       .agg(avg(col("last_chunks")).as("avg_chunks_per_file"))
 
   /** Top-k rows per group ("best documents per domain"). One shuffle on
@@ -52,12 +57,16 @@ object Stats {
     * so the result is deterministic (and oracle-comparable).
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
-                   order: Column, tieBreak: Column, k: Int): DataFrame = {
+                   order: Column, tieBreak: Column, k: Int,
+                   rankCol: String = "rk"): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — pass a different rankCol " +
+        "instead of silently overwriting it")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(order, tieBreak)
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
   /** Deterministic stratified sampling: a row survives iff the md5-derived

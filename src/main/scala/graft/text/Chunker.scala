@@ -35,6 +35,11 @@ object Chunker extends Serializable {
   def chunkSpans(text: String,
                  chunkSize: Int = DefaultChunkSize,
                  overlap: Int = DefaultOverlap): Seq[(Int, Int)] = {
+    // chunkSize = 0 would make `end = start` and the cursor never
+    // advance — an infinite allocating loop, reachable from the SQL
+    // surface via chunk_text(text, 0). Fail fast instead.
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0, s"overlap must be >= 0, got $overlap")
     if (text == null || text.isEmpty) return Seq.empty
     if (text.length <= chunkSize) return Seq((0, text.length))
 
