@@ -938,6 +938,42 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Query terms shared by the BM25 / hybrid-retrieval queries. */
+  private val Bm25Terms = Seq("vector", "join", "merge", "stream")
+
+  /** BM25 top-10 over the documents corpus (graft.text.Bm25): the lexical
+    * companion to q01's dense top-k. Rational-odds idf (no libm) keeps the
+    * score a pure +,−,×,÷ expression the oracle replays bit-exactly;
+    * ranking is on the 6-decimal-rounded score (the per-term sum is a
+    * float aggregate, so the raw last ulp is grouping-order-dependent).
+    */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(rdWide(s, dir, "documents"), Bm25Terms, k = 10)
+
+  /** Hybrid retrieval (graft.search.Hybrid): reciprocal-rank fusion of the
+    * BM25 top-20 and the cosine top-20 (query = vec_id 0's embedding,
+    * doc_id ≡ vec_id in the testdata). Rank-based fusion needs no score
+    * normalization and the fused score is a fixed-shape double expression
+    * over integer ranks — bit-deterministic on both engines.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val text = graft.text.Bm25.score(rdWide(s, dir, "documents"), Bm25Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+    val emb = rd(s, dir, "embeddings")
+    val qrow = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    // threshold −2 < min cosine: hybrid wants the raw candidate list, not
+    // the reference's post-limit 0.1 cut
+    val vec = graft.search.Search
+      .topKFromRow(emb, qrow, "query_vec", k = 20, threshold = -2.0)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    graft.search.Hybrid.rrf(text, vec, k = 10)
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -1004,6 +1040,8 @@ object SparkEntry {
     "q60_gap_fill" -> (qGapFill _),
     "q61_lang_coverage" -> (qLangCoverage _),
     "q62_sql_surface" -> (qSqlSurface _),
+    "q63_bm25_topk" -> (qBm25TopK _),
+    "q64_hybrid_rrf" -> (qHybridRrf _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1027,6 +1065,35 @@ object SparkEntry {
 
   /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
   private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** DuckDB CTEs replaying graft.text.Bm25.score over `documents` for the
+    * Bm25Terms query set — same tokenizer, rational-odds idf, and operand
+    * order as the Spark expression tree (pure +,−,×,÷ so both engines
+    * produce the identical double; only the final per-term sum's grouping
+    * order can wobble, absorbed by round(…, 6) at the consumers).
+    */
+  private val Bm25Ctes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl, toks
+       |  FROM (SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |   FROM documents)),
+       | stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM base),
+       | tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM base),
+       | tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM tok
+       |   WHERE token IN ($termList) GROUP BY doc_id, dl, token),
+       | dfq AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+       |   FROM tf GROUP BY token),
+       | bm25 AS (
+       |  SELECT tf.doc_id,
+       |   sum(((n::DOUBLE - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |       ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+       |        (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+       |          + 0.75::DOUBLE * dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))) AS score
+       |  FROM tf JOIN dfq USING (token), stats
+       |  GROUP BY tf.doc_id)""".stripMargin
+  }
 
   /** DuckDB fragment: the chunker's next-boundary rule (Chunker.chunk at
     * size 200 / overlap 50) from cursor `s` over text column `t` with
@@ -1558,6 +1625,36 @@ object SparkEntry {
          |SELECT source, count(*) AS n_chunks,
          | count(DISTINCT simhash) AS n_distinct_sims
          |FROM sims GROUP BY source""".stripMargin,
+
+    "q63_bm25_topk" ->
+      s"""$Bm25Ctes
+         |SELECT doc_id, round(score, 6) AS score FROM bm25
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q64_hybrid_rrf" ->
+      s"""$Bm25Ctes,
+         | ttop AS (SELECT doc_id, round(score, 6) AS score FROM bm25
+         |   ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20),
+         | tr AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+         |  FROM ttop),
+         | vbase AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         | vscored AS (SELECT vec_id, $CosSql AS score FROM vbase, qv),
+         | vtop AS (SELECT vec_id, score FROM vscored
+         |   ORDER BY score DESC, vec_id ASC LIMIT 20),
+         | vr AS (SELECT vec_id,
+         |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS vec_rank
+         |  FROM vtop),
+         | fused AS (
+         |  SELECT coalesce(tr.doc_id, vr.vec_id) AS doc_id,
+         |   tr.text_rank, vr.vec_rank,
+         |   coalesce(1.0::DOUBLE / (60 + tr.text_rank)::DOUBLE, 0.0::DOUBLE) +
+         |   coalesce(1.0::DOUBLE / (60 + vr.vec_rank)::DOUBLE, 0.0::DOUBLE) AS rrf
+         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id)
+         |SELECT doc_id, text_rank::INT AS text_rank, vec_rank::INT AS vec_rank,
+         | round(rrf, 6) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
