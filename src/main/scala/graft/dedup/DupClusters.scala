@@ -8,15 +8,25 @@ import org.apache.spark.sql.functions._
   * cluster step that turns pairwise similarity into "keep one per
   * group" decisions.
   *
-  * Algorithm: iterative minimum-label propagation. Each round joins the
-  * current labels across the (undirected) edge set and keeps the
-  * per-vertex minimum; rounds needed = graph diameter ≤ O(log n) for
-  * typical dup clusters (they are near-cliques, so usually 1-2 rounds).
+  * Algorithm: minimum-label propagation with pointer jumping. Each round
+  *  1. relaxes across the (undirected) edge set — every vertex takes the
+  *     min of its own label and its neighbors' labels; then
+  *  2. pointer-jumps — every vertex takes its label's label, l(v) ←
+  *     l(l(v)), which squares the propagation distance per round, so
+  *     chain-shaped components converge in O(log diameter) rounds rather
+  *     than O(diameter) (dup cliques still converge in 1-2 rounds).
+  * A label is always the id of a smaller-or-equal vertex in the same
+  * component (initialized to self, only ever lowered by reachable ids),
+  * so the jump join stays within the labels frame and the fixpoint is
+  * the exact component minimum.
+  *
   * The loop is DRIVER-side control flow around fully declarative
-  * joins/aggregations — each round is one shuffle on doc_id, and the
-  * frame is localCheckpoint-ed per round so the plan (and its lineage)
-  * doesn't grow unboundedly. The driver only ever sees the single
-  * convergence COUNT per round, never the data.
+  * joins/aggregations — one edge shuffle + one label-sized jump shuffle
+  * per round, and the frame is localCheckpoint-ed per round so the plan
+  * (and its lineage) doesn't grow unboundedly. Convergence is detected
+  * from the pre-round label carried THROUGH the aggregate (no extra
+  * labels⋈labels join); the driver only ever sees the per-round change
+  * COUNT, never the data.
   */
 object DupClusters {
 
@@ -39,21 +49,40 @@ object DupClusters {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate labels flowing across edges: neighbor's current label
+      // 1. relax: min over self + neighbor labels; the pre-round label
+      // rides along as min(own-flagged) so convergence needs no re-join
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(false).as("own"))
+      val relaxed = labels
+        .select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
         .union(viaEdges)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("relaxed"),
+          min(when(col("own"), col("cluster_id"))).as("old"))
+      // 2. jump: l(v) ← l(l(v)). Labels are vertex ids, so the parent
+      // lookup is a self-join of the label frame; left + coalesce keeps
+      // the row even if the parent row hasn't materialized yet this round.
+      // Adaptive: dup graphs are overwhelmingly cliques that fix in ≤ 2
+      // relax rounds, where the jump join is pure overhead — only pay
+      // for it once the graph has proven chain-shaped by still moving
+      val jumped =
+        if (iter < 2) relaxed.withColumn("cluster_id", col("relaxed"))
+        else {
+          val parents = relaxed
+            .select(col("doc_id").as("p_id"), col("relaxed").as("p_label"))
+          relaxed
+            .join(parents, col("relaxed") === col("p_id"), "left")
+            .withColumn("cluster_id",
+              least(col("relaxed"), coalesce(col("p_label"), col("relaxed"))))
+        }
+      val next = jumped
+        .select(col("doc_id"), col("cluster_id"), col("old"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-          "doc_id")
-        .filter(col("cluster_id") =!= col("old"))
-        .count()
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist() // ≤ 2 checkpointed copies live at any time
-      labels = next
+      labels = next.drop("old")
       iter += 1
     }
     if (changed > 0) {
