@@ -55,6 +55,42 @@ object EventStreams {
                         windowDur: String = "10 minutes"): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermarkDelay), windowDur)
 
+  /** Interval join: every click of `clicks(user_id, click_id, click_ts)`
+    * paired with the same user's views from `views(user_id, view_id,
+    * view_ts)` where `click_ts − lookbackSec ≤ view_ts ≤ click_ts` — the
+    * attribution-join shape ("which views preceded this click").
+    *
+    * Written against plain DataFrames so the same plan runs in batch and,
+    * via [[intervalJoinStream]], as a stream-stream join. The event-time
+    * bound on BOTH sides is what makes the streaming form feasible: with
+    * watermarks it gives the state store an eviction horizon (a buffered
+    * view older than watermark − lookback can never match a future
+    * click), so state stays bounded no matter how long the streams run.
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, s"lookbackSec must be > 0, got $lookbackSec")
+    val v = views.withColumnRenamed("user_id", "__v_user_id")
+    clicks.join(v,
+        col("user_id") === col("__v_user_id") &&
+          col("view_ts") >= col("click_ts") -
+            expr(s"INTERVAL $lookbackSec SECONDS") &&
+          col("view_ts") <= col("click_ts"))
+      .drop("__v_user_id")
+  }
+
+  /** Stream-stream form of [[intervalJoin]]: both sides watermarked, so
+    * the runtime evicts join state past watermark − lookback and the
+    * append-mode output is final.
+    */
+  def intervalJoinStream(clicks: DataFrame, views: DataFrame,
+                         lookbackSec: Long,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoin(
+      clicks.withWatermark("click_ts", watermarkDelay),
+      views.withWatermark("view_ts", watermarkDelay),
+      lookbackSec)
+
   // =========================================================================
   // Custom stateful sessionization (flatMapGroupsWithState) — the
   // "custom state" extension point the built-in session_window can't

@@ -258,4 +258,58 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est("alpha") >= 3L && est("delta") >= 2L)
   }
+
+  test("interval join pairs clicks with in-window preceding views only (batch)") {
+    val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
+      .toDF("user_id", "click_id", "click_ts")
+    val views = Seq(
+      (1L, 200L, ts(8)),  // 2 min before click 100 → match
+      (1L, 201L, ts(11)), // AFTER the click → no
+      (1L, 202L, ts(1)),  // 9 min before, lookback 5 min → no
+      (2L, 203L, ts(20)), // exactly at click time → match (inclusive)
+      (3L, 204L, ts(10))) // other user → no
+      .toDF("user_id", "view_id", "view_ts")
+    val got = EventStreams.intervalJoin(clicks, views, lookbackSec = 300)
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (101L, 203L)))
+  }
+
+  test("stream-stream interval join equals the batch join on the same data") {
+    val clickIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val viewIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val clicks = clickIn.toDF().toDF("user_id", "click_id", "click_ts")
+    val views = viewIn.toDF().toDF("user_id", "view_id", "view_ts")
+    val joined = EventStreams.intervalJoinStream(clicks, views,
+      lookbackSec = 300, watermarkDelay = "5 minutes")
+      .select($"click_id", $"view_id")
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // views arrive before AND after their click — both orders must join
+      viewIn.addData((1L, 200L, ts(8)), (1L, 202L, ts(1)), (3L, 204L, ts(10)))
+      clickIn.addData((1L, 100L, ts(10)))
+      q.processAllAvailable()
+      clickIn.addData((2L, 101L, ts(20)))
+      viewIn.addData((1L, 201L, ts(11)), (2L, 203L, ts(20)))
+      q.processAllAvailable()
+      // push watermarks forward so all joinable state is flushed
+      clickIn.addData((9L, 999L, ts(59)))
+      viewIn.addData((9L, 998L, ts(59)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ssj_out")
+        .as[(Long, Long)].collect().toSet
+      val batch = EventStreams.intervalJoin(
+          Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)), (9L, 999L, ts(59)))
+            .toDF("user_id", "click_id", "click_ts"),
+          Seq((1L, 200L, ts(8)), (1L, 202L, ts(1)), (3L, 204L, ts(10)),
+            (1L, 201L, ts(11)), (2L, 203L, ts(20)), (9L, 998L, ts(59)))
+            .toDF("user_id", "view_id", "view_ts"),
+          lookbackSec = 300)
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.contains((100L, 200L)) && streamed.contains((101L, 203L)))
+    } finally q.stop()
+  }
 }
