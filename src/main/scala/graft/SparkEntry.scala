@@ -589,6 +589,23 @@ object SparkEntry {
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 
+  /** PQ (product-quantized) ANN top-5 for vec_id 0's vector: per-subspace
+    * k-means codebooks + asymmetric-distance scan (M table lookups per
+    * row, no per-row vector math). Rows-only check like q28 — k-means
+    * training is not DuckDB-replayable.
+    */
+  private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    // m=2/maxIter 2: a usable demo quantizer, not a converged one —
+    // per-subspace training cost dominates this query's bench time
+    // otherwise (each subspace is one spark.ml KMeans fit)
+    val index = Ann.buildPq(emb, m = 2, ks = 16, seed = 42L, maxIter = 2)
+    Ann.pqSearch(index, qVec, k = 5)
+  }
+
   /** The reference's ENTIRE pipeline as one lazy plan: documents →
     * chunk (1→N) → embed (deterministic) → cosine top-5 against the
     * embedding of a fixed query string, threshold after limit — §3.1 +
@@ -1042,6 +1059,7 @@ object SparkEntry {
     "q62_sql_surface" -> (qSqlSurface _),
     "q63_bm25_topk" -> (qBm25TopK _),
     "q64_hybrid_rrf" -> (qHybridRrf _),
+    "q65_pq_topk" -> (qPqTopK _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the

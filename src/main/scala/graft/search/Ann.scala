@@ -191,6 +191,96 @@ object Ann {
     IvfIndex(assigned, centers)
   }
 
+  // =========================================================================
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search"): split the D-dim space into M subspaces, k-means
+  // each subspace to `ks` centroids, store each vector as M small codes
+  // (D×4 bytes → M bytes at ks ≤ 256 — the 100 TB memory story), and
+  // search with asymmetric distance computation: per-query lookup tables
+  // turn the scan into M array lookups + adds per row, no per-row
+  // vector math at all.
+  // =========================================================================
+
+  /** A built PQ index: the corpus with its `codes` column (M small ints)
+    * plus the codebooks, `codebooks(j)(c)` = centroid c of subspace j
+    * (driver-resident; O(m × ks × D/m) = O(ks × D)).
+    */
+  final case class PqIndex(encoded: DataFrame, codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks and encode every vector. M k-means
+    * fits (each over the D/m-dim slice — `trainFraction` samples the
+    * training pass at scale; encoding always covers the full corpus) and
+    * M map-side transforms; the corpus is never shuffled.
+    */
+  def buildPq(corpus: DataFrame, m: Int = 8, ks: Int = 16, seed: Long = 42L,
+              maxIter: Int = 10, vecCol: String = "embedding",
+              trainFraction: Double = 1.0): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m > 0 && ks > 1, s"need m > 0, ks > 1; got m=$m ks=$ks")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
+    val sub = d / m
+    val train0 =
+      if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
+      else corpus
+    val codebooks = Array.ofDim[Array[Array[Double]]](m)
+    var encoded = corpus
+    var j = 0
+    while (j < m) {
+      val sliceVec = array_to_vector(
+        asDouble(slice(col(vecCol), j * sub + 1, sub)))
+      val model = new KMeans()
+        .setK(ks).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("__pq_f").setPredictionCol(s"__pq_c$j")
+        .fit(train0.select(sliceVec.as("__pq_f")))
+      codebooks(j) = model.clusterCenters.map(_.toArray)
+      encoded = model.transform(encoded.withColumn("__pq_f", sliceVec))
+        .drop("__pq_f")
+      j += 1
+    }
+    PqIndex(
+      encoded
+        .withColumn("codes", array((0 until m).map(i => col(s"__pq_c$i")): _*))
+        .drop((0 until m).map(i => s"__pq_c$i"): _*),
+      codebooks)
+  }
+
+  /** PQ asymmetric-distance top-k: the per-subspace tables
+    * `tab(j)(c) = ‖q_j − codebook(j)(c)‖²` are computed DRIVER-side from
+    * the query (O(ks × D) work), embedded as array literals, and the scan
+    * cost per row is M `element_at` lookups + adds — statically unrolled,
+    * codegen-friendly, and independent of D. Approximate squared-L2
+    * ranking, ascending, id tie-break.
+    */
+  def pqSearch(index: PqIndex, queryVec: Seq[Double], k: Int = 5,
+               idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val m = index.codebooks.length
+    val sub = index.codebooks(0)(0).length
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != index dim ${m * sub}")
+    val tabs = Array.tabulate(m) { j =>
+      index.codebooks(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < sub) {
+          val dlt = queryVec(j * sub + i) - c(i); s += dlt * dlt; i += 1
+        }
+        s
+      }
+    }
+    val dist = (0 until m).map { j =>
+      element_at(array(tabs(j).map(lit).toSeq: _*), col("codes")(j) + 1)
+    }.reduce(_ + _)
+    index.encoded
+      .withColumn("approx_dist2", dist)
+      .orderBy(col("approx_dist2").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("approx_dist2"), 6).as("approx_dist2"))
+  }
+
   /** IVF probe: rank centroids against the query DRIVER-side (the
     * centroid table is tiny), then score only the rows of the `nprobe`
     * nearest inverted lists — a partition-pruned scan when the assigned

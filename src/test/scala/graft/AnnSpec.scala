@@ -62,6 +62,86 @@ class AnnSpec extends SparkSpec {
     assert(ids == exact)
   }
 
+  test("PQ: exact when every subspace fits its codebook (zero quantization error)") {
+    // dim 4, m=2 subspaces of 2; each subspace slice takes only 2 distinct
+    // values, ks=2 → k-means must place a centroid ON each value, codes
+    // reconstruct exactly, and the ADC distance IS the true squared L2
+    val a = Seq(0.0f, 0.0f); val b = Seq(4.0f, 4.0f)
+    val vecs = Seq(a ++ a, a ++ b, b ++ a, b ++ b, a ++ a, b ++ b)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val index = Ann.buildPq(df, m = 2, ks = 2, seed = 7L, maxIter = 10)
+    // every code within [0, ks)
+    val codes = index.encoded.select($"codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 2)))
+    val q = Seq(0.0, 0.0, 4.0, 4.0) // == vector 1
+    val got = Ann.pqSearch(index, q, k = 6)
+      .as[(Long, Double)].collect().toMap
+    def l2(v: Seq[Float]): Double =
+      v.map(_.toDouble).zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(got(i.toLong) - l2(v)) < 1e-9,
+        s"vec $i: pq ${got(i.toLong)} != exact ${l2(v)}")
+    }
+  }
+
+  test("PQ recall is exact-set on clustered data (the workload PQ is built for)") {
+    // 5 well-separated cluster centers in 8-dim; 10 members each with a
+    // small deterministic jitter. Query = center 0 → exact top-10 is
+    // cluster 0, and a trained PQ must retrieve exactly that set.
+    val centers = (0 until 5).map(c =>
+      Array.tabulate(8)(i => if ((c + i) % 5 == 0) 10.0f else 0.0f))
+    val vecs = for (c <- 0 until 5; j <- 0 until 10) yield {
+      val v = centers(c).clone()
+      v(j % 8) += 0.1f * ((c * 10 + j) % 7)
+      ((c * 10 + j).toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Ann.buildPq(df, m = 4, ks = 8, seed = 42L, maxIter = 10)
+    val q = centers(0).map(_.toDouble).toSeq
+    val got = Ann.pqSearch(index, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 10L).toSet,
+      s"PQ must retrieve exactly cluster 0, got $got")
+  }
+
+  test("PQ on real embeddings: complete encoding, near-exact distance quality") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qVec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val index = Ann.buildPq(emb, m = 4, ks = 16, seed = 42L, maxIter = 4)
+    assert(index.encoded.count() == emb.count())
+    assert(index.codebooks.length == 4 &&
+      index.codebooks.forall(_.forall(_.length == 16)))
+    // These embeddings are near-random projections (no cluster structure,
+    // razor-thin neighbor margins) — set recall is the wrong metric, so
+    // assert distance QUALITY: the true distances of PQ's picks must be
+    // close to the true distances of the exact top-k.
+    val trueD2 = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("d2",
+        graft.functions.VectorFunctions.dotProduct($"e", $"e")
+          - lit(2.0) * graft.functions.VectorFunctions.dotProduct($"e",
+            array(qVec.map(lit): _*)))
+      .select($"vec_id", $"d2").as[(Long, Double)].collect().toMap
+    val pqIds = Ann.pqSearch(index, qVec, k = 10).collect().map(_.getLong(0))
+    val exactTop = trueD2.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(10).map(_._2)
+    val qNorm = qVec.map(x => x * x).sum // shift d2 ≥ 0 for a valid ratio
+    val pqMean = pqIds.map(trueD2).sum / 10 + qNorm
+    val exMean = exactTop.sum / 10 + qNorm
+    assert(pqMean <= exMean * 1.25,
+      s"PQ picks' true mean distance $pqMean vs exact $exMean")
+  }
+
+  test("PQ input validation: dim divisibility, k, query dim") {
+    intercept[IllegalArgumentException](Ann.buildPq(corpus, m = 3))
+    val idx = Ann.buildPq(corpus, m = 2, ks = 2, seed = 1L)
+    intercept[IllegalArgumentException](Ann.pqSearch(idx, Seq(1.0, 2.0), k = 1))
+    intercept[IllegalArgumentException](
+      Ann.pqSearch(idx, Seq(1.0, 2.0, 3.0, 4.0), k = 0))
+  }
+
   test("countSketchProject: deterministic, linear, approximately angle-preserving") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(40)(i =>
