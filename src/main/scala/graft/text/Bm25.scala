@@ -64,11 +64,17 @@ object Bm25 {
     require(n > 0, "BM25 over an empty corpus")
     val avgdl = g.getLong(1).toDouble / n
 
+    // localCheckpoint: tf feeds BOTH the score join and the df aggregate;
+    // without materialization Spark re-scans and re-tokenizes the whole
+    // corpus for the second consumer (no common-subplan reuse across
+    // different aggregates). The checkpointed frame is postings of the
+    // query terms only — tiny relative to the corpus.
     val tf = base
       .select(col(idCol), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(eager = true)
 
     val dfreq = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
