@@ -589,6 +589,46 @@ object SparkEntry {
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 
+  /** PII scrubbing (TextAnalysis.redactPii): contact strings are BUILT
+    * deterministically from the customer table (name + synthetic email /
+    * phone / account number — the testdata has no native PII columns),
+    * then redacted with the lookahead-free patterns both regex engines
+    * interpret identically. Output carries the redacted text plus the
+    * per-class audit counts from the unredacted form.
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val phonePart = when(k % 2 === 0,
+      concat(lit(" ph "), ((k % 900) + 100).cast("string"), lit("-"),
+        (((k * 7) % 900) + 100).cast("string"), lit("-"),
+        (((k * 13) % 9000) + 1000).cast("string"))).otherwise(lit(""))
+    val cardPart = when(k % 3 === 0,
+      concat(lit(" ref "),
+        lpad(((k * 7919) % 1000000000000L).cast("string"), 16, "0")))
+      .otherwise(lit(""))
+    val contact = concat(col("c_name"), lit(" <user"), k.cast("string"),
+      lit("@mail.example.com>"), phonePart, cardPart)
+    rd(s, dir, "customer")
+      .filter(k < 20)
+      .select(k.as("c_custkey"),
+        TextAnalysis.redactPii(contact).as("redacted"),
+        TextAnalysis.piiCounts(contact).as("__pii"))
+      .select(col("c_custkey"), col("redacted"),
+        col("__pii.emails").as("emails"), col("__pii.phones").as("phones"),
+        col("__pii.long_nums").as("long_nums"))
+  }
+
+  /** Cube: document counts/chars across ALL subsets of (source, lang) —
+    * the 4-way grouping-sets companion to q37's rollup, one Expand pass,
+    * one shuffle (GROUPING bitmask disambiguates null-as-total rows).
+    */
+  private def qCubeCounts(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().as("grp"))
+
   /** PQ (product-quantized) ANN top-5 for vec_id 0's vector: per-subspace
     * k-means codebooks + asymmetric-distance scan (M table lookups per
     * row, no per-row vector math). Rows-only check like q28 — k-means
@@ -1060,6 +1100,8 @@ object SparkEntry {
     "q63_bm25_topk" -> (qBm25TopK _),
     "q64_hybrid_rrf" -> (qHybridRrf _),
     "q65_pq_topk" -> (qPqTopK _),
+    "q66_pii_redact" -> (qPiiRedact _),
+    "q67_cube_counts" -> (qCubeCounts _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1673,6 +1715,37 @@ object SparkEntry {
          |SELECT doc_id, text_rank::INT AS text_rank, vec_rank::INT AS vec_rank,
          | round(rrf, 6) AS rrf
          |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q66_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+      val num = "[0-9]{12,19}"
+      s"""WITH c AS (SELECT c_custkey,
+         |  c_name || ' <user' || c_custkey::VARCHAR || '@mail.example.com>' ||
+         |  CASE WHEN c_custkey % 2 = 0 THEN ' ph '
+         |    || ((c_custkey % 900) + 100)::VARCHAR || '-'
+         |    || (((c_custkey * 7) % 900) + 100)::VARCHAR || '-'
+         |    || (((c_custkey * 13) % 9000) + 1000)::VARCHAR ELSE '' END ||
+         |  CASE WHEN c_custkey % 3 = 0 THEN ' ref '
+         |    || lpad(((c_custkey * 7919) % 1000000000000)::VARCHAR, 16, '0')
+         |    ELSE '' END AS contact
+         | FROM customer WHERE c_custkey < 20)
+         |SELECT c_custkey,
+         | regexp_replace(regexp_replace(regexp_replace(contact,
+         |   '$email', '<EMAIL>', 'g'),
+         |   '$phone', '<PHONE>', 'g'),
+         |   '$num', '<NUM>', 'g') AS redacted,
+         | len(regexp_extract_all(contact, '$email'))::BIGINT AS emails,
+         | len(regexp_extract_all(contact, '$phone'))::BIGINT AS phones,
+         | len(regexp_extract_all(contact, '$num'))::BIGINT AS long_nums
+         |FROM c""".stripMargin
+    },
+
+    "q67_cube_counts" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | sum(n_chars)::BIGINT AS total_chars,
+        | GROUPING(source, lang) AS grp
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

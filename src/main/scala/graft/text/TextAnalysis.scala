@@ -151,4 +151,42 @@ object TextAnalysis {
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
   }
+
+  // =========================================================================
+  // PII scrubbing — the redaction pass every training-data pipeline runs
+  // before publishing a corpus. Patterns are deliberately lookahead-free
+  // so the same regex runs under Java's engine and RE2-family engines
+  // (DuckDB) with identical matches.
+  // =========================================================================
+
+  /** Email addresses (user@host.tld). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN phone shapes. */
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** Long digit runs (card/account numbers, 12-19 digits). */
+  val LongNumRe = "[0-9]{12,19}"
+
+  /** Replace each PII class with a typed placeholder. Email first (its
+    * local part may contain digit runs), then phones (dash/dot-grouped
+    * digits would otherwise be eaten by the long-number rule), then bare
+    * long digit runs. Pure map-side expression — fused into the scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-class PII hit counts on the UNredacted text, as one struct
+    * (emails, phones, long_nums) — the audit metric that decides whether
+    * a source needs review before release.
+    */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(EmailRe)).cast("long").as("emails"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("phones"),
+      regexp_count(text, lit(LongNumRe)).cast("long").as("long_nums"))
 }

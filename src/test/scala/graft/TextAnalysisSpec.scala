@@ -153,4 +153,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(2) - 6.0 / 11.0) < 1e-12)
     assert(got(3) == 0.0)
   }
+
+  test("redactPii replaces every class and leaves clean text untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 415-555-0199 or 415.555.0100",
+      "card 4111111111111111 on file",
+      "mixed a@b.io 415-555-0199 ref 123456789012",
+      "clean text, short digits 12345, v1.2.3"
+    ).toDF("text")
+    val got = docs.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "card <NUM> on file")
+    assert(got(3) == "mixed <EMAIL> <PHONE> ref <NUM>")
+    assert(got(4) == "clean text, short digits 12345, v1.2.3")
+  }
+
+  test("piiCounts audits each class on the unredacted text") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("a@b.io c@d.net 415-555-0100 9999888877776666 x")
+      .toDF("text")
+      .select(TextAnalysis.piiCounts(col("text")).as("p"))
+      .select(col("p.emails"), col("p.phones"), col("p.long_nums"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 1L, 1L)))
+  }
 }
