@@ -629,6 +629,36 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"),
         grouping_id().as("grp"))
 
+  /** Bloom runtime pre-filter (graft.ops.Bloom): lineitem rows are
+    * dropped BEFORE the join shuffle unless their l_orderkey might be in
+    * the high-value-orders key set — the explicit form of the runtime
+    * bloom-filter pushdown that decides shuffle volume at 100 TB. The
+    * md5-derived filter is bit-for-bit reproducible in DuckDB, so even
+    * the false-positive count is oracle-exact. Revenue is summed in
+    * integer cents (floor(x·100+0.5)) — order-independent, no float agg.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val words = 64; val probes = 3
+    val keys = rd(s, dir, "orders")
+      .filter(col("o_totalprice") > 495000.0)
+      .select(col("o_orderkey"))
+    val bloom = graft.ops.Bloom.build(keys, "o_orderkey", words, probes)
+    val li = rd(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val cand = graft.ops.Bloom.mightContain(li, bloom, "l_orderkey", words, probes)
+    cand
+      .join(broadcast(keys.withColumn("__hit", lit(1))
+          .withColumnRenamed("o_orderkey", "l_orderkey")),
+        Seq("l_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count(col("__hit")).as("n_matched"),
+        (count(lit(1)) - count(col("__hit"))).as("n_false_positive"),
+        sum(when(col("__hit").isNotNull,
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .otherwise(0L)).as("matched_revenue_cents"))
+  }
+
   /** PQ (product-quantized) ANN top-5 for vec_id 0's vector: per-subspace
     * k-means codebooks + asymmetric-distance scan (M table lookups per
     * row, no per-row vector math). Rows-only check like q28 — k-means
@@ -1102,6 +1132,7 @@ object SparkEntry {
     "q65_pq_topk" -> (qPqTopK _),
     "q66_pii_redact" -> (qPiiRedact _),
     "q67_cube_counts" -> (qCubeCounts _),
+    "q68_bloom_join" -> (qBloomJoin _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1746,6 +1777,37 @@ object SparkEntry {
         | sum(n_chars)::BIGINT AS total_chars,
         | GROUPING(source, lang) AS grp
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+
+    "q68_bloom_join" -> {
+      // replay graft.ops.Bloom bit-for-bit: 64 words × 32 used bits,
+      // 3 md5 probes (DuckDB << raises on bit 63, hence 32-bit words)
+      val words = 64; val probes = 3; val nbits = words * 32
+      def p(i: Int, key: String) =
+        s"('0x'||substr(md5('bf${i}_' || $key::VARCHAR),1,8))::BIGINT % $nbits"
+      val wordAggs = (0 until words).map { w =>
+        (0 until probes).map { i =>
+          s"CASE WHEN (p$i >> 5) = $w THEN (1::BIGINT << (p$i % 32)) ELSE 0 END"
+        }.mkString("bit_or(", " | ", ")")
+      }.mkString("[", ", ", "]")
+      val checks = (0 until probes).map { i =>
+        val bp = s"bp$i"
+        s"((b.bloom[cast(($bp >> 5) as int) + 1] >> ($bp % 32)) & 1) = 1"
+      }.mkString(" AND ")
+      val bpDefs = (0 until probes)
+        .map(i => s"${p(i, "l_orderkey")} AS bp$i").mkString(", ")
+      s"""WITH keys AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 495000.0),
+         | pos AS (SELECT ${(0 until probes).map(i => s"${p(i, "o_orderkey")} AS p$i").mkString(", ")} FROM keys),
+         | b AS (SELECT $wordAggs AS bloom FROM pos),
+         | li AS (SELECT l_orderkey, l_extendedprice, $bpDefs FROM lineitem),
+         | cand AS (SELECT l_orderkey, l_extendedprice FROM li, b WHERE $checks)
+         |SELECT count(*) AS n_candidates,
+         | count(k.o_orderkey) AS n_matched,
+         | (count(*) - count(k.o_orderkey))::BIGINT AS n_false_positive,
+         | sum(CASE WHEN k.o_orderkey IS NOT NULL
+         |   THEN floor(l_extendedprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+         |   AS matched_revenue_cents
+         |FROM cand LEFT JOIN keys k ON cand.l_orderkey = k.o_orderkey""".stripMargin
+    },
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
