@@ -1,0 +1,152 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+import graft.search.Search
+import graft.stats.Stats
+
+/** The reference store's full endpoint surface as one library facade —
+  * what a user of `mock_vector_db_api.py` programs against, re-expressed
+  * over a parquet-backed corpus:
+  *
+  *   POST /add_documents → [[addDocuments]]  (S7 append, F5 validation)
+  *   POST /query         → [[query]]/[[queryVec]] (Q1-Q5 + quirks 7/8)
+  *   GET  /stats         → [[stats]]         (A1-A5 report)
+  *   POST /clear         → [[clear]]         (S8 backup-then-truncate)
+  *   GET  /health        → [[health]]        (S9 probe)
+  *
+  * Reference parity quirks preserved (SURVEY.md §2.9): re-ingest APPENDS
+  * duplicates (5); invalid `topK` silently coerces to 5 (7,
+  * `mock_vector_db_api.py:254-256`); a query-vector dimension mismatch is
+  * a hard error checked against the corpus (8, `:270-272`); schema-invalid
+  * rows are dropped, not fatal (F5, `:181-190`); the score threshold
+  * applies AFTER the top-k slice (1).
+  *
+  * Where the reference rewrites the entire JSON store on every 100-doc
+  * batch (its measured O(corpus) bottleneck, SURVEY.md §1.4), this
+  * facade appends parquet — O(batch) — and inherits Spark's scan
+  * parallelism for every read path.
+  */
+final class VectorDb(spark: SparkSession, path: String,
+                     embedder: Embedder = Embedder.Default) {
+
+  /** Rows appended / rows dropped by validation (the reference's
+    * add_documents response counts).
+    */
+  final case class AddResult(added: Long, dropped: Long)
+
+  /** Corpus report — the `/stats` JSON shape. */
+  final case class DbStats(totalDocuments: Long, uniqueFiles: Long,
+                           totalContentKb: Double, avgChunksPerFile: Double,
+                           byExtension: Map[String, Long])
+
+  /** Store liveness — the `/health` shape. */
+  final case class Health(status: String, documents: Long, storeExists: Boolean)
+
+  private def storeDir: Path = Paths.get(path)
+
+  /** Run `f` over the store's file listing, closing the stream (a leaked
+    * DirectoryStream exhausts fds in a long-lived service).
+    */
+  private def withListing[A](f: java.util.stream.Stream[Path] => A): A = {
+    val s = Files.list(storeDir)
+    try f(s) finally s.close()
+  }
+
+  private def exists: Boolean =
+    Files.exists(storeDir) && withListing(_.findFirst().isPresent)
+
+  /** The corpus as a DataFrame (empty-schema-free: callers should check
+    * [[health]] first; reads of a never-written store throw like a
+    * missing table would).
+    */
+  def corpus(): DataFrame = spark.read.parquet(path)
+
+  /** S7/F5: validate (embedding + content present) and append. Duplicate
+    * content accumulates — append is the reference's contract (§2.9.5),
+    * dedup is an explicit downstream operator (graft.dedup).
+    */
+  def addDocuments(docs: DataFrame): AddResult = {
+    require(docs.columns.contains("embedding") && docs.columns.contains("content"),
+      "documents need `embedding` and `content` columns " +
+        s"(got: ${docs.columns.mkString(", ")})")
+    val n = docs.count()
+    val valid = docs.filter(col("embedding").isNotNull && col("content").isNotNull)
+    val nValid = valid.count()
+    valid.write.mode("append").parquet(path)
+    AddResult(nValid, n - nValid)
+  }
+
+  /** Q1-Q5: embed the query text with the store's embedder and run the
+    * exact cosine top-k (threshold 0.1 AFTER the limit — §2.9.1).
+    * Invalid `topK` (≤ 0) silently coerces to 5 (§2.9.7).
+    */
+  def query(text: String, topK: Int = 5, idCol: String = "path"): DataFrame =
+    queryVec(embedder.embed(text).map(_.toDouble).toSeq, topK, idCol)
+
+  /** Query with a caller-supplied vector; its dimension must match the
+    * corpus's (checked against one stored row, like the reference checks
+    * `embeddings[0]` — §2.9.8) and an empty corpus is a hard error
+    * (`mock_vector_db_api.py:258-260`).
+    */
+  def queryVec(vec: Seq[Double], topK: Int = 5, idCol: String = "path"): DataFrame = {
+    val k = if (topK <= 0) 5 else topK // quirk 7: silent coercion
+    val c = corpus()
+    val sample = c.select(size(col("embedding"))).head(1)
+    if (sample.isEmpty) throw new IllegalStateException(
+      "query against an empty corpus (reference returns HTTP 400 here)")
+    val dim = sample.head.getInt(0)
+    require(vec.length == dim,
+      s"query vector dimension ${vec.length} != corpus dimension $dim")
+    Search.topK(c, vec, k = k, threshold = 0.1, idCol = idCol,
+      vecCol = "embedding")
+  }
+
+  /** A1-A5: the `/stats` report in one pass over the corpus (plus the
+    * tiny per-extension histogram), computed with the same last-wins
+    * semantics the reference's chunk map has (§2.9.6).
+    */
+  def stats(orderCol: String = "ingested_at"): DbStats = {
+    val c = corpus()
+    val base = Stats.corpusStats(c, "path", "content").head()
+    val avg = Stats.avgChunksPerFile(c, "path", "total_chunks", orderCol)
+      .head().getDouble(0)
+    val byExt = c
+      .groupBy(coalesce(col("extension"), lit("unknown")).as("extension"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DbStats(base.getLong(0), base.getLong(1), base.getDouble(2), avg, byExt)
+  }
+
+  /** S8: timestamped backup copy, then truncate. Returns the backup
+    * location (None when there was nothing to back up). The backup is a
+    * file-level copy — the parquet analog of the reference's
+    * `documents.json.backup_<ts>` (`mock_vector_db_api.py:66-74`).
+    */
+  def clear(backup: Boolean = true): Option[String] = {
+    if (!Files.exists(storeDir)) return None
+    val bak =
+      if (backup && exists) {
+        val dst = Paths.get(s"$path.backup_${System.currentTimeMillis()}")
+        Files.createDirectories(dst)
+        withListing(_.forEach { f =>
+          Files.copy(f, dst.resolve(f.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
+        })
+        Some(dst.toString)
+      } else None
+    // truncate: remove data files; the directory stays (an empty store)
+    withListing(_.forEach(f => Files.deleteIfExists(f)))
+    bak
+  }
+
+  /** S9: row count + store existence (the reference's health payload). */
+  def health(): Health = {
+    val ok = exists
+    val n = if (ok) corpus().count() else 0L
+    Health(if (ok) "healthy" else "empty", n, ok)
+  }
+}
