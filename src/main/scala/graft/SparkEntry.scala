@@ -629,6 +629,42 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"),
         grouping_id().as("grp"))
 
+  /** Bigram vocabulary: top-20 word bigrams corpus-wide with term and
+    * document frequency — the n-gram LM statistics pass (unigram
+    * companion: q43). The bigram array is built per row (no shuffle),
+    * exploded, and aggregated; top-k is TakeOrderedAndProject.
+    */
+  private def qBigrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val w = filter(TextAnalysis.tokens(col("text")), t => t =!= "")
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  /** Cross-modal retrieval shape: media payloads → deterministic
+    * byte-bucket embeddings (Multimodal.byteBucketEmbedding — the
+    * codec-free stand-in for a model embedding) → exact cosine top-10
+    * against media_id 0's vector. The whole pipeline (bytes → vector →
+    * similarity) is oracle-replayed from hex(encode(text)).
+    */
+  private def qCrossModal(s: SparkSession, dir: String): DataFrame = {
+    val emb = Multimodal.byteBucketEmbedding(mediaOf(s, dir), buckets = 64)
+    val qrow = emb.filter(col("media_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    graft.search.Search
+      .topKFromRow(emb, qrow, "query_vec", k = 10, threshold = 0.1,
+        idCol = "media_id")
+      .select(col("media_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Bloom runtime pre-filter (graft.ops.Bloom): lineitem rows are
     * dropped BEFORE the join shuffle unless their l_orderkey might be in
     * the high-value-orders key set — the explicit form of the runtime
@@ -1133,6 +1169,8 @@ object SparkEntry {
     "q66_pii_redact" -> (qPiiRedact _),
     "q67_cube_counts" -> (qCubeCounts _),
     "q68_bloom_join" -> (qBloomJoin _),
+    "q69_bigrams" -> (qBigrams _),
+    "q70_crossmodal" -> (qCrossModal _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1808,6 +1846,37 @@ object SparkEntry {
          |   AS matched_revenue_cents
          |FROM cand LEFT JOIN keys k ON cand.l_orderkey = k.o_orderkey""".stripMargin
     },
+
+    "q69_bigrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS w
+        | FROM documents),
+        | grams AS (SELECT doc_id,
+        |   unnest([w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)]) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS term_freq,
+        | count(DISTINCT doc_id) AS doc_freq
+        |FROM grams GROUP BY bigram
+        |ORDER BY term_freq DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q70_crossmodal" ->
+      s"""WITH b AS (SELECT doc_id AS media_id,
+         |   octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
+         |  FROM documents),
+         | bl AS (SELECT media_id,
+         |   [('0x' || substr(hx, 2*i+1, 2))::BIGINT % 64
+         |     for i in range(0, n_bytes)] AS bs
+         |  FROM b),
+         | emb AS (SELECT media_id,
+         |   [len(list_filter(bs, x -> x = bkt))::DOUBLE
+         |     for bkt in range(0, 64)] AS e
+         |  FROM bl),
+         | qv AS (SELECT e AS q FROM emb WHERE media_id = 0),
+         | scored AS (SELECT media_id, $CosSql AS score FROM emb, qv),
+         | topk AS (SELECT * FROM scored ORDER BY score DESC, media_id ASC LIMIT 10)
+         |SELECT media_id, round(score, 6) AS score FROM topk
+         |WHERE score >= 0.1""".stripMargin,
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

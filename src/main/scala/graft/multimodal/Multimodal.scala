@@ -214,6 +214,39 @@ object Multimodal {
     * Expects (media_id, payload); emits
     * (media_id, n_bytes, entropy, mean_byte, n_distinct_bytes).
     */
+  /** Deterministic byte-bucket embedding: `buckets`-dim vector where
+    * component b counts payload bytes ≡ b (mod buckets) — a codec-free
+    * media fingerprint that makes cross-modal retrieval (media ⋈ cosine
+    * top-k, q70) oracle-replayable from the raw bytes. A real pipeline
+    * swaps this for a model embedding behind the same (id, embedding)
+    * contract; the Spark shape (one JVM pass per payload, mapPartitions,
+    * no shuffle) is identical either way.
+    */
+  def byteBucketEmbedding(media: DataFrame, buckets: Int = 64,
+                          idCol: String = "media_id",
+                          payloadCol: String = "payload"): DataFrame = {
+    require(buckets > 0 && buckets <= 256, s"need 0 < buckets <= 256, got $buckets")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val enc = Encoders.row(schema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          val v = new Array[Double](buckets)
+          var i = 0
+          while (i < payload.length) {
+            v((payload(i) & 0xff) % buckets) += 1.0; i += 1
+          }
+          Row(id, v.toSeq)
+        }
+      }(enc)
+  }
+
   def payloadFeatures(media: DataFrame,
                       idCol: String = "media_id",
                       payloadCol: String = "payload"): DataFrame = {

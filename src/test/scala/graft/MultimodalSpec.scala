@@ -93,4 +93,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.rdd.getNumPartitions > 1)
     assert(out.count() == 64)
   }
+
+  test("byteBucketEmbedding counts bytes mod buckets; bad rows degrade") {
+    // bytes 0x41('A')=65 → bucket 1 (mod 64); 0x01 → bucket 1; 0xFF=255 → 63
+    val payload = Array[Byte](0x41, 0x01, -1) // -1 = 0xFF unsigned
+    val out = Multimodal.byteBucketEmbedding(
+        mediaDf(Seq((7L, payload, "image", 1, 3))), buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(out.length == 1)
+    val (id, v) = out.head
+    assert(id == 7L && v.length == 64)
+    assert(v(1) == 2.0 && v(63) == 1.0 && v.sum == 3.0)
+    intercept[IllegalArgumentException](
+      Multimodal.byteBucketEmbedding(mediaDf(Seq.empty), buckets = 0))
+  }
 }
