@@ -1817,26 +1817,27 @@ object SparkEntry {
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
 
     "q68_bloom_join" -> {
-      // replay graft.ops.Bloom bit-for-bit: 64 words × 32 used bits,
-      // 3 md5 probes (DuckDB << raises on bit 63, hence 32-bit words)
+      // replay graft.ops.Bloom bit-for-bit: 64 words × 32 used bits
+      // (DuckDB << raises on bit 63), Kirsch–Mitzenmacher double hashing
+      // from ONE md5 per key: p_i = (h1 + i·h2) mod nbits
       val words = 64; val probes = 3; val nbits = words * 32
-      def p(i: Int, key: String) =
-        s"('0x'||substr(md5('bf${i}_' || $key::VARCHAR),1,8))::BIGINT % $nbits"
+      def hDef(key: String) =
+        s"('0x'||substr(md5('bf_' || $key::VARCHAR),1,15))::BIGINT"
+      def p(i: Int) = s"((h % 1073741824) + $i * ((h >> 30) * 2 + 1)) % $nbits"
       val wordAggs = (0 until words).map { w =>
         (0 until probes).map { i =>
           s"CASE WHEN (p$i >> 5) = $w THEN (1::BIGINT << (p$i % 32)) ELSE 0 END"
         }.mkString("bit_or(", " | ", ")")
       }.mkString("[", ", ", "]")
       val checks = (0 until probes).map { i =>
-        val bp = s"bp$i"
+        val bp = s"(${p(i)})"
         s"((b.bloom[cast(($bp >> 5) as int) + 1] >> ($bp % 32)) & 1) = 1"
       }.mkString(" AND ")
-      val bpDefs = (0 until probes)
-        .map(i => s"${p(i, "l_orderkey")} AS bp$i").mkString(", ")
       s"""WITH keys AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 495000.0),
-         | pos AS (SELECT ${(0 until probes).map(i => s"${p(i, "o_orderkey")} AS p$i").mkString(", ")} FROM keys),
+         | kh AS (SELECT ${hDef("o_orderkey")} AS h FROM keys),
+         | pos AS (SELECT ${(0 until probes).map(i => s"${p(i)} AS p$i").mkString(", ")} FROM kh),
          | b AS (SELECT $wordAggs AS bloom FROM pos),
-         | li AS (SELECT l_orderkey, l_extendedprice, $bpDefs FROM lineitem),
+         | li AS (SELECT l_orderkey, l_extendedprice, ${hDef("l_orderkey")} AS h FROM lineitem),
          | cand AS (SELECT l_orderkey, l_extendedprice FROM li, b WHERE $checks)
          |SELECT count(*) AS n_candidates,
          | count(k.o_orderkey) AS n_matched,

@@ -23,9 +23,18 @@ object Bloom {
 
   val BitsPerWord = 32
 
-  private def pos(i: Int, key: String, nbits: Int) =
-    pmod(HashFunctions.md5Int32(
-      concat(lit(s"bf${i}_"), col(key).cast("string"))), lit(nbits))
+  /** Kirsch–Mitzenmacher double hashing: ONE md5 per row (the md5 is the
+    * probe cost at fact-table scale — k independent hashes tripled the
+    * per-row work for no FP benefit), split into h1/h2 and combined as
+    * p_i = (h1 + i·h2) mod nbits, h2 forced odd so every residue is
+    * reachable when nbits is a power of two.
+    */
+  private def h60(key: String) =
+    HashFunctions.md5Int60(concat(lit("bf_"), col(key).cast("string")))
+
+  private def pos(i: Int, h1: org.apache.spark.sql.Column,
+                  h2: org.apache.spark.sql.Column, nbits: Int) =
+    pmod(h1 + lit(i.toLong) * h2, lit(nbits.toLong))
 
   /** Build a 1-row (`bloom: array<bigint>`) filter from `keys(keyCol)`.
     * `words × 32` bits, `probes` positions per key. Size for
@@ -36,8 +45,11 @@ object Bloom {
     require(words > 0 && probes > 0, s"need words/probes > 0, got $words/$probes")
     val nbits = words * BitsPerWord
     var df = keys.select(col(keyCol))
+      .withColumn("__h", h60(keyCol))
+      .withColumn("__h1", pmod(col("__h"), lit(1073741824L)))
+      .withColumn("__h2", shiftright(col("__h"), 30) * 2 + 1)
     for (i <- 0 until probes)
-      df = df.withColumn(s"__p$i", pos(i, keyCol, nbits))
+      df = df.withColumn(s"__p$i", pos(i, col("__h1"), col("__h2"), nbits))
     val aggs = (0 until words).map { w =>
       val contrib = (0 until probes).map { i =>
         when(shiftright(col(s"__p$i"), 5) === w,
@@ -60,13 +72,17 @@ object Bloom {
                    words: Int = 8, probes: Int = 3): DataFrame = {
     val nbits = words * BitsPerWord
     var out = df.crossJoin(broadcast(bloomRow))
+      .withColumn("__h", h60(keyCol))
+      .withColumn("__h1", pmod(col("__h"), lit(1073741824L)))
+      .withColumn("__h2", shiftright(col("__h"), 30) * 2 + 1)
     for (i <- 0 until probes)
-      out = out.withColumn(s"__bp$i", pos(i, keyCol, nbits))
+      out = out.withColumn(s"__bp$i", pos(i, col("__h1"), col("__h2"), nbits))
     val hits = (0 until probes).map { i =>
       expr(s"(shiftright(element_at(bloom, cast(shiftright(__bp$i, 5) as int) + 1), " +
         s"cast(__bp$i % $BitsPerWord as int)) & 1) = 1")
     }.reduce(_ && _)
     out.filter(hits)
-      .drop((0 until probes).map(i => s"__bp$i") :+ "bloom": _*)
+      .drop((0 until probes).map(i => s"__bp$i") ++
+        Seq("__h", "__h1", "__h2", "bloom"): _*)
   }
 }
