@@ -35,6 +35,18 @@ class BloomSpec extends SparkSpec {
     assert(rows.head.forall(w => (w >>> 32) == 0L))
   }
 
+  test("native probe kernel == Column-expression witness phrasing") {
+    val keys = (0L until 80L by 3L).toDF("k")
+    val bloom = Bloom.build(keys, "k", words = 4, probes = 3)
+    val mixed = (0L until 500L).toDF("k")
+    val native = Bloom.mightContain(mixed, bloom, "k", words = 4, probes = 3)
+      .as[Long].collect().sorted
+    val witness = Bloom.mightContainExpr(mixed, bloom, "k", words = 4, probes = 3)
+      .as[Long].collect().sorted
+    assert(native.sameElements(witness))
+    assert(native.nonEmpty)
+  }
+
   test("helper columns are dropped and input validated") {
     val keys = Seq(1L).toDF("k")
     val bloom = Bloom.build(keys, "k")
