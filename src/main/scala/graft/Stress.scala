@@ -81,17 +81,24 @@ object Stress {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try fn(spark, workDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[stress] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, workDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[stress] $name failed: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - q0) / 1e9
-      System.err.println(f"[stress] $name%-24s $sec%8.3f s")
-      name -> sec
+      System.err.println(f"[stress] $name%-24s $sec%8.3f s${if (ok) "" else "  FAILED"}")
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // Failed queries are excluded from the total and reported separately —
+    // a battery with crashes must not read as a clean stress_total.
+    val passed = results.filter(_._3)
+    val failed = results.filterNot(_._3).map(_._1)
+    val qs = passed.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"stress_total","value":${results.map(_._2).sum}%.3f,"unit":"sec","factor":$factor,"queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"stress_total","value":${passed.map(_._2).sum}%.3f,"unit":"sec","factor":$factor,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -96,9 +96,12 @@ final class VectorDb(spark: SparkSession, path: String,
   def queryVec(vec: Seq[Double], topK: Int = 5, idCol: String = "path"): DataFrame = {
     val k = if (topK <= 0) 5 else topK // quirk 7: silent coercion
     val c = corpus()
-    val sample = c.select(size(col("embedding"))).head(1)
+    // Sample a non-null embedding: rows written by paths other than
+    // addDocuments may carry nulls, and size(null) would NPE here.
+    val sample = c.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
     if (sample.isEmpty) throw new IllegalStateException(
-      "query against an empty corpus (reference returns HTTP 400 here)")
+      "query against a corpus with no embeddings (reference returns HTTP 400 here)")
     val dim = sample.head.getInt(0)
     require(vec.length == dim,
       s"query vector dimension ${vec.length} != corpus dimension $dim")
@@ -127,19 +130,40 @@ final class VectorDb(spark: SparkSession, path: String,
     * file-level copy — the parquet analog of the reference's
     * `documents.json.backup_<ts>` (`mock_vector_db_api.py:66-74`).
     */
+  /** Depth-first listing of everything under `root` except `root` itself,
+    * deepest entries last — reverse it to delete children before parents.
+    * A partitioned parquet write produces subdirectories, so both backup
+    * and truncate must walk the tree, not just the top-level listing.
+    */
+  private def walkTree(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try {
+      val b = Seq.newBuilder[Path]
+      s.forEach(p => if (p != root) b += p)
+      b.result()
+    } finally s.close()
+  }
+
   def clear(backup: Boolean = true): Option[String] = {
     if (!Files.exists(storeDir)) return None
+    val entries = walkTree(storeDir)
     val bak =
       if (backup && exists) {
         val dst = Paths.get(s"$path.backup_${System.currentTimeMillis()}")
         Files.createDirectories(dst)
-        withListing(_.forEach { f =>
-          Files.copy(f, dst.resolve(f.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
-        })
+        entries.foreach { f =>
+          val target = dst.resolve(storeDir.relativize(f))
+          if (Files.isDirectory(f)) Files.createDirectories(target)
+          else {
+            Files.createDirectories(target.getParent)
+            Files.copy(f, target, StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        }
         Some(dst.toString)
       } else None
-    // truncate: remove data files; the directory stays (an empty store)
-    withListing(_.forEach(f => Files.deleteIfExists(f)))
+    // truncate: remove contents deepest-first; the directory stays (an
+    // empty store)
+    entries.reverse.foreach(f => Files.deleteIfExists(f))
     bak
   }
 

@@ -46,6 +46,21 @@ case class BloomMightContain(child: Expression, words: Array[Long], probes: Int)
       s"${ev.value} = graft.functions.BloomMightContain.check($a, $wordsRef, $probes);")
   }
 
+  // Case-class equality on an Array parameter is reference-based, which
+  // would make two semantically identical probes never compare equal and
+  // silently defeat canonicalization-based dedup (common filter
+  // elimination, semanticEquals). Compare the filter by value.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && probes == b.probes &&
+        java.util.Arrays.equals(words, b.words)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(probes),
+      Integer.valueOf(java.util.Arrays.hashCode(words)))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * +,−,×,÷ keeps every score a deterministic IEEE-754 expression both
   * Spark and the DuckDB oracle evaluate bit-identically (no libm).
   *
+  * Caveat for callers comparing against external BM25 implementations:
+  * for MULTI-term queries the cross-term weighting differs from the
+  * standard log-idf form — without the log's compression, rare terms
+  * contribute far more relative weight — so multi-term document rankings
+  * can deviate from e.g. Lucene's ordering even though each individual
+  * term's ranking is identical.
+  *
   * Scale notes:
   *  - document length `dl` is a per-row expression over the token array —
   *    no corpus-wide shuffle just to count tokens;

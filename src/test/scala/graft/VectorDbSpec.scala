@@ -80,6 +80,30 @@ class VectorDbSpec extends SparkSpec {
     intercept[Exception](db.query("anything"))
   }
 
+  test("clear backs up then truncates a PARTITIONED store (S8)") {
+    val (db, dir) = freshDb()
+    // a partitioned write puts data files in subdirectories — backup and
+    // truncate must walk the tree, not just the top-level listing
+    sampleCorpus().write.partitionBy("extension").mode("append").parquet(dir)
+    val bak = db.clear()
+    assert(bak.isDefined)
+    assert(db.health().status == "empty")
+    assert(spark.read.parquet(bak.get).count() == 3L)
+    db.addDocuments(sampleCorpus())
+    assert(db.health().documents == 3L)
+  }
+
+  test("queryVec skips null embeddings when sampling the corpus dimension") {
+    val (db, dir) = freshDb()
+    // a null embedding written by a path other than addDocuments must not
+    // NPE the dimension check
+    sampleCorpus()
+      .withColumn("embedding",
+        when(col("path") === "a.md", lit(null)).otherwise(col("embedding")))
+      .write.mode("append").parquet(dir)
+    assert(db.query("vector database", topK = 2).count() >= 1)
+  }
+
   test("clear backs up then truncates (S8)") {
     val (db, dir) = freshDb()
     db.addDocuments(sampleCorpus())
