@@ -583,9 +583,11 @@ object SparkEntry {
     val qVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    // maxIter 4: a demo probe needs a usable quantizer, not a converged
-    // one — training cost dominates this query's bench time otherwise
-    val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L, maxIter = 4)
+    // maxIter 4 + seeded random init: a demo probe needs a usable
+    // quantizer, not a converged one — training cost (especially the
+    // k-means|| init jobs) dominates this query's bench time otherwise
+    val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L, maxIter = 4,
+      initMode = "random")
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
   }
 
@@ -705,10 +707,11 @@ object SparkEntry {
     val qVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    // m=2/maxIter 2: a usable demo quantizer, not a converged one —
-    // per-subspace training cost dominates this query's bench time
+    // m=2/maxIter 2/random init: a usable demo quantizer, not a converged
+    // one — per-subspace training cost dominates this query's bench time
     // otherwise (each subspace is one spark.ml KMeans fit)
-    val index = Ann.buildPq(emb, m = 2, ks = 16, seed = 42L, maxIter = 2)
+    val index = Ann.buildPq(emb, m = 2, ks = 16, seed = 42L, maxIter = 2,
+      initMode = "random")
     Ann.pqSearch(index, qVec, k = 5)
   }
 

@@ -139,13 +139,17 @@ object Ann {
     * transform; the assignment join never shuffles the corpus.
     */
   def buildIvf(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42L,
-               maxIter: Int = 10, vecCol: String = "embedding"): IvfIndex = {
+               maxIter: Int = 10, vecCol: String = "embedding",
+               initMode: String = "k-means||"): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("__fv",
       array_to_vector(asDouble(col(vecCol))))
+    // initMode "random" (seeded, deterministic) skips the k-means|| init
+    // passes — several whole-corpus jobs that dominate training cost when
+    // the caller wants a usable coarse quantizer, not a converged one
     val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("__fv").setPredictionCol("centroid_id")
       .fit(withVec)
     IvfIndex(model.transform(withVec).drop("__fv"),
@@ -214,7 +218,8 @@ object Ann {
     */
   def buildPq(corpus: DataFrame, m: Int = 8, ks: Int = 16, seed: Long = 42L,
               maxIter: Int = 10, vecCol: String = "embedding",
-              trainFraction: Double = 1.0): PqIndex = {
+              trainFraction: Double = 1.0,
+              initMode: String = "k-means||"): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(m > 0 && ks > 1, s"need m > 0, ks > 1; got m=$m ks=$ks")
@@ -233,7 +238,7 @@ object Ann {
       val sliceVec = array_to_vector(
         asDouble(slice(col(vecCol), j * sub + 1, sub)))
       val model = new KMeans()
-        .setK(ks).setSeed(seed + j).setMaxIter(maxIter)
+        .setK(ks).setSeed(seed + j).setMaxIter(maxIter).setInitMode(initMode)
         .setFeaturesCol("__pq_f").setPredictionCol(s"__pq_c$j")
         .fit(train0.select(sliceVec.as("__pq_f")))
       codebooks(j) = model.clusterCenters.map(_.toArray)
