@@ -1101,6 +1101,192 @@ object SparkEntry {
   }
 
   // ===========================================================================
+  // Round-3 additions: binary-code ANN, edit-distance blocking, segment
+  // dedup, mixture weights, containment, decorrelated subquery, RAG
+  // context assembly, Zipf curve, event funnel, MMR re-ranking
+  // ===========================================================================
+
+  /** Binary (sign-bit) Hamming top-10 for vec_id 0's vector
+    * (Ann.hammingTopK): the 32×-compressed scan path — per-row cost is
+    * two XOR+popcount longs, no float math. The oracle checks the
+    * semantics unpacked: hamming = #components whose sign differs.
+    */
+  private def qHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    Ann.hammingTopK(emb, qVec, k = 10)
+  }
+
+  /** Fuzzy near-title pairs via edit distance with blocking: documents
+    * sharing (lang, first token) are candidate pairs; levenshtein over
+    * the 5-token "title" prefix ≤ 8 counts as a fuzzy match. Blocking
+    * turns the O(N²) pair space into per-block self-joins — one equi-join
+    * shuffle on the block key, the classic entity-resolution shape.
+    * Output is the per-(lang, dist) pair histogram.
+    */
+  private def qEditPairs(s: SparkSession, dir: String): DataFrame = {
+    val titles = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 5), " ")
+          .as("title"))
+      .withColumn("blk", substring_index(col("title"), " ", 1))
+    val a = titles.select(col("lang"), col("blk"),
+      col("doc_id").as("id_a"), col("title").as("t_a"))
+    val b = titles.select(col("lang"), col("blk"),
+      col("doc_id").as("id_b"), col("title").as("t_b"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= 8)
+      .groupBy(col("lang"), col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Passage-level exact dedup: non-overlapping 8-token segments, hashed
+    * (md5-prefix, portable); segments appearing in ≥ 2 documents with
+    * their doc- and occurrence-counts. The cross-document-boilerplate
+    * detector — only (hash, doc_id) pairs shuffle, never the text.
+    */
+  private def qSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segLen = 8
+    val w = col("__w")
+    val nSeg = floor(size(w) / segLen).cast("int")
+    rdWide(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+      // guard: sequence(0, -1) would DESCEND for docs shorter than one
+      // segment — emit no segments for those instead
+      .select(col("doc_id"), explode(when(nSeg >= 1,
+        transform(sequence(lit(0), nSeg - 1),
+          j => array_join(slice(w, j * segLen + 1, lit(segLen)), " ")))
+        .otherwise(array().cast("array<string>"))).as("seg"))
+      .groupBy(graft.functions.HashFunctions.md5Int32(col("seg")).as("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Temperature-sampled source mixture weights (α = 0.5): the standard
+    * multi-source training-data recipe — sampling weight ∝ n_docs^α
+    * flattens the source distribution so giant crawls don't drown small
+    * high-quality sources. α = ½ keeps the math inside sqrt (IEEE
+    * correctly-rounded → oracle bit-exact); other α go through pow.
+    * One aggregate + one 20-row window — nothing at corpus scale.
+    */
+  private def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(sqrt(col("n_docs")) /
+          sum(sqrt(col("n_docs"))).over(Window.partitionBy()), 6))
+
+  /** Shingle-containment near-dups (Dedup.containmentNearDups): catches
+    * subset duplication (a doc embedded in a larger one) that symmetric
+    * Jaccard dilutes. Same LSH candidate generation as q14; different
+    * verification metric.
+    */
+  private def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNearDups(rdWide(s, dir, "documents"),
+      minContainment = 0.5)
+
+  /** Correlated-scalar-subquery shape, decorrelated: orders priced above
+    * 1.5× their own customer's average. Spark phrases the correlation as
+    * one window over o_custkey — a single key shuffle, no re-scan per
+    * customer (what Catalyst's decorrelation would produce from the
+    * subquery form).
+    */
+  private def qAboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    rd(s, dir, "orders")
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_above"),
+        round(max(col("cust_avg")), 4).as("cust_avg"))
+      .orderBy(col("n_above").desc, col("o_custkey").asc)
+      .limit(20)
+  }
+
+  /** RAG context assembly — the reference's consumer flow
+    * (`/root/reference/estimate_time.py:30-103` builds an LLM prompt from
+    * retrieved chunks) as an engine operator: BM25 top-10, then include
+    * documents in rank order while the running character total fits the
+    * 800-char context budget. One cumulative window over 10 rows.
+    */
+  private def qRagContext(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val top = graft.text.Bm25.topK(docs, Bm25Terms, k = 10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val w = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("cum_chars"),
+        (col("cum_chars") <= 800).as("included"))
+  }
+
+  /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
+    * corpus fraction — the vocabulary-concentration diagnostic (how much
+    * of the corpus the top-k tokens cover). Cumulative sums stay in
+    * exact integers; only the final fraction divides.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val freqs = rdWide(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ord = Window.orderBy(col("freq").desc, col("token").asc)
+    freqs
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("freq")).over(Window.partitionBy()))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("cum_freq").cast("double") / col("total"), 6).as("cum_frac"))
+  }
+
+  /** Event funnel: users with a view → first click after that view →
+    * first purchase after that click. Each stage is one aggregate over
+    * the previous stage's (small) user set joined back to the events
+    * scan — the standard conversion-analysis shape.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    views.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("2_click_after_view")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("3_purchase_after_click")))
+      .select(col("stage"), col("n_users"))
+  }
+
+  /** MMR-diversified top-5 (Search.mmrTopK) from the top-50 relevance
+    * pool for vec_id 0's vector. Rows-only check (the greedy selection
+    * is a driver-side re-ranker, not SQL-expressible); SearchSpec pins
+    * the selection on hand-computed vectors.
+    */
+  private def qMmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    Search.mmrTopK(emb, qVec, k = 5, lambda = 0.7, poolSize = 50)
+  }
+
+  // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1174,6 +1360,16 @@ object SparkEntry {
     "q68_bloom_join" -> (qBloomJoin _),
     "q69_bigrams" -> (qBigrams _),
     "q70_crossmodal" -> (qCrossModal _),
+    "q71_hamming_topk" -> (qHammingTopK _),
+    "q72_edit_pairs" -> (qEditPairs _),
+    "q73_segment_dedup" -> (qSegmentDedup _),
+    "q74_mixture_weights" -> (qMixtureWeights _),
+    "q75_containment" -> (qContainmentPairs _),
+    "q76_above_avg_orders" -> (qAboveAvgOrders _),
+    "q77_rag_context" -> (qRagContext _),
+    "q78_zipf" -> (qZipf _),
+    "q79_funnel" -> (qFunnel _),
+    "q80_mmr_topk" -> (qMmrTopK _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1881,6 +2077,99 @@ object SparkEntry {
          | topk AS (SELECT * FROM scored ORDER BY score DESC, media_id ASC LIMIT 10)
          |SELECT media_id, round(score, 6) AS score FROM topk
          |WHERE score >= 0.1""".stripMargin,
+
+    // Unpacked semantics of Ann.hammingTopK's packed-word scan: the
+    // Hamming distance between sign codes IS the count of components
+    // whose sign (> 0) differs from the query's.
+    "q71_hamming_topk" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        | qv AS (SELECT e AS q FROM base WHERE vec_id = 0)
+        |SELECT vec_id,
+        | len(list_filter(range(1, len(e) + 1), i -> (e[i] > 0) <> (q[i] > 0)))::BIGINT
+        |   AS hamming
+        |FROM base, qv
+        |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q72_edit_pairs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[1:5], ' ') AS title
+        |  FROM documents),
+        | b AS (SELECT *, split_part(title, ' ', 1) AS blk FROM t),
+        | p AS (SELECT x.lang, levenshtein(x.title, y.title) AS dist
+        |  FROM b x JOIN b y ON x.lang = y.lang AND x.blk = y.blk AND x.doc_id < y.doc_id
+        |  WHERE levenshtein(x.title, y.title) <= 8)
+        |SELECT lang, dist, count(*) AS n_pairs FROM p GROUP BY lang, dist""".stripMargin,
+
+    "q73_segment_dedup" ->
+      s"""WITH words AS (SELECT doc_id,
+         |   regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | segs AS (SELECT doc_id,
+         |   unnest([array_to_string(w[j*8+1 : j*8+8], ' ') for j in range(0, len(w)//8)]) AS seg
+         |  FROM words)
+         |SELECT ${h32Sql("seg")} AS seg_hash,
+         | count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "q74_mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        | round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 6) AS weight
+        |FROM c""".stripMargin,
+
+    "q75_containment" ->
+      s"""WITH $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
+         | SELECT doc_a, doc_b,
+         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / least(len(sa.shingles), len(sb.shingles))::DOUBLE AS containment
+         | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+         |WHERE containment >= 0.5""".stripMargin,
+
+    "q76_above_avg_orders" ->
+      """WITH a AS (SELECT o_custkey, o_totalprice,
+        |   avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_above, round(max(cust_avg), 4) AS cust_avg
+        |FROM a WHERE o_totalprice > 1.5 * cust_avg
+        |GROUP BY o_custkey
+        |ORDER BY n_above DESC, o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q77_rag_context" ->
+      s"""$Bm25Ctes,
+         | topk AS (SELECT doc_id, round(score, 6) AS score,
+         |   row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+         |  FROM bm25 ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10)
+         |SELECT rank, t.doc_id, d.n_chars,
+         | sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_chars,
+         | (sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)) <= 800 AS included
+         |FROM topk t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
+
+    "q78_zipf" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        | f AS (SELECT token, count(*) AS freq FROM toks WHERE token <> '' GROUP BY token),
+        | r AS (SELECT token, freq,
+        |   row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+        |   sum(freq) OVER (ORDER BY freq DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum_freq,
+        |   sum(freq) OVER () AS total FROM f)
+        |SELECT rank, token, freq, round(cum_freq::DOUBLE / total::DOUBLE, 6) AS cum_frac
+        |FROM r WHERE rank <= 30""".stripMargin,
+
+    "q79_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click_after_view' AS stage, count(*) AS n_users FROM c
+        |UNION ALL SELECT '3_purchase_after_click' AS stage, count(*) AS n_users FROM p""".stripMargin,
 
     "q61_lang_coverage" ->
       """WITH observed AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -163,6 +163,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LSH candidates verified with exact shingle CONTAINMENT —
+    * |A∩B| / min(|A|,|B|) over distinct word n-gram shingles. Catches
+    * subset duplication (one document embedded inside a larger one) that
+    * symmetric Jaccard dilutes: a 100-shingle doc fully contained in a
+    * 1000-shingle doc scores containment 1.0 but Jaccard only ~0.1.
+    * Same candidate generation (and therefore the same recall envelope)
+    * as [[nearDupPairs]]; only the verification metric differs. Note the
+    * MinHash bands are tuned for Jaccard, so low-Jaccard/high-containment
+    * pairs surface only when the small side still shares enough bands —
+    * for guaranteed containment recall, band the small doc's shingles
+    * directly (future work; this is the scan-cheap variant).
+    */
+  def containmentNearDups(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3,
+                          minContainment: Double = 0.0,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Benchmark-contamination scan (train/test decontamination): corpus
     * documents sharing ≥ `minShared` distinct word n-gram shingles with
     * any benchmark document. The benchmark side is exploded to

@@ -113,6 +113,61 @@ object Ann {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  // =========================================================================
+  // Binary embeddings: pack the sign bit of every component into 32-bit
+  // words (a 1-bit scalar quantization). A 384-dim float vector becomes
+  // 12 longs-worth of bits — 32× less scan I/O — and Hamming distance
+  // (bit_count over XOR) approximates angular distance (Charikar: the
+  // probability two random-hyperplane sign bits differ is θ/π). The
+  // 100 TB pattern: store the code column alongside (or instead of) the
+  // raw vectors, scan codes for a generous Hamming top-R, then re-rank
+  // the R survivors with exact cosine over the float column.
+  // =========================================================================
+
+  /** Packed sign-bit code: word j holds the sign bits of components
+    * [j·wordBits, (j+1)·wordBits) — bit i of word j set ⟺
+    * vec[j·wordBits + i] > 0. Statically unrolled (one native SignBucket
+    * kernel per word), whole-stage-codegen friendly.
+    */
+  def binaryCode(vec: Column, dim: Int, wordBits: Int = 32): Column = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    require(wordBits >= 1 && wordBits <= 63, s"wordBits in [1,63], got $wordBits")
+    val nWords = (dim + wordBits - 1) / wordBits
+    array((0 until nWords).map { j =>
+      graft.functions.SignBucket(
+        slice(vec, j * wordBits + 1, wordBits), wordBits)
+    }: _*)
+  }
+
+  /** Hamming top-k over packed sign codes: distance = Σ_j
+    * bit_count(code_j XOR queryCode_j), ascending, id tie-break. The
+    * query's code is computed DRIVER-side and inlined as literals, so the
+    * scan is pure integer ops per row — no per-row float math at all.
+    * Semantically: the number of components whose sign differs from the
+    * query's (the DuckDB oracle checks exactly that, unpacked).
+    */
+  def hammingTopK(corpus: DataFrame, queryVec: Seq[Double], k: Int = 10,
+                  wordBits: Int = 32, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val dim = queryVec.length
+    val nWords = (dim + wordBits - 1) / wordBits
+    val qWords = Array.tabulate(nWords) { j =>
+      graft.functions.SignBucket.bucketOf(
+        queryVec.slice(j * wordBits, math.min((j + 1) * wordBits, dim)).toArray,
+        wordBits)
+    }
+    val dist = (0 until nWords).map { j =>
+      bit_count(element_at(col("__code"), j + 1).bitwiseXOR(lit(qWords(j))))
+    }.reduce(_ + _)
+    corpus
+      .withColumn("__code", binaryCode(col(vecCol), dim, wordBits))
+      .withColumn("hamming", dist.cast("long"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("hamming"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

@@ -97,4 +97,66 @@ object Search {
     val q = array(queryVec.map(lit): _*)
     corpus.withColumn("score", CosineSimilarity(col(vecCol), q))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select k results, each maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` — relevance traded
+    * against redundancy with what's already picked.
+    *
+    * Two stages, the production re-ranker shape: (1) the distributed
+    * exact scan keeps only the top `poolSize` candidates by relevance
+    * (TakeOrderedAndProject — per-partition partial top-k, no corpus
+    * shuffle; the ONLY stage that sees the corpus); (2) the O(k·poolSize)
+    * greedy loop runs driver-side over that bounded pool (poolSize × dim
+    * doubles — the same driver residency as any cross-encoder re-ranker).
+    * Ties break by ascending id; all math in Double, so the selection is
+    * deterministic.
+    *
+    * Returns (rank 1..k, idCol, rel, mmr) in selection order.
+    */
+  def mmrTopK(corpus: DataFrame, queryVec: Seq[Double], k: Int = 5,
+              lambda: Double = 0.7, poolSize: Int = 50,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && poolSize >= k, s"need 0 < k <= poolSize, got k=$k pool=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val q = array(queryVec.map(lit): _*)
+    val pool = corpus
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("rel", CosineSimilarity(col("__v"), q))
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(poolSize)
+      .select(col(idCol).cast("long").as("id"), col("rel"), col("__v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val mmr =
+          if (selectedVecs.isEmpty) lambda * rel
+          else lambda * rel - (1.0 - lambda) * selectedVecs.map(cos(v, _)).max
+        (id, rel, mmr)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      val idx = remaining.indexWhere(_._1 == best._1)
+      selectedVecs += remaining(idx)._3
+      remaining.remove(idx)
+      selected += ((rank, best._1, best._2, best._3))
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", idCol, "rel", "mmr")
+      .select(col("rank"), col(idCol),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+  }
 }

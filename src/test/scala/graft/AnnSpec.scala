@@ -190,4 +190,28 @@ class AnnSpec extends SparkSpec {
       Ann.countSketchProject(col("embedding"), 16, 64)
     }
   }
+
+  test("binaryCode packs sign bits into words; hamming counts sign flips") {
+    // dim 4, wordBits 2 → 2 words: word0 = signs of comps 1-2, word1 = 3-4
+    val got = corpus.select($"vec_id",
+        Ann.binaryCode($"embedding", dim = 4, wordBits = 2).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L) == Seq(3L, 2L)) // (+,+) → 11b; (−,+) → 10b
+    assert(got(2L) == Seq(0L, 1L)) // (−,−) → 00b; (+,−) → 01b
+    assert(got(3L) == Seq(3L, 3L))
+
+    // query = vec 0's own vector: hamming 0 to itself and its orthant
+    // twin, 4 to the antipode, 1 to vec 3 (one sign differs)
+    val top = Ann.hammingTopK(corpus, Seq(1.0, 1.0, -1.0, 1.0), k = 4,
+        wordBits = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(top == Map(0L -> 0L, 1L -> 0L, 3L -> 1L, 2L -> 4L))
+  }
+
+  test("hammingTopK respects k with (distance, id) ordering") {
+    val got = Ann.hammingTopK(corpus, Seq(1.0, 1.0, -1.0, 1.0), k = 2,
+        wordBits = 32)
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 0L), (1L, 0L))) // tie on 0 → id order
+  }
 }

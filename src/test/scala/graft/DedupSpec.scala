@@ -186,4 +186,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(loose == Set((10L, 1L, 4L), (11L, 1L, 1L), (1L, 1L, 4L)))
   }
+
+  test("containmentNearDups scores subset duplication that Jaccard dilutes") {
+    val small = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, small),
+      // doc 1 fully embedded in a longer doc: containment 1.0
+      (2L, small + " zeta eta theta iota kappa lambda mu"),
+      (3L, "completely different words here with no shared grams at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(docs, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+    // the same pair under symmetric Jaccard scores 3/10 — diluted away
+    val jac = Dedup.nearDupPairs(docs)
+      .as[(Long, Long, Double)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(jac < 0.5, s"expected diluted jaccard, got $jac")
+  }
 }

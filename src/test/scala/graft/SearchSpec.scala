@@ -68,4 +68,36 @@ class SearchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("mmrTopK diversifies: a redundant near-clone is deferred") {
+    // ids 0 and 1 are near-identical and most relevant; id 2 points in a
+    // distinct direction, so diversity promotes it to rank 2. (The first
+    // pick must NOT be collinear with the query — for any candidate c,
+    // redundancy vs a query-aligned pick equals rel(c), and λ=0.5 then
+    // zeroes every MMR score.)
+    val docs = Seq(
+      (0L, Seq(1.0, 0.1)),
+      (1L, Seq(1.0, 0.12)), // near-clone of 0: sim to it ≈ 0.9999
+      (2L, Seq(0.5, -0.5))  // distinct direction, decent relevance
+    ).toDF("vec_id", "embedding")
+    val got = Search.mmrTopK(docs, Seq(1.0, 0.0), k = 3, lambda = 0.5,
+        poolSize = 3)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().toSeq
+    // plain relevance order would be 0, 1, 2; MMR demotes the clone
+    assert(got == Seq((1, 0L), (2, 2L), (3, 1L)))
+  }
+
+  test("mmrTopK with lambda=1 reduces to plain relevance ranking") {
+    val got = Search.mmrTopK(corpus, Seq(1.0, 0.0), k = 3, lambda = 1.0,
+        poolSize = 5)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 0L), (2, 1L), (3, 2L)))
+  }
+
+  test("mmrTopK validates parameters") {
+    intercept[IllegalArgumentException](
+      Search.mmrTopK(corpus, Seq(1.0, 0.0), k = 10, poolSize = 5))
+    intercept[IllegalArgumentException](
+      Search.mmrTopK(corpus, Seq(1.0, 0.0), k = 1, lambda = 1.5))
+  }
 }
