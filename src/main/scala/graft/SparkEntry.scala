@@ -1273,6 +1273,112 @@ object SparkEntry {
       .select(col("stage"), col("n_users"))
   }
 
+  /** Two-stage binary re-rank — the production ANN shape for
+    * [[graft.search.Ann.hammingTopK]]: stage 1 scans the 32×-compressed
+    * sign codes for a generous Hamming top-50 (integer ops only), stage 2
+    * re-ranks ONLY those 50 survivors with exact cosine over the float
+    * vectors. At 100 TB the float column is never scanned in full; the
+    * candidate join is a 50-row broadcast semi-join back into the corpus.
+    */
+  private def qHammingRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val candidates = Ann.hammingTopK(emb, qVec, k = 50)
+    val rescored = emb
+      .join(broadcast(candidates.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .withColumn("score",
+        graft.functions.CosineSimilarity(
+          col("embedding").cast("array<double>"), array(qVec.map(lit): _*)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+    rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** URL normalization + per-domain stats — the web-crawl curation
+    * primitive. The testdata has no URL column, so URLs are BUILT
+    * deterministically per document (scheme/host-case/www/port/query
+    * noise varied by doc_id), then normalized: lowercase host, strip a
+    * leading "www.", drop default ports, drop the query string. Grouping
+    * by the normalized host gives the per-domain document histogram that
+    * crawl-frequency and robots policies key on.
+    */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val rawUrl = concat(
+      when(k % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(k % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example."), col("lang"),
+      when(k % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), k.cast("string"),
+      when(k % 4 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+    rdWide(s, dir, "documents")
+      .withColumn("__url", rawUrl)
+      // normalize: lowercase scheme+host, strip www., drop :443, drop ?...
+      .withColumn("__host",
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col("__url"), "^[a-zA-Z]+://([^/?]+)", 1)),
+          "^www\\.", ""), ":443$", ""))
+      .groupBy(col("__host").as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_urls"))
+  }
+
+  /** Per-source bigram novelty: the share of a document's distinct word
+    * bigrams that occur in NO other document — the data-curation signal
+    * separating template/boilerplate sources from original text. Corpus
+    * bigram document-frequency is ONE aggregate over exploded distinct
+    * bigrams; novelty joins each doc's bigrams against it (df = 1 ⟺
+    * unique to that doc).
+    */
+  private def qBigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(when(size(col("__w")) >= 2,
+          transform(sequence(lit(0), size(col("__w")) - 2),
+            i => concat_ws(" ", element_at(col("__w"), i + 1),
+              element_at(col("__w"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("bg"))
+    val dfreq = docs.groupBy(col("bg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    docs.join(dfreq, "bg")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("novelty"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("novelty")), 6).as("avg_novelty"))
+  }
+
+  /** Per-language nucleus vocabulary size: the smallest number of tokens
+    * (most frequent first) covering ≥ 80% of that language's token
+    * occurrences — the top-p/coverage diagnostic for tokenizer and
+    * vocab-size decisions. One token aggregate + one per-lang cumulative
+    * window; sums stay in exact integers (coverage compares
+    * cum·10 ≥ total·8 in integer space — no float boundary).
+    */
+  private def qNucleusVocab(s: SparkSession, dir: String): DataFrame = {
+    val freqs = rdWide(s, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+    val ord = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("token").asc)
+    freqs
+      .withColumn("cum", sum(col("freq")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("freq")).over(Window.partitionBy(col("lang"))))
+      // a token is INSIDE the nucleus if the cumulative count up to and
+      // including it has not yet reached 80% BEFORE it (i.e. cum of the
+      // previous row < 0.8·total) — count rows whose own cum-freq minus
+      // freq is below the cutoff, all in integer arithmetic
+      .filter((col("cum") - col("freq")) * 10 < col("total") * 8)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nucleus_size"), max(col("total")).as("total_tokens"))
+  }
+
   /** MMR-diversified top-5 (Search.mmrTopK) from the top-50 relevance
     * pool for vec_id 0's vector. Rows-only check (the greedy selection
     * is a driver-side re-ranker, not SQL-expressible); SearchSpec pins
@@ -1370,6 +1476,10 @@ object SparkEntry {
     "q78_zipf" -> (qZipf _),
     "q79_funnel" -> (qFunnel _),
     "q80_mmr_topk" -> (qMmrTopK _),
+    "q81_hamming_rerank" -> (qHammingRerank _),
+    "q82_url_normalize" -> (qUrlNormalize _),
+    "q83_bigram_novelty" -> (qBigramNovelty _),
+    "q84_nucleus_vocab" -> (qNucleusVocab _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2089,6 +2199,63 @@ object SparkEntry {
         |   AS hamming
         |FROM base, qv
         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Stage 1 (Hamming candidates) replayed unpacked; stage 2 is the
+    // exact-cosine re-rank over only those candidates.
+    "q81_hamming_rerank" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT e AS q FROM base WHERE vec_id = 0),
+         | ham AS (SELECT vec_id,
+         |   len(list_filter(range(1, len(e) + 1), i -> (e[i] > 0) <> (q[i] > 0))) AS h
+         |  FROM base, qv),
+         | cand AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id ASC LIMIT 50),
+         | scored AS (SELECT vec_id, $CosSql AS score
+         |  FROM base JOIN cand USING (vec_id), qv)
+         |SELECT vec_id, round(score, 6) AS score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q82_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |   (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |   (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |   source || '.example.' || lang ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |   '/docs/' || doc_id ||
+        |   (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+        |  FROM documents),
+        | n AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1)),
+        |    '^www\.', ''), ':443$', '') AS host
+        |  FROM u)
+        |SELECT host, count(*) AS n_docs, count(DISTINCT doc_id) AS n_urls
+        |FROM n GROUP BY host""".stripMargin,
+
+    "q83_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | bgs AS (SELECT doc_id, source, unnest(list_distinct(
+        |   CASE WHEN len(w) >= 2
+        |    THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)]
+        |    ELSE []::VARCHAR[] END)) AS bg FROM w),
+        | dfreq AS (SELECT bg, count(DISTINCT doc_id) AS df FROM bgs GROUP BY bg),
+        | nov AS (SELECT doc_id, source,
+        |   sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
+        |  FROM bgs JOIN dfreq USING (bg) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
+        |FROM nov GROUP BY source""".stripMargin,
+
+    "q84_nucleus_vocab" ->
+      """WITH toks AS (SELECT lang,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        | f AS (SELECT lang, token, count(*) AS freq FROM toks
+        |  WHERE token <> '' GROUP BY lang, token),
+        | r AS (SELECT lang, freq,
+        |   sum(freq) OVER (PARTITION BY lang ORDER BY freq DESC, token ASC
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(freq) OVER (PARTITION BY lang) AS total FROM f)
+        |SELECT lang, count(*) AS nucleus_size, max(total)::BIGINT AS total_tokens
+        |FROM r WHERE (cum - freq) * 10 < total * 8 GROUP BY lang""".stripMargin,
 
     "q72_edit_pairs" ->
       """WITH t AS (SELECT doc_id, lang,
