@@ -105,6 +105,61 @@ object EventStreams {
                            session_end: java.sql.Timestamp, n_events: Long,
                            total_value: Double)
 
+  case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** Per-user funnel progress: epoch-millis of each reached stage, −1 =
+    * not reached. O(1) per user — the whole funnel state is three longs.
+    */
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  case class FunnelTransition(user_id: Long, stage: String,
+                              ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel (view → click-after-view →
+    * purchase-after-click), one transition record emitted the moment a
+    * user first reaches each stage — the real-time form of the batch
+    * funnel query (SparkEntry q79). State is O(users) × 3 longs,
+    * key-partitioned across executors like any keyed state.
+    *
+    * Same stage semantics as the batch query when events arrive in
+    * event-time order: the earliest view, the earliest click strictly
+    * after it, the earliest purchase strictly after that. Within a batch
+    * events are folded in event-time order; an event arriving in a LATER
+    * batch with an EARLIER timestamp cannot retract an already-emitted
+    * transition (append mode) — the standard streaming approximation,
+    * bounded by the source's watermark delay.
+    */
+  def funnel(events: Dataset[FunnelEv]): Dataset[FunnelTransition] = {
+    implicit val evEnc = Encoders.product[FunnelEv]
+    implicit val outEnc = Encoders.product[FunnelTransition]
+    implicit val stEnc = Encoders.product[FunnelState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = List.newBuilder[FunnelTransition]
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.tView < 0 =>
+                st = st.copy(tView = t)
+                out += FunnelTransition(user, "1_view", e.ts)
+              case "click" if st.tView >= 0 && st.tClick < 0 && t > st.tView =>
+                st = st.copy(tClick = t)
+                out += FunnelTransition(user, "2_click_after_view", e.ts)
+              case "purchase" if st.tClick >= 0 && st.tPurchase < 0 && t > st.tClick =>
+                st = st.copy(tPurchase = t)
+                out += FunnelTransition(user, "3_purchase_after_click", e.ts)
+              case _ => // stage already reached, or prerequisite missing
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Emit one record per closed session (closed = no event for `gapMs`,
     * detected via event-time timeout on the watermark). State per user is
     * a single running session — O(users) state, watermark-bounded.

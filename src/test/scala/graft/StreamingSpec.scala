@@ -312,4 +312,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((100L, 200L)) && streamed.contains((101L, 203L)))
     } finally q.stop()
   }
+
+  test("streaming funnel emits each stage transition once, in order") {
+    import EventStreams.FunnelEv
+    val input = MemoryStream[FunnelEv](spark)
+    val q = EventStreams.funnel(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // user 1: full conversion; user 2: click BEFORE any view (must not
+      // count), then view — stuck at stage 1; user 3: view+purchase but
+      // no click — purchase must not fire without the click prerequisite
+      input.addData(
+        FunnelEv(1L, ts(1), "view"), FunnelEv(1L, ts(2), "click"),
+        FunnelEv(2L, ts(1), "click"), FunnelEv(2L, ts(3), "view"),
+        FunnelEv(3L, ts(1), "view"), FunnelEv(3L, ts(5), "purchase"))
+      q.processAllAvailable()
+      // second batch: user 1 converts; duplicate view/click are no-ops
+      input.addData(
+        FunnelEv(1L, ts(4), "view"), FunnelEv(1L, ts(5), "click"),
+        FunnelEv(1L, ts(6), "purchase"))
+      q.processAllAvailable()
+
+      val got = spark.table("funnel_out")
+        .select($"user_id", $"stage").as[(Long, String)].collect().toSet
+      assert(got == Set(
+        (1L, "1_view"), (1L, "2_click_after_view"), (1L, "3_purchase_after_click"),
+        (2L, "1_view"),
+        (3L, "1_view")))
+
+      // per-stage user counts match the batch funnel semantics (q79):
+      // earliest view, earliest click strictly after, earliest purchase
+      // strictly after that
+      val stages = spark.table("funnel_out").groupBy($"stage").count()
+        .as[(String, Long)].collect().toMap
+      assert(stages == Map("1_view" -> 3L, "2_click_after_view" -> 1L,
+        "3_purchase_after_click" -> 1L))
+    } finally q.stop()
+  }
 }
