@@ -2310,8 +2310,8 @@ object SparkEntry {
          |   row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
          |  FROM bm25 ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10)
          |SELECT rank, t.doc_id, d.n_chars,
-         | sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_chars,
-         | (sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)) <= 800 AS included
+         | (sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_chars,
+         | (sum(d.n_chars) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING))::BIGINT <= 800 AS included
          |FROM topk t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
 
     "q78_zipf" ->

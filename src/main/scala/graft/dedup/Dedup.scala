@@ -96,10 +96,10 @@ object Dedup {
     * only the 8 small band md5s remain expression-level.
     */
   def minhashBands(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
+                   textCol: String = "text", n: Int = 3): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__w"))
       .select(col(idCol),
-        graft.functions.MinHashSignature(col("__w")).as("__sig"))
+        graft.functions.MinHashSignature(col("__w"), n, NumHashes).as("__sig"))
       .select(col(idCol),
         posexplode(bandHashes(col("__sig"))).as(Seq("band", "band_hash")))
 
@@ -168,8 +168,11 @@ object Dedup {
     * subset duplication (one document embedded inside a larger one) that
     * symmetric Jaccard dilutes: a 100-shingle doc fully contained in a
     * 1000-shingle doc scores containment 1.0 but Jaccard only ~0.1.
-    * Same candidate generation (and therefore the same recall envelope)
-    * as [[nearDupPairs]]; only the verification metric differs. Note the
+    * Candidate generation is the same MinHash-LSH as [[nearDupPairs]],
+    * with the shingle size `n` threaded through to the signature kernel
+    * so candidates and the containment metric always see the same
+    * shingles (at n = 3 this is bit-identical to nearDupPairs'
+    * candidates); only the verification metric differs. Note the
     * MinHash bands are tuned for Jaccard, so low-Jaccard/high-containment
     * pairs surface only when the small side still shares enough bands —
     * for guaranteed containment recall, band the small doc's shingles
@@ -180,7 +183,7 @@ object Dedup {
                           minContainment: Double = 0.0,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
-    candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
+    candidatePairs(minhashBands(docs, idCol, textCol, n), idCol, maxBucketSize)
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("containment",

@@ -161,6 +161,7 @@ object Ann {
       bit_count(element_at(col("__code"), j + 1).bitwiseXOR(lit(qWords(j))))
     }.reduce(_ + _)
     corpus
+      .filter(col(vecCol).isNotNull)
       .withColumn("__code", binaryCode(col(vecCol), dim, wordBits))
       .withColumn("hamming", dist.cast("long"))
       .orderBy(col("hamming").asc, col(idCol).asc)

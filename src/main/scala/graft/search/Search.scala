@@ -121,14 +121,25 @@ object Search {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     val spark = corpus.sparkSession
     val q = array(queryVec.map(lit): _*)
-    val pool = corpus
+    val poolDf = corpus
       .withColumn("__v", asDouble(col(vecCol)))
       .withColumn("rel", CosineSimilarity(col("__v"), q))
       .orderBy(col("rel").desc, col(idCol).asc)
       .limit(poolSize)
-      .select(col(idCol).cast("long").as("id"), col("rel"), col("__v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .select(col(idCol).as("id"), col("rel"), col("__v"))
+    // The id is kept UNTYPED (any orderable Spark type — long doc ids,
+    // string paths, ...) so the output column preserves the input's type;
+    // tie-breaks use the value's natural ordering (all orderable Spark
+    // atomic types collect as java.lang.Comparable).
+    val idType = poolDf.schema("id").dataType
+    val pool = poolDf.collect()
+      .map(r => (r.get(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Comparable[_], y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      case _ => false
+    }
 
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -136,7 +147,7 @@ object Search {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Double, Double)]
     val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
     var rank = 1
@@ -147,15 +158,24 @@ object Search {
           else lambda * rel - (1.0 - lambda) * selectedVecs.map(cos(v, _)).max
         (id, rel, mmr)
       }
-      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      val best = scored.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && idLt(y._1, x._1))) y else x
+      }
       val idx = remaining.indexWhere(_._1 == best._1)
       selectedVecs += remaining(idx)._3
       remaining.remove(idx)
       selected += ((rank, best._1, best._2, best._3))
       rank += 1
     }
-    import spark.implicits._
-    selected.toSeq.toDF("rank", idCol, "rel", "mmr")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField(idCol, idType),
+      StructField("rel", DoubleType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false)))
+    val rows = selected.toSeq.map { case (r, id, rel, mmr) => Row(r, id, rel, mmr) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .select(col("rank"), col(idCol),
         round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
   }
