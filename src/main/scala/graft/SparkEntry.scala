@@ -502,9 +502,18 @@ object SparkEntry {
   private def qMinhashBands(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashBands(rdWide(s, dir, "documents"))
 
-  /** LSH candidate pairs verified with exact n-gram Jaccard. */
+  /** LSH candidate pairs verified with exact n-gram Jaccard.
+    *
+    * The gate runs with the hot-bucket guard ON (`maxBucketSize = 64`):
+    * at corpus scale a boilerplate band bucket of size b emits b²/2
+    * candidate pairs, and skipping non-discriminative over-full buckets
+    * is the standard LSH treatment — members still pair through their
+    * rarer bands. On the testdata the largest bucket holds 7 docs
+    * (sf0.1), so the capped output is identical to uncapped
+    * (DedupSpec asserts this) and the DuckDB oracle stays exact.
+    */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(rdWide(s, dir, "documents"))
+    Dedup.nearDupPairs(rdWide(s, dir, "documents"), maxBucketSize = 64)
 
   /** 32-bit SimHash per document — native one-pass codegen expression
     * (graft.functions.SimHash) over staged md5 token hashes.
@@ -554,7 +563,8 @@ object SparkEntry {
     */
   private def qDupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DupClusters.clusters(
-      Dedup.nearDupPairs(rdWide(s, dir, "documents"), minJaccard = 0.5))
+      Dedup.nearDupPairs(rdWide(s, dir, "documents"), minJaccard = 0.5,
+        maxBucketSize = 64))
 
   /** Embedding-cosine near-dup pairs within sign-LSH buckets. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -1380,9 +1390,10 @@ object SparkEntry {
   }
 
   /** MMR-diversified top-5 (Search.mmrTopK) from the top-50 relevance
-    * pool for vec_id 0's vector. Rows-only check (the greedy selection
-    * is a driver-side re-ranker, not SQL-expressible); SearchSpec pins
-    * the selection on hand-computed vectors.
+    * pool for vec_id 0's vector. Fully oracled: the greedy selection is
+    * deterministic over the bounded pool, replayed in DuckDB as a
+    * recursive CTE (argmax per step over precomputed pool cosines);
+    * SearchSpec additionally pins the selection on hand-computed vectors.
     */
   private def qMmrTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
@@ -2430,6 +2441,36 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    // MMR greedy re-rank replayed as a DuckDB recursive CTE: the pool is
+    // the same top-50-by-relevance slice; each recursion step selects the
+    // argmax of λ·rel − (1−λ)·max_{s∈chosen} cos(d, s) over the not-yet-
+    // chosen pool (pairwise pool cosines precomputed in `pcos` — 50×50
+    // rows). `(1.0 - 0.7)` is spelled as the SUBTRACTION, not `0.3`,
+    // because Search.mmrTopK computes `1.0 - lambda` at runtime and the
+    // nearest-double results differ in the last bit.
+    "q80_mmr_topk" ->
+      s"""WITH RECURSIVE
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         | pool AS (SELECT vec_id, rel, e FROM (
+         |    SELECT vec_id, $CosSql AS rel, e FROM base, qv)
+         |   WHERE NOT isnan(rel)
+         |   ORDER BY rel DESC, vec_id ASC LIMIT 50),
+         | pcos AS (SELECT a.vec_id AS ai, b.vec_id AS bi, ${cosSqlAB("a.e", "b.e")} AS c
+         |   FROM pool a, pool b),
+         | sel(rank, vec_id, rel, mmr, chosen) AS (
+         |   (SELECT 1, vec_id, rel, 0.7 * rel, [vec_id]
+         |    FROM pool ORDER BY 0.7 * rel DESC, vec_id ASC LIMIT 1)
+         |   UNION ALL
+         |   (SELECT s.rank + 1, p.vec_id, p.rel,
+         |      0.7 * p.rel - (1.0 - 0.7) * (SELECT max(c) FROM pcos
+         |        WHERE pcos.ai = p.vec_id AND list_contains(s.chosen, pcos.bi)) AS mmr,
+         |      s.chosen || [p.vec_id]
+         |    FROM sel s JOIN pool p ON NOT list_contains(s.chosen, p.vec_id)
+         |    WHERE s.rank < 5
+         |    ORDER BY mmr DESC, p.vec_id ASC LIMIT 1))
+         |SELECT rank, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM sel""".stripMargin,
 
     // q28 is rows-only (k-means not DuckDB-replayable)
 

@@ -124,6 +124,10 @@ object Search {
     val poolDf = corpus
       .withColumn("__v", asDouble(col(vecCol)))
       .withColumn("rel", CosineSimilarity(col("__v"), q))
+      // a NaN embedding component makes rel NaN, and Spark's desc ordering
+      // puts NaN first — such a row would otherwise occupy rank 1; it can
+      // never be a meaningful result, so it is excluded from the pool
+      .filter(!isnan(col("rel")))
       .orderBy(col("rel").desc, col(idCol).asc)
       .limit(poolSize)
       .select(col(idCol).as("id"), col("rel"), col("__v"))
@@ -135,7 +139,19 @@ object Search {
     val pool = poolDf.collect()
       .map(r => (r.get(0), r.getDouble(1), r.getSeq[Double](2).toArray))
 
+    // Tie-break ordering over collected id values. Atomic orderable Spark
+    // types collect as java.lang.Comparable; BinaryType collects as
+    // Array[Byte] (unsigned lexicographic, matching Spark's BinaryType
+    // ordering) and nulls sort first (Spark's asc NULLS FIRST default).
     def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => false
+      case (null, _)    => true
+      case (_, null)    => false
+      case (x: Array[Byte], y: Array[Byte]) =>
+        val n = math.min(x.length, y.length)
+        var i = 0; var c = 0
+        while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+        if (c != 0) c < 0 else x.length < y.length
       case (x: Comparable[_], y) =>
         x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
       case _ => false
@@ -158,8 +174,14 @@ object Search {
           else lambda * rel - (1.0 - lambda) * selectedVecs.map(cos(v, _)).max
         (id, rel, mmr)
       }
+      // java.lang.Double.compare is a total order, so the fold is
+      // deterministic for every input (primitive `>`/`==` are not: both
+      // are false against NaN, which silently kept the leftmost element).
+      // NaN itself cannot reach here — NaN-rel rows are filtered from the
+      // pool, and a NaN-free pool cannot produce a NaN mmr.
       val best = scored.reduceLeft { (x, y) =>
-        if (y._3 > x._3 || (y._3 == x._3 && idLt(y._1, x._1))) y else x
+        val c = java.lang.Double.compare(y._3, x._3)
+        if (c > 0 || (c == 0 && idLt(y._1, x._1))) y else x
       }
       val idx = remaining.indexWhere(_._1 == best._1)
       selectedVecs += remaining(idx)._3

@@ -81,6 +81,20 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L))) // hot bucket skipped; rare band pairs
   }
 
+  test("gate cap (maxBucketSize=64) is a no-op on testdata: capped == uncapped") {
+    // The correctness-gate queries (q14/q40) run with maxBucketSize = 64;
+    // the DuckDB oracle replays UNCAPPED LSH, so this asserts the cap
+    // changes nothing on the real corpus (largest bucket there is 7 docs)
+    // while the guard's semi-join path is genuinely in the gate plan.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val uncapped = Dedup.nearDupPairs(real)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.nearDupPairs(real, maxBucketSize = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("nearDupPairsDeduped: clones collapse to reps; near-dups still found") {
     import graft.dedup.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again"
