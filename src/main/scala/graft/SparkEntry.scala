@@ -159,17 +159,37 @@ object SparkEntry {
     * exact countDistinct's shuffle of every key is the bottleneck
     * (SURVEY.md A3 note): HyperLogLog++ distinct + t-digest quantiles,
     * both computed with map-side partial sketches that merge in O(sketch)
-    * per partition. Rows-only (sketch internals differ across engines).
+    * per partition. The sketches themselves are not replayable across
+    * engines, so the query emits BOTH: the exact counterparts (hash-
+    * checked by the DuckDB oracle) and, for each sketch, an in-query
+    * error-bound boolean — HLL++ at rsd 0.02 within 3σ (6%, floor ±1),
+    * approx percentile within one tail step of the interpolated exact
+    * value (generous 25% + 2 slack; the value-level guarantee is rank-,
+    * not value-based) — which the oracle asserts literally TRUE.
     */
   private def qApproxStats(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents")
       .groupBy(col("source"))
       .agg(
-        approx_count_distinct(col("lang"), rsd = 0.02).as("approx_langs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.95)), 6).as("p95_chars"),
+        approx_count_distinct(col("lang"), rsd = 0.02).as("__hll_langs"),
         approx_count_distinct(md5(col("text").cast("binary")), rsd = 0.02)
-          .as("approx_distinct_texts"),
-        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
-        percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"))
+          .as("__hll_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("__ap50"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("__ap95"))
+      .select(col("source"), col("n_langs"), col("n_distinct_texts"),
+        col("p50_chars"), col("p95_chars"),
+        (abs(col("__hll_langs") - col("n_langs")) <=
+          greatest(lit(1.0), col("n_langs") * 0.06)).as("hll_langs_ok"),
+        (abs(col("__hll_texts") - col("n_distinct_texts")) <=
+          greatest(lit(1.0), col("n_distinct_texts") * 0.06)).as("hll_texts_ok"),
+        (abs(col("__ap50") - col("p50_chars")) <=
+          col("p50_chars") * 0.25 + 2).as("p50_ok"),
+        (abs(col("__ap95") - col("p95_chars")) <=
+          col("p95_chars") * 0.25 + 2).as("p95_ok"))
 
   // ===========================================================================
   // Relational coverage (joins / windows / sort-limit — SURVEY.md §2.7
@@ -709,8 +729,12 @@ object SparkEntry {
 
   /** PQ (product-quantized) ANN top-5 for vec_id 0's vector: per-subspace
     * k-means codebooks + asymmetric-distance scan (M table lookups per
-    * row, no per-row vector math). Rows-only check like q28 — k-means
-    * training is not DuckDB-replayable.
+    * row, no per-row vector math). PARTIAL oracle: k-means training is
+    * not DuckDB-replayable, but everything downstream of the trained
+    * codebooks is — the query records its codebooks in
+    * [[pqBooksForOracle]], and [[oracleSql]] (dumped by Verify AFTER the
+    * queries run) embeds them as full-precision literals and replays
+    * encode (per-subspace argmin) + the asymmetric-distance scan in SQL.
     */
   private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
@@ -722,7 +746,45 @@ object SparkEntry {
     // otherwise (each subspace is one spark.ml KMeans fit)
     val index = Ann.buildPq(emb, m = 2, ks = 16, seed = 42L, maxIter = 2,
       initMode = "random")
+    pqBooksForOracle = index.codebooks
     Ann.pqSearch(index, qVec, k = 5)
+  }
+
+  /** Codebooks trained by the last [[qPqTopK]] run, exported into the
+    * q65 oracle SQL as literals (Verify dumps oracle_sql.json after all
+    * queries have executed, so the books the oracle replays are exactly
+    * the books the query used — training determinism is irrelevant).
+    */
+  @volatile private var pqBooksForOracle: Array[Array[Array[Double]]] = _
+
+  /** DuckDB replay of everything downstream of PQ training: encode each
+    * vector per subspace (argmin over the codebook literals, center-index
+    * tie-break) and rank by the asymmetric distance-table sum. Double
+    * literals use Double.toString (round-trips through DuckDB's parser).
+    */
+  private def pqOracleSql(books: Array[Array[Array[Double]]]): String = {
+    val sub = books(0)(0).length
+    val rows = for {
+      (book, j) <- books.zipWithIndex
+      (ctr, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${ctr.mkString(", ")}]::DOUBLE[])"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | books(j, c, ctr) AS (VALUES ${rows.mkString(",\n   ")}),
+       | dists AS (SELECT vec_id, j, c,
+       |   list_sum([(e[j*$sub+i+1] - ctr[i+1]) * (e[j*$sub+i+1] - ctr[i+1])
+       |             for i in range(0, $sub)]) AS d2
+       |  FROM base, books),
+       | codes AS (SELECT vec_id, j, c FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) = 1),
+       | qtab AS (SELECT j, c,
+       |   list_sum([(q[j*$sub+i+1] - ctr[i+1]) * (q[j*$sub+i+1] - ctr[i+1])
+       |             for i in range(0, $sub)]) AS qd2
+       |  FROM books, qv),
+       | adc AS (SELECT vec_id, sum(qd2) AS approx_dist2
+       |  FROM codes JOIN qtab USING (j, c) GROUP BY vec_id)
+       |SELECT vec_id, round(approx_dist2, 6) AS approx_dist2
+       |FROM adc ORDER BY approx_dist2 ASC, vec_id ASC LIMIT 5""".stripMargin
   }
 
   /** The reference's ENTIRE pipeline as one lazy plan: documents →
@@ -1129,30 +1191,19 @@ object SparkEntry {
     Ann.hammingTopK(emb, qVec, k = 10)
   }
 
-  /** Fuzzy near-title pairs via edit distance with blocking: documents
-    * sharing (lang, first token) are candidate pairs; levenshtein over
-    * the 5-token "title" prefix ≤ 8 counts as a fuzzy match. Blocking
-    * turns the O(N²) pair space into per-block self-joins — one equi-join
-    * shuffle on the block key, the classic entity-resolution shape.
+  /** Fuzzy near-title pairs via edit distance with bounded blocking
+    * (Dedup.editNearPairs): candidates share (lang, first token, ±1
+    * title-length band of 16 chars); levenshtein over the 5-token
+    * "title" prefix ≤ 8 counts as a fuzzy match. The length band bounds
+    * the worst block a stopword-leading corpus can produce while leaving
+    * the output bit-identical to first-token-only blocking (dist ≤ 8
+    * implies length difference ≤ 8 < 16; DedupSpec asserts equality).
     * Output is the per-(lang, dist) pair histogram.
     */
-  private def qEditPairs(s: SparkSession, dir: String): DataFrame = {
-    val titles = rdWide(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 5), " ")
-          .as("title"))
-      .withColumn("blk", substring_index(col("title"), " ", 1))
-    val a = titles.select(col("lang"), col("blk"),
-      col("doc_id").as("id_a"), col("title").as("t_a"))
-    val b = titles.select(col("lang"), col("blk"),
-      col("doc_id").as("id_b"), col("title").as("t_b"))
-    a.join(b, Seq("lang", "blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") <= 8)
+  private def qEditPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editNearPairs(rdWide(s, dir, "documents"))
       .groupBy(col("lang"), col("dist"))
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   /** Passage-level exact dedup: non-overlapping 8-token segments, hashed
     * (md5-prefix, portable); segments appearing in ≥ 2 documents with
@@ -1609,8 +1660,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
+    * q65's entry exists only after [[qPqTopK]] has run in this process
+    * (Verify's dump order guarantees that): its SQL embeds the trained
+    * codebooks, so it cannot be written statically.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlStatic ++
+      Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b))
+
+  private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
       s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
          | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
@@ -1865,6 +1923,21 @@ object SparkEntry {
         | round(v.view_value, 4) AS last_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         | ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // The deterministic half of the sketch query: exact distincts and
+    // interpolated exact percentiles (DuckDB quantile_cont uses the same
+    // p·(n−1) linear interpolation as Spark's percentile), plus literal
+    // TRUE for the in-query sketch error-bound booleans — a Spark-side
+    // sketch outside its documented bound fails the hash compare.
+    "q35_approx_stats" ->
+      """SELECT source,
+        | count(DISTINCT lang) AS n_langs,
+        | count(DISTINCT text) AS n_distinct_texts,
+        | round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        | round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+        | TRUE AS hll_langs_ok, TRUE AS hll_texts_ok,
+        | TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q36_range_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id

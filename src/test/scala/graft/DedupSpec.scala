@@ -95,6 +95,36 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("editNearPairs: length banding is lossless and bounds stopword blocks") {
+    // Stopword-leading corpus: every title starts with "the", so
+    // first-token blocking alone puts ALL docs in one block. Titles
+    // spread across length bands; dist<=8 pairs must still all surface.
+    val shortTitle = "the a b c dd"                                      // 12 chars, band 0
+    val longTitle = "the supercalifragilistic expialidocious introductory sentences" // 62 chars, band 3
+    val stopDocs = Seq(
+      (1L, shortTitle + " trailing text beyond the title", "en"),
+      (2L, shortTitle.dropRight(1) + "e extra words here", "en"),        // dist 1 from 1
+      (3L, longTitle + " about engines", "en"),
+      (4L, longTitle.dropRight(1) + "z and more", "en"),                 // dist 1 from 3
+      (5L, "the unrelated medium sized heading here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val banded = Dedup.editNearPairs(stopDocs)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val unbanded = Dedup.editNearPairs(stopDocs, lengthBand = 0)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(banded == unbanded)
+    assert(banded.map { case (_, a, b, _) => (a, b) } == Set((1L, 2L), (3L, 4L)))
+    // the banding genuinely splits the hot block: short and long titles
+    // land in non-adjacent bands, so their cross pairs are never candidates
+    assert(math.abs(shortTitle.length / 16 - longTitle.length / 16) > 1)
+    // and on the real corpus, banded == unbanded too (the q72 gate runs banded)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rb = Dedup.editNearPairs(real).as[(String, Long, Long, Int)].collect().toSet
+    val ru = Dedup.editNearPairs(real, lengthBand = 0)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(rb == ru && rb.nonEmpty)
+  }
+
   test("nearDupPairsDeduped: clones collapse to reps; near-dups still found") {
     import graft.dedup.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again"
