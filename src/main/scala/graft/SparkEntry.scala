@@ -604,9 +604,11 @@ object SparkEntry {
 
   /** True-IVF ANN: k-means coarse quantizer (16 lists), nprobe=2 probe
     * for vec_id 0's vector. Driver pulls ONLY the query vector and the
-    * 16 centroids; the corpus never leaves the executors. Rows-only
-    * check (k-means isn't DuckDB-replayable); recall vs the exact scan
-    * is asserted in AnnSpec.
+    * 16 centroids; the corpus never leaves the executors. PARTIAL
+    * oracle like q65: the trained centroids are recorded and the oracle
+    * (built after the query ran) replays assignment (argmin squared-L2),
+    * centroid probe ranking, and the in-list cosine top-k in DuckDB.
+    * Recall vs the exact scan is additionally asserted in AnnSpec.
     */
   private def qIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
@@ -618,7 +620,42 @@ object SparkEntry {
     // k-means|| init jobs) dominates this query's bench time otherwise
     val index = Ann.buildIvf(emb, nCentroids = 16, seed = 42L, maxIter = 4,
       initMode = "random")
+    ivfCentersForOracle = index.centers
     Ann.ivfSearch(index, qVec, k = 5, nprobe = 2)
+  }
+
+  /** Centroids trained by the last [[qIvfKmeans]] run (see
+    * [[pqBooksForOracle]] for the export mechanism).
+    */
+  @volatile private var ivfCentersForOracle: Array[Array[Double]] = _
+
+  /** DuckDB replay of everything downstream of IVF training: nearest-
+    * centroid assignment (argmin squared L2 over the centroid literals,
+    * index tie-break — the same rule as spark.ml KMeansModel.transform),
+    * probe list = top-nprobe centroids by cosine vs the query, then the
+    * exact cosine top-k restricted to the probed inverted lists.
+    */
+  private def ivfOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | probes AS (SELECT cid FROM ctr, qv
+       |   ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC LIMIT 2),
+       | scored AS (SELECT a.vec_id, a.cid AS centroid_id, ${cosSqlAB("a.e", "q")} AS score
+       |   FROM assign a JOIN probes ON a.cid = probes.cid, qv),
+       | topk AS (SELECT vec_id, centroid_id, score FROM scored
+       |  ORDER BY score DESC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, centroid_id, round(score, 6) AS score FROM topk""".stripMargin
   }
 
   /** PII scrubbing (TextAnalysis.redactPii): contact strings are BUILT
@@ -782,9 +819,10 @@ object SparkEntry {
        |             for i in range(0, $sub)]) AS qd2
        |  FROM books, qv),
        | adc AS (SELECT vec_id, sum(qd2) AS approx_dist2
-       |  FROM codes JOIN qtab USING (j, c) GROUP BY vec_id)
-       |SELECT vec_id, round(approx_dist2, 6) AS approx_dist2
-       |FROM adc ORDER BY approx_dist2 ASC, vec_id ASC LIMIT 5""".stripMargin
+       |  FROM codes JOIN qtab USING (j, c) GROUP BY vec_id),
+       | topk AS (SELECT vec_id, approx_dist2 FROM adc
+       |  ORDER BY approx_dist2 ASC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, round(approx_dist2, 6) AS approx_dist2 FROM topk""".stripMargin
   }
 
   /** The reference's ENTIRE pipeline as one lazy plan: documents →
@@ -1666,7 +1704,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     oracleSqlStatic ++
-      Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b))
+      Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
+      Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c))
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
@@ -2545,7 +2584,8 @@ object SparkEntry {
          |    ORDER BY mmr DESC, p.vec_id ASC LIMIT 1))
          |SELECT rank, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM sel""".stripMargin,
 
-    // q28 is rows-only (k-means not DuckDB-replayable)
+    // q28's oracle is dynamic (trained centroids exported as literals —
+    // see ivfOracleSql), merged in oracleSql after the query has run
 
     // The ENTIRE reference pipeline replayed independently: chunker
     // recursive CTE (as q12) → md5-token hash-projection embedding as
