@@ -49,6 +49,38 @@ class IngestSpec extends SparkSpec {
     assert(got == Set("keep.py", "sub/keep.md"))
   }
 
+  test("Convert main: synthesized worktree -> document-chunk parquet, append semantics") {
+    val repo = java.nio.file.Files.createTempDirectory("graft-convert-src").toFile
+    def put(rel: String, content: String): Unit = {
+      val f = new java.io.File(repo, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    put("src/main.py", "def main():\n    return 42\n" * 30) // long enough to chunk
+    put("README.md", "# sample project\nwith docs")
+    put(".git/config", "[core]")        // hidden tree pruned
+    put("image.png", "not really a png") // extension filtered
+    val out = java.nio.file.Files.createTempDirectory("graft-convert-out")
+      .toString + "/store"
+    val m = Convert.run(spark, repo.getAbsolutePath, out)
+    val stored = spark.read.parquet(out)
+    assert(m("chunks_created").asInstanceOf[Long] == stored.count())
+    assert(stored.columns.toSet == Set("path", "extension", "size",
+      "total_chunks", "chunk_index", "content", "embedding", "ingested_at"))
+    val paths = stored.select($"path").distinct().as[String].collect().toSet
+    assert(paths == Set("src/main.py", "README.md"))
+    // chunk ordinals are dense per document and match total_chunks
+    val perDoc = stored.groupBy($"path")
+      .agg(count(lit(1)).as("n"), max($"chunk_index").as("mx"),
+        max($"total_chunks").as("tc"))
+      .as[(String, Long, Int, Int)].collect()
+    assert(perDoc.forall { case (_, n, mx, tc) => n == tc && mx == tc - 1 })
+    // re-running APPENDS (the reference's batched /add semantics)
+    val n1 = stored.count()
+    Convert.run(spark, repo.getAbsolutePath, out)
+    assert(spark.read.parquet(out).count() == 2 * n1)
+  }
+
   test("compact collapses many small appends into targetFiles, content intact") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toFile
     dir.deleteOnExit()
