@@ -50,6 +50,45 @@ object Throughput {
     val rate = n / best
     println(f"""{"metric":"scan_docs_per_sec","value":$rate%.0f,"unit":"docs/sec","corpus":$n,"best_sec":$best%.4f,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
 
+    // Binary Hamming scan over PRECOMPUTED sign codes (the stored-code
+    // production path: 64-dim floats → 2 longs per row, 32× less scan
+    // I/O; per-row cost is two XOR+popcounts, no float math).
+    import graft.search.Ann
+    val dim = qVec.length
+    val coded = corpus.select(col("vec_id"),
+        Ann.binaryCode(col("embedding"), dim).as("code"))
+      .repartition(32).cache()
+    coded.count()
+    Ann.hammingTopKCoded(coded, qVec, k = 10).collect() // warm
+    val hamTimes = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      Ann.hammingTopKCoded(coded, qVec, k = 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hamBest = hamTimes.min
+    println(f"""{"metric":"hamming_docs_per_sec","value":${n / hamBest}%.0f,"unit":"docs/sec","corpus":$n,"best_sec":$hamBest%.4f,"runs":${hamTimes.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+    coded.unpersist()
+
+    // PQ asymmetric-distance scan over precomputed codes: per-row cost is
+    // M=8 small-int array lookups + adds — independent of D entirely (the
+    // float column is not even in the scanned table).
+    val pqIndex = Ann.buildPq(corpus, m = 8, ks = 16, seed = 42L,
+      maxIter = 2, trainFraction = math.min(1.0, 65536.0 / n),
+      initMode = "random")
+    val pqCoded = pqIndex.encoded.select(col("vec_id"), col("codes"))
+      .repartition(32).cache()
+    pqCoded.count()
+    val pqScanIndex = Ann.PqIndex(pqCoded, pqIndex.codebooks)
+    Ann.pqSearch(pqScanIndex, qVec, k = 10).collect() // warm
+    val pqTimes = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      Ann.pqSearch(pqScanIndex, qVec, k = 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pqBest = pqTimes.min
+    println(f"""{"metric":"pq_adc_docs_per_sec","value":${n / pqBest}%.0f,"unit":"docs/sec","corpus":$n,"best_sec":$pqBest%.4f,"runs":${pqTimes.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+    pqCoded.unpersist()
+
     // Ingest throughput: chunk (1→N) + embed + full materialization, the
     // reference's convert path (its measured rate: ~43 chunks/s end-to-end,
     // ~74 chunks/s embed-only — BASELINE.md).

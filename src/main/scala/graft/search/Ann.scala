@@ -148,7 +148,23 @@ object Ann {
     */
   def hammingTopK(corpus: DataFrame, queryVec: Seq[Double], k: Int = 10,
                   wordBits: Int = 32, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding"): DataFrame =
+    hammingTopKCoded(
+      corpus.filter(col(vecCol).isNotNull)
+        .withColumn("__code",
+          binaryCode(col(vecCol), queryVec.length, wordBits)),
+      queryVec, k, wordBits, idCol, codeCol = "__code")
+
+  /** [[hammingTopK]] over a PRECOMPUTED packed-code column — the
+    * production path at 100 TB: codes are computed once at ingest and
+    * stored (32× smaller than the float column), and the query scan
+    * reads ONLY the code column — pure XOR+popcount per row, the float
+    * vectors never leave disk. [[hammingTopK]] is the convenience form
+    * that packs inline (AnnSpec asserts the two agree).
+    */
+  def hammingTopKCoded(coded: DataFrame, queryVec: Seq[Double], k: Int = 10,
+                       wordBits: Int = 32, idCol: String = "vec_id",
+                       codeCol: String = "code"): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     val dim = queryVec.length
     val nWords = (dim + wordBits - 1) / wordBits
@@ -158,11 +174,9 @@ object Ann {
         wordBits)
     }
     val dist = (0 until nWords).map { j =>
-      bit_count(element_at(col("__code"), j + 1).bitwiseXOR(lit(qWords(j))))
+      bit_count(element_at(col(codeCol), j + 1).bitwiseXOR(lit(qWords(j))))
     }.reduce(_ + _)
-    corpus
-      .filter(col(vecCol).isNotNull)
-      .withColumn("__code", binaryCode(col(vecCol), dim, wordBits))
+    coded
       .withColumn("hamming", dist.cast("long"))
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(k)

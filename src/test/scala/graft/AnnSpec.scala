@@ -214,4 +214,15 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.toSeq == Seq((0L, 0L), (1L, 0L))) // tie on 0 → id order
   }
+
+  test("hammingTopKCoded over stored codes equals the inline-packing form") {
+    val q = Seq(1.0, 1.0, -1.0, 1.0)
+    val coded = corpus.select($"vec_id",
+      Ann.binaryCode($"embedding", dim = 4, wordBits = 2).as("code"))
+    val viaStored = Ann.hammingTopKCoded(coded, q, k = 4, wordBits = 2)
+      .as[(Long, Long)].collect().toSeq
+    val viaInline = Ann.hammingTopK(corpus, q, k = 4, wordBits = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaStored == viaInline)
+  }
 }
