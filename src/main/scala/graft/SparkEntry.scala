@@ -1326,6 +1326,15 @@ object SparkEntry {
         (col("cum_chars") <= 800).as("included"))
   }
 
+  /** Segment-boilerplate REMOVAL (Dedup.removeBoilerplateSegments): the
+    * action half of q73 — rewrite every document without the 8-token
+    * segments that appear in ≥ 2 distinct documents, tail always kept,
+    * survivors re-joined in order. Output (doc_id, text_clean,
+    * n_removed) for the whole corpus.
+    */
+  private def qBoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeBoilerplateSegments(rdWide(s, dir, "documents"))
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -1580,6 +1589,7 @@ object SparkEntry {
     "q82_url_normalize" -> (qUrlNormalize _),
     "q83_bigram_novelty" -> (qBigramNovelty _),
     "q84_nucleus_vocab" -> (qNucleusVocab _),
+    "q85_boilerplate_removal" -> (qBoilerplateRemoval _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2399,6 +2409,28 @@ object SparkEntry {
          |SELECT ${h32Sql("seg")} AS seg_hash,
          | count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
          |FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // Full replay of segment-boilerplate removal: same segmentation as
+    // q73, hash NOT IN the >= 2-doc set, tail (idx = nseg) always kept,
+    // string_agg ordered by segment index rebuilds the token stream.
+    "q85_boilerplate_removal" ->
+      s"""WITH words AS (SELECT doc_id,
+         |   regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | base AS (SELECT doc_id, w, len(w)//8 AS nseg FROM words),
+         | segs AS (SELECT doc_id, nseg, j AS idx,
+         |   array_to_string(w[j*8+1 : j*8+8], ' ') AS seg
+         |  FROM base, unnest(range(0, nseg)) AS t(j)),
+         | tails AS (SELECT doc_id, nseg, nseg AS idx,
+         |   array_to_string(w[nseg*8+1 : len(w)], ' ') AS seg FROM base),
+         | bp AS (SELECT ${h32Sql("seg")} AS h FROM segs
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         | kept AS (SELECT doc_id, nseg, idx, seg FROM segs
+         |   WHERE ${h32Sql("seg")} NOT IN (SELECT h FROM bp)
+         |  UNION ALL SELECT doc_id, nseg, idx, seg FROM tails)
+         |SELECT doc_id,
+         | coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE seg <> ''), '') AS text_clean,
+         | max(nseg) - count(*) FILTER (WHERE idx < nseg) AS n_removed
+         |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q74_mixture_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)

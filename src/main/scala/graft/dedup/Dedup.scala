@@ -273,6 +273,69 @@ object Dedup {
       .select(col(groupCol), col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** C4-style boilerplate REMOVAL at segment granularity — the action
+    * half of segment dedup (q73 detects cross-document repeated
+    * segments; this rewrites each document without them). Documents are
+    * tokenized, cut into non-overlapping `segLen`-token segments (+ a
+    * tail remainder that is always kept), and a segment whose hash
+    * appears in ≥ `minDocs` DISTINCT documents is dropped from every
+    * document; the survivors re-join in original order.
+    *
+    * Scale shape: the frequency pass aggregates (seg_hash, doc_id)
+    * pairs only — the segment text never shuffles for counting (column
+    * pruning drops it below the aggregate). The removal pass is one
+    * anti-join of the exploded segments against the (small — repetition
+    * concentrates) boilerplate hash set, then one reassembly shuffle by
+    * document id. Output is the normalized token stream re-joined with
+    * single spaces (a training pipeline tokenizes downstream anyway).
+    *
+    * Returns (idCol, text_clean, n_removed).
+    */
+  def removeBoilerplateSegments(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text", segLen: Int = 8,
+                                minDocs: Int = 2): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val w = col("__w")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .withColumn("__nseg", floor(size(w) / segLen).cast("int"))
+    // one row per full segment (idx 0..nseg-1) + one tail row (idx =
+    // nseg; possibly "", filtered at reassembly)
+    val segRows = base.select(col(idCol), col("__nseg"),
+      posexplode(concat(
+        when(col("__nseg") >= 1,
+          transform(sequence(lit(0), col("__nseg") - 1),
+            j => array_join(slice(w, j * segLen + 1, lit(segLen)), " ")))
+          .otherwise(array().cast("array<string>")),
+        array(array_join(
+          slice(w, col("__nseg") * segLen + 1, size(w)), " "))))
+        .as(Seq("idx", "seg")))
+    val bp = segRows
+      .filter(col("idx") < col("__nseg"))
+      .groupBy(graft.functions.HashFunctions.md5Int32(col("seg")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    segRows
+      // tail rows (idx = nseg) never match the anti-join condition, so a
+      // tail that happens to equal a boilerplate segment is still kept
+      .join(bp,
+        graft.functions.HashFunctions.md5Int32(col("seg")) === bp("__h") &&
+          col("idx") < col("__nseg"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(sort_array(collect_list(struct(col("idx"), col("seg")))),
+              s => s("seg") =!= ""),
+            s => s("seg")), " ").as("text_clean"),
+        (max(col("__nseg")) -
+          sum(when(col("idx") < col("__nseg"), 1L).otherwise(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Per-token 32-bit hashes of a text column (the SimHash input). */
   def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))
 

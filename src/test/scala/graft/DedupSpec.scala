@@ -125,6 +125,24 @@ class DedupSpec extends SparkSpec {
     assert(rb == ru && rb.nonEmpty)
   }
 
+  test("removeBoilerplateSegments drops shared segments, keeps unique text and tails") {
+    val header = "standard license header repeated across many documents verbatim" // 8 tokens
+    val docs = Seq(
+      (1L, s"$header unique alpha content one two three four five tail1 tail2"),
+      (2L, s"$header unique beta payload six seven eight nine ten tailx"),
+      (3L, s"$header"),                       // boilerplate only, empty tail
+      (4L, "short doc under one segment")     // < 8 tokens: tail only, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateSegments(docs, minDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // docs 1-3 share the 8-token header segment → removed everywhere;
+    // each doc's second full segment is unique → kept; tails kept
+    assert(got(0) == ((1L, "unique alpha content one two three four five tail1 tail2", 1L)))
+    assert(got(1) == ((2L, "unique beta payload six seven eight nine ten tailx", 1L)))
+    assert(got(2) == ((3L, "", 1L)))
+    assert(got(3) == ((4L, "short doc under one segment", 0L)))
+  }
+
   test("nearDupPairsDeduped: clones collapse to reps; near-dups still found") {
     import graft.dedup.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again"
