@@ -1335,6 +1335,39 @@ object SparkEntry {
   private def qBoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
     Dedup.removeBoilerplateSegments(rdWide(s, dir, "documents"))
 
+  /** Canonical-doc selection (DupClusters.keepBest): for every MinHash
+    * near-dup cluster from q40's pair graph, keep the member with the
+    * highest quality score (ties → smaller doc_id) — the "which copy
+    * survives dedup" decision, scored by the same q17 quality metric.
+    */
+  private def qKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val clusters = graft.dedup.DupClusters.clusters(
+      Dedup.nearDupPairs(docs, minJaccard = 0.5, maxBucketSize = 64))
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    graft.dedup.DupClusters.keepBest(clusters, scored, "doc_id", "q")
+      .select(col("cluster_id"), col("keep_id").as("keep_doc_id"),
+        col("n_members"), col("best_score").as("best_quality"))
+  }
+
+  /** Token-budget corpus selection (ops.TokenBudget): the best-quality
+    * docs whose running token total fits a 12k budget — the "fill the
+    * training mix" step. Bucketed two-phase selection; the DuckDB oracle
+    * replays the equivalent global-window prefix.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("quality"))
+    graft.ops.TokenBudget.select(docs, "doc_id", "quality", "n_tokens",
+        budget = 12000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -1590,6 +1623,8 @@ object SparkEntry {
     "q83_bigram_novelty" -> (qBigramNovelty _),
     "q84_nucleus_vocab" -> (qNucleusVocab _),
     "q85_boilerplate_removal" -> (qBoilerplateRemoval _),
+    "q86_keep_best" -> (qKeepBest _),
+    "q87_token_budget" -> (qTokenBudget _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1705,6 +1740,27 @@ object SparkEntry {
        |   FROM sig, (SELECT unnest(range(0,8)) AS band))""".stripMargin
 
   private val EnStopSql = "['the','a','of','and','to','in','is','it']"
+
+  /** DuckDB CTEs: MinHash band candidates → ≥0.5-Jaccard verified pairs →
+    * recursive min-label closure `clus(doc_id, cluster_id)` — the q40
+    * cluster graph, shared by q40 and q86.
+    */
+  private val DupClusterCtes =
+    s"""$MinhashCtes,
+       | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM bands x JOIN bands y
+       |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       | pairs AS (SELECT doc_a, doc_b FROM cand
+       |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+       |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
+       | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |   UNION SELECT doc_b, doc_a FROM pairs),
+       | reach(v, lbl) AS (
+       |   SELECT DISTINCT src, src FROM edges
+       |   UNION
+       |   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src),
+       | clus AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -2432,6 +2488,22 @@ object SparkEntry {
          | max(nseg) - count(*) FILTER (WHERE idx < nseg) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin,
 
+    // global-window phrasing of ops.TokenBudget's bucketed selection —
+    // same (quality DESC, doc_id ASC) prefix under the 12k budget
+    "q87_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |   len(w)::BIGINT AS n_tokens,
+         |   round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS quality
+         |  FROM (SELECT doc_id, lang, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | c AS (SELECT *, (sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens FROM d)
+         |SELECT doc_id, lang, n_tokens, quality, cum_tokens
+         |FROM c WHERE cum_tokens <= 12000""".stripMargin,
+
     "q74_mixture_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
         |SELECT source, n_docs,
@@ -2557,21 +2629,25 @@ object SparkEntry {
         |  INTERSECT SELECT lang FROM documents WHERE source = 'src1')""".stripMargin,
 
     "q40_dup_clusters" ->
-      s"""WITH RECURSIVE $MinhashCtes,
-         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |   FROM bands x JOIN bands y
-         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         | pairs AS (SELECT doc_a, doc_b FROM cand
-         |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |   UNION SELECT doc_b, doc_a FROM pairs),
-         | reach(v, lbl) AS (
-         |   SELECT DISTINCT src, src FROM edges
-         |   UNION
-         |   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src)
-         |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+      s"""WITH RECURSIVE $DupClusterCtes
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin,
+
+    // q40's closure + q17's per-doc quality → best-scored member per
+    // cluster (ties → smaller doc_id), mirroring DupClusters.keepBest
+    "q86_keep_best" ->
+      s"""WITH RECURSIVE $DupClusterCtes,
+         | docq AS (SELECT doc_id, round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS q
+         |  FROM (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | r AS (SELECT cluster_id, c.doc_id, q,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, c.doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM clus c JOIN docq USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_doc_id, n_members, q AS best_quality
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "q39_regional_revenue" ->
       """SELECT n_name,

@@ -95,4 +95,29 @@ object DupClusters {
     }
     labels
   }
+
+  /** Canonical-document selection: given cluster assignments (from
+    * [[clusters]]) and a per-doc score frame, keep the best-scored
+    * member of every cluster — the decision step that turns "these
+    * docs are duplicates" into "this one stays, the rest are dropped"
+    * in a dedup pipeline. Ties break on the smaller id, so selection
+    * is deterministic whenever `scoreCol` is (round it upstream).
+    *
+    * Output: (cluster_id, keep_id, n_members, best_score). Both window
+    * functions share the cluster_id partition key — one shuffle, and
+    * the largest window partition is one duplicate cluster, never the
+    * corpus.
+    */
+  def keepBest(clusters: DataFrame, scored: DataFrame,
+               idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val best = byCluster.orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scored, idCol)
+      .withColumn("__rk", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("keep_id"),
+        col("n_members"), col(scoreCol).as("best_score"))
+  }
 }

@@ -26,6 +26,18 @@ class DupClustersSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 9L -> 5L))
   }
 
+  test("keepBest keeps the top-scored member per cluster, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // tie at 0.9 → doc 2 wins
+      (10L, 0.5), (11L, 0.4)
+    ).toDF("doc_id", "q")
+    val got = DupClusters
+      .keepBest(DupClusters.clusters(pairs), scored, "doc_id", "q")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.5)))
+  }
+
   test("long path still converges within maxIter (diameter propagation)") {
     // path 0-1-2-...-12: min label must travel the whole diameter
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
