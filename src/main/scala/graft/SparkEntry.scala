@@ -1335,6 +1335,21 @@ object SparkEntry {
   private def qBoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
     Dedup.removeBoilerplateSegments(rdWide(s, dir, "documents"))
 
+  /** Incremental snapshot dedup (Dedup.incrementalDedup): treat docs
+    * with doc_id % 10 = 0 as today's crawl batch and the rest as the
+    * stored corpus; keep only batch docs that are neither exact copies
+    * nor ≥0.5-Jaccard near-dups of stored docs. The corpus side streams
+    * map-side against broadcast batch tables throughout.
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.incrementalDedup(batch, corpus, minJaccard = 0.5,
+        maxBucketSize = 64)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Canonical-doc selection (DupClusters.keepBest): for every MinHash
     * near-dup cluster from q40's pair graph, keep the member with the
     * highest quality score (ties → smaller doc_id) — the "which copy
@@ -1625,6 +1640,7 @@ object SparkEntry {
     "q85_boilerplate_removal" -> (qBoilerplateRemoval _),
     "q86_keep_best" -> (qKeepBest _),
     "q87_token_budget" -> (qTokenBudget _),
+    "q88_incremental_dedup" -> (qIncrementalDedup _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2487,6 +2503,27 @@ object SparkEntry {
          | coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE seg <> ''), '') AS text_clean,
          | max(nseg) - count(*) FILTER (WHERE idx < nseg) AS n_removed
          |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // batch = doc_id % 10 = 0, corpus = rest; a batch doc survives iff no
+    // exact md5-text copy and no ≥0.5-Jaccard band-bucket near-dup exists
+    // in the corpus (near-dup set computed over the full batch — docs
+    // dropped by the exact filter are dropped either way)
+    "q88_incremental_dedup" ->
+      s"""WITH $MinhashCtes,
+         | newb AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0),
+         | exact AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+         |   AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)),
+         | cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         |   WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         | near AS (SELECT DISTINCT new_id FROM cand
+         |   JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5)
+         |SELECT doc_id, lang, n_chars FROM newb
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+         |  AND doc_id NOT IN (SELECT new_id FROM near)""".stripMargin,
 
     // global-window phrasing of ops.TokenBudget's bucketed selection —
     // same (quality DESC, doc_id ASC) prefix under the 12k budget

@@ -464,4 +464,74 @@ object Dedup {
         col(idCol) === col("keep_id"), "left_semi")
     (nearDupPairs(reps, idCol, textCol, minJaccard, maxBucketSize), groups)
   }
+
+  /** Incremental (snapshot-delta) dedup: filter a NEW batch against an
+    * EXISTING corpus, dropping batch docs that are exact copies (text
+    * md5) or near-dups (MinHash band-bucket candidate + exact Jaccard ≥
+    * `minJaccard`) of anything already stored — the daily-crawl shape:
+    * yesterday's 100 TB corpus is the reference, today's batch is small.
+    *
+    * Every corpus pass here is a map-side join against a BROADCAST
+    * batch-derived table; the corpus is scanned (twice: hashes, bands)
+    * but NEVER shuffled:
+    *  1. corpus text-hashes ⋈ broadcast batch hashes → the matched hash
+    *     set (batch-bounded), anti-joined back onto the batch;
+    *  2. corpus bands ⋈ broadcast batch bands → (new, old) candidates
+    *     (batch-bounded); `maxBucketSize` drops over-full CORPUS buckets
+    *     first, so boilerplate buckets cost nothing (their members still
+    *     match through rarer bands);
+    *  3. only candidate old docs (semi-join on a broadcast id list) pay
+    *     shingle extraction for the exact-Jaccard verify.
+    * Returns surviving batch rows with their original schema.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       minJaccard: Double = 0.5,
+                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // 1. exact copies of an existing doc
+    val batchHashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
+    val matchedHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("__h"))
+      .join(broadcast(batchHashed.select(col("__h"))), Seq("__h"), "left_semi")
+      .distinct()
+    val afterExact = batchHashed
+      .join(broadcast(matchedHashes), Seq("__h"), "left_anti")
+      .drop("__h")
+
+    // 2. band-bucket candidates vs the corpus (corpus-side hot-bucket cap)
+    val cBands = {
+      val all = minhashBands(corpus, idCol, textCol)
+      if (maxBucketSize == Int.MaxValue) all
+      else {
+        val small = all.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .drop("__n")
+        all.join(small, Seq("band", "band_hash"), "left_semi")
+      }
+    }
+    val bBands = minhashBands(afterExact, idCol, textCol)
+      .select(col("band"), col("band_hash"), col(idCol).as("__new_id"))
+    val cand = cBands
+      .join(broadcast(bBands), Seq("band", "band_hash"))
+      .select(col("__new_id"), col(idCol).as("__old_id"))
+      .distinct()
+
+    // 3. exact-Jaccard verify on candidates only
+    val oldSh = corpus
+      .join(broadcast(cand.select(col("__old_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("__old_id"), shingles(col(textCol)).as("__sh_old"))
+    val newSh = afterExact
+      .select(col(idCol).as("__new_id"), shingles(col(textCol)).as("__sh_new"))
+    val nearIds = cand
+      .join(broadcast(newSh), "__new_id")
+      .join(oldSh, "__old_id")
+      .filter(size(array_intersect(col("__sh_new"), col("__sh_old"))).cast("double") /
+        size(array_union(col("__sh_new"), col("__sh_old"))).cast("double") >= minJaccard)
+      .select(col("__new_id").as(idCol))
+      .distinct()
+
+    afterExact.join(broadcast(nearIds), Seq(idCol), "left_anti")
+  }
 }

@@ -249,6 +249,32 @@ class DedupSpec extends SparkSpec {
     assert(loose == Set((10L, 1L, 4L), (11L, 1L, 1L), (1L, 1L, 4L)))
   }
 
+  test("incrementalDedup drops exact and near copies of the stored corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated stored document with its own words here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of stored doc 1
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      // near copy of stored doc 1 (one word changed → high Jaccard)
+      (11L, "the quick brown fox jumps over the lazy cat again and again"),
+      // novel
+      (12L, "genuinely new content that matches nothing in the store")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L))
+    // batch docs never dedup against EACH OTHER — two novel twins both survive
+    val twins = Seq(
+      (20L, "twin text appearing twice in the same batch today ok"),
+      (21L, "twin text appearing twice in the same batch today ok")
+    ).toDF("doc_id", "text")
+    val both = Dedup.incrementalDedup(twins, corpus, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(both == Set(20L, 21L))
+  }
+
   test("containmentNearDups scores subset duplication that Jaccard dilutes") {
     val small = "alpha beta gamma delta epsilon"
     val docs = Seq(
