@@ -1452,6 +1452,19 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Matryoshka two-stage ANN (Ann.matryoshkaTopK): prefix-16 cosine
+    * prescan keeps a 50-pool (4× less vector data read), full-64-dim
+    * cosine reranks to top-10, for vec_id 0's query vector.
+    */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    Ann.matryoshkaTopK(emb, qVec, prefixDim = 16, poolK = 50, k = 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** URL normalization + per-domain stats — the web-crawl curation
     * primitive. The testdata has no URL column, so URLs are BUILT
     * deterministically per document (scheme/host-case/www/port/query
@@ -1641,6 +1654,7 @@ object SparkEntry {
     "q86_keep_best" -> (qKeepBest _),
     "q87_token_budget" -> (qTokenBudget _),
     "q88_incremental_dedup" -> (qIncrementalDedup _),
+    "q89_matryoshka_topk" -> (qMatryoshka _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2414,6 +2428,18 @@ object SparkEntry {
          |   len(list_filter(range(1, len(e) + 1), i -> (e[i] > 0) <> (q[i] > 0))) AS h
          |  FROM base, qv),
          | cand AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id ASC LIMIT 50),
+         | scored AS (SELECT vec_id, $CosSql AS score
+         |  FROM base JOIN cand USING (vec_id), qv)
+         |SELECT vec_id, round(score, 6) AS score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // prefix-16 cosine prescan pool (50) → full-dim rerank top-10
+    "q89_matryoshka_topk" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT e AS q FROM base WHERE vec_id = 0),
+         | pre AS (SELECT vec_id, ${cosSqlAB("e[1:16]", "q[1:16]")} AS p
+         |  FROM base, qv),
+         | cand AS (SELECT vec_id FROM pre ORDER BY p DESC, vec_id ASC LIMIT 50),
          | scored AS (SELECT vec_id, $CosSql AS score
          |  FROM base JOIN cand USING (vec_id), qv)
          |SELECT vec_id, round(score, 6) AS score FROM scored

@@ -183,6 +183,38 @@ object Ann {
       .select(col(idCol), col("hamming"))
   }
 
+  /** Matryoshka (prefix-dimension) two-stage ANN: stage 1 ranks the
+    * corpus by cosine over only the first `prefixDim` components —
+    * matryoshka-trained embeddings concentrate signal in the prefix, so
+    * the cheap scan touches dim/prefixDim× less vector data (store the
+    * prefix as its OWN column and, like the packed codes of
+    * [[hammingTopKCoded]], the full vectors never leave disk for
+    * non-survivors) — stage 2 reranks the `poolK` survivors with
+    * full-dimension cosine, top-k, id tie-break.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queryVec: Seq[Double],
+                     prefixDim: Int, poolK: Int = 50, k: Int = 10,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be > 0, got $prefixDim")
+    require(k > 0 && poolK >= k, s"need 0 < k <= poolK, got k=$k pool=$poolK")
+    val qPre = array(queryVec.take(prefixDim).map(lit): _*)
+    val qFull = array(queryVec.map(lit): _*)
+    val pool = corpus
+      .withColumn("__pre", graft.functions.CosineSimilarity(
+        slice(col(vecCol).cast("array<double>"), 1, prefixDim), qPre))
+      .orderBy(col("__pre").desc, col(idCol).asc)
+      .limit(poolK)
+      .select(col(idCol))
+    corpus
+      .join(broadcast(pool), Seq(idCol), "left_semi")
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col(vecCol).cast("array<double>"), qFull))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

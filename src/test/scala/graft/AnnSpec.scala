@@ -45,6 +45,37 @@ class AnnSpec extends SparkSpec {
     assert(got(11L) == 2L)
   }
 
+  test("matryoshkaTopK: full-prefix degenerates to the exact scan; " +
+      "prefix prescan reranks with full-dim scores") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qVec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    // prefixDim = dim → stage 1 IS the exact ranking
+    val full = Ann.matryoshkaTopK(emb, qVec, prefixDim = qVec.length,
+        poolK = 20, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val exact = graft.search.Search.topK(emb, qVec, k = 5, threshold = -2.0)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(full.map(_._1) == exact.map(_._1))
+    // prefix-16: local reference — same two stages computed in Scala
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val pool = vecs.map { case (id, v) => (id, cos(v.take(16), qVec.take(16))) }
+      .sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).toSet
+    val want = vecs.filter(v => pool(v._1))
+      .map { case (id, v) => (id, cos(v, qVec)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSeq
+    val got = Ann.matryoshkaTopK(emb, qVec, prefixDim = 16, poolK = 50, k = 10)
+      .as[(Long, Double)].collect().toSeq.map(_._1)
+    assert(got == want)
+  }
+
   test("k-means IVF: self is top hit; probe lists cover the exact top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qVec = emb.filter($"vec_id" === 0)
