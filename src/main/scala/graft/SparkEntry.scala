@@ -1452,6 +1452,18 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Training-shard balance audit (sources.Sharding): deterministic
+    * md5 shard assignment (16 shards) over the corpus + per-shard doc/
+    * token totals — the skew check before a training-mix export hands
+    * shards to dataloaders.
+    */
+  private def qShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.sources.Sharding.shardBalance(docs, "n_tokens", nShards = 16)
+  }
+
   /** Matryoshka two-stage ANN (Ann.matryoshkaTopK): prefix-16 cosine
     * prescan keeps a 50-pool (4× less vector data read), full-64-dim
     * cosine reranks to top-10, for vec_id 0's query vector.
@@ -1655,6 +1667,7 @@ object SparkEntry {
     "q87_token_budget" -> (qTokenBudget _),
     "q88_incremental_dedup" -> (qIncrementalDedup _),
     "q89_matryoshka_topk" -> (qMatryoshka _),
+    "q90_shard_balance" -> (qShardBalance _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2432,6 +2445,17 @@ object SparkEntry {
          |  FROM base JOIN cand USING (vec_id), qv)
          |SELECT vec_id, round(score, 6) AS score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // md5-mod-16 shard assignment + per-shard doc/token totals
+    "q90_shard_balance" ->
+      s"""SELECT ${h32Sql("doc_id::VARCHAR")} % 16 AS shard,
+         | count(*) AS n_docs,
+         | sum(n_tokens)::BIGINT AS total_tokens,
+         | max(n_tokens)::BIGINT AS max_doc_tokens
+         |FROM (SELECT doc_id,
+         |  len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+         | FROM documents)
+         |GROUP BY 1""".stripMargin,
 
     // prefix-16 cosine prescan pool (50) → full-dim rerank top-10
     "q89_matryoshka_topk" ->
