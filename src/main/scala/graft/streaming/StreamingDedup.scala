@@ -44,4 +44,35 @@ object StreamingDedup {
     docs
       .withColumn("text_hash", contentHash(col(textCol)))
       .dropDuplicates("text_hash")
+
+  /** Continuous form of [[graft.dedup.Dedup.incrementalDedup]]: each
+    * streaming micro-batch is filtered against the STATIC stored corpus
+    * (exact text hash + MinHash-band near-dup, identical semantics and
+    * code path to the batch operator) before it is handed to `sink` —
+    * so near-duplicates of already-stored documents never reach the
+    * store. foreachBatch is the right tool, not a stream-stream join:
+    * the corpus side is a static table (possibly huge, read fresh each
+    * batch so compactions are picked up), the batch side is small, and
+    * incrementalDedup already arranges every corpus pass as a map-side
+    * broadcast join. Within-stream duplicate storms are the watermark
+    * operator's job ([[dedupExactWithinWatermark]]) — compose them as
+    * stream → watermark dedup → this.
+    *
+    * Returns the started query; stop it (or await) per normal
+    * Structured Streaming lifecycle.
+    */
+  def incrementalAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                               sink: DataFrame => Unit,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               minJaccard: Double = 0.5,
+                               maxBucketSize: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.dedup.Dedup.incrementalDedup(
+          batch, corpus, idCol, textCol, minJaccard, maxBucketSize))
+      }
+      .start()
 }

@@ -100,6 +100,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection equals the brute-force sorted prefix") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 1000),  // quality in thousandths → duplicate-heavy
+        Gen.choose(0L, 40L))) // token counts, zeros included
+    } yield rows
+    samples(gen, 12).zipWithIndex.foreach { case (rows, i) =>
+      val docs = rows.zipWithIndex
+        .map { case ((q, tok), id) => (id.toLong, q / 1000.0, tok) }
+      val total = docs.map(_._3).sum
+      val df = docs.toDF("doc_id", "q", "n_tokens")
+      for (budget <- Seq(0L, total / 3, total)) {
+        val got = graft.ops.TokenBudget
+          .select(df, "doc_id", "q", "n_tokens", budget, buckets = 10)
+          .select($"doc_id", $"cum_tokens").as[(Long, Long)]
+          .collect().toMap
+        // brute force: sorted prefix with inclusive running sum
+        var cum = 0L
+        val expect = docs.sortBy { case (id, q, _) => (-q, id) }
+          .map { case (id, _, tok) => cum += tok; (id, cum) }
+          .takeWhile(_._2 <= budget).toMap
+        assert(got == expect, s"case $i budget $budget: got $got want $expect")
+      }
+    }
+  }
+
   test("range join equals brute-force theta join on random event sets") {
     import java.sql.Timestamp
     import spark.implicits._

@@ -229,6 +229,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup filters each micro-batch against the corpus") {
+    import graft.streaming.StreamingDedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated stored document with its own words here")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingDedup.incrementalAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), corpus,
+      kept => survivors.synchronized {
+        survivors ++= kept.select("doc_id").as[Long].collect()
+      })
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact
+        (11L, "the quick brown fox jumps over the lazy cat again and again"), // near
+        (12L, "genuinely new content that matches nothing in the store"))
+      q.processAllAvailable()
+      input.addData((13L, "another novel batch arriving later with fresh words"))
+      q.processAllAvailable()
+      // per-batch result equals the batch operator's (parity by shared code
+      // path; the streaming layer adds only the foreachBatch plumbing)
+      assert(survivors.sorted.toSeq == Seq(12L, 13L))
+    } finally q.stop()
+  }
+
   test("streaming count-min merges to EXACTLY the batch sketch (mergeability)") {
     import graft.streaming.StreamingCountMin
     import graft.stats.CountMin
