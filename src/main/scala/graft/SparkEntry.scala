@@ -1452,6 +1452,24 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Hard-negative mining (Search.hardNegatives): for the first 4
+    * embeddings as anchors, the top-5 most-cosine-similar vectors whose
+    * label differs from the anchor's — the contrastive-training negative
+    * sampler over the labeled embedding table.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("embedding").as("anchor_vec"))
+    Search.hardNegatives(emb, anchors, k = 5)
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Training-shard balance audit (sources.Sharding): deterministic
     * md5 shard assignment (16 shards) over the corpus + per-shard doc/
     * token totals — the skew check before a training-mix export hands
@@ -1668,6 +1686,7 @@ object SparkEntry {
     "q88_incremental_dedup" -> (qIncrementalDedup _),
     "q89_matryoshka_topk" -> (qMatryoshka _),
     "q90_shard_balance" -> (qShardBalance _),
+    "q91_hard_negatives" -> (qHardNegatives _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2445,6 +2464,20 @@ object SparkEntry {
          |  FROM base JOIN cand USING (vec_id), qv)
          |SELECT vec_id, round(score, 6) AS score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // anchors = vec_id < 4; per anchor the top-5 different-label
+    // neighbors by cosine, id tie-break
+    "q91_hard_negatives" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, e AS q
+         |   FROM base WHERE vec_id < 4),
+         | scored AS (SELECT anchor_id, vec_id, label, cos AS score,
+         |   row_number() OVER (PARTITION BY anchor_id
+         |     ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM (SELECT anchor_id, vec_id, label, $CosSql AS cos
+         |    FROM base, anch WHERE label <> anchor_label))
+         |SELECT anchor_id, vec_id, label, round(score, 6) AS score, rank
+         |FROM scored WHERE rank <= 5""".stripMargin,
 
     // md5-mod-16 shard assignment + per-shard doc/token totals
     "q90_shard_balance" ->

@@ -89,6 +89,36 @@ object Search {
       .filter(col("rank") <= k && col("score") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive embedding training: for every
+    * anchor, the top-k most-similar corpus rows with a DIFFERENT label —
+    * the near-miss negatives that actually move a contrastive loss
+    * (random negatives are trivially separable). The anchor batch
+    * BROADCASTS (a training batch is tiny next to the corpus), the label
+    * inequality is part of the join condition so same-label rows never
+    * enter the per-anchor ranking, and the per-anchor top-k is a window
+    * partitioned by anchor — the corpus streams map-side, one shuffle of
+    * (anchor, id, label, score) tuples sized corpus × anchors, prunable
+    * further with any ANN prefilter from [[graft.search.Ann]].
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int = 5,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding",
+                    labelCol: String = "label",
+                    anchorId: String = "anchor_id",
+                    anchorVec: String = "anchor_vec",
+                    anchorLabel: String = "anchor_label"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val scored = corpus
+      .join(broadcast(anchors), col(labelCol) =!= col(anchorLabel))
+      .withColumn("score", CosineSimilarity(col(corpusVec), col(anchorVec)))
+      .select(col(anchorId), col(corpusId), col(labelCol), col("score"))
+    val w = Window.partitionBy(col(anchorId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Score every corpus row against a query vector (no slice) — the
     * building block for histograms / threshold sweeps.
     */

@@ -63,6 +63,23 @@ class SearchSpec extends SparkSpec {
     assert(got == Set((100L, 0L, 1), (100L, 1L, 2), (200L, 2L, 1), (200L, 1L, 2)))
   }
 
+  test("hardNegatives: top-k nearest with a DIFFERENT label only") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 1),
+      (1L, Seq(0.99, 0.1), 1),  // same label as anchor — must be excluded
+      (2L, Seq(0.9, 0.2), 2),   // nearest different-label
+      (3L, Seq(0.5, 0.5), 2),
+      (4L, Seq(-1.0, 0.0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+        $"embedding".as("anchor_vec"))
+    val got = Search.hardNegatives(emb, anchors, k = 2)
+      .select($"anchor_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(got == Seq((0L, 2L, 1), (0L, 3L, 2)))
+  }
+
   test("topK plans a TakeOrderedAndProject (no full sort at scale)") {
     val plan = Search.topK(corpus, Seq(1.0, 0.0), k = 3, threshold = 0.1)
       .queryExecution.executedPlan.toString
