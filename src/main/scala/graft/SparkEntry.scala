@@ -1452,6 +1452,15 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Deterministic epoch-1 shuffle order (sources.Sharding.epochOrder):
+    * per-shard md5("1:"+id) ranking — the RNG-free dataloader order for
+    * epoch 1 over the 16-shard corpus layout.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sharding.epochOrder(
+        rdWide(s, dir, "documents").select(col("doc_id")), epoch = 1)
+      .select(col("shard"), col("pos"), col("doc_id"))
+
   /** Hard-negative mining (Search.hardNegatives): for the first 4
     * embeddings as anchors, the top-5 most-cosine-similar vectors whose
     * label differs from the anchor's — the contrastive-training negative
@@ -1687,6 +1696,7 @@ object SparkEntry {
     "q89_matryoshka_topk" -> (qMatryoshka _),
     "q90_shard_balance" -> (qShardBalance _),
     "q91_hard_negatives" -> (qHardNegatives _),
+    "q92_epoch_shuffle" -> (qEpochShuffle _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -1710,6 +1720,9 @@ object SparkEntry {
 
   /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
   private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** DuckDB fragment: 60-bit md5-prefix hash (HashFunctions.md5Int60). */
+  private def h60Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
   /** DuckDB CTEs replaying graft.text.Bm25.score over `documents` for the
     * Bm25Terms query set — same tokenizer, rational-odds idf, and operand
@@ -2478,6 +2491,15 @@ object SparkEntry {
          |    FROM base, anch WHERE label <> anchor_label))
          |SELECT anchor_id, vec_id, label, round(score, 6) AS score, rank
          |FROM scored WHERE rank <= 5""".stripMargin,
+
+    // epoch-1 order: per-shard rank by md5("1:"+doc_id), id tie-break
+    "q92_epoch_shuffle" ->
+      s"""SELECT shard,
+         | row_number() OVER (PARTITION BY shard
+         |   ORDER BY ${h60Sql("'1:' || doc_id::VARCHAR")} ASC, doc_id ASC) AS pos,
+         | doc_id
+         |FROM (SELECT ${h32Sql("doc_id::VARCHAR")} % 16 AS shard, doc_id
+         | FROM documents)""".stripMargin,
 
     // md5-mod-16 shard assignment + per-shard doc/token totals
     "q90_shard_balance" ->

@@ -28,6 +28,24 @@ object Sharding {
       pmod(HashFunctions.md5Int32(col(idCol).cast("string")), lit(nShards.toLong)))
   }
 
+  /** Deterministic per-epoch shuffle: rank documents within each shard
+    * by md5("epoch:id") — dataloaders get a reproducible order that
+    * VARIES per epoch with no RNG state to checkpoint or coordinate
+    * (resume-from-step is "skip pos < n", identical on every worker and
+    * every rerun). The sort key is row-local, the ranking window is
+    * partitioned by shard (never global), and a different `epoch` value
+    * re-permutes everything while the shard membership stays fixed.
+    */
+  def epochOrder(docs: DataFrame, epoch: Int, idCol: String = "doc_id",
+                 nShards: Int = 16): DataFrame =
+    withShard(docs, idCol, nShards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(
+            HashFunctions.md5Int60(
+              concat_ws(":", lit(epoch), col(idCol).cast("string"))),
+            col(idCol))))
+
   /** Per-shard balance audit: (shard, n_docs, total_tokens,
     * max_doc_tokens) — the skew check a training-export job runs before
     * handing shards to the dataloader fleet.

@@ -28,6 +28,24 @@ class ShardingSpec extends SparkSpec {
     assert(got.length == 8 && got.forall(r => r._2 > 10 && r._2 < 80))
   }
 
+  test("epochOrder: reproducible per epoch, re-permuted across epochs") {
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    def order(epoch: Int): Seq[(Long, Long, Long)] =
+      Sharding.epochOrder(docs, epoch).select("shard", "pos", "doc_id")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val e1 = order(1)
+    assert(e1 == order(1)) // deterministic rerun
+    val e2 = order(2)
+    assert(e1 != e2)       // epochs re-permute…
+    // …but shard membership and per-shard position ranges are identical
+    def membership(o: Seq[(Long, Long, Long)]) =
+      o.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(membership(e1) == membership(e2))
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq)
+    }
+  }
+
   test("no shuffle before the aggregation: assignment is map-side") {
     val docs = (1L to 50L).map(i => (i, 1L)).toDF("doc_id", "n_tokens")
     val plan = Sharding.withShard(docs).queryExecution.executedPlan.toString
