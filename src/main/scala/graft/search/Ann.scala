@@ -355,6 +355,44 @@ object Ann {
       codebooks)
   }
 
+  /** Persist a PQ index: the codes table (the 32×-smaller scan layout —
+    * the float column is not stored at all) plus the codebooks flattened
+    * to (subspace, code, centroid) rows, so a scan fleet reopens the
+    * index with [[readPq]] and never retrains. Two artifacts under one
+    * `path`, written atomically enough for the usual overwrite-then-read
+    * deployment (a production store would version the directory).
+    */
+  def writePq(index: PqIndex, path: String,
+              idCol: String = "vec_id"): Unit = {
+    index.encoded.select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1) // m × ks tiny rows — one file
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload a persisted PQ index. The codebook table is driver-sized
+    * (m × ks rows); codes stay distributed.
+    */
+  def readPq(spark: org.apache.spark.sql.SparkSession,
+             path: String): PqIndex = {
+    val encoded = spark.read.parquet(s"$path/codes")
+    val flat = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(flat.nonEmpty, s"PQ store at $path has no codebooks")
+    val m = flat.map(_._1).max + 1
+    val ks = flat.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, ks)
+    flat.foreach { case (j, c, cent) => books(j)(c) = cent }
+    require(books.forall(_.forall(_ != null)),
+      s"PQ store at $path is missing (subspace, code) entries")
+    PqIndex(encoded, books)
+  }
+
   /** PQ asymmetric-distance top-k: the per-subspace tables
     * `tab(j)(c) = ‖q_j − codebook(j)(c)‖²` are computed DRIVER-side from
     * the query (O(ks × D) work), embedded as array literals, and the scan

@@ -11,6 +11,26 @@ import graft.search.Ann
   */
 class IvfStorageSpec extends SparkSpec {
 
+  test("writePq/readPq round-trips: reopened index searches identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val index = Ann.buildPq(emb, m = 8, ks = 4, seed = 7L, maxIter = 2,
+      initMode = "random")
+    val path = Files.createTempDirectory("graft_pq").toString
+    Ann.writePq(index, path)
+    val reopened = Ann.readPq(spark, path)
+    assert(reopened.codebooks.length == index.codebooks.length)
+    assert(reopened.codebooks.flatten.flatten.toSeq ==
+      index.codebooks.flatten.flatten.toSeq)
+    val a = Ann.pqSearch(index, qVec, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Ann.pqSearch(reopened, qVec, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    // the stored scan table carries ONLY ids + codes — no float vectors
+    assert(spark.read.parquet(s"$path/codes").columns.sorted.toSeq ==
+      Seq("codes", "vec_id"))
+  }
+
   test("writeIvf/readIvf round-trips and probes with partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qVec = emb.filter(col("vec_id") === 0)
