@@ -99,6 +99,12 @@ object Search {
     * partitioned by anchor — the corpus streams map-side, one shuffle of
     * (anchor, id, label, score) tuples sized corpus × anchors, prunable
     * further with any ANN prefilter from [[graft.search.Ann]].
+    *
+    * Null labels (either side) make the SQL inequality NULL and are
+    * excluded — an unlabeled corpus row is never offered as a negative
+    * (its true class is unknown, it could be a positive). Pre-filter
+    * `labelCol.isNull` rows in explicitly if unlabeled data should count
+    * as negatives.
     */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int = 5,
                     corpusId: String = "vec_id",
