@@ -1452,6 +1452,37 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Centroid pseudo-labeling (weak supervision): treat vec_id % 5 = 0
+    * as unlabeled, build per-label centroids from the labeled REST
+    * (map-side CentroidAgg partials), broadcast the 10 centroids, and
+    * assign each unlabeled vector its cosine-nearest label. Centroid
+    * dims are rounded to 6 on both engines BEFORE the cosine so the
+    * argmax ordering can't wobble on sub-rounding summation-order
+    * noise; Spark's WindowGroupLimit bounds the per-vector rank
+    * shuffle exactly as in q91.
+    */
+  private def qPseudoLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val labeled = emb.filter(col("vec_id") % 5 =!= 0)
+    val unlabeled = emb.filter(col("vec_id") % 5 === 0)
+    val centroids = labeled
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"))
+      .select(col("c_label"), transform(col("c"), x => round(x, 6)).as("c"))
+    val scored = unlabeled
+      .join(broadcast(centroids))
+      .withColumn("score", graft.functions.CosineSimilarity(col("e"), col("c")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("c_label").as("pred_label"), round(col("score"), 6).as("score"))
+  }
+
   /** Deterministic epoch-1 shuffle order (sources.Sharding.epochOrder):
     * per-shard md5("1:"+id) ranking — the RNG-free dataloader order for
     * epoch 1 over the 16-shard corpus layout.
@@ -1697,6 +1728,7 @@ object SparkEntry {
     "q90_shard_balance" -> (qShardBalance _),
     "q91_hard_negatives" -> (qHardNegatives _),
     "q92_epoch_shuffle" -> (qEpochShuffle _),
+    "q93_pseudo_label" -> (qPseudoLabel _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2491,6 +2523,24 @@ object SparkEntry {
          |    FROM base, anch WHERE label <> anchor_label))
          |SELECT anchor_id, vec_id, label, round(score, 6) AS score, rank
          |FROM scored WHERE rank <= 5""".stripMargin,
+
+    // labeled (vec_id % 5 <> 0) → per-label per-dim centroids rounded 6;
+    // unlabeled rows take the cosine-argmax label, label tie-break asc
+    "q93_pseudo_label" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |   unnest(embedding::DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         | cdim AS (SELECT label AS c_label, dim, round(sum(v) / count(*), 6) AS m
+         |  FROM ex GROUP BY label, dim),
+         | cent AS (SELECT c_label, list(m ORDER BY dim) AS c FROM cdim GROUP BY c_label),
+         | scored AS (SELECT vec_id, label AS true_label, c_label,
+         |   ${cosSqlAB("e", "c")} AS score
+         |  FROM (SELECT vec_id, label, e FROM base WHERE vec_id % 5 = 0), cent),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY score DESC, c_label ASC) AS rk FROM scored)
+         |SELECT vec_id, true_label, c_label AS pred_label, round(score, 6) AS score
+         |FROM ranked WHERE rk = 1""".stripMargin,
 
     // epoch-1 order: per-shard rank by md5("1:"+doc_id), id tie-break
     "q92_epoch_shuffle" ->
