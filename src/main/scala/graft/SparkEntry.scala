@@ -1452,6 +1452,49 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Dedup-funnel report: the observability view of q88 — every batch
+    * doc labeled with its fate (exact_dup / near_dup / kept vs the
+    * stored corpus) and counted. The exact set reuses the corpus-hash
+    * semi-join; "kept" reuses incrementalDedup itself, so the report
+    * can never drift from the filter it describes.
+    */
+  private def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val exactIds = batch
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .join(corpus.select(md5(col("text").cast("binary")).as("__h")),
+        Seq("__h"), "left_semi")
+      .select(col("doc_id"))
+    val keptIds = Dedup.incrementalDedup(batch, corpus, minJaccard = 0.5,
+      maxBucketSize = 64).select(col("doc_id"))
+    batch.select(col("doc_id"))
+      .join(broadcast(exactIds.withColumn("__exact", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(keptIds.withColumn("__kept", lit(true))), Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("__exact"), "exact_dup")
+          .when(col("__kept").isNull, "near_dup")
+          .otherwise("kept"))
+      .groupBy(col("fate")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Per-host crawl cap: keep the top-2 quality docs per synthetic host
+    * (source.example.lang) — the domain-budget policy that stops one
+    * site from dominating a crawl mix. One rank window per host key;
+    * WindowGroupLimit bounds the shuffle to ≤ 2 rows per host per task.
+    */
+  private def qHostCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .withColumn("host", concat(col("source"), lit(".example."), col("lang")))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("host"), col("rank"), col("doc_id"), col("q"))
+  }
+
   /** Centroid pseudo-labeling (weak supervision): treat vec_id % 5 = 0
     * as unlabeled, build per-label centroids from the labeled REST
     * (map-side CentroidAgg partials), broadcast the 10 centroids, and
@@ -1729,6 +1772,8 @@ object SparkEntry {
     "q91_hard_negatives" -> (qHardNegatives _),
     "q92_epoch_shuffle" -> (qEpochShuffle _),
     "q93_pseudo_label" -> (qPseudoLabel _),
+    "q94_dedup_funnel" -> (qDedupFunnel _),
+    "q95_host_cap" -> (qHostCap _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2523,6 +2568,40 @@ object SparkEntry {
          |    FROM base, anch WHERE label <> anchor_label))
          |SELECT anchor_id, vec_id, label, round(score, 6) AS score, rank
          |FROM scored WHERE rank <= 5""".stripMargin,
+
+    // q88's split with every batch doc labeled by fate and counted
+    "q94_dedup_funnel" ->
+      s"""WITH $MinhashCtes,
+         | exact AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+         |   AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)),
+         | cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         |   WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         | near AS (SELECT DISTINCT new_id FROM cand
+         |   JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5)
+         |SELECT CASE WHEN doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+         |   WHEN doc_id IN (SELECT new_id FROM near) THEN 'near_dup'
+         |   ELSE 'kept' END AS fate,
+         | count(*) AS n_docs
+         |FROM documents WHERE doc_id % 10 = 0
+         |GROUP BY 1""".stripMargin,
+
+    // top-2 quality docs per source.example.lang host, id tie-break
+    "q95_host_cap" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   source || '.example.' || lang AS host,
+         |   round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS q
+         |  FROM (SELECT doc_id, source, lang, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | r AS (SELECT host, doc_id, q, row_number() OVER (PARTITION BY host
+         |   ORDER BY q DESC, doc_id ASC) AS rank FROM d)
+         |SELECT host, rank, doc_id, q FROM r WHERE rank <= 2""".stripMargin,
 
     // labeled (vec_id % 5 <> 0) → per-label per-dim centroids rounded 6;
     // unlabeled rows take the cosine-argmax label, label tie-break asc
