@@ -43,6 +43,15 @@ class TokenBudgetSpec extends SparkSpec {
     assert(got == Seq((1L, 0.5, 10L, 15L), (2L, 0.5, 10L, 25L), (4L, 0.9, 5L, 5L)))
   }
 
+  test("degenerate distribution: every doc in ONE bucket still exact") {
+    // all-equal quality collapses to a single bucket — the worst case the
+    // scaladoc documents (one window partition = the corpus); output must
+    // still equal the naive prefix, ordered purely by id
+    val d = (1L to 100L).map(i => (i, 0.5, 3L)).toDF("doc_id", "q", "n_tokens")
+    assert(canon(TokenBudget.select(d, "doc_id", "q", "n_tokens", 30L)) ==
+      canon(naive(d, 30L)))
+  }
+
   test("no global (unpartitioned) window in the plan") {
     val plan = TokenBudget.select(docs, "doc_id", "q", "n_tokens", 500L)
       .queryExecution.optimizedPlan.toString
