@@ -1452,6 +1452,18 @@ object SparkEntry {
     rescored.select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Span-level decontamination (Dedup.scrubBenchmarkSegments): treat
+    * doc_id % 7 = 0 as the benchmark set and rewrite the remaining
+    * corpus without any 8-token segment that appears verbatim in it —
+    * the masking counterpart of q52's doc-level flagging.
+    */
+  private def qScrubBenchmark(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    Dedup.scrubBenchmarkSegments(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0))
+  }
+
   /** Dedup-funnel report: the observability view of q88 — every batch
     * doc labeled with its fate (exact_dup / near_dup / kept vs the
     * stored corpus) and counted. The exact set reuses the corpus-hash
@@ -1774,6 +1786,7 @@ object SparkEntry {
     "q93_pseudo_label" -> (qPseudoLabel _),
     "q94_dedup_funnel" -> (qDedupFunnel _),
     "q95_host_cap" -> (qHostCap _),
+    "q96_scrub_benchmark" -> (qScrubBenchmark _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2568,6 +2581,26 @@ object SparkEntry {
          |    FROM base, anch WHERE label <> anchor_label))
          |SELECT anchor_id, vec_id, label, round(score, 6) AS score, rank
          |FROM scored WHERE rank <= 5""".stripMargin,
+
+    // benchmark = doc_id % 7 = 0; corpus docs rewritten without any
+    // 8-token segment that appears verbatim in a benchmark doc
+    "q96_scrub_benchmark" ->
+      s"""WITH words AS (SELECT doc_id,
+         |   regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | base AS (SELECT doc_id, w, len(w)//8 AS nseg FROM words),
+         | segs AS (SELECT doc_id, nseg, j AS idx,
+         |   array_to_string(w[j*8+1 : j*8+8], ' ') AS seg
+         |  FROM base, unnest(range(0, nseg)) AS t(j)),
+         | tails AS (SELECT doc_id, nseg, nseg AS idx,
+         |   array_to_string(w[nseg*8+1 : len(w)], ' ') AS seg FROM base),
+         | bp AS (SELECT DISTINCT ${h32Sql("seg")} AS h FROM segs WHERE doc_id % 7 = 0),
+         | kept AS (SELECT doc_id, nseg, idx, seg FROM segs
+         |   WHERE doc_id % 7 <> 0 AND ${h32Sql("seg")} NOT IN (SELECT h FROM bp)
+         |  UNION ALL SELECT doc_id, nseg, idx, seg FROM tails WHERE doc_id % 7 <> 0)
+         |SELECT doc_id,
+         | coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE seg <> ''), '') AS text_clean,
+         | max(nseg) - count(*) FILTER (WHERE idx < nseg) AS n_removed
+         |FROM kept GROUP BY doc_id""".stripMargin,
 
     // q88's split with every batch doc labeled by fate and counted
     "q94_dedup_funnel" ->

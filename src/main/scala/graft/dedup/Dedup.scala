@@ -296,32 +296,75 @@ object Dedup {
                                 minDocs: Int = 2): DataFrame = {
     require(segLen >= 1, s"segLen must be >= 1, got $segLen")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val w = col("__w")
-    val base = docs
-      .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .withColumn("__nseg", floor(size(w) / segLen).cast("int"))
-    // one row per full segment (idx 0..nseg-1) + one tail row (idx =
-    // nseg; possibly "", filtered at reassembly)
-    val segRows = base.select(col(idCol), col("__nseg"),
-      posexplode(concat(
-        when(col("__nseg") >= 1,
-          transform(sequence(lit(0), col("__nseg") - 1),
-            j => array_join(slice(w, j * segLen + 1, lit(segLen)), " ")))
-          .otherwise(array().cast("array<string>")),
-        array(array_join(
-          slice(w, col("__nseg") * segLen + 1, size(w)), " "))))
-        .as(Seq("idx", "seg")))
+    val segRows = segmentRows(docs, idCol, textCol, segLen)
     val bp = segRows
       .filter(col("idx") < col("__nseg"))
       .groupBy(graft.functions.HashFunctions.md5Int32(col("seg")).as("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"))
+    reassembleWithout(segRows, idCol, bp)
+  }
+
+  /** Span-level decontamination: rewrite corpus documents without the
+    * `segLen`-token segments that appear VERBATIM in a benchmark set —
+    * the masking form of doc-level decontamination
+    * ([[contaminationPairs]] flags whole documents; this salvages the
+    * document and scrubs only the leaked spans, the usual treatment
+    * when a long doc quotes a benchmark item).
+    *
+    * The benchmark is tiny next to the corpus, so its distinct
+    * segment-hash set BROADCASTS and corpus segments stream map-side
+    * through the anti-join — the only corpus shuffle is the per-doc
+    * reassembly, which carries kept segments only. Only the benchmark's
+    * FULL segments ban (its sub-`segLen` tail is too weak a signal to
+    * scrub on); corpus tails are never removed, as in
+    * [[removeBoilerplateSegments]].
+    */
+  def scrubBenchmarkSegments(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             segLen: Int = 8): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    val banned = segmentRows(benchmark, idCol, textCol, segLen)
+      .filter(col("idx") < col("__nseg"))
+      .select(graft.functions.HashFunctions.md5Int32(col("seg")).as("__h"))
+      .distinct()
+    reassembleWithout(segmentRows(corpus, idCol, textCol, segLen), idCol,
+      broadcast(banned))
+  }
+
+  /** (idCol, __nseg, idx, seg): one row per full `segLen`-token segment
+    * (idx 0..nseg-1) + one tail row (idx = nseg; possibly "", filtered
+    * at reassembly).
+    */
+  private def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+                          segLen: Int): DataFrame = {
+    val w = col("__w")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .withColumn("__nseg", floor(size(w) / segLen).cast("int"))
+      .select(col(idCol), col("__nseg"),
+        posexplode(concat(
+          when(col("__nseg") >= 1,
+            transform(sequence(lit(0), col("__nseg") - 1),
+              j => array_join(slice(w, j * segLen + 1, lit(segLen)), " ")))
+            .otherwise(array().cast("array<string>")),
+          array(array_join(
+            slice(w, col("__nseg") * segLen + 1, size(w)), " "))))
+          .as(Seq("idx", "seg")))
+  }
+
+  /** Drop full segments whose hash is in `banned`("__h") and re-join the
+    * survivors in order → (idCol, text_clean, n_removed).
+    */
+  private def reassembleWithout(segRows: DataFrame, idCol: String,
+                                banned: DataFrame): DataFrame =
     segRows
       // tail rows (idx = nseg) never match the anti-join condition, so a
-      // tail that happens to equal a boilerplate segment is still kept
-      .join(bp,
-        graft.functions.HashFunctions.md5Int32(col("seg")) === bp("__h") &&
+      // tail that happens to equal a banned segment is still kept
+      .join(banned,
+        graft.functions.HashFunctions.md5Int32(col("seg")) === banned("__h") &&
           col("idx") < col("__nseg"),
         "left_anti")
       .groupBy(col(idCol))
@@ -334,7 +377,6 @@ object Dedup {
         (max(col("__nseg")) -
           sum(when(col("idx") < col("__nseg"), 1L).otherwise(0L)))
           .cast("long").as("n_removed"))
-  }
 
   /** Per-token 32-bit hashes of a text column (the SimHash input). */
   def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))

@@ -275,6 +275,21 @@ class DedupSpec extends SparkSpec {
     assert(both == Set(20L, 21L))
   }
 
+  test("scrubBenchmarkSegments masks only spans present in the benchmark") {
+    val corpus = Seq(
+      // first 8 tokens exactly match benchmark doc 100's first segment
+      (1L, "q one two three four five six seven keep these original tail words"),
+      (2L, "totally original corpus text with no benchmark overlap at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "q one two three four five six seven benchmark answer body")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubBenchmarkSegments(corpus, bench)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("keep these original tail words", 1L)))
+    assert(got(2L) == (("totally original corpus text with no benchmark overlap at all here", 0L)))
+  }
+
   test("containmentNearDups scores subset duplication that Jaccard dilutes") {
     val small = "alpha beta gamma delta epsilon"
     val docs = Seq(
