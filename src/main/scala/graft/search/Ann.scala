@@ -258,38 +258,45 @@ object Ann {
       model.clusterCenters.map(_.toArray))
   }
 
-  /** Persist an IVF index partitioned by inverted list: one directory
-    * per centroid_id. A probe that filters on centroid_id then reads
-    * only nprobe directories (PartitionFilters in the scan, zero I/O for
-    * the other lists) — the storage layout that makes IVF an actual
-    * index at 100 TB rather than a full-scan-with-a-filter.
+  /** Persist an IVF index: the assigned corpus partitioned by inverted
+    * list (one directory per centroid_id under `path`/lists) plus the
+    * trained centroid table (`path`/centroids — tiny, one file). A probe
+    * that filters on centroid_id then reads only nprobe directories
+    * (PartitionFilters in the scan, zero I/O for the other lists) — the
+    * storage layout that makes IVF an actual index at 100 TB rather than
+    * a full-scan-with-a-filter. Persisting the trained centers (rather
+    * than re-deriving list means on load) keeps probe ranking identical
+    * to the in-memory index even when training stopped short of
+    * convergence.
     */
-  def writeIvf(index: IvfIndex, path: String): Unit =
+  def writeIvf(index: IvfIndex, path: String): Unit = {
     index.assigned.write
       .partitionBy("centroid_id")
       .mode("overwrite")
-      .parquet(path)
+      .parquet(s"$path/lists")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1) // nCentroids tiny rows — one file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
 
-  /** Reload a persisted IVF index (centroids are re-derived as the mean
-    * of each list — exact for a converged assignment, and avoids a
-    * second artifact to keep in sync).
+  /** Reload a persisted IVF index. The centroid table is driver-sized
+    * (nCentroids rows); the inverted lists stay distributed and
+    * partition-prunable.
     */
-  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String,
-              vecCol: String = "embedding"): IvfIndex = {
-    val assigned = spark.read.parquet(path)
-    val byId = assigned
-      .groupBy(col("centroid_id"))
-      .agg(graft.functions.VectorAggregates.centroid(
-        asDouble(col(vecCol))).as("c"))
-      .collect()
+  def readIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/lists")
+    val byId = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
-    require(byId.nonEmpty,
-      s"IVF store at $path is empty — nothing was assigned (was writeIvf " +
-        "called on an empty corpus, or is the path wrong?)")
-    // dense array indexed by centroid_id; an empty inverted list (id
-    // never assigned) gets a zero vector, which cosine-scores 0 and is
-    // never probed first
+    require(byId.nonEmpty, s"IVF store at $path has no centroids")
+    // dense array indexed by centroid_id (ids are contiguous from
+    // training, but tolerate gaps: a missing id gets a zero vector,
+    // which cosine-scores 0 and is never probed first)
     val k = byId.keys.max + 1
     val dim = byId.values.head.length
     val centers = Array.tabulate(k)(i =>
