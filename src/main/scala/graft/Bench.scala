@@ -35,10 +35,14 @@ object Bench {
     * range with a multiply-hash aggregate. No I/O, no shuffle beyond the
     * final single-partition agg; any variance in this number is the
     * container, not the engine.
+    *
+    * The per-row product is reduced mod 1e9+7 BEFORE the sum: 2^22 terms
+    * each < 1e9 sum to < 4.2e15, far inside Long, so the aggregate cannot
+    * hit ANSI ARITHMETIC_OVERFLOW (the unreduced sum is ~2.3e22 and did).
     */
   private def control(spark: SparkSession): Unit = {
     spark.range(1L << 22)
-      .selectExpr("sum(id * 2654435761) as s", "count(1) as c")
+      .selectExpr("sum((id * 2654435761L) % 1000000007L) as s", "count(1) as c")
       .write.format("noop").mode("overwrite").save()
   }
 
@@ -76,41 +80,60 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // query -> number of passes in which it threw. Failed passes contribute
+    // NO sample (a fast failure must not masquerade as a fast success).
+    val failures = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val controlSamples = collection.mutable.ListBuffer.empty[Double]
 
     for (pass <- 1 to passes) {
       val c0 = System.nanoTime()
-      control(spark)
-      val cSec = (System.nanoTime() - c0) / 1e9
-      controlSamples += cSec
-      System.err.println(f"[bench] pass $pass __control $cSec%8.3f s")
+      try {
+        control(spark)
+        controlSamples += (System.nanoTime() - c0) / 1e9
+        System.err.println(f"[bench] pass $pass __control ${controlSamples.last}%8.3f s")
+      } catch {
+        case e: Throwable =>
+          failures("__control") += 1
+          System.err.println(s"[bench] pass $pass __control FAILED: ${e.getMessage}")
+      }
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(name) = samples(name) :+ sec
+          System.err.println(f"[bench] pass $pass $name%-24s $sec%8.3f s")
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failures(name) += 1
+            System.err.println(s"[bench] pass $pass $name FAILED: ${e.getMessage}")
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        samples(name) = samples(name) :+ sec
-        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.3f s")
       }
     }
 
-    val med = names.map { case (name, _) => name -> median(samples(name)) }
-    val mins = names.map { case (name, _) => name -> samples(name).min }
+    // Queries with at least one successful pass report their median/min over
+    // the successful passes only; queries that failed every pass are omitted
+    // from the timing maps and appear solely under "failed".
+    val timed = names.filter { case (name, _) => samples(name).nonEmpty }
+    val med = timed.map { case (name, _) => name -> median(samples(name)) }
+    val mins = timed.map { case (name, _) => name -> samples(name).min }
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val failedJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    val ctlMed = median(controlSamples.toList)
-    val ctlMin = controlSamples.min
-    val ctlMax = controlSamples.max
+    val ctl =
+      if (controlSamples.nonEmpty)
+        f""""control":{"median":${median(controlSamples.toList)}%.3f,""" +
+        f""""min":${controlSamples.min}%.3f,"max":${controlSamples.max}%.3f}"""
+      else """"control":null"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},""" +
-      f""""queries_min":${jsonMap(mins)},"passes":$passes,""" +
-      f""""control":{"median":$ctlMed%.3f,"min":$ctlMin%.3f,"max":$ctlMax%.3f},""" +
-      f""""sf":"$sfDir"}""")
+      f""""queries_min":${jsonMap(mins)},"passes":$passes,"failed":$failedJson,""" +
+      ctl + f""","sf":"$sfDir"}""")
+    // Exit 0 even with per-query failures: the "failed" JSON field carries
+    // the signal, and a nonzero rc would make the driver discard the whole
+    // line (r6: rc=1 -> parsed:null, no benchmark for the round).
     spark.stop()
   }
 }

@@ -175,8 +175,8 @@ object Dedup {
     * candidates); only the verification metric differs. Note the
     * MinHash bands are tuned for Jaccard, so low-Jaccard/high-containment
     * pairs surface only when the small side still shares enough bands —
-    * for guaranteed containment recall, band the small doc's shingles
-    * directly (future work; this is the scan-cheap variant).
+    * for guaranteed containment recall use [[containmentPairsExact]]
+    * (prefix-filtered inverted index; this is the scan-cheap variant).
     */
   def containmentNearDups(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,

@@ -1,17 +1,21 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Quality-first corpus selection under a token budget: keep the
   * best-scored documents whose running token total fits the budget —
   * the "fill a 10B-token training mix with the highest-quality docs"
   * step of an LLM data pipeline.
   *
-  * Semantics: order docs by (quality DESC, id ASC), take the maximal
-  * prefix whose inclusive running token sum is ≤ `budget`.
+  * Semantics: order docs by (quality DESC, md5(id) ASC, id ASC), take
+  * the maximal prefix whose inclusive running token sum is ≤ `budget`.
+  * The hash tie-break is deliberate: among equal-quality docs the kept
+  * set is an unbiased pseudo-random sample rather than an id-ordered
+  * prefix (ids usually encode crawl order — a biased cut), and it is
+  * what makes the skew path below exact (see `maxBucketRows`).
   *
   * The naive phrasing is a running sum over a GLOBAL ordering — a
   * single-partition Window, i.e. one reducer scanning the whole corpus;
@@ -19,23 +23,36 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * result with no global sort:
   *   1. bucket docs by quality (`floor(q·buckets)` — monotone in q, so
   *      bucket order refines the global order),
-  *   2. aggregate per-bucket token sums — the only full-data pass, a
-  *      two-phase hash aggregate shuffling ≤ `buckets` rows,
+  *   2. aggregate per-bucket token sums + row counts — the only
+  *      mandatory full-data pass, a two-phase hash aggregate shuffling
+  *      ≤ `buckets` rows,
   *   3. the driver prefix-sums the ≤ `buckets`-row bucket histogram
   *      into per-bucket offsets and DROPS every bucket whose offset
   *      already exceeds the budget (those docs can never be kept — the
   *      filter prunes them before any window work),
   *   4. a Window PARTITIONED BY bucket (never global) adds the
   *      within-bucket running sum to the broadcast-joined offset.
-  * The largest window partition is one quality bucket (~1/`buckets` of
-  * the corpus under any non-degenerate score distribution), and
-  * surviving buckets are roughly those inside the budget, so the
-  * window input is close to the OUTPUT size, not the corpus size.
   *
-  * `qualityCol` must be in [0, 1) ∪ {1} and deterministic (round it —
-  * ordering on an unrounded double is not reproducible across engines);
-  * `idCol` must be unique, making the window ordering total and the
-  * running sums exact.
+  * Skew guard (`maxBucketRows`): `floor(q·buckets)` degenerates when one
+  * quality value dominates — e.g. a constant-quality corpus (unscored
+  * docs defaulting to 1.0) lands in ONE bucket, making the "partitioned"
+  * window a single corpus-sized partition. Any bucket whose pass-1 row
+  * count exceeds `maxBucketRows` is therefore SUB-BUCKETED: a second
+  * aggregate (over the hot buckets only — zero extra cost on healthy
+  * distributions) histograms (exact quality value, first-2-hex-of-md5)
+  * cells, the driver folds those cells into the same prefix-sum — exact,
+  * because (quality, md5-prefix) is a prefix of the global ordering
+  * tuple (quality, md5, id), so cells are consecutive runs of the global
+  * order — and the window partitions on (bucket, quality, sub-bucket),
+  * capping the largest partition at ~1/256 of the hot value's rows.
+  * A hot bucket can only be over-full because few exact values dominate
+  * (each hot value carries > maxBucketRows/256ths of it), so the cell
+  * histogram stays driver-sized; a hard `require` caps it regardless.
+  *
+  * `qualityCol` must be numeric in [0, 1) ∪ {1} and deterministic
+  * (round it — ordering on an unrounded double is not reproducible
+  * across engines); `idCol` must be unique, making the window ordering
+  * total and the running sums exact.
   */
 object TokenBudget {
 
@@ -43,45 +60,105 @@ object TokenBudget {
     * columns plus `cum_tokens` (global inclusive running token sum).
     */
   def select(docs: DataFrame, idCol: String, qualityCol: String,
-             tokenCol: String, budget: Long, buckets: Int = 1000): DataFrame = {
+             tokenCol: String, budget: Long, buckets: Int = 1000,
+             maxBucketRows: Long = 4L * 1000 * 1000): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(buckets > 0, s"buckets must be > 0, got $buckets")
+    require(maxBucketRows > 0, s"maxBucketRows must be > 0, got $maxBucketRows")
     val spark = docs.sparkSession
-    val bucketed = docs.withColumn("__bucket",
-      floor(col(qualityCol) * buckets).cast(LongType))
+    val tie = md5(col(idCol).cast(StringType).cast("binary"))
+    val bucketed = docs
+      .withColumn("__bucket", floor(col(qualityCol) * buckets).cast(LongType))
+      .withColumn("__tie", tie)
 
-    // full-data pass #1: per-bucket token totals; ≤ buckets+1 rows reach
-    // the driver, never documents
+    // full-data pass #1: per-bucket token totals + row counts; ≤ buckets+1
+    // rows reach the driver, never documents
     val hist = bucketed.groupBy(col("__bucket"))
-      .agg(sum(col(tokenCol)).cast(LongType).as("__btok"))
+      .agg(sum(col(tokenCol)).cast(LongType).as("__btok"),
+        count(lit(1)).as("__bn"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
 
-    // offset(b) = tokens in strictly-higher buckets; a bucket whose
-    // offset exceeds the budget is entirely outside the kept prefix
-    // (token counts are non-negative), so it is pruned pre-window
+    val hotBuckets = hist.filter(_._3 > maxBucketRows).map(_._1).toSet
+
+    // skew pass (hot buckets only): (bucket, exact quality, md5[0:2])
+    // cell sums. Bounded driver-side: hot cells are dominated by few
+    // exact values by construction; the require is the hard backstop.
+    val subHist: Map[Long, Array[(Double, String, Long)]] =
+      if (hotBuckets.isEmpty) Map.empty
+      else {
+        val cells = bucketed
+          .filter(col("__bucket").isInCollection(hotBuckets))
+          .groupBy(col("__bucket"),
+            col(qualityCol).cast(DoubleType).as("__q"),
+            substring(col("__tie"), 1, 2).as("__sub"))
+          .agg(sum(col(tokenCol)).cast(LongType).as("__ctok"))
+          .collect()
+        require(cells.length <= (1 << 21),
+          s"TokenBudget skew histogram has ${cells.length} cells — the hot " +
+          s"buckets carry too many distinct $qualityCol values; raise " +
+          s"`buckets` (currently $buckets) so quality splits them instead")
+        cells.map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+          .groupBy(_._1)
+          .map { case (b, rs) =>
+            b -> rs.map(t => (t._2, t._3, t._4))
+              .sortBy { case (q, sub, _) => (-q, sub) }
+          }
+      }
+
+    // Driver prefix-sum over segments in global order: buckets descending;
+    // a hot bucket contributes its (quality DESC, sub ASC) cells in place.
+    // Segment key = (__bucket, __q, __sub) with (-1.0, "") sentinels for
+    // whole-bucket segments (quality is confined to [0,1], so -1 is free).
+    // Segments whose offset exceeds the budget can never be kept (token
+    // counts are non-negative) and are pruned pre-window.
     var acc = 0L
-    val offsets = hist.map { case (b, tok) =>
-      val row = Row(b, acc); acc += tok; row
-    }.filter(_.getLong(1) <= budget)
+    val offsets = collection.mutable.ArrayBuffer.empty[Row]
+    hist.foreach { case (b, btok, _) =>
+      subHist.get(b) match {
+        case None =>
+          if (acc <= budget) offsets += Row(b, -1.0, "", acc)
+          acc += btok
+        case Some(cells) =>
+          cells.foreach { case (q, sub, ctok) =>
+            if (acc <= budget) offsets += Row(b, q, sub, acc)
+            acc += ctok
+          }
+      }
+    }
 
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.toSeq, 1),
-      StructType(Seq(StructField("__bucket", LongType, nullable = false),
+      StructType(Seq(
+        StructField("__bucket", LongType, nullable = false),
+        StructField("__q", DoubleType, nullable = false),
+        StructField("__sub", StringType, nullable = false),
         StructField("__offset", LongType, nullable = false))))
 
-    // within-bucket running sum; (quality, id) is a total order inside
-    // the bucket, so offset + running = the global inclusive cumsum
-    val w = Window.partitionBy(col("__bucket"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    // the same segment key on the corpus side: hot buckets key by their
+    // exact quality + md5 prefix, healthy buckets by the sentinels
+    val isHot = if (hotBuckets.isEmpty) lit(false)
+                else col("__bucket").isInCollection(hotBuckets)
+    val keyed = bucketed
+      .withColumn("__q",
+        when(isHot, col(qualityCol).cast(DoubleType)).otherwise(lit(-1.0)))
+      .withColumn("__sub",
+        when(isHot, substring(col("__tie"), 1, 2)).otherwise(lit("")))
+
+    // within-segment running sum; (quality, md5, id) is a total order
+    // inside the segment, so offset + running = the global inclusive
+    // cumsum. The largest partition is one healthy bucket or one
+    // (hot value × md5-prefix) cell — never the corpus.
+    val w = Window.partitionBy(col("__bucket"), col("__q"), col("__sub"))
+      .orderBy(col(qualityCol).desc, col("__tie").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    bucketed
-      .join(broadcast(offDf), "__bucket")
+    keyed
+      .join(broadcast(offDf), Seq("__bucket", "__q", "__sub"))
       .withColumn("cum_tokens",
         col("__offset") + sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= budget)
-      .drop("__bucket", "__offset")
+      .drop("__bucket", "__tie", "__q", "__sub", "__offset")
   }
 }

@@ -270,6 +270,8 @@ object Ann {
     * convergence.
     */
   def writeIvf(index: IvfIndex, path: String): Unit = {
+    require(!index.assigned.isEmpty,
+      s"refusing to persist an empty IVF index to $path (no vectors assigned)")
     index.assigned.write
       .partitionBy("centroid_id")
       .mode("overwrite")
@@ -281,6 +283,13 @@ object Ann {
       .toDF("centroid_id", "centroid")
       .coalesce(1) // nCentroids tiny rows — one file
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // format marker: lets readIvf distinguish "old/foreign layout" from
+    // "corrupt" with a clear message, and future layouts version-bump
+    val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("ivf-v2:lists+centroids\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Reload a persisted IVF index. The centroid table is driver-sized
@@ -289,6 +298,17 @@ object Ann {
     */
   def readIvf(spark: org.apache.spark.sql.SparkSession,
               path: String): IvfIndex = {
+    // Fail with a layout diagnosis rather than Spark's raw path/schema
+    // error when pointed at a pre-v2 index (parquet directly at `path`),
+    // an empty directory, or a non-index path.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no IVF index at $path (path missing)")
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
+      s"$path is not an ivf-v2 index (missing $path/centroids — a pre-v2 " +
+      "index stored parquet directly at the root; rebuild with writeIvf)")
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
+      s"$path is not an ivf-v2 index (missing $path/lists)")
     val assigned = spark.read.parquet(s"$path/lists")
     val byId = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)

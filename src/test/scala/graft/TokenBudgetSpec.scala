@@ -15,9 +15,14 @@ class TokenBudgetSpec extends SparkSpec {
     }.toDF("doc_id", "q", "n_tokens")
   }
 
-  /** Reference semantics: global-window prefix (fine at test scale). */
+  /** Reference semantics: global-window prefix over
+    * (quality DESC, md5(id) ASC, id ASC) — fine at test scale.
+    */
   private def naive(d: DataFrame, budget: Long): DataFrame = {
-    val w = Window.orderBy(col("q").desc, col("doc_id").asc)
+    val w = Window
+      .orderBy(col("q").desc,
+        md5(col("doc_id").cast("string").cast("binary")).asc,
+        col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
@@ -35,21 +40,51 @@ class TokenBudgetSpec extends SparkSpec {
     }
   }
 
-  test("equal-quality ties break by id and duplicates of q stay exact") {
+  test("equal-quality ties break by md5(id), not id") {
+    // md5("11") = 6512... < md5("10") = d3d9..., so doc 11 is kept before
+    // doc 10 despite the larger id — the unbiased hash tie-break
     val d = Seq(
-      (1L, 0.5, 10L), (2L, 0.5, 10L), (3L, 0.5, 10L), (4L, 0.9, 5L)
+      (10L, 0.5, 10L), (11L, 0.5, 10L), (12L, 0.5, 10L), (4L, 0.9, 5L)
     ).toDF("doc_id", "q", "n_tokens")
     val got = canon(TokenBudget.select(d, "doc_id", "q", "n_tokens", 25L))
-    assert(got == Seq((1L, 0.5, 10L, 15L), (2L, 0.5, 10L, 25L), (4L, 0.9, 5L, 5L)))
+    assert(got == canon(naive(d.cache(), 25L)))
+    assert(got.exists(_._1 == 11L) && !got.exists(_._1 == 10L),
+      s"hash tie-break should keep 11 over 10: $got")
   }
 
-  test("degenerate distribution: every doc in ONE bucket still exact") {
-    // all-equal quality collapses to a single bucket — the worst case the
-    // scaladoc documents (one window partition = the corpus); output must
-    // still equal the naive prefix, ordered purely by id
-    val d = (1L to 100L).map(i => (i, 0.5, 3L)).toDF("doc_id", "q", "n_tokens")
-    assert(canon(TokenBudget.select(d, "doc_id", "q", "n_tokens", 30L)) ==
-      canon(naive(d, 30L)))
+  test("degenerate distribution: one hot bucket is sub-bucketed, still exact") {
+    // all-equal quality collapses to a single quality bucket — with
+    // maxBucketRows forcing the skew path, the window must partition on
+    // the (bucket, quality, md5-prefix) cells, never the whole corpus
+    val d = (1L to 500L).map(i => (i, 0.5, 3L)).toDF("doc_id", "q", "n_tokens")
+      .cache()
+    val got = TokenBudget.select(d, "doc_id", "q", "n_tokens", 600L,
+      maxBucketRows = 50L)
+    assert(canon(got) == canon(naive(d, 600L)))
+
+    // plan: every window is partitioned by the full segment key
+    val plan = got.queryExecution.optimizedPlan.toString
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("__bucket") && l.contains("__q") && l.contains("__sub"),
+        s"window not partitioned by the segment key: $l")
+    }
+
+    // data: no window partition anywhere near the corpus size (md5 prefix
+    // spreads 500 rows over ~256 cells; allow generous slack)
+    val maxCell = d
+      .withColumn("__sub",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .groupBy("__sub").count().agg(max("count")).head().getLong(0)
+    assert(maxCell < 50L, s"largest sub-bucket cell is $maxCell rows")
+  }
+
+  test("skew path output is byte-identical to the healthy path") {
+    // same data, threshold on vs off — the two plans must agree exactly
+    val d = docs.cache()
+    val healthy = canon(TokenBudget.select(d, "doc_id", "q", "n_tokens", 5000L))
+    val skewed = canon(TokenBudget.select(d, "doc_id", "q", "n_tokens", 5000L,
+      maxBucketRows = 1L))
+    assert(healthy == skewed)
   }
 
   test("no global (unpartitioned) window in the plan") {
