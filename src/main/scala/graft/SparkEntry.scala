@@ -1322,6 +1322,15 @@ object SparkEntry {
     Dedup.containmentNearDups(rdWide(s, dir, "documents"),
       minContainment = 0.5)
 
+  /** Guaranteed-recall containment pairs (Dedup.containmentPairsExact):
+    * prefix-filtered shingle inverted index — recall 1.0 at t = 0.5 by
+    * the prefix lemma, catching the low-Jaccard subset duplications the
+    * Jaccard-tuned q75 bands can miss.
+    */
+  private def qContainmentExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsExact(rdWide(s, dir, "documents"),
+      minContainment = 0.5)
+
   /** Correlated-scalar-subquery shape, decorrelated: orders priced above
     * 1.5× their own customer's average. Spark phrases the correlation as
     * one window over o_custkey — a single key shuffle, no re-scan per
@@ -1820,6 +1829,7 @@ object SparkEntry {
     "q94_dedup_funnel" -> (qDedupFunnel _),
     "q95_host_cap" -> (qHostCap _),
     "q96_scrub_benchmark" -> (qScrubBenchmark _),
+    "q97_containment_exact" -> (qContainmentExact _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2860,6 +2870,31 @@ object SparkEntry {
          |    / least(len(sa.shingles), len(sb.shingles))::DOUBLE AS containment
          | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
          |WHERE containment >= 0.5""".stripMargin,
+
+    // prefix-filtered exact containment: probe = each doc's
+    // (sz - ceil(t*sz) + 1) rarest shingles in (doc-freq, shingle)
+    // order, index = all shingles, smaller side probes
+    "q97_containment_exact" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
+        |   ELSE [array_to_string(w, ' ')] END) AS shingles FROM words),
+        | ex AS (SELECT doc_id, len(shingles)::BIGINT AS sz, unnest(shingles) AS s FROM sh),
+        | dfreq AS (SELECT s, count(*)::BIGINT AS df FROM ex GROUP BY s),
+        | ranked AS (SELECT ex.doc_id, ex.sz, ex.s,
+        |   row_number() OVER (PARTITION BY ex.doc_id ORDER BY df ASC, ex.s ASC) AS rn
+        |   FROM ex JOIN dfreq USING (s)),
+        | probe AS (SELECT s, doc_id AS id_p, sz AS sz_p FROM ranked
+        |   WHERE rn <= sz - ceil(0.5 * sz)::BIGINT + 1),
+        | cand AS (SELECT DISTINCT least(id_p, ex.doc_id) AS doc_a, greatest(id_p, ex.doc_id) AS doc_b
+        |   FROM probe JOIN ex ON probe.s = ex.s
+        |   WHERE sz_p < ex.sz OR (sz_p = ex.sz AND id_p <> ex.doc_id))
+        |SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
+        | SELECT doc_a, doc_b,
+        |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |    / least(len(sa.shingles), len(sb.shingles))::DOUBLE AS containment
+        | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |WHERE containment >= 0.5""".stripMargin,
 
     "q76_above_avg_orders" ->
       """WITH a AS (SELECT o_custkey, o_totalprice,

@@ -194,6 +194,68 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Containment pairs with GUARANTEED recall — no LSH false negatives.
+    * Prefix filtering over a shingle inverted index (the AllPairs/PPJoin
+    * family, Bayardo et al. "Scaling Up All Pairs Similarity Search";
+    * Xiao et al. PPJoin): fix one global total order on shingles —
+    * (doc frequency ASC, shingle ASC), rarest first — and note that if
+    * |A∩B| ≥ α, the first |S|−α+1 shingles of the SMALLER set S must
+    * contain an intersection element (otherwise all α of them squeeze
+    * into the remaining α−1 slots). With containment ≥ t ⇒ overlap
+    * α ≥ ⌈t·|S|⌉, every qualifying pair therefore collides when each doc
+    * PROBES with only its ⌊|S|−⌈t·|S|⌉+1⌋ rarest shingles while the
+    * full corpus is INDEXED on all shingles — recall 1.0 by construction
+    * (DedupSpec plants a Jaccard≈0.1 / containment 1.0 pair the
+    * Jaccard-tuned bands miss and asserts this path finds it).
+    *
+    * Scale shape: the index side is the linear shingle explosion (same
+    * as [[contaminationPairs]]); the probe side is (1−t)× that, and
+    * rare-first ordering keeps hot shingles (boilerplate n-grams) out
+    * of probe prefixes, so the per-shingle join fan-out is
+    * probe(s)·index(s) with probe(s) small exactly where index(s) is
+    * large. Two shuffles build the ranked index (by shingle for doc
+    * frequency, by doc for the prefix rank); candidates dedup before
+    * the shingle-set verification join. All-identical corpora still
+    * emit quadratic output — that is genuine result size, not a plan
+    * defect.
+    */
+  def containmentPairsExact(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", n: Int = 3,
+                            minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), n).as("sh"))
+    val ex = sh.select(col("__id"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("s"))
+    // shingles are distinct per doc, so count(*) per shingle = doc freq
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("s").asc)))
+    val prefixLen = col("sz") - ceil(lit(minContainment) * col("sz")) + lit(1L)
+    val probe = ranked.filter(col("rn") <= prefixLen)
+      .select(col("s"), col("__id").as("id_p"), col("sz").as("sz_p"))
+    val index = ex.select(col("s"), col("__id").as("id_i"), col("sz").as("sz_i"))
+    // the lemma needs the SMALLER side probing; equal sizes pass both
+    // ways and dedup via the least/greatest normalization + distinct
+    val cand = probe.join(index, "s")
+      .filter(col("sz_p") < col("sz_i") ||
+        (col("sz_p") === col("sz_i") && col("id_p") =!= col("id_i")))
+      .select(least(col("id_p"), col("id_i")).as("doc_a"),
+        greatest(col("id_p"), col("id_i")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("__id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("__id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Benchmark-contamination scan (train/test decontamination): corpus
     * documents sharing ≥ `minShared` distinct word n-gram shingles with
     * any benchmark document. The benchmark side is exploded to
@@ -525,19 +587,39 @@ object Dedup {
     *  3. only candidate old docs (semi-join on a broadcast id list) pay
     *     shingle extraction for the exact-Jaccard verify.
     * Returns surviving batch rows with their original schema.
+    *
+    * Large-batch fallback: broadcasting assumes the batch is small —
+    * the widest broadcast is the batch's shingle-set table, so a batch
+    * approaching corpus size would OOM the driver. The batch size is
+    * probed with a bounded `limit(max+1).count()` (O(max) work no
+    * matter how big the batch is); above `maxBroadcastBatch` rows every
+    * broadcast hint is dropped and the same joins plan as shuffles —
+    * the corpus does get key-partitioned in that mode, which is the
+    * right trade once "batch" stops being small. Identical output
+    * either way (DedupSpec asserts parity); tune the threshold to
+    * executor/driver memory (1M docs × ~100 shingle strings is the
+    * default's rough ceiling).
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        minJaccard: Double = 0.5,
-                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                       maxBucketSize: Int = Int.MaxValue,
+                       maxBroadcastBatch: Int = 1000000): DataFrame = {
+    require(maxBroadcastBatch > 0,
+      s"maxBroadcastBatch must be > 0, got $maxBroadcastBatch")
+    val small = batch.limit(maxBroadcastBatch + 1).count() <= maxBroadcastBatch
+    // every batch-derived build side goes through this: hint only when
+    // the probe said the batch (and thus anything derived from it) is
+    // broadcast-sized
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // 1. exact copies of an existing doc
     val batchHashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
     val matchedHashes = corpus
       .select(md5(col(textCol).cast("binary")).as("__h"))
-      .join(broadcast(batchHashed.select(col("__h"))), Seq("__h"), "left_semi")
+      .join(bc(batchHashed.select(col("__h"))), Seq("__h"), "left_semi")
       .distinct()
     val afterExact = batchHashed
-      .join(broadcast(matchedHashes), Seq("__h"), "left_anti")
+      .join(bc(matchedHashes), Seq("__h"), "left_anti")
       .drop("__h")
 
     // 2. band-bucket candidates vs the corpus (corpus-side hot-bucket cap)
@@ -555,25 +637,25 @@ object Dedup {
     val bBands = minhashBands(afterExact, idCol, textCol)
       .select(col("band"), col("band_hash"), col(idCol).as("__new_id"))
     val cand = cBands
-      .join(broadcast(bBands), Seq("band", "band_hash"))
+      .join(bc(bBands), Seq("band", "band_hash"))
       .select(col("__new_id"), col(idCol).as("__old_id"))
       .distinct()
 
     // 3. exact-Jaccard verify on candidates only
     val oldSh = corpus
-      .join(broadcast(cand.select(col("__old_id").as(idCol)).distinct()),
+      .join(bc(cand.select(col("__old_id").as(idCol)).distinct()),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("__old_id"), shingles(col(textCol)).as("__sh_old"))
     val newSh = afterExact
       .select(col(idCol).as("__new_id"), shingles(col(textCol)).as("__sh_new"))
     val nearIds = cand
-      .join(broadcast(newSh), "__new_id")
+      .join(bc(newSh), "__new_id")
       .join(oldSh, "__old_id")
       .filter(size(array_intersect(col("__sh_new"), col("__sh_old"))).cast("double") /
         size(array_union(col("__sh_new"), col("__sh_old"))).cast("double") >= minJaccard)
       .select(col("__new_id").as(idCol))
       .distinct()
 
-    afterExact.join(broadcast(nearIds), Seq(idCol), "left_anti")
+    afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
   }
 }

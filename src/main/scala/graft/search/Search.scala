@@ -105,6 +105,16 @@ object Search {
     * (its true class is unknown, it could be a positive). Pre-filter
     * `labelCol.isNull` rows in explicitly if unlabeled data should count
     * as negatives.
+    *
+    * Scale guard: the broadcast is gated on a bounded count probe
+    * (`limit(max+1).count()` — O(max) work however large the anchor set
+    * is). Above `maxBroadcastAnchors` the call fails fast with the two
+    * escape hatches named: chunk the batch driver-side, or pass
+    * `broadcastAnchors = false` to let Spark plan a partitioned
+    * nested-loop over shuffled sides (no driver materialization; the
+    * anchors × corpus work is inherent to exact mining — cut it with
+    * [[hardNegativesPrescan]] instead). Size the cap to your row width:
+    * the default 100k anchors × 768-dim float vectors ≈ 300 MB broadcast.
     */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int = 5,
                     corpusId: String = "vec_id",
@@ -112,15 +122,87 @@ object Search {
                     labelCol: String = "label",
                     anchorId: String = "anchor_id",
                     anchorVec: String = "anchor_vec",
-                    anchorLabel: String = "anchor_label"): DataFrame = {
+                    anchorLabel: String = "anchor_label",
+                    maxBroadcastAnchors: Int = 100000,
+                    broadcastAnchors: Boolean = true): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
+    require(maxBroadcastAnchors > 0,
+      s"maxBroadcastAnchors must be > 0, got $maxBroadcastAnchors")
+    val anchorSide =
+      if (!broadcastAnchors) anchors
+      else {
+        val probe = anchors.limit(maxBroadcastAnchors + 1).count()
+        require(probe <= maxBroadcastAnchors,
+          s"anchor set exceeds maxBroadcastAnchors=$maxBroadcastAnchors — " +
+          "broadcasting it would risk a driver/executor OOM and an " +
+          "anchors-by-corpus nested-loop explosion. Chunk the batch, raise " +
+          "the cap deliberately, use hardNegativesPrescan, or pass " +
+          "broadcastAnchors = false for a partitioned (non-broadcast) join")
+        broadcast(anchors)
+      }
     val scored = corpus
-      .join(broadcast(anchors), col(labelCol) =!= col(anchorLabel))
+      .join(anchorSide, col(labelCol) =!= col(anchorLabel))
       .withColumn("score", CosineSimilarity(col(corpusVec), col(anchorVec)))
       .select(col(anchorId), col(corpusId), col(labelCol), col("score"))
     val w = Window.partitionBy(col(anchorId))
       .orderBy(col("score").desc, col(corpusId).asc)
     scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Two-stage hard-negative mining — the compute-bounded path when
+    * anchors × corpus full-dimension scoring is too expensive: stage 1
+    * ranks every (anchor, different-label corpus row) pair by cosine
+    * over only the first `prefixDim` vector components (matryoshka-style
+    * prefix scoring, dim/prefixDim× less float math and — with the
+    * prefix stored as its own column — dim/prefixDim× less vector I/O;
+    * see [[Ann.matryoshkaTopK]]) and keeps a per-anchor pool of `poolK`
+    * candidate ids via the same WindowGroupLimit-bounded window as the
+    * exact path; stage 2 rescores ONLY the pooled (anchor, candidate)
+    * pairs at full dimension — poolK·anchors rows instead of
+    * corpus·anchors — and takes the final per-anchor top-k.
+    *
+    * Exactness is poolK-bounded as in any prescan re-ranker: a true
+    * top-k negative outside the prefix-score pool is missed. With
+    * matryoshka-trained embeddings modest pools recover the exact
+    * result (SearchSpec asserts prescan == exact on test vectors);
+    * raise poolK to trade compute for recall.
+    */
+  def hardNegativesPrescan(corpus: DataFrame, anchors: DataFrame,
+                           k: Int = 5, prefixDim: Int = 16, poolK: Int = 50,
+                           corpusId: String = "vec_id",
+                           corpusVec: String = "embedding",
+                           labelCol: String = "label",
+                           anchorId: String = "anchor_id",
+                           anchorVec: String = "anchor_vec",
+                           anchorLabel: String = "anchor_label"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(prefixDim > 0, s"prefixDim must be > 0, got $prefixDim")
+    require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    // stage 1: prefix-dim scoring; only (anchor_id, corpus_id) survive
+    val pool = corpus
+      .join(broadcast(anchors), col(labelCol) =!= col(anchorLabel))
+      .withColumn("__pscore", CosineSimilarity(
+        slice(col(corpusVec), 1, prefixDim),
+        slice(col(anchorVec), 1, prefixDim)))
+      .select(col(anchorId), col(corpusId), col("__pscore"))
+      .withColumn("__prank", row_number().over(
+        Window.partitionBy(col(anchorId))
+          .orderBy(col("__pscore").desc, col(corpusId).asc)))
+      .filter(col("__prank") <= poolK)
+      .select(col(anchorId), col(corpusId))
+    // stage 2: full-dimension rescore of the k-bounded pool only; the
+    // pool (anchors × poolK ids) broadcasts, the corpus again streams
+    val rescored = corpus
+      .select(col(corpusId), col(corpusVec), col(labelCol))
+      .join(broadcast(pool), corpusId)
+      .join(broadcast(anchors.select(col(anchorId), col(anchorVec))), anchorId)
+      .withColumn("score", CosineSimilarity(col(corpusVec), col(anchorVec)))
+      .select(col(anchorId), col(corpusId), col(labelCol), col("score"))
+    val w = Window.partitionBy(col(anchorId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    rescored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

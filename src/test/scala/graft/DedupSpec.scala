@@ -307,4 +307,81 @@ class DedupSpec extends SparkSpec {
       .find(p => p._1 == 1L && p._2 == 2L).get._3
     assert(jac < 0.5, s"expected diluted jaccard, got $jac")
   }
+
+  test("containmentPairsExact finds the low-Jaccard pair the bands miss") {
+    // plant a containment-1.0 / Jaccard≈0.1 pair: doc 1 is a 12-word
+    // slice of doc 2's 120 words. The Jaccard-tuned MinHash bands give
+    // such a pair only ~1-(1-J²)⁸ ≈ 8% collision odds; with this seed
+    // they deterministically miss it — the prefix-filtered inverted
+    // index must find it regardless.
+    val rng = new scala.util.Random(7)
+    def word() = ('a' + rng.nextInt(26)).toChar.toString +
+      ('a' + rng.nextInt(26)).toChar.toString + rng.nextInt(1000)
+    val big = Seq.fill(120)(word())
+    val small = big.slice(40, 52)
+    val docs = Seq(
+      (1L, small.mkString(" ")),
+      (2L, big.mkString(" ")),
+      (3L, Seq.fill(50)(word()).mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val exact = Dedup.containmentPairsExact(docs, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.contains((1L, 2L, 1.0)), s"guaranteed recall violated: $exact")
+
+    // the planted pair's Jaccard is ~10/118 — below any banding reach;
+    // assert the scan-cheap LSH variant does miss it with this data, so
+    // the test genuinely separates the two operators
+    val lsh = Dedup.containmentNearDups(docs, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!lsh.contains((1L, 2L, 1.0)),
+      s"expected the bands to miss the planted pair (tweak seed): $lsh")
+  }
+
+  test("incrementalDedup large-batch shuffle path equals the broadcast path") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated reference document with its own words"),
+      (3L, "shared boilerplate header text appears in many corpus docs")
+    ).toDF("doc_id", "text").cache()
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (11L, "the quick brown fox jumps over the lazy dog again and once"),  // near dup
+      (12L, "a genuinely novel batch document with fresh content words"),
+      (13L, "shared boilerplate header text appears in many corpus docs")   // exact dup
+    ).toDF("doc_id", "text").cache()
+
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    val bcPath = ids(Dedup.incrementalDedup(batch, corpus))
+    // maxBroadcastBatch=1 forces the non-broadcast fallback
+    val shPath = ids(Dedup.incrementalDedup(batch, corpus,
+      maxBroadcastBatch = 1))
+    assert(bcPath == shPath, s"paths diverged: bc=$bcPath shuffle=$shPath")
+    assert(bcPath == Set(12L), s"expected only the novel doc: $bcPath")
+  }
+
+  test("containmentPairsExact equals brute force on a random corpus") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      val len = 5 + rng.nextInt(30)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text").cache()
+
+    val got = Dedup.containmentPairsExact(docs, minContainment = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // brute force: every pair, exact containment over the same shingles
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      inter = sh(a).toSet.intersect(sh(b).toSet).size.toDouble
+      c = inter / math.min(sh(a).size, sh(b).size)
+      if c >= 0.5
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+    assert(got == want, s"exact join diverged: missing=${want -- got} extra=${got -- want}")
+  }
 }

@@ -80,6 +80,48 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 1), (0L, 3L, 2)))
   }
 
+  test("hardNegatives anchor cap: oversize batch fails fast; non-broadcast path agrees") {
+    val rng = new scala.util.Random(3)
+    def vec(d: Int) = Seq.fill(d)(rng.nextDouble() * 2 - 1)
+    val emb = (0L until 60L).map(i => (i, vec(8), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label").cache()
+    val anchors = (100L until 105L).map(i => (i, vec(8), (i % 4).toInt))
+      .toDF("anchor_id", "anchor_vec", "anchor_label").cache()
+
+    val e = intercept[IllegalArgumentException] {
+      Search.hardNegatives(emb, anchors, k = 2, maxBroadcastAnchors = 3)
+    }
+    assert(e.getMessage.contains("maxBroadcastAnchors"))
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"anchor_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val bc = canon(Search.hardNegatives(emb, anchors, k = 2))
+    val nobc = canon(Search.hardNegatives(emb, anchors, k = 2,
+      broadcastAnchors = false))
+    assert(bc == nobc && bc.nonEmpty)
+  }
+
+  test("hardNegativesPrescan equals the exact path on test vectors") {
+    // prefix-heavy vectors (matryoshka shape): signal in the first half,
+    // small tail noise — a modest pool must recover the exact top-k
+    val rng = new scala.util.Random(5)
+    def vec() = Seq.fill(8)(rng.nextDouble() * 2 - 1) ++
+      Seq.fill(8)(rng.nextDouble() * 0.05)
+    val emb = (0L until 80L).map(i => (i, vec(), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label").cache()
+    val anchors = (100L until 104L).map(i => (i, vec(), (i % 3).toInt))
+      .toDF("anchor_id", "anchor_vec", "anchor_label").cache()
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"anchor_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val exact = canon(Search.hardNegatives(emb, anchors, k = 3))
+    val pre = canon(Search.hardNegativesPrescan(emb, anchors, k = 3,
+      prefixDim = 8, poolK = 25))
+    assert(pre == exact, s"prescan diverged: missing=${exact -- pre} extra=${pre -- exact}")
+  }
+
   test("topK plans a TakeOrderedAndProject (no full sort at scale)") {
     val plan = Search.topK(corpus, Seq(1.0, 0.0), k = 3, threshold = 0.1)
       .queryExecution.executedPlan.toString
