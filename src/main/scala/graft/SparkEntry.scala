@@ -1331,6 +1331,60 @@ object SparkEntry {
     Dedup.containmentPairsExact(rdWide(s, dir, "documents"),
       minContainment = 0.5)
 
+  /** End-to-end ingest surface over a REAL file tree (S2 recursive scan,
+    * S3 decode, F1 hidden / F2 extension / F4 empty filters, P1 path
+    * relativization, §2.3 chunking): a deterministic fixture tree is
+    * materialized from `documents` (doc_id < 60) on first use — doc_id
+    * % 13 picks each doc's fate: 0 → hidden dir (F1 must drop), 1 → .bin
+    * extension (F2 must drop), 2 → empty file (F4 must drop), else a
+    * kept `sub<id%3>/doc_<id>.md` — and the oracle reconstructs the
+    * surviving chunk rows straight from the documents table with the
+    * same fate arithmetic + the q12 chunk-span recursion. The fixture
+    * IS the filesystem: what this query returns went through
+    * binaryFile scan → filters → decode → chunk for real.
+    */
+  private def qIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = ingestFixtureFor(s, dir)
+    Ingest.chunkDocuments(Ingest.scanFiles(s, root), "content",
+        chunkSize = 200, overlap = 50)
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc_(\\d+)\\.md$", 1).cast("long"))
+      .select(col("doc_id"), col("path"), col("chunk_index"),
+        col("total_chunks"), col("content").as("chunk_text"))
+  }
+
+  /** Build-once fixture tree for [[qIngestPipeline]] under java.io.tmpdir
+    * (keyed by data dir, marker-guarded — same lifecycle as the IVF
+    * index cache). 60 driver-side rows; this is test-fixture
+    * materialization, not a query path.
+    */
+  private def ingestFixtureFor(s: SparkSession, dir: String): String =
+    this.synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ingest-$key")
+      val marker = new java.io.File(root, ".GRAFT_FIXTURE") // hidden: F1-invisible
+      if (!marker.exists()) {
+        rd(s, dir, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            val (sub, name, body) = (id % 13).toInt match {
+              case 0 => (".hidden", s"doc_$id.md", text) // F1 drops
+              case 1 => (s"sub${id % 3}", s"doc_$id.bin", text) // F2 drops
+              case 2 => (s"sub${id % 3}", s"doc_$id.md", "") // F4 drops
+              case _ => (s"sub${id % 3}", s"doc_$id.md", text)
+            }
+            val f = new java.io.File(new java.io.File(root, sub), name)
+            f.getParentFile.mkdirs()
+            java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+          }
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      root.getAbsolutePath
+    }
+
   /** Correlated-scalar-subquery shape, decorrelated: orders priced above
     * 1.5× their own customer's average. Spark phrases the correlation as
     * one window over o_custkey — a single key shuffle, no re-scan per
@@ -1830,6 +1884,7 @@ object SparkEntry {
     "q95_host_cap" -> (qHostCap _),
     "q96_scrub_benchmark" -> (qScrubBenchmark _),
     "q97_containment_exact" -> (qContainmentExact _),
+    "q98_ingest_pipeline" -> (qIngestPipeline _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2092,6 +2147,30 @@ object SparkEntry {
          | max(n)::INT AS max_chunks_per_doc
          |FROM per_doc GROUP BY source""".stripMargin
     },
+
+    // the ingest fixture's fate arithmetic (doc_id % 13: 0 hidden,
+    // 1 bad extension, 2 empty file) + the q12 chunk-span recursion,
+    // with chunk text extracted — replays scan→filter→decode→chunk
+    "q98_ingest_pipeline" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id,
+         |    'sub' || (doc_id % 3)::VARCHAR || '/doc_' || doc_id::VARCHAR || '.md' AS path,
+         |    text AS t, length(text) AS len
+         |  FROM documents
+         |  WHERE doc_id < 60 AND doc_id % 13 NOT IN (0, 1, 2) AND trim(text) <> ''),
+         | spans(doc_id, path, t, len, s, e, idx) AS (
+         |  SELECT doc_id, path, t, len, 0, ${chunkEndSql("0")}, 0 FROM docs0
+         |  UNION ALL
+         |  SELECT doc_id, path, t, len, ns, ${chunkEndSql("ns")}, idx + 1 FROM (
+         |    SELECT doc_id, path, t, len, idx,
+         |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
+         |    FROM spans
+         |    WHERE len > 200)
+         |  WHERE ns < len),
+         | tot AS (SELECT doc_id, count(*)::INT AS total_chunks FROM spans GROUP BY doc_id)
+         |SELECT s.doc_id, s.path, s.idx AS chunk_index, t.total_chunks,
+         |  substr(s.t, s.s + 1, s.e - s.s) AS chunk_text
+         |FROM spans s JOIN tot t USING (doc_id)""".stripMargin,
 
     "q13_minhash_bands" ->
       s"""WITH $MinhashCtes
