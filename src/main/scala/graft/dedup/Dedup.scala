@@ -569,6 +569,27 @@ object Dedup {
     (nearDupPairs(reps, idCol, textCol, minJaccard, maxBucketSize), groups)
   }
 
+  /** Clone-guarded [[containmentPairsExact]]: exact duplicates collapse
+    * to one representative first, the prefix-filtered join runs on
+    * representatives only, and clone membership ships separately —
+    * same contract as [[nearDupPairsDeduped]]. On clone-heavy corpora
+    * this is the difference between representative-scale work and
+    * genuinely quadratic clone-pair output: 20×-replicated sf0.1
+    * (every doc + 19 exact clones) runs the raw join at ~355 s of
+    * mostly clone-pair verification, while the representative set is
+    * base-corpus-sized (PERF.md round-7 stress notes).
+    */
+  def containmentPairsExactDeduped(docs: DataFrame, idCol: String = "doc_id",
+                                   textCol: String = "text", n: Int = 3,
+                                   minContainment: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val groups = exactDupGroups(docs, idCol, textCol)
+    val reps = docs
+      .join(groups.select(col("keep_id")),
+        col(idCol) === col("keep_id"), "left_semi")
+    (containmentPairsExact(reps, idCol, textCol, n, minContainment), groups)
+  }
+
   /** Incremental (snapshot-delta) dedup: filter a NEW batch against an
     * EXISTING corpus, dropping batch docs that are exact copies (text
     * md5) or near-dups (MinHash band-bucket candidate + exact Jaccard ≥

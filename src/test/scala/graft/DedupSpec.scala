@@ -361,6 +361,24 @@ class DedupSpec extends SparkSpec {
     assert(bcPath == Set(12L), s"expected only the novel doc: $bcPath")
   }
 
+  test("containmentPairsExactDeduped: clone groups collapse, rep pairs survive") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                          // exact clone of 1 → collapses
+      (3L, base + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"),
+      (4L, "totally unrelated content with none of those greek letters here")
+    ).toDF("doc_id", "text")
+    val (pairs, groups) =
+      Dedup.containmentPairsExactDeduped(docs, minContainment = 0.9)
+    val p = pairs.as[(Long, Long, Double)].collect().toSet
+    // rep of {1,2} is 1; containment(1, 3) = 1.0 (subset duplication)
+    assert(p == Set((1L, 3L, 1.0)), s"got $p")
+    val g = groups.select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(g(1L) == 2L)
+  }
+
   test("containmentPairsExact equals brute force on a random corpus") {
     val rng = new scala.util.Random(11)
     val vocab = Vector.tabulate(60)(i => s"w$i")

@@ -118,9 +118,15 @@ class PropertySpec extends SparkSpec {
           .select(df, "doc_id", "q", "n_tokens", budget, buckets = 10)
           .select($"doc_id", $"cum_tokens").as[(Long, Long)]
           .collect().toMap
-        // brute force: sorted prefix with inclusive running sum
+        // brute force: sorted prefix with inclusive running sum, ordered
+        // (quality DESC, md5(id) ASC, id ASC) — TokenBudget's hash
+        // tie-break (lowercase-hex md5 compares identically as a string
+        // in JVM and Spark)
+        def md5hex(x: String) = java.security.MessageDigest
+          .getInstance("MD5").digest(x.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         var cum = 0L
-        val expect = docs.sortBy { case (id, q, _) => (-q, id) }
+        val expect = docs.sortBy { case (id, q, _) => (-q, md5hex(id.toString), id) }
           .map { case (id, _, tok) => cum += tok; (id, cum) }
           .takeWhile(_._2 <= budget).toMap
         assert(got == expect, s"case $i budget $budget: got $got want $expect")
