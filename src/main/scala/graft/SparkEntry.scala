@@ -1353,6 +1353,88 @@ object SparkEntry {
         col("total_chunks"), col("content").as("chunk_text"))
   }
 
+  /** Bigram-LM surprisal per source — the CCNet/Gopher-style LM quality
+    * filter: train add-1-smoothed bigram statistics ON the corpus itself
+    * (c2 bigram counts, c1 left-context counts, V distinct-continuation
+    * vocab), score each doc by its mean negative log-likelihood
+    * avg(ln((c1+V)/(c2+1))), and aggregate mean doc-NLL per source.
+    * High-surprisal sources = likeliest noise under the corpus LM. All
+    * counts are exact integers; the only floats are the final ln/avg.
+    * Scale shape: two two-phase count aggregates + one equi-join of the
+    * bigram stream against its own stats — no windows, no broadcasts of
+    * anything data-sized (V is one row).
+    */
+  private def qBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+          slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))))).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.0").as("w1"), col("b.1").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c2.select(countDistinct(col("w2")).as("v"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        log((col("c1") + col("v")).cast("double") / (col("c2") + 1).cast("double")))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(avg(col("nll")).as("doc_nll"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("doc_nll")), 6).as("avg_nll"))
+  }
+
+  /** SemDeDup over the embeddings table (vec_id < 2000 working set,
+    * 8 clusters): Ann.semDedup's keep-first-occurrence semantic dedup.
+    * PARTIAL oracle like q28/q93: the trained centroids are exported and
+    * the oracle replays assignment (argmin squared L2, index tie-break),
+    * the within-cluster lower-id pair scan, and the kept flag in DuckDB.
+    * Quantizer training inside the op is the operator's real shape —
+    * SemDeDup is an offline dedup batch job, not a query-time probe.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    val index = Ann.buildIvf(emb, nCentroids = 8, seed = 42L, maxIter = 4,
+      initMode = "random")
+    semdedupCentersForOracle = index.centers
+    Ann.semDedup(index, threshold = 0.92)
+  }
+
+  /** Centroids trained by the last [[qSemDedup]] run (same export
+    * mechanism as [[ivfCentersForOracle]]).
+    */
+  @volatile private var semdedupCentersForOracle: Array[Array[Double]] = _
+
+  /** DuckDB replay of everything downstream of SemDeDup training:
+    * nearest-centroid assignment over the exported centroid literals,
+    * within-cluster lower-id cosine scan at the rounded threshold, kept
+    * flag via anti-membership.
+    */
+  private def semDedupOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |   WHERE vec_id < 2000),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | drops AS (SELECT DISTINCT a.vec_id
+       |   FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |   WHERE round(${cosSqlAB("a.e", "b.e")}, 6) >= 0.92)
+       |SELECT a.vec_id, a.cid AS cluster_id, (d.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   /** Build-once fixture tree for [[qIngestPipeline]] under java.io.tmpdir
     * (keyed by data dir, marker-guarded — same lifecycle as the IVF
     * index cache). 60 driver-side rows; this is test-fixture
@@ -1885,6 +1967,8 @@ object SparkEntry {
     "q96_scrub_benchmark" -> (qScrubBenchmark _),
     "q97_containment_exact" -> (qContainmentExact _),
     "q98_ingest_pipeline" -> (qIngestPipeline _),
+    "q99_bigram_surprisal" -> (qBigramSurprisal _),
+    "q100_semdedup" -> (qSemDedup _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2034,7 +2118,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlStatic ++
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
-      Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c))
+      Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
+      Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c))
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
@@ -2837,6 +2922,26 @@ object SparkEntry {
         |  FROM bgs JOIN dfreq USING (bg) GROUP BY doc_id, source)
         |SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
         |FROM nov GROUP BY source""".stripMargin,
+
+    // corpus-trained add-1 bigram LM: c2 bigram counts, c1 left-context
+    // counts, V distinct continuations; doc NLL = avg ln((c1+V)/(c2+1));
+    // zipped unnest of w[1:n-1] / w[2:n] = the bigram stream
+    "q99_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | bgs AS (SELECT doc_id, source,
+        |   unnest(CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE []::VARCHAR[] END) AS w1,
+        |   unnest(CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE []::VARCHAR[] END) AS w2
+        |  FROM w),
+        | c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bgs GROUP BY w1, w2),
+        | c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+        | v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM c2),
+        | scored AS (SELECT doc_id, source,
+        |   avg(ln((c1 + v)::DOUBLE / (c2 + 1)::DOUBLE)) AS doc_nll
+        |  FROM bgs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs, round(avg(doc_nll), 6) AS avg_nll
+        |FROM scored GROUP BY source""".stripMargin,
 
     "q84_nucleus_vocab" ->
       """WITH toks AS (SELECT lang,

@@ -458,6 +458,57 @@ object Ann {
     * nearest inverted lists — a partition-pruned scan when the assigned
     * table is stored bucketed by centroid_id, never a corpus shuffle.
     */
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal over embeddings WITHOUT
+    * corpus×corpus pairs — cluster with a coarse quantizer, then
+    * compare only within clusters. A vector is dropped when some
+    * LOWER-ID member of its cluster is cosine-≥-`threshold` similar
+    * (keep-first-occurrence; deterministic and replayable, vs the
+    * paper's order-dependent sequential greedy). Cosine is rounded to
+    * 6 decimals BEFORE the threshold compare so the boundary is
+    * engine-stable.
+    *
+    * Returns (idCol, cluster_id, kept). The pair join is an equi-join
+    * on cluster_id — quadratic only within one cluster, the operator's
+    * whole point; size k ~ n/√k keeps clusters bounded, and
+    * `maxClusterSize` skips over-full clusters outright (the LSH
+    * hot-bucket treatment: an over-full cluster means the quantizer is
+    * too coarse — raise nCentroids — and its members are kept, never
+    * silently dropped). Training a quantizer inside the op is correct
+    * here: SemDeDup IS the offline indexing/dedup batch job, not a
+    * query-time probe.
+    */
+  def semDedup(index: IvfIndex, threshold: Double = 0.9,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val members = index.assigned.select(col("centroid_id"), col(idCol), col(vecCol))
+    val bounded =
+      if (maxClusterSize == Int.MaxValue) members
+      else {
+        val ok = members.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxClusterSize)
+          .drop("__n")
+        members.join(ok, Seq("centroid_id"), "left_semi")
+      }
+    val dropped = bounded
+      .select(col("centroid_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+      .join(bounded.select(col("centroid_id"), col(idCol).as("__idb"),
+        col(vecCol).as("__vb")), Seq("centroid_id"))
+      .filter(col("__idb") < col("__ida"))
+      .filter(round(CosineSimilarity(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__ida").as(idCol))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    index.assigned.select(col(idCol), col("centroid_id").as("cluster_id"))
+      .join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
   def ivfSearch(index: IvfIndex, queryVec: Seq[Double], k: Int = 5,
                 nprobe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {

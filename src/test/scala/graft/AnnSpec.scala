@@ -256,4 +256,35 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(viaStored == viaInline)
   }
+
+  test("semDedup: near-identical cluster member drops, cross-cluster twin survives") {
+    // hand-built assignment (semDedup only reads index.assigned):
+    // cluster 0 holds a near-identical pair (1, 2) and a distinct vector
+    // 3; vector 4 is IDENTICAL to 1 but lives in cluster 1, so the
+    // cluster scope must keep it
+    val assigned = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (2L, Seq(0.999, 0.01, 0.0), 0),  // cos vs 1 ≈ 0.99995 → dropped
+      (3L, Seq(0.0, 1.0, 0.0), 0),
+      (4L, Seq(1.0, 0.0, 0.0), 1)
+    ).toDF("vec_id", "embedding", "centroid_id")
+    val got = Ann.semDedup(Ann.IvfIndex(assigned, Array.empty), threshold = 0.95)
+      .select($"vec_id", $"cluster_id", $"kept")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(got == Set((1L, 0, true), (2L, 0, false), (3L, 0, true), (4L, 1, true)))
+  }
+
+  test("semDedup maxClusterSize: over-full clusters are kept, never dropped") {
+    val assigned = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(1.0, 0.0), 0), (3L, Seq(1.0, 0.0), 0),
+      (10L, Seq(0.0, 1.0), 1), (11L, Seq(0.0, 1.0), 1)
+    ).toDF("vec_id", "embedding", "centroid_id")
+    val got = Ann.semDedup(Ann.IvfIndex(assigned, Array.empty),
+        threshold = 0.95, maxClusterSize = 2)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    // cluster 0 (3 members) exceeds the cap → skipped → all kept;
+    // cluster 1 still dedups (11 drops against 10)
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      10L -> true, 11L -> false))
+  }
 }
