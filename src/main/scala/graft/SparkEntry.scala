@@ -1435,6 +1435,70 @@ object SparkEntry {
        |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id""".stripMargin
   }
 
+  /** Efraimidis–Spirakis (A-ES) weighted sampling without replacement:
+    * key_i = ln(u_i)/w_i with u_i a deterministic md5-derived uniform in
+    * (0, 1]; the k LARGEST keys are exactly a weighted sample without
+    * replacement (Efraimidis & Spirakis 2006, via the u^(1/w) ↔ ln(u)/w
+    * monotone map). RNG-free → rerun-stable; one map-side projection +
+    * top-k = TakeOrderedAndProject, no global sort — THE distributed
+    * weighted-sampling shape at 100 TB. Keys are rounded to 6dp with an
+    * id tie-break so the selection boundary is engine-stable. Weight
+    * here is n_chars + 1 (size-biased demo; any positive weight works —
+    * plug q17's quality or q74's mixture weights).
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (graft.functions.HashFunctions.md5Int60(
+        concat(lit("ws:"), col("doc_id").cast("string"))) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(log(u) / (col("n_chars") + 1).cast("double"), 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
+    * criterion): candidate (a, b) pairs score margin = cos(a,b) /
+    * ((knn_k(a) + knn_k(b)) / 2) — similarity RELATIVE to each side's
+    * neighborhood density, which kills hub vectors that absolute-cosine
+    * thresholds mis-mine. Forward direction: each source keeps its
+    * top-1 target by margin, filtered at margin ≥ 1.05. Demo split:
+    * even vec_ids are the source collection, odd the target (the
+    * operator's harness, like q96's %7 benchmark split). Both knn
+    * averages come from rank windows that WindowGroupLimit k-bounds on
+    * both sides of their exchanges; at corpus scale the brute-force
+    * pair table is replaced by any ANN prescan (q81 Hamming / q89
+    * matryoshka) feeding the identical margin math.
+    */
+  private def qMarginMining(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+      .withColumn("cos", round(graft.functions.CosineSimilarity(col("va"), col("vb")), 6))
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+    val ra = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id").asc)
+    val rb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos").desc, col("src_id").asc)
+    val knnA = pairs.withColumn("r", row_number().over(ra)).filter(col("r") <= 4)
+      .groupBy(col("src_id")).agg(avg(col("cos")).as("na"))
+    val knnB = pairs.withColumn("r", row_number().over(rb)).filter(col("r") <= 4)
+      .groupBy(col("tgt_id")).agg(avg(col("cos")).as("nb"))
+    val rm = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    pairs
+      .join(knnA, "src_id")
+      .join(knnB, "tgt_id")
+      .withColumn("margin",
+        round(col("cos") / ((col("na") + col("nb")) / 2), 6))
+      .withColumn("rank", row_number().over(rm))
+      .filter(col("rank") === 1 && col("margin") >= 1.05)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
   /** Build-once fixture tree for [[qIngestPipeline]] under java.io.tmpdir
     * (keyed by data dir, marker-guarded — same lifecycle as the IVF
     * index cache). 60 driver-side rows; this is test-fixture
@@ -1969,6 +2033,8 @@ object SparkEntry {
     "q98_ingest_pipeline" -> (qIngestPipeline _),
     "q99_bigram_surprisal" -> (qBigramSurprisal _),
     "q100_semdedup" -> (qSemDedup _),
+    "q101_weighted_sample" -> (qWeightedSample _),
+    "q102_margin_mining" -> (qMarginMining _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2942,6 +3008,41 @@ object SparkEntry {
         |  GROUP BY doc_id, source)
         |SELECT source, count(*) AS n_docs, round(avg(doc_nll), 6) AS avg_nll
         |FROM scored GROUP BY source""".stripMargin,
+
+    // A-ES weighted sample: key = ln(md5-uniform)/weight, top-20 by
+    // (rounded key DESC, id) — 2^60 = 1152921504606846976
+    "q101_weighted_sample" ->
+      """SELECT doc_id, source, n_chars, key FROM (
+        | SELECT doc_id, source, n_chars,
+        |  round(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |        / 1152921504606846976.0) / (n_chars + 1)::DOUBLE, 6) AS key
+        | FROM documents)
+        |ORDER BY key DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
+    // source at margin >= 1.05; even/odd vec_id = source/target split
+    "q102_margin_mining" ->
+      s"""WITH a AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS va
+         |   FROM embeddings WHERE vec_id % 2 = 0),
+         | b AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS vb
+         |   FROM embeddings WHERE vec_id % 2 = 1),
+         | pairs AS (SELECT src_id, tgt_id,
+         |   round(${cosSqlAB("va", "vb")}, 6) AS cos FROM a, b),
+         | knna AS (SELECT src_id, avg(cos) AS na FROM (
+         |   SELECT src_id, cos, row_number() OVER (PARTITION BY src_id
+         |     ORDER BY cos DESC, tgt_id ASC) AS r FROM pairs) WHERE r <= 4
+         |  GROUP BY src_id),
+         | knnb AS (SELECT tgt_id, avg(cos) AS nb FROM (
+         |   SELECT tgt_id, cos, row_number() OVER (PARTITION BY tgt_id
+         |     ORDER BY cos DESC, src_id ASC) AS r FROM pairs) WHERE r <= 4
+         |  GROUP BY tgt_id),
+         | scored AS (SELECT p.src_id, p.tgt_id, p.cos,
+         |   round(p.cos / ((na + nb) / 2), 6) AS margin
+         |  FROM pairs p JOIN knna USING (src_id) JOIN knnb USING (tgt_id)),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |   ORDER BY margin DESC, tgt_id ASC) AS rank FROM scored)
+         |SELECT src_id, tgt_id, cos, margin FROM ranked
+         |WHERE rank = 1 AND margin >= 1.05""".stripMargin,
 
     "q84_nucleus_vocab" ->
       """WITH toks AS (SELECT lang,
