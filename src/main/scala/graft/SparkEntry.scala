@@ -3169,11 +3169,12 @@ object SparkEntry {
         | ranked AS (SELECT ex.doc_id, ex.sz, ex.s,
         |   row_number() OVER (PARTITION BY ex.doc_id ORDER BY df ASC, ex.s ASC) AS rn
         |   FROM ex JOIN dfreq USING (s)),
-        | probe AS (SELECT s, doc_id AS id_p, sz AS sz_p FROM ranked
+        | probe AS (SELECT s, doc_id AS id_p, sz AS sz_p, rn AS rn_p FROM ranked
         |   WHERE rn <= sz - ceil(0.5 * sz)::BIGINT + 1),
-        | cand AS (SELECT DISTINCT least(id_p, ex.doc_id) AS doc_a, greatest(id_p, ex.doc_id) AS doc_b
-        |   FROM probe JOIN ex ON probe.s = ex.s
-        |   WHERE sz_p < ex.sz OR (sz_p = ex.sz AND id_p <> ex.doc_id))
+        | cand AS (SELECT DISTINCT least(id_p, r.doc_id) AS doc_a, greatest(id_p, r.doc_id) AS doc_b
+        |   FROM probe JOIN ranked r ON probe.s = r.s
+        |   WHERE (sz_p < r.sz OR (sz_p = r.sz AND id_p <> r.doc_id))
+        |     AND least(sz_p - rn_p, r.sz - r.rn) + 1 >= ceil(0.5 * sz_p)::BIGINT)
         |SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
         | SELECT doc_a, doc_b,
         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE

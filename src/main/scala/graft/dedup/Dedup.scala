@@ -235,13 +235,22 @@ object Dedup {
         Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("s").asc)))
     val prefixLen = col("sz") - ceil(lit(minContainment) * col("sz")) + lit(1L)
     val probe = ranked.filter(col("rn") <= prefixLen)
-      .select(col("s"), col("__id").as("id_p"), col("sz").as("sz_p"))
-    val index = ex.select(col("s"), col("__id").as("id_i"), col("sz").as("sz_i"))
+      .select(col("s"), col("__id").as("id_p"), col("sz").as("sz_p"),
+        col("rn").as("rn_p"))
+    val index = ranked.select(col("s"), col("__id").as("id_i"),
+      col("sz").as("sz_i"), col("rn").as("rn_i"))
     // the lemma needs the SMALLER side probing; equal sizes pass both
-    // ways and dedup via the least/greatest normalization + distinct
+    // ways and dedup via the least/greatest normalization + distinct.
+    // PPJoin positional filter: every common shingle sits at rank ≥ rn
+    // on BOTH sides, so overlap ≤ min(sz−rn)+1 — a record whose bound
+    // cannot reach ⌈t·min(sz)⌉ is pruned. Lossless: the pair's FIRST
+    // common shingle (in the global order) has the loosest bound, and
+    // that record always survives.
     val cand = probe.join(index, "s")
       .filter(col("sz_p") < col("sz_i") ||
         (col("sz_p") === col("sz_i") && col("id_p") =!= col("id_i")))
+      .filter(least(col("sz_p") - col("rn_p"), col("sz_i") - col("rn_i")) + 1 >=
+        ceil(lit(minContainment) * col("sz_p")))
       .select(least(col("id_p"), col("id_i")).as("doc_a"),
         greatest(col("id_p"), col("id_i")).as("doc_b"))
       .distinct()
