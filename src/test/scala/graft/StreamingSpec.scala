@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{EventStreams, StreamingIngest}
+import graft.streaming.{EventStreams, HostCap, StreamingIngest}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -375,6 +375,41 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(stages == Map("1_view" -> 3L, "2_click_after_view" -> 1L,
         "3_purchase_after_click" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming host cap admits first-N per host across micro-batches") {
+    import HostCap.HostDoc
+    val input = MemoryStream[HostDoc](spark)
+    val capped = HostCap.capPerHost(input.toDS(), cap = 2)
+    val q = capped.writeStream.outputMode("append")
+      .format("memory").queryName("hostcap_out").start()
+    try {
+      // batch 1: a.com gets 2 of 3 (ts order, not arrival order in-batch)
+      input.addData(
+        HostDoc("a.com", 3L, 30L), HostDoc("a.com", 1L, 10L),
+        HostDoc("a.com", 2L, 20L), HostDoc("b.org", 10L, 5L))
+      q.processAllAvailable()
+      // batch 2: a.com is full; b.org admits one more then rejects
+      input.addData(
+        HostDoc("a.com", 4L, 40L), HostDoc("b.org", 11L, 6L),
+        HostDoc("b.org", 12L, 7L))
+      q.processAllAvailable()
+      val got = spark.table("hostcap_out")
+        .select($"host", $"doc_id").as[(String, Long)].collect().toSet
+      assert(got == Set(("a.com", 1L), ("a.com", 2L),
+        ("b.org", 10L), ("b.org", 11L)))
+
+      // parity with the batch first-N policy on the same rows
+      val all = Seq(
+        HostDoc("a.com", 3L, 30L), HostDoc("a.com", 1L, 10L),
+        HostDoc("a.com", 2L, 20L), HostDoc("b.org", 10L, 5L),
+        HostDoc("a.com", 4L, 40L), HostDoc("b.org", 11L, 6L),
+        HostDoc("b.org", 12L, 7L))
+      val batchRef = all.groupBy(_.host).flatMap { case (_, ds) =>
+        ds.sortBy(d => (d.ts, d.doc_id)).take(2)
+      }.map(d => (d.host, d.doc_id)).toSet
+      assert(got == batchRef)
     } finally q.stop()
   }
 }
