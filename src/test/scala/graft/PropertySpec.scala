@@ -219,4 +219,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("containmentPairsExact: recall 1.0 vs brute force for random corpora and thresholds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      vocabSize <- Gen.choose(5, 30)
+      t <- Gen.oneOf(0.3, 0.5, 0.8, 1.0)
+      docs <- Gen.listOfN(n, Gen.choose(1, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocabSize - 1).map(k => s"w$k"))))
+    } yield (docs.map(_.mkString(" ")), t)
+    samples(gen, 10).zipWithIndex.foreach { case ((texts, t), i) =>
+      val df = texts.zipWithIndex.map { case (txt, id) => (id.toLong, txt) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.containmentPairsExact(df, minContainment = t)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val sh = df.select(col("doc_id"), graft.dedup.Dedup.shingles(col("text")).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val ids = sh.keys.toSeq.sorted
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        c = sh(a).toSet.intersect(sh(b).toSet).size.toDouble /
+          math.min(sh(a).size, sh(b).size)
+        if c >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"case $i t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }
