@@ -1625,6 +1625,28 @@ object SparkEntry {
         col("cum_tokens"))
   }
 
+  /** Per-domain token budgets (TokenBudget.selectPerGroup): every source
+    * gets its own budget — 15 tokens per doc it contributes, a stand-in
+    * for "mixture weight × global budget" (q74 composes directly) — and
+    * the quality-first prefix is taken within each source independently.
+    * The per-group form of q87: same bucketed two-phase machinery with
+    * the group in every key, so no global sort and no corpus-sized
+    * window partition per group either.
+    */
+  private def qGroupBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("quality"))
+    val budgets = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 15L).toMap
+    graft.ops.TokenBudget.selectPerGroup(docs, "source", "doc_id",
+        "quality", "n_tokens", budgets)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -2035,6 +2057,7 @@ object SparkEntry {
     "q100_semdedup" -> (qSemDedup _),
     "q101_weighted_sample" -> (qWeightedSample _),
     "q102_margin_mining" -> (qMarginMining _),
+    "q103_group_budget" -> (qGroupBudget _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3137,6 +3160,26 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens FROM d)
          |SELECT doc_id, lang, n_tokens, quality, cum_tokens
          |FROM c WHERE cum_tokens <= 12000""".stripMargin,
+
+    // per-source budget = 15 tokens/doc; per-source quality-first prefix
+    // with the same (quality DESC, md5(id), id) order as q87
+    "q103_group_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |   len(w)::BIGINT AS n_tokens,
+         |   round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS quality
+         |  FROM (SELECT doc_id, source, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | b AS (SELECT source, count(*) * 15 AS budget FROM d GROUP BY source),
+         | c AS (SELECT d.doc_id, d.source, d.n_tokens, d.quality, b.budget,
+         |   (sum(d.n_tokens) OVER (PARTITION BY d.source
+         |    ORDER BY d.quality DESC, md5(d.doc_id::VARCHAR) ASC, d.doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |  FROM d JOIN b ON d.source = b.source)
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens
+         |FROM c WHERE cum_tokens <= budget""".stripMargin,
 
     "q74_mixture_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)

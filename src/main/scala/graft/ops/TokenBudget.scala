@@ -56,6 +56,116 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   */
 object TokenBudget {
 
+  /** Per-group budgets: the "fill a training mixture" step where every
+    * domain/source gets its OWN token budget (e.g. q74's mixture weights
+    * times a global budget) and the quality-first prefix is taken within
+    * each group independently. Same machinery as [[select]] with the
+    * group riding in every key: the histogram is (group, bucket) — still
+    * ≤ groups×(buckets+1) driver rows — offsets are prefix-summed per
+    * group against that group's budget, and the window partitions on
+    * (group, bucket, …), so the skew guard applies per group too.
+    * Groups absent from `budgets` are dropped entirely (no offset rows
+    * ⇒ the join eliminates them). Returns original columns plus
+    * `cum_tokens`, the inclusive running token sum WITHIN the group.
+    */
+  def selectPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                     qualityCol: String, tokenCol: String,
+                     budgets: Map[String, Long], buckets: Int = 1000,
+                     maxBucketRows: Long = 4L * 1000 * 1000): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    require(maxBucketRows > 0, s"maxBucketRows must be > 0, got $maxBucketRows")
+    val spark = docs.sparkSession
+    val bucketed = docs
+      .withColumn("__bucket", floor(col(qualityCol) * buckets).cast(LongType))
+      .withColumn("__tie", md5(col(idCol).cast(StringType).cast("binary")))
+
+    val hist = bucketed.groupBy(col(groupCol), col("__bucket"))
+      .agg(sum(col(tokenCol)).cast(LongType).as("__btok"),
+        count(lit(1)).as("__bn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val hotCells = hist.filter(_._4 > maxBucketRows)
+      .map { case (g, b, _, _) => (g, b) }.toSet
+
+    val subHist: Map[(String, Long), Array[(Double, String, Long)]] =
+      if (hotCells.isEmpty) Map.empty
+      else {
+        val hotGroups = hotCells.map(_._1)
+        val cells = bucketed
+          .filter(col(groupCol).isInCollection(hotGroups))
+          .groupBy(col(groupCol), col("__bucket"),
+            col(qualityCol).cast(DoubleType).as("__q"),
+            substring(col("__tie"), 1, 2).as("__sub"))
+          .agg(sum(col(tokenCol)).cast(LongType).as("__ctok"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getString(3), r.getLong(4)))
+          .filter(t => hotCells.contains((t._1, t._2)))
+        require(cells.length <= (1 << 21),
+          s"TokenBudget per-group skew histogram has ${cells.length} cells; " +
+          s"raise `buckets` (currently $buckets)")
+        cells.groupBy(t => (t._1, t._2)).map { case (k, rs) =>
+          k -> rs.map(t => (t._3, t._4, t._5))
+            .sortBy { case (q, sub, _) => (-q, sub) }
+        }
+      }
+
+    // per-group prefix sums (buckets descending within the group),
+    // pruned at the group's budget; unknown groups contribute nothing
+    val offsets = collection.mutable.ArrayBuffer.empty[Row]
+    hist.groupBy(_._1).foreach { case (g, rows) =>
+      budgets.get(g).foreach { budget =>
+        var acc = 0L
+        rows.sortBy(-_._2).foreach { case (_, b, btok, _) =>
+          subHist.get((g, b)) match {
+            case None =>
+              if (acc <= budget) offsets += Row(g, b, -1.0, "", acc, budget)
+              acc += btok
+            case Some(cells) =>
+              cells.foreach { case (q, sub, ctok) =>
+                if (acc <= budget) offsets += Row(g, b, q, sub, acc, budget)
+                acc += ctok
+              }
+          }
+        }
+      }
+    }
+
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1),
+      StructType(Seq(
+        StructField(groupCol, StringType, nullable = false),
+        StructField("__bucket", LongType, nullable = false),
+        StructField("__q", DoubleType, nullable = false),
+        StructField("__sub", StringType, nullable = false),
+        StructField("__offset", LongType, nullable = false),
+        StructField("__budget", LongType, nullable = false))))
+
+    val isHot =
+      if (hotCells.isEmpty) lit(false)
+      else hotCells.map { case (g, b) =>
+        col(groupCol) === g && col("__bucket") === b
+      }.reduce(_ || _)
+    val keyed = bucketed
+      .withColumn("__q",
+        when(isHot, col(qualityCol).cast(DoubleType)).otherwise(lit(-1.0)))
+      .withColumn("__sub",
+        when(isHot, substring(col("__tie"), 1, 2)).otherwise(lit("")))
+
+    val w = Window.partitionBy(col(groupCol), col("__bucket"), col("__q"), col("__sub"))
+      .orderBy(col(qualityCol).desc, col("__tie").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    keyed
+      .join(broadcast(offDf), Seq(groupCol, "__bucket", "__q", "__sub"))
+      .withColumn("cum_tokens",
+        col("__offset") + sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .drop("__bucket", "__tie", "__q", "__sub", "__offset", "__budget")
+  }
+
   /** docs(idCol, qualityCol, tokenCol, …) → the kept prefix, original
     * columns plus `cum_tokens` (global inclusive running token sum).
     */

@@ -87,6 +87,43 @@ class TokenBudgetSpec extends SparkSpec {
     assert(healthy == skewed)
   }
 
+  test("selectPerGroup equals the per-group naive prefix; unknown groups drop") {
+    val rng = new scala.util.Random(13)
+    val d = (1 to 300).map { i =>
+      (i.toLong, Seq("web", "code", "books", "ghost")(rng.nextInt(4)),
+        math.rint(rng.nextDouble() * 1e6) / 1e6, 1L + rng.nextInt(40))
+    }.toDF("doc_id", "grp", "q", "n_tokens").cache()
+    val budgets = Map("web" -> 500L, "code" -> 200L, "books" -> 0L)
+    // "ghost" absent from budgets → dropped; "books" budget 0 → empty
+
+    val got = TokenBudget.selectPerGroup(d, "grp", "doc_id", "q", "n_tokens",
+        budgets)
+      .select("doc_id", "grp", "cum_tokens")
+      .as[(Long, String, Long)].collect().toSet
+
+    val rows = d.select("doc_id", "grp", "q", "n_tokens")
+      .as[(Long, String, Double, Long)].collect()
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      budgets.get(g).toSeq.flatMap { budget =>
+        var cum = 0L
+        rs.sortBy { case (id, _, q, _) => (-q, md5hex(id.toString), id) }
+          .map { case (id, _, _, tok) => cum += tok; (id, g, cum) }
+          .takeWhile(_._3 <= budget)
+      }
+    }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(!got.exists(_._2 == "ghost") && !got.exists(_._2 == "books"))
+
+    // skew path parity: force sub-bucketing, output must not change
+    val skewed = TokenBudget.selectPerGroup(d, "grp", "doc_id", "q", "n_tokens",
+        budgets, maxBucketRows = 1L)
+      .select("doc_id", "grp", "cum_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    assert(skewed == got)
+  }
+
   test("no global (unpartitioned) window in the plan") {
     val plan = TokenBudget.select(docs, "doc_id", "q", "n_tokens", 500L)
       .queryExecution.optimizedPlan.toString
