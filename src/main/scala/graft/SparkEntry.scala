@@ -1647,6 +1647,36 @@ object SparkEntry {
         col("cum_tokens"))
   }
 
+  /** Pad-efficient length-bucketed batching: within each training shard,
+    * docs split into 8 length quantiles (ntile over token count) and
+    * batches of 16 form inside each bucket in a deterministic
+    * md5-shuffled order — uniform-length batches cut padding waste,
+    * which IS the report: per (shard, bucket, batch) doc count and the
+    * min/max token spread (max − min ≈ wasted pad tokens per row).
+    * Everything rides two window passes over the same shard exchange;
+    * ntile and row_number are rank-based, so the result is exact and
+    * engine-replayable — no RNG, no floats.
+    */
+  private def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Sharding.withShard(
+      rdWide(s, dir, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long")),
+      "doc_id", nShards = 4)
+    val byLen = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val inBucket = Window.partitionBy(col("shard"), col("len_bucket"))
+      .orderBy(graft.functions.HashFunctions.md5Int60(
+        concat(lit("b:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs
+      .withColumn("len_bucket", ntile(8).over(byLen).cast("long"))
+      .withColumn("batch_id",
+        ((row_number().over(inBucket) - 1) / 16).cast("long"))
+      .groupBy(col("shard"), col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -2058,6 +2088,7 @@ object SparkEntry {
     "q101_weighted_sample" -> (qWeightedSample _),
     "q102_margin_mining" -> (qMarginMining _),
     "q103_group_budget" -> (qGroupBudget _),
+    "q104_length_batches" -> (qLengthBatches _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3160,6 +3191,24 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens FROM d)
          |SELECT doc_id, lang, n_tokens, quality, cum_tokens
          |FROM c WHERE cum_tokens <= 12000""".stripMargin,
+
+    // shard = md5 mod 4; 8 ntile length buckets per shard; batches of 16
+    // in md5("b:"+id) order; report per-batch count + token spread
+    "q104_length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens,
+         |   ${h32Sql("doc_id::VARCHAR")} % 4 AS shard
+         |  FROM documents),
+         | lb AS (SELECT doc_id, n_tokens, shard,
+         |   ntile(8) OVER (PARTITION BY shard ORDER BY n_tokens ASC, doc_id ASC) AS len_bucket
+         |  FROM d),
+         | bt AS (SELECT shard, len_bucket, n_tokens,
+         |   ((row_number() OVER (PARTITION BY shard, len_bucket
+         |     ORDER BY ${h60Sql("'b:' || doc_id::VARCHAR")} ASC, doc_id ASC) - 1) // 16)::BIGINT AS batch_id
+         |  FROM lb)
+         |SELECT shard, len_bucket, batch_id, count(*) AS n_docs,
+         | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM bt GROUP BY shard, len_bucket, batch_id""".stripMargin,
 
     // per-source budget = 15 tokens/doc; per-source quality-first prefix
     // with the same (quality DESC, md5(id), id) order as q87
