@@ -1677,6 +1677,55 @@ object SparkEntry {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** ANN recall evaluation — the acceptance gate every index deployment
+    * needs before swapping an approximate scan in for the exact one:
+    * recall@10 of the binary-Hamming ranking and the matryoshka
+    * prefix-16→rerank pipeline against the exact cosine top-10, averaged
+    * over a query panel (every 100th vector). One query×corpus pair pass
+    * computes all three metrics; three rank windows + set intersection
+    * do the rest. Scores round to 6dp BEFORE ranking (id tie-break) so
+    * ranks replay exactly cross-engine. At 100 TB the pair pass is the
+    * same sampled evaluation job — the panel is fixed-size, so cost is
+    * panel × corpus, one scan.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val e = col("embedding"); val q = col("qv")
+    val base = emb.crossJoin(broadcast(qs))
+      .withColumn("score", round(graft.functions.CosineSimilarity(e, q), 6))
+      .withColumn("h", size(filter(
+        zip_with(e, q, (a, b) => (a > 0) =!= (b > 0)), x => x)).cast("long"))
+      .withColumn("p", round(graft.functions.CosineSimilarity(
+        slice(e, 1, 16), slice(q, 1, 16)), 6))
+      .select(col("qid"), col("vec_id"), col("score"), col("h"), col("p"))
+      .withColumn("exact_r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .withColumn("ham_r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("h").asc, col("vec_id").asc)))
+      .withColumn("pre_r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("p").desc, col("vec_id").asc)))
+    val matTop = base.filter(col("pre_r") <= 50)
+      .withColumn("mat_r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .select(col("qid"), col("vec_id"), col("mat_r"))
+    val flagged = base
+      .join(matTop, Seq("qid", "vec_id"), "left_outer")
+    val perQ = flagged.groupBy(col("qid"))
+      .agg(
+        sum(when(col("ham_r") <= 10 && col("exact_r") <= 10, 1L).otherwise(0L))
+          .as("ham_hits"),
+        sum(when(col("mat_r") <= 10 && col("exact_r") <= 10, 1L).otherwise(0L))
+          .as("mat_hits"))
+    perQ.agg(round(avg(col("ham_hits") / 10.0), 6).as("avg_recall"))
+      .withColumn("method", lit("hamming"))
+      .unionByName(
+        perQ.agg(round(avg(col("mat_hits") / 10.0), 6).as("avg_recall"))
+          .withColumn("method", lit("matryoshka_16_50")))
+      .select(col("method"), col("avg_recall"))
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -2089,6 +2138,7 @@ object SparkEntry {
     "q102_margin_mining" -> (qMarginMining _),
     "q103_group_budget" -> (qGroupBudget _),
     "q104_length_batches" -> (qLengthBatches _),
+    "q105_ann_recall" -> (qAnnRecall _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3191,6 +3241,35 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens FROM d)
          |SELECT doc_id, lang, n_tokens, quality, cum_tokens
          |FROM c WHERE cum_tokens <= 12000""".stripMargin,
+
+    // recall@10 vs the exact cosine top-10, averaged over the
+    // vec_id % 100 = 0 query panel; hamming = sign-disagreement count,
+    // matryoshka = prefix-16 top-50 then exact rerank
+    "q105_ann_recall" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qs AS (SELECT vec_id AS qid, e AS q FROM base WHERE vec_id % 100 = 0),
+         | m AS (SELECT qid, vec_id,
+         |   round(${cosSqlAB("e", "q")}, 6) AS score,
+         |   len(list_filter(range(1, len(e) + 1), i -> (e[i] > 0) <> (q[i] > 0)))::BIGINT AS h,
+         |   round(${cosSqlAB("e[1:16]", "q[1:16]")}, 6) AS p
+         |  FROM base, qs),
+         | r AS (SELECT qid, vec_id, score,
+         |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS exact_r,
+         |   row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS ham_r,
+         |   row_number() OVER (PARTITION BY qid ORDER BY p DESC, vec_id ASC) AS pre_r
+         |  FROM m),
+         | mat AS (SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS mat_r
+         |  FROM r WHERE pre_r <= 50),
+         | f AS (SELECT r.qid, r.exact_r, r.ham_r, mat.mat_r
+         |  FROM r LEFT JOIN mat ON r.qid = mat.qid AND r.vec_id = mat.vec_id),
+         | pq AS (SELECT qid,
+         |   sum(CASE WHEN ham_r <= 10 AND exact_r <= 10 THEN 1 ELSE 0 END)::BIGINT AS ham_hits,
+         |   sum(CASE WHEN mat_r <= 10 AND exact_r <= 10 THEN 1 ELSE 0 END)::BIGINT AS mat_hits
+         |  FROM f GROUP BY qid)
+         |SELECT 'hamming' AS method, round(avg(ham_hits / 10.0), 6) AS avg_recall FROM pq
+         |UNION ALL
+         |SELECT 'matryoshka_16_50' AS method, round(avg(mat_hits / 10.0), 6) AS avg_recall FROM pq""".stripMargin,
 
     // shard = md5 mod 4; 8 ntile length buckets per shard; batches of 16
     // in md5("b:"+id) order; report per-batch count + token spread

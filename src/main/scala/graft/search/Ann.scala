@@ -458,6 +458,40 @@ object Ann {
     * nearest inverted lists — a partition-pruned scan when the assigned
     * table is stored bucketed by centroid_id, never a corpus shuffle.
     */
+  /** Append a batch to a persisted IVF index WITHOUT retraining: each
+    * new vector is assigned to its nearest stored centroid (argmin
+    * squared L2, centroid-index tie-break — the same rule as
+    * spark.ml's KMeansModel.transform and the q28 oracle) with the
+    * centroids inlined as literals, so assignment is a pure map-side
+    * expression over the batch; rows land in the existing
+    * `lists/centroid_id=N` partitions via parquet append. The
+    * quantizer is intentionally FROZEN — an index must not re-rank its
+    * existing lists every ingest; retrain with buildIvf + writeIvf
+    * when drift warrants (the stored centers keep probe ranking
+    * consistent either way). The corpus is never read here: cost is
+    * O(batch × nCentroids × dim), embarrassingly parallel.
+    */
+  def appendToIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  batch: DataFrame, vecCol: String = "embedding"): Unit = {
+    val index = readIvf(spark, path)
+    val centers = index.centers
+    require(centers.nonEmpty, s"IVF index at $path has no centroids")
+    val v = asDouble(col(vecCol))
+    val d2s = centers.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(
+          zip_with(v, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("d2"),
+        lit(i).as("cid"))
+    }
+    // struct ordering compares d2 first, then cid — array_min IS the
+    // argmin with the lowest-index tie-break
+    val assigned = batch.withColumn("centroid_id",
+      array_min(array(d2s: _*)).getField("cid"))
+    assigned.write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * semantic near-duplicate removal over embeddings WITHOUT

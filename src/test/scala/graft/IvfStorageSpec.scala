@@ -63,4 +63,48 @@ class IvfStorageSpec extends SparkSpec {
     assert(probe.select(col("centroid_id")).distinct().collect()
       .map(_.getInt(0)).toSet.subsetOf(Set(0, 1)))
   }
+
+  test("appendToIvf assigns to the frozen quantizer and the index grows in place") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    val dir = Files.createTempDirectory("ivf_append").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/index"
+    Ann.writeIvf(index, path)
+    val before = Ann.readIvf(spark, path)
+    val n0 = before.assigned.count()
+
+    // new batch: two vectors planted exactly ON stored centroids (must
+    // land in those lists) + one arbitrary vector
+    val c0 = before.centers(0).map(_.toFloat).toSeq
+    val c2 = before.centers(2).map(_.toFloat).toSeq
+    val other = Seq.fill(c0.length)(0.25f)
+    val batch = Seq(
+      (900001L, c0, 99), (900002L, c2, 99), (900003L, other, 99)
+    ).toDF("vec_id", "embedding", "label")
+    Ann.appendToIvf(spark, path, batch)
+
+    val after = Ann.readIvf(spark, path)
+    assert(after.assigned.count() == n0 + 3)
+    assert(after.centers.map(_.toSeq).toSeq == before.centers.map(_.toSeq).toSeq)
+
+    val got = after.assigned.filter(col("vec_id") >= 900001L)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(900001L) == 0 && got(900002L) == 2)
+
+    // the arbitrary vector landed on ITS argmin centroid (driver check)
+    def d2(a: Seq[Float], c: Array[Double]) =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = before.centers.zipWithIndex
+      .minBy { case (c, i) => (d2(other, c), i) }._2
+    assert(got(900003L) == want)
+
+    // a probe over the grown index surfaces the planted centroid twin
+    // (cosine exactly 1.0 against c0, so it must be in the top results)
+    val top = Ann.ivfSearch(after, before.centers(0).toSeq, k = 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.contains(900001L), s"planted twin missing from probe: $top")
+  }
 }
