@@ -1726,6 +1726,52 @@ object SparkEntry {
       .select(col("method"), col("avg_recall"))
   }
 
+  /** Snapshot drift monitor — population stability index (PSI) of the
+    * quality-score and doc-length distributions between a reference
+    * snapshot (doc_id % 2 = 0) and the current one (% 2 = 1): the
+    * alert/retrain gate a continuously-crawling pipeline runs before
+    * training on a new snapshot (rule of thumb: < 0.1 stable, 0.1–0.25
+    * moderate, > 0.25 drifted). Fixed bucket boundaries (quality in
+    * 0.1 steps, length in 20-token steps capped at bucket 9) plus
+    * add-one smoothing keep every number an exact integer until the
+    * final ln, so PSI replays exactly. Scale shape: one full pass per
+    * feature into a ≤ dozen-row bucket table; the PSI fold happens on
+    * bucket-count-sized data (totals broadcast, no global window).
+    */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("q"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("is_ref", col("doc_id") % 2 === 0)
+
+    // smoothing constant = the feature's full bucket-range cardinality
+    def psiOf(bucket: org.apache.spark.sql.Column, nBuckets: Int,
+              feature: String): DataFrame = {
+      val wide = docs.withColumn("bucket", bucket)
+        .groupBy(col("bucket")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = wide.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      wide.crossJoin(broadcast(totals))
+        .withColumn("p_ref",
+          (col("n_ref") + 1).cast("double") / (col("t_ref") + nBuckets))
+        .withColumn("p_cur",
+          (col("n_cur") + 1).cast("double") / (col("t_cur") + nBuckets))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(sum((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+        .withColumn("feature", lit(feature))
+        .select(col("feature"), col("n_buckets"), col("psi"))
+    }
+
+    psiOf(floor(col("q") * 10).cast("long"), 11, "quality")
+      .unionByName(psiOf(
+        least(floor(col("n_tokens") / 20), lit(9L)).cast("long"), 10, "length"))
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -2139,6 +2185,7 @@ object SparkEntry {
     "q103_group_budget" -> (qGroupBudget _),
     "q104_length_batches" -> (qLengthBatches _),
     "q105_ann_recall" -> (qAnnRecall _),
+    "q106_drift_psi" -> (qDriftPsi _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3241,6 +3288,39 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens FROM d)
          |SELECT doc_id, lang, n_tokens, quality, cum_tokens
          |FROM c WHERE cum_tokens <= 12000""".stripMargin,
+
+    // PSI between doc_id-parity snapshots over fixed quality/length
+    // buckets with add-one smoothing (constants 11 and 10 = each
+    // feature's full bucket-range cardinality)
+    "q106_drift_psi" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS q,
+         |   len(w)::BIGINT AS n_tokens,
+         |   doc_id % 2 = 0 AS is_ref
+         |  FROM (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | qb AS (SELECT floor(q * 10)::BIGINT AS bucket,
+         |   sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |   sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+         |  FROM d GROUP BY 1),
+         | qp AS (SELECT count(*) AS n_buckets,
+         |   round(sum(((n_cur + 1)::DOUBLE / (tc + 11) - (n_ref + 1)::DOUBLE / (tr + 11))
+         |     * ln(((n_cur + 1)::DOUBLE / (tc + 11)) / ((n_ref + 1)::DOUBLE / (tr + 11)))), 6) AS psi
+         |  FROM qb, (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM qb)),
+         | lb AS (SELECT least(n_tokens // 20, 9) AS bucket,
+         |   sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |   sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+         |  FROM d GROUP BY 1),
+         | lp AS (SELECT count(*) AS n_buckets,
+         |   round(sum(((n_cur + 1)::DOUBLE / (tc + 10) - (n_ref + 1)::DOUBLE / (tr + 10))
+         |     * ln(((n_cur + 1)::DOUBLE / (tc + 10)) / ((n_ref + 1)::DOUBLE / (tr + 10)))), 6) AS psi
+         |  FROM lb, (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM lb))
+         |SELECT 'quality' AS feature, n_buckets, psi FROM qp
+         |UNION ALL
+         |SELECT 'length' AS feature, n_buckets, psi FROM lp""".stripMargin,
 
     // recall@10 vs the exact cosine top-10, averaged over the
     // vec_id % 100 = 0 query panel; hamming = sign-disagreement count,
