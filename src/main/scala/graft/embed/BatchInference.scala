@@ -51,6 +51,86 @@ object BatchInference {
     val loads = new AtomicLong(0L)
   }
 
+  /** Partition-level cross-encoder handle: scores (query, doc) PAIRS
+    * jointly — the re-ranker model family (the bi-encoder above embeds
+    * each side independently; a cross-encoder attends across the pair
+    * and is far more accurate but cannot be indexed, which is why it
+    * only ever sees a bounded candidate pool).
+    */
+  trait PairScorerHandle {
+    def scoreBatch(queries: Array[String], docs: Array[String]): Array[Float]
+  }
+
+  /** Cross-encoder factory seam (serializable, shipped to executors). */
+  trait PairScorerLoader extends Serializable {
+    def load(): PairScorerHandle
+  }
+
+  /** Test/offline pair scorer: cosine of the deterministic embeddings
+    * of the two sides — stands in for a real cross-encoder the way
+    * [[EmbedderLoader]] stands in for a real bi-encoder; counts loads
+    * for the once-per-partition assertion.
+    */
+  final class CosinePairScorerLoader(embedder: Embedder = Embedder.Default)
+      extends PairScorerLoader {
+    def load(): PairScorerHandle = {
+      CosinePairScorerLoader.loads.incrementAndGet()
+      new PairScorerHandle {
+        def scoreBatch(queries: Array[String], docs: Array[String]): Array[Float] =
+          queries.zip(docs).map { case (q, d) =>
+            val a = embedder.embed(q); val b = embedder.embed(d)
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+              nb += b(i).toDouble * b(i); i += 1
+            }
+            if (na == 0.0 || nb == 0.0) 0.0f
+            else (dot / (math.sqrt(na) * math.sqrt(nb))).toFloat
+          }
+      }
+    }
+  }
+  object CosinePairScorerLoader {
+    val loads = new AtomicLong(0L)
+  }
+
+  /** Append a `ce_score` column by batched per-partition cross-encoder
+    * scoring of (`queryCol`, `textCol`) pairs — stage 2 of the
+    * retrieve→rerank stack. The input should be a CANDIDATE POOL (any
+    * stage-1 retriever: Search.topK, Ann.matryoshkaTopK, Hamming), so
+    * cost is O(pool × model), never O(corpus). Same once-per-partition
+    * handle + micro-batch discipline as [[embedPartitions]]; a caller
+    * finishes with an ordinary per-query top-k window.
+    */
+  def rerankPartitions(candidates: DataFrame, queryCol: String,
+                       textCol: String, loader: PairScorerLoader,
+                       batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
+    val inSchema = candidates.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ce_score", FloatType, nullable = false))
+    val enc = Encoders.row(outSchema)
+    val qIdx = inSchema.fieldIndex(queryCol)
+    val tIdx = inSchema.fieldIndex(textCol)
+    candidates.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val model = loader.load() // once per partition
+        rows.grouped(batchSize).flatMap { batch =>
+          def str(r: Row, i: Int) = {
+            val v = r.get(i); if (v == null) "" else v.toString
+          }
+          val qs = batch.map(str(_, qIdx)).toArray
+          val ds = batch.map(str(_, tIdx)).toArray
+          val scores = model.scoreBatch(qs, ds)
+          batch.iterator.zip(scores.iterator).map { case (r, sc) =>
+            Row.fromSeq(r.toSeq :+ sc)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Append an `embedding` column to `df` by batched per-partition
     * inference over `textCol`. Preserves all input columns.
     */

@@ -30,6 +30,37 @@ class BatchInferenceSpec extends SparkSpec {
     assert(viaPartitions == viaUdf)
   }
 
+  test("rerankPartitions: one scorer load per partition; stage-2 reorders the pool") {
+    // candidate pool: (query, doc) rows — the retrieve→rerank shape.
+    // doc 1 repeats the query text, so the pair scorer must rank it first.
+    val pool = Seq(
+      (10L, "alpha beta gamma", 1L, "alpha beta gamma"),
+      (10L, "alpha beta gamma", 2L, "totally unrelated words here"),
+      (10L, "alpha beta gamma", 3L, "alpha beta something else")
+    ).toDF("query_id", "query_text", "doc_id", "text").repartition(2)
+    BatchInference.CosinePairScorerLoader.loads.set(0L)
+    val scored = BatchInference.rerankPartitions(
+      pool, "query_text", "text", new BatchInference.CosinePairScorerLoader(),
+      batchSize = 2)
+    val byDoc = scored.select($"doc_id", $"ce_score")
+      .as[(Long, Float)].collect().toMap
+    assert(math.abs(byDoc(1L) - 1.0f) < 1e-6, s"self-pair must score 1.0: $byDoc")
+    assert(byDoc(1L) > byDoc(3L) && byDoc(3L) > byDoc(2L), s"order wrong: $byDoc")
+    val loads = BatchInference.CosinePairScorerLoader.loads.get()
+    assert(loads >= 1 && loads <= 2, s"expected ≤1 load/partition, got $loads")
+
+    // parity: the stub scorer must equal the bi-encoder cosine computed
+    // directly (same embedder on both sides)
+    val e = Embedder.Default
+    def cos(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0f else (dot / (math.sqrt(na) * math.sqrt(nb))).toFloat
+    }
+    val want = cos(e.embed("alpha beta gamma"), e.embed("alpha beta something else"))
+    assert(math.abs(byDoc(3L) - want) < 1e-6)
+  }
+
   test("saltedCountSum equals the direct aggregation (decomposable aggs)") {
     val df = (Seq.fill(500)(("hot", 2.0)) ++
       Seq(("a", 1.0), ("a", 3.0), ("b", -5.0)))
