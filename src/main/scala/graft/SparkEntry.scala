@@ -1772,6 +1772,76 @@ object SparkEntry {
         least(floor(col("n_tokens") / 20), lit(9L)).cast("long"), 10, "length"))
   }
 
+  /** Link-graph centrality for crawl-seed scoring (the Common-Crawl-style
+    * "which hosts deserve budget" signal): PageRank, 8 fixed power
+    * iterations at damping 0.85, over a deterministic synthetic link
+    * graph (every doc emits 3 modular-arithmetic outlinks — the harness,
+    * like q82's synthetic URLs; doc_ids are contiguous 0..N-1 in the
+    * testdata so targets always exist). Ranks round to 9 decimals EVERY
+    * iteration in both engines, so float drift cannot compound and the
+    * power iteration replays exactly; top-20 by (rank, id). Scale shape:
+    * each iteration is one equi-join edges⋈ranks + one two-phase sum —
+    * the standard distributed-PageRank loop (lineage cut by
+    * localCheckpoint mid-way, same discipline as q40's CC rounds).
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    pageRankN = n
+    // non-uniform by construction: the quadratic map skews in-degree,
+    // the % 50 link makes the first 50 docs hubs, the affine map keeps
+    // the graph connected. (All-coprime affine maps would be bijections
+    // -> uniform in-degree -> a degenerate all-equal PageRank.)
+    // doc_id is reduced mod 99991 before squaring so the expression can
+    // never overflow Long, even on 1e9-shifted stress replicas.
+    val um = col("doc_id") % 99991L
+    val edges = docs.select(col("doc_id").as("src"), explode(array(
+      (um * um + 1) % n,
+      (col("doc_id") * 7919 + 3) % n,
+      col("doc_id") % lit(math.min(50L, n)))).as("dst"))
+    var ranks = docs.select(col("doc_id"),
+      round(lit(1.0 / n), 9).as("r"))
+    for (i <- 1 to 8) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("r") / 3).as("s"))
+      ranks = docs.join(contrib, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("r"))
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks.orderBy(col("r").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"), round(col("r"), 6).as("rank"))
+  }
+
+  /** N recorded by the last [[qPageRank]] run — the oracle needs the
+    * node count inlined (same dynamic-oracle mechanism as q28/q65/q100).
+    */
+  @volatile private var pageRankN: Long = -1L
+
+  /** DuckDB replay: identical synthetic edges, the 8 power iterations
+    * unrolled as chained CTEs (no recursive-aggregate support needed),
+    * same per-iteration 9-decimal rounding.
+    */
+  private def pageRankOracleSql(n: Long): String = {
+    val steps = (1 to 8).map { i =>
+      s"""r$i AS (SELECT d.doc_id, round(0.15::DOUBLE / $n + 0.85 * coalesce(c.s, 0), 9) AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(p.r / 3) AS s
+         |    FROM e JOIN r${i - 1} p ON e.src = p.doc_id GROUP BY e.dst) c
+         |  ON d.doc_id = c.doc_id)""".stripMargin
+    }.mkString(",\n ")
+    val hub = math.min(50L, n)
+    s"""WITH e AS (SELECT doc_id AS src,
+       |   unnest([((doc_id % 99991) * (doc_id % 99991) + 1) % $n,
+       |           (doc_id*7919+3) % $n, doc_id % $hub]) AS dst FROM documents),
+       | r0 AS (SELECT doc_id, round(1.0::DOUBLE / $n, 9) AS r FROM documents),
+       | $steps
+       |SELECT doc_id, round(r, 6) AS rank FROM r8
+       |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** Token Zipf curve: top-30 tokens with frequency rank and cumulative
     * corpus fraction — the vocabulary-concentration diagnostic (how much
     * of the corpus the top-k tokens cover). Cumulative sums stay in
@@ -2186,6 +2256,7 @@ object SparkEntry {
     "q104_length_batches" -> (qLengthBatches _),
     "q105_ann_recall" -> (qAnnRecall _),
     "q106_drift_psi" -> (qDriftPsi _),
+    "q107_pagerank" -> (qPageRank _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2336,7 +2407,8 @@ object SparkEntry {
     oracleSqlStatic ++
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
-      Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c))
+      Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
+      (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None)
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
