@@ -634,10 +634,20 @@ object SparkEntry {
   private val ivfIndexCache =
     collection.mutable.Map.empty[String, Ann.IvfIndex]
 
+  /** Cache key for a data dir: path + source file length + mtime, so a
+    * dir whose parquet is regenerated in place gets a NEW cache entry
+    * instead of being served stale build-once artifacts.
+    */
+  private def dirCacheKey(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val raw = s"$dir|${f.length}|${f.lastModified}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex =
     ivfIndexCache.synchronized {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val key = dirCacheKey(dir, "embeddings")
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key"
       ivfIndexCache.getOrElseUpdate(path, {
         val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
@@ -1476,9 +1486,13 @@ object SparkEntry {
       .select(col("vec_id").as("src_id"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("tgt_id"), col("embedding").as("vb"))
+    // localCheckpoint: knnA, knnB, and the margin join all consume this
+    // pair table with different partitionings — without it the
+    // O(|A|·|B|·dim) cosine pass runs three times
     val pairs = a.crossJoin(b)
       .withColumn("cos", round(graft.functions.CosineSimilarity(col("va"), col("vb")), 6))
       .select(col("src_id"), col("tgt_id"), col("cos"))
+      .localCheckpoint()
     val ra = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("tgt_id").asc)
     val rb = Window.partitionBy(col("tgt_id"))
@@ -1506,8 +1520,7 @@ object SparkEntry {
     */
   private def ingestFixtureFor(s: SparkSession, dir: String): String =
     this.synchronized {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val key = dirCacheKey(dir, "documents")
       val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ingest-$key")
       val marker = new java.io.File(root, ".GRAFT_FIXTURE") // hidden: F1-invisible
       if (!marker.exists()) {
@@ -1706,6 +1719,9 @@ object SparkEntry {
         .orderBy(col("h").asc, col("vec_id").asc)))
       .withColumn("pre_r", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("p").desc, col("vec_id").asc)))
+      // localCheckpoint: matTop and the flag join both consume this
+      // scored table — without it the panel×corpus metric pass runs twice
+      .localCheckpoint()
     val matTop = base.filter(col("pre_r") <= 50)
       .withColumn("mat_r", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("vec_id").asc)))

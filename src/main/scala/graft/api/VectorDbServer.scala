@@ -111,16 +111,23 @@ final class VectorDbServer(spark: SparkSession, db: VectorDb, port: Int = 0) {
         if (!parsed.columns.contains("query_embedding"))
           respond(ex, 400, """{"error": "No query_embedding provided"}""")
         else {
+          // coalesce handles "top_k": null (quirk-7 coercion happens in
+          // queryVec anyway; this keeps a JSON null from NPE-ing to 500)
           val row = parsed.selectExpr(
             "cast(query_embedding as array<double>) as q",
-            if (parsed.columns.contains("top_k")) "cast(top_k as int) as k"
+            if (parsed.columns.contains("top_k"))
+              "coalesce(cast(top_k as int), 5) as k"
             else "5 as k").head()
-          val vec = row.getSeq[Double](0)
-          val k = row.getInt(1)
-          val results = db.queryVec(vec, topK = k).toJSON.collect()
-          respond(ex, 200,
-            s"""{"results": ${results.mkString("[", ",", "]")},""" +
-            s""" "total_results": ${results.length}}""")
+          if (row.isNullAt(0))
+            respond(ex, 400, """{"error": "No query_embedding provided"}""")
+          else {
+            val vec = row.getSeq[Double](0)
+            val k = row.getInt(1)
+            val results = db.queryVec(vec, topK = k).toJSON.collect()
+            respond(ex, 200,
+              s"""{"results": ${results.mkString("[", ",", "]")},""" +
+              s""" "total_results": ${results.length}}""")
+          }
         }
 
       case _ => respond(ex, 404, """{"error": "not found"}""")

@@ -76,7 +76,12 @@ object TokenBudget {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     require(maxBucketRows > 0, s"maxBucketRows must be > 0, got $maxBucketRows")
     val spark = docs.sparkSession
-    val bucketed = docs
+    // groups without a budget can never contribute output — drop them
+    // BEFORE any aggregation so the histogram collect is bounded by
+    // groups-with-budget × buckets, not by distinct groups in the data
+    // (per-host budgets over 1e8 hosts must not OOM the driver)
+    val inScope = docs.filter(col(groupCol).isInCollection(budgets.keySet))
+    val bucketed = inScope
       .withColumn("__bucket", floor(col(qualityCol) * buckets).cast(LongType))
       .withColumn("__tie", md5(col(idCol).cast(StringType).cast("binary")))
 
@@ -92,9 +97,14 @@ object TokenBudget {
     val subHist: Map[(String, Long), Array[(Double, String, Long)]] =
       if (hotCells.isEmpty) Map.empty
       else {
-        val hotGroups = hotCells.map(_._1)
+        // restrict the cell aggregate to the hot (group, bucket) PAIRS
+        // inside the plan — a hot group's healthy buckets must not be
+        // aggregated at (quality, md5-prefix) granularity and collected
+        val isHotPair = hotCells.map { case (g, b) =>
+          col(groupCol) === g && col("__bucket") === b
+        }.reduce(_ || _)
         val cells = bucketed
-          .filter(col(groupCol).isInCollection(hotGroups))
+          .filter(isHotPair)
           .groupBy(col(groupCol), col("__bucket"),
             col(qualityCol).cast(DoubleType).as("__q"),
             substring(col("__tie"), 1, 2).as("__sub"))
@@ -102,7 +112,6 @@ object TokenBudget {
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
             r.getString(3), r.getLong(4)))
-          .filter(t => hotCells.contains((t._1, t._2)))
         require(cells.length <= (1 << 21),
           s"TokenBudget per-group skew histogram has ${cells.length} cells; " +
           s"raise `buckets` (currently $buckets)")

@@ -476,6 +476,14 @@ object Ann {
     val index = readIvf(spark, path)
     val centers = index.centers
     require(centers.nonEmpty, s"IVF index at $path has no centroids")
+    // dimension guard: a mismatched batch would null-pad in zip_with,
+    // make every d2 null, and — struct ordering being nulls-first —
+    // silently dump the whole batch into centroid 0. Fail loudly.
+    val batchDim = batch.select(size(col(vecCol))).head(1)
+    require(batchDim.nonEmpty, "appendToIvf: empty batch")
+    require(batchDim.head.getInt(0) == centers(0).length,
+      s"appendToIvf: batch vector dim ${batchDim.head.getInt(0)} != " +
+      s"index dim ${centers(0).length} at $path")
     val v = asDouble(col(vecCol))
     val d2s = centers.zipWithIndex.map { case (c, i) =>
       struct(

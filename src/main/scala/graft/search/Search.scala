@@ -176,10 +176,18 @@ object Search {
                            labelCol: String = "label",
                            anchorId: String = "anchor_id",
                            anchorVec: String = "anchor_vec",
-                           anchorLabel: String = "anchor_label"): DataFrame = {
+                           anchorLabel: String = "anchor_label",
+                           maxBroadcastAnchors: Int = 100000): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     require(prefixDim > 0, s"prefixDim must be > 0, got $prefixDim")
     require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    // same bounded probe as hardNegatives: the prescan cuts FLOAT MATH,
+    // not broadcast size — an oversize anchor set must still fail fast
+    // here, not OOM twice (stage-1 pool + stage-2 rescore broadcasts)
+    require(anchors.limit(maxBroadcastAnchors + 1).count() <= maxBroadcastAnchors,
+      s"anchor set exceeds maxBroadcastAnchors=$maxBroadcastAnchors — chunk " +
+      "the batch or raise the cap deliberately; the prescan still " +
+      "broadcasts the anchors in both stages")
     // stage 1: prefix-dim scoring; only (anchor_id, corpus_id) survive
     val pool = corpus
       .join(broadcast(anchors), col(labelCol) =!= col(anchorLabel))
