@@ -127,10 +127,38 @@ object Bench {
         f""""control":{"median":${median(controlSamples.toList)}%.3f,""" +
         f""""min":${controlSamples.min}%.3f,"max":${controlSamples.max}%.3f}"""
       else """"control":null"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(med)},""" +
+    // degraded=true whenever ANY query failed any pass: the total only
+    // sums queries that produced a sample, so a regression that makes a
+    // query throw would otherwise LOWER the total and read as a speedup
+    // to a consumer comparing totals without inspecting "failed".
+    val degraded = failures.nonEmpty
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
+      f""""queries":${jsonMap(med)},""" +
       f""""queries_min":${jsonMap(mins)},"passes":$passes,"failed":$failedJson,""" +
+      ctl + f""","sf":"$sfDir"}"""
+    // The consumer captures only the LAST ~2000 chars of stdout and
+    // parses the final JSON line it finds there. The full per-query line
+    // above is ~6 KB at 100+ queries, so printing it last truncates its
+    // head and the parse fails (observed: every round since r3 recorded
+    // parsed:null). Ship the full detail on stderr (human/driver logs)
+    // and end stdout with a COMPACT line — totals, failure signal, noise
+    // floor, flagship, and the slowest queries — guaranteed to fit.
+    System.err.println(fullJson)
+    val slow = med.sortBy(-_._2).take(8)
+    val headline = (med.filter(_._1 == "q01_cosine_topk") ++ slow)
+      .distinctBy(_._1)
+    // cap the failed map too — a mass failure (e.g. a bad sfDir) must not
+    // push the compact line back over the tail window
+    val failedCompact = failures.toSeq.sortBy(_._1).take(15)
+      .map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
+      f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
+      f""""queries":${jsonMap(headline)},""" +
       ctl + f""","sf":"$sfDir"}""")
+    if (degraded)
+      System.err.println(s"[bench] DEGRADED: failures in ${failures.keys.toSeq.sorted.mkString(", ")} — 'value' excludes them")
     // Exit 0 even with per-query failures: the "failed" JSON field carries
     // the signal, and a nonzero rc would make the driver discard the whole
     // line (r6: rc=1 -> parsed:null, no benchmark for the round).

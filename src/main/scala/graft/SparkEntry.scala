@@ -634,20 +634,32 @@ object SparkEntry {
   private val ivfIndexCache =
     collection.mutable.Map.empty[String, Ann.IvfIndex]
 
-  /** Cache key for a data dir: path + source file length + mtime, so a
-    * dir whose parquet is regenerated in place gets a NEW cache entry
-    * instead of being served stale build-once artifacts.
+  /** Cache key for a data dir, so a dir whose parquet is regenerated in
+    * place gets a NEW cache entry instead of being served stale
+    * build-once artifacts. The source table may be a single parquet
+    * file OR a directory-style table whose top-level size/mtime don't
+    * change on in-place part-file rewrites, so the key hashes every
+    * LEAF file's (name, length, mtime) via the Hadoop FS. A missing
+    * path is an error, never a constant key.
     */
-  private def dirCacheKey(dir: String, table: String): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    val raw = s"$dir|${f.length}|${f.lastModified}"
+  private def dirCacheKey(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"dirCacheKey: $p does not exist")
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true) // recursive; a plain file lists itself
+    while (it.hasNext) {
+      val st = it.next()
+      leaves += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+    }
+    val raw = s"$dir|${leaves.sorted.mkString(";")}"
     java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
   private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex =
     ivfIndexCache.synchronized {
-      val key = dirCacheKey(dir, "embeddings")
+      val key = dirCacheKey(s, dir, "embeddings")
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key"
       ivfIndexCache.getOrElseUpdate(path, {
         val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
@@ -1451,20 +1463,32 @@ object SparkEntry {
     * replacement (Efraimidis & Spirakis 2006, via the u^(1/w) ↔ ln(u)/w
     * monotone map). RNG-free → rerun-stable; one map-side projection +
     * top-k = TakeOrderedAndProject, no global sort — THE distributed
-    * weighted-sampling shape at 100 TB. Keys are rounded to 6dp with an
-    * id tie-break so the selection boundary is engine-stable. Weight
-    * here is n_chars + 1 (size-biased demo; any positive weight works —
-    * plug q17's quality or q74's mixture weights).
+    * weighted-sampling shape at 100 TB. The emitted comparison surface
+    * is rank-based (selection order, doc_id tie-break), NOT the key
+    * value — see the in-body note. Weight here is n_chars + 1
+    * (size-biased demo; any positive weight works — plug q17's quality
+    * or q74's mixture weights).
     */
   private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
     val u = (graft.functions.HashFunctions.md5Int60(
         concat(lit("ws:"), col("doc_id").cast("string"))) + 1).cast("double") /
       lit(1152921504606846976.0) // 2^60
-    rdWide(s, dir, "documents")
+    val top = rdWide(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
-        round(log(u) / (col("n_chars") + 1).cast("double"), 6).as("key"))
+        (log(u) / (col("n_chars") + 1).cast("double")).as("key"))
       .orderBy(col("key").desc, col("doc_id").asc)
       .limit(20)
+    // The comparable output is the selection ORDER, not the key: ln() is
+    // a transcendental that differs by ulps between engines and 6dp
+    // rounding modes differ too (Spark HALF_UP vs DuckDB's multiply
+    // round), so a rounded key column is not engine-stable (r7 hash
+    // miss). Keys are md5-spread with a doc_id tie-break, so the rank IS
+    // stable. The window runs over the 20 already-selected rows only —
+    // a single tiny partition after TakeOrderedAndProject, not a global
+    // sort.
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
   }
 
   /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
@@ -1520,7 +1544,7 @@ object SparkEntry {
     */
   private def ingestFixtureFor(s: SparkSession, dir: String): String =
     this.synchronized {
-      val key = dirCacheKey(dir, "documents")
+      val key = dirCacheKey(s, dir, "documents")
       val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ingest-$key")
       val marker = new java.io.File(root, ".GRAFT_FIXTURE") // hidden: F1-invisible
       if (!marker.exists()) {
@@ -2162,6 +2186,71 @@ object SparkEntry {
     Search.mmrTopK(emb, qVec, k = 5, lambda = 0.7, poolSize = 50)
   }
 
+  /** Exact substring duplicate spans (Lee et al. 2021 ExactSubstr via
+    * fixed-32 rolling grams): per-doc merged spans of text covered by a
+    * 32-char gram occurring more than once in the corpus. Output is all
+    * integers (span counts/chars) — fully hash-exact across engines.
+    */
+  private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupSpans(rdWide(s, dir, "documents"), k = 32)
+
+  /** DSIR importance weights (Xie et al. 2023): hashed-bigram
+    * log-likelihood ratio of the English subset (target) vs the whole
+    * corpus (raw), quantized per bucket to integer micro-nats so the
+    * per-doc sums are exact integers. Top-20 by weight with the
+    * selection rank — both columns engine-stable.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.ops.Dsir
+      .importanceWeights(rdWide(s, dir, "documents"), col("lang") === "en")
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(20)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("weight").desc, col("doc_id").asc)))
+  }
+
+  /** Leakage-free 5-fold split: fold = md5 of the duplicate-CLUSTER key
+    * (q40's closure), so near-dups never straddle folds; the emitted
+    * cross_fold_dup_pairs column asserts the invariant (must be 0) in
+    * the correctness gate itself.
+    */
+  private def qLeakSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    graft.dedup.DupClusters.leakFreeFolds(docs,
+      Dedup.nearDupPairs(docs, minJaccard = 0.5, maxBucketSize = 64),
+      nFolds = 5)
+  }
+
+  /** Gopher-style rule battery (Rae et al. 2021 A1.1): per-source funnel
+    * of five document-quality rules. Every threshold is an integer
+    * cross-multiplication — no float anywhere, hash-exact by
+    * construction.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityRules.funnelBySource(rdWide(s, dir, "documents"))
+
+  /** Self-trained multinomial NB language classifier (hashed char
+    * trigrams, add-one smoothing) applied back to the corpus — the
+    * confusion matrix audit. Log-likelihoods quantized to integer
+    * micro-nats at the bucket; doc scores and the argmax are pure
+    * integer arithmetic.
+    */
+  private def qNbLang(s: SparkSession, dir: String): DataFrame =
+    graft.ops.NbLang.confusion(rdWide(s, dir, "documents"))
+
+  /** Multiprobe sign-LSH top-10 (own bucket + all Hamming-1 neighbors)
+    * with the selection rank — q21's nprobe=1 scan with the standard
+    * hyperplane-straddle recall repair.
+    */
+  private def qMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qrow = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    val top = Ann.multiprobeTopK(emb, qrow, "query_vec", k = 10)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)))
+  }
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2273,6 +2362,12 @@ object SparkEntry {
     "q105_ann_recall" -> (qAnnRecall _),
     "q106_drift_psi" -> (qDriftPsi _),
     "q107_pagerank" -> (qPageRank _),
+    "q108_substring_dup" -> (qSubstringDup _),
+    "q109_dsir" -> (qDsir _),
+    "q110_leak_split" -> (qLeakSplit _),
+    "q111_gopher_rules" -> (qGopherRules _),
+    "q112_nb_lang" -> (qNbLang _),
+    "q113_multiprobe_lsh" -> (qMultiprobe _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2412,6 +2507,42 @@ object SparkEntry {
        |   UNION
        |   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src),
        | clus AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  /** q112's DuckDB replay, generated from [[graft.ops.NbLang.Langs]] so
+    * the per-class column lists can't drift from the Spark side: hashed
+    * char-trigram features → one wide count/likelihood table (integer
+    * micro-nats, quantized at the bucket exactly as NbLang does) →
+    * integer per-doc scores → argmax with the same first-wins tie order.
+    */
+  private def nbLangOracleSql: String = {
+    val L = graft.ops.NbLang.Langs
+    val B = 2048
+    val cc = L.map(l => s"sum(CASE WHEN lang='$l' THEN n ELSE 0 END)::BIGINT AS c_$l").mkString(", ")
+    val tt = L.map(l => s"sum(c_$l)::BIGINT AS t_$l").mkString(", ")
+    val dc = L.map(l => s"sum(CASE WHEN lang='$l' THEN 1 ELSE 0 END)::BIGINT AS d_$l").mkString(", ")
+    val mm = L.map(l => s"round(ln((c_$l+1)::DOUBLE / (t_$l+$B)::DOUBLE)*1000000)::BIGINT AS l_$l").mkString(", ")
+    val pp = L.map(l => s"round(ln(d_$l::DOUBLE / n_all::DOUBLE)*1000000)::BIGINT AS p_$l").mkString(", ")
+    val ss = L.map(l => s"sum(n*l_$l)::BIGINT AS s_$l").mkString(", ")
+    val s2 = L.map(l => s"s_$l + p_$l AS s_$l").mkString(", ")
+    val gr = L.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseArm = L.map(l => s"WHEN s_$l = $gr THEN '$l'").mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+       | g AS (SELECT doc_id, lang, unnest(range(1, len(t) - 1)) AS p, t
+       |   FROM d WHERE len(t) >= 3),
+       | f AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5(substr(t, p, 3)), 1, 15))::BIGINT % $B AS b,
+       |    count(*)::BIGINT AS n FROM g GROUP BY 1, 2, 3),
+       | cc AS (SELECT b, $cc FROM f GROUP BY b),
+       | tt AS (SELECT $tt FROM cc),
+       | dc AS (SELECT count(*)::BIGINT AS n_all, $dc FROM documents),
+       | m AS (SELECT b, $mm FROM cc, tt),
+       | pr AS (SELECT $pp FROM dc),
+       | s AS (SELECT doc_id, lang, $ss FROM f JOIN m USING (b) GROUP BY 1, 2),
+       | s2 AS (SELECT doc_id, lang, $s2 FROM s, pr),
+       | p AS (SELECT lang, CASE $caseArm ELSE 'unknown' END AS pred_lang FROM s2)
+       |SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -3249,14 +3380,129 @@ object SparkEntry {
         |FROM scored GROUP BY source""".stripMargin,
 
     // A-ES weighted sample: key = ln(md5-uniform)/weight, top-20 by
-    // (rounded key DESC, id) — 2^60 = 1152921504606846976
+    // (key DESC, id); the EMITTED column is the selection rank, not the
+    // transcendental key (engine-stable) — 2^60 = 1152921504606846976
     "q101_weighted_sample" ->
-      """SELECT doc_id, source, n_chars, key FROM (
+      """SELECT doc_id, source, n_chars,
+        |  row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+        |FROM (
         | SELECT doc_id, source, n_chars,
-        |  round(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
-        |        / 1152921504606846976.0) / (n_chars + 1)::DOUBLE, 6) AS key
+        |  ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |        / 1152921504606846976.0) / (n_chars + 1)::DOUBLE AS key
         | FROM documents)
         |ORDER BY key DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // ExactSubstr spans: 32-char grams hashed to 60 bits; grams seen >1×
+    // corpus-wide mark their positions; stride-1 same-length windows
+    // merge via the lag-gap island rule (gap > 32 starts a new span)
+    "q108_substring_dup" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        | hg AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 30, 1))) AS pos, t FROM d),
+        | grams AS (SELECT doc_id, pos,
+        |   ('0x' || substr(md5(substr(t, pos, 32)), 1, 15))::BIGINT AS h FROM hg),
+        | shared AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+        | hits AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM shared)),
+        | isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 32 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |   FROM (SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits)),
+        | spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 32 AS e
+        |   FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, count(*)::BIGINT AS n_dup_spans, sum(e - s)::BIGINT AS dup_chars
+        |FROM spans GROUP BY doc_id""".stripMargin,
+
+    // DSIR: hashed-bigram (1024 buckets) add-one log-likelihood ratio of
+    // the lang='en' target vs the raw corpus, quantized per bucket to
+    // integer micro-nats BEFORE the per-doc sum — weight is an exact
+    // integer in both engines
+    "q109_dsir" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | bgs AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+        |   THEN [('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT % 1024
+        |         for i in range(0, len(w) - 1)]
+        |   ELSE []::BIGINT[] END) AS b FROM w),
+        | counts AS (SELECT b, count(*)::BIGINT AS cr,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM bgs GROUP BY b),
+        | tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM counts),
+        | lr AS (SELECT b, round(ln(
+        |    ((ct + 1)::DOUBLE / (nt + 1024)::DOUBLE)
+        |    / ((cr + 1)::DOUBLE / (nr + 1024)::DOUBLE)) * 1000000)::BIGINT AS l
+        |   FROM counts, tot),
+        | score AS (SELECT doc_id, sum(l)::BIGINT AS weight
+        |   FROM bgs JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, weight,
+        |  row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rank
+        |FROM score ORDER BY weight DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // leak-free folds: q40's pair graph + closure, fold = md560("fold:" ||
+    // group_key) % 5 where group_key = cluster_id (clustered docs) or
+    // doc_id (singletons); cross_fold_dup_pairs asserts the invariant
+    "q110_leak_split" ->
+      s"""WITH RECURSIVE $DupClusterCtes,
+         | folded AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS group_key,
+         |    c.cluster_id IS NOT NULL AS in_cluster,
+         |    ('0x' || substr(md5('fold:' || coalesce(c.cluster_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT % 5 AS fold
+         |   FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         | leak AS (SELECT count(*)::BIGINT AS cross_fold_dup_pairs FROM pairs
+         |   JOIN folded fa ON fa.doc_id = doc_a
+         |   JOIN folded fb ON fb.doc_id = doc_b
+         |   WHERE fa.fold <> fb.fold)
+         |SELECT fold, count(*)::BIGINT AS n_docs,
+         | count(DISTINCT group_key)::BIGINT AS n_groups,
+         | sum(CASE WHEN in_cluster THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         | cross_fold_dup_pairs
+         |FROM folded, leak GROUP BY fold, cross_fold_dup_pairs""".stripMargin,
+
+    // Gopher rule battery: five integer cross-multiplied predicates,
+    // per-source fail counts + survivors
+    "q111_gopher_rules" ->
+      """WITH d AS (SELECT source, lower(trim(text)) AS t,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | f AS (SELECT source,
+        |   len(w)::BIGINT AS ntok,
+        |   list_sum(list_transform(w, x -> len(x)))::BIGINT AS sumlen,
+        |   (len(t) - len(replace(t, '#', '')))::BIGINT AS nhash,
+        |   ((len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS nell,
+        |   len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::BIGINT AS nalpha,
+        |   len(list_intersect(list_distinct(w),
+        |       ['the','a','of','and','to','in','is','it']))::BIGINT AS stop
+        |  FROM d),
+        | r AS (SELECT source,
+        |   (ntok >= 30 AND ntok <= 100000) AS r1,
+        |   (3*ntok <= sumlen AND sumlen <= 10*ntok) AS r2,
+        |   ((nhash + nell) * 10 <= ntok) AS r3,
+        |   (nalpha * 5 >= ntok * 4) AS r4,
+        |   (stop >= 2) AS r5
+        |  FROM f)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN r1 THEN 0 ELSE 1 END)::BIGINT AS n_fail_word_count,
+        | sum(CASE WHEN r2 THEN 0 ELSE 1 END)::BIGINT AS n_fail_word_length,
+        | sum(CASE WHEN r3 THEN 0 ELSE 1 END)::BIGINT AS n_fail_symbol_ratio,
+        | sum(CASE WHEN r4 THEN 0 ELSE 1 END)::BIGINT AS n_fail_alpha_words,
+        | sum(CASE WHEN r5 THEN 0 ELSE 1 END)::BIGINT AS n_fail_stopwords,
+        | sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM r GROUP BY source""".stripMargin,
+
+    "q112_nb_lang" -> nbLangOracleSql,
+
+    // multiprobe: query bucket ∪ {bucket ⊕ 2^i} — 9 probes at 8 bits
+    "q113_multiprobe_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         | q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         | probes AS (SELECT qb AS pb FROM q
+         |   UNION ALL SELECT xor(qb, 1::BIGINT << i) FROM q,
+         |     (SELECT unnest(range(0, 8)) AS i)),
+         | topk AS (SELECT x.vec_id, ${cosSqlAB("x.v", "qv")} AS score
+         |   FROM b x, q WHERE x.bucket IN (SELECT pb FROM probes)
+         |   ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, round(score, 6) AS score,
+         | row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+         |FROM topk""".stripMargin,
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split

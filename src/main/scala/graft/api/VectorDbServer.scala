@@ -39,8 +39,28 @@ final class VectorDbServer(spark: SparkSession, db: VectorDb, port: Int = 0) {
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+  /** Read the request body with a hard size cap: an unbounded
+    * readAllBytes lets one huge POST exhaust the heap. Declared-length
+    * rejection is cheap (Content-Length header); the streamed read is
+    * capped too so a chunked request without a length can't dodge it.
+    */
+  private def body(ex: HttpExchange): String = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (declared.exists(_ > VectorDbServer.MaxBodyBytes))
+      throw new VectorDbServer.BodyTooLarge(declared.get)
+    val in = ex.getRequestBody
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > VectorDbServer.MaxBodyBytes)
+        throw new VectorDbServer.BodyTooLarge(out.size().toLong)
+      n = in.read(buf)
+    }
+    new String(out.toByteArray, UTF_8)
+  }
 
   /** Parse one JSON object through Spark (the engine IS the codec). */
   private def parseJson(s: String): org.apache.spark.sql.DataFrame = {
@@ -132,6 +152,8 @@ final class VectorDbServer(spark: SparkSession, db: VectorDb, port: Int = 0) {
 
       case _ => respond(ex, 404, """{"error": "not found"}""")
     } catch {
+      case e: VectorDbServer.BodyTooLarge =>
+        respond(ex, 413, err(e.getMessage))
       // the reference's 400 family: bad JSON, empty corpus, bad dims
       case e: IllegalStateException    => respond(ex, 400, err(e.getMessage))
       case e: IllegalArgumentException => respond(ex, 400, err(e.getMessage))
@@ -142,8 +164,22 @@ final class VectorDbServer(spark: SparkSession, db: VectorDb, port: Int = 0) {
   }
 
   server.createContext("/", handle(_))
-  server.setExecutor(null) // serve on the dispatch thread — demo surface
+  // small fixed pool instead of the dispatch thread: one slow /query or
+  // /add_documents must not block /health. Still a demo surface — the
+  // Spark session underneath serializes heavy work anyway.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object VectorDbServer {
+  /** Request-body cap: far above any legitimate demo batch (the
+    * reference posts 100-doc JSON batches, ~1 MB), far below heap harm.
+    */
+  val MaxBodyBytes: Long = 16L * 1024 * 1024
+
+  final class BodyTooLarge(got: Long) extends RuntimeException(
+    s"request body too large ($got bytes > cap $MaxBodyBytes)")
 }

@@ -688,4 +688,57 @@ object Dedup {
 
     afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
   }
+
+  /** Exact substring duplicate spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the ExactSubstr criterion, realized with fixed-k rolling grams
+    * instead of a suffix array): a character k-gram of the normalized
+    * text that occurs MORE THAN ONCE in the corpus (any doc, including
+    * the same one) marks every position it starts at as duplicated;
+    * overlapping/adjacent marked windows merge into maximal spans
+    * (all windows share length k, so merging with the immediate
+    * predecessor is exact). Output: one row per doc with ≥1 span —
+    * (idCol, n_dup_spans, dup_chars) — the per-doc input to a
+    * scrub-or-drop policy (pair with q96's span scrubbing / q85's
+    * reassembly machinery to actually rewrite the text).
+    *
+    * Scale shape: the gram table is O(total chars) rows but carries
+    * only (id, pos, 60-bit hash) — never text; the repeated-gram set
+    * comes from ONE hash-partitioned count and returns via a left-semi
+    * join on the same key, so a boilerplate gram occurring 1M times
+    * costs one counter, never a pair expansion. Span merging is a
+    * window partitioned by doc — the corpus's natural partitioning,
+    * no global sort. All arithmetic is integer/md5, replayed
+    * bit-for-bit by the DuckDB oracle (q108).
+    */
+  def substringDupSpans(docs: DataFrame, k: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"substringDupSpans: k must be >= 2, got $k")
+    val grams = docs
+      .select(col(idCol), lower(trim(col(textCol))).as("__t"))
+      .filter(length(col("__t")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"),
+        col("__t"))
+      .select(col(idCol), col("pos"),
+        md5Int60(expr(s"substring(__t, pos, $k)")).as("h"))
+    val repeated = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col("h"))
+    val hits = grams.join(repeated, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg((max(col("pos")) + k - min(col("pos"))).as("__len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("__len")).as("dup_chars"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair graph: assign every
@@ -108,6 +108,57 @@ object DupClusters {
     * the largest window partition is one duplicate cluster, never the
     * corpus.
     */
+  /** Leakage-free K-fold assignment: split a corpus so near-duplicate
+    * documents NEVER straddle a fold boundary — the train/test-
+    * contamination guard a naive per-doc hash split (q42) cannot give,
+    * because a doc and its clone hash independently. Every doc's split
+    * unit is its duplicate CLUSTER (from [[clusters]] over `pairs`);
+    * docs outside any cluster are their own singleton unit. The fold is
+    * a deterministic md5 of the unit key, so assignment is reproducible
+    * and extends consistently when new docs arrive (a new clone of an
+    * existing doc lands in the existing doc's fold by construction).
+    *
+    * Output: one row per fold — (fold, n_docs, n_groups, n_dup_docs,
+    * cross_fold_dup_pairs), where cross_fold_dup_pairs counts dup
+    * pairs whose endpoints landed in different folds: structurally 0,
+    * and emitted so the invariant is ASSERTED by the correctness gate
+    * on every run rather than trusted.
+    *
+    * Scale shape: the cluster map is pair-graph-sized (dup docs only),
+    * far smaller than the corpus, so the corpus join broadcasts it;
+    * fold assignment is a map-side hash; the audit joins the pair list
+    * (again pair-graph-sized) against the fold map. The corpus itself
+    * is never key-shuffled — only the nFolds-row summary aggregates.
+    */
+  def leakFreeFolds(docs: DataFrame, pairs: DataFrame, nFolds: Int = 5,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nFolds >= 2, s"leakFreeFolds: nFolds must be >= 2, got $nFolds")
+    def foldOf(key: Column): Column =
+      graft.functions.HashFunctions.md5Int60(
+        concat(lit("fold:"), key.cast("string"))) % nFolds
+    val clus = clusters(pairs).localCheckpoint(eager = true)
+    // audit over the pair graph only — cluster members' folds derive
+    // from the cluster map, so the corpus never enters this branch
+    val clusFold = clus.select(col(idCol), foldOf(col("cluster_id")).as("fold"))
+    val leak = pairs
+      .join(broadcast(clusFold.select(col(idCol).as("doc_a"), col("fold").as("__fa"))), "doc_a")
+      .join(broadcast(clusFold.select(col(idCol).as("doc_b"), col("fold").as("__fb"))), "doc_b")
+      .filter(col("__fa") =!= col("__fb"))
+      .agg(count(lit(1)).as("cross_fold_dup_pairs"))
+    // one corpus scan for the summary; the cluster map broadcasts
+    docs.select(col(idCol))
+      .join(broadcast(clus), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("group_key"),
+        col("cluster_id").isNotNull.as("in_cluster"))
+      .withColumn("fold", foldOf(col("group_key")))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_key")).as("n_groups"),
+        sum(when(col("in_cluster"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .crossJoin(broadcast(leak))
+  }
+
   def keepBest(clusters: DataFrame, scored: DataFrame,
                idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
     val byCluster = org.apache.spark.sql.expressions.Window

@@ -63,6 +63,35 @@ object Ann {
       .select(col(idCol), round(col("score"), 6).as("score"))
   }
 
+  /** Multiprobe sign-LSH top-k (Lv et al. 2007, "Multi-Probe LSH"):
+    * score the query's own bucket PLUS every Hamming-1 neighbor bucket
+    * (one hyperplane flipped) — the standard recall repair for LSH's
+    * hyperplane-straddle misses without adding hash tables. Probe set
+    * is `bits + 1` buckets, so scan cost is ≈ (bits+1)/2^bits of the
+    * corpus instead of nprobe=1's 1/2^bits; with the corpus bucketBy'd
+    * on `bucket` each probe is a pruned partition read and the only
+    * broadcast is the (bits+1)-row probe list — the corpus never
+    * shuffles. Deterministic (no perturbation sampling), so the DuckDB
+    * oracle replays it exactly.
+    */
+  def multiprobeTopK(corpus: DataFrame, queryRow: DataFrame, queryVecCol: String,
+                     k: Int = 10, bits: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = array((col("q_bucket") +:
+      (0 until bits).map(i => col("q_bucket").bitwiseXOR(lit(1L << i)))): _*)
+    val q = broadcast(queryRow.select(col(queryVecCol))
+      .withColumn("q_bucket",
+        graft.functions.SignBucket(col(queryVecCol), bits))
+      .withColumn("probe", explode(probes)))
+    withBucket(corpus, vecCol, bits)
+      .join(q, col("bucket") === col("probe"))
+      .withColumn("score",
+        CosineSimilarity(col(vecCol), col(queryVecCol)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs in
     * the SAME sign bucket are scored (each bucket joins with itself —
     * an equi-join, not a cross join), then exact cosine ≥ threshold.
@@ -476,14 +505,14 @@ object Ann {
     val index = readIvf(spark, path)
     val centers = index.centers
     require(centers.nonEmpty, s"IVF index at $path has no centroids")
-    // dimension guard: a mismatched batch would null-pad in zip_with,
-    // make every d2 null, and — struct ordering being nulls-first —
-    // silently dump the whole batch into centroid 0. Fail loudly.
-    val batchDim = batch.select(size(col(vecCol))).head(1)
-    require(batchDim.nonEmpty, "appendToIvf: empty batch")
-    require(batchDim.head.getInt(0) == centers(0).length,
-      s"appendToIvf: batch vector dim ${batchDim.head.getInt(0)} != " +
-      s"index dim ${centers(0).length} at $path")
+    // dimension guard: a mismatched vector would null-pad in zip_with,
+    // make its d2 null, and — struct ordering being nulls-first —
+    // silently land in centroid 0. Enforced PER ROW inside the
+    // assignment expression (raise_error), not on a sampled first row —
+    // a mixed-dimension batch must fail, not half-land (r7 advice).
+    // Zero extra pass over the batch: the check rides the same
+    // projection as the assignment itself.
+    val dim = centers(0).length
     val v = asDouble(col(vecCol))
     val d2s = centers.zipWithIndex.map { case (c, i) =>
       struct(
@@ -495,7 +524,12 @@ object Ann {
     // struct ordering compares d2 first, then cid — array_min IS the
     // argmin with the lowest-index tie-break
     val assigned = batch.withColumn("centroid_id",
-      array_min(array(d2s: _*)).getField("cid"))
+      when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+        raise_error(concat(
+          lit(s"appendToIvf: vector dim != index dim $dim at $path (got "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")),
+          lit(")"))).cast("int"))
+      .otherwise(array_min(array(d2s: _*)).getField("cid")))
     assigned.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/lists")
   }

@@ -287,4 +287,25 @@ class AnnSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> true, 3L -> true,
       10L -> true, 11L -> false))
   }
+
+  test("multiprobeTopK recovers a Hamming-1 neighbor that nprobe=1 misses") {
+    // query lives in bucket 1111; its TRUE nearest neighbor (20) has one
+    // barely-negative component → bucket 0111, Hamming-1 away; vector 21
+    // is the best in-bucket match but farther in angle
+    val data = Seq(
+      (0L, Seq(0.5f, 0.5f, 0.5f, 0.5f)), // query, bucket 15
+      (20L, Seq(-0.001f, 0.5f, 0.5f, 0.5f)), // bucket 14, cos ≈ 0.866
+      (21L, Seq(2.0f, 0.1f, 0.1f, 0.1f)), // bucket 15, cos ≈ 0.57
+      (22L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)) // bucket 0, Hamming-4: never probed
+    ).toDF("vec_id", "embedding")
+    val qrow = data.filter($"vec_id" === 0).select($"embedding".as("query_vec"))
+    val narrow = Ann.ivfTopK(data, qrow, "query_vec", k = 2, bits = 4)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(narrow == Seq(0L, 21L)) // bucket-15-only scan misses 20
+    val wide = Ann.multiprobeTopK(data, qrow, "query_vec", k = 3, bits = 4)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(wide == Seq(0L, 20L, 21L), s"got $wide") // ring-1 probe finds 20
+    // Hamming-4 bucket stays unprobed — multiprobe is not a full scan
+    assert(!wide.contains(22L))
+  }
 }

@@ -107,4 +107,28 @@ class IvfStorageSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(top.contains(900001L), s"planted twin missing from probe: $top")
   }
+
+  test("appendToIvf rejects a mixed-dimension batch (per-row guard)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    val dir = Files.createTempDirectory("ivf_append_bad").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/index"
+    Ann.writeIvf(index, path)
+    val d = index.centers(0).length
+    // first row is valid — a first-row-only guard would wave this batch
+    // through and silently drop the short row into centroid 0
+    val batch = Seq(
+      (910001L, Seq.fill(d)(0.25f), 1),
+      (910002L, Seq.fill(d - 1)(0.25f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val e = intercept[Throwable] { Ann.appendToIvf(spark, path, batch) }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("appendToIvf")), messages.mkString(" | "))
+    // the failed append committed nothing
+    assert(Ann.readIvf(spark, path).assigned
+      .filter(col("vec_id") >= 910001L).count() == 0)
+  }
 }
