@@ -2251,6 +2251,38 @@ object SparkEntry {
       row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)))
   }
 
+  /** SQ8 scalar-quantized two-stage ANN (the FAISS SQ8 point on the
+    * compression curve: 4× smaller, near-exact ranking): int8-code scan
+    * ranks by reconstructed inner product, exact cosine reranks the
+    * pool. Emitted rank is computed over the UNROUNDED rerank score so
+    * it matches the oracle's ordering exactly.
+    */
+  private def qSq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    Ann.sq8TopK(emb, qVec, poolK = 50, k = 10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id").asc)))
+      .select(col("vec_id"), round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** CCNet-style perplexity triage (Wenzek et al. 2020): head/middle/
+    * tail thirds per language by cross-entropy under a hashed-bigram LM
+    * trained on the English subset. All outputs are integers (micro-nat
+    * NLL sums + counts).
+    */
+  private def qPplBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ppl.pplBuckets(rdWide(s, dir, "documents"), col("lang") === "en")
+
+  /** Cross-source duplication matrix over MOSS fingerprints: shared
+    * distinct fingerprints per source pair + per-source totals — all
+    * integer counts.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(rdWide(s, dir, "documents"))
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2368,6 +2400,9 @@ object SparkEntry {
     "q111_gopher_rules" -> (qGopherRules _),
     "q112_nb_lang" -> (qNbLang _),
     "q113_multiprobe_lsh" -> (qMultiprobe _),
+    "q114_sq8_ann" -> (qSq8Ann _),
+    "q115_ppl_buckets" -> (qPplBuckets _),
+    "q116_source_overlap" -> (qSourceOverlap _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3503,6 +3538,65 @@ object SparkEntry {
          |SELECT vec_id, round(score, 6) AS score,
          | row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
          |FROM topk""".stripMargin,
+
+    // SQ8: codes = floor(127*x/s + 0.5) (deterministic shifted floor,
+    // VectorFunctions.quantizeInt8); stage 1 orders by s·(int dot),
+    // stage 2 exact cosine over the 50-survivor pool
+    "q114_sq8_ann" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cd AS (SELECT vec_id, v, s,
+         |   [CASE WHEN s = 0 THEN 0::BIGINT
+         |     ELSE floor(127.0 * x / s + 0.5)::BIGINT END for x in v] AS codes
+         |  FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS s FROM c)),
+         | q AS (SELECT v AS qv, codes AS qc FROM cd WHERE vec_id = 0),
+         | pool AS (SELECT cd.vec_id, cd.v FROM cd, q
+         |   ORDER BY cd.s * (list_sum([cd.codes[i+1] * q.qc[i+1] for i in range(0, 64)]))::DOUBLE DESC,
+         |     cd.vec_id ASC LIMIT 50),
+         | topk AS (SELECT p.vec_id, ${cosSqlAB("p.v", "qv")} AS score
+         |   FROM pool p, q ORDER BY score DESC, p.vec_id ASC LIMIT 10)
+         |SELECT vec_id, round(score, 6) AS score,
+         | row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+         |FROM topk""".stripMargin,
+
+    // CCNet triage: hashed-bigram LM on the en subset, per-doc integer
+    // micro-nat NLL, thirds per lang by mean NLL (rank cut, integer //)
+    "q115_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | bgs AS (SELECT doc_id, lang, lang = 'en' AS tgt, unnest(CASE WHEN len(w) >= 2
+        |   THEN [('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT % 1024
+        |         for i in range(0, len(w) - 1)]
+        |   ELSE []::BIGINT[] END) AS b FROM w),
+        | counts AS (SELECT b, count(*)::BIGINT AS c FROM bgs WHERE tgt GROUP BY b),
+        | tot AS (SELECT sum(c)::BIGINT AS n FROM counts),
+        | scored AS (SELECT doc_id, lang,
+        |    sum((-round(ln((coalesce(c, 0) + 1)::DOUBLE / (n + 1024)::DOUBLE) * 1000000))::BIGINT)::BIGINT AS nll,
+        |    count(*)::BIGINT AS nb
+        |   FROM bgs LEFT JOIN counts USING (b), tot GROUP BY doc_id, lang),
+        | ranked AS (SELECT lang, nll, nb,
+        |    row_number() OVER (PARTITION BY lang ORDER BY nll::DOUBLE / nb ASC, doc_id ASC) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS nl
+        |   FROM scored)
+        |SELECT lang, ((r - 1) * 3 // nl)::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+        | sum(nll)::BIGINT AS sum_nll, sum(nb)::BIGINT AS sum_bigrams
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
+
+    // cross-source overlap: distinct (source, MOSS fingerprint) pairs
+    // (q19's fingerprint vocabulary), self-join on the fingerprint
+    "q116_source_overlap" ->
+      s"""WITH fp AS (SELECT DISTINCT source, h AS fp FROM (
+         |   SELECT source, unnest(list_distinct([h for h in
+         |     [${h32Sql("substr(t, i, 16)")} for i in range(1, greatest(len(t) - 15, 1) + 1)]
+         |     if h % 16 = 0])) AS h
+         |   FROM (SELECT source, lower(trim(text)) AS t FROM documents))),
+         | tot AS (SELECT source, count(*)::BIGINT AS n FROM fp GROUP BY source),
+         | sh AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*)::BIGINT AS n_shared
+         |   FROM fp a JOIN fp b USING (fp) WHERE a.source < b.source
+         |   GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b
+         |FROM sh JOIN tot ta ON ta.source = source_a
+         | JOIN tot tb ON tb.source = source_b""".stripMargin,
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split

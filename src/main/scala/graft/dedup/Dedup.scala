@@ -689,6 +689,47 @@ object Dedup {
     afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct MOSS-style fingerprints ([[graft.functions.Fingerprints]],
+    * Schleimer et al. 2003) they share — the corpus-forensics audit
+    * behind "how much of source A is recycled in source B" (mirror
+    * detection, license-laundering sweeps, crawl-overlap estimation).
+    * Output: (source_a, source_b, n_shared, n_a, n_b) with
+    * source_a < source_b; n_a/n_b are each side's distinct-fingerprint
+    * totals, so Jaccard/containment are one division away.
+    *
+    * Scale shape: docs collapse to DISTINCT (source, fingerprint) pairs
+    * in one hash aggregate — the corpus's text leaves the scan as
+    * 32-bit hashes only. The pair join is on the fingerprint hash; a
+    * fingerprint present in s sources expands to C(s,2) ≤ C(|sources|,2)
+    * pairs — bounded by the source-count square, never corpus².
+    * Per-source totals are a |sources|-row broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    // materialize the distinct (source, fp) table once: it feeds BOTH
+    // join sides and the totals — without this the corpus text is
+    // re-scanned and re-fingerprinted three times
+    val fps = docs
+      .select(col(groupCol), lower(trim(col(textCol))).as("__t"))
+      .select(col(groupCol),
+        explode(graft.functions.Fingerprints(col("__t"))).as("fp"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val totals = fps.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_fp"))
+    val shared = fps.toDF(groupCol + "_a", "fp")
+      .join(fps.toDF(groupCol + "_b", "fp"), "fp")
+      .filter(col(groupCol + "_a") < col(groupCol + "_b"))
+      .groupBy(col(groupCol + "_a"), col(groupCol + "_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.toDF(groupCol + "_a", "n_a")), groupCol + "_a")
+      .join(broadcast(totals.toDF(groupCol + "_b", "n_b")), groupCol + "_b")
+      .select(col(groupCol + "_a"), col(groupCol + "_b"),
+        col("n_shared"), col("n_a"), col("n_b"))
+  }
+
   /** Exact substring duplicate spans (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499 —
     * the ExactSubstr criterion, realized with fixed-k rolling grams

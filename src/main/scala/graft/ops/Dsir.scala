@@ -55,9 +55,12 @@ object Dsir {
       .select(col(idCol), col("__tgt"),
         (graft.functions.HashFunctions.md5Int60(col("bg")) % buckets).as("b"))
     // one aggregate, both distributions: raw count + target-flagged count
+    // (≤ buckets rows; checkpointed because totals AND the ratio join
+    // both read it — otherwise the feature pass over the corpus reruns)
     val counts = bgs.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(eager = true)
     val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // add-one smoothed log ratio, quantized to integer micro-nats PER
     // BUCKET — the only transcendental in the operator

@@ -60,7 +60,10 @@ object NbLang {
     // over <= `buckets` keys
     val ccCols = Langs.map(l =>
       sum(when(col(langCol) === l, col("n")).otherwise(0L)).as(s"c_$l"))
+    // ≤ buckets rows, read by totals AND the model projection —
+    // checkpoint so the training aggregate over the corpus runs once
     val classCounts = feats.groupBy(col("b")).agg(ccCols.head, ccCols.tail: _*)
+      .localCheckpoint(eager = true)
     // per-class feature totals + per-class doc counts (priors)
     val ttCols = Langs.map(l => sum(col(s"c_$l")).as(s"t_$l"))
     val totals = classCounts.agg(ttCols.head, ttCols.tail: _*)

@@ -244,6 +244,71 @@ object Ann {
       .select(col(idCol), col("score"))
   }
 
+  /** Symmetric-int8 scalar-quantized code table — the SQ8 point on the
+    * compression curve between the packed sign bits of [[binaryCode]]
+    * (32×, coarse) and PQ (configurable): 4× smaller than float32 with
+    * near-exact ranking. One row per vector: (idCol, scale, codes),
+    * where scale = max|component| and codes are
+    * [[graft.functions.VectorFunctions.quantizeInt8]]'s deterministic
+    * floor-of-shifted codes. The production path computes this ONCE at
+    * ingest and stores it; queries scan only (scale, codes) — the float
+    * column never leaves disk for non-survivors.
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("scale", maxAbs(col("__v")))
+      .select(col(idCol), col("scale"),
+        quantizeInt8(col("__v"), col("scale")).as("codes"))
+
+  /** SQ8 two-stage top-k: stage 1 ranks the coded table by the
+    * reconstructed inner product — scale_x · Σ_i codes_i·qcodes_i (the
+    * query's own scale is a constant factor, dropped; the integer dot
+    * is a statically-unrolled sum of int multiplies, whole-stage-
+    * codegen, no float math per component) — and keeps `poolK`
+    * survivors; stage 2 reranks them with exact cosine over the float
+    * column, top-k, id tie-break. The pool is a TakeOrderedAndProject
+    * and returns ids only, so the rerank join broadcasts poolK rows —
+    * the corpus never shuffles.
+    */
+  def sq8TopK(corpus: DataFrame, queryVec: Seq[Double],
+              poolK: Int = 50, k: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    sq8TopKCoded(sq8Encode(corpus, idCol, vecCol), corpus, queryVec,
+      poolK, k, idCol, vecCol)
+
+  /** [[sq8TopK]] over a PRECOMPUTED code table (see [[sq8Encode]]) —
+    * the stored-index form; the convenience form encodes inline and
+    * AnnSpec asserts the two agree.
+    */
+  def sq8TopKCoded(coded: DataFrame, corpus: DataFrame, queryVec: Seq[Double],
+                   poolK: Int = 50, k: Int = 10,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && poolK >= k, s"need 0 < k <= poolK, got k=$k pool=$poolK")
+    val dim = queryVec.length
+    // the query quantizes driver-side with quantizeInt8's exact rule
+    val qScale = queryVec.foldLeft(0.0)((acc, x) => math.max(acc, math.abs(x)))
+    val qCodes = queryVec.map(x =>
+      if (qScale == 0.0) 0L else math.floor(127.0 * x / qScale + 0.5).toLong)
+    val intDot = (0 until dim).map(i =>
+      element_at(col("codes"), i + 1).cast("long") * lit(qCodes(i)))
+      .reduce(_ + _)
+    val pool = coded
+      .withColumn("__approx", col("scale") * intDot.cast("double"))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(poolK)
+      .select(col(idCol))
+    val qFull = array(queryVec.map(lit): _*)
+    corpus
+      .join(broadcast(pool), Seq(idCol), "left_semi")
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col(vecCol).cast("array<double>"), qFull))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

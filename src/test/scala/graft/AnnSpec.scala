@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.search.Ann
+import graft.search.{Ann, Search}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -286,6 +286,42 @@ class AnnSpec extends SparkSpec {
     // cluster 1 still dedups (11 drops against 10)
     assert(got == Map(1L -> true, 2L -> true, 3L -> true,
       10L -> true, 11L -> false))
+  }
+
+  test("sq8TopK with a full-corpus pool equals the exact scan; coded form agrees") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qVec = data.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    // poolK = corpus size → stage 1 prunes nothing → exact by construction
+    val sq8 = Ann.sq8TopK(data, qVec, poolK = 40, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Search.topK(
+        data.select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+        qVec, k = 5, threshold = -2.0)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(sq8 == exact, s"sq8=$sq8 exact=$exact")
+    val coded = Ann.sq8TopKCoded(Ann.sq8Encode(data), data, qVec, poolK = 40, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(sq8 == coded)
+    // self is the top hit at cosine 1
+    assert(sq8.head._1 == 0L && math.abs(sq8.head._2 - 1.0) < 1e-9)
+  }
+
+  test("sq8 stage-1 pruning still finds the exact top-k on separated data") {
+    // two tight clusters far apart: int8 quantization error (<= scale/254
+    // per component) cannot reorder across the gap, so a pool of 6 from
+    // stage 1 must contain the true top-5 cluster members
+    val rnd = new scala.util.Random(11)
+    def near(base: Double) = Seq.fill(8)((base + rnd.nextGaussian() * 0.01).toFloat)
+    val data = ((0L until 5L).map(i => (i, near(1.0))) ++
+      (10L until 30L).map(i => (i, near(-1.0)))).toDF("vec_id", "embedding")
+    val qVec = data.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val got = Ann.sq8TopK(data, qVec, poolK = 6, k = 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == Set(0L, 1L, 2L, 3L, 4L), s"got $got")
   }
 
   test("multiprobeTopK recovers a Hamming-1 neighbor that nprobe=1 misses") {
