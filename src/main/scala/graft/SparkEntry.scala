@@ -2283,6 +2283,28 @@ object SparkEntry {
   private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(rdWide(s, dir, "documents"))
 
+  /** Exact per-source median/p90 of document length WITHOUT a global
+    * sort: value-count histogram + per-source running sum; quantile
+    * boundaries decided by integer cross-multiplication. All-integer
+    * output.
+    */
+  private def qExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Stats.exactQuantiles(rdWide(s, dir, "documents"), "n_chars", "source")
+
+  /** Hubness audit: k-occurrence histogram of within-bucket 3-NN lists
+    * over the sign-LSH partitioning the production scan uses.
+    */
+  private def qHubness(s: SparkSession, dir: String): DataFrame =
+    Ann.hubness(rd(s, dir, "embeddings"), k = 3, bits = 8)
+
+  /** Dedup threshold-sensitivity curve: pair/doc counts per candidate
+    * Jaccard threshold from ONE LSH pass; integer cross-multiplied
+    * threshold compares. Hot-bucket cap on (spec asserts capped ==
+    * uncapped at this scale).
+    */
+  private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupThresholdCurve(rdWide(s, dir, "documents"), maxBucketSize = 64)
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2403,6 +2425,9 @@ object SparkEntry {
     "q114_sq8_ann" -> (qSq8Ann _),
     "q115_ppl_buckets" -> (qPplBuckets _),
     "q116_source_overlap" -> (qSourceOverlap _),
+    "q117_exact_quantiles" -> (qExactQuantiles _),
+    "q118_hubness" -> (qHubness _),
+    "q119_dedup_curve" -> (qDedupCurve _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3597,6 +3622,54 @@ object SparkEntry {
          |SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b
          |FROM sh JOIN tot ta ON ta.source = source_a
          | JOIN tot tb ON tb.source = source_b""".stripMargin,
+
+    // exact quantiles: smallest value with cum·den >= n·num per source
+    "q117_exact_quantiles" ->
+      """WITH h AS (SELECT source, n_chars AS value, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2),
+        | cm AS (SELECT source, value,
+        |    sum(c) OVER (PARTITION BY source ORDER BY value)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n FROM h),
+        | q AS (SELECT 'p50' AS quantile, 1::BIGINT AS num, 2::BIGINT AS den
+        |   UNION ALL SELECT 'p90', 9, 10)
+        |SELECT source, quantile, min(value)::BIGINT AS value,
+        | max(n)::BIGINT AS n_rows
+        |FROM cm, q WHERE cum * den >= n * num
+        |GROUP BY 1, 2""".stripMargin,
+
+    // hubness: within-bucket 3-NN lists, k-occurrence histogram;
+    // singleton-bucket points count at occurrence 0 via the left join
+    "q118_hubness" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         | p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    ${cosSqlAB("x.v", "y.v")} AS c
+         |   FROM b x JOIN b y USING (bucket) WHERE x.vec_id <> y.vec_id),
+         | r AS (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS r FROM p),
+         | occ AS (SELECT dst, count(*)::BIGINT AS ko FROM r WHERE r <= 3 GROUP BY dst)
+         |SELECT coalesce(ko, 0)::BIGINT AS k_occurrence, count(*)::BIGINT AS n_points
+         |FROM (SELECT vec_id AS dst FROM b) a LEFT JOIN occ USING (dst)
+         |GROUP BY 1""".stripMargin,
+
+    // threshold curve: q14's candidates + integer cross-multiplied
+    // Jaccard thresholds; one pair pass serves every threshold
+    "q119_dedup_curve" ->
+      s"""WITH $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pv AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS inter,
+         |    len(list_distinct(sa.shingles || sb.shingles))::BIGINT AS uni
+         |   FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+         | t AS (SELECT unnest([50, 60, 70, 80, 90])::BIGINT AS threshold_pct),
+         | at AS (SELECT threshold_pct, doc_a, doc_b FROM pv, t
+         |   WHERE inter * 100 >= threshold_pct * uni),
+         | np AS (SELECT threshold_pct, count(*)::BIGINT AS n_pairs FROM at GROUP BY 1),
+         | nd AS (SELECT threshold_pct, count(DISTINCT d)::BIGINT AS n_docs FROM
+         |   (SELECT threshold_pct, unnest([doc_a, doc_b]) AS d FROM at) GROUP BY 1)
+         |SELECT threshold_pct, n_pairs, n_docs FROM np JOIN nd USING (threshold_pct)""".stripMargin,
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split

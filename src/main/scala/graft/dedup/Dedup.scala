@@ -689,6 +689,50 @@ object Dedup {
     afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
   }
 
+  /** Dedup threshold-sensitivity curve: for each candidate Jaccard
+    * threshold, how many near-duplicate pairs and how many distinct
+    * documents a dedup pass at that threshold would touch — the
+    * tuning audit run BEFORE committing to a threshold (the curve's
+    * knee is where boilerplate ends and true clones begin). ONE
+    * MinHash-LSH candidate pass + ONE exact set comparison per pair;
+    * the per-threshold counts come from exploding the (static, tiny)
+    * threshold list over the verified pairs — the corpus is never
+    * re-scanned per threshold.
+    *
+    * Thresholds are integer PERCENT and the comparison is the integer
+    * cross-multiplication 100·|A∩B| ≥ t·|A∪B| — no float Jaccard
+    * anywhere, so every output cell is an exact integer in any engine.
+    * LSH bands are tuned for the lowest threshold; higher thresholds
+    * only shrink the verified set, so one candidate pass serves the
+    * whole curve.
+    */
+  def dedupThresholdCurve(docs: DataFrame,
+                          thresholdsPct: Seq[Int] = Seq(50, 60, 70, 80, 90),
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(thresholdsPct.nonEmpty && thresholdsPct.forall(t => t > 0 && t <= 100),
+      s"thresholdsPct must be in (0, 100], got $thresholdsPct")
+    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val pairs = candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("__uni"))
+    val ts = array(thresholdsPct.map(t => lit(t.toLong)): _*)
+    val at = pairs
+      .select(col("doc_a"), col("doc_b"), col("__inter"), col("__uni"),
+        explode(ts).as("threshold_pct"))
+      .filter(col("__inter") * 100 >= col("threshold_pct") * col("__uni"))
+    val nPairs = at.groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = at
+      .select(col("threshold_pct"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold_pct"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold_pct"))
+  }
+
   /** Cross-source duplication matrix: for every pair of sources, how
     * many distinct MOSS-style fingerprints ([[graft.functions.Fingerprints]],
     * Schleimer et al. 2003) they share — the corpus-forensics audit

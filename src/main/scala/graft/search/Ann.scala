@@ -309,6 +309,59 @@ object Ann {
       .select(col(idCol), col("score"))
   }
 
+  /** Hubness audit (Radovanović et al. 2010): the k-occurrence
+    * distribution — for each point, how many OTHER points list it in
+    * their k nearest neighbors, histogrammed. High-dimensional
+    * embedding spaces grow "hubs" (points in everyone's neighbor list)
+    * and anti-hubs (in nobody's); a heavy k-occurrence tail degrades
+    * ANN recall and dedup precision, so this is the diagnostic to run
+    * before trusting either. Neighborhoods here are computed WITHIN
+    * sign-LSH buckets — the same partition-local approximation the
+    * production scan uses, so the audit measures the geometry the
+    * index actually serves. Output: (k_occurrence, n_points), n_points
+    * summing to the corpus size (singleton-bucket points score 0).
+    *
+    * Scale shape: the pair expansion is an equi-join on bucket, so a
+    * bucket of b rows costs b² — bounded by `maxBucketSize`² per
+    * bucket, never corpus². The per-point top-k is a row_number
+    * window on the bucket-partitioned pairs (WindowGroupLimit keeps
+    * the exchange k-bounded); occurrence counting and the histogram
+    * are two-phase hash aggregates.
+    */
+  def hubness(corpus: DataFrame, k: Int = 3, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val b = withBucket(corpus.select(col(idCol), col(vecCol)), vecCol, bits)
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) b
+      else {
+        val small = b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+          .select(col("bucket"))
+        b.join(small, Seq("bucket"), "left_semi")
+      }
+    val x = bounded.select(col("bucket"), col(idCol).as("src"),
+      col(vecCol).as("__vx"))
+    val y = bounded.select(col("bucket"), col(idCol).as("dst"),
+      col(vecCol).as("__vy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst").asc)
+    val topNeighbors = x.join(y, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos", graft.functions.CosineSimilarity(
+        col("__vx").cast("array<double>"), col("__vy").cast("array<double>")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    val occ = topNeighbors.groupBy(col("dst")).agg(count(lit(1)).as("k_occurrence"))
+    corpus.select(col(idCol).as("dst"))
+      .join(occ, Seq("dst"), "left")
+      .select(coalesce(col("k_occurrence"), lit(0L)).as("k_occurrence"))
+      .groupBy(col("k_occurrence"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

@@ -20,6 +20,45 @@ object Stats {
           .otherwise(col(cat)).as(cat))
       .agg(count(lit(1)).as("n"))
 
+  /** EXACT distributed quantiles over a discrete-valued column with NO
+    * global sort: the classic sort-based percentile is a non-starter at
+    * 100 TB, and `percentile_approx` trades error for speed — but when
+    * the value domain is discrete (char counts, token counts, ratings),
+    * the exact answer falls out of a VALUE-COUNT histogram: one
+    * two-phase (group, value) aggregate, a per-group running sum over
+    * the ≤|distinct values| histogram rows (the window partition is
+    * the histogram, never the corpus), and the p-quantile is the
+    * smallest value whose cumulative count reaches ⌈p·n⌉ — tested as
+    * the integer cross-multiplication cum·den ≥ n·num, so no float
+    * ever decides a boundary.
+    *
+    * `quantiles` are (name, num, den) rationals, e.g.
+    * ("median", 1, 2), ("p90", 9, 10). Output is long-form:
+    * (groupCol, quantile, value, n_rows) — one row per group ×
+    * quantile.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                     quantiles: Seq[(String, Int, Int)] =
+                       Seq(("p50", 1, 2), ("p90", 9, 10))): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, n, d) => n > 0 && d > 0 && n <= d },
+      s"quantiles must be rationals in (0, 1], got $quantiles")
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(byG.orderBy(col(valueCol))))
+      .withColumn("__n", sum(col("__c")).over(byG))
+    val qs = array(quantiles.map { case (nm, num, den) =>
+      struct(lit(nm).as("name"), lit(num.toLong).as("num"), lit(den.toLong).as("den"))
+    }: _*)
+    hist
+      .select(col(groupCol), col(valueCol), col("__cum"), col("__n"),
+        explode(qs).as("__q"))
+      .filter(col("__cum") * col("__q.den") >= col("__n") * col("__q.num"))
+      .groupBy(col(groupCol), col("__q.name").as("quantile"))
+      .agg(min(col(valueCol)).as("value"), max(col("__n")).as("n_rows"))
+  }
+
   /** A1+A3+A4: one-row corpus summary. `approxDistinct` swaps the exact
     * count-distinct (a full shuffle of distinct values) for HLL — the
     * right default at 100 TB.

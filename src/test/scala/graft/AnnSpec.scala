@@ -324,6 +324,48 @@ class AnnSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L, 3L, 4L), s"got $got")
   }
 
+  test("hubness matches a brute-force within-bucket k-occurrence count") {
+    val rnd = new scala.util.Random(5)
+    val data = (0L until 24L).map(i =>
+      (i, Seq.fill(4)((rnd.nextGaussian()).toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Ann.hubness(df, k = 2, bits = 4)
+      .as[(Long, Long)].collect().toMap
+
+    // brute force: same bucket rule, same per-src (cos desc, id) top-2
+    def bucket(v: Seq[Float]) =
+      (0 until 4).map(i => if (v(i) > 0) 1L << i else 0L).sum
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val (da, db, dd) = (a.map(x => x * x.toDouble).sum,
+        b.map(x => x * x.toDouble).sum,
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum)
+      if (da == 0 || db == 0) 0.0 else dd / (math.sqrt(da) * math.sqrt(db))
+    }
+    val occ = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((id, v) <- data) {
+      val mates = data.filter { case (j, u) => j != id && bucket(u) == bucket(v) }
+      mates.sortBy { case (j, u) => (-cos(v, u), j) }.take(2)
+        .foreach { case (j, _) => occ(j) += 1 }
+    }
+    val want = data.map { case (id, _) => occ(id) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got.values.sum == 24L) // every point counted exactly once
+    // cap that doesn't bind leaves the histogram unchanged
+    assert(Ann.hubness(df, k = 2, bits = 4, maxBucketSize = 1000)
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("hubness maxBucketSize drops over-full buckets' pairs; points still counted") {
+    // 5 clones land in one bucket; cap 4 excludes the bucket entirely,
+    // so every point scores occurrence 0 but remains in the histogram
+    val df = (0L until 5L).map(i => (i, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.hubness(df, k = 2, bits = 4, maxBucketSize = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 5L), got.toString)
+  }
+
   test("multiprobeTopK recovers a Hamming-1 neighbor that nprobe=1 misses") {
     // query lives in bucket 1111; its TRUE nearest neighbor (20) has one
     // barely-negative component → bucket 0111, Hamming-1 away; vector 21

@@ -402,4 +402,52 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
     assert(got == want, s"exact join diverged: missing=${want -- got} extra=${got -- want}")
   }
+
+  test("dedupThresholdCurve matches per-threshold brute-force counts over the candidates") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // clone of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-clone
+      (4L, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+      (5L, "totally different words here about unrelated topics entirely now")
+    ).toDF("doc_id", "text")
+    val ts = Seq(50, 90)
+    val got = Dedup.dedupThresholdCurve(docs, ts)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // expected: exact Jaccard (integer cross-multiply) over the SAME
+    // LSH candidate set the curve starts from
+    val cand = Dedup.candidatePairs(Dedup.minhashBands(docs))
+      .as[(Long, Long)].collect().toSeq
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    for (t <- ts) {
+      val pairs = cand.filter { case (a, b) =>
+        val inter = sh(a).intersect(sh(b)).size
+        val uni = sh(a).union(sh(b)).size
+        100L * inter >= t.toLong * uni
+      }
+      if (pairs.isEmpty) assert(!got.contains(t.toLong))
+      else {
+        val (np, nd) = got(t.toLong)
+        assert(np == pairs.size, s"t=$t pairs")
+        assert(nd == pairs.flatMap(p => Seq(p._1, p._2)).distinct.size, s"t=$t docs")
+      }
+    }
+    // clone pair must survive every threshold; counts shrink monotonically
+    assert(got(50L)._1 >= got.getOrElse(90L, (0L, 0L))._1)
+    assert(got(90L)._1 >= 1L, "the exact clone pair must count at 90%")
+    // non-binding cap changes nothing
+    val capped = Dedup.dedupThresholdCurve(docs, ts, maxBucketSize = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(capped == got)
+  }
+
+  test("dedupThresholdCurve validates thresholds") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Seq(0)) }
+    intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Seq(101)) }
+    intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Nil) }
+  }
 }

@@ -105,4 +105,40 @@ class StatsSpec extends SparkSpec {
       Stats.stratifiedSampleByHash(df, "s", "id", Map("a" -> 1001), 100)
     }
   }
+
+  test("exactQuantiles: hand-computed median/p90, even and odd group sizes") {
+    val df = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++
+      Seq(5L, 5L, 7L).map(("b", _))).toDF("source", "n")
+    val got = Stats.exactQuantiles(df, "n", "source")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // smallest v with cum·den >= n·num: even n=4 → p50 at the 2nd value
+    assert(got(("a", "p50")) == (20L, 4L), got.toString)
+    assert(got(("a", "p90")) == (40L, 4L))
+    // repeated values collapse into one histogram row but keep weight
+    assert(got(("b", "p50")) == (5L, 3L))
+    assert(got(("b", "p90")) == (7L, 3L))
+  }
+
+  test("exactQuantiles equals sort-based quantiles on random data") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextInt(50).toLong))
+    val got = Stats.exactQuantiles(data.toDF("source", "n"), "n", "source")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((g, vs) <- data.groupBy(_._1)) {
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def q(num: Int, den: Int): Long = sorted((n * num + den - 1) / den - 1)
+      assert(got((g, "p50")) == q(1, 2), s"$g p50")
+      assert(got((g, "p90")) == q(9, 10), s"$g p90")
+    }
+  }
+
+  test("exactQuantiles validates the rationals") {
+    val df = Seq(("a", 1L)).toDF("source", "n")
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "n", "source", Seq(("bad", 3, 2)))
+    }
+  }
 }
