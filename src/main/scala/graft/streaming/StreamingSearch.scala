@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous query serving: a STREAM of query vectors against the
+  * STATIC vector corpus — the online form of the reference's `/query`
+  * endpoint (`/root/reference/mock_vector_db_api.py:255-311`), which
+  * serves one request at a time; here each micro-batch of requests is
+  * answered by ONE shared corpus scan.
+  *
+  * foreachBatch over the audited batch operator
+  * ([[graft.search.Search.topKBatch]]) is deliberately the whole
+  * implementation: the corpus side is static (re-read each batch so
+  * compactions/appends are picked up), the query batch is small and
+  * BROADCASTS, and the per-query top-k is the WindowGroupLimit-bounded
+  * rank the batch plan already audits (PLANS.md q02). A stream-stream
+  * join is the wrong tool — there is no event-time relation between
+  * queries and corpus rows. Results parity with the batch operator is
+  * therefore structural (same code path), and StreamingSpec asserts it
+  * end-to-end.
+  *
+  * Scale shape: per micro-batch cost is one corpus map-side pass ×
+  * |batch queries| (prunable with any [[graft.search.Ann]] prefilter by
+  * swapping `scan`), state size zero — no watermark, no state store.
+  */
+object StreamingSearch {
+
+  /** Start serving: each micro-batch of `queries` is scored with
+    * `scan(corpus, batch)` and handed to `sink`. The default scan is
+    * the exact broadcast top-k; pass a different one (e.g. SQ8 or
+    * Hamming prescan + rerank) to trade recall for scan cost.
+    */
+  def serveTopK(queries: DataFrame, corpus: DataFrame,
+                sink: DataFrame => Unit,
+                k: Int = 5, threshold: Double = 0.1,
+                queryId: String = "query_id", queryVec: String = "query_vec",
+                scan: (DataFrame, DataFrame, Int, Double) => DataFrame =
+                  (c, q, kk, t) => graft.search.Search.topKBatch(
+                    c, q, kk, t, queryId = "query_id", queryVec = "query_vec"))
+      : StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(scan(corpus, batch, k, threshold))
+      }
+      .start()
+}

@@ -256,6 +256,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming query serving equals the batch top-k operator per micro-batch") {
+    import graft.streaming.StreamingSearch
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingSearch.serveTopK(
+      input.toDF().toDF("query_id", "query_vec"), corpus,
+      res => got.synchronized {
+        got ++= res.select($"query_id", $"vec_id", $"rank")
+          .as[(Long, Long, Long)].collect()
+      }, k = 2)
+    try {
+      input.addData((100L, Seq(1.0f, 0.05f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.1f)))
+      q.processAllAvailable()
+      input.addData((102L, Seq(0.0f, 0.1f, 1.0f)))
+      q.processAllAvailable()
+      // parity: same rows the batch operator returns on the union of batches
+      val queries = Seq(
+        (100L, Seq(1.0f, 0.05f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.1f)),
+        (102L, Seq(0.0f, 0.1f, 1.0f))).toDF("query_id", "query_vec")
+      val want = graft.search.Search.topKBatch(corpus, queries, k = 2)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"got=$got want=${want.toSeq}")
+      assert(got.count(_._1 == 100L) == 2) // k respected per query
+    } finally q.stop()
+  }
+
   test("streaming count-min merges to EXACTLY the batch sketch (mergeability)") {
     import graft.streaming.StreamingCountMin
     import graft.stats.CountMin
