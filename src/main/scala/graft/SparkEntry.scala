@@ -2305,6 +2305,27 @@ object SparkEntry {
   private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupThresholdCurve(rdWide(s, dir, "documents"), maxBucketSize = 64)
 
+  /** Tokenizer fertility audit: per language, the token-economics table
+    * a multilingual training budget is planned from — whitespace words,
+    * BPE-ish tokens (native [[graft.functions.BpeTokenCount]] kernel),
+    * chars, UTF-8 bytes. Fertility (tokens/word) and byte cost
+    * (bytes/token) are one division away; emitting the integer sums
+    * keeps every cell hash-exact. One map-side projection into one
+    * two-phase aggregate — the cheapest possible shape.
+    */
+  private def qFertility(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("lang"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t =!= lit(""))).cast("long").as("__w"),
+        graft.text.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("__b"),
+        length(col("text")).cast("long").as("__c"),
+        length(col("text").cast("binary")).cast("long").as("__y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_words"),
+        sum(col("__b")).as("total_bpe_tokens"), sum(col("__c")).as("total_chars"),
+        sum(col("__y")).as("total_bytes"))
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2428,6 +2449,7 @@ object SparkEntry {
     "q117_exact_quantiles" -> (qExactQuantiles _),
     "q118_hubness" -> (qHubness _),
     "q119_dedup_curve" -> (qDedupCurve _),
+    "q120_fertility" -> (qFertility _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3670,6 +3692,16 @@ object SparkEntry {
          | nd AS (SELECT threshold_pct, count(DISTINCT d)::BIGINT AS n_docs FROM
          |   (SELECT threshold_pct, unnest([doc_a, doc_b]) AS d FROM at) GROUP BY 1)
          |SELECT threshold_pct, n_pairs, n_docs FROM np JOIN nd USING (threshold_pct)""".stripMargin,
+
+    // fertility: q18's BPE regex vocabulary + whitespace words + chars
+    // + UTF-8 bytes, all integer sums per language
+    "q120_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        | sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')))::BIGINT AS total_words,
+        | sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS total_bpe_tokens,
+        | sum(len(text))::BIGINT AS total_chars,
+        | sum(octet_length(encode(text)))::BIGINT AS total_bytes
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split
