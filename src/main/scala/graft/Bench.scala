@@ -77,7 +77,12 @@ object Bench {
         }
       }
 
+    // optional arg: comma-separated query-name filter (dev loop — the
+    // driver always runs argless and benches everything)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     // query -> number of passes in which it threw. Failed passes contribute

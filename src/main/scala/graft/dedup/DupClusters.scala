@@ -136,11 +136,15 @@ object DupClusters {
     def foldOf(key: Column): Column =
       graft.functions.HashFunctions.md5Int60(
         concat(lit("fold:"), key.cast("string"))) % nFolds
-    val clus = clusters(pairs).localCheckpoint(eager = true)
+    // the pair graph feeds BOTH the cluster build and the leak audit —
+    // materialize it once or the whole LSH candidate+verify pass runs
+    // twice (it was the slowest query in the r8 bench before this)
+    val pairList = pairs.localCheckpoint(eager = true)
+    val clus = clusters(pairList).localCheckpoint(eager = true)
     // audit over the pair graph only — cluster members' folds derive
     // from the cluster map, so the corpus never enters this branch
     val clusFold = clus.select(col(idCol), foldOf(col("cluster_id")).as("fold"))
-    val leak = pairs
+    val leak = pairList
       .join(broadcast(clusFold.select(col(idCol).as("doc_a"), col("fold").as("__fa"))), "doc_a")
       .join(broadcast(clusFold.select(col(idCol).as("doc_b"), col("fold").as("__fb"))), "doc_b")
       .filter(col("__fa") =!= col("__fb"))
