@@ -144,6 +144,53 @@ final class VectorDb(spark: SparkSession, path: String,
     } finally s.close()
   }
 
+  /** Store maintenance: rewrite the append-accumulated store into
+    * `targetFiles` parquet files. Every [[addDocuments]] batch appends
+    * its own files, so a long-lived store degrades into thousands of
+    * tiny parquet files — at 100 TB that is the classic small-files
+    * failure (footer-read storms, per-file task overhead, starved
+    * scans). Compaction range-partitions by `orderCol` and sorts
+    * within partitions, so the rewritten files are both bounded in
+    * count and clustered (min/max footer stats prune `orderCol`
+    * predicates after compaction).
+    *
+    * The rewrite goes to a temp directory first and is row-count
+    * verified BEFORE the old store is swapped out (move old → `.old`,
+    * move temp → store, delete `.old`), so a failed job never leaves a
+    * half-written store behind — the worst crash outcome is a stale
+    * `.compact-tmp`/`.old` directory beside an intact store.
+    *
+    * Returns (rows, filesBefore, filesAfter).
+    */
+  def compact(targetFiles: Int = 8,
+              orderCol: String = "path"): (Long, Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(exists, s"nothing to compact at $path")
+    def parquetFiles(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .count()
+      finally s.close()
+    }
+    val before = parquetFiles(storeDir)
+    val df = corpus()
+    require(df.columns.contains(orderCol),
+      s"compact orderCol `$orderCol` not in store schema ${df.columns.mkString(",")}")
+    val n = df.count()
+    val tmp = Paths.get(path + ".compact-tmp")
+    val old = Paths.get(path + ".old")
+    df.repartitionByRange(targetFiles, org.apache.spark.sql.functions.col(orderCol))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col(orderCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val m = spark.read.parquet(tmp.toString).count()
+    require(m == n, s"compaction row mismatch: store $n, rewrite $m — aborting swap")
+    Files.move(storeDir, old)
+    Files.move(tmp, storeDir)
+    walkTree(old).reverse.foreach(Files.deleteIfExists)
+    Files.deleteIfExists(old)
+    (n, before, parquetFiles(storeDir))
+  }
+
   def clear(backup: Boolean = true): Option[String] = {
     if (!Files.exists(storeDir)) return None
     val entries = walkTree(storeDir)

@@ -116,4 +116,34 @@ class VectorDbSpec extends SparkSpec {
     db.addDocuments(sampleCorpus())
     assert(db.health().documents == 3L)
   }
+
+  test("compact collapses append-accumulated small files; corpus identical") {
+    val (db, dir) = freshDb()
+    // 5 appends → 5+ separate file groups
+    (1 to 5).foreach(_ => db.addDocuments(sampleCorpus()))
+    val before = db.corpus().orderBy("path", "chunk_index", "ingested_at")
+      .drop("ingested_at").collect().toSeq
+    val (rows, filesBefore, filesAfter) = db.compact(targetFiles = 1)
+    assert(rows == 15L)
+    assert(filesBefore > filesAfter, s"$filesBefore !> $filesAfter")
+    assert(filesAfter == 1L)
+    val after = db.corpus().orderBy("path", "chunk_index", "ingested_at")
+      .drop("ingested_at").collect().toSeq
+    assert(after == before, "compaction must not change the corpus")
+    // no leftover swap directories
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-tmp")))
+    // the store still serves queries and appends afterwards
+    assert(db.query("vector database", topK = 2).count() > 0)
+    db.addDocuments(sampleCorpus())
+    assert(db.health().documents == 18L)
+  }
+
+  test("compact validates input and refuses an unknown order column") {
+    val (db, _) = freshDb()
+    intercept[IllegalArgumentException] { db.compact() } // empty store
+    db.addDocuments(sampleCorpus())
+    intercept[IllegalArgumentException] { db.compact(targetFiles = 0) }
+    intercept[IllegalArgumentException] { db.compact(orderCol = "nope") }
+  }
 }
