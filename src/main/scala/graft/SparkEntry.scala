@@ -2326,6 +2326,41 @@ object SparkEntry {
         sum(col("__b")).as("total_bpe_tokens"), sum(col("__c")).as("total_chars"),
         sum(col("__y")).as("total_bytes"))
 
+  /** Within-document repeated 5-gram audit (intra-doc half of Lee et al.
+    * 2022's dedup): top-20 most self-repetitive docs. See
+    * [[graft.text.CorpusOps.intraDocRepeats]] for the plan argument.
+    */
+  private def qIntradocRepeats(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.intraDocRepeats(rdWide(s, dir, "documents"), n = 5, topK = 20)
+
+  /** Blocklisted-phrase audit per source: exact literal-substring counts
+    * via the replace length-delta identity — all integers, one pass.
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.blocklistAudit(rdWide(s, dir, "documents"), BlocklistPhrases)
+
+  private val BlocklistPhrases = Seq("slow", "vector", "fast table", "merge batch")
+
+  /** Cross-source unigram-distribution similarity: exact integer dot
+    * products + squared norms per source pair, top-30 by dot.
+    */
+  private def qSourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.sourceTokenSimilarity(rdWide(s, dir, "documents"), topK = 30)
+
+  /** Fixed-point covariance of the 16-dim embedding prefix — the exact
+    * integer second moments that feed [[graft.search.Whiten]]'s driver-side
+    * eigendecomposition (whitening before SQ/PQ quantization). Associative
+    * long sums ⇒ bit-identical on any partitioning/engine.
+    */
+  private def qEmbedCovariance(s: SparkSession, dir: String): DataFrame =
+    graft.search.Whiten.covarianceFixedPoint(rd(s, dir, "embeddings"), dims = 16)
+
+  /** Mixed-language detection: segment-level langid disagreement per doc
+    * (CCNet-style drop rule), top-20 most mixed.
+    */
+  private def qMixedLang(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.mixedLanguage(rdWide(s, dir, "documents"), segLen = 200, topK = 20)
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2450,6 +2485,11 @@ object SparkEntry {
     "q118_hubness" -> (qHubness _),
     "q119_dedup_curve" -> (qDedupCurve _),
     "q120_fertility" -> (qFertility _),
+    "q121_intradoc_repeats" -> (qIntradocRepeats _),
+    "q122_blocklist" -> (qBlocklist _),
+    "q123_source_similarity" -> (qSourceSimilarity _),
+    "q124_embed_covariance" -> (qEmbedCovariance _),
+    "q125_mixed_lang" -> (qMixedLang _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3702,6 +3742,73 @@ object SparkEntry {
         | sum(len(text))::BIGINT AS total_chars,
         | sum(octet_length(encode(text)))::BIGINT AS total_bytes
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // within-doc repeated 5-grams: token windows via list slice, counted
+    // per (doc, ngram); repeated_positions = sum(cnt-1)
+    "q121_intradoc_repeats" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | g AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+        |   for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS ng FROM toks),
+        | c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2),
+        | d AS (SELECT doc_id, sum(cnt)::BIGINT AS n_ngrams,
+        |   (sum(cnt) - count(*))::BIGINT AS repeated_positions,
+        |   sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS distinct_repeated
+        |   FROM c GROUP BY 1)
+        |SELECT doc_id, n_ngrams, repeated_positions, distinct_repeated FROM d
+        |ORDER BY repeated_positions DESC, doc_id LIMIT 20""".stripMargin,
+
+    // literal-substring counts via the replace length-delta identity;
+    // phrase list must stay in sync with BlocklistPhrases
+    "q122_blocklist" ->
+      """WITH p AS (SELECT unnest(['slow', 'vector', 'fast table', 'merge batch']) AS phrase),
+        | h AS (SELECT source, phrase,
+        |   CAST((length(text) - length(replace(text, phrase, ''))) / length(phrase) AS BIGINT) AS hits
+        |   FROM documents, p)
+        |SELECT source, phrase, sum(hits)::BIGINT AS total_hits,
+        | sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_hit
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // integer dot products of per-source token-count vectors + squared norms
+    "q123_source_similarity" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(
+        |     regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents),
+        | c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        | n AS (SELECT source, sum(cnt * cnt)::BIGINT AS norm_sq FROM c GROUP BY 1),
+        | d AS (SELECT a.source AS src_a, b.source AS src_b, sum(a.cnt * b.cnt)::BIGINT AS dot
+        |   FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, dot, na.norm_sq AS norm_a, nb.norm_sq AS norm_b
+        |FROM d JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY dot DESC, src_a, src_b LIMIT 30""".stripMargin,
+
+    // fixed-point (1e6-scaled long) second moments of the 16-dim prefix:
+    // floor(x*1e6) products summed as exact integers
+    "q124_embed_covariance" ->
+      """WITH e AS (SELECT [floor(x::DOUBLE * 1000000)::BIGINT for x in embedding[1:16]] AS q FROM embeddings)
+        |SELECT i AS dim_i, j AS dim_j, sum(q[i] * q[j])::BIGINT AS sum_xy, count(*)::BIGINT AS n
+        |FROM e, range(1, 17) t1(i), range(1, 17) t2(j)
+        |WHERE i <= j GROUP BY 1, 2""".stripMargin,
+
+    // 200-char segments, q16's stopword langid per segment, disagreement
+    // stats per doc
+    "q125_mixed_lang" ->
+      s"""WITH segs AS (SELECT doc_id, unnest([substr(text, k * 200 + 1, 200)
+         |   for k in range(0, greatest(CAST(ceil(length(text) / 200.0) AS INT), 1))]) AS seg FROM documents),
+         | sw AS (SELECT doc_id, regexp_split_to_array(lower(trim(seg)), '\\s+') AS w FROM segs),
+         | s AS (SELECT doc_id,
+         |  len(list_filter(w, x -> list_contains($EnStopSql, x))) AS s_en,
+         |  len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','un','est'], x))) AS s_fr,
+         |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+         |  len(list_filter(w, x -> list_contains(['el','la','de','y','los','en','un','es'], x))) AS s_es,
+         |  len(list_filter(w, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+         | FROM sw),
+         | m AS (SELECT doc_id, CASE WHEN mx = 0 THEN 'unknown' WHEN s_en = mx THEN 'en'
+         |   WHEN s_fr = mx THEN 'fr' WHEN s_de = mx THEN 'de' WHEN s_es = mx THEN 'es'
+         |   ELSE 'zh' END AS seg_lang
+         |   FROM (SELECT *, greatest(s_en, s_fr, s_de, s_es, s_zh) AS mx FROM s)),
+         | c AS (SELECT doc_id, seg_lang, count(*) AS cnt FROM m GROUP BY 1, 2)
+         |SELECT doc_id, sum(cnt)::BIGINT AS n_segments, count(*)::BIGINT AS n_langs,
+         | max(cnt)::BIGINT AS majority_cnt
+         |FROM c GROUP BY 1 ORDER BY n_langs DESC, doc_id LIMIT 20""".stripMargin,
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split

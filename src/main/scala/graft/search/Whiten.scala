@@ -1,0 +1,171 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding whitening for retrieval: estimate the (prefix-dim) covariance
+  * of an embedding column distributively, eigendecompose the d×d matrix on
+  * the driver (d is small — a model constant, not data-sized), and apply
+  * the ZCA whitening projection W = U Λ^{-1/2} Uᵀ as a pure column
+  * expression. Whitening decorrelates embedding dimensions, which is the
+  * standard pre-step before scalar/product quantization (it equalizes
+  * per-dimension variance so [[Ann]]'s SQ8/PQ codebooks waste no range) and
+  * improves cosine retrieval on anisotropic embedding spaces
+  * ("Whitening Sentence Representations", Su et al. 2021).
+  *
+  * Scale posture: the distributed parts are one map-side per-row product
+  * expansion into a two-phase hash aggregate (covariance; d(d+1)/2 keys)
+  * and one narrow projection (apply). Only the d×d matrix ever reaches the
+  * driver. Fixed-point (scaled-integer) sums make the aggregate exact and
+  * associative — float summation order never leaks into the result, so the
+  * same corpus always yields bit-identical sums on any partitioning.
+  */
+object Whiten {
+
+  /** Per-row quantization: first `dims` components, `floor(x·scale)` as
+    * long. scale=1e6 keeps 6 fractional digits; products fit a long for
+    * corpora up to ~9e18/scale² ≈ 9·10⁶ rows — beyond that, raise the
+    * aggregate to DECIMAL(38,0) (sums stay exact, see covariance doc).
+    */
+  private def quantized(vecCol: String, dims: Int, scale: Double): Column =
+    transform(slice(col(vecCol), 1, dims),
+      x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Upper-triangle second moments of the quantized prefix: one row per
+    * (dim_i ≤ dim_j) with the exact integer Σ qᵢ·qⱼ and the row count.
+    * Dimensions are 1-based. Per row the d(d+1)/2 products are generated
+    * map-side and partially aggregated before the (tiny, d²-keyed)
+    * shuffle. At long-overflow scale cast the product column to
+    * DECIMAL(38,0) — kept long here so the cross-engine oracle hashes the
+    * exact same integers.
+    */
+  def covarianceFixedPoint(emb: DataFrame, vecCol: String = "embedding",
+                           dims: Int = 16, scale: Double = 1e6): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
+    val pairs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
+    val terms = array(pairs.map { case (i, j) =>
+      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        (element_at(col("__q"), i) * element_at(col("__q"), j)).as("p"))
+    }: _*)
+    emb.select(quantized(vecCol, dims, scale).as("__q"))
+      .select(explode(terms).as("t"))
+      .groupBy(col("t.dim_i"), col("t.dim_j"))
+      .agg(sum(col("t.p")).as("sum_xy"), count(lit(1)).as("n"))
+      .select(col("dim_i"), col("dim_j"), col("sum_xy"), col("n"))
+  }
+
+  /** First moments of the quantized prefix: Σ qᵢ per dimension plus the
+    * count — the mean vector for centering, same exactness argument.
+    */
+  def momentsFixedPoint(emb: DataFrame, vecCol: String = "embedding",
+                        dims: Int = 16, scale: Double = 1e6): DataFrame = {
+    val terms = array((1 to dims).map(i =>
+      struct(lit(i.toLong).as("dim_i"), element_at(col("__q"), i).as("q"))): _*)
+    emb.select(quantized(vecCol, dims, scale).as("__q"))
+      .select(explode(terms).as("t"))
+      .groupBy(col("t.dim_i"))
+      .agg(sum(col("t.q")).as("sum_x"), count(lit(1)).as("n"))
+      .select(col("dim_i"), col("sum_x"), col("n"))
+  }
+
+  /** Driver-side: covariance matrix (as doubles, unscaled) from the two
+    * fixed-point aggregates. cov[i][j] = E[xy] − E[x]E[y].
+    */
+  def covMatrix(cov: DataFrame, moments: DataFrame, dims: Int,
+                scale: Double = 1e6): (Array[Array[Double]], Array[Double]) = {
+    val mRows = moments.collect()
+    require(mRows.length == dims, s"expected $dims moment rows, got ${mRows.length}")
+    val n = mRows.head.getAs[Long]("n").toDouble
+    val mean = Array.ofDim[Double](dims)
+    mRows.foreach { r =>
+      mean(r.getAs[Long]("dim_i").toInt - 1) = r.getAs[Long]("sum_x") / (n * scale)
+    }
+    val c = Array.ofDim[Double](dims, dims)
+    cov.collect().foreach { r =>
+      val i = r.getAs[Long]("dim_i").toInt - 1
+      val j = r.getAs[Long]("dim_j").toInt - 1
+      val exy = r.getAs[Long]("sum_xy") / (n * scale * scale)
+      val v = exy - mean(i) * mean(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    (c, mean)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as columns). d is tiny (≤64), so the
+    * O(d³·sweeps) driver cost is microseconds.
+    */
+  def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 30,
+                  tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < sweeps && off > tol) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > tol / (d * d)) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        // stable tangent of the rotation angle; theta == 0 (equal diagonal)
+        // must yield t = 1 (45° rotation), so no signum(0) == 0 shortcut
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+        val cth = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * cth
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = cth * akp - s * akq
+          a(k)(q) = s * akp + cth * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = cth * apk - s * aqk
+          a(q)(k) = s * apk + cth * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = cth * vkp - s * vkq
+          v(k)(q) = s * vkp + cth * vkq
+        }
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    s
+  }
+
+  /** ZCA whitening matrix W = U Λ^{-1/2} Uᵀ with eigenvalue floor `eps`
+    * (degenerate directions are left unscaled rather than exploded).
+    */
+  def whiteningMatrix(cov: Array[Array[Double]], eps: Double = 1e-9): Array[Array[Double]] = {
+    val d = cov.length
+    val (lam, u) = jacobiEigen(cov)
+    val invSqrt = lam.map(l => if (l > eps) 1.0 / math.sqrt(l) else 1.0)
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += u(i)(k) * invSqrt(k) * u(j)(k); k += 1 }
+      s
+    }
+  }
+
+  /** Apply `W · (v[1..d] − mean)` as a pure column expression (array of
+    * doubles) — d² multiply-adds per row, fully codegen'd, no UDF, no
+    * shuffle. The literal W/mean ship with the plan (d² doubles, trivial).
+    */
+  def applyWhitening(vecCol: Column, w: Array[Array[Double]],
+                     mean: Array[Double]): Column = {
+    val d = w.length
+    array((0 until d).map { i =>
+      (0 until d).map { j =>
+        (vecCol.getItem(j).cast("double") - lit(mean(j))) * lit(w(i)(j))
+      }.reduce(_ + _)
+    }: _*)
+  }
+}

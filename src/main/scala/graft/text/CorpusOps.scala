@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text diagnostics a large-scale training-data pipeline runs
+  * before (and after) the per-document filters in [[TextAnalysis]]: within-
+  * document repetition (the intra-doc half of "Deduplicating Training Data
+  * Makes Language Models Better", Lee et al. 2022), blocklisted-phrase
+  * audits, cross-source distribution similarity, and mixed-language
+  * detection (the CCNet-style "document is not one language" drop rule).
+  *
+  * Scale posture: every operator here is a map-side projection (token /
+  * n-gram / segment expansion fused into the scan) followed by hash
+  * aggregation on keys that include the document or token identity — no
+  * all-pairs step, no driver materialization, no global sort outside a
+  * final TakeOrderedAndProject.
+  */
+object CorpusOps {
+
+  /** Token n-grams of `text` as `array<string>` (space-joined windows over
+    * the whitespace tokenization shared with [[TextAnalysis.tokens]]).
+    * Empty array when the document has fewer than `n` tokens.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Within-document repeated n-gram audit: for each document, how many
+    * n-gram positions repeat an n-gram already seen in the SAME document
+    * (`repeated_positions` = Σ(count−1) over its n-grams), and how many
+    * distinct n-grams repeat at all. High values flag boilerplate-stuffed
+    * or looping documents that inflate memorization — the intra-document
+    * counterpart of the cross-corpus dedup family in [[graft.dedup.Dedup]].
+    *
+    * Plan: scan → n-gram generate (map-side) → hash agg on
+    * (doc_id, ngram) → hash agg on doc_id → TakeOrderedAndProject(topK).
+    * Both aggregation keys contain doc_id, so partitions stay balanced
+    * regardless of corpus-wide n-gram skew; nothing driver-sized exists
+    * anywhere. Documents shorter than `n` tokens contribute no n-grams and
+    * drop out (both engines agree on that semantic).
+    */
+  def intraDocRepeats(docs: DataFrame, n: Int = 5, topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(tokenNgrams(col("text"), n)).as("ng"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        (sum(col("cnt")) - count(lit(1))).as("repeated_positions"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("distinct_repeated"))
+      .orderBy(col("repeated_positions").desc, col("doc_id").asc)
+      .limit(topK)
+
+  /** Occurrences of literal `phrase` in the `text` column, via the
+    * length-delta-of-replace identity — exact, regex-free, and computed
+    * identically by any engine with a literal `replace`. Counts substring
+    * occurrences (overlapping occurrences of self-overlapping phrases are
+    * counted per disjoint replacement, the standard replace semantic).
+    */
+  def phraseHits(p: String): Column = {
+    require(p.nonEmpty && !p.contains("'"), s"phrase must be non-empty, quote-free: '$p'")
+    ((length(col("text")) - length(expr(s"replace(text, '$p', '')"))) /
+      lit(p.length)).cast("long")
+  }
+
+  /** Blocklist audit: per (source, phrase), total occurrence count and the
+    * number of documents hit, for a small fixed phrase list — the
+    * "how contaminated is each source with X" report that decides whether
+    * a source needs filtering before it enters a training mix. One
+    * map-side expansion (|phrases| structs per row, all counted in a
+    * single pass over the text) into one two-phase hash aggregate.
+    */
+  def blocklistAudit(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    val terms = array(phrases.map(p =>
+      struct(lit(p).as("phrase"), phraseHits(p).as("hits"))): _*)
+    docs.select(col("source"), explode(terms).as("t"))
+      .select(col("source"), col("t.phrase").as("phrase"), col("t.hits").as("hits"))
+      .groupBy(col("source"), col("phrase"))
+      .agg(sum(col("hits")).as("total_hits"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"))
+  }
+
+  /** Cross-source vocabulary similarity: for each source pair, the exact
+    * integer dot product of their token-count vectors plus each side's
+    * squared norm — cosine similarity between source unigram distributions
+    * is one division away, while the emitted integers stay hash-exact
+    * across engines. The report that says "src3 and src14 are near-clones,
+    * down-weight one" when composing a training mixture.
+    *
+    * Plan: token counts per (source, token) [one shuffle, vocab×sources
+    * keys], then a token-keyed self-join. Per-token fan-out is bounded by
+    * |sources|² (not corpus size), so a stop-word appearing everywhere
+    * contributes at most |sources|² pairs — no quadratic blow-up in corpus
+    * size. Norms are a tiny |sources|-row aggregate, broadcast back.
+    */
+  def sourceTokenSimilarity(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val norms = counts.groupBy(col("source"))
+      .agg(sum(col("cnt") * col("cnt")).as("norm_sq"))
+    val dots = counts.as("a")
+      .join(counts.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source"), col("b.source"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"), col("dot"))
+    dots
+      .join(broadcast(norms.select(col("source"), col("norm_sq").as("norm_a"))),
+        col("src_a") === col("source")).drop("source")
+      .join(broadcast(norms.select(col("source"), col("norm_sq").as("norm_b"))),
+        col("src_b") === col("source")).drop("source")
+      .orderBy(col("dot").desc, col("src_a").asc, col("src_b").asc)
+      .limit(topK)
+  }
+
+  /** Fixed-length character segments of `text` (non-overlapping windows of
+    * `segLen` chars); every document yields at least one segment, so empty
+    * docs still classify (as 'unknown').
+    */
+  def charSegments(text: Column, segLen: Int): Column = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    transform(
+      sequence(lit(0),
+        greatest(ceil(length(text) / lit(segLen.toDouble)).cast("int") - 1, lit(0))),
+      k => text.substr(k * segLen + lit(1), lit(segLen)))
+  }
+
+  /** Mixed-language document detection: segment each document into
+    * `segLen`-char windows, language-ID each segment with the shared
+    * stopword heuristic ([[TextAnalysis.langId]]), and report per document
+    * the segment count, the number of distinct predicted languages, and
+    * the majority language's segment count. Documents whose segments
+    * disagree (n_langs > 1) are the code-switch / concatenation artifacts
+    * a CCNet-style pipeline drops or splits before training.
+    *
+    * Plan: segment generate (map-side, fused with the langid expression) →
+    * hash agg on (doc_id, seg_lang) → hash agg on doc_id →
+    * TakeOrderedAndProject(topK) by disagreement.
+    */
+  def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
+      .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))
+      .groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(col("cnt")).as("majority_cnt"))
+      .orderBy(col("n_langs").desc, col("doc_id").asc)
+      .limit(topK)
+}

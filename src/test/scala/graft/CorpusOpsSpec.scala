@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("tokenNgrams windows and short-doc empty case") {
+    val df = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+    val got = df.select(col("id"), CorpusOps.tokenNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("intraDocRepeats counts repeated positions within a doc only") {
+    // doc 1: "x y x y x y" → 3-grams: [x y x, y x y, x y x, y x y] →
+    //   2 distinct, each twice → repeated_positions = 2, distinct_repeated = 2
+    // doc 2: all-unique 3-grams → zero repeats
+    // doc 3 repeats doc 2's text: cross-doc repetition must NOT count
+    val d = docs(
+      (1L, "x y x y x y", "s"),
+      (2L, "p q r s t", "s"),
+      (3L, "p q r s t", "s"))
+    val got = CorpusOps.intraDocRepeats(d, n = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head == ((1L, 4L, 2L, 2L)))
+    assert(got.filter(_._1 != 1L).forall(t => t._3 == 0L && t._4 == 0L))
+  }
+
+  test("phraseHits counts literal substring occurrences") {
+    val df = Seq("slow slow fast", "nothing here", "slowslow").toDF("text")
+    val got = df.select(CorpusOps.phraseHits("slow")).as[Long].collect()
+    assert(got.toSeq == Seq(2L, 0L, 2L))
+  }
+
+  test("blocklistAudit aggregates per source and phrase") {
+    val d = docs((1L, "bad thing", "s1"), (2L, "bad bad", "s1"), (3L, "clean", "s2"))
+    val got = CorpusOps.blocklistAudit(d, Seq("bad"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set(("s1", "bad", 3L, 2L), ("s2", "bad", 0L, 0L)))
+  }
+
+  test("sourceTokenSimilarity emits exact integer dots and norms") {
+    val d = docs(
+      (1L, "a a b", "s1"),   // s1: a→2, b→1 → norm 5
+      (2L, "a b b", "s2"),   // s2: a→1, b→2 → norm 5 ; dot(s1,s2)=2·1+1·2=4
+      (3L, "c", "s3"))       // s3: disjoint → dot rows with 0 never materialize
+    val got = CorpusOps.sourceTokenSimilarity(d, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("s1", "s2", 4L, 5L, 5L)))
+  }
+
+  test("mixedLanguage flags the doc whose segments disagree") {
+    val en = "the a of and to in is it " * 4        // pure-en segment text
+    val fr = "le la de et les des un est " * 4
+    val d = docs(
+      (1L, en + fr, "s"),   // 2 langs at segLen=32... use segLen to split cleanly
+      (2L, en + en, "s"))
+    val rows = CorpusOps.mixedLanguage(d, segLen = 32, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(1L) >= 2L, "doc 1 mixes en and fr segments")
+    assert(rows(2L) == 1L, "doc 2 is monolingual")
+  }
+
+  test("intraDocRepeats plan has no driver-side step and bounded take") {
+    val d = docs((1L, "x y z", "s"))
+    val plan = CorpusOps.intraDocRepeats(d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

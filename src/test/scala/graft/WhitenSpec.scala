@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.Whiten
+
+class WhitenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 4
+
+  private def emb = Seq(
+    (0L, Seq(1.0f, 0.2f, -0.5f, 0.9f)),
+    (1L, Seq(0.8f, 0.1f, -0.4f, 0.7f)),
+    (2L, Seq(-0.3f, 0.9f, 0.2f, -0.1f)),
+    (3L, Seq(-0.2f, 0.8f, 0.3f, 0.0f)),
+    (4L, Seq(0.5f, -0.5f, 0.5f, -0.5f)),
+    (5L, Seq(0.1f, 0.3f, -0.9f, 0.6f))
+  ).toDF("vec_id", "embedding")
+
+  test("covarianceFixedPoint matches a hand-computed entry exactly") {
+    val rows = Whiten.covarianceFixedPoint(emb, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == dims * (dims + 1) / 2)
+    // dim (1,1): Σ floor(x·1e6)² over the 6 vectors, computed independently
+    val xs = Seq(1.0f, 0.8f, -0.3f, -0.2f, 0.5f, 0.1f)
+      .map(x => math.floor(x.toDouble * 1e6).toLong)
+    assert(rows((1L, 1L)) == ((xs.map(q => q * q).sum, 6L)))
+    // symmetric pair only stored once, upper triangle
+    assert(!rows.contains((2L, 1L)))
+  }
+
+  test("jacobiEigen recovers a known symmetric decomposition") {
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0)) // eigenvalues 1 and 3
+    val (lam, u) = Whiten.jacobiEigen(a)
+    assert(lam.sorted.zip(Seq(1.0, 3.0)).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    // U orthonormal: UᵀU = I
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val dot = (0 until 2).map(k => u(k)(i) * u(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("whitened data has identity covariance") {
+    val (c, mean) = Whiten.covMatrix(
+      Whiten.covarianceFixedPoint(emb, dims = dims),
+      Whiten.momentsFixedPoint(emb, dims = dims), dims)
+    val w = Whiten.whiteningMatrix(c)
+    val white = emb.select(Whiten.applyWhitening(col("embedding"), w, mean).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = white.length.toDouble
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val m_i = white.map(_(i)).sum / n
+      val m_j = white.map(_(j)).sum / n
+      val cov = white.map(v => (v(i) - m_i) * (v(j) - m_j)).sum / n
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - expect) < 1e-3, s"cov($i,$j)=$cov")
+    }
+  }
+
+  test("applyWhitening with identity matrix and zero mean is a no-op") {
+    val eye = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    val zero = Array.fill(dims)(0.0)
+    val got = emb.orderBy("vec_id")
+      .select(Whiten.applyWhitening(col("embedding"), eye, zero).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    val want = emb.orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble))
+    got.zip(want).foreach { case (g, w) =>
+      g.zip(w).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+}
