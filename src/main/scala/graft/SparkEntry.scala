@@ -2361,6 +2361,69 @@ object SparkEntry {
   private def qMixedLang(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.mixedLanguage(rdWide(s, dir, "documents"), segLen = 200, topK = 20)
 
+  /** Whitening model (W, mean) per testdata dir, fit once per process
+    * (same build-once discipline as the q28 IVF index): the fit is one
+    * pass over the corpus; serving queries must not pay it again.
+    */
+  private val whitenCache =
+    scala.collection.mutable.HashMap.empty[String, (Array[Array[Double]], Array[Double])]
+  @volatile private var whitenForOracle: (Array[Array[Double]], Array[Double]) = _
+
+  private def whitenModelFor(s: SparkSession, dir: String,
+                             dims: Int): (Array[Array[Double]], Array[Double]) =
+    whitenCache.synchronized {
+      val key = dirCacheKey(s, dir, "embeddings") + s"|$dims"
+      whitenCache.getOrElseUpdate(key, {
+        val emb = rd(s, dir, "embeddings")
+        val (c, mean) = graft.search.Whiten.covMatrix(
+          graft.search.Whiten.covarianceFixedPoint(emb, dims = dims),
+          graft.search.Whiten.momentsFixedPoint(emb, dims = dims), dims)
+        (graft.search.Whiten.whiteningMatrix(c), mean)
+      })
+    }
+
+  /** End-to-end whitened retrieval: ZCA-whiten the 16-dim embedding
+    * prefix (model from [[whitenModelFor]], the q124 covariance put to
+    * work) and run exact cosine top-10 in the whitened space. Rank-based
+    * comparable output (selection order, vec_id tie-break) — the scores
+    * never leave the plan, so no cross-engine float-rounding surface.
+    * Whitening is a narrow codegen projection; the search is the same
+    * broadcast-scan → TakeOrderedAndProject shape as q01.
+    */
+  private def qWhitenedTopK(s: SparkSession, dir: String): DataFrame = {
+    val dims = 16
+    val (w, mean) = whitenModelFor(s, dir, dims)
+    whitenForOracle = (w, mean)
+    val white = rd(s, dir, "embeddings").select(col("vec_id"),
+      graft.search.Whiten.applyWhitening(col("embedding"), w, mean).as("wv"))
+    val q = white.filter(col("vec_id") === 0).select(col("wv").as("qv"))
+    white.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity(col("wv"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)).as("rank"))
+  }
+
+  /** DuckDB replay of [[qWhitenedTopK]] downstream of the fit: the W and
+    * mean literals are embedded, the whitened vectors recomputed with the
+    * same left-associative multiply-add chain (IEEE doubles ⇒ identical
+    * bits), and the top-10 taken with the same (score desc, vec_id) order.
+    */
+  private def whitenedOracleSql(w: Array[Array[Double]], mean: Array[Double]): String = {
+    val d = w.length
+    val fields = (0 until d).map { i =>
+      (0 until d).map(j => s"(v[${j + 1}] - ${mean(j)}) * ${w(i)(j)}").mkString(" + ")
+    }.mkString(",\n   ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | wv AS (SELECT vec_id, [$fields] AS a FROM e),
+       | q AS (SELECT a AS b FROM wv WHERE vec_id = 0)
+       |SELECT vec_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank
+       |FROM (SELECT vec_id, ${cosSqlAB("a", "b")} AS score FROM wv, q
+       |      ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin
+  }
+
   // ===========================================================================
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2490,6 +2553,7 @@ object SparkEntry {
     "q123_source_similarity" -> (qSourceSimilarity _),
     "q124_embed_covariance" -> (qEmbedCovariance _),
     "q125_mixed_lang" -> (qMixedLang _),
+    "q126_whitened_topk" -> (qWhitenedTopK _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2677,7 +2741,8 @@ object SparkEntry {
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
-      (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None)
+      (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None) ++
+      Option(whitenForOracle).map { case (w, m) => "q126_whitened_topk" -> whitenedOracleSql(w, m) }
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
