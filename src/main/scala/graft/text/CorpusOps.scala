@@ -100,11 +100,16 @@ object CorpusOps {
     * size. Norms are a tiny |sources|-row aggregate, broadcast back.
     */
   def sourceTokenSimilarity(docs: DataFrame, topK: Int = 30): DataFrame = {
+    // counts feeds FOUR plan references (both self-join sides + both norm
+    // arms); localCheckpoint materializes the vocab×sources aggregate once
+    // instead of re-tokenizing the corpus per reference (the q115/q116
+    // precedent — eager, so the feature pass runs at invocation time)
     val counts = docs
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val norms = counts.groupBy(col("source"))
       .agg(sum(col("cnt") * col("cnt")).as("norm_sq"))
     val dots = counts.as("a")
