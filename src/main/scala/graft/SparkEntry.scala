@@ -2361,6 +2361,12 @@ object SparkEntry {
   private def qMixedLang(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.mixedLanguage(rdWide(s, dir, "documents"), segLen = 200, topK = 20)
 
+  /** First BPE merge round: corpus-frequency ranking of adjacent char
+    * pairs within words — the tokenizer trainer's next-merge statistic.
+    */
+  private def qBpeMerge(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.bpeMergeCandidates(rdWide(s, dir, "documents"), topK = 20)
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2554,6 +2560,7 @@ object SparkEntry {
     "q124_embed_covariance" -> (qEmbedCovariance _),
     "q125_mixed_lang" -> (qMixedLang _),
     "q126_whitened_topk" -> (qWhitenedTopK _),
+    "q127_bpe_merge" -> (qBpeMerge _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3852,6 +3859,16 @@ object SparkEntry {
         |SELECT i AS dim_i, j AS dim_j, sum(q[i] * q[j])::BIGINT AS sum_xy, count(*)::BIGINT AS n
         |FROM e, range(1, 17) t1(i), range(1, 17) t2(j)
         |WHERE i <= j GROUP BY 1, 2""".stripMargin,
+
+    // adjacent char pairs within case-folded whitespace words, ranked by
+    // corpus frequency (first BPE merge round)
+    "q127_bpe_merge" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |     regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS w FROM documents),
+        | p AS (SELECT unnest([substr(w, i, 2)
+        |   for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS pair FROM w)
+        |SELECT pair, count(*)::BIGINT AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // 200-char segments, q16's stopword langid per segment, disagreement
     // stats per doc

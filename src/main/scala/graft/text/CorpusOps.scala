@@ -71,11 +71,31 @@ object CorpusOps {
   /** Blocklist audit: per (source, phrase), total occurrence count and the
     * number of documents hit, for a small fixed phrase list — the
     * "how contaminated is each source with X" report that decides whether
-    * a source needs filtering before it enters a training mix. One
-    * map-side expansion (|phrases| structs per row, all counted in a
-    * single pass over the text) into one two-phase hash aggregate.
+    * a source needs filtering before it enters a training mix. All
+    * phrases are counted by the native single-pass kernel
+    * ([[graft.functions.MultiPhraseCounts]] — one text materialization,
+    * no per-phrase replaced copies), then one two-phase hash aggregate.
+    * [[blocklistAuditComposed]] is the built-ins-only phrasing kept as
+    * the kernel's spec-asserted equivalence witness.
     */
   def blocklistAudit(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    docs
+      .select(col("source"),
+        posexplode(graft.functions.MultiPhraseCounts(col("text"), phrases))
+          .as(Seq("k", "hits")))
+      .groupBy(col("source"), col("k"))
+      .agg(sum(col("hits")).as("total_hits"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"))
+      .select(col("source"),
+        typedLit(phrases).getItem(col("k")).as("phrase"),
+        col("total_hits"), col("docs_hit"))
+  }
+
+  /** Built-ins-only form of [[blocklistAudit]]: |phrases| replace passes
+    * via [[phraseHits]]. Equivalence witness for the native kernel.
+    */
+  def blocklistAuditComposed(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrase list must be non-empty")
     val terms = array(phrases.map(p =>
       struct(lit(p).as("phrase"), phraseHits(p).as("hits"))): _*)
@@ -85,6 +105,28 @@ object CorpusOps {
       .agg(sum(col("hits")).as("total_hits"),
         sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"))
   }
+
+  /** First-round BPE merge induction: the adjacent character pairs (within
+    * whitespace words, case-folded) ranked by corpus frequency — the
+    * statistic a byte-pair-encoding tokenizer trainer computes to pick its
+    * next merge (Sennrich et al. 2016). Char-level, so it complements the
+    * word-level bigrams (q69) and the fixed-vocab fertility audit (q120).
+    *
+    * Plan: two nested map-side generates (words, then char pairs — only
+    * 2-char strings ever shuffle) into one two-phase hash aggregate over
+    * the pair vocabulary, then TakeOrderedAndProject(topK).
+    */
+  def bpeMergeCandidates(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+        .otherwise(typedLit(Seq.empty[String]))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
 
   /** Cross-source vocabulary similarity: for each source pair, the exact
     * integer dot product of their token-count vectors plus each side's

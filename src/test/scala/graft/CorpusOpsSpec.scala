@@ -67,6 +67,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(2L) == 1L, "doc 2 is monolingual")
   }
 
+  test("native blocklistAudit equals the composed replace-chain form") {
+    val d = docs(
+      (1L, "aaaa slow fast table fast table", "s1"),
+      (2L, "", "s1"),
+      (3L, "slowslow aa a vector", "s2"),
+      (4L, "no hits at all", "s3"))
+    val phrases = Seq("slow", "fast table", "aa", "vector")
+    val native = CorpusOps.blocklistAudit(d, phrases)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val composed = CorpusOps.blocklistAuditComposed(d, phrases)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native == composed)
+    // overlap semantics: "aaaa" vs "aa" counts 2 (non-overlapping advance)
+    assert(native.contains(("s1", "aa", 2L, 1L)))
+  }
+
+  test("bpeMergeCandidates ranks adjacent char pairs within words") {
+    val d = docs((1L, "abab ab", "s"), (2L, "xy", "s"))
+    // pairs: abab -> ab, ba, ab ; ab -> ab ; xy -> xy
+    val got = CorpusOps.bpeMergeCandidates(d, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head == (("ab", 3L)))
+    assert(got.toMap == Map("ab" -> 3L, "ba" -> 1L, "xy" -> 1L))
+  }
+
   test("intraDocRepeats plan has no driver-side step and bounded take") {
     val d = docs((1L, "x y z", "s"))
     val plan = CorpusOps.intraDocRepeats(d).queryExecution.executedPlan.toString
