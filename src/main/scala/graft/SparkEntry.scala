@@ -2367,6 +2367,31 @@ object SparkEntry {
   private def qBpeMerge(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.bpeMergeCandidates(rdWide(s, dir, "documents"), topK = 20)
 
+  /** Corpus snapshot diff: snapshot B is derived deterministically from
+    * the corpus (md5 bucket of doc_id: bucket 0 dropped, bucket 1 also
+    * cloned under a shifted id, bucket 2 text-rewritten), then diffed
+    * against A by content hash. The join carries (id, hash) only — text
+    * never shuffles; see [[Stats.snapshotDiff]].
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("text"),
+      (graft.functions.HashFunctions.md5Int32(col("doc_id").cast("string")) % 10).as("bk"))
+    val b = src.filter(col("bk") =!= 0)
+      .select(col("doc_id"),
+        when(col("bk") === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(src.filter(col("bk") === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Stats.snapshotDiff(docs, b)
+  }
+
+  /** Class-balance undersampling report toward the minority language,
+    * hash-rate rule, window-free — see [[Stats.balancedSample]].
+    */
+  private def qBalancedSample(s: SparkSession, dir: String): DataFrame =
+    Stats.balancedSample(rd(s, dir, "documents"), "lang", "doc_id")
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2561,6 +2586,8 @@ object SparkEntry {
     "q125_mixed_lang" -> (qMixedLang _),
     "q126_whitened_topk" -> (qWhitenedTopK _),
     "q127_bpe_merge" -> (qBpeMerge _),
+    "q128_snapshot_diff" -> (qSnapshotDiff _),
+    "q129_balanced_sample" -> (qBalancedSample _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3859,6 +3886,32 @@ object SparkEntry {
         |SELECT i AS dim_i, j AS dim_j, sum(q[i] * q[j])::BIGINT AS sum_xy, count(*)::BIGINT AS n
         |FROM e, range(1, 17) t1(i), range(1, 17) t2(j)
         |WHERE i <= j GROUP BY 1, 2""".stripMargin,
+
+    // derived snapshot B (md5(doc_id) bucket: 0 dropped, 1 cloned under
+    // +1e6 id, 2 text||' v2'), diffed against A by content hash
+    "q128_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, ${h32Sql("text")} AS h_a FROM documents),
+         | src AS (SELECT doc_id, text, ${h32Sql("doc_id::VARCHAR")} % 10 AS bk FROM documents),
+         | b AS (SELECT doc_id,
+         |     CASE WHEN bk = 2 THEN ${h32Sql("text || ' v2'")} ELSE ${h32Sql("text")} END AS h_b
+         |   FROM src WHERE bk <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${h32Sql("text")} FROM src WHERE bk = 1)
+         |SELECT CASE WHEN h_a IS NULL THEN 'added' WHEN h_b IS NULL THEN 'removed'
+         |  WHEN h_a <> h_b THEN 'changed' ELSE 'unchanged' END AS status,
+         | count(*)::BIGINT AS n_docs
+         |FROM a FULL OUTER JOIN b USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    // hash-rate undersampling toward the minority language: keep iff
+    // md5(doc_id) % 1000 < (1000 * n_min) div n_orig (integer division)
+    "q129_balanced_sample" ->
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_orig FROM documents GROUP BY 1),
+         | m AS (SELECT min(n_orig) AS n_min FROM c),
+         | k AS (SELECT d.lang FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |   WHERE ${h32Sql("d.doc_id::VARCHAR")} % 1000 < (1000 * n_min) // n_orig)
+         |SELECT k.lang, max(c.n_orig)::BIGINT AS n_orig, count(*)::BIGINT AS n_kept
+         |FROM k JOIN c ON k.lang = c.lang GROUP BY 1""".stripMargin,
 
     // adjacent char pairs within case-folded whitespace words, ranked by
     // corpus frequency (first BPE merge round)

@@ -127,4 +127,50 @@ object Stats {
     }
     df.filter(bucket < cut)
   }
+
+  /** Corpus snapshot diff: given two versions of a document table keyed by
+    * `idCol`, classify every key as added / removed / changed / unchanged
+    * and count each class. Both sides are reduced to (id, content-hash)
+    * BEFORE the join, so the full-outer exchange carries two longs per
+    * row — never document text. That is the property that makes
+    * "diff two 100 TB crawls" a cheap join instead of a content shuffle;
+    * the id-keyed hash partitioning is skew-free by construction.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ha = a.select(col(idCol),
+      graft.functions.HashFunctions.md5Int32(col(textCol)).as("h_a"))
+    val hb = b.select(col(idCol),
+      graft.functions.HashFunctions.md5Int32(col(textCol)).as("h_b"))
+    ha.join(hb, Seq(idCol), "full_outer")
+      .select(
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Deterministic class-balance undersampling report: each stratum is
+    * down-sampled toward the minority stratum's count by the md5-hash
+    * rate rule `hash(id) % 1000 < (1000·n_min) div n_orig` — integer
+    * division on both sides of the oracle boundary, RNG-free, stable
+    * under retries/repartitioning, and window-free (no per-stratum
+    * row_number sort; a global sort per class is exactly what this
+    * phrasing avoids at scale). Emits (stratum, n_orig, n_kept).
+    * The rate rule keeps ≈n_min per class, not exactly n_min — the
+    * documented trade for a scan-only plan.
+    */
+  def balancedSample(df: DataFrame, strataCol: String,
+                     keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_orig"))
+    val withMin = counts.crossJoin(counts.agg(min(col("n_orig")).as("n_min")))
+    val bucket = graft.functions.HashFunctions
+      .md5Int32(col(keyCol).cast("string")) % 1000
+    df.join(broadcast(withMin), strataCol)
+      .filter(bucket < expr("(1000 * n_min) div n_orig"))
+      .groupBy(col(strataCol))
+      .agg(max(col("n_orig")).as("n_orig"), count(lit(1)).as("n_kept"))
+  }
 }

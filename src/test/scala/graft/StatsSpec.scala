@@ -141,4 +141,28 @@ class StatsSpec extends SparkSpec {
       Stats.exactQuantiles(df, "n", "source", Seq(("bad", 3, 2)))
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1L, "same"), (2L, "gone"), (3L, "old")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (3L, "new"), (4L, "born")).toDF("doc_id", "text")
+    val got = Stats.snapshotDiff(a, b)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("unchanged" -> 1L, "removed" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("balancedSample keeps all of the minority stratum, downsamples the rest") {
+    val rows = (1L to 300L).map(i => (i, if (i <= 60) "minor" else "major"))
+    val got = Stats.balancedSample(rows.toDF("doc_id", "lang"), "lang", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // minority: cut = 1000 -> everything kept
+    assert(got("minor") == ((60L, 60L)))
+    // majority: cut = (1000*60) div 240 = 250 per mille -> roughly a quarter,
+    // strictly fewer than original and more than zero
+    val (orig, kept) = got("major")
+    assert(orig == 240L && kept > 0L && kept < 240L)
+    // deterministic: same input, same result
+    val again = Stats.balancedSample(rows.toDF("doc_id", "lang"), "lang", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
 }
