@@ -4183,13 +4183,16 @@ object SparkEntry {
          |WHERE containment >= 0.5""".stripMargin,
 
     // prefix-filtered exact containment: probe = each doc's
-    // (sz - ceil(t*sz) + 1) rarest shingles in (doc-freq, shingle)
-    // order, index = all shingles, smaller side probes
+    // (sz - ceil(t*sz) + 1) rarest shingles in (doc-freq, shingle-hash)
+    // order, index = all shingles, smaller side probes; shingles are
+    // 60-bit md5 hashes on both engines (8-byte join/sort keys)
     "q97_containment_exact" ->
       """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        | shs AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
-        |   ELSE [array_to_string(w, ' ')] END) AS shingles FROM words),
+        |   ELSE [array_to_string(w, ' ')] END) AS raw FROM words),
+        | sh AS (SELECT doc_id, list_distinct(
+        |   [('0x' || substr(md5(s), 1, 15))::BIGINT for s in raw]) AS shingles FROM shs),
         | ex AS (SELECT doc_id, len(shingles)::BIGINT AS sz, unnest(shingles) AS s FROM sh),
         | dfreq AS (SELECT s, count(*)::BIGINT AS df FROM ex GROUP BY s),
         | ranked AS (SELECT ex.doc_id, ex.sz, ex.s,

@@ -198,7 +198,7 @@ object Dedup {
     * Prefix filtering over a shingle inverted index (the AllPairs/PPJoin
     * family, Bayardo et al. "Scaling Up All Pairs Similarity Search";
     * Xiao et al. PPJoin): fix one global total order on shingles —
-    * (doc frequency ASC, shingle ASC), rarest first — and note that if
+    * (doc frequency ASC, shingle-hash ASC), rarest first — and note that if
     * |A∩B| ≥ α, the first |S|−α+1 shingles of the SMALLER set S must
     * contain an intersection element (otherwise all α of them squeeze
     * into the remaining α−1 slots). With containment ≥ t ⇒ overlap
@@ -218,6 +218,16 @@ object Dedup {
     * the shingle-set verification join. All-identical corpora still
     * emit quadratic output — that is genuine result size, not a plan
     * defect.
+    *
+    * Shingles are 60-bit-hashed BEFORE the first shuffle: every
+    * downstream exchange (doc-freq groupBy, the rank window, the
+    * probe⋈index equi-join) then carries an 8-byte key instead of an
+    * n-word string, and the verification intersect compares longs. The
+    * lemma only needs SOME fixed total order on the shingle universe, so
+    * ordering by hash instead of raw text is equally valid; hash
+    * collisions (~|corpus shingles|²/2^61) merge two shingles into one
+    * for BOTH sides of every comparison, and the oracle replays the
+    * identical md5-prefix hash, so parity is unaffected.
     */
   def containmentPairsExact(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text", n: Int = 3,
@@ -225,14 +235,27 @@ object Dedup {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), n).as("sh"))
+    // localCheckpoint: the hashed shingle sets feed the explosion AND
+    // both sides of the verification join — 3 recomputes of the
+    // tokenize+shingle+hash scan otherwise. Longs-only payload.
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(transform(shingles(col(textCol), n),
+        x => graft.functions.HashFunctions.md5Int60(x))).as("sh"))
+      .localCheckpoint(eager = false)
     val ex = sh.select(col("__id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("s"))
     // shingles are distinct per doc, so count(*) per shingle = doc freq
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+    // localCheckpoint: ranked feeds BOTH sides of the probe⋈index
+    // self-join — without it the scan + shingle explosion + doc-freq
+    // join + rank window all run twice (self-joins defeat Spark's
+    // exchange reuse above the window). The materialized table is
+    // (id, sz, s-hash, rn): four fixed-width columns per shingle, the
+    // same order of magnitude the join shuffles anyway.
     val ranked = ex.join(dfreq, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("s").asc)))
+      .localCheckpoint(eager = false)
     val prefixLen = col("sz") - ceil(lit(minContainment) * col("sz")) + lit(1L)
     val probe = ranked.filter(col("rn") <= prefixLen)
       .select(col("s"), col("__id").as("id_p"), col("sz").as("sz_p"),
