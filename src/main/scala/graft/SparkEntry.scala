@@ -2392,6 +2392,46 @@ object SparkEntry {
   private def qBalancedSample(s: SparkSession, dir: String): DataFrame =
     Stats.balancedSample(rd(s, dir, "documents"), "lang", "doc_id")
 
+  /** (source, 3-word shingle) stream shared by the sketch queries —
+    * shingle cardinality (~1.3k/source here) is the quantity dedup
+    * planning actually needs, and it sits in the sketches' operating
+    * regime (n ≫ m, n ≫ k) where the token vocabulary of this corpus
+    * (~31/source) would degenerate both to near-exact small-range use.
+    */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("sh"))
+
+  /** HLL distinct-shingle estimate per source next to the exact
+    * distinct — the bounded-memory cardinality path (64 registers per
+    * source vs a shingle-universe shuffle); see
+    * [[graft.stats.DistinctSketch.hllDistinct]]. The exact side exists
+    * to expose the sketch error as rel_err; at 100 TB one would ship
+    * only the sketch.
+    */
+  private def qHllVocab(s: SparkSession, dir: String): DataFrame = {
+    val shs = sourceShingles(s, dir)
+    graft.stats.DistinctSketch.hllDistinct(shs, "source", "sh")
+      .join(shs.groupBy(col("source"))
+        .agg(countDistinct(col("sh")).as("exact_distinct")), "source")
+      .select(col("source"), col("exact_distinct"), col("n_zero_registers"),
+        col("hll_distinct"),
+        round((col("hll_distinct") - col("exact_distinct")) /
+          col("exact_distinct").cast("double"), 6).as("rel_err"))
+  }
+
+  /** Pairwise source shingle-set set-op estimates from 256-value KMV
+    * sketches (union / Jaccard / intersection cardinalities) — the
+    * sketch twin of q116's exact fingerprint overlap; see
+    * [[graft.stats.DistinctSketch.kmvPairStats]].
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.stats.DistinctSketch.kmvPairStats(
+      graft.stats.DistinctSketch.kmvSketch(sourceShingles(s, dir),
+        "source", "sh", k = 256),
+      "source", k = 256)
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2588,6 +2628,8 @@ object SparkEntry {
     "q127_bpe_merge" -> (qBpeMerge _),
     "q128_snapshot_diff" -> (qSnapshotDiff _),
     "q129_balanced_sample" -> (qBalancedSample _),
+    "q130_hll_vocab" -> (qHllVocab _),
+    "q131_kmv_overlap" -> (qKmvOverlap _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3912,6 +3954,65 @@ object SparkEntry {
          |   WHERE ${h32Sql("d.doc_id::VARCHAR")} % 1000 < (1000 * n_min) // n_orig)
          |SELECT k.lang, max(c.n_orig)::BIGINT AS n_orig, count(*)::BIGINT AS n_kept
          |FROM k JOIN c ON k.lang = c.lang GROUP BY 1""".stripMargin,
+
+    // HLL per-source vocabulary estimate: 60-bit md5 hash → low 6 bits
+    // register, ρ = 55 − bitlength(remaining 54 bits); register sum in
+    // exact integer arithmetic, one final double division (α₆₄ = 0.709)
+    "q130_hll_vocab" ->
+      s"""WITH words AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | tt AS (SELECT source, unnest(list_distinct(CASE WHEN len(w) >= 3
+         |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
+         |   ELSE [array_to_string(w, ' ')] END)) AS tok FROM words),
+         | hr AS (SELECT source, h % 64 AS bucket,
+         |     CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+         |   FROM (SELECT source, ${h60Sql("tok")} AS h FROM tt)),
+         | regs AS (SELECT source, bucket, max(rho) AS rmax FROM hr GROUP BY 1, 2),
+         | agg AS (SELECT source, sum(1::BIGINT << (55 - rmax))::BIGINT AS s_present,
+         |     count(*)::BIGINT AS n_present FROM regs GROUP BY 1),
+         | est AS (SELECT source, (64 - n_present)::BIGINT AS n_zero_registers,
+         |     round((0.709::DOUBLE * 4096 * 36028797018963968.0)
+         |       / (s_present + (64 - n_present) * (1::BIGINT << 55))::DOUBLE, 4) AS hll_distinct
+         |   FROM agg),
+         | ex AS (SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct FROM tt GROUP BY 1)
+         |SELECT source, exact_distinct, n_zero_registers, hll_distinct,
+         |  round((hll_distinct - exact_distinct) / exact_distinct::DOUBLE, 6) AS rel_err
+         |FROM est JOIN ex USING (source)""".stripMargin,
+
+    // KMV pairwise set-op estimates: 256 smallest distinct token hashes
+    // per source; merged k-min + membership flags give union / Jaccard /
+    // intersection estimates ((k−1)·2^60/U; overlap/n; their product)
+    "q131_kmv_overlap" ->
+      s"""WITH words AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+         | t AS (SELECT source, unnest(list_distinct(CASE WHEN len(w) >= 3
+         |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
+         |   ELSE [array_to_string(w, ' ')] END)) AS tok FROM words),
+         | hv AS (SELECT DISTINCT source, ${h60Sql("tok")} AS h FROM t),
+         | sk AS (SELECT source, h FROM (SELECT source, h,
+         |     row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rank FROM hv)
+         |   WHERE rank <= 256),
+         | srcs AS (SELECT DISTINCT source FROM sk),
+         | pairs AS (SELECT a.source AS group_a, b.source AS group_b
+         |   FROM srcs a, srcs b WHERE a.source < b.source),
+         | m AS (SELECT group_a, group_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |    SELECT p.group_a, p.group_b, s.h, 1 AS in_a, 0 AS in_b
+         |     FROM pairs p JOIN sk s ON s.source = p.group_a
+         |    UNION ALL
+         |    SELECT p.group_a, p.group_b, s.h, 0, 1
+         |     FROM pairs p JOIN sk s ON s.source = p.group_b)
+         |   GROUP BY 1, 2, 3),
+         | mk AS (SELECT * FROM (SELECT m.*,
+         |     row_number() OVER (PARTITION BY group_a, group_b ORDER BY h ASC) AS rank FROM m)
+         |   WHERE rank <= 256),
+         | agg AS (SELECT group_a, group_b, sum(in_a * in_b)::BIGINT AS overlap_k,
+         |     max(h) AS u_k, count(*)::BIGINT AS n_merged FROM mk GROUP BY 1, 2)
+         |SELECT group_a, group_b, overlap_k,
+         |  round(CASE WHEN n_merged < 256 THEN n_merged::DOUBLE
+         |    ELSE 255.0 * 1152921504606846976.0 / u_k::DOUBLE END, 4) AS est_union,
+         |  round(overlap_k::DOUBLE / n_merged::DOUBLE, 6) AS est_jaccard,
+         |  round((overlap_k::DOUBLE / n_merged::DOUBLE)
+         |    * (CASE WHEN n_merged < 256 THEN n_merged::DOUBLE
+         |       ELSE 255.0 * 1152921504606846976.0 / u_k::DOUBLE END), 4) AS est_intersection
+         |FROM agg""".stripMargin,
 
     // adjacent char pairs within case-folded whitespace words, ranked by
     // corpus frequency (first BPE merge round)
