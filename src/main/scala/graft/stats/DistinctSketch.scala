@@ -53,14 +53,26 @@ object DistinctSketch {
     *
     * Output: (groupCol, n_zero_registers, hll_distinct).
     */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol)
+
+  /** The sketch state itself: (group, bucket, rmax) — at most m rows per
+    * group regardless of input size, and MERGEABLE by max(rmax), which
+    * is what lets partial sketches from partitions, batches, or days be
+    * combined without touching raw data (the streaming twin appends
+    * per-batch registers and folds them with one more max).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val h = HashFunctions.md5Int60(col(valueCol))
     val w = shiftright(h, 6) // == h div 64: h is non-negative, shift is exact
     val rho = when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
-    val regs = df
-      .select(col(groupCol), pmod(h, lit(HllM.toLong)).as("bucket"), rho.as("rho"))
+    df.select(col(groupCol), pmod(h, lit(HllM.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("rmax"))
+  }
+
+  /** Closed-form estimate from a (group, bucket, rmax) register table. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col(groupCol))
       .agg(
         sum(expr("shiftleft(1L, 55 - rmax)")).as("s_present"),
@@ -74,7 +86,6 @@ object DistinctSketch {
               (lit(HllM.toLong) - col("n_present")) * shiftleft(lit(1L), 55))
               .cast("double"),
           4).as("hll_distinct"))
-  }
 
   /** KMV sketch: the k smallest distinct 60-bit hashes per group. The
     * distinct pass shuffles VOCABULARY-sized (group, hash) rows — not

@@ -319,6 +319,35 @@ class StreamingSpec extends SparkSpec {
     assert(est("alpha") >= 3L && est("delta") >= 2L)
   }
 
+  test("streaming HLL registers merge to EXACTLY the batch sketch (mergeability)") {
+    import graft.streaming.StreamingDistinct
+    import graft.stats.DistinctSketch
+    val base = Files.createTempDirectory("graft_hll").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq((1L, "one two three four five", "en", "web", 0L),
+      (2L, "two three four five six", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingDistinct.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((3L, "six seven eight nine ten", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingDistinct.start(spark, src, store, ckpt).awaitTermination()
+
+    val allSh = b1.union(b2).select($"source",
+      explode(graft.dedup.Dedup.shingles($"text", 3)).as("sh"))
+    // register-for-register: max-merged partials == one-shot build
+    assert(StreamingDistinct.registersFromStore(spark, store)
+      .as[(String, Long, Int)].collect().toSet ==
+      DistinctSketch.hllRegisters(allSh, "source", "sh")
+        .as[(String, Long, Int)].collect().toSet)
+    // and therefore the estimates agree exactly too
+    assert(StreamingDistinct.estimateFromStore(spark, store)
+      .as[(String, Long, Double)].collect().toSet ==
+      DistinctSketch.hllDistinct(allSh, "source", "sh")
+        .as[(String, Long, Double)].collect().toSet)
+  }
+
   test("interval join pairs clicks with in-window preceding views only (batch)") {
     val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
       .toDF("user_id", "click_id", "click_ts")
