@@ -1344,14 +1344,19 @@ object SparkEntry {
     Dedup.containmentNearDups(rdWide(s, dir, "documents"),
       minContainment = 0.5)
 
-  /** Guaranteed-recall containment pairs (Dedup.containmentPairsExact):
-    * prefix-filtered shingle inverted index — recall 1.0 at t = 0.5 by
-    * the prefix lemma, catching the low-Jaccard subset duplications the
-    * Jaccard-tuned q75 bands can miss.
+  /** Guaranteed-recall containment pairs via the CLONE-GUARDED entry
+    * point (Dedup.containmentPairsExactDeduped): exact clones collapse
+    * to their lowest-id representative before the prefix-filtered join,
+    * so clone-heavy corpora (the realistic web shape — the 20× stress
+    * replica ran the unguarded join at 286.6 s of mostly clone-pair
+    * verification) do representative-scale work with output linear in
+    * clones, not quadratic. Recall 1.0 at t = 0.5 among representatives
+    * by the prefix lemma; DedupSpec asserts guarded == unguarded on
+    * clone-free data, and the oracle collapses clones the same way.
     */
   private def qContainmentExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairsExact(rdWide(s, dir, "documents"),
-      minContainment = 0.5)
+    Dedup.containmentPairsExactDeduped(rdWide(s, dir, "documents"),
+      minContainment = 0.5)._1
 
   /** End-to-end ingest surface over a REAL file tree (S2 recursive scan,
     * S3 decode, F1 hidden / F2 extension / F4 empty filters, P1 path
@@ -2240,15 +2245,19 @@ object SparkEntry {
 
   /** Multiprobe sign-LSH top-10 (own bucket + all Hamming-1 neighbors)
     * with the selection rank — q21's nprobe=1 scan with the standard
-    * hyperplane-straddle recall repair.
+    * hyperplane-straddle recall repair. Rank is computed over the
+    * UNROUNDED score (mirroring qSq8Ann); only the emitted score copy is
+    * rounded, so two hits whose true cosines differ by < 1e-6 still rank
+    * the way the oracle ranks them.
     */
   private def qMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
     val qrow = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("query_vec"))
-    val top = Ann.multiprobeTopK(emb, qrow, "query_vec", k = 10)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)))
+    Ann.multiprobeTopK(emb, qrow, "query_vec", k = 10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id").asc)))
+      .select(col("vec_id"), round(col("score"), 6).as("score"), col("rank"))
   }
 
   /** SQ8 scalar-quantized two-stage ANN (the FAISS SQ8 point on the
@@ -2292,10 +2301,15 @@ object SparkEntry {
     graft.stats.Stats.exactQuantiles(rdWide(s, dir, "documents"), "n_chars", "source")
 
   /** Hubness audit: k-occurrence histogram of within-bucket 3-NN lists
-    * over the sign-LSH partitioning the production scan uses.
+    * over the sign-LSH partitioning the production scan uses. `bits` is
+    * occupancy-derived (⌈log₂(N/2)⌉ — exactly 8 at the verify scale's
+    * N=500, where the oracle pins it), so bucket occupancy — and with
+    * it the quadratic within-bucket pair work — stays constant as the
+    * corpus grows instead of exploding 39× at 20× like fixed bits=8
+    * did (PERF.md round-8 battery).
     */
   private def qHubness(s: SparkSession, dir: String): DataFrame =
-    Ann.hubness(rd(s, dir, "embeddings"), k = 3, bits = 8)
+    Ann.hubnessAuto(rd(s, dir, "embeddings"), k = 3, targetOccupancy = 2.0)
 
   /** Dedup threshold-sensitivity curve: pair/doc counts per candidate
     * Jaccard threshold from ONE LSH pass; integer cross-multiplied
@@ -2369,9 +2383,13 @@ object SparkEntry {
 
   /** Corpus snapshot diff: snapshot B is derived deterministically from
     * the corpus (md5 bucket of doc_id: bucket 0 dropped, bucket 1 also
-    * cloned under a shifted id, bucket 2 text-rewritten), then diffed
-    * against A by content hash. The join carries (id, hash) only — text
-    * never shuffles; see [[Stats.snapshotDiff]].
+    * cloned under an out-of-band id, bucket 2 text-rewritten), then
+    * diffed against A by content hash. The join carries (id, hash) only
+    * — text never shuffles; see [[Stats.snapshotDiff]]. Clone ids are
+    * `-doc_id - 1`: corpus ids are non-negative at every scale (incl.
+    * the stress replicas' extended id spaces), so the demo-derived
+    * snapshot can never collide with a real id — a fixed `+ 1e6` shift
+    * would collide once the id space reaches 1e6.
     */
   private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents")
@@ -2382,7 +2400,7 @@ object SparkEntry {
         when(col("bk") === 2, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionAll(src.filter(col("bk") === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
     Stats.snapshotDiff(docs, b)
   }
 
@@ -3938,7 +3956,7 @@ object SparkEntry {
          |     CASE WHEN bk = 2 THEN ${h32Sql("text || ' v2'")} ELSE ${h32Sql("text")} END AS h_b
          |   FROM src WHERE bk <> 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, ${h32Sql("text")} FROM src WHERE bk = 1)
+         |  SELECT -doc_id - 1, ${h32Sql("text")} FROM src WHERE bk = 1)
          |SELECT CASE WHEN h_a IS NULL THEN 'added' WHEN h_b IS NULL THEN 'removed'
          |  WHEN h_a <> h_b THEN 'changed' ELSE 'unchanged' END AS status,
          | count(*)::BIGINT AS n_docs
@@ -4287,8 +4305,11 @@ object SparkEntry {
     // (sz - ceil(t*sz) + 1) rarest shingles in (doc-freq, shingle-hash)
     // order, index = all shingles, smaller side probes; shingles are
     // 60-bit md5 hashes on both engines (8-byte join/sort keys)
+    // clone guard mirrors Dedup.exactDupGroups: min(doc_id) per md5(text)
     "q97_containment_exact" ->
-      """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        | docs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+        | words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM docs),
         | shs AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
         |   ELSE [array_to_string(w, ' ')] END) AS raw FROM words),

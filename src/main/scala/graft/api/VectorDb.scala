@@ -156,15 +156,22 @@ final class VectorDb(spark: SparkSession, path: String,
     *
     * The rewrite goes to a temp directory first and is row-count
     * verified BEFORE the old store is swapped out (move old → `.old`,
-    * move temp → store, delete `.old`), so a failed job never leaves a
-    * half-written store behind — the worst crash outcome is a stale
-    * `.compact-tmp`/`.old` directory beside an intact store.
+    * move temp → store, delete `.old`). Directory moves are not
+    * jointly atomic: a crash in the window between the two moves
+    * leaves no live dir at `path` with the data intact in `.old`.
+    * [[recoverCompact]] (run automatically at the start of every
+    * compact) heals every crash state: live store missing + `.old`
+    * present → restore `.old`; both present → the live store won the
+    * swap, drop the stale `.old`; stale `.compact-tmp` → drop (it is
+    * always re-derivable from the live store). So the worst outcome of
+    * any crash is one recovery pass, never data loss.
     *
     * Returns (rows, filesBefore, filesAfter).
     */
   def compact(targetFiles: Int = 8,
               orderCol: String = "path"): (Long, Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    recoverCompact()
     require(exists, s"nothing to compact at $path")
     def parquetFiles(p: Path): Long = {
       val s = Files.walk(p)
@@ -189,6 +196,30 @@ final class VectorDb(spark: SparkSession, path: String,
     walkTree(old).reverse.foreach(Files.deleteIfExists)
     Files.deleteIfExists(old)
     (n, before, parquetFiles(storeDir))
+  }
+
+  /** Heal any state a crashed [[compact]] can leave behind. Idempotent;
+    * called automatically by compact, and safe to call at open time.
+    * Returns a short description of what (if anything) was repaired.
+    */
+  def recoverCompact(): Option[String] = {
+    val tmp = Paths.get(path + ".compact-tmp")
+    val old = Paths.get(path + ".old")
+    def drop(p: Path): Unit =
+      if (Files.exists(p)) { walkTree(p).reverse.foreach(Files.deleteIfExists); Files.deleteIfExists(p) }
+    val repaired =
+      if (Files.exists(old) && !Files.exists(storeDir)) {
+        // crash between the two moves: the verified data lives in .old
+        Files.move(old, storeDir)
+        Some(s"restored store from $old")
+      } else if (Files.exists(old)) {
+        // crash after the swap, before cleanup: live store is the rewrite
+        drop(old)
+        Some(s"dropped stale $old")
+      } else None
+    // a stale rewrite is always re-derivable from the live store
+    if (Files.exists(tmp)) { drop(tmp); return Some(repaired.fold("")(_ + "; ") + s"dropped stale $tmp") }
+    repaired
   }
 
   def clear(backup: Boolean = true): Option[String] = {

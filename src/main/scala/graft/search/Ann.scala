@@ -73,6 +73,12 @@ object Ann {
     * broadcast is the (bits+1)-row probe list — the corpus never
     * shuffles. Deterministic (no perturbation sampling), so the DuckDB
     * oracle replays it exactly.
+    *
+    * Emits the UNROUNDED score: callers that derive ordering artifacts
+    * (ranks, cutoffs) must compute them over this column and round only
+    * the copy they emit — ranking over a rounded score ties scores that
+    * differ by < 1e-6 and diverges from any engine ranking the exact
+    * value.
     */
   def multiprobeTopK(corpus: DataFrame, queryRow: DataFrame, queryVecCol: String,
                      k: Int = 10, bits: Int = 8,
@@ -89,7 +95,7 @@ object Ann {
         CosineSimilarity(col(vecCol), col(queryVecCol)))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
-      .select(col(idCol), round(col("score"), 6).as("score"))
+      .select(col(idCol), col("score"))
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs in
@@ -328,6 +334,34 @@ object Ann {
     * the exchange k-bounded); occurrence counting and the histogram
     * are two-phase hash aggregates.
     */
+  /** LSH width that holds EXPECTED bucket occupancy at `targetOccupancy`
+    * as the corpus grows: bits = ⌈log₂(n / targetOccupancy)⌉, clamped to
+    * [minBits, maxBits]. A FIXED bits is a scale-killer for any
+    * within-bucket pairing: occupancy grows linearly in n, so pair work
+    * grows quadratically (the round-8 stress battery measured 39× at
+    * 20× for fixed bits=8); holding occupancy constant keeps per-bucket
+    * work O(targetOccupancy²) at any corpus size. The 1e-9 slack keeps
+    * exact powers of two from rounding up on float noise.
+    */
+  def occupancyBits(n: Long, targetOccupancy: Double = 2.0,
+                    minBits: Int = 4, maxBits: Int = 24): Int = {
+    require(n > 0, s"corpus size must be > 0, got $n")
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
+    val raw = math.ceil(math.log(n / targetOccupancy) / math.log(2.0) - 1e-9).toInt
+    math.min(maxBits, math.max(minBits, raw))
+  }
+
+  /** [[hubness]] with `bits` derived from the corpus size via
+    * [[occupancyBits]] — the scale-safe entry point: the one extra
+    * count() pass is trivia next to the pair join it right-sizes.
+    */
+  def hubnessAuto(corpus: DataFrame, k: Int = 3,
+                  targetOccupancy: Double = 2.0,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hubness(corpus, k, occupancyBits(corpus.count(), targetOccupancy),
+      idCol, vecCol, maxBucketSize)
+
   def hubness(corpus: DataFrame, k: Int = 3, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucketSize: Int = Int.MaxValue): DataFrame = {

@@ -31,6 +31,14 @@ object Whiten {
     transform(slice(col(vecCol), 1, dims),
       x => floor(x.cast("double") * scale).cast("long"))
 
+  /** Rows a moment aggregate can use: non-null vectors with at least
+    * `dims` components. Without this, slice/transform yield null
+    * elements whose sum silently drops but whose count(1) still counts
+    * the row — a skewed mean, not an error.
+    */
+  private def validRows(emb: DataFrame, vecCol: String, dims: Int): DataFrame =
+    emb.filter(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+
   /** Upper-triangle second moments of the quantized prefix: one row per
     * (dim_i ≤ dim_j) with the exact integer Σ qᵢ·qⱼ and the row count.
     * Dimensions are 1-based. Per row the d(d+1)/2 products are generated
@@ -47,7 +55,8 @@ object Whiten {
       struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
         (element_at(col("__q"), i) * element_at(col("__q"), j)).as("p"))
     }: _*)
-    emb.select(quantized(vecCol, dims, scale).as("__q"))
+    validRows(emb, vecCol, dims)
+      .select(quantized(vecCol, dims, scale).as("__q"))
       .select(explode(terms).as("t"))
       .groupBy(col("t.dim_i"), col("t.dim_j"))
       .agg(sum(col("t.p")).as("sum_xy"), count(lit(1)).as("n"))
@@ -59,9 +68,11 @@ object Whiten {
     */
   def momentsFixedPoint(emb: DataFrame, vecCol: String = "embedding",
                         dims: Int = 16, scale: Double = 1e6): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
     val terms = array((1 to dims).map(i =>
       struct(lit(i.toLong).as("dim_i"), element_at(col("__q"), i).as("q"))): _*)
-    emb.select(quantized(vecCol, dims, scale).as("__q"))
+    validRows(emb, vecCol, dims)
+      .select(quantized(vecCol, dims, scale).as("__q"))
       .select(explode(terms).as("t"))
       .groupBy(col("t.dim_i"))
       .agg(sum(col("t.q")).as("sum_x"), count(lit(1)).as("n"))

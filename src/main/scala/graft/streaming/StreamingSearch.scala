@@ -28,16 +28,20 @@ object StreamingSearch {
 
   /** Start serving: each micro-batch of `queries` is scored with
     * `scan(corpus, batch)` and handed to `sink`. The default scan is
-    * the exact broadcast top-k; pass a different one (e.g. SQ8 or
-    * Hamming prescan + rerank) to trade recall for scan cost.
+    * the exact broadcast top-k over the `queryId`/`queryVec` columns;
+    * pass a different `scan` (e.g. SQ8 or Hamming prescan + rerank) to
+    * trade recall for scan cost. `queryId`/`queryVec` live in a
+    * preceding parameter list so the default `scan` expression can
+    * reference them — a custom column name reaches the default scan
+    * instead of being silently ignored.
     */
   def serveTopK(queries: DataFrame, corpus: DataFrame,
                 sink: DataFrame => Unit,
                 k: Int = 5, threshold: Double = 0.1,
-                queryId: String = "query_id", queryVec: String = "query_vec",
+                queryId: String = "query_id", queryVec: String = "query_vec")(
                 scan: (DataFrame, DataFrame, Int, Double) => DataFrame =
                   (c, q, kk, t) => graft.search.Search.topKBatch(
-                    c, q, kk, t, queryId = "query_id", queryVec = "query_vec"))
+                    c, q, kk, t, queryId = queryId, queryVec = queryVec))
       : StreamingQuery =
     queries.writeStream
       .outputMode("append")

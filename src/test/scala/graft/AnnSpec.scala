@@ -418,6 +418,25 @@ class AnnSpec extends SparkSpec {
     assert(got == Map(0L -> 5L), got.toString)
   }
 
+  test("occupancyBits holds expected bucket occupancy constant in corpus size") {
+    // verify-scale anchor: N=500 at target 2.0 must derive exactly the
+    // bits=8 the q118 oracle pins
+    assert(Ann.occupancyBits(500L, targetOccupancy = 2.0) == 8)
+    // occupancy bound: n / 2^bits <= target whenever the clamp is inactive
+    for (n <- Seq(100L, 500L, 10000L, 40000L, 1000000L)) {
+      val bits = Ann.occupancyBits(n, targetOccupancy = 2.0)
+      if (bits > 4 && bits < 24)
+        assert(n.toDouble / (1L << bits) <= 2.0 + 1e-9,
+          s"n=$n bits=$bits occupancy=${n.toDouble / (1L << bits)}")
+    }
+    // growing n never shrinks bits (monotone), and clamps hold
+    assert(Ann.occupancyBits(1L) == 4)
+    assert(Ann.occupancyBits(Long.MaxValue) == 24)
+    // exact powers of two don't round up on float noise
+    assert(Ann.occupancyBits(512L, targetOccupancy = 2.0) == 8)
+    intercept[IllegalArgumentException](Ann.occupancyBits(0L))
+  }
+
   test("multiprobeTopK recovers a Hamming-1 neighbor that nprobe=1 misses") {
     // query lives in bucket 1111; its TRUE nearest neighbor (20) has one
     // barely-negative component → bucket 0111, Hamming-1 away; vector 21

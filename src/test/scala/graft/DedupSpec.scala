@@ -379,6 +379,22 @@ class DedupSpec extends SparkSpec {
     assert(g(1L) == 2L)
   }
 
+  test("containmentPairsExactDeduped == containmentPairsExact on clone-free data") {
+    // no exact clones → every doc is its own representative, so the
+    // clone-guarded gate default must emit exactly the unguarded pairs
+    val rng = new scala.util.Random(23)
+    val vocab = Vector.tabulate(40)(i => s"t$i")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(6 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text").cache()
+    assert(docs.select("text").distinct().count() == 30, "fixture must be clone-free")
+    val unguarded = Dedup.containmentPairsExact(docs, minContainment = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val (guarded, groups) = Dedup.containmentPairsExactDeduped(docs, minContainment = 0.5)
+    assert(guarded.as[(Long, Long, Double)].collect().toSet == unguarded)
+    assert(groups.filter($"n_copies" > 1).count() == 0)
+  }
+
   test("containmentPairsExact equals brute force on a random corpus") {
     val rng = new scala.util.Random(11)
     val vocab = Vector.tabulate(60)(i => s"w$i")

@@ -271,7 +271,7 @@ class StreamingSpec extends SparkSpec {
       res => got.synchronized {
         got ++= res.select($"query_id", $"vec_id", $"rank")
           .as[(Long, Long, Long)].collect()
-      }, k = 2)
+      }, k = 2)()
     try {
       input.addData((100L, Seq(1.0f, 0.05f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.1f)))
       q.processAllAvailable()
@@ -286,6 +286,26 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect()
       assert(got.sorted.toSeq == want.sorted.toSeq, s"got=$got want=${want.toSeq}")
       assert(got.count(_._1 == 100L) == 2) // k respected per query
+    } finally q.stop()
+  }
+
+  test("serveTopK default scan honors custom query column names") {
+    import graft.streaming.StreamingSearch
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // custom names: the default scan must bind to THESE, not query_id/query_vec
+    val q = StreamingSearch.serveTopK(
+      input.toDF().toDF("req_id", "req_vec"), corpus,
+      res => got.synchronized {
+        got ++= res.select($"req_id", $"vec_id").as[(Long, Long)].collect()
+      }, k = 1, queryId = "req_id", queryVec = "req_vec")()
+    try {
+      input.addData((7L, Seq(0.9f, 0.1f)))
+      q.processAllAvailable()
+      assert(got.toSeq == Seq((7L, 0L)), got.toString)
     } finally q.stop()
   }
 

@@ -57,6 +57,27 @@ class WhitenSpec extends SparkSpec {
     }
   }
 
+  test("moment aggregates validate dims and skip null/short vectors") {
+    intercept[IllegalArgumentException](Whiten.momentsFixedPoint(emb, dims = 0))
+    intercept[IllegalArgumentException](Whiten.momentsFixedPoint(emb, dims = 65))
+    // a null row and a too-short row must not skew the mean: sum would
+    // silently drop them but count(1) would still count the row
+    val dirty = emb.unionAll(Seq(
+      (100L, null.asInstanceOf[Seq[Float]]),
+      (101L, Seq(1.0f, 2.0f)) // shorter than dims=4
+    ).toDF("vec_id", "embedding"))
+    val clean = Whiten.momentsFixedPoint(emb, dims = dims).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Whiten.momentsFixedPoint(dirty, dims = dims).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == clean, s"dirty rows leaked into moments: $got vs $clean")
+    val cleanCov = Whiten.covarianceFixedPoint(emb, dims = dims).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val gotCov = Whiten.covarianceFixedPoint(dirty, dims = dims).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotCov == cleanCov)
+  }
+
   test("applyWhitening with identity matrix and zero mean is a no-op") {
     val eye = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
     val zero = Array.fill(dims)(0.0)
