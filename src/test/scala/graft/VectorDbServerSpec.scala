@@ -104,4 +104,36 @@ class VectorDbServerSpec extends SparkSpec {
       assert(bad.statusCode() == 400 && bad.body().contains("dimension"))
     }
   }
+
+  test("/health stays responsive while slow requests occupy the pool") {
+    withServer { (port, _) =>
+      // three concurrent slow-ish requests (each runs a Spark job) must
+      // not starve /health: the fixed pool has 4 threads, so the single
+      // dispatch thread of the old null-executor setup is the regression
+      // this guards against
+      val docsJson = Ingest.ingestDocuments(
+        Seq(("a.md", ".md", "alpha beta gamma delta")).toDF("path", "extension", "text"),
+        "text").toJSON.collect().mkString("[", ",", "]")
+      assert(post(port, "/add_documents",
+        s"""{"documents": $docsJson}""").statusCode() == 200)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val slow = (1 to 3).map(_ => Future {
+        val r = get(port, "/stats")
+        (r.statusCode(), r.body())
+      })
+      // while those are in flight, health must answer promptly
+      val t0 = System.nanoTime()
+      val h = get(port, "/health")
+      val healthSec = (System.nanoTime() - t0) / 1e9
+      assert(h.statusCode() == 200)
+      assert(healthSec < 10.0, f"health took $healthSec%.1f s under load")
+      val results = Await.result(Future.sequence(slow), 60.seconds)
+      assert(results.forall(_._1 == 200), results.mkString("; "))
+      pool.shutdown()
+    }
+  }
 }
