@@ -29,6 +29,37 @@ object Stress {
   private val IdStride = 1000000000L // 1e9: far above any testdata key
   private val UserStride = 1000000L
 
+  /** Replicate every fact table of `sfDir` `factor`× into `workDir` with
+    * disjoint id spaces (dims stay single-copy) — shared by the stress
+    * battery and Bench's sf1 pass.
+    */
+  def replicateDir(spark: SparkSession, sfDir: String, factor: Int,
+                   workDir: String): Unit = {
+    def replicate(name: String, shifts: Map[String, Long]): Unit = {
+      val src = s"$sfDir/$name.parquet"
+      if (!new java.io.File(src).exists()) return
+      val df = spark.read.parquet(src)
+      val out =
+        if (shifts.isEmpty || factor == 1) df
+        else {
+          val reps = spark.range(factor).withColumnRenamed("id", "__rep")
+          val crossed = df.crossJoin(reps)
+          shifts.foldLeft(crossed) { case (d, (c, stride)) =>
+            if (!df.columns.contains(c)) d
+            else d.withColumn(c, col(c) + col("__rep") * stride)
+          }.drop("__rep")
+        }
+      out.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+    }
+    replicate("documents", Map("doc_id" -> IdStride))
+    replicate("embeddings", Map("vec_id" -> IdStride))
+    replicate("events", Map("user_id" -> UserStride))
+    replicate("customer", Map("c_custkey" -> IdStride))
+    replicate("orders", Map("o_orderkey" -> IdStride, "o_custkey" -> IdStride))
+    replicate("lineitem", Map("l_orderkey" -> IdStride))
+    Seq("region", "nation", "part", "supplier").foreach(replicate(_, Map.empty))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(20)
@@ -47,33 +78,10 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, shifts: Map[String, Long]): Unit = {
-      val src = s"$sfDir/$name.parquet"
-      if (!new java.io.File(src).exists()) return
-      val df = spark.read.parquet(src)
-      val out =
-        if (shifts.isEmpty || factor == 1) df
-        else {
-          val reps = spark.range(factor).withColumnRenamed("id", "__rep")
-          val crossed = df.crossJoin(reps)
-          shifts.foldLeft(crossed) { case (d, (c, stride)) =>
-            if (!df.columns.contains(c)) d
-            else d.withColumn(c, col(c) + col("__rep") * stride)
-          }.drop("__rep")
-        }
-      out.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
-    }
-
     if (factor > 0) {
       System.err.println(s"[stress] replicating $sfDir x$factor -> $workDir")
       val t0 = System.nanoTime()
-      replicate("documents", Map("doc_id" -> IdStride))
-      replicate("embeddings", Map("vec_id" -> IdStride))
-      replicate("events", Map("user_id" -> UserStride))
-      replicate("customer", Map("c_custkey" -> IdStride))
-      replicate("orders", Map("o_orderkey" -> IdStride, "o_custkey" -> IdStride))
-      replicate("lineitem", Map("l_orderkey" -> IdStride))
-      Seq("region", "nation", "part", "supplier").foreach(replicate(_, Map.empty))
+      replicateDir(spark, sfDir, factor, workDir)
       System.err.println(f"[stress] replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else System.err.println(s"[stress] reusing $workDir")
 

@@ -169,14 +169,140 @@ object Whiten {
   /** Apply `W · (v[1..d] − mean)` as a pure column expression (array of
     * doubles) — d² multiply-adds per row, fully codegen'd, no UDF, no
     * shuffle. The literal W/mean ship with the plan (d² doubles, trivial).
+    * Bound: keep d ≤ 64 here — the expression tree is O(d²) literal
+    * nodes (~12k at 64), and beyond that analysis cost and the 64 KB
+    * codegen method limit make the literal tree the wrong tool; use
+    * [[applyWhiteningLarge]] for big embedding dims (e.g. the
+    * reference's 384).
     */
   def applyWhitening(vecCol: Column, w: Array[Array[Double]],
                      mean: Array[Double]): Column = {
     val d = w.length
+    require(d <= 64,
+      s"applyWhitening literal expression is bounded at d=64 (got $d); " +
+      "use applyWhiteningLarge for large dims")
     array((0 until d).map { i =>
       (0 until d).map { j =>
         (vecCol.getItem(j).cast("double") - lit(mean(j))) * lit(w(i)(j))
       }.reduce(_ + _)
     }: _*)
   }
+
+  // ===========================================================================
+  // Large-dim path (d up to 1024; the reference's real embedding dim is 384,
+  // /root/reference/repo_to_vector.py:28). The explode-based fixed-point
+  // aggregates above are oracle-replayable but emit d(d+1)/2 rows PER INPUT
+  // ROW — the right shape at d ≤ 64, a 74k-row-per-row blow-up at 384. Here
+  // the whole upper triangle accumulates in one flat long[] per partition and
+  // merges hierarchically (treeAggregate — the same shape spark.ml's
+  // RowMatrix.computeCovariance uses), so the corpus is read once, nothing
+  // shuffles, and the driver only ever sees d(d+1)/2 longs (~592 KB at 384).
+  // Sums are the SAME quantized integers as the small-dim path — exact,
+  // associative, partitioning-independent — spec-asserted equal at small d.
+  // ===========================================================================
+
+  /** One-pass first+second moments of the quantized `dims`-prefix:
+    * (upper-triangle Σqᵢqⱼ row-major, Σqᵢ, row count). Long overflow
+    * bound is the same as the small path: exact for corpora up to
+    * ~9e18/scale² rows at |x| ≤ 1 (9e6 at the default scale; drop scale
+    * to 1e4 to buy 9e10 rows at 4 fractional digits).
+    */
+  def momentsLarge(emb: DataFrame, vecCol: String = "embedding",
+                   dims: Int = 384, scale: Double = 1e6)
+      : (Array[Long], Array[Long], Long) = {
+    require(dims >= 1 && dims <= 1024, s"dims must be in [1,1024], got $dims")
+    val ds = validRows(emb, vecCol, dims)
+      .select(quantized(vecCol, dims, scale).as("q"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = dims * (dims + 1) / 2
+    ds.as[Seq[Long]].rdd.treeAggregate(
+      (new Array[Long](m), new Array[Long](dims), 0L))(
+      seqOp = { case ((xy, x, n), q) =>
+        var idx = 0
+        var i = 0
+        while (i < dims) {
+          val qi = q(i)
+          x(i) += qi
+          var j = i
+          while (j < dims) { xy(idx) += qi * q(j); idx += 1; j += 1 }
+          i += 1
+        }
+        (xy, x, n + 1)
+      },
+      combOp = { case ((a1, b1, n1), (a2, b2, n2)) =>
+        var i = 0
+        while (i < m) { a1(i) += a2(i); i += 1 }
+        i = 0
+        while (i < dims) { b1(i) += b2(i); i += 1 }
+        (a1, b1, n1 + n2)
+      })
+  }
+
+  /** Driver-side covariance + mean from [[momentsLarge]] output — the
+    * large-dim twin of [[covMatrix]].
+    */
+  def covMatrixLarge(xy: Array[Long], x: Array[Long], n: Long, dims: Int,
+                     scale: Double = 1e6): (Array[Array[Double]], Array[Double]) = {
+    require(n > 0, "covMatrixLarge: zero valid rows")
+    require(xy.length == dims * (dims + 1) / 2 && x.length == dims,
+      s"moment shapes don't match dims=$dims")
+    val mean = x.map(_ / (n.toDouble * scale))
+    val c = Array.ofDim[Double](dims, dims)
+    var idx = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val v = xy(idx) / (n.toDouble * scale * scale) - mean(i) * mean(j)
+        c(i)(j) = v; c(j)(i) = v
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    (c, mean)
+  }
+
+  /** Fit the whole large-dim whitening model in one corpus pass:
+    * moments → covariance → Jacobi eigen (d³·sweeps driver work — a few
+    * seconds at 384, still microscopic next to one corpus scan) → W.
+    */
+  def fitWhitenLarge(emb: DataFrame, vecCol: String = "embedding",
+                     dims: Int = 384, scale: Double = 1e6)
+      : (Array[Array[Double]], Array[Double]) = {
+    val (xy, x, n) = momentsLarge(emb, vecCol, dims, scale)
+    val (c, mean) = covMatrixLarge(xy, x, n, dims, scale)
+    (whiteningMatrix(c), mean)
+  }
+
+  /** `W · (v[1..d] − mean)` for large d as a Scala UDF: the d² dense
+    * multiply is BLAS-shaped imperative work, not relational — at
+    * d = 384 a literal expression tree would be ~440k Catalyst nodes,
+    * far past the codegen method limit, so the tight while-loop kernel
+    * is the FASTER plan here, not a compromise. W/mean ride the closure
+    * (d² doubles — broadcast with the task binary). Null/short vectors
+    * map to null, matching [[validRows]]'s fit-side filter.
+    */
+  def applyWhiteningLarge(w: Array[Array[Double]],
+                          mean: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val d = w.length
+      if (v == null || v.length < d) null
+      else {
+        val centered = new Array[Double](d)
+        var j = 0
+        while (j < d) { centered(j) = v(j) - mean(j); j += 1 }
+        val out = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          val wi = w(i)
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += wi(k) * centered(k); k += 1 }
+          out(i) = s
+          i += 1
+        }
+        out
+      }
+    }
 }

@@ -55,4 +55,53 @@ object StreamingDistinct {
   /** Current per-source distinct-shingle estimate. */
   def estimateFromStore(spark: SparkSession, storeDir: String): DataFrame =
     DistinctSketch.hllEstimate(registersFromStore(spark, storeDir), "source")
+
+  /** Collapse the append-accumulated per-batch register partials into a
+    * single merged partial under `batch_id=-1` — the same small-files
+    * problem [[graft.api.VectorDb.compact]] solves for the doc store: a
+    * long-lived stream leaves one parquet file per micro-batch, and a
+    * year of 1-minute batches is half a million tiny files under a
+    * groupBy. Max-merge is idempotent and associative, so the merged
+    * estimate is UNCHANGED register-for-register (StreamingSpec asserts
+    * it). Run between stream runs: checkpointed batch ids are
+    * monotonically non-negative, so the -1 slot never collides with a
+    * live batch, and the next run simply appends new partials beside it.
+    *
+    * Same tmp-write → verify → swap discipline as VectorDb.compact:
+    * the merged registers land in a side directory first and the old
+    * partials are only removed after the rewrite row count checks out.
+    * Returns (registerRows, batchDirsBefore).
+    */
+  def compactStore(spark: SparkSession, storeDir: String): (Long, Long) = {
+    import java.nio.file.{Files, Paths, Path}
+    val root = Paths.get(storeDir)
+    require(Files.exists(root), s"nothing to compact at $storeDir")
+    def batchDirs(): Seq[Path] = {
+      val s = Files.list(root)
+      try {
+        val b = Seq.newBuilder[Path]
+        s.forEach(p =>
+          if (Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_id="))
+            b += p)
+        b.result()
+      } finally s.close()
+    }
+    val before = batchDirs()
+    val merged = registersFromStore(spark, storeDir)
+    val n = merged.count()
+    val tmp = Paths.get(storeDir + ".compact-tmp")
+    merged.coalesce(1) // ≤ |sources|·64 rows — one file is the point
+      .write.mode("overwrite").parquet(tmp.toString)
+    val m = spark.read.parquet(tmp.toString).count()
+    require(m == n, s"register compaction row mismatch: $n vs $m — aborting swap")
+    before.foreach { d =>
+      val w = Files.walk(d)
+      try {
+        val all = { val b = Seq.newBuilder[Path]; w.forEach(b += _); b.result() }
+        all.reverse.foreach(Files.deleteIfExists)
+      } finally w.close()
+    }
+    Files.move(tmp, root.resolve("batch_id=-1"))
+    (n, before.length.toLong)
+  }
 }

@@ -366,6 +366,30 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet ==
       DistinctSketch.hllDistinct(allSh, "source", "sh")
         .as[(String, Long, Double)].collect().toSet)
+
+    // register compaction: the per-batch partials collapse to one
+    // batch_id=-1 partial; registers and estimate unchanged
+    // register-for-register, and a further stream run appends cleanly
+    val regsBefore = StreamingDistinct.registersFromStore(spark, store)
+      .as[(String, Long, Int)].collect().toSet
+    val estBefore = StreamingDistinct.estimateFromStore(spark, store)
+      .as[(String, Long, Double)].collect().toSet
+    val (nRegs, dirsBefore) = StreamingDistinct.compactStore(spark, store)
+    assert(dirsBefore == 2L && nRegs == regsBefore.size.toLong)
+    assert(StreamingDistinct.registersFromStore(spark, store)
+      .as[(String, Long, Int)].collect().toSet == regsBefore)
+    assert(StreamingDistinct.estimateFromStore(spark, store)
+      .as[(String, Long, Double)].collect().toSet == estBefore)
+    val b3 = Seq((4L, "ten eleven twelve thirteen fourteen", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b3.write.mode("append").parquet(src)
+    StreamingDistinct.start(spark, src, store, ckpt).awaitTermination()
+    val allSh3 = b1.union(b2).union(b3).select($"source",
+      explode(graft.dedup.Dedup.shingles($"text", 3)).as("sh"))
+    assert(StreamingDistinct.registersFromStore(spark, store)
+      .as[(String, Long, Int)].collect().toSet ==
+      DistinctSketch.hllRegisters(allSh3, "source", "sh")
+        .as[(String, Long, Int)].collect().toSet)
   }
 
   test("interval join pairs clicks with in-window preceding views only (batch)") {

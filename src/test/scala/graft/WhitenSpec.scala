@@ -78,6 +78,53 @@ class WhitenSpec extends SparkSpec {
     assert(gotCov == cleanCov)
   }
 
+  test("momentsLarge accumulates the exact same integers as the explode aggregates") {
+    val (xy, x, n) = Whiten.momentsLarge(emb, dims = dims)
+    assert(n == 6L)
+    val wantMoments = Whiten.momentsFixedPoint(emb, dims = dims).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to dims).foreach(i => assert(x(i - 1) == wantMoments(i.toLong)))
+    val wantCov = Whiten.covarianceFixedPoint(emb, dims = dims).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var idx = 0
+    for (i <- 1 to dims; j <- i to dims) {
+      assert(xy(idx) == wantCov((i.toLong, j.toLong)), s"($i,$j)")
+      idx += 1
+    }
+  }
+
+  test("large-dim whitening at d=384 (the reference's embedding dim): identity covariance") {
+    val d = 384
+    val nRows = 450 // > d so the sample covariance is full rank
+    val rng = new scala.util.Random(5)
+    // anisotropic: scale each dim differently so whitening has work to do
+    val scales = Array.tabulate(d)(i => 0.2 + (i % 7) * 0.3)
+    val data = (0L until nRows.toLong).map { id =>
+      (id, Seq.tabulate(d)(j => ((rng.nextDouble() - 0.5) * scales(j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (w, mean) = Whiten.fitWhitenLarge(data, dims = d)
+    assert(w.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    val white = data
+      .select(Whiten.applyWhiteningLarge(w, mean)(col("embedding").cast("array<double>")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assert(white.forall(_.length == d))
+    // sample covariance of the whitened rows ≈ I (spot-check a band of
+    // entries — the full 384² loop is slow in a unit test for no extra
+    // coverage)
+    val nD = white.length.toDouble
+    for (i <- 0 until 24; j <- i until 24) {
+      val mi = white.map(_(i)).sum / nD
+      val mj = white.map(_(j)).sum / nD
+      val cov = white.map(v => (v(i) - mi) * (v(j) - mj)).sum / nD
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - expect) < 5e-2, s"cov($i,$j)=$cov")
+    }
+    // null and short vectors whiten to null, mirroring the fit-side filter
+    val dirty = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(dirty.select(Whiten.applyWhiteningLarge(w, mean)(col("embedding")))
+      .head().isNullAt(0))
+  }
+
   test("applyWhitening with identity matrix and zero mean is a no-op") {
     val eye = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
     val zero = Array.fill(dims)(0.0)
