@@ -1496,50 +1496,27 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
   }
 
-  /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
-    * criterion): candidate (a, b) pairs score margin = cos(a,b) /
-    * ((knn_k(a) + knn_k(b)) / 2) — similarity RELATIVE to each side's
-    * neighborhood density, which kills hub vectors that absolute-cosine
-    * thresholds mis-mine. Forward direction: each source keeps its
-    * top-1 target by margin, filtered at margin ≥ 1.05. Demo split:
-    * even vec_ids are the source collection, odd the target (the
-    * operator's harness, like q96's %7 benchmark split). Both knn
-    * averages come from rank windows that WindowGroupLimit k-bounds on
-    * both sides of their exchanges; at corpus scale the brute-force
-    * pair table is replaced by any ANN prescan (q81 Hamming / q89
-    * matryoshka) feeding the identical margin math.
+  /** Margin-based pair mining via the LSH-candidate entry point
+    * ([[Ann.marginMine]]): each src keeps its top-1 tgt by
+    * neighborhood-relative margin among SAME-SIGN-BUCKET candidates —
+    * the ANN-prescan form production bitext mining actually runs
+    * (Artetxe & Schwenk 2019 mine over FAISS kNN, not exact all-pairs).
+    * Demo split: even vec_ids source, odd target (q96's %7-style
+    * harness). Round 9 replaced the all-pairs candidate table: the sf1
+    * probe measured it at 131× wall-clock for a 10× corpus.
     */
   private def qMarginMining(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
+    // occupancy-derived LSH width (4 bits at the verify scale's N=500,
+    // where the oracle pins it): candidate pair work stays
+    // O(N · occupancy) instead of the all-pairs O(N²) whose 10× corpus
+    // measured 131× wall-clock (PERF.md round-9 sf1 probe)
+    val bits = Ann.occupancyBits(emb.count(), targetOccupancy = 32.0)
     val a = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("src_id"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("tgt_id"), col("embedding").as("vb"))
-    // localCheckpoint: knnA, knnB, and the margin join all consume this
-    // pair table with different partitionings — without it the
-    // O(|A|·|B|·dim) cosine pass runs three times
-    val pairs = a.crossJoin(b)
-      .withColumn("cos", round(graft.functions.CosineSimilarity(col("va"), col("vb")), 6))
-      .select(col("src_id"), col("tgt_id"), col("cos"))
-      .localCheckpoint()
-    val ra = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos").desc, col("tgt_id").asc)
-    val rb = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("cos").desc, col("src_id").asc)
-    val knnA = pairs.withColumn("r", row_number().over(ra)).filter(col("r") <= 4)
-      .groupBy(col("src_id")).agg(avg(col("cos")).as("na"))
-    val knnB = pairs.withColumn("r", row_number().over(rb)).filter(col("r") <= 4)
-      .groupBy(col("tgt_id")).agg(avg(col("cos")).as("nb"))
-    val rm = Window.partitionBy(col("src_id"))
-      .orderBy(col("margin").desc, col("tgt_id").asc)
-    pairs
-      .join(knnA, "src_id")
-      .join(knnB, "tgt_id")
-      .withColumn("margin",
-        round(col("cos") / ((col("na") + col("nb")) / 2), 6))
-      .withColumn("rank", row_number().over(rm))
-      .filter(col("rank") === 1 && col("margin") >= 1.05)
-      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+    Ann.marginMine(a, b, k = 4, minMargin = 1.05, bits = bits)
   }
 
   /** Build-once fixture tree for [[qIngestPipeline]] under java.io.tmpdir
@@ -2450,6 +2427,22 @@ object SparkEntry {
         "source", "sh", k = 256),
       "source", k = 256)
 
+  /** Intra-doc repeated-segment removal (the q121 audit's removal twin):
+    * 2-token windows, keep-first; per-doc damage report with the cleaned
+    * text verified BY CONTENT HASH. See [[graft.text.CorpusOps.intraDocScrub]].
+    */
+  private def qIntradocScrub(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.intraDocScrub(rdWide(s, dir, "documents"), w = 2, topK = 20)
+
+  /** UniMax language-budget allocation (Chung et al. 2023): half the
+    * corpus token total, ≤ 3 epochs per language — the multilingual
+    * sampling plan a pretraining mixture is built from. Closed-form
+    * prefix rule, all-integer; see [[graft.ops.TokenBudget.unimaxAllocation]].
+    */
+  private def qUnimax(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenBudget.unimaxAllocation(rdWide(s, dir, "documents"),
+      budgetNum = 1, budgetDen = 2, epochCap = 3)
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2648,6 +2641,8 @@ object SparkEntry {
     "q129_balanced_sample" -> (qBalancedSample _),
     "q130_hll_vocab" -> (qHllVocab _),
     "q131_kmv_overlap" -> (qKmvOverlap _),
+    "q132_unimax" -> (qUnimax _),
+    "q133_intradoc_scrub" -> (qIntradocScrub _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4032,6 +4027,48 @@ object SparkEntry {
          |       ELSE 255.0 * 1152921504606846976.0 / u_k::DOUBLE END), 4) AS est_intersection
          |FROM agg""".stripMargin,
 
+    // keep-first over non-overlapping 2-token windows; cleaned text
+    // reassembled in segment order and verified by 32-bit hash
+    "q133_intradoc_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+         | segl AS (SELECT doc_id, [array_to_string(tk[i*2+1:i*2+2], ' ')
+         |   for i in range(0, (len(tk) + 1) // 2)] AS segs FROM toks),
+         | seg AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS idx, unnest(segs) AS s FROM segl),
+         | kept AS (SELECT doc_id, idx, s,
+         |   row_number() OVER (PARTITION BY doc_id, s ORDER BY idx ASC) AS rn FROM seg),
+         | agg AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+         |   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |   coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY idx ASC), '') AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT doc_id, n_segments, n_dropped,
+         | length(cleaned)::BIGINT AS cleaned_n_chars,
+         | ${h32Sql("cleaned")} AS cleaned_hash
+         |FROM agg ORDER BY n_dropped DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // UniMax closed form: capacities ascending; capped languages are the
+    // prefix where capacity_i*(L-i+1) + cum_before <= B; the rest split
+    // the remainder uniformly (integer div)
+    "q132_unimax" ->
+      """WITH c AS (SELECT lang,
+        |   sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        | r AS (SELECT lang, n_tokens, n_tokens * 3 AS capacity,
+        |   row_number() OVER (ORDER BY n_tokens * 3 ASC, lang ASC) AS i,
+        |   coalesce(sum(n_tokens * 3) OVER (ORDER BY n_tokens * 3 ASC, lang ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before,
+        |   count(*) OVER ()::BIGINT AS L,
+        |   (sum(n_tokens) OVER () * 1) // 2 AS B
+        |  FROM c),
+        | f AS (SELECT r.*, capacity * (L - i + 1) + cum_before <= B AS capped FROM r),
+        | k AS (SELECT max(CASE WHEN capped THEN i ELSE 0 END)::BIGINT AS k,
+        |   max(CASE WHEN capped THEN cum_before + capacity ELSE 0 END)::BIGINT AS cum_k
+        |  FROM f)
+        |SELECT lang, n_tokens, capacity,
+        | CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END AS alloc_tokens,
+        | i <= k AS is_capped,
+        | (CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END * 1000000) // n_tokens AS micro_epochs
+        |FROM f, k""".stripMargin,
+
     // adjacent char pairs within case-folded whitespace words, ranked by
     // corpus frequency (first BPE merge round)
     "q127_bpe_merge" ->
@@ -4066,13 +4103,17 @@ object SparkEntry {
 
     // margin = cos / ((knn4(src) + knn4(tgt)) / 2); forward top-1 per
     // source at margin >= 1.05; even/odd vec_id = source/target split
+    // candidates = same 4-bit sign bucket (occupancy-derived at N=500)
     "q102_margin_mining" ->
-      s"""WITH a AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS va
+      s"""WITH a AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS va,
+         |   ${bucketSql("embedding", 4)} AS bucket
          |   FROM embeddings WHERE vec_id % 2 = 0),
-         | b AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS vb
+         | b AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS vb,
+         |   ${bucketSql("embedding", 4)} AS bucket
          |   FROM embeddings WHERE vec_id % 2 = 1),
          | pairs AS (SELECT src_id, tgt_id,
-         |   round(${cosSqlAB("va", "vb")}, 6) AS cos FROM a, b),
+         |   round(${cosSqlAB("va", "vb")}, 6) AS cos
+         |   FROM a JOIN b USING (bucket)),
          | knna AS (SELECT src_id, avg(cos) AS na FROM (
          |   SELECT src_id, cos, row_number() OVER (PARTITION BY src_id
          |     ORDER BY cos DESC, tgt_id ASC) AS r FROM pairs) WHERE r <= 4

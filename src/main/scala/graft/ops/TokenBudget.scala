@@ -280,4 +280,62 @@ object TokenBudget {
       .filter(col("cum_tokens") <= budget)
       .drop("__bucket", "__tie", "__q", "__sub", "__offset")
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total token budget across
+    * languages as uniformly as possible, capping every language at
+    * `epochCap` epochs of its own data so low-resource languages are
+    * never over-repeated. The closed form exploits that with capacities
+    * sorted ascending the capped languages are exactly a PREFIX (if
+    * language i exceeds its fair share, every larger language does
+    * too), so no sequential loop is needed:
+    *
+    *   k  = max { i : capacityᵢ·(L−i+1) + Σ_{j<i} capacityⱼ ≤ B }
+    *   allocᵢ = capacityᵢ                    for i ≤ k (capped)
+    *   allocᵢ = ⌊(B − Σ_{j≤k} capacityⱼ)/(L−k)⌋  otherwise (uniform)
+    *
+    * B = ⌊total·budgetNum/budgetDen⌋. All arithmetic is integer —
+    * hash-exact across engines. Scale shape: the only corpus-sized work
+    * is the per-language token aggregate (two-phase hash agg, native
+    * [[graft.functions.BpeTokenCount]] kernel); every window after it
+    * runs over |languages| rows.
+    */
+  def unimaxAllocation(docs: DataFrame, budgetNum: Long = 1, budgetDen: Long = 2,
+                       epochCap: Int = 3, langCol: String = "lang",
+                       textCol: String = "text"): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && epochCap > 0,
+      s"need positive budget fraction and epoch cap, got $budgetNum/$budgetDen, $epochCap")
+    val counts = docs.groupBy(col(langCol))
+      .agg(sum(graft.functions.BpeTokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * epochCap)
+    // |languages| rows from here on: the single-partition windows below
+    // are over a handful of rows, never the corpus
+    val wAsc = Window.orderBy(col("capacity").asc, col(langCol).asc)
+    val wAll = Window.partitionBy()
+    val ranked = counts
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__cum_before",
+        coalesce(sum(col("capacity")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__L", count(lit(1)).over(wAll))
+      .withColumn("__total", sum(col("n_tokens")).over(wAll))
+      .withColumn("__B", expr(s"(__total * $budgetNum) div $budgetDen"))
+      .withColumn("__capped",
+        col("capacity") * (col("__L") - col("__i") + 1) + col("__cum_before") <= col("__B"))
+    ranked
+      .withColumn("__k", max(when(col("__capped"), col("__i")).otherwise(0L)).over(wAll))
+      .withColumn("__cum_k",
+        max(when(col("__capped"), col("__cum_before") + col("capacity"))
+          .otherwise(0L)).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("__i") <= col("__k"), col("capacity"))
+          .otherwise(expr("(__B - __cum_k) div (__L - __k)")))
+      .withColumn("is_capped", col("__i") <= col("__k"))
+      // integer micro-epochs: how many epochs of its own data each
+      // language actually runs under this allocation
+      .withColumn("micro_epochs", expr("(alloc_tokens * 1000000) div n_tokens"))
+      .select(col(langCol), col("n_tokens"), col("capacity"),
+        col("alloc_tokens"), col("is_capped"), col("micro_epochs"))
+  }
 }

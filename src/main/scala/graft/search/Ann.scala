@@ -396,6 +396,55 @@ object Ann {
       .agg(count(lit(1)).as("n_points"))
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
+    * criterion): candidate (src, tgt) pairs score
+    * margin = cos / ((knn̄(src) + knn̄(tgt)) / 2) — similarity RELATIVE
+    * to each side's neighborhood density, which kills hub vectors that
+    * absolute-cosine thresholds mis-mine. Each src keeps its top-1 tgt
+    * by margin, filtered at `minMargin`.
+    *
+    * Candidates are sign-LSH bucket joins (both sides bucketed on
+    * `bits` hyperplanes; only same-bucket pairs scored) — the ANN
+    * prescan form of the criterion, exactly how production bitext
+    * mining runs it (Artetxe & Schwenk use FAISS kNN, not exact
+    * all-pairs). Pass `bits` from [[occupancyBits]] to hold bucket
+    * occupancy — and with it per-bucket pair work — constant in corpus
+    * size: the all-pairs phrasing is output-quadratic (a 10× corpus
+    * measured 131× wall-clock before this existed; PERF.md round-9).
+    * The candidate table is localCheckpointed once — three consumers
+    * (both knn averages + the margin join) re-partition it differently
+    * and would otherwise recompute the scoring pass three times.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 minMargin: Double = 1.05, bits: Int = 8,
+                 srcId: String = "src_id", srcVec: String = "va",
+                 tgtId: String = "tgt_id", tgtVec: String = "vb"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val a = src.withColumn("bucket", graft.functions.SignBucket(col(srcVec), bits))
+    val b = tgt.withColumn("bucket", graft.functions.SignBucket(col(tgtVec), bits))
+    val pairs = a.join(b, Seq("bucket"))
+      .withColumn("cos", round(CosineSimilarity(col(srcVec), col(tgtVec)), 6))
+      .select(col(srcId), col(tgtId), col("cos"))
+      .localCheckpoint()
+    val ra = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcId)).orderBy(col("cos").desc, col(tgtId).asc)
+    val rb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(tgtId)).orderBy(col("cos").desc, col(srcId).asc)
+    val knnA = pairs.withColumn("r", row_number().over(ra)).filter(col("r") <= k)
+      .groupBy(col(srcId)).agg(avg(col("cos")).as("na"))
+    val knnB = pairs.withColumn("r", row_number().over(rb)).filter(col("r") <= k)
+      .groupBy(col(tgtId)).agg(avg(col("cos")).as("nb"))
+    val rm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcId)).orderBy(col("margin").desc, col(tgtId).asc)
+    pairs
+      .join(knnA, srcId)
+      .join(knnB, tgtId)
+      .withColumn("margin", round(col("cos") / ((col("na") + col("nb")) / 2), 6))
+      .withColumn("rank", row_number().over(rm))
+      .filter(col("rank") === 1 && col("margin") >= minMargin)
+      .select(col(srcId), col(tgtId), col("cos"), col("margin"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the partition
     * strategy (a hot bucket → raise bits or salt that bucket).
     */

@@ -193,6 +193,51 @@ object CorpusOps {
     * hash agg on (doc_id, seg_lang) → hash agg on doc_id →
     * TakeOrderedAndProject(topK) by disagreement.
     */
+  /** Intra-document repeated-segment SCRUB — the removal twin of
+    * [[intraDocRepeats]] (which only counts): split each document into
+    * consecutive non-overlapping `w`-token segments, drop every segment
+    * whose exact text already occurred EARLIER in the same document
+    * (keep-first — the RefinedWeb/CCNet "drop repeated lines" cleaning
+    * rule, with fixed token windows standing in for lines on unlined
+    * text), and report the per-document damage: segments dropped, the
+    * cleaned text's length, and its 32-bit content hash (so the oracle
+    * verifies the RECONSTRUCTED text, not just the counts).
+    *
+    * Plan shape: scan → segment Generate (map-side) → keep-first Window
+    * PARTITIONED BY (doc, segment-text) — fine-grained keys, balanced
+    * regardless of corpus-wide segment skew — → per-doc hash aggregate
+    * whose state is bounded by the document's own segment count
+    * (sort_array over collect_list reassembles order without any global
+    * sort). Nothing driver-sized; TakeOrderedAndProject bounds output.
+    */
+  def intraDocScrub(docs: DataFrame, w: Int = 2, topK: Int = 20): DataFrame = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val tk = TextAnalysis.tokens(col("text"))
+    val nSeg = ((size(tk) + w - 1) / w).cast("int") // int div on ints
+    val segs = when(size(tk) > 0,
+      transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(tk, i * w + 1, lit(w)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+    val byFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("seg")).orderBy(col("idx").asc)
+    docs.select(col("doc_id"), posexplode(segs).as(Seq("idx", "seg")))
+      .withColumn("__rn", row_number().over(byFirst))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("idx"), col("seg"))))),
+            s => s.getField("seg")), " ").as("__cleaned"))
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        length(col("__cleaned")).cast("long").as("cleaned_n_chars"),
+        graft.functions.HashFunctions.md5Int32(col("__cleaned")).as("cleaned_hash"))
+      .orderBy(col("n_dropped").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

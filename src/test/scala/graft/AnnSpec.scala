@@ -418,6 +418,24 @@ class AnnSpec extends SparkSpec {
     assert(got == Map(0L -> 5L), got.toString)
   }
 
+  test("marginMine finds the planted translation pair, candidates stay in-bucket") {
+    // bucket = signs of first 2 dims (bits=2). s1,t1,t2 share bucket 3;
+    // s2 sits alone in bucket 0 -> no candidates -> no emission.
+    val src = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.9f, 0.1f)),   // s1
+      (2L, Seq(-1.0f, -1.0f, 0.5f, 0.5f))  // s2, bucket 0
+    ).toDF("src_id", "va")
+    val tgt = Seq(
+      (1L, Seq(1.0f, 1.0f, 0.91f, 0.1f)),  // true pair for s1, cos ~ 1
+      (3L, Seq(1.0f, 1.0f, -0.9f, 0.2f))   // in-bucket distractor, cos ~ 0.42
+    ).toDF("tgt_id", "vb")
+    val got = Ann.marginMine(src, tgt, k = 4, minMargin = 1.05, bits = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    // s1 keeps its true pair (margin ~ 1.17 over the diluted neighborhood
+    // average); the distractor ranks below; s2 emits nothing
+    assert(got == Set((0L, 1L)), got.toString)
+  }
+
   test("occupancyBits holds expected bucket occupancy constant in corpus size") {
     // verify-scale anchor: N=500 at target 2.0 must derive exactly the
     // bits=8 the q118 oracle pins

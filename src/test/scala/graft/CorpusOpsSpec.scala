@@ -97,4 +97,29 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = CorpusOps.intraDocRepeats(d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("intraDocScrub drops later repeats of a segment, keeps order, hashes cleaned text") {
+    // doc 1 segments (w=2): [a b][a b][c d][a b] -> keep idx 0, 2
+    // doc 2: no repeats; doc 3: odd tail segment "e" kept as its own window
+    val d = docs(
+      (1L, "a b a b c d a b", "s"),
+      (2L, "p q r s", "s"),
+      (3L, "m n m n e", "s"))
+    val got = CorpusOps.intraDocScrub(d, w = 2, topK = 10)
+      .select("doc_id", "n_segments", "n_dropped", "cleaned_n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 4L, 2L, 7L), // "a b c d"
+      (2L, 2L, 0L, 7L), // "p q r s"
+      (3L, 3L, 1L, 5L)  // "m n e"
+    ), got.toString)
+    // cleaned hash is content-derived: doc 1's cleaned text "a b c d"
+    // must hash identically to a doc WRITTEN as "a b c d"
+    val ref = docs((9L, "a b c d", "s"))
+    val h1 = CorpusOps.intraDocScrub(d, w = 2, topK = 10)
+      .filter($"doc_id" === 1).select("cleaned_hash").as[Long].head()
+    val h9 = CorpusOps.intraDocScrub(ref, w = 2, topK = 10)
+      .filter($"doc_id" === 9).select("cleaned_hash").as[Long].head()
+    assert(h1 == h9)
+  }
 }

@@ -132,4 +132,37 @@ class TokenBudgetSpec extends SparkSpec {
       assert(l.contains("__bucket"), s"unpartitioned window: $l")
     }
   }
+
+  test("unimaxAllocation: capped prefix + uniform remainder, hand-checked") {
+    // per-language token totals via text of known BPE counts: "a b c"
+    // counts 3 tokens. Build langs with totals 2, 10, 30, 40 tokens.
+    def doc(lang: String, id: Long, tokens: Int) =
+      (id, lang, Seq.fill(tokens)("x").mkString(" "))
+    val docs = (
+      Seq(doc("aa", 1, 2)) ++
+      Seq(doc("bb", 2, 10)) ++
+      Seq(doc("cc", 3, 30)) ++
+      Seq(doc("dd", 4, 40))
+    ).toDF("doc_id", "lang", "text")
+    // totals: 82; B = 41; capacities (x3): 6, 30, 90, 120; L=4
+    // i=1 (aa): 6*4 + 0 = 24 <= 41 -> capped
+    // i=2 (bb): 30*3 + 6 = 96 > 41 -> uncapped (and all later)
+    // k=1, cum_k=6; uniform = (41-6) div 3 = 11
+    val got = TokenBudget.unimaxAllocation(docs, budgetNum = 1, budgetDen = 2,
+      epochCap = 3)
+      .select("lang", "n_tokens", "capacity", "alloc_tokens", "is_capped")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("aa", 2L, 6L, 6L, true),    // low-resource: all 3 epochs
+      ("bb", 10L, 30L, 11L, false), // uniform share
+      ("cc", 30L, 90L, 11L, false),
+      ("dd", 40L, 120L, 11L, false)), got.toString)
+    // budget respected: allocated <= B
+    assert(got.toSeq.map(_._4).sum <= 41L)
+    // all-capped degenerate case: budget >= total capacity
+    val all = TokenBudget.unimaxAllocation(docs, budgetNum = 10, budgetDen = 1,
+      epochCap = 3)
+      .select("lang", "is_capped").as[(String, Boolean)].collect()
+    assert(all.forall(_._2), all.mkString(","))
+  }
 }
