@@ -2443,6 +2443,25 @@ object SparkEntry {
     graft.ops.TokenBudget.unimaxAllocation(rdWide(s, dir, "documents"),
       budgetNum = 1, budgetDen = 2, epochCap = 3)
 
+  /** Log-linear quantile sketch audit (DDSketch family, all-integer
+    * log₂-linear buckets): per-source p50/p90/p99 of n_chars read off
+    * a ≤ 64·32-bucket mergeable sketch, next to the exact
+    * lower-quantile under the same integer rank rule, rel_err exposed
+    * (bound 1/32). The bounded-memory twin of q117's exact quantiles;
+    * see [[graft.stats.QuantileSketch]].
+    */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    graft.stats.QuantileSketch.quantileAudit(rd(s, dir, "documents"),
+      "source", "n_chars", Seq(50, 90, 99))
+
+  /** Temperature-based mixture sampling at α = 1/2 (XLM-R/mT5 family),
+    * half-corpus budget: per-source keep rates ∝ √n_s realized by the
+    * md5 rate rule — see [[graft.stats.Stats.temperatureSample]].
+    */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Stats.temperatureSample(rd(s, dir, "documents"), "source", "doc_id",
+      budgetNum = 1, budgetDen = 2)
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2643,6 +2662,8 @@ object SparkEntry {
     "q131_kmv_overlap" -> (qKmvOverlap _),
     "q132_unimax" -> (qUnimax _),
     "q133_intradoc_scrub" -> (qIntradocScrub _),
+    "q134_quantile_sketch" -> (qQuantileSketch _),
+    "q135_temperature_sample" -> (qTemperatureSample _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4026,6 +4047,61 @@ object SparkEntry {
          |    * (CASE WHEN n_merged < 256 THEN n_merged::DOUBLE
          |       ELSE 255.0 * 1152921504606846976.0 / u_k::DOUBLE END), 4) AS est_intersection
          |FROM agg""".stripMargin,
+
+    // log2-linear quantile sketch (32 sub-buckets/octave): bucket and
+    // lower bound in pure integer arithmetic; lower-quantile rank rule
+    // target = ceil(p*n/100) on both the sketch and the exact side
+    "q134_quantile_sketch" ->
+      """WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+        | b AS (SELECT source,
+        |   CASE WHEN v = 0 THEN -1 ELSE (length(bin(v)) - 1) * 32 +
+        |     CASE WHEN length(bin(v)) - 1 >= 5
+        |       THEN (v - (1::BIGINT << (length(bin(v)) - 1))) // (1::BIGINT << (length(bin(v)) - 6))
+        |       ELSE (v - (1::BIGINT << (length(bin(v)) - 1))) * (32 // (1::BIGINT << (length(bin(v)) - 1)))
+        |     END END AS bucket
+        |  FROM v),
+        | sk AS (SELECT source, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+        | cum AS (SELECT source, bucket,
+        |   sum(cnt) OVER (PARTITION BY source ORDER BY bucket ASC)::BIGINT AS c,
+        |   sum(cnt) OVER (PARTITION BY source)::BIGINT AS n FROM sk),
+        | ps AS (SELECT * FROM cum, (VALUES (50), (90), (99)) AS pp(p)),
+        | pick AS (SELECT source, p, min(bucket) AS bkt FROM ps
+        |   WHERE c >= (n * p + 99) // 100 GROUP BY 1, 2),
+        | est AS (SELECT source, p,
+        |   CASE WHEN bkt = -1 THEN 0 ELSE
+        |     (1::BIGINT << (bkt // 32)) +
+        |     CASE WHEN bkt // 32 >= 5 THEN (bkt % 32) * (1::BIGINT << (bkt // 32 - 5))
+        |       ELSE ((bkt % 32) * (1::BIGINT << (bkt // 32))) // 32 END
+        |   END AS est_value FROM pick),
+        | ev AS (SELECT source, v, count(*)::BIGINT AS c0 FROM v GROUP BY 1, 2),
+        | ecum AS (SELECT source, v,
+        |   sum(c0) OVER (PARTITION BY source ORDER BY v ASC)::BIGINT AS c,
+        |   sum(c0) OVER (PARTITION BY source)::BIGINT AS n FROM ev),
+        | eps AS (SELECT * FROM ecum, (VALUES (50), (90), (99)) AS pp(p)),
+        | ex AS (SELECT source, p, min(v) AS exact_value FROM eps
+        |   WHERE c >= (n * p + 99) // 100 GROUP BY 1, 2)
+        |SELECT ex.source, ex.p, exact_value, est_value,
+        |  round((est_value - exact_value) / exact_value::DOUBLE, 6) AS rel_err
+        |FROM ex JOIN est ON ex.source = est.source AND ex.p = est.p""".stripMargin,
+
+    // temperature sampling at alpha=1/2: integer milli-weights
+    // floor(sqrt(n*1e6)) summed order-free, one fixed-association double
+    // rate expression floored to micro-units, md5 rate-rule selection
+    "q135_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_orig FROM documents GROUP BY 1),
+        | w AS (SELECT source, n_orig,
+        |   floor(sqrt(n_orig::DOUBLE * 1000000.0))::BIGINT AS w_milli FROM c),
+        | t AS (SELECT sum(n_orig)::BIGINT AS n_total, sum(w_milli)::BIGINT AS w_total FROM w),
+        | r AS (SELECT source, n_orig,
+        |   least(1000000, floor((1000000.0 * ((n_total * 1) // 2)::DOUBLE * w_milli::DOUBLE)
+        |     / (w_total::DOUBLE * n_orig::DOUBLE))::BIGINT) AS rate_micro
+        |  FROM w, t),
+        | k AS (SELECT d.source, r.n_orig, r.rate_micro
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < r.rate_micro)
+        |SELECT source, max(n_orig) AS n_orig, max(rate_micro) AS rate_micro,
+        |  count(*)::BIGINT AS n_kept
+        |FROM k GROUP BY source""".stripMargin,
 
     // keep-first over non-overlapping 2-token windows; cleaned text
     // reassembled in segment order and verified by 32-bit hash

@@ -173,4 +173,50 @@ object Stats {
       .groupBy(col(strataCol))
       .agg(max(col("n_orig")).as("n_orig"), count(lit(1)).as("n_kept"))
   }
+
+  /** Temperature-based mixture sampling (the multilingual /
+    * multi-source rebalancing rule of XLM-R and mT5: sampling weight ∝
+    * p_s^α, here at α = 1/2 — the member of the family whose weight is
+    * sqrt, an IEEE correctly-rounded op both engines compute
+    * identically, where p^0.3 would be a transcendental the q101
+    * lesson forbids in a decision). Each stratum's per-row keep rate
+    * realizes expected counts ∝ √n_s under a total budget of
+    * ⌊N·budgetNum/budgetDen⌋ rows, capped at rate 1 (a stratum is
+    * never up-sampled — same cap UniMax applies via epochs).
+    *
+    * Engine-stability: weights quantize to integer milli-units
+    * (⌊√(n_s·10⁶)⌋) BEFORE the cross-stratum sum, so Σw is an
+    * order-free integer aggregate; the rate is one double expression
+    * over those integers with a fixed association, floored to integer
+    * micro-units; selection is the RNG-free md5 rate rule of
+    * [[balancedSample]]. Scan-only plan: counts broadcast back, no
+    * per-stratum window, corpus never key-shuffled.
+    * Emits (stratum, n_orig, rate_micro, n_kept).
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        budgetNum: Long = 1, budgetDen: Long = 2): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0,
+      s"need a positive budget fraction, got $budgetNum/$budgetDen")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_orig"))
+      .withColumn("w_milli",
+        floor(sqrt(col("n_orig").cast("double") * 1000000.0)).cast("long"))
+    val tot = counts.agg(sum(col("n_orig")).as("n_total"),
+      sum(col("w_milli")).as("w_total"))
+    val rates = counts.crossJoin(tot)
+      .withColumn("budget", expr(s"(n_total * $budgetNum) div $budgetDen"))
+      .withColumn("rate_micro",
+        least(lit(1000000L),
+          floor(lit(1000000.0) * col("budget").cast("double") *
+              col("w_milli").cast("double") /
+              (col("w_total").cast("double") * col("n_orig").cast("double")))
+            .cast("long")))
+      .select(col(strataCol), col("n_orig"), col("rate_micro"))
+    df.join(broadcast(rates), strataCol)
+      .filter(graft.functions.HashFunctions.md5Int32(col(keyCol).cast("string"))
+        % 1000000 < col("rate_micro"))
+      .groupBy(col(strataCol))
+      .agg(max(col("n_orig")).as("n_orig"),
+        max(col("rate_micro")).as("rate_micro"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -165,4 +165,33 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == got)
   }
+
+  test("temperatureSample flattens toward sqrt weights under the budget cap") {
+    // strata 900 / 100: sqrt weights 30 / 10 -> of budget 500, expected
+    // 375 / 125; rates 375/900=0.4166, 125/100 capped at 1.0
+    val rows = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+    val got = Stats.temperatureSample(rows.toDF("doc_id", "source"),
+      "source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    val (_, bOrig, bRate, bKept) = got("big")
+    val (_, sOrig, sRate, sKept) = got("small")
+    assert(bOrig == 900L && sOrig == 100L)
+    // small stratum: uncapped rate would be 1.25 -> capped at exactly 1e6,
+    // so every row survives
+    assert(sRate == 1000000L && sKept == 100L)
+    // big stratum: rate ~ 416666 micro; the md5 rule keeps ~41.7%
+    assert(bRate > 400000L && bRate < 430000L, s"rate $bRate")
+    assert(bKept > 300L && bKept < 500L, s"kept $bKept")
+    // deterministic
+    val again = Stats.temperatureSample(rows.toDF("doc_id", "source"),
+      "source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    assert(again == got)
+    // no corpus shuffle: the join side is broadcast
+    val plan = Stats.temperatureSample(rows.toDF("doc_id", "source"),
+      "source", "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
