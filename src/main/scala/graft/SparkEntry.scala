@@ -4133,16 +4133,16 @@ object SparkEntry {
         |   coalesce(sum(n_tokens * 3) OVER (ORDER BY n_tokens * 3 ASC, lang ASC
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before,
         |   count(*) OVER ()::BIGINT AS L,
-        |   (sum(n_tokens) OVER () * 1) // 2 AS B
+        |   ((sum(n_tokens) OVER () * 1) // 2)::BIGINT AS B
         |  FROM c),
         | f AS (SELECT r.*, capacity * (L - i + 1) + cum_before <= B AS capped FROM r),
         | k AS (SELECT max(CASE WHEN capped THEN i ELSE 0 END)::BIGINT AS k,
         |   max(CASE WHEN capped THEN cum_before + capacity ELSE 0 END)::BIGINT AS cum_k
         |  FROM f)
         |SELECT lang, n_tokens, capacity,
-        | CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END AS alloc_tokens,
+        | (CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END)::BIGINT AS alloc_tokens,
         | i <= k AS is_capped,
-        | (CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END * 1000000) // n_tokens AS micro_epochs
+        | ((CASE WHEN i <= k THEN capacity ELSE (B - cum_k) // (L - k) END * 1000000) // n_tokens)::BIGINT AS micro_epochs
         |FROM f, k""".stripMargin,
 
     // adjacent char pairs within case-folded whitespace words, ranked by
