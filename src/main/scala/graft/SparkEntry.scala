@@ -1700,16 +1700,20 @@ object SparkEntry {
     * needs before swapping an approximate scan in for the exact one:
     * recall@10 of the binary-Hamming ranking and the matryoshka
     * prefix-16→rerank pipeline against the exact cosine top-10, averaged
-    * over a query panel (every 100th vector). One query×corpus pair pass
-    * computes all three metrics; three rank windows + set intersection
-    * do the rest. Scores round to 6dp BEFORE ranking (id tie-break) so
-    * ranks replay exactly cross-engine. At 100 TB the pair pass is the
-    * same sampled evaluation job — the panel is fixed-size, so cost is
+    * over a query panel (every 100th vector, capped at vec_id < 3200 ⇒
+    * ≤ 32 queries). One query×corpus pair pass computes all three
+    * metrics; three rank windows + set intersection do the rest. Scores
+    * round to 6dp BEFORE ranking (id tie-break) so ranks replay exactly
+    * cross-engine. The cap is what keeps the evaluation linear: an
+    * uncapped every-100th panel grows with the corpus and turns the
+    * pair pass quadratic (measured 26 s at the 10× bench replica before
+    * the cap — 100× the pair count). A real acceptance gate uses a
+    * fixed query panel regardless of corpus size, so cost is
     * panel × corpus, one scan.
     */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = rd(s, dir, "embeddings")
-    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 3200)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val e = col("embedding"); val q = col("qv")
     val base = emb.crossJoin(broadcast(qs))
@@ -4338,7 +4342,7 @@ object SparkEntry {
     // matryoshka = prefix-16 top-50 then exact rerank
     "q105_ann_recall" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         | qs AS (SELECT vec_id AS qid, e AS q FROM base WHERE vec_id % 100 = 0),
+         | qs AS (SELECT vec_id AS qid, e AS q FROM base WHERE vec_id % 100 = 0 AND vec_id < 3200),
          | m AS (SELECT qid, vec_id,
          |   round(${cosSqlAB("e", "q")}, 6) AS score,
          |   len(list_filter(range(1, len(e) + 1), i -> (e[i] > 0) <> (q[i] > 0)))::BIGINT AS h,
