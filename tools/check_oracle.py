@@ -41,7 +41,17 @@ def main(sf_dir, out_dir):
         elif len(a) != len(b):
             status = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
         else:
-            for c in a.columns:
+            # dtype-KIND gate first: the driver hashes serialized values, so an
+            # int-vs-object (DuckDB HUGEINT) or int-vs-float column can
+            # hash-mismatch driver-side even when astype-coerced values agree
+            # (exactly how q132/r9 passed locally but failed the gate).
+            # int32-vs-int64 is proven-safe (rank columns, green for 9 rounds),
+            # so compare pandas dtype kind, not exact width.
+            dt_bad = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+                      if a[c].dtype.kind != b[c].dtype.kind]
+            if dt_bad:
+                status = f"DTYPE MISMATCH {dt_bad}"
+            for c in (a.columns if not dt_bad else []):
                 av, bv = a[c], b[c]
                 try:
                     if not av.equals(bv.astype(av.dtype)):
