@@ -2290,7 +2290,8 @@ object SparkEntry {
     * did (PERF.md round-8 battery).
     */
   private def qHubness(s: SparkSession, dir: String): DataFrame =
-    Ann.hubnessAuto(rd(s, dir, "embeddings"), k = 3, targetOccupancy = 2.0)
+    Ann.hubnessCloneCollapsed(rd(s, dir, "embeddings"), k = 3,
+      targetOccupancy = 2.0)
 
   /** Dedup threshold-sensitivity curve: pair/doc counts per candidate
     * Jaccard threshold from ONE LSH pass; integer cross-multiplied
@@ -2465,6 +2466,35 @@ object SparkEntry {
   private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
     Stats.temperatureSample(rd(s, dir, "documents"), "source", "doc_id",
       budgetNum = 1, budgetDen = 2)
+
+  /** DoReMi-lite domain-mixture weights (Xie et al. 2023's
+    * multiplicative-weights control law over a static integer difficulty
+    * proxy — mean clipped inverse token frequency). All-integer; see
+    * [[graft.ops.Mixture.doremiWeights]].
+    */
+  private def qDoremiMixture(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.doremiWeights(rdWide(s, dir, "documents"))
+
+  /** Hashed-bigram linear quality classifier (fastText-architecture
+    * inference, deterministic stand-in weights): zero-shuffle scoring
+    * inside one projection; see [[graft.text.CorpusOps.hashedBigramQuality]].
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"))
+
+  /** Media near-duplicates via byte-histogram perceptual signatures and a
+    * banded Hamming join between SIGNATURE GROUPS (pigeonhole-exact recall
+    * at Hamming ≤ 3); see [[graft.multimodal.Multimodal.mediaNearDupGroups]].
+    */
+  private def qMediaNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mediaNearDupGroups(mediaOf(s, dir))
+
+  /** Bigram-vocabulary coverage / OOV-mass audit per source against the
+    * corpus top-256 bigram vocabulary; see
+    * [[graft.text.CorpusOps.bigramVocabCoverage]].
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.bigramVocabCoverage(rdWide(s, dir, "documents"))
 
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
@@ -2668,6 +2698,10 @@ object SparkEntry {
     "q133_intradoc_scrub" -> (qIntradocScrub _),
     "q134_quantile_sketch" -> (qQuantileSketch _),
     "q135_temperature_sample" -> (qTemperatureSample _),
+    "q136_doremi_mixture" -> (qDoremiMixture _),
+    "q137_quality_classifier" -> (qQualityClassifier _),
+    "q138_media_neardup" -> (qMediaNearDup _),
+    "q139_vocab_coverage" -> (qVocabCoverage _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -2691,6 +2725,18 @@ object SparkEntry {
 
   /** DuckDB fragment: 32-bit md5-prefix hash (HashFunctions.md5Int32). */
   private def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** One DoReMi multiplicative-weights iteration as a DuckDB CTE: reads
+    * `prev`(source, n_tokens, loss, w), emits `cur` with the updated w.
+    * Mirrors [[graft.ops.Mixture.doremiWeights]]'s integer step exactly —
+    * the CASE split keeps every division non-negative.
+    */
+  private def doremiIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT source, n_tokens, loss, greatest(w * least(greatest(
+       |     CASE WHEN loss >= avg THEN 1000000 + ((loss - avg) * 250000) // greatest(avg, 1)
+       |          ELSE 1000000 - ((avg - loss) * 250000) // greatest(avg, 1) END,
+       |     250000), 4000000) // 1000000, 1)::BIGINT AS w
+       |   FROM (SELECT *, ((sum(w * loss) OVER ())::BIGINT // (sum(w) OVER ())::BIGINT) AS avg FROM $prev))""".stripMargin
 
   /** DuckDB fragment: 60-bit md5-prefix hash (HashFunctions.md5Int60). */
   private def h60Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -4091,6 +4137,84 @@ object SparkEntry {
     // temperature sampling at alpha=1/2: integer milli-weights
     // floor(sqrt(n*1e6)) summed order-free, one fixed-association double
     // rate expression floored to micro-units, md5 rate-rule selection
+    // DoReMi-lite: 4 unrolled multiplicative-weights iterations over the
+    // per-source integer difficulty (mean clipped inverse token frequency,
+    // milli-units); CASE keeps every // non-negative (Spark div truncates,
+    // DuckDB // floors — equal only there)
+    "q136_doremi_mixture" ->
+      s"""WITH toks AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok FROM documents),
+         | stc AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+         | tokc AS (SELECT tok, sum(cnt)::BIGINT AS c FROM stc GROUP BY tok),
+         | tot AS (SELECT sum(c)::BIGINT AS t FROM tokc),
+         | sr AS (SELECT s.source, sum(s.cnt)::BIGINT AS n_tokens,
+         |   sum(s.cnt * least((tot.t * 1000) // tk.c, 1000000000))::BIGINT AS sum_rarity
+         |  FROM stc s JOIN tokc tk USING (tok), tot GROUP BY s.source),
+         | w0 AS (SELECT source, n_tokens, (sum_rarity // n_tokens)::BIGINT AS loss,
+         |   1000000::BIGINT AS w FROM sr),
+         | ${doremiIterSql("w0", "w1")},
+         | ${doremiIterSql("w1", "w2")},
+         | ${doremiIterSql("w2", "w3")},
+         | ${doremiIterSql("w3", "w4")}
+         |SELECT source, n_tokens, loss, (n_tokens * 1000000 // tot.t)::BIGINT AS base_ppm,
+         | (w * 1000000 // (sum(w) OVER ())::BIGINT)::BIGINT AS weight_ppm
+         |FROM w4, tot""".stripMargin,
+
+    // fastText-shape inference: bigram -> bucket = md5_32 % 4096 ->
+    // weight = md5_32('w'+bucket) % 2001, mean-pooled then centered
+    "q137_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w FROM documents),
+        | grams AS (SELECT doc_id, source, CASE WHEN len(w) >= 2
+        |   THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)] ELSE [] END AS g FROM toks),
+        | scored AS (SELECT doc_id, source, len(g)::BIGINT AS n_bigrams,
+        |   list_sum([('0x' || substr(md5('w' || ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)::VARCHAR)), 1, 8))::BIGINT % 2001
+        |     for x in g])::BIGINT AS wsum
+        |  FROM grams)
+        |SELECT doc_id, source, n_bigrams, (wsum // n_bigrams - 1000)::BIGINT AS score_milli,
+        | (wsum // n_bigrams - 1000) >= 0 AS keep
+        |FROM scored WHERE n_bigrams > 0
+        |ORDER BY score_milli DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // byte-histogram sign signature (32 buckets, bit i iff 32*hist[i] > n),
+    // exact copies collapse by signature, 4x8-bit band join between
+    // signature groups, Hamming <= 3 (pigeonhole-exact recall)
+    "q138_media_neardup" ->
+      """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+        |   hex(encode(text)) AS hx FROM documents),
+        | bl AS (SELECT media_id, n,
+        |   [('0x' || substr(hx, 2*i+1, 2))::BIGINT % 32 for i in range(0, n)] AS bs FROM b),
+        | emb AS (SELECT media_id, n,
+        |   [len(list_filter(bs, x -> x = bkt))::BIGINT for bkt in range(0, 32)] AS e FROM bl),
+        | sg AS (SELECT media_id, list_sum([CASE WHEN 32 * e[i+1] > n
+        |   THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0, 32)])::BIGINT AS sig FROM emb),
+        | grp AS (SELECT sig, min(media_id)::BIGINT AS rep, count(*)::BIGINT AS n_media
+        |  FROM sg GROUP BY sig),
+        | bands AS (SELECT sig, rep, n_media,
+        |   unnest([{'b': b, 'v': (sig >> (8*b)) & 255} for b in range(0, 4)]) AS bv FROM grp),
+        | cand AS (SELECT DISTINCT x.sig AS sig_a, x.rep AS rep_a, x.n_media AS n_a,
+        |   y.sig AS sig_b, y.rep AS rep_b, y.n_media AS n_b
+        |  FROM bands x JOIN bands y
+        |  ON x.bv.b = y.bv.b AND x.bv.v = y.bv.v AND x.sig < y.sig)
+        |SELECT rep_a, rep_b, n_a, n_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+
+    // top-256 corpus bigram vocab (count desc, bigram asc), per-source
+    // OOV occurrence mass in ppm
+    "q139_vocab_coverage" ->
+      """WITH toks AS (SELECT source,
+        |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w FROM documents),
+        | grams AS (SELECT source, unnest(CASE WHEN len(w) >= 2
+        |   THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)] ELSE [] END) AS g FROM toks),
+        | stc AS (SELECT source, g, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2),
+        | vocab AS (SELECT g FROM (SELECT g, sum(cnt)::BIGINT AS c FROM stc GROUP BY g
+        |   ORDER BY c DESC, g ASC LIMIT 256)),
+        | tot AS (SELECT source, sum(cnt)::BIGINT AS n_grams FROM stc GROUP BY source),
+        | oov AS (SELECT s.source, sum(s.cnt)::BIGINT AS n_oov FROM stc s
+        |  LEFT JOIN vocab v ON s.g = v.g WHERE v.g IS NULL GROUP BY s.source)
+        |SELECT t.source, t.n_grams, coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+        | (coalesce(o.n_oov, 0) * 1000000 // t.n_grams)::BIGINT AS oov_ppm
+        |FROM tot t LEFT JOIN oov o USING (source)""".stripMargin,
+
     "q135_temperature_sample" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS n_orig FROM documents GROUP BY 1),
         | w AS (SELECT source, n_orig,

@@ -362,6 +362,87 @@ object Ann {
     hubness(corpus, k, occupancyBits(corpus.count(), targetOccupancy),
       idCol, vecCol, maxBucketSize)
 
+  /** Clone-collapsed hubness: identical output to [[hubness]] (same k,
+    * same occupancy-derived bits over the DISTINCT vector set) but with
+    * the pair expansion run between DISTINCT vectors only, and each
+    * point's k-occurrence reconstructed exactly from clone multiplicities
+    * in closed form. This closes the clone hole in [[hubnessAuto]]: no
+    * bit-width separates EXACT duplicate vectors (they share every LSH
+    * bucket by construction), so on clone-heavy corpora — the realistic
+    * web shape, and the 100× stress replica, where fixed-content
+    * replication put every bucket at clone-multiplicity occupancy —
+    * within-bucket pair work grows quadratically in multiplicity
+    * (measured 179 s at 100×, a 381× blow-up; PERF.md round-10). Here the
+    * quadratic step touches each distinct vector once, exactly the q97
+    * clone-guard discipline.
+    *
+    * Exactness argument (spec-asserted against [[hubness]] on planted
+    * clone corpora): a clone group of size m ties at cos 1.0, the maximal
+    * similarity, so each member's neighbor list starts with its
+    * c = min(k, m−1) lowest-id co-clones; by rank arithmetic the member
+    * with the j-th smallest id receives m−1 internal occurrences when
+    * j ≤ c, c when j = c+1, else 0. The remaining r = k−(m−1) slots (only
+    * when m ≤ k) are filled by OTHER groups in (cos desc, rep asc) order,
+    * each group w contributing min(max(r − Σ m_before, 0), m_w) of its
+    * lowest-id members — so external occurrences land on member ranks
+    * 1..take, m_u-fold per choosing group. The only approximation is the
+    * tie-break among DISTINCT vectors at exactly equal cos (measure-zero
+    * in float space): plain hubness interleaves by raw id, this orders by
+    * group rep.
+    *
+    * Scale posture: the bucket pair join and its per-u window run over
+    * distinct vectors at constant occupancy; the member expansion
+    * (explode over multiplicities) is one linear pass; everything else is
+    * hash aggregation. No step is quadratic in corpus size OR clone
+    * multiplicity.
+    */
+  def hubnessCloneCollapsed(corpus: DataFrame, k: Int = 3,
+                            targetOccupancy: Double = 2.0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val distinct = corpus.groupBy(col(vecCol).as("__v"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint() // consumed by count(), both join sides, expansion
+    val bits = occupancyBits(distinct.count(), targetOccupancy)
+    val d = distinct.withColumn("bucket",
+      graft.functions.SignBucket(col("__v"), bits))
+    // u side: only groups with external slots (m <= k) probe for
+    // neighbors; every group serves as a w-side candidate regardless
+    val x = d.filter(col("m") <= k)
+      .select(col("bucket"), col("rep").as("rep_u"),
+        col("__v").as("__vu"), col("m").as("m_u"))
+    val y = d.select(col("bucket"), col("rep").as("rep_w"),
+      col("__v").as("__vw"), col("m").as("m_w"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_u")).orderBy(col("__cos").desc, col("rep_w").asc)
+    val edges = x.join(y, Seq("bucket"))
+      .filter(col("rep_u") =!= col("rep_w"))
+      .withColumn("__cos", CosineSimilarity(
+        col("__vu").cast("array<double>"), col("__vw").cast("array<double>")))
+      .withColumn("__cum_before", coalesce(sum(col("m_w")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("take", least(
+        greatest(lit(k.toLong) - (col("m_u") - 1) - col("__cum_before"), lit(0L)),
+        col("m_w")))
+      .filter(col("take") > 0)
+      .select(col("rep_w").as("erep"), col("take"), col("m_u"))
+    val points = d
+      .select(col("rep"), col("m"), explode(sequence(lit(1L), col("m"))).as("j"))
+      .withColumn("__c", least(lit(k.toLong), col("m") - 1))
+      .withColumn("occ0",
+        when(col("j") <= col("__c"), col("m") - 1)
+          .when(col("j") === col("__c") + 1, col("__c"))
+          .otherwise(lit(0L)))
+    points
+      .join(edges, col("rep") === col("erep") && col("j") <= col("take"), "left")
+      .groupBy(col("rep"), col("j"))
+      .agg(first(col("occ0")).as("occ0"), sum(col("m_u")).as("__ext"))
+      .withColumn("k_occurrence", col("occ0") + coalesce(col("__ext"), lit(0L)))
+      .groupBy(col("k_occurrence")).agg(count(lit(1)).as("n_points"))
+  }
+
   def hubness(corpus: DataFrame, k: Int = 3, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucketSize: Int = Int.MaxValue): DataFrame = {

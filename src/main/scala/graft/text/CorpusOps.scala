@@ -238,6 +238,78 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** fastText-style linear quality classifier INFERENCE over hashed bigram
+    * features (Joulin et al. 2016's bag-of-ngrams architecture; CCNet and
+    * the GPT-3/LLaMA quality filters run exactly this shape at corpus
+    * scale). The model here is a deterministic stand-in — weight(bucket) =
+    * md5("w"+bucket) % 2001, centered to [-1000, 1000] milli-units — with
+    * the real serving plan: feature hashing to `buckets` dims, weight
+    * lookup, mean-pool, threshold. Swapping in trained weights changes a
+    * lambda, not the plan.
+    *
+    * Scale posture: ZERO-shuffle scoring — the bigram expansion, hashing,
+    * and weight sum all happen inside one codegen'd projection via
+    * `transform`/`aggregate` (no explode, no per-doc hash agg), so scoring
+    * 100 TB is a map-only pass; the only exchange is the final
+    * TakeOrderedAndProject(topK). Integer arithmetic end-to-end: raw
+    * weights stay in [0, 2000] so the mean divides non-negatives (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — they agree only on
+    * non-negative operands), centering happens after the division.
+    */
+  def hashedBigramQuality(docs: DataFrame, buckets: Int = 4096,
+                          topK: Int = 20): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val weightOf: Column => Column = g =>
+      graft.functions.HashFunctions.md5Int32(
+        concat(lit("w"),
+          (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("string"))
+      ) % 2001
+    docs.select(col("doc_id"), col("source"),
+        tokenNgrams(col("text"), 2).as("g"))
+      .withColumn("n_bigrams", size(col("g")).cast("long"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("__wsum",
+        aggregate(transform(col("g"), weightOf), lit(0L), (acc, x) => acc + x))
+      .withColumn("score_milli", expr("__wsum div n_bigrams - 1000"))
+      .withColumn("keep", col("score_milli") >= 0)
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "source", "n_bigrams", "score_milli", "keep")
+  }
+
+  /** Vocabulary coverage / OOV audit: induce the top-`vocabSize` token
+    * bigrams by corpus frequency (count desc, bigram asc — the same rank
+    * rule as [[bpeMergeCandidates]], one level up), then measure each
+    * source's out-of-vocabulary mass in ppm. This is the coverage check a
+    * tokenizer/vocab choice gets before training: a source with high OOV
+    * under the candidate vocabulary will fragment into long byte-fallback
+    * sequences (the fertility blow-up q120 measures after the fact).
+    *
+    * Plan: one hash agg on (source, bigram) — localCheckpointed because
+    * the vocabulary cut AND the per-source rollups both consume it — then
+    * a vocabulary re-agg with a rank cut, and a BROADCAST anti-join of the
+    * (source, bigram) counts against the ≤ vocabSize vocab rows. The
+    * corpus token stream is aggregated exactly once; nothing re-shuffles
+    * on a text key.
+    */
+  def bigramVocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val stc = docs
+      .select(col("source"), explode(tokenNgrams(col("text"), 2)).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = stc.groupBy("g").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(vocabSize)
+    val tot = stc.groupBy("source").agg(sum("cnt").as("n_grams"))
+    val oov = stc.join(broadcast(vocab.select("g")), Seq("g"), "left_anti")
+      .groupBy("source").agg(sum("cnt").as("n_oov"))
+    tot.join(oov, Seq("source"), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_grams"))
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

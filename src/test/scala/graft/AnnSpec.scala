@@ -418,6 +418,43 @@ class AnnSpec extends SparkSpec {
     assert(got == Map(0L -> 5L), got.toString)
   }
 
+  test("hubnessCloneCollapsed == hubness on an all-distinct corpus") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val bits = Ann.occupancyBits(40L, 2.0)
+    val plain = Ann.hubness(df, k = 3, bits = bits)
+      .as[(Long, Long)].collect().toMap
+    val collapsed = Ann.hubnessCloneCollapsed(df, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(collapsed == plain, s"got $collapsed want $plain")
+    assert(collapsed.values.sum == 40L)
+  }
+
+  test("hubnessCloneCollapsed == hubness on a clone-heavy corpus") {
+    // multiplicities straddle every closed-form regime: m=1 (pure
+    // external), m=k (clones + 1 external slot), m=k+1 (exactly filled),
+    // m>k+1 (internal-only with a zero-occurrence tail); ids interleave
+    // across groups so member rank != insertion order
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 10).map(_ => Seq.fill(6)(rnd.nextGaussian().toFloat))
+    val mult = Seq(1, 2, 3, 4, 7, 1, 3, 5, 2, 6)
+    val rows = for {
+      (v, g) <- base.zipWithIndex
+      c <- 0 until mult(g)
+    } yield (c * 100L + g, v) // interleaved ids: clones never contiguous
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 3
+    val bits = Ann.occupancyBits(base.size.toLong, 2.0)
+    val plain = Ann.hubness(df, k = k, bits = bits)
+      .as[(Long, Long)].collect().toMap
+    val collapsed = Ann.hubnessCloneCollapsed(df, k = k)
+      .as[(Long, Long)].collect().toMap
+    assert(collapsed == plain, s"got $collapsed want $plain")
+    assert(collapsed.values.sum == rows.size.toLong)
+  }
+
   test("marginMine finds the planted translation pair, candidates stay in-bucket") {
     // bucket = signs of first 2 dims (bits=2). s1,t1,t2 share bucket 3;
     // s2 sits alone in bucket 0 -> no candidates -> no emission.

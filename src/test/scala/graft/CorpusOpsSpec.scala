@@ -122,4 +122,42 @@ class CorpusOpsSpec extends SparkSpec {
       .filter($"doc_id" === 9).select("cleaned_hash").as[Long].head()
     assert(h1 == h9)
   }
+
+  /** JVM replica of the operator's md5-prefix hash (HashFunctions.md5Int32). */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("hashedBigramQuality scores match a JVM replica; short docs drop") {
+    val d = docs(
+      (1L, "alpha beta gamma", "s"), // 2 bigrams
+      (2L, "single", "s"),           // 0 bigrams -> excluded
+      (3L, "alpha beta", "t"))       // 1 bigram
+    val got = CorpusOps.hashedBigramQuality(d, buckets = 4096, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    def weight(g: String): Long = h32("w" + (h32(g) % 4096).toString) % 2001
+    def score(grams: Seq[String]): Long =
+      grams.map(weight).sum / grams.size - 1000
+    val s1 = score(Seq("alpha beta", "beta gamma"))
+    val s3 = score(Seq("alpha beta"))
+    val want = Seq((1L, "s", 2L, s1, s1 >= 0), (3L, "t", 1L, s3, s3 >= 0))
+      .sortBy(t => (-t._4, t._1))
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  test("bigramVocabCoverage: rank-cut vocab, per-source OOV ppm") {
+    // corpus bigram counts: "a b" 2, "b a" 1, "c d" 1; vocabSize=2 keeps
+    // "a b" then the count-1 tie broken lexically -> "b a"; so source t's
+    // single bigram "c d" is 100% OOV
+    val d = docs((1L, "a b a b", "s"), (2L, "c d", "t"), (3L, "e", "t"))
+    val got = CorpusOps.bigramVocabCoverage(d, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("s") == ((3L, 0L, 0L)), got.toString)
+    assert(got("t") == ((1L, 1L, 1000000L)), got.toString)
+  }
 }

@@ -107,4 +107,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.byteBucketEmbedding(mediaDf(Seq.empty), buckets = 0))
   }
+
+  test("byteSignHash: bit i set iff bucket i exceeds its equal share") {
+    val rows = Seq(
+      (1L, Array[Byte](0, 0, 0), "image", 1, 1),      // all bucket 0 -> sig 1
+      (2L, Array.emptyByteArray, "image", 1, 1),      // empty -> sig 0
+      (3L, (0 until 32).map(_.toByte).toArray, "image", 1, 1), // uniform -> 0
+      (4L, Array[Byte](0, 0, 1), "image", 1, 1))      // buckets 0,1 -> sig 3
+    val got = Multimodal.byteSignHash(mediaDf(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 3L), got.toString)
+  }
+
+  test("mediaNearDupGroups: clones collapse, banded Hamming pairs found") {
+    // group A (ids 1,2,3): bytes [0,0,1] -> sig 3 (bits 0,1)
+    // group B (id 10):     bytes [0,0,2] -> sig 5 (bits 0,2), xor ham 2
+    // group C (id 20):     bytes [10,10,11] -> bits 10,11, ham 4 from both
+    val rows = Seq(
+      (1L, Array[Byte](0, 0, 1), "image", 1, 1),
+      (2L, Array[Byte](0, 0, 1), "image", 1, 1),
+      (3L, Array[Byte](0, 0, 1), "image", 1, 1),
+      (10L, Array[Byte](0, 0, 2), "image", 1, 1),
+      (20L, Array[Byte](10, 10, 11), "image", 1, 1))
+    val got = Multimodal.mediaNearDupGroups(mediaDf(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 10L, 3L, 1L, 2L)), got.toSeq.toString)
+    intercept[IllegalArgumentException](
+      Multimodal.mediaNearDupGroups(mediaDf(rows), maxHamming = 4, bands = 4))
+  }
 }
