@@ -363,9 +363,14 @@ object Multimodal {
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
     val width = buckets / bands
     val mask = (1L << width) - 1
+    // localCheckpoint: both sides of the band self-join consume this
+    // (signature-group) table — without the cut the whole payload scan +
+    // signature pass runs twice (the q112 double-compute lesson); the
+    // table itself is distinct-signature-sized, tiny next to the corpus
     val grp = byteSignHash(media, buckets)
       .groupBy(col("sig"))
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n_media"))
+      .localCheckpoint()
     val banded = grp.select(col("sig"), col("rep"), col("n_media"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*))

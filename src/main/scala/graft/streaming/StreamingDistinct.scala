@@ -72,36 +72,6 @@ object StreamingDistinct {
     * partials are only removed after the rewrite row count checks out.
     * Returns (registerRows, batchDirsBefore).
     */
-  def compactStore(spark: SparkSession, storeDir: String): (Long, Long) = {
-    import java.nio.file.{Files, Paths, Path}
-    val root = Paths.get(storeDir)
-    require(Files.exists(root), s"nothing to compact at $storeDir")
-    def batchDirs(): Seq[Path] = {
-      val s = Files.list(root)
-      try {
-        val b = Seq.newBuilder[Path]
-        s.forEach(p =>
-          if (Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_id="))
-            b += p)
-        b.result()
-      } finally s.close()
-    }
-    val before = batchDirs()
-    val merged = registersFromStore(spark, storeDir)
-    val n = merged.count()
-    val tmp = Paths.get(storeDir + ".compact-tmp")
-    merged.coalesce(1) // ≤ |sources|·64 rows — one file is the point
-      .write.mode("overwrite").parquet(tmp.toString)
-    val m = spark.read.parquet(tmp.toString).count()
-    require(m == n, s"register compaction row mismatch: $n vs $m — aborting swap")
-    before.foreach { d =>
-      val w = Files.walk(d)
-      try {
-        val all = { val b = Seq.newBuilder[Path]; w.forEach(b += _); b.result() }
-        all.reverse.foreach(Files.deleteIfExists)
-      } finally w.close()
-    }
-    Files.move(tmp, root.resolve("batch_id=-1"))
-    (n, before.length.toLong)
-  }
+  def compactStore(spark: SparkSession, storeDir: String): (Long, Long) =
+    PartialStore.compact(spark, storeDir, registersFromStore(spark, storeDir))
 }

@@ -259,11 +259,20 @@ object CorpusOps {
   def hashedBigramQuality(docs: DataFrame, buckets: Int = 4096,
                           topK: Int = 20): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // The weight table is the MODEL — `buckets` longs, materialized once
+    // on the driver and shipped as a plan literal (the broadcast-the-model
+    // serving discipline; with trained weights this line is the only
+    // change). JVM md5 is bit-identical to the engines' md5, so the
+    // precomputation is oracle-exact while halving per-occurrence hashing.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weights = (0 until buckets).map { b =>
+      md.reset()
+      val d = md.digest(("w" + b).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
+    }
     val weightOf: Column => Column = g =>
-      graft.functions.HashFunctions.md5Int32(
-        concat(lit("w"),
-          (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("string"))
-      ) % 2001
+      element_at(typedLit(weights),
+        (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int") + 1)
     docs.select(col("doc_id"), col("source"),
         tokenNgrams(col("text"), 2).as("g"))
       .withColumn("n_bigrams", size(col("g")).cast("long"))

@@ -392,6 +392,50 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long, Int)].collect().toSet)
   }
 
+  test("streaming quantile sketch: sum-merged partials == batch sketch; compaction invariant") {
+    import graft.streaming.StreamingQuantile
+    import graft.stats.QuantileSketch
+    val base = Files.createTempDirectory("graft_qsk").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq((1L, "t", "en", "web", 120L), (2L, "t", "en", "web", 4000L),
+      (3L, "t", "en", "wiki", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((4L, "t", "en", "web", 121L), (5L, "t", "en", "wiki", 950L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+
+    val all = b1.union(b2)
+    // bucket-for-bucket: sum-merged partials == one-shot build
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet ==
+      QuantileSketch.sketch(all, "source", "n_chars")
+        .as[(String, Long, Long)].collect().toSet)
+    // and the quantile read-off agrees exactly with the batch path
+    val want = QuantileSketch.quantilesFromSketch(
+        QuantileSketch.sketch(all, "source", "n_chars"), "source", Seq(50, 90, 99))
+      .as[(String, Int, Long)].collect().toSet
+    assert(StreamingQuantile.quantilesFromStore(spark, store)
+      .as[(String, Int, Long)].collect().toSet == want)
+
+    // compaction: partials collapse to batch_id=-1; sketch and read-off
+    // unchanged, and a further stream run appends cleanly on top
+    val (nRows, dirsBefore) = StreamingQuantile.compactStore(spark, store)
+    assert(dirsBefore == 2L && nRows > 0L)
+    assert(StreamingQuantile.quantilesFromStore(spark, store)
+      .as[(String, Int, Long)].collect().toSet == want)
+    val b3 = Seq((6L, "t", "en", "web", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b3.write.mode("append").parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet ==
+      QuantileSketch.sketch(all.union(b3), "source", "n_chars")
+        .as[(String, Long, Long)].collect().toSet)
+  }
+
   test("interval join pairs clicks with in-window preceding views only (batch)") {
     val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
       .toDF("user_id", "click_id", "click_ts")
