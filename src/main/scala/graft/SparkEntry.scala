@@ -2496,6 +2496,50 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.bigramVocabCoverage(rdWide(s, dir, "documents"))
 
+  /** Sketch-guided EXACT heavy hitters: count-min model collected once
+    * (≤ 256 longs) and applied as a map-side occurrence filter, so the
+    * vocabulary long tail never reaches the exchange; exact counts +
+    * threshold over the surviving candidates. See
+    * [[graft.stats.CountMin.heavyHittersExact]].
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.stats.CountMin.heavyHittersExact(
+      rdWide(s, dir, "documents").select(
+        explode(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
+          .as("token")),
+      "token", thresholdPpm = 20000)
+
+  /** Rank-normalized quality ensemble: three integer signals (length,
+    * BPE-ish token count, stopword milli-ratio) rank-normalized to ppm
+    * percentiles via value histograms ([[graft.stats.Stats.rankPercentilePpm]]
+    * — never a corpus-wide sort), averaged, top-20. The multi-classifier
+    * blend production quality filters ship (percentiles make signals
+    * with different scales commensurable without floats).
+    */
+  private def qQualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val base = rdWide(s, dir, "documents")
+      .withColumn("__w", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("__words",
+        size(filter(col("__w"), t => t =!= "")).cast("long"))
+      .withColumn("__stop", TextAnalysis.stopwordHitsIn(col("__w"),
+        TextAnalysis.StopwordLists.toMap.apply("en")).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("n_tok"),
+        expr("(__stop * 1000) div greatest(__words, 1)").as("stop_milli"))
+    def pct(c: String) = broadcast(
+      Stats.rankPercentilePpm(base.select(col(c)), c)
+        .withColumnRenamed("pct_ppm", s"__p_$c"))
+    base
+      .join(pct("n_chars"), Seq("n_chars"))
+      .join(pct("n_tok"), Seq("n_tok"))
+      .join(pct("stop_milli"), Seq("stop_milli"))
+      .withColumn("ensemble_ppm",
+        expr("(__p_n_chars + __p_n_tok + __p_stop_milli) div 3"))
+      .orderBy(col("ensemble_ppm").desc, col("doc_id").asc)
+      .limit(20)
+      .select("doc_id", "n_chars", "n_tok", "stop_milli", "ensemble_ppm")
+  }
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2702,6 +2746,8 @@ object SparkEntry {
     "q137_quality_classifier" -> (qQualityClassifier _),
     "q138_media_neardup" -> (qMediaNearDup _),
     "q139_vocab_coverage" -> (qVocabCoverage _),
+    "q140_heavy_hitters" -> (qHeavyHitters _),
+    "q141_quality_ensemble" -> (qQualityEnsemble _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4137,6 +4183,51 @@ object SparkEntry {
     // temperature sampling at alpha=1/2: integer milli-weights
     // floor(sqrt(n*1e6)) summed order-free, one fixed-association double
     // rate expression floored to micro-units, md5 rate-rule selection
+    // count-min cells rebuilt as in q57, tau = ceil(total * 20000 ppm),
+    // candidates = est >= tau (superset), exact counts + threshold
+    "q140_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS token FROM documents),
+        | cells AS (SELECT j,
+        |   ((h * (2*j+1) + (1000000007*(j+1)) % 4294967311) % 4294967311) % 64 AS bucket,
+        |   count(*)::BIGINT AS cnt
+        |  FROM (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+        |       (SELECT unnest(range(0, 4)) AS j) GROUP BY 1, 2),
+        | tot AS (SELECT sum(cnt)::BIGINT AS n FROM cells WHERE j = 0),
+        | thr AS (SELECT greatest((n * 20000 + 999999) // 1000000, 1)::BIGINT AS tau FROM tot),
+        | exact AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+        | pe AS (SELECT token, j,
+        |   ((h * (2*j+1) + (1000000007*(j+1)) % 4294967311) % 4294967311) % 64 AS bucket
+        |  FROM (SELECT token, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+        |        FROM (SELECT DISTINCT token FROM toks)),
+        |       (SELECT unnest(range(0, 4)) AS j)),
+        | est AS (SELECT token, min(coalesce(c.cnt, 0))::BIGINT AS est
+        |  FROM pe LEFT JOIN cells c USING (j, bucket) GROUP BY token)
+        |SELECT token, cnt, est FROM exact JOIN est USING (token), thr
+        |WHERE cnt >= tau ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    // three integer signals -> strictly-below percentile ppm via value
+    // histograms (no global sort on either engine), integer mean, top-20
+    "q141_quality_ensemble" ->
+      s"""WITH base AS (SELECT doc_id, n_chars,
+         |   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tok,
+         |   (len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> list_contains($EnStopSql, x)))::BIGINT * 1000)
+         |     // greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> x <> ''))::BIGINT, 1) AS stop_milli
+         |  FROM documents),
+         | h1 AS (SELECT n_chars AS v, count(*)::BIGINT AS n FROM base GROUP BY 1),
+         | p1 AS (SELECT v, ((coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT * 1000000 // (sum(n) OVER ())::BIGINT)::BIGINT AS p FROM h1),
+         | h2 AS (SELECT n_tok AS v, count(*)::BIGINT AS n FROM base GROUP BY 1),
+         | p2 AS (SELECT v, ((coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT * 1000000 // (sum(n) OVER ())::BIGINT)::BIGINT AS p FROM h2),
+         | h3 AS (SELECT stop_milli AS v, count(*)::BIGINT AS n FROM base GROUP BY 1),
+         | p3 AS (SELECT v, ((coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT * 1000000 // (sum(n) OVER ())::BIGINT)::BIGINT AS p FROM h3)
+         |SELECT doc_id, n_chars, n_tok, stop_milli,
+         | ((p1.p + p2.p + p3.p) // 3)::BIGINT AS ensemble_ppm
+         |FROM base JOIN p1 ON base.n_chars = p1.v
+         |  JOIN p2 ON base.n_tok = p2.v
+         |  JOIN p3 ON base.stop_milli = p3.v
+         |ORDER BY ensemble_ppm DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     // DoReMi-lite: 4 unrolled multiplicative-weights iterations over the
     // per-source integer difficulty (mean clipped inverse token frequency,
     // milli-units); CASE keeps every // non-negative (Spark div truncates,

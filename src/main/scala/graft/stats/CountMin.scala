@@ -43,6 +43,49 @@ object CountMin {
     * count (0 when a cell is empty — the probe hashed where nothing
     * landed). The sketch is tiny → broadcast side of the join.
     */
+  /** EXACT heavy hitters with sketch-guided shuffle pruning — the 100 TB
+    * form of "top tokens above a frequency threshold" (q43's full
+    * aggregate shuffles the entire vocabulary; web-scale vocabularies are
+    * billions of mostly-singleton tokens, i.e. the shuffle is all tail).
+    * Two passes:
+    *   1. build the count-min sketch (bounded depth×width aggregate) and
+    *      collect it as the pruning model — ≤ 256 longs, the IVF-centroid
+    *      bounded-collect discipline; total token count falls out of row
+    *      j=0 for free;
+    *   2. re-scan with the sketch as a plan literal: each occurrence's
+    *      min-over-rows cell estimate is a codegen projection, and
+    *      occurrences with est < τ are dropped MAP-SIDE — the long tail
+    *      never reaches the exchange. CM only overestimates, so the
+    *      candidate set is a superset of the true heavy hitters (no false
+    *      negatives — spec-asserted); the exact post-aggregate count
+    *      filter removes collision false-positives.
+    * τ = ⌈total · thresholdPpm / 1e6⌉, at least 1. Output: (token,
+    * cnt, est) for the top `topK` by exact count — est ≥ cnt always.
+    */
+  def heavyHittersExact(tokens: DataFrame, tokenCol: String,
+                        thresholdPpm: Long = 20000, depth: Int = 4,
+                        width: Int = 64, topK: Int = 20): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000,
+      s"need 0 < thresholdPpm <= 1e6, got $thresholdPpm")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val cells = Array.fill(depth)(new Array[Long](width))
+    build(tokens, tokenCol, depth, width).collect().foreach { r =>
+      cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val total = cells(0).sum
+    val tau = math.max((total * thresholdPpm + 999999L) / 1000000L, 1L)
+    val est = least((0 until depth).map(j =>
+      element_at(typedLit(cells(j).toSeq),
+        bucket(col(tokenCol), j, width).cast("int") + 1)): _*)
+    tokens.withColumn("est", est)
+      .filter(col("est") >= tau)
+      .groupBy(col(tokenCol))
+      .agg(count(lit(1)).as("cnt"), max(col("est")).as("est"))
+      .filter(col("cnt") >= tau)
+      .orderBy(col("cnt").desc, col(tokenCol).asc)
+      .limit(topK)
+  }
+
   def estimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
                depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, s"need positive depth/width, got $depth×$width")

@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Exact percentile rank (strictly-below mass, ppm) of every DISTINCT
+    * value of an integer column — rank normalization WITHOUT a global
+    * sort. The q117 discipline: value-count histogram (one hash
+    * aggregate), then a running sum over ≤ |distinct values| rows; the
+    * result is a (value, pct_ppm) lookup the caller joins back onto the
+    * corpus (broadcast for the bounded domains this serves — length,
+    * token count, milli-ratios). A corpus-scale rank()/cume_dist() here
+    * would be one reducer scanning everything; this never moves more
+    * than the histogram.
+    */
+  def rankPercentilePpm(df: DataFrame, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", coalesce(sum(col("__n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .select(col(valueCol), expr("(__cum * 1000000) div __tot").as("pct_ppm"))
+  }
+
   /** A2: histogram by a category column; null/empty buckets to 'unknown'
     * (mock_vector_db_api.py:341).
     */

@@ -194,4 +194,32 @@ class StatsSpec extends SparkSpec {
       "source", "doc_id").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("heavyHittersExact == brute-force heavy hitters (no false negatives)") {
+    import graft.stats.CountMin
+    val rnd = new scala.util.Random(13)
+    // skewed stream: a few hot tokens + a long singleton-ish tail that
+    // must be pruned map-side but never cost a true heavy hitter
+    val toks = (Seq.fill(400)("hot1") ++ Seq.fill(250)("hot2") ++
+      Seq.fill(90)("warm") ++
+      (0 until 600).map(i => s"tail${rnd.nextInt(500)}"))
+    val df = toks.toDF("token")
+    val got = CountMin.heavyHittersExact(df, "token", thresholdPpm = 50000)
+      .as[(String, Long, Long)].collect()
+    val total = toks.size.toLong
+    val tau = math.max((total * 50000L + 999999L) / 1000000L, 1L)
+    val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= tau).toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got.map(t => (t._1, t._2)).toSeq == want, s"got ${got.toSeq} want $want")
+    // CM only overestimates
+    assert(got.forall(t => t._3 >= t._2))
+  }
+
+  test("rankPercentilePpm: strictly-below mass in ppm, no global sort of rows") {
+    val df = Seq(10L, 10L, 20L, 30L, 30L, 30L, 40L, 50L, 50L, 60L).toDF("v")
+    val got = Stats.rankPercentilePpm(df, "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 20L -> 200000L, 30L -> 300000L,
+      40L -> 600000L, 50L -> 700000L, 60L -> 900000L), got.toString)
+  }
 }
