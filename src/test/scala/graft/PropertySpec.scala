@@ -248,4 +248,53 @@ class PropertySpec extends SparkSpec {
         s"case $i t=$t: missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("hubnessCloneCollapsed == brute-force hubness for random clone corpora") {
+    import spark.implicits._
+    val gen = for {
+      nDistinct <- Gen.choose(2, 10)
+      dims <- Gen.choose(2, 5)
+      k <- Gen.choose(1, 4)
+      mults <- Gen.listOfN(nDistinct, Gen.choose(1, 6))
+      vecs <- Gen.listOfN(nDistinct,
+        Gen.listOfN(dims, Gen.choose(-100, 100).map(_ / 25.0f)))
+    } yield (vecs, mults, k)
+    samples(gen, 12).zipWithIndex.foreach { case ((vecs, mults, k), i) =>
+      // interleaved ids so clone member rank never equals insertion order
+      val rows = for {
+        (v, g) <- vecs.zipWithIndex
+        c <- 0 until mults(g)
+      } yield (c * 1000L + g, v.toSeq)
+      val df = rows.toDF("vec_id", "embedding")
+      val bits = graft.search.Ann.occupancyBits(vecs.size.toLong, 2.0)
+      val plain = graft.search.Ann.hubness(df, k = k, bits = bits)
+        .as[(Long, Long)].collect().toMap
+      val collapsed = graft.search.Ann.hubnessCloneCollapsed(df, k = k)
+        .as[(Long, Long)].collect().toMap
+      assert(collapsed == plain,
+        s"case $i k=$k mults=$mults: got $collapsed want $plain")
+    }
+  }
+
+  test("heavyHittersExact == brute force for random skewed streams") {
+    import spark.implicits._
+    val gen = for {
+      nHot <- Gen.choose(1, 4)
+      hotReps <- Gen.listOfN(nHot, Gen.choose(50, 200))
+      tail <- Gen.listOfN(300, Gen.choose(0, 120).map(k => s"t$k"))
+      ppm <- Gen.oneOf(20000L, 50000L, 100000L)
+    } yield (hotReps.zipWithIndex.flatMap { case (r, h) =>
+      Seq.fill(r)(s"hot$h") } ++ tail, ppm)
+    samples(gen, 8).zipWithIndex.foreach { case ((toks, ppm), i) =>
+      val got = graft.stats.CountMin.heavyHittersExact(
+          toks.toDF("token"), "token", thresholdPpm = ppm)
+        .as[(String, Long, Long)].collect()
+      val tau = math.max((toks.size.toLong * ppm + 999999L) / 1000000L, 1L)
+      val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= tau).toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      assert(got.map(t => (t._1, t._2)).toSeq == want,
+        s"case $i ppm=$ppm: got ${got.toSeq} want $want")
+      assert(got.forall(t => t._3 >= t._2), s"case $i: est < cnt")
+    }
+  }
 }
