@@ -2540,6 +2540,30 @@ object SparkEntry {
       .select("doc_id", "n_chars", "n_tok", "stop_milli", "ensemble_ppm")
   }
 
+  /** Per-label embedding cohesion audit: every vector's cosine to its
+    * OWN label centroid (q31's centroids put to QA work), rolled up to
+    * per-label mean/min plus an outlier count at cos < 0.5 — the
+    * mislabeled-vector / junk-embedding screen run before training a
+    * classifier head or trusting q93's pseudo-labels. Centroids broadcast
+    * (|labels| rows); the corpus is scanned once, never key-shuffled on
+    * the embedding.
+    */
+  private def qLabelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val centroids = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"))
+      .select(col("label"), transform(col("c"), x => round(x, 6)).as("c"))
+    emb.join(broadcast(centroids), "label")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("e"), col("c")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cos")), 6).as("avg_cos"),
+        round(min(col("cos")), 6).as("min_cos"),
+        sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_low"))
+  }
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2748,6 +2772,7 @@ object SparkEntry {
     "q139_vocab_coverage" -> (qVocabCoverage _),
     "q140_heavy_hitters" -> (qHeavyHitters _),
     "q141_quality_ensemble" -> (qQualityEnsemble _),
+    "q142_label_cohesion" -> (qLabelCohesion _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4183,6 +4208,22 @@ object SparkEntry {
     // temperature sampling at alpha=1/2: integer milli-weights
     // floor(sqrt(n*1e6)) summed order-free, one fixed-association double
     // rate expression floored to micro-units, md5 rate-rule selection
+    // q93's centroid replay + cosine to own-label centroid, per-label
+    // cohesion rollup with an exact outlier count at cos < 0.5
+    "q142_label_cohesion" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |   unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+         | cdim AS (SELECT label, dim, round(sum(v) / count(*), 6) AS m
+         |  FROM ex GROUP BY 1, 2),
+         | cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cdim GROUP BY label),
+         | scored AS (SELECT b.label, ${cosSqlAB("e", "c")} AS cos
+         |  FROM base b JOIN cent USING (label))
+         |SELECT label, count(*)::BIGINT AS n_vectors,
+         | round(avg(cos), 6) AS avg_cos, round(min(cos), 6) AS min_cos,
+         | sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low
+         |FROM scored GROUP BY label""".stripMargin,
+
     // count-min cells rebuilt as in q57, tau = ceil(total * 20000 ppm),
     // candidates = est >= tau (superset), exact counts + threshold
     "q140_heavy_hitters" ->
