@@ -1765,37 +1765,16 @@ object SparkEntry {
     * bucket-count-sized data (totals broadcast, no global window).
     */
   private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    // bucketing + PSI math live in StreamingDrift (one definition serves
+    // the batch gate AND the streaming monitor, so they cannot drift
+    // apart); ref/cur split by doc_id parity as before
     val docs = rdWide(s, dir, "documents")
-      .withColumn("w", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"),
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("q"),
-        size(col("w")).cast("long").as("n_tokens"))
-      .withColumn("is_ref", col("doc_id") % 2 === 0)
-
-    // smoothing constant = the feature's full bucket-range cardinality
-    def psiOf(bucket: org.apache.spark.sql.Column, nBuckets: Int,
-              feature: String): DataFrame = {
-      val wide = docs.withColumn("bucket", bucket)
-        .groupBy(col("bucket")).agg(
-          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
-          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
-      val totals = wide.agg(sum(col("n_ref")).as("t_ref"),
-        sum(col("n_cur")).as("t_cur"))
-      wide.crossJoin(broadcast(totals))
-        .withColumn("p_ref",
-          (col("n_ref") + 1).cast("double") / (col("t_ref") + nBuckets))
-        .withColumn("p_cur",
-          (col("n_cur") + 1).cast("double") / (col("t_cur") + nBuckets))
-        .agg(count(lit(1)).as("n_buckets"),
-          round(sum((col("p_cur") - col("p_ref")) *
-            log(col("p_cur") / col("p_ref"))), 6).as("psi"))
-        .withColumn("feature", lit(feature))
-        .select(col("feature"), col("n_buckets"), col("psi"))
-    }
-
-    psiOf(floor(col("q") * 10).cast("long"), 11, "quality")
-      .unionByName(psiOf(
-        least(floor(col("n_tokens") / 20), lit(9L)).cast("long"), 10, "length"))
+    graft.streaming.StreamingDrift.psi(
+        graft.streaming.StreamingDrift.histogram(
+          docs.filter(col("doc_id") % 2 === 0)),
+        graft.streaming.StreamingDrift.histogram(
+          docs.filter(col("doc_id") % 2 =!= 0)))
+      .select(col("feature"), col("n_buckets"), col("psi"))
   }
 
   /** Link-graph centrality for crawl-seed scoring (the Common-Crawl-style
@@ -2526,6 +2505,9 @@ object SparkEntry {
         TextAnalysis.StopwordLists.toMap.apply("en")).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("n_tok"),
         expr("(__stop * 1000) div greatest(__words, 1)").as("stop_milli"))
+      // four consumers (three histogram builds + the join probe) — without
+      // the cut the corpus tokenization subplan runs four times (q112 lesson)
+      .localCheckpoint()
     def pct(c: String) = broadcast(
       Stats.rankPercentilePpm(base.select(col(c)), c)
         .withColumnRenamed("pct_ppm", s"__p_$c"))
@@ -2556,11 +2538,15 @@ object SparkEntry {
       .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"))
       .select(col("label"), transform(col("c"), x => round(x, 6)).as("c"))
     emb.join(broadcast(centroids), "label")
-      .withColumn("cos", graft.functions.CosineSimilarity(col("e"), col("c")))
+      // round BEFORE comparing/aggregating (the repo's cross-engine
+      // discipline): the 0.5 outlier threshold and the min must see the
+      // same 6dp value on both engines, never a raw double
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("e"), col("c")), 6))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cos")), 6).as("avg_cos"),
-        round(min(col("cos")), 6).as("min_cos"),
+        min(col("cos")).as("min_cos"),
         sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_low"))
   }
 
@@ -4217,10 +4203,10 @@ object SparkEntry {
          | cdim AS (SELECT label, dim, round(sum(v) / count(*), 6) AS m
          |  FROM ex GROUP BY 1, 2),
          | cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cdim GROUP BY label),
-         | scored AS (SELECT b.label, ${cosSqlAB("e", "c")} AS cos
+         | scored AS (SELECT b.label, round(${cosSqlAB("e", "c")}, 6) AS cos
          |  FROM base b JOIN cent USING (label))
          |SELECT label, count(*)::BIGINT AS n_vectors,
-         | round(avg(cos), 6) AS avg_cos, round(min(cos), 6) AS min_cos,
+         | round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos,
          | sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low
          |FROM scored GROUP BY label""".stripMargin,
 
@@ -4234,7 +4220,8 @@ object SparkEntry {
         |  FROM (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
         |       (SELECT unnest(range(0, 4)) AS j) GROUP BY 1, 2),
         | tot AS (SELECT sum(cnt)::BIGINT AS n FROM cells WHERE j = 0),
-        | thr AS (SELECT greatest((n * 20000 + 999999) // 1000000, 1)::BIGINT AS tau FROM tot),
+        | thr AS (SELECT greatest((n // 1000000) * 20000
+        |   + ((n % 1000000) * 20000 + 999999) // 1000000, 1)::BIGINT AS tau FROM tot),
         | exact AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
         | pe AS (SELECT token, j,
         |   ((h * (2*j+1) + (1000000007*(j+1)) % 4294967311) % 4294967311) % 64 AS bucket

@@ -39,10 +39,6 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point-estimate each probe token: min over hash rows of its cell
-    * count (0 when a cell is empty — the probe hashed where nothing
-    * landed). The sketch is tiny → broadcast side of the join.
-    */
   /** EXACT heavy hitters with sketch-guided shuffle pruning — the 100 TB
     * form of "top tokens above a frequency threshold" (q43's full
     * aggregate shuffles the entire vocabulary; web-scale vocabularies are
@@ -73,7 +69,12 @@ object CountMin {
       cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
     }
     val total = cells(0).sum
-    val tau = math.max((total * thresholdPpm + 999999L) / 1000000L, 1L)
+    // overflow-safe ceil(total * ppm / 1e6): split total = q*1e6 + r so the
+    // only product is r*ppm <= 1e12 (total*ppm wraps past ~9.2e12 tokens at
+    // ppm=1e6 — silently disabling the threshold, not erroring)
+    val tau = math.max(
+      (total / 1000000L) * thresholdPpm +
+        ((total % 1000000L) * thresholdPpm + 999999L) / 1000000L, 1L)
     val est = least((0 until depth).map(j =>
       element_at(typedLit(cells(j).toSeq),
         bucket(col(tokenCol), j, width).cast("int") + 1)): _*)
@@ -86,6 +87,10 @@ object CountMin {
       .limit(topK)
   }
 
+  /** Point-estimate each probe token: min over hash rows of its cell
+    * count (0 when a cell is empty — the probe hashed where nothing
+    * landed). The sketch is tiny → broadcast side of the join.
+    */
   def estimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
                depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, s"need positive depth/width, got $depth×$width")

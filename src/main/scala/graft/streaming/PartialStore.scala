@@ -22,12 +22,27 @@ private[streaming] object PartialStore {
   /** Collapse every `batch_id=*` dir of `storeDir` into `batch_id=-1`
     * holding `merged` (the caller's already-merged view of the store).
     * Returns (mergedRows, batchDirsBefore).
+    *
+    * Crash discipline: the old partials are never deleted before the
+    * merged replacement is safe on disk. Sequence: write merged to a
+    * `.compact-tmp` sibling → verify row count → RENAME the old batch
+    * dirs out to a `.compact-old` sibling (out of the reader's path, one
+    * atomic rename each — never a delete of live data) → move tmp in as
+    * `batch_id=-1` → delete the trash. A crash mid-swap leaves both the
+    * merged tmp and every original dir intact on disk under the named
+    * siblings; the require below then fails the NEXT compaction loudly
+    * instead of silently merging a partial store, and the operator
+    * restores by moving the `.compact-old` children back.
     */
   def compact(spark: SparkSession, storeDir: String,
               merged: DataFrame): (Long, Long) = {
     import java.nio.file.{Files, Paths, Path}
     val root = Paths.get(storeDir)
     require(Files.exists(root), s"nothing to compact at $storeDir")
+    val tmp = Paths.get(storeDir + ".compact-tmp")
+    val trash = Paths.get(storeDir + ".compact-old")
+    require(!Files.exists(trash),
+      s"leftover $trash from an interrupted compaction — restore or remove it first")
     def batchDirs(): Seq[Path] = {
       val s = Files.list(root)
       try {
@@ -40,19 +55,21 @@ private[streaming] object PartialStore {
     }
     val before = batchDirs()
     val n = merged.count()
-    val tmp = Paths.get(storeDir + ".compact-tmp")
     merged.coalesce(1) // sketch-sized by construction — one file is the point
       .write.mode("overwrite").parquet(tmp.toString)
     val m = spark.read.parquet(tmp.toString).count()
     require(m == n, s"partial compaction row mismatch: $n vs $m — aborting swap")
-    before.foreach { d =>
-      val w = Files.walk(d)
+    Files.createDirectory(trash)
+    before.foreach(d => Files.move(d, trash.resolve(d.getFileName)))
+    Files.move(tmp, root.resolve("batch_id=-1"))
+    def deleteRecursively(p: Path): Unit = {
+      val w = Files.walk(p)
       try {
         val all = { val b = Seq.newBuilder[Path]; w.forEach(b += _); b.result() }
         all.reverse.foreach(Files.deleteIfExists)
       } finally w.close()
     }
-    Files.move(tmp, root.resolve("batch_id=-1"))
+    deleteRecursively(trash)
     (n, before.length.toLong)
   }
 }

@@ -289,7 +289,8 @@ class PropertySpec extends SparkSpec {
       val got = graft.stats.CountMin.heavyHittersExact(
           toks.toDF("token"), "token", thresholdPpm = ppm)
         .as[(String, Long, Long)].collect()
-      val tau = math.max((toks.size.toLong * ppm + 999999L) / 1000000L, 1L)
+      val n = toks.size.toLong
+      val tau = math.max((n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L, 1L)
       val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
         .filter(_._2 >= tau).toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
       assert(got.map(t => (t._1, t._2)).toSeq == want,

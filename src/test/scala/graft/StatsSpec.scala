@@ -207,7 +207,8 @@ class StatsSpec extends SparkSpec {
     val got = CountMin.heavyHittersExact(df, "token", thresholdPpm = 50000)
       .as[(String, Long, Long)].collect()
     val total = toks.size.toLong
-    val tau = math.max((total * 50000L + 999999L) / 1000000L, 1L)
+    val tau = math.max((total / 1000000L) * 50000L +
+      ((total % 1000000L) * 50000L + 999999L) / 1000000L, 1L)
     val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
       .filter(_._2 >= tau).toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
     assert(got.map(t => (t._1, t._2)).toSeq == want, s"got ${got.toSeq} want $want")

@@ -459,7 +459,8 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(StreamingDrift.psiFromStore(spark, store, ref)
       .as[(String, Long, Double)].collect().toSet == want)
-    assert(want.nonEmpty && want.forall(_._3 >= 0.0 || true))
+    // PSI is a sum of (p_cur - p_ref)·log(p_cur/p_ref) terms, each >= 0
+    assert(want.nonEmpty && want.forall(_._3 >= 0.0))
 
     // compaction leaves the PSI unchanged, and compacting an
     // already-compacted store (single batch_id=-1 dir) is a no-op merge
