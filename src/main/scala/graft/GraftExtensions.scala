@@ -78,6 +78,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionRatio(exprs.head, n)
       }))
     e.injectFunction((
+      FunctionIdentifier("sign_bucket"),
+      new ExpressionInfo(classOf[graft.functions.SignBucket].getName, "sign_bucket"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"sign_bucket expects 1-2 arguments (vector[, bits]), got ${exprs.length}")
+        val bits =
+          if (exprs.length < 2) 8
+          else {
+            require(exprs(1).foldable, "sign_bucket bits must be a literal")
+            exprs(1).eval() match {
+              case v: Number => v.intValue
+              case other => throw new IllegalArgumentException(
+                s"sign_bucket bits must be a non-null integer, got $other")
+            }
+          }
+        graft.functions.SignBucket(exprs.head, bits)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.Fingerprints].getName, "fingerprints"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 3,
+          s"fingerprints expects 1-3 arguments (text[, k[, modulo]]), got ${exprs.length}")
+        def intArg(i: Int, name: String, dflt: Int): Int =
+          if (exprs.length <= i) dflt
+          else {
+            require(exprs(i).foldable, s"fingerprints $name must be a literal")
+            exprs(i).eval() match {
+              case v: Number => v.intValue
+              case other => throw new IllegalArgumentException(
+                s"fingerprints $name must be a non-null integer, got $other")
+            }
+          }
+        graft.functions.Fingerprints(exprs.head,
+          intArg(1, "k", 16), intArg(2, "modulo", 16))
+      }))
+    e.injectFunction((
       FunctionIdentifier("chunk_text"),
       new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
       (exprs: Seq[Expression]) => {

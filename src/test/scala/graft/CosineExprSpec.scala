@@ -88,6 +88,25 @@ class CosineExprSpec extends SparkSpec {
     assert(sig.length == 16 && sig.forall(_ >= 0))
   }
 
+  test("SQL surface: sign_bucket / fingerprints") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sign_bucket",
+      exprs => {
+        val bits = if (exprs.length < 2) 8
+          else exprs(1).eval().asInstanceOf[Number].intValue
+        graft.functions.SignBucket(exprs.head, bits)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("fingerprints",
+      exprs => graft.functions.Fingerprints(exprs.head), "built-in")
+    // bits 0,1,3 positive → 1 + 2 + 8
+    assert(spark.sql(
+      "SELECT sign_bucket(array(1.0f, 2.0f, -3.0f, 0.5f), 4) AS b")
+      .as[Long].head() == 11L)
+    val fps = spark.sql("SELECT fingerprints('alpha beta gamma delta') AS f")
+      .as[Seq[Long]].head()
+    assert(fps.nonEmpty && fps.forall(_ >= 0))
+  }
+
   test("SQL surface: repetition_ratio with default and explicit n") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("repetition_ratio",
