@@ -1767,13 +1767,11 @@ object SparkEntry {
   private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
     // bucketing + PSI math live in StreamingDrift (one definition serves
     // the batch gate AND the streaming monitor, so they cannot drift
-    // apart); ref/cur split by doc_id parity as before
-    val docs = rdWide(s, dir, "documents")
-    graft.streaming.StreamingDrift.psi(
-        graft.streaming.StreamingDrift.histogram(
-          docs.filter(col("doc_id") % 2 === 0)),
-        graft.streaming.StreamingDrift.histogram(
-          docs.filter(col("doc_id") % 2 =!= 0)))
+    // apart); paired one-pass form — the corpus is scanned ONCE with the
+    // ref/cur parity flag, not once per side
+    graft.streaming.StreamingDrift.psiPaired(
+        rdWide(s, dir, "documents")
+          .withColumn("__is_ref", col("doc_id") % 2 === 0), "__is_ref")
       .select(col("feature"), col("n_buckets"), col("psi"))
   }
 

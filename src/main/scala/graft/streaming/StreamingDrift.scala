@@ -25,22 +25,40 @@ object StreamingDrift {
   val QualityBuckets = 11
   val LengthBuckets = 10
 
+  /** (feature, bucket) rows of a document batch — TWO rows per doc (one
+    * per feature), from a single scan. The one bucket definition every
+    * consumer shares: the streaming partials, the batch PSI gate (q106),
+    * and any future drift feature extension.
+    */
+  def featureBuckets(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val base = docs
+      .withColumn("__w", TextAnalysis.tokens(col("text")))
+      .select(keep.map(col) ++ Seq(
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("__w")).as("__q"),
+        size(col("__w")).cast("long").as("__n_tokens")): _*)
+    val q = base.select(keep.map(col) ++ Seq(lit("quality").as("feature"),
+      floor(col("__q") * 10).cast("long").as("bucket")): _*)
+    val l = base.select(keep.map(col) ++ Seq(lit("length").as("feature"),
+      least(floor(col("__n_tokens") / 20), lit(9L)).cast("long").as("bucket")): _*)
+    q.unionByName(l)
+  }
+
   /** (feature, bucket, cnt) histogram of a document batch — the
     * mergeable partial both the stream and the reference side use.
     */
-  def histogram(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("__w", TextAnalysis.tokens(col("text")))
-      .select(
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("__w")).as("__q"),
-        size(col("__w")).cast("long").as("__n_tokens"))
-    val q = base.select(lit("quality").as("feature"),
-      floor(col("__q") * 10).cast("long").as("bucket"))
-    val l = base.select(lit("length").as("feature"),
-      least(floor(col("__n_tokens") / 20), lit(9L)).cast("long").as("bucket"))
-    q.unionByName(l).groupBy(col("feature"), col("bucket"))
+  def histogram(docs: DataFrame): DataFrame =
+    featureBuckets(docs).groupBy(col("feature"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
+
+  /** PSI between the two halves of ONE corpus scan, split by a boolean
+    * column — the batch-gate (q106) form: at 100 TB, one pass with a
+    * flag beats scanning the corpus once per side.
+    */
+  def psiPaired(docs: DataFrame, isRefCol: String): DataFrame =
+    finishPsi(featureBuckets(docs, keep = Seq(isRefCol))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur")))
 
   /** Stream document files from `srcDir`, append each micro-batch's
     * histogram partial.
@@ -70,17 +88,20 @@ object StreamingDrift {
     * cardinality) over two ≤-21-row inputs. Buckets absent on one side
     * participate with count 0, exactly as q106's two-sided aggregate.
     */
-  def psi(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val joined = ref.withColumnRenamed("cnt", "n_ref")
+  def psi(ref: DataFrame, cur: DataFrame): DataFrame =
+    finishPsi(ref.withColumnRenamed("cnt", "n_ref")
       .join(cur.withColumnRenamed("cnt", "n_cur"),
         Seq("feature", "bucket"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
-      .withColumn("__nb",
-        when(col("feature") === "quality", lit(QualityBuckets))
-          .otherwise(lit(LengthBuckets)))
-    val totals = joined.groupBy(col("feature"))
+      .na.fill(0L, Seq("n_ref", "n_cur")))
+
+  /** Shared PSI finisher over a (feature, bucket, n_ref, n_cur) table. */
+  private def finishPsi(wide: DataFrame): DataFrame = {
+    val flagged = wide.withColumn("__nb",
+      when(col("feature") === "quality", lit(QualityBuckets))
+        .otherwise(lit(LengthBuckets)))
+    val totals = flagged.groupBy(col("feature"))
       .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-    joined.join(broadcast(totals), Seq("feature"))
+    flagged.join(broadcast(totals), Seq("feature"))
       .withColumn("p_ref",
         (col("n_ref") + 1).cast("double") / (col("t_ref") + col("__nb")))
       .withColumn("p_cur",
