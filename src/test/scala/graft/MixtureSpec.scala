@@ -38,6 +38,14 @@ class MixtureSpec extends SparkSpec {
     assert(got("rare")._4 > got("common")._4)
   }
 
+  test("doremiWeights: single-domain corpus gets the whole mixture") {
+    val d = Seq((1L, "x y z", "only")).toDF("doc_id", "text", "source")
+    val got = Mixture.doremiWeights(d).collect().map(r =>
+      (r.getString(0), r.getLong(4))).toSeq
+    // avg == loss every iteration -> factor 1e6 -> w unchanged -> 100%
+    assert(got == Seq(("only", 1000000L)), got.toString)
+  }
+
   test("doremiWeights is deterministic and weight mass stays ~1e6") {
     val rnd = new scala.util.Random(3)
     val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

@@ -216,6 +216,13 @@ class StatsSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= t._2))
   }
 
+  test("heavyHittersExact: empty input yields empty output, no crash") {
+    import graft.stats.CountMin
+    val got = CountMin.heavyHittersExact(
+      Seq.empty[String].toDF("token"), "token")
+    assert(got.collect().isEmpty)
+  }
+
   test("rankPercentilePpm: strictly-below mass in ppm, no global sort of rows") {
     val df = Seq(10L, 10L, 20L, 30L, 30L, 30L, 40L, 50L, 50L, 60L).toDF("v")
     val got = Stats.rankPercentilePpm(df, "v")
