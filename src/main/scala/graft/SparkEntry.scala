@@ -2548,6 +2548,45 @@ object SparkEntry {
         sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_low"))
   }
 
+  /** Collocation mining by independence lift (the PMI family: lift =
+    * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
+    * PMI since ln is monotone, and lift needs no transcendental: the
+    * emitted lift_ppm is floor of pure IEEE multiply/divide, bit-stable
+    * across engines where ln's libm boundary is not). Surfaces the
+    * token pairs that co-occur far above chance — the collocations a
+    * tokenizer's merge list or a phrase-vocab wants beyond q127's raw
+    * pair counts (which rank frequent-but-independent pairs first).
+    * Support floor c_ab ≥ 5 kills the hapax-lift explosion.
+    *
+    * Scale: unigram and pair counts are two hash aggregates; the lookup
+    * joins run on token keys (vocabulary-scale, never broadcast by
+    * assumption); totals are 1-row broadcasts; final is a
+    * TakeOrderedAndProject(20) on an integer key.
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .withColumn("__w", filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
+    val uc = docs.select(explode(col("__w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tTot = uc.agg(sum("c").as("t"))
+    val pc = docs.filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val pTot = pc.agg(sum("c_ab").as("p"))
+    pc.filter(col("c_ab") >= 5)
+      .join(uc.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uc.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(pTot))
+      .withColumn("lift_ppm", expr(
+        "CAST(floor(((CAST(c_ab AS DOUBLE) * t * t) / (CAST(p AS DOUBLE) * c_a * c_b)) * 1000000.0) AS BIGINT)"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select("w1", "w2", "c_ab", "lift_ppm")
+  }
+
   /** Whitening model (W, mean) per testdata dir, fit once per process
     * (same build-once discipline as the q28 IVF index): the fit is one
     * pass over the corpus; serving queries must not pay it again.
@@ -2757,6 +2796,7 @@ object SparkEntry {
     "q140_heavy_hitters" -> (qHeavyHitters _),
     "q141_quality_ensemble" -> (qQualityEnsemble _),
     "q142_label_cohesion" -> (qLabelCohesion _),
+    "q143_collocations" -> (qCollocations _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4192,6 +4232,25 @@ object SparkEntry {
     // temperature sampling at alpha=1/2: integer milli-weights
     // floor(sqrt(n*1e6)) summed order-free, one fixed-association double
     // rate expression floored to micro-units, md5 rate-rule selection
+    // lift = c_ab*T^2/(P*c_a*c_b) as pure IEEE arithmetic (same
+    // left-assoc multiply chain both engines), floored to ppm; no ln
+    "q143_collocations" ->
+      """WITH toks AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w FROM documents),
+        | uc AS (SELECT tok, count(*)::BIGINT AS c FROM
+        |   (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+        | tt AS (SELECT sum(c)::BIGINT AS t FROM uc),
+        | pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS c_ab FROM
+        |   (SELECT unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(0, len(w) - 1)]) AS p
+        |    FROM toks WHERE len(w) >= 2) GROUP BY 1, 2),
+        | pt AS (SELECT sum(c_ab)::BIGINT AS p FROM pc),
+        | j AS (SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b
+        |  FROM pc JOIN uc a ON pc.w1 = a.tok JOIN uc b ON pc.w2 = b.tok
+        |  WHERE c_ab >= 5)
+        |SELECT w1, w2, c_ab,
+        | CAST(floor(((c_ab::DOUBLE * t * t) / (p::DOUBLE * c_a * c_b)) * 1000000.0) AS BIGINT) AS lift_ppm
+        |FROM j, tt, pt
+        |ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
     "q142_label_cohesion" ->
