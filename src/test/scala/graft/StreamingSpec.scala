@@ -474,6 +474,27 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet == want)
   }
 
+  test("PartialStore compaction refuses to run over leftover trash from a crash") {
+    import graft.streaming.StreamingQuantile
+    val base = Files.createTempDirectory("graft_trash").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    Seq((1L, "t", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    // simulate a crash mid-swap: the .compact-old sibling still exists
+    Files.createDirectory(java.nio.file.Paths.get(store + ".compact-old"))
+    val e = intercept[IllegalArgumentException](
+      StreamingQuantile.compactStore(spark, store))
+    assert(e.getMessage.contains("interrupted compaction"), e.getMessage)
+    // after the operator clears it, compaction proceeds and reads agree
+    Files.delete(java.nio.file.Paths.get(store + ".compact-old"))
+    val before = StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet
+    StreamingQuantile.compactStore(spark, store)
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == before)
+  }
+
   test("interval join pairs clicks with in-window preceding views only (batch)") {
     val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
       .toDF("user_id", "click_id", "click_ts")
