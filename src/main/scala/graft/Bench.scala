@@ -127,11 +127,22 @@ object Bench {
     val failedJson = failures.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    // Cross-round totals are only comparable when divided by the noise
+    // floor: the container's control median moved 1.7x between r9 and r10
+    // on untouched code, making raw totals unreadable. value_per_control
+    // (total / control median, dimensionless) is the number PERF.md uses
+    // for round-over-round claims.
+    val ctlMedian =
+      if (controlSamples.nonEmpty) Some(median(controlSamples.toList)) else None
+    val perControl = ctlMedian.filter(_ > 0).map(total / _)
+    val perControlJson = perControl
+      .map(v => f""""value_per_control":$v%.1f""")
+      .getOrElse(""""value_per_control":null""")
     val ctl =
-      if (controlSamples.nonEmpty)
+      (if (controlSamples.nonEmpty)
         f""""control":{"median":${median(controlSamples.toList)}%.3f,""" +
         f""""min":${controlSamples.min}%.3f,"max":${controlSamples.max}%.3f}"""
-      else """"control":null"""
+      else """"control":null""") + "," + perControlJson
     // degraded=true whenever ANY query failed any pass: the total only
     // sums queries that produced a sample, so a regression that makes a
     // query throw would otherwise LOWER the total and read as a speedup
@@ -201,9 +212,39 @@ object Bench {
         }
         val sf1Total = sf1Samples.map(_._2).sum
         val sf1Slow = sf1Samples.sortBy(-_._2).take(5).toSeq
+        // The id-shift replica turns every doc into a 10-clone clique, so
+        // the dedup family's sf1 numbers measure worst-case (clone-pair)
+        // output. Re-run those queries against a perturbed-text replica
+        // whose only near-dups are the base corpus's organic ones, and
+        // ship both variants' numbers (VERDICT r10 item 6).
+        val nonCloneQs = Seq("q14_minhash_pairs", "q110_leak_split", "q119_dedup_curve")
+        var ncJson = """"nonclone":null"""
+        try {
+          val ncDir = sys.env.getOrElse("SPARK_GRAFT_SF1_NC_DIR", "/tmp/graft-sf1-nonclone")
+          val ncMarker = new java.io.File(ncDir, "_GRAFT_SF1_OK")
+          if (!ncMarker.exists()) {
+            val r0 = System.nanoTime()
+            Stress.replicateDocsPerturbed(spark, sfDir, 10, ncDir)
+            java.nio.file.Files.write(ncMarker.toPath, "10\n".getBytes)
+            System.err.println(f"[bench] sf1 non-clone replica built in ${(System.nanoTime() - r0) / 1e9}%.1f s")
+          } else System.err.println(s"[bench] sf1 non-clone replica reused at $ncDir")
+          val ncSamples = collection.mutable.ListBuffer.empty[(String, Double)]
+          names.filter(n => nonCloneQs.contains(n._1)).foreach { case (name, fn) =>
+            val t0 = System.nanoTime()
+            fn(spark, ncDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            ncSamples += name -> sec
+            System.err.println(f"[bench] sf1-nonclone $name%-24s $sec%8.3f s")
+          }
+          ncJson = s""""nonclone":${jsonMap(ncSamples.toSeq)}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sf1 non-clone pass aborted: ${e.getMessage}")
+        }
         sf1Json =
           f""""sf1":{"value":$sf1Total%.3f,"n_queries":${sf1Samples.size},""" +
-          f""""n_failed":$sf1Failed,"factor":10,"slowest":${jsonMap(sf1Slow)}}"""
+          f""""n_failed":$sf1Failed,"factor":10,"slowest":${jsonMap(sf1Slow)},""" +
+          ncJson + "}"
         System.err.println(f"[bench] sf1 total $sf1Total%.1f s over ${sf1Samples.size} queries, $sf1Failed failed")
       } catch {
         case e: Throwable =>

@@ -210,15 +210,19 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
 
   /** Top-20 customers by revenue: shuffle join lineitem⋈orders on the big
-    * keys, broadcast the small customer dim, TakeOrderedAndProject for the
-    * top-k (no full sort at scale).
+    * keys, stats-driven join for the customer dim (auto-broadcast while
+    * small), TakeOrderedAndProject for the top-k (no full sort at scale).
     */
   private def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
     val l = rd(s, dir, "lineitem")
     val o = rd(s, dir, "orders")
     val c = rd(s, dir, "customer")
+    // customer scales with SF (unlike nation/region), so no broadcast
+    // HINT: Catalyst auto-broadcasts it while its stats fit and degrades
+    // to a shuffle join at 100 TB — a hint would force the broadcast at
+    // every scale
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -230,9 +234,10 @@ object SparkEntry {
 
   /** TPC-H Q5 shape: revenue per nation for one region — the 6-table
     * join chain. Join order: big⋈big (lineitem⋈orders) shuffles on the
-    * key; every dim (customer filtered by nation∈region, supplier,
-    * nation, region) broadcasts; the c_nationkey = s_nationkey predicate
-    * keeps the local-supplier semantics.
+    * key; the fixed-size dims (nation, region) broadcast by hint, the
+    * SF-scaling dims (customer, supplier) join stats-driven; the
+    * c_nationkey = s_nationkey predicate keeps the local-supplier
+    * semantics.
     */
   private def qRegionalRevenue(s: SparkSession, dir: String): DataFrame = {
     val l = rd(s, dir, "lineitem")
@@ -241,9 +246,12 @@ object SparkEntry {
     val su = rd(s, dir, "supplier")
     val n = rd(s, dir, "nation")
     val rg = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+    // customer/supplier scale with SF — no broadcast hint (Catalyst
+    // auto-broadcasts while small, shuffles at 100 TB); nation (25 rows)
+    // and region (5) are fixed-size at every SF, so their hints are safe
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
@@ -1359,11 +1367,13 @@ object SparkEntry {
       minContainment = 0.5)._1
 
   /** End-to-end ingest surface over a REAL file tree (S2 recursive scan,
-    * S3 decode, F1 hidden / F2 extension / F4 empty filters, P1 path
-    * relativization, §2.3 chunking): a deterministic fixture tree is
+    * S3 decode, F1 hidden / F2 extension / F3 size cap / F4 empty
+    * filters, P1 path relativization, §2.3 chunking): a deterministic
+    * fixture tree is
     * materialized from `documents` (doc_id < 60) on first use — doc_id
     * % 13 picks each doc's fate: 0 → hidden dir (F1 must drop), 1 → .bin
-    * extension (F2 must drop), 2 → empty file (F4 must drop), else a
+    * extension (F2 must drop), 2 → empty file (F4 must drop), doc 3 →
+    * padded past 10 MB (F3 must drop), else a
     * kept `sub<id%3>/doc_<id>.md` — and the oracle reconstructs the
     * surviving chunk rows straight from the documents table with the
     * same fate arithmetic + the q12 chunk-span recursion. The fixture
@@ -1528,7 +1538,9 @@ object SparkEntry {
     this.synchronized {
       val key = dirCacheKey(s, dir, "documents")
       val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ingest-$key")
-      val marker = new java.io.File(root, ".GRAFT_FIXTURE") // hidden: F1-invisible
+      // v2: adds the oversized doc_3 so F3 runs on disk (marker bump
+      // rebuilds trees cached by earlier rounds)
+      val marker = new java.io.File(root, ".GRAFT_FIXTURE_V2") // hidden: F1-invisible
       if (!marker.exists()) {
         rd(s, dir, "documents").filter(col("doc_id") < 60)
           .select(col("doc_id"), col("text")).collect()
@@ -1539,6 +1551,12 @@ object SparkEntry {
               case 0 => (".hidden", s"doc_$id.md", text) // F1 drops
               case 1 => (s"sub${id % 3}", s"doc_$id.bin", text) // F2 drops
               case 2 => (s"sub${id % 3}", s"doc_$id.md", "") // F4 drops
+              // doc 3 alone is padded past MaxFileBytes so the F3 size
+              // cap is exercised ON DISK (not just in spec): the scan
+              // must read its metadata and drop it before decode
+              case _ if id == 3L =>
+                (s"sub${id % 3}", s"doc_$id.md",
+                  text + "x" * (graft.ingest.Ingest.MaxFileBytes.toInt + 1))
               case _ => (s"sub${id % 3}", s"doc_$id.md", text)
             }
             val f = new java.io.File(new java.io.File(root, sub), name)
@@ -1855,13 +1873,19 @@ object SparkEntry {
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false) // total + head both read it; one agg pass
+    // The Zipf head only needs rank/cumsum over the 30 kept rows, so the
+    // windows run AFTER a TakeOrderedAndProject — never over the full
+    // vocabulary (a corpus-scale vocab through one window partition was
+    // the pre-r11 plan; PlanAuditSpec now rejects that shape)
+    val total = freqs.agg(sum(col("freq")).as("total"))
+    val head = freqs.orderBy(col("freq").desc, col("token").asc).limit(30)
     val ord = Window.orderBy(col("freq").desc, col("token").asc)
-    freqs
+    head
       .withColumn("rank", row_number().over(ord))
       .withColumn("cum_freq", sum(col("freq")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("freq")).over(Window.partitionBy()))
-      .filter(col("rank") <= 30)
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("freq"),
         round(col("cum_freq").cast("double") / col("total"), 6).as("cum_frac"))
   }
@@ -2265,6 +2289,14 @@ object SparkEntry {
     * it the quadratic within-bucket pair work — stays constant as the
     * corpus grows instead of exploding 39× at 20× like fixed bits=8
     * did (PERF.md round-8 battery).
+    *
+    * Tie-break caveat: DISTINCT vectors at cosine exactly 1.0 (scaled
+    * copies, coarse quantization) are ordered by clone-group rep here
+    * but by raw id in plain hubness/the oracle — divergence is possible
+    * on synthetic/quantized corpora (measure-zero in float space; the
+    * testdata embeddings have no cross-group cos-1.0 ties, so the hash
+    * gate pins this). AnnSpec's planted-scaled-copy test asserts the
+    * collapsed output stays deterministic and mass-conserving there.
     */
   private def qHubness(s: SparkSession, dir: String): DataFrame =
     Ann.hubnessCloneCollapsed(rd(s, dir, "embeddings"), k = 3,
@@ -2458,6 +2490,16 @@ object SparkEntry {
     */
   private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"))
+
+  /** PRODUCTION-hash twin of q137: identical plan with xxhash64 feature
+    * hashing instead of oracle-replayable md5. No DuckDB surface
+    * (xxhash64 isn't replayable there) → rows-only gate; it rides the
+    * bench so every round records the real serving rate next to the
+    * oracle rate (VERDICT r10 item 4).
+    */
+  private def qQualityClassifierXxh(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"),
+      hasher = "xxhash64")
 
   /** Media near-duplicates via byte-histogram perceptual signatures and a
     * banded Hamming join between SIGNATURE GROUPS (pigeonhole-exact recall
@@ -2791,6 +2833,7 @@ object SparkEntry {
     "q135_temperature_sample" -> (qTemperatureSample _),
     "q136_doremi_mixture" -> (qDoremiMixture _),
     "q137_quality_classifier" -> (qQualityClassifier _),
+    "q137x_quality_xxh" -> (qQualityClassifierXxh _),
     "q138_media_neardup" -> (qMediaNearDup _),
     "q139_vocab_coverage" -> (qVocabCoverage _),
     "q140_heavy_hitters" -> (qHeavyHitters _),
@@ -3112,15 +3155,18 @@ object SparkEntry {
     },
 
     // the ingest fixture's fate arithmetic (doc_id % 13: 0 hidden,
-    // 1 bad extension, 2 empty file) + the q12 chunk-span recursion,
-    // with chunk text extracted — replays scan→filter→decode→chunk
+    // 1 bad extension, 2 empty file; doc 3 padded past the 10 MB F3
+    // cap) + the q12 chunk-span recursion, with chunk text extracted —
+    // replays scan→filter→decode→chunk
     "q98_ingest_pipeline" ->
       s"""WITH RECURSIVE docs0 AS (
          |  SELECT doc_id,
          |    'sub' || (doc_id % 3)::VARCHAR || '/doc_' || doc_id::VARCHAR || '.md' AS path,
          |    text AS t, length(text) AS len
          |  FROM documents
-         |  WHERE doc_id < 60 AND doc_id % 13 NOT IN (0, 1, 2) AND trim(text) <> ''),
+         |  WHERE doc_id < 60 AND doc_id % 13 NOT IN (0, 1, 2)
+         |    AND doc_id <> 3 -- F3: the on-disk file is > 10 MB, scan drops it
+         |    AND trim(text) <> ''),
          | spans(doc_id, path, t, len, s, e, idx) AS (
          |  SELECT doc_id, path, t, len, 0, ${chunkEndSql("0")}, 0 FROM docs0
          |  UNION ALL

@@ -60,6 +60,37 @@ object Stress {
     Seq("region", "nation", "part", "supplier").foreach(replicate(_, Map.empty))
   }
 
+  /** NON-CLONE documents replica: ids shift like [[replicateDir]], but each
+    * replica r > 0 also gets a replica-tagged token spliced in after every
+    * 4th word, so cross-replica shingle Jaccard drops to ~0.2 — far below
+    * every near-dup threshold in the battery. The id-shift-only replica
+    * turns EVERY document into a `factor`-clone clique, which makes the
+    * dedup family (q14/q110/q119) measure its worst case (output genuinely
+    * inflates with clone pairs), not its typical plan; this variant keeps
+    * only the base corpus's organic near-dups. Replica 0 keeps the
+    * original text byte-for-byte. Writes ONLY documents.parquet — the
+    * queries benched against it read nothing else.
+    */
+  def replicateDocsPerturbed(spark: SparkSession, sfDir: String, factor: Int,
+                             workDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    val perturbed = expr(
+      """array_join(
+        |  flatten(transform(split(text, ' '),
+        |    (x, i) -> IF(i % 4 = 3, array(x, concat('zrep', __rep)), array(x)))),
+        |  ' ')""".stripMargin)
+    var out = df.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * IdStride)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(perturbed))
+    if (df.columns.contains("n_chars"))
+      out = out.withColumn("n_chars",
+        length(col("text")).cast(df.schema("n_chars").dataType))
+    out.drop("__rep")
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(20)

@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   * Overflow audit (64-bit): w ≤ 1e6·4^iterations (2.56e8 at 4); loss ≤
   * capMilli = 1e9; w·loss ≤ 2.56e17; (loss−avg)·etaPpm ≤ 2.5e14;
   * Σ cnt·rarity ≤ n_d·1e9 — safe for domains up to ~9e9 tokens, far past
-  * any single domain this runs on per-job.
+  * any single domain this runs on per-job. The iteration count is
+  * REQUIRED into the audited range at call time (derived from
+  * rarityCapMilli, 16× dispersion allowance): past it the window sums
+  * wrap silently, which is worse than failing.
   */
 object Mixture {
 
@@ -51,10 +54,22 @@ object Mixture {
                     etaPpm: Long = 250000L, rarityCapMilli: Long = 1000000000L,
                     sourceCol: String = "source",
                     textCol: String = "text"): DataFrame = {
-    require(iterations >= 1 && iterations <= 16,
-      s"need 1 <= iterations <= 16, got $iterations")
     require(etaPpm > 0 && rarityCapMilli > 0,
       s"need positive etaPpm/rarityCapMilli, got $etaPpm/$rarityCapMilli")
+    // 64-bit guard, derived from the actual cap rather than a fixed 16:
+    // w ≤ 1e6·4^i and loss ≤ rarityCapMilli, so the dominant window term
+    // w·loss reaches 1e6·4^i·cap; a 16× dispersion allowance covers the
+    // other domains' (necessarily smaller — growth requires being above
+    // the weighted average) contributions to Σ w·loss. Beyond this the
+    // sums wrap SILENTLY (no ANSI error inside window partials), so fail
+    // fast here. Default cap 1e9 → max 4 iterations, exactly the default.
+    val maxSafeIters = Iterator.from(1)
+      .takeWhile(i => BigInt(16) * BigInt(1000000L) * BigInt(4).pow(i) *
+        BigInt(rarityCapMilli) <= BigInt(Long.MaxValue))
+      .foldLeft(0)((_, i) => i)
+    require(iterations >= 1 && iterations <= maxSafeIters,
+      s"need 1 <= iterations <= $maxSafeIters (64-bit-safe bound at " +
+        s"rarityCapMilli=$rarityCapMilli), got $iterations")
     val toks = docs.select(col(sourceCol),
       explode(filter(graft.text.TextAnalysis.tokens(col(textCol)),
         t => t =!= "")).as("tok"))

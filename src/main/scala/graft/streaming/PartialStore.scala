@@ -16,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Same tmp-write → verify → swap discipline as VectorDb.compact: the
   * merged rows land in a side directory first and the old partials are
   * only removed after the rewrite row count checks out.
+  *
+  * Concurrency contract (SINGLE WRITER, NO CONCURRENT READERS):
+  * [[compact]] must run with the stream STOPPED and no reader
+  * (histogramFromStore/sketchFromStore) in flight — between the move-out
+  * of the old batch dirs and the move-in of the merged tmp, a concurrent
+  * reader sees an empty or partially-swapped store, and an in-flight
+  * micro-batch could append a partial that the merge never saw. Two
+  * concurrent compactions cannot both proceed past the swap point:
+  * `createDirectory(trash)` is atomic, so the loser dies there before
+  * touching live data.
   */
 private[streaming] object PartialStore {
 
@@ -31,8 +41,9 @@ private[streaming] object PartialStore {
     * `batch_id=-1` → delete the trash. A crash mid-swap leaves both the
     * merged tmp and every original dir intact on disk under the named
     * siblings; the require below then fails the NEXT compaction loudly
-    * instead of silently merging a partial store, and the operator
-    * restores by moving the `.compact-old` children back.
+    * instead of silently merging a partial store, and [[restore]]
+    * recovers mechanically (originals move back, or the swap finishes
+    * if the merged dir already landed).
     */
   def compact(spark: SparkSession, storeDir: String,
               merged: DataFrame): (Long, Long) = {
@@ -62,14 +73,68 @@ private[streaming] object PartialStore {
     Files.createDirectory(trash)
     before.foreach(d => Files.move(d, trash.resolve(d.getFileName)))
     Files.move(tmp, root.resolve("batch_id=-1"))
-    def deleteRecursively(p: Path): Unit = {
-      val w = Files.walk(p)
-      try {
-        val all = { val b = Seq.newBuilder[Path]; w.forEach(b += _); b.result() }
-        all.reverse.foreach(Files.deleteIfExists)
-      } finally w.close()
-    }
     deleteRecursively(trash)
     (n, before.length.toLong)
+  }
+
+  /** Recover a store left behind by a compaction crash — the mechanized
+    * form of the "restore or remove it first" instruction in [[compact]]'s
+    * loud refusal. Idempotent; same single-writer contract as compact.
+    * Returns the action taken:
+    *
+    *  - `"clean"` — no `.compact-old` trash: nothing to recover (a stale
+    *    `.compact-tmp` from a pre-swap crash is discarded; the store's
+    *    batch dirs were never touched).
+    *  - `"finished"` — trash exists but the tmp is gone, so the merged
+    *    `batch_id=-1` already landed: the compaction effectively
+    *    SUCCEEDED and the trash holds redundant pre-merge partials —
+    *    finishing means deleting them (re-adding them would double-count
+    *    under sum-merge).
+    *  - `"restored"` — crash mid-move-out (tmp still present): every
+    *    trash child moves back into the store, then tmp and the empty
+    *    trash dir are discarded. The store is bit-identical to its
+    *    pre-compaction state; the next compact re-merges from scratch.
+    */
+  def restore(storeDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(storeDir)
+    val tmp = Paths.get(storeDir + ".compact-tmp")
+    val trash = Paths.get(storeDir + ".compact-old")
+    if (!Files.exists(trash)) {
+      if (Files.exists(tmp)) deleteRecursively(tmp)
+      "clean"
+    } else if (!Files.exists(tmp)) {
+      require(Files.exists(root.resolve("batch_id=-1")),
+        s"inconsistent store: $trash exists but neither the merged " +
+          s"batch_id=-1 nor the tmp is present — manual inspection needed")
+      deleteRecursively(trash)
+      "finished"
+    } else {
+      val s = Files.list(trash)
+      val children = try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.forEach(b += _)
+        b.result()
+      } finally s.close()
+      children.foreach { c =>
+        val dest = root.resolve(c.getFileName)
+        require(!Files.exists(dest),
+          s"restore collision: $dest already exists in the store")
+        Files.move(c, dest)
+      }
+      Files.delete(trash)
+      deleteRecursively(tmp)
+      "restored"
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) return
+    val w = Files.walk(p)
+    try {
+      val all = { val b = Seq.newBuilder[java.nio.file.Path]; w.forEach(b += _); b.result() }
+      all.reverse.foreach(Files.deleteIfExists)
+    } finally w.close()
   }
 }

@@ -62,4 +62,14 @@ object StreamingQuantile {
     */
   def compactStore(spark: SparkSession, storeDir: String): (Long, Long) =
     PartialStore.compact(spark, storeDir, sketchFromStore(spark, storeDir))
+
+  /** Recover a store a compaction crash left mid-swap (the state
+    * [[compactStore]] refuses to run over) — see [[PartialStore.restore]]
+    * for the three recovery outcomes. The layout is shared by every
+    * partial store, so this surface recovers the HLL and drift stores
+    * too; it lives here so specs and operators reach it without opening
+    * the `private[streaming]` plumbing.
+    */
+  def restoreStore(storeDir: String): String =
+    PartialStore.restore(storeDir)
 }

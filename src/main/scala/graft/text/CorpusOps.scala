@@ -255,10 +255,17 @@ object CorpusOps {
     * weights stay in [0, 2000] so the mean divides non-negatives (Spark
     * `div` truncates toward zero, DuckDB `//` floors — they agree only on
     * non-negative operands), centering happens after the division.
+    *
+    * `hasher` picks the per-bigram feature hash: "md5" replays bit-exact
+    * in the DuckDB oracle (the correctness surface); "xxhash64" is the
+    * production serving path — Spark's native codegen hash, ~4× less
+    * per-occurrence work, same plan shape (PERF.md carries both rates).
     */
   def hashedBigramQuality(docs: DataFrame, buckets: Int = 4096,
-                          topK: Int = 20): DataFrame = {
+                          topK: Int = 20, hasher: String = "md5"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(hasher == "md5" || hasher == "xxhash64",
+      s"hasher must be md5 or xxhash64, got $hasher")
     // The weight table is the MODEL — `buckets` longs, materialized once
     // on the driver and shipped as a plan literal (the broadcast-the-model
     // serving discipline; with trained weights this line is the only
@@ -270,9 +277,17 @@ object CorpusOps {
       val d = md.digest(("w" + b).getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
     }
+    // Per-occurrence feature hash — the ONLY per-token cost knob. md5 is
+    // the oracle-replayable default (DuckDB computes the identical
+    // bucket); xxhash64 is the production path (Spark-native codegen
+    // hash, no digest allocation), same plan, same weight table.
+    val bucketOf: Column => Column = hasher match {
+      case "md5" => g =>
+        (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int")
+      case _ => g => pmod(xxhash64(g), lit(buckets.toLong)).cast("int")
+    }
     val weightOf: Column => Column = g =>
-      element_at(typedLit(weights),
-        (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int") + 1)
+      element_at(typedLit(weights), bucketOf(g) + 1)
     docs.select(col("doc_id"), col("source"),
         tokenNgrams(col("text"), 2).as("g"))
       .withColumn("n_bigrams", size(col("g")).cast("long"))

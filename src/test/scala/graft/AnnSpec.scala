@@ -455,6 +455,37 @@ class AnnSpec extends SparkSpec {
     assert(collapsed.values.sum == rows.size.toLong)
   }
 
+  test("hubnessCloneCollapsed on planted scaled copies: deterministic, mass-conserving") {
+    // Scaled copies (v, 2v, 3v) are DISTINCT vectors at cosine exactly 1.0
+    // — the one tie class where collapsed (orders distinct groups by rep)
+    // and plain hubness (interleaves by raw id) may legitimately diverge
+    // (documented measure-zero caveat, ADVICE r10). The histogram of WHO
+    // receives an occurrence can shift under tie reordering, but (a) the
+    // output must be run-to-run deterministic and (b) the total occurrence
+    // mass Σ j·count_j — how many neighbor-list slots got filled — is
+    // tie-break-invariant, so it must match plain hubness exactly.
+    val base = Seq(0.6f, -0.3f, 0.4f, 0.2f, -0.5f, 0.1f)
+    val other = Seq(-0.2f, 0.7f, -0.1f, 0.3f, 0.4f, -0.6f)
+    val rows = Seq(
+      (10L, base), (3L, base.map(_ * 2)), (21L, base.map(_ * 3)), // cos-1.0 tie class
+      (7L, other), (15L, other.map(_ * 2))                        // second tie class
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 2
+    val run1 = Ann.hubnessCloneCollapsed(df, k = k)
+      .as[(Long, Long)].collect().toMap
+    val run2 = Ann.hubnessCloneCollapsed(df, k = k)
+      .as[(Long, Long)].collect().toMap
+    assert(run1 == run2, s"nondeterministic under ties: $run1 vs $run2")
+    val bits = Ann.occupancyBits(rows.size.toLong, 2.0)
+    val plain = Ann.hubness(df, k = k, bits = bits)
+      .as[(Long, Long)].collect().toMap
+    def mass(h: Map[Long, Long]) = h.map { case (j, n) => j * n }.sum
+    assert(mass(run1) == mass(plain),
+      s"occurrence mass diverged: collapsed=$run1 plain=$plain")
+    assert(run1.values.sum == rows.size.toLong)
+  }
+
   test("marginMine finds the planted translation pair, candidates stay in-bucket") {
     // bucket = signs of first 2 dims (bits=2). s1,t1,t2 share bucket 3;
     // s2 sits alone in bucket 0 -> no candidates -> no emission.

@@ -149,6 +149,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("hashedBigramQuality hasher parity: xxhash64 twin keeps plan semantics") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "single", "s"),       // 0 bigrams -> excluded under BOTH hashers
+      (3L, "alpha beta", "t"),
+      (4L, "kappa lambda mu", "u"))
+    val md5 = CorpusOps.hashedBigramQuality(d, buckets = 4096, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val xxh = CorpusOps.hashedBigramQuality(d, buckets = 4096, topK = 10,
+        hasher = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // bucketing differs, so SCORES may differ — but the doc set, source,
+    // and bigram counts are hash-independent and must agree exactly
+    assert(md5.map(t => (t._1, t._2, t._3)).toSet ==
+      xxh.map(t => (t._1, t._2, t._3)).toSet, s"md5=${md5.toSeq} xxh=${xxh.toSeq}")
+    assert(!xxh.exists(_._1 == 2L))
+    // deterministic across runs (typedLit weight table + codegen hash)
+    val again = CorpusOps.hashedBigramQuality(d, buckets = 4096, topK = 10,
+        hasher = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val first = CorpusOps.hashedBigramQuality(d, buckets = 4096, topK = 10,
+        hasher = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq == first.toSeq)
+    // scores stay in the centered milli range under any hasher
+    assert(xxh.nonEmpty)
+    CorpusOps.hashedBigramQuality(d, topK = 10, hasher = "xxhash64")
+      .collect().foreach { r =>
+        val sc = r.getLong(3)
+        assert(sc >= -1000 && sc <= 1000, s"score out of range: $sc")
+      }
+  }
+
   test("bigramVocabCoverage: rank-cut vocab, per-source OOV ppm") {
     // corpus bigram counts: "a b" 2, "b a" 1, "c d" 1; vocabSize=2 keeps
     // "a b" then the count-1 tie broken lexically -> "b a"; so source t's

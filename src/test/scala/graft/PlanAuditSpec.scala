@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExecBase
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
+
+/** Mechanized 100 TB plan audit over EVERY `SparkEntry.queries` entry.
+  *
+  * PLANS.md documents, in prose, why each query's physical plan survives a
+  * 1000-executor / 100 TB scale-up. Prose doesn't stop a future edit from
+  * reintroducing the shapes that prose rules out. This spec re-derives the
+  * plan of all registered queries at sf0.001 and rejects the shape classes
+  * that have actually bitten (or nearly bitten) in past rounds:
+  *
+  *  1. `CartesianProductExec` anywhere — an all-pairs join is never the
+  *     intended plan here; every pairing operator is banded/blocked/bucketed.
+  *  2. `WindowExec` with an EMPTY partition spec whose input subtree is not
+  *     bounded by a limit — "moving all data to a single partition" is only
+  *     acceptable over frames already reduced to driver-scale cardinality.
+  *     Frames bounded by aggregation (not by a limit) must be explicitly
+  *     allowlisted with a justification, so adding one is a conscious act;
+  *     the allowlist is self-pruning (unused entries fail the spec).
+  *  3. A hint-FORCED broadcast (`broadcast(...)`) whose hinted side has no
+  *     bounding construct — no aggregate, no limit, no local relation, no
+  *     literal-equality selection — before the file scan. A stats-driven
+  *     auto-broadcast is scale-safe by construction (Catalyst/AQE re-picks
+  *     a shuffle join when the estimated size grows past the threshold);
+  *     an explicit hint overrides the size check at EVERY scale, so a
+  *     hinted raw-corpus frame is exactly the clone-quadratic hole class
+  *     of q97/q118 (round 8). Audited on the optimized logical plan,
+  *     where `EliminateResolvedHint` has folded hints into `Join.hint`.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a global (unpartitioned) window over a frame bounded by
+    * aggregation rather than a limit. Each entry must say WHY the frame is
+    * driver-scale; the spec asserts every entry is actually exercised.
+    */
+  private val globalWindowOverAggregate: Map[String, String] = Map(
+    "q141_quality_ensemble" ->
+      ("rank normalization windows run over value-count histograms " +
+        "(Stats.rankPercentilePpm: groupBy(value).count first, window over " +
+        "<= |distinct values| rows), never over the corpus"),
+    "q74_mixture_weights" ->
+      "weight normalization over the per-source aggregate: |sources| rows (~20)",
+    "q132_unimax" ->
+      "UniMax waterfill window over the per-language capacity frame: |langs| rows",
+    "q136_doremi_mixture" ->
+      "DoReMi iteration windows over the per-domain frame: |domains| rows per step"
+  )
+
+  /** Queries allowed a hint-forced broadcast whose boundedness the rule
+    * can't see structurally. Each entry must say why the frame stays
+    * broadcast-sized at EVERY scale factor; self-pruning like the window
+    * allowlist.
+    */
+  private val boundedBroadcast: Map[String, String] = Map(
+    "q02_cosine_topk_batch" ->
+      "broadcasts the query batch (vec_id < 4): the query WORKLOAD, fixed 4 rows at any SF",
+    "q91_hard_negatives" ->
+      "broadcasts the anchor set (vec_id < 4): fixed-size training anchors, not corpus",
+    "q52_contamination" ->
+      "broadcasts the benchmark eval set (doc_id < 10 stand-in): fixed cardinality by definition",
+    "q68_bloom_join" ->
+      ("broadcasts the bloom key set (o_totalprice > 495000): ~1e-5 selectivity, " +
+        "~1.5M keys (~12 MB) at 100 TB; the bloom filter itself is the shuffle guard"),
+    "q39_regional_revenue" ->
+      "broadcasts nation: fixed 25 rows at every TPC-H scale factor (region is filter-bounded)"
+  )
+
+  private def subtreeHasLimit(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case _: TakeOrderedAndProjectExec => ()
+      case _: GlobalLimitExec => ()
+      case _: LocalLimitExec => ()
+      case _: CollectLimitExec => ()
+      case _: LocalTableScanExec => () // literal / driver-built frame
+    }.nonEmpty
+
+  private def subtreeHasAggregate(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case _: HashAggregateExec => ()
+      case _: ObjectHashAggregateExec => ()
+      case _: SortAggregateExec => ()
+    }.nonEmpty
+
+  /** Literal-equality selection (point/value-set lookup): `k = lit`,
+    * `k <=> lit`, `k IN (lits)`. Inequalities (`length > 100`) do NOT
+    * bound cardinality and deliberately don't count.
+    */
+  private def isLiteralEquality(e: Expression): Boolean = e.exists {
+    case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+    case EqualNullSafe(_, _: Literal) | EqualNullSafe(_: Literal, _) => true
+    case In(_, list) if list.forall(_.isInstanceOf[Literal]) => true
+    case _: InSet => true
+    case _ => false
+  }
+
+  /** The hinted side of a forced broadcast must contain SOME construct that
+    * bounds it independently of scale factor.
+    */
+  private def logicalSubtreeBounded(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case _: Aggregate => ()
+      case _: GlobalLimit => ()
+      case _: LocalLimit => ()
+      case _: LocalRelation => ()
+      case _: OneRowRelation => ()
+      case _: Range => ()
+      case _: Sample => ()
+      case f: Filter if isLiteralEquality(f.condition) => ()
+      // a localCheckpoint()ed frame: lineage is truncated so the bound
+      // (an aggregate in every current use: cluster maps, LM bucket
+      // counts) is invisible — checkpointing is itself a deliberate
+      // materialization decision, never applied to a raw corpus here
+      case r if r.nodeName == "LogicalRDD" => ()
+    }.nonEmpty
+
+  private def auditPhysical(name: String, plan: SparkPlan,
+                            usedAllowlist: scala.collection.mutable.Set[String]): Seq[String] = {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (root <- plan +: plan.subqueriesAll) {
+      root.foreach {
+        case _: CartesianProductExec =>
+          violations += s"$name: CartesianProduct in plan"
+        case w: WindowExecBase if w.partitionSpec.isEmpty =>
+          val bounded = subtreeHasLimit(w.child)
+          val allowlisted = globalWindowOverAggregate.contains(name)
+          if (!bounded && !allowlisted)
+            violations += s"$name: global window over unbounded input (no limit below WindowExec, query not allowlisted)"
+          if (!bounded && allowlisted) {
+            usedAllowlist += name
+            if (!subtreeHasAggregate(w.child))
+              violations += s"$name: allowlisted global window but input has neither limit nor aggregate"
+          }
+        case _ => ()
+      }
+    }
+    violations.toSeq
+  }
+
+  private def auditLogical(name: String, plan: LogicalPlan,
+                           usedBroadcastAllowlist: scala.collection.mutable.Set[String]): Seq[String] = {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (root <- plan +: plan.subqueriesAll) {
+      root.foreach {
+        case j: Join =>
+          val sides = Seq(
+            ("left", j.hint.leftHint, j.left),
+            ("right", j.hint.rightHint, j.right))
+          for ((label, hintOpt, side) <- sides) {
+            val forced = hintOpt.exists(_.strategy.exists(_.toString.contains("broadcast")))
+            if (forced && !logicalSubtreeBounded(side)) {
+              if (boundedBroadcast.contains(name)) usedBroadcastAllowlist += name
+              else violations += s"$name: hint-forced broadcast of an unbounded $label side (no aggregate/limit/local-relation/literal-equality filter)"
+            }
+          }
+        case _ => ()
+      }
+    }
+    violations.toSeq
+  }
+
+  test("every registered query plan is cartesian-free, window-bounded, broadcast-sane") {
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+      val usedWindowAllowlist = scala.collection.mutable.Set.empty[String]
+      val usedBroadcastAllowlist = scala.collection.mutable.Set.empty[String]
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      for (name <- names) {
+        val df =
+          try SparkEntry.queries(name)(spark, sfDir)
+          catch {
+            case e: Exception =>
+              failures += s"$name: query construction failed: ${e.getMessage}"; null
+          }
+        if (df != null) {
+          try {
+            failures ++= auditPhysical(name, df.queryExecution.executedPlan, usedWindowAllowlist)
+            failures ++= auditLogical(name, df.queryExecution.optimizedPlan, usedBroadcastAllowlist)
+          } catch {
+            case e: Exception =>
+              failures += s"$name: planning failed: ${e.getMessage}"
+          }
+        }
+      }
+      val unusedW = globalWindowOverAggregate.keySet -- usedWindowAllowlist
+      if (unusedW.nonEmpty)
+        failures += s"window allowlist entries never exercised (remove them): $unusedW"
+      val unusedB = boundedBroadcast.keySet -- usedBroadcastAllowlist
+      if (unusedB.nonEmpty)
+        failures += s"broadcast allowlist entries never exercised (remove them): $unusedB"
+      assert(failures.isEmpty, s"\n${failures.distinct.mkString("\n")}")
+    } finally conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+}

@@ -495,6 +495,62 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == before)
   }
 
+  test("PartialStore.restore recovers a crash mid-swap: refuse -> restore -> re-compact") {
+    import graft.streaming.StreamingQuantile
+    import java.nio.file.{Files => F, Paths}
+    val base = Files.createTempDirectory("graft_restore").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    Seq((1L, "t", "en", "web", 10L), (2L, "t", "en", "web", 500L),
+      (3L, "t", "en", "wiki", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    Seq((4L, "t", "en", "wiki", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    val want = StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet
+
+    // Simulate the exact mid-move-out crash state compact() can leave:
+    // one batch dir already renamed into .compact-old, the merged tmp
+    // written but not yet moved in.
+    val trash = Paths.get(store + ".compact-old")
+    val tmp = Paths.get(store + ".compact-tmp")
+    F.createDirectory(trash)
+    val batch0 = F.list(Paths.get(store)).toArray.map(_.toString)
+      .filter(_.contains("batch_id=")).min
+    F.move(Paths.get(batch0), trash.resolve(Paths.get(batch0).getFileName))
+    StreamingQuantile.sketchFromStore(spark, store) // reader still runs...
+    F.createDirectory(tmp) // (content irrelevant — restore discards it)
+
+    // 1. compaction refuses loudly over the crash state
+    val e = intercept[IllegalArgumentException](
+      StreamingQuantile.compactStore(spark, store))
+    assert(e.getMessage.contains("interrupted compaction"), e.getMessage)
+    // 2. restore puts the originals back and discards the tmp
+    assert(StreamingQuantile.restoreStore(store) == "restored")
+    assert(!F.exists(trash) && !F.exists(tmp))
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+    // 3. re-compaction proceeds and the sketch is bucket-for-bucket equal
+    val (_, dirs) = StreamingQuantile.compactStore(spark, store)
+    assert(dirs == 2L)
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+    // 4. idempotent on a clean store
+    assert(StreamingQuantile.restoreStore(store) == "clean")
+
+    // "finished" path: trash left behind AFTER the merged dir landed
+    // (post-swap crash) — restore completes the compaction by dropping
+    // the redundant pre-merge partials, never re-adding them
+    F.createDirectory(trash)
+    F.createDirectory(trash.resolve("batch_id=0"))
+    assert(StreamingQuantile.restoreStore(store) == "finished")
+    assert(!F.exists(trash))
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+  }
+
   test("interval join pairs clicks with in-window preceding views only (batch)") {
     val clicks = Seq((1L, 100L, ts(10)), (2L, 101L, ts(20)))
       .toDF("user_id", "click_id", "click_ts")

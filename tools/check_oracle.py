@@ -46,9 +46,14 @@ def main(sf_dir, out_dir):
             # hash-mismatch driver-side even when astype-coerced values agree
             # (exactly how q132/r9 passed locally but failed the gate).
             # int32-vs-int64 is proven-safe (rank columns, green for 9 rounds),
-            # so compare pandas dtype kind, not exact width.
+            # so compare pandas dtype kind, not exact width; signed/unsigned
+            # ('i'/'u') are the same safe case — coerced values still agree —
+            # as is bool-vs-int ('b'/'i'), so fold those kinds together.
+            def kind(s):
+                k = s.dtype.kind
+                return 'i' if k in ('i', 'u', 'b') else k
             dt_bad = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
-                      if a[c].dtype.kind != b[c].dtype.kind]
+                      if kind(a[c]) != kind(b[c])]
             if dt_bad:
                 status = f"DTYPE MISMATCH {dt_bad}"
             for c in (a.columns if not dt_bad else []):
