@@ -2415,20 +2415,19 @@ object SparkEntry {
   /** HLL distinct-shingle estimate per source next to the exact
     * distinct — the bounded-memory cardinality path (64 registers per
     * source vs a shingle-universe shuffle); see
-    * [[graft.stats.DistinctSketch.hllDistinct]]. The exact side exists
-    * to expose the sketch error as rel_err; at 100 TB one would ship
-    * only the sketch.
+    * [[graft.stats.DistinctSketch.hllDistinctWithExact]], which derives
+    * BOTH from one distinct pass (through round 10 the sketch and the
+    * exact side each re-scanned and re-exploded the corpus). The exact
+    * side exists to expose the sketch error as rel_err; at 100 TB one
+    * would ship only the sketch ([[graft.stats.DistinctSketch.hllDistinct]]).
     */
-  private def qHllVocab(s: SparkSession, dir: String): DataFrame = {
-    val shs = sourceShingles(s, dir)
-    graft.stats.DistinctSketch.hllDistinct(shs, "source", "sh")
-      .join(shs.groupBy(col("source"))
-        .agg(countDistinct(col("sh")).as("exact_distinct")), "source")
+  private def qHllVocab(s: SparkSession, dir: String): DataFrame =
+    graft.stats.DistinctSketch
+      .hllDistinctWithExact(sourceShingles(s, dir), "source", "sh")
       .select(col("source"), col("exact_distinct"), col("n_zero_registers"),
         col("hll_distinct"),
         round((col("hll_distinct") - col("exact_distinct")) /
           col("exact_distinct").cast("double"), 6).as("rel_err"))
-  }
 
   /** Pairwise source shingle-set set-op estimates from 256-value KMV
     * sketches (union / Jaccard / intersection cardinalities) — the
@@ -2500,6 +2499,73 @@ object SparkEntry {
   private def qQualityClassifierXxh(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"),
       hasher = "xxhash64")
+
+  /** Davies–Bouldin cluster-quality audit over the q100 working set's
+    * IVF clustering (same subset, seed, and trained centers): per-cluster
+    * scatter in exact integer micro-units + the max overlap ratio.
+    * PARTIAL oracle like q28/q100 — centers exported, DuckDB replays
+    * assignment, scatter, and the k×k ratio fold; see
+    * [[graft.search.Ann.daviesBouldin]].
+    */
+  private def qClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    val index = Ann.buildIvf(emb, nCentroids = 8, seed = 42L, maxIter = 4,
+      initMode = "random")
+    clusterQualityCentersForOracle = index.centers
+    Ann.daviesBouldin(index)
+  }
+
+  @volatile private var clusterQualityCentersForOracle: Array[Array[Double]] = _
+
+  /** DuckDB replay of q144 downstream of training: nearest-centroid
+    * assignment over the exported centroid literals (the q100
+    * mechanism), micro-quantized member distances, integer-div scatter,
+    * and the pairwise (Sᵢ+Sⱼ)/Mᵢⱼ max over the k×k centroid matrix.
+    */
+  private def clusterQualityOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |   WHERE vec_id < 2000),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | scat AS (SELECT cid AS cluster_id, count(*)::BIGINT AS n_members,
+       |    (sum(round(sqrt(d2) * 1e6)::BIGINT) // count(*))::BIGINT AS scatter_micro
+       |   FROM assign GROUP BY 1),
+       | m AS (SELECT a.cid AS i, b.cid AS j,
+       |    sqrt(list_sum([(a.c[t+1] - b.c[t+1]) * (a.c[t+1] - b.c[t+1])
+       |                   for t in range(0, $d)])) AS mij
+       |   FROM ctr a JOIN ctr b ON a.cid <> b.cid),
+       | r AS (SELECT s1.cluster_id,
+       |    max((s1.scatter_micro + s2.scatter_micro)::DOUBLE / (m.mij * 1e6)) AS rr
+       |   FROM scat s1 JOIN m ON m.i = s1.cluster_id
+       |   JOIN scat s2 ON s2.cluster_id = m.j GROUP BY 1)
+       |SELECT s.cluster_id::INT AS cluster_id, s.n_members, s.scatter_micro,
+       |  round(r.rr, 6) AS db_ratio
+       |FROM scat s JOIN r USING (cluster_id)""".stripMargin
+  }
+
+  /** Heaps'-law vocabulary-growth fit (β and ln K) across documents —
+    * integer-micro-nat least squares; see
+    * [[graft.text.CorpusOps.heapsLawFit]].
+    */
+  private def qHeapsLaw(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.heapsLawFit(rdWide(s, dir, "documents"))
+
+  /** Winsorized per-source length moments (clip to the exact p05/p95
+    * from the q117 histogram discipline, then exact-integer mean/std);
+    * see [[graft.stats.Stats.winsorizedStats]].
+    */
+  private def qWinsorizedStats(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Stats.winsorizedStats(rd(s, dir, "documents"),
+      "n_chars", "source")
 
   /** Media near-duplicates via byte-histogram perceptual signatures and a
     * banded Hamming join between SIGNATURE GROUPS (pigeonhole-exact recall
@@ -2840,6 +2906,9 @@ object SparkEntry {
     "q141_quality_ensemble" -> (qQualityEnsemble _),
     "q142_label_cohesion" -> (qLabelCohesion _),
     "q143_collocations" -> (qCollocations _),
+    "q144_cluster_quality" -> (qClusterQuality _),
+    "q145_heaps_law" -> (qHeapsLaw _),
+    "q146_winsorized_stats" -> (qWinsorizedStats _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3040,7 +3109,9 @@ object SparkEntry {
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
       (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None) ++
-      Option(whitenForOracle).map { case (w, m) => "q126_whitened_topk" -> whitenedOracleSql(w, m) }
+      Option(whitenForOracle).map { case (w, m) => "q126_whitened_topk" -> whitenedOracleSql(w, m) } ++
+      Option(clusterQualityCentersForOracle)
+        .map(c => "q144_cluster_quality" -> clusterQualityOracleSql(c))
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q01_cosine_topk" ->
@@ -4296,6 +4367,57 @@ object SparkEntry {
         | CAST(floor(((c_ab::DOUBLE * t * t) / (p::DOUBLE * c_a * c_b)) * 1000000.0) AS BIGINT) AS lift_ppm
         |FROM j, tt, pt
         |ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // per-doc (ln tokens, ln types) quantized to integer micro-nats,
+    // exact integer regression sums, slope/intercept in double FROM the
+    // exact sums with every sum cast to double BEFORE any product (the
+    // Spark side computes double*double, never int128-then-cast)
+    "q145_heaps_law" ->
+      """WITH t AS (SELECT
+        |   round(ln(len(w)) * 1e6)::BIGINT AS x,
+        |   round(ln(len(list_distinct(w))) * 1e6)::BIGINT AS y
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2 AND len(list_distinct(w)) >= 1),
+        | s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |   sum(y)::BIGINT AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM t)
+        |SELECT n AS n_docs,
+        | round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
+        | round(((sy::DOUBLE -
+        |   ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE) /
+        |   n::DOUBLE) / 1e6, 6) AS ln_k
+        |FROM s""".stripMargin,
+
+    // q117's histogram-quantile CTE at p05/p95, clip, exact integer
+    // clipped sums, mean/std in double from the exact sums (population
+    // std: sqrt((Scc - Sc^2/n)/n), identical association both engines)
+    "q146_winsorized_stats" ->
+      """WITH h AS (SELECT source, n_chars AS value, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2),
+        | cm AS (SELECT source, value,
+        |    sum(c) OVER (PARTITION BY source ORDER BY value)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n FROM h),
+        | q AS (SELECT 'lo' AS quantile, 1::BIGINT AS num, 20::BIGINT AS den
+        |   UNION ALL SELECT 'hi', 19, 20),
+        | qv AS (SELECT source, quantile, min(value)::BIGINT AS value
+        |   FROM cm, q WHERE cum * den >= n * num GROUP BY 1, 2),
+        | b AS (SELECT source,
+        |    max(CASE WHEN quantile = 'lo' THEN value END)::BIGINT AS lo,
+        |    max(CASE WHEN quantile = 'hi' THEN value END)::BIGINT AS hi
+        |   FROM qv GROUP BY 1),
+        | cl AS (SELECT d.source, d.n_chars::BIGINT AS v, b.lo, b.hi,
+        |    least(greatest(d.n_chars::BIGINT, b.lo), b.hi) AS cv
+        |   FROM documents d JOIN b USING (source))
+        |SELECT source, count(*)::BIGINT AS n_rows,
+        | max(lo)::BIGINT AS lo, max(hi)::BIGINT AS hi,
+        | sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+        | sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+        | round(sum(cv)::DOUBLE / count(*)::DOUBLE, 4) AS win_mean,
+        | round(sqrt((sum(cv*cv)::DOUBLE - sum(cv)::DOUBLE * sum(cv)::DOUBLE
+        |   / count(*)::DOUBLE) / count(*)::DOUBLE), 4) AS win_std
+        |FROM cl GROUP BY source""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5

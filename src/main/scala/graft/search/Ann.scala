@@ -991,6 +991,74 @@ object Ann {
         coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
 
+  /** Davies–Bouldin cluster-quality audit over a built IVF index
+    * (Davies & Bouldin 1979): per cluster i, scatter Sᵢ = mean member
+    * distance to its own centroid, and the DB component
+    * Rᵢ = max_{j≠i} (Sᵢ+Sⱼ)/Mᵢⱼ with Mᵢⱼ the centroid distance — the
+    * standard "is this clustering any good" number for embedding-space
+    * curation (a high Rᵢ cluster overlaps a neighbor; semantic dedup
+    * and IVF probe quality both degrade there).
+    *
+    * Scale shape: ONE corpus pass — the assignment frame joins the
+    * |k|-row centroid table (LocalRelation broadcast), each member's
+    * distance folds inside the row (`zip_with`+`aggregate`, quantized
+    * to integer micro-units so the per-cluster sums are exact), then a
+    * |k|-row aggregate. Everything pairwise (Mᵢⱼ, Rᵢ) happens on the
+    * k×k driver-side matrix — never a corpus cartesian (and never a
+    * k-row crossJoin in the plan either: PlanAuditSpec forbids the
+    * shape globally, and k² driver flops are free). The scatter
+    * aggregate runs once at construction (bounded |k|-row collect, the
+    * IVF-centroid discipline) to derive the Rᵢ literals, and the
+    * returned plan recomputes it distributed for the output rows.
+    *
+    * Output: (cluster_id, n_members, scatter_micro, db_ratio) —
+    * scatter_micro an exact integer (micro-units, `div`), db_ratio the
+    * only double, rounded.
+    */
+  def daviesBouldin(index: IvfIndex, vecCol: String = "embedding"): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val k = index.centers.length
+    require(k >= 2, s"Davies-Bouldin needs >= 2 clusters, got $k")
+    val ctr = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "__ctr")
+    def scatter: DataFrame = index.assigned
+      .join(broadcast(ctr), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        round(sqrt(aggregate(
+          zip_with(asDouble(col(vecCol)), col("__ctr"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)) * 1e6, 0).cast("long").as("__dmu"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__dmu")).as("__sum_dmu"))
+      .select(col("centroid_id").as("cluster_id"), col("n_members"),
+        expr("__sum_dmu div n_members").as("scatter_micro"))
+    // |k|-row collect to fold the pairwise max driver-side
+    val s = scatter.collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    def m(i: Int, j: Int): Double = {
+      var d = 0.0; var t = 0
+      while (t < index.centers(i).length) {
+        val dl = index.centers(i)(t) - index.centers(j)(t); d += dl * dl; t += 1
+      }
+      math.sqrt(d)
+    }
+    val r = (0 until k).filter(s.contains).map { i =>
+      val ri = (0 until k)
+        .filter(j => j != i && s.contains(j))
+        .map { j =>
+          val mij = m(i, j)
+          require(mij > 0.0,
+            s"duplicate centroids $i/$j — Davies-Bouldin undefined")
+          (s(i) + s(j)).toDouble / (mij * 1e6)
+        }.max
+      (i, BigDecimal(ri).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("cluster_id", "db_ratio")
+    scatter.join(broadcast(r), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("scatter_micro"),
+        col("db_ratio"))
+  }
+
   def ivfSearch(index: IvfIndex, queryVec: Seq[Double], k: Int = 5,
                 nprobe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {

@@ -71,6 +71,53 @@ object DistinctSketch {
       .agg(max(col("rho")).as("rmax"))
   }
 
+  /** FUSED exact-distinct + HLL estimate per group in ONE pass over the
+    * value stream: `count(DISTINCT value)` and the sketch share their
+    * expensive step — the (group, value) distinct — so computing them
+    * separately (as q130 did through round 10) scans and shuffles the
+    * corpus twice for no reason. Here the distinct frame is aggregated
+    * ONCE into (group, bucket) rows carrying BOTH max(ρ) and the count
+    * of distinct values in that bucket; buckets partition the distinct
+    * value set, so Σ n_distinct over a group's buckets IS the exact
+    * distinct count, and no lineage is consumed twice (nothing to
+    * checkpoint — the explode runs once, structurally).
+    *
+    * Scale shape: one corpus scan → one (group, value) distinct shuffle
+    * (the exact side's irreducible cost; drop the exact column and use
+    * [[hllDistinct]] when you don't want it) → a map-combined
+    * (group, bucket) aggregate whose exchange carries ≤ |groups|·m rows.
+    * Registers are hash-identical to [[hllRegisters]] (max over the
+    * distinct set == max over the multiset), so the estimate matches
+    * bit-for-bit.
+    *
+    * Output: (groupCol, exact_distinct, n_zero_registers, hll_distinct).
+    */
+  def hllDistinctWithExact(df: DataFrame, groupCol: String,
+                           valueCol: String): DataFrame = {
+    val h = HashFunctions.md5Int60(col(valueCol))
+    val w = shiftright(h, 6)
+    val rho = when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
+    df.select(col(groupCol), col(valueCol)).distinct()
+      .select(col(groupCol), pmod(h, lit(HllM.toLong)).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rmax"), count(lit(1)).as("n_distinct"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_distinct")).as("exact_distinct"),
+        sum(expr("shiftleft(1L, 55 - rmax)")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(
+        col(groupCol),
+        col("exact_distinct"),
+        (lit(HllM.toLong) - col("n_present")).as("n_zero_registers"),
+        round(
+          lit(HllNumerator) /
+            (col("s_present") +
+              (lit(HllM.toLong) - col("n_present")) * shiftleft(lit(1L), 55))
+              .cast("double"),
+          4).as("hll_distinct"))
+  }
+
   /** Closed-form estimate from a (group, bucket, rmax) register table. */
   def hllEstimate(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col(groupCol))

@@ -80,6 +80,62 @@ object Stats {
       .agg(min(col(valueCol)).as("value"), max(col("__n")).as("n_rows"))
   }
 
+  /** Winsorized per-group moments: mean/std of `valueCol` AFTER clipping
+    * to the group's own exact [lo, hi] quantiles — the robust-statistics
+    * pass a corpus length/score audit wants (a handful of 100 MB crawl
+    * blobs otherwise owns the mean). Quantiles come from
+    * [[exactQuantiles]]'s histogram discipline (no sort, no
+    * percentile_approx error bar), pivoted to one (group, lo, hi) row
+    * and BROADCAST back onto the scan (|groups| rows, aggregate-bounded
+    * — the plan-audit-clean broadcast shape).
+    *
+    * Engine stability: clipped values are integers, so the clipped sum
+    * and sum of squares accumulate in decimal(38,0) (exact at any
+    * corpus size; a long Σv² overflows at ~9e18). The only doubles are
+    * the final mean and the population std — one division and one
+    * IEEE-correctly-rounded sqrt over identical integers on both
+    * engines, then rounded.
+    *
+    * Output: (groupCol, n_rows, lo, hi, n_clipped_low, n_clipped_high,
+    * win_mean, win_std).
+    */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+                      lo: (Int, Int) = (1, 20), hi: (Int, Int) = (19, 20)): DataFrame = {
+    require(lo._1.toLong * hi._2 < hi._1.toLong * lo._2,
+      s"lo quantile must be below hi, got $lo vs $hi")
+    val q = exactQuantiles(df, valueCol, groupCol,
+      Seq(("lo", lo._1, lo._2), ("hi", hi._1, hi._2)))
+    val bounds = q.groupBy(col(groupCol)).agg(
+      max(when(col("quantile") === "lo", col("value"))).as("__lo"),
+      max(when(col("quantile") === "hi", col("value"))).as("__hi"))
+    val clipped = df
+      .join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        col("__lo"), col("__hi"))
+      .withColumn("__c", least(greatest(col("__v"), col("__lo")), col("__hi")))
+    clipped.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("__lo")).as("lo"),
+        max(col("__hi")).as("hi"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("__c").cast("decimal(38,0)")).as("__sc"),
+        // cast-then-multiply: a long*long square wraps before the cast
+        // for values past ~3e9 (decimal(19,0)^2 widens to (38,0) exactly)
+        sum(col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)"))
+          .as("__scc"))
+      .select(col(groupCol), col("n_rows"), col("lo"), col("hi"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        round(col("__sc").cast("double") / col("n_rows").cast("double"), 4)
+          .as("win_mean"),
+        round(sqrt(
+          (col("__scc").cast("double") -
+            col("__sc").cast("double") * col("__sc").cast("double") /
+              col("n_rows").cast("double")) / col("n_rows").cast("double")),
+          4).as("win_std"))
+  }
+
   /** A1+A3+A4: one-row corpus summary. `approxDistinct` swaps the exact
     * count-distinct (a full shuffle of distinct values) for HLL — the
     * right default at 100 TB.

@@ -28,9 +28,11 @@ object StreamingDistinct {
     * partial HLL registers over 3-word shingles per source.
     */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
-            checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(StreamingIngest.DocumentSchema)
+            checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val rs = spark.readStream.schema(StreamingIngest.DocumentSchema)
+    val rs2 = if (maxFilesPerTrigger > 0)
+      rs.option("maxFilesPerTrigger", maxFilesPerTrigger) else rs
+    rs2
       .parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -42,6 +44,7 @@ object StreamingDistinct {
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       }
       .start()
+  }
 
   /** Current registers: fold the per-batch partials with one more max
     * (the batch_id partition column from the idempotent layout is

@@ -64,9 +64,11 @@ object StreamingDrift {
     * histogram partial.
     */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
-            checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(StreamingIngest.DocumentSchema)
+            checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val rs = spark.readStream.schema(StreamingIngest.DocumentSchema)
+    val rs2 = if (maxFilesPerTrigger > 0)
+      rs.option("maxFilesPerTrigger", maxFilesPerTrigger) else rs
+    rs2
       .parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -76,6 +78,7 @@ object StreamingDrift {
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       }
       .start()
+  }
 
   /** Current stream-side histogram (fold the partials with one more sum). */
   def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame =

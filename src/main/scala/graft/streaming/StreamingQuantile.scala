@@ -23,11 +23,16 @@ object StreamingQuantile {
 
   /** Stream document files from `srcDir`, append each micro-batch's
     * partial (source, bucket, cnt) rows over `n_chars`.
+    * `maxFilesPerTrigger` > 0 caps files per micro-batch (AvailableNow
+    * then drains the backlog as MANY batches — how the soak run drives
+    * hundreds of micro-batches through one session).
     */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
-            checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(StreamingIngest.DocumentSchema)
+            checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val rs = spark.readStream.schema(StreamingIngest.DocumentSchema)
+    val rs2 = if (maxFilesPerTrigger > 0)
+      rs.option("maxFilesPerTrigger", maxFilesPerTrigger) else rs
+    rs2
       .parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -37,6 +42,7 @@ object StreamingQuantile {
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       }
       .start()
+  }
 
   /** Current sketch: fold the per-batch partials with one more sum (the
     * batch_id partition column from the idempotent layout is ignored).

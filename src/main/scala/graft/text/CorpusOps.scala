@@ -334,6 +334,62 @@ object CorpusOps {
       .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_grams"))
   }
 
+  /** Heaps'-law fit — the vocabulary-growth exponent β (and log-space
+    * intercept) of V = K·N^β across documents, by closed-form least
+    * squares on (ln n_tokens, ln n_types) per document. β far from the
+    * 0.4–0.6 natural-text band is a corpus smell: β → 1 means
+    * near-random token soup (every token new), β → 0 means template
+    * spam (no vocabulary growth) — the corpus-level twin of q120's
+    * per-source fertility.
+    *
+    * Engine stability: each document's two logs are quantized to integer
+    * micro-nats (the q112 discipline) so every sum the regression
+    * consumes is EXACT integer arithmetic — Σx, Σy as longs, Σxy, Σx² in
+    * decimal(38,0) (products reach 1.3e14 per doc; 9e18 overflows at
+    * ~70k docs, far below any real corpus). The final slope/intercept
+    * are computed in double FROM those exact sums with an identical
+    * expression on both engines, then rounded. ln(K) is emitted instead
+    * of K — exp() is not engine-stable, ln on the small integer domain
+    * of token counts is (both engines agree on the micro-nat rounding;
+    * same argument as q99/q112).
+    *
+    * Scale shape: one map-side projection per document (tokens, distinct
+    * tokens — array ops inside the row, no explode) and ONE global
+    * aggregate. Nothing shuffles more than the 5-number summary.
+    */
+  def heapsLawFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(size(col("__w")).cast("long").as("n"),
+        size(array_distinct(col("__w"))).cast("long").as("v"))
+      .filter(col("n") >= 2 && col("v") >= 1)
+      .select(
+        round(log(col("n").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("v").cast("double")) * 1e6, 0).cast("long").as("y"))
+    t.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n_docs"),
+        round(
+          (col("n_docs").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_docs").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")),
+          6).as("beta"),
+        round(
+          ((col("sy").cast("double") -
+            ((col("n_docs").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+             (col("n_docs").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) /
+            col("n_docs").cast("double")) / 1e6,
+          6).as("ln_k"))
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

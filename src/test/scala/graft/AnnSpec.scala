@@ -486,6 +486,29 @@ class AnnSpec extends SparkSpec {
     assert(run1.values.sum == rows.size.toLong)
   }
 
+  test("daviesBouldin: planted tight/loose clusters rank by overlap, scatter exact") {
+    // cluster 0: three copies of (0,0) -> scatter exactly 0
+    // cluster 1: (10,0)±(1,0) -> scatter = mean(1e6, 1e6, 0) = 666666 (div)
+    // centroids at (0,0) and (10,0): M = 10
+    val rows = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(9.0f, 0.0f)), (4L, Seq(11.0f, 0.0f)), (5L, Seq(10.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val assigned = df.withColumn("centroid_id",
+      org.apache.spark.sql.functions.when($"vec_id" < 3, 0).otherwise(1))
+    val got = Ann.daviesBouldin(Ann.IvfIndex(assigned, centers))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0, 3L, 0L), (1, 3L, 666666L)), got.toSeq.toString)
+    // R_0 = R_1 = (0 + 666666) / (10 * 1e6) = 0.066667 after rounding
+    assert(got.forall(r => math.abs(r._4 - 0.066667) < 1e-9), got.toSeq.toString)
+    // duplicate centroids must fail loudly, not divide by zero
+    val dup = intercept[IllegalArgumentException](
+      Ann.daviesBouldin(Ann.IvfIndex(assigned, Array(Array(0.0, 0.0), Array(0.0, 0.0)))))
+    assert(dup.getMessage.contains("duplicate centroids"), dup.getMessage)
+  }
+
   test("marginMine finds the planted translation pair, candidates stay in-bucket") {
     // bucket = signs of first 2 dims (bits=2). s1,t1,t2 share bucket 3;
     // s2 sits alone in bucket 0 -> no candidates -> no emission.

@@ -182,6 +182,30 @@ class CorpusOpsSpec extends SparkSpec {
       }
   }
 
+  test("heapsLawFit: micro-nat least squares matches a JVM replica; short docs drop") {
+    val d = docs(
+      (1L, "a b", "s"),               // (n=2, v=2)
+      (2L, "a a b b", "s"),           // (4, 2)
+      (3L, "a b c d e f g h", "s"),   // (8, 8)
+      (4L, "solo", "s"))              // n=1 -> excluded
+    val pts = Seq((2L, 2L), (4L, 2L), (8L, 8L))
+      .map { case (n, v) =>
+        (math.round(math.log(n.toDouble) * 1e6),
+          math.round(math.log(v.toDouble) * 1e6)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val lnK = ((sy - beta * sx) / n) / 1e6
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.heapsLawFit(d).as[(Long, Double, Double)].head()
+    assert(got == ((3L, r6(beta), r6(lnK))), s"got $got want (3, ${r6(beta)}, ${r6(lnK)})")
+    // sanity: the planted data grows vocabulary sub-linearly -> 0 < beta < 1.2
+    assert(got._2 > 0 && got._2 < 1.2)
+  }
+
   test("bigramVocabCoverage: rank-cut vocab, per-source OOV ppm") {
     // corpus bigram counts: "a b" 2, "b a" 1, "c d" 1; vocabSize=2 keeps
     // "a b" then the count-1 tie broken lexically -> "b a"; so source t's

@@ -120,6 +120,31 @@ class StatsSpec extends SparkSpec {
     assert(got(("b", "p90")) == (7L, 3L))
   }
 
+  test("winsorizedStats clips at the group's exact p05/p95 and matches a replica") {
+    // group a: 1..20 -> lo = 1 (cum 1 >= 20/20), hi = 19 (cum 19 >= 19);
+    // only 20 clips (down to 19); mean = (sum(1..19)+19)/20 = 10.45
+    val df = ((1L to 20L).map(("a", _)) ++ Seq(("b", 5L), ("b", 5L), ("b", 100L)))
+      .toDF("source", "n")
+    val got = Stats.winsorizedStats(df, "n", "source")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def replica(vals: Seq[Long], lo: Long, hi: Long) = {
+      val c = vals.map(v => math.min(math.max(v, lo), hi))
+      val mean = c.sum.toDouble / c.size
+      val std = math.sqrt((c.map(x => x.toDouble * x).sum -
+        c.sum.toDouble * c.sum.toDouble / c.size) / c.size)
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r4(mean), r4(std))
+    }
+    val (ma, sa) = replica(1L to 20L, 1L, 19L)
+    assert(got("a") == (("a", 20L, 1L, 19L, 0L, 1L, ma, sa)), got("a").toString)
+    // group b: histogram {5:2, 100:1}, n=3 -> lo = 5 (cum 2 >= 3/20 -> first
+    // value), hi = 100 (cum 3 >= 57/20); nothing clips
+    val (mb, sb) = replica(Seq(5L, 5L, 100L), 5L, 100L)
+    assert(got("b") == (("b", 3L, 5L, 100L, 0L, 0L, mb, sb)), got("b").toString)
+  }
+
   test("exactQuantiles equals sort-based quantiles on random data") {
     val rnd = new scala.util.Random(3)
     val data = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextInt(50).toLong))

@@ -495,6 +495,40 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == before)
   }
 
+  test("partial-store compaction cadence: compact every N batches, reads stay exact") {
+    // The long-session discipline (soaked at 200+ batches by the
+    // StreamSoak main; PERF.md carries the latencies): a stream that
+    // appends one partial per micro-batch (maxFilesPerTrigger = 1),
+    // compacted every 4 batches, must read bucket-for-bucket equal to
+    // the one-shot batch sketch after EVERY compaction, and batch ids
+    // must keep appending cleanly on top of the merged batch_id=-1.
+    import graft.streaming.StreamingQuantile
+    import graft.stats.QuantileSketch
+    val base = Files.createTempDirectory("graft_cadence").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    def docs(ids: Range) = ids.map(i =>
+        (i.toLong, "t", "en", s"src${i % 3}", (i * 37 % 5000).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    var all: org.apache.spark.sql.DataFrame = null
+    for (round <- 0 until 3) {
+      val batch = docs(round * 4 until (round + 1) * 4)
+      // 4 one-row files -> 4 micro-batches under the 1-file trigger
+      // (written one by one: repartition(4) may leave empty partitions)
+      (round * 4 until (round + 1) * 4).foreach(i =>
+        docs(i to i).coalesce(1).write.mode("append").parquet(src))
+      all = if (all == null) batch else all.union(batch)
+      StreamingQuantile.start(spark, src, store, ckpt, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val (_, dirsBefore) = StreamingQuantile.compactStore(spark, store)
+      // every cadence window adds 4 new dirs on top of the merged one
+      assert(dirsBefore == (if (round == 0) 4L else 5L), s"round $round: $dirsBefore")
+      assert(StreamingQuantile.sketchFromStore(spark, store)
+        .as[(String, Long, Long)].collect().toSet ==
+        QuantileSketch.sketch(all, "source", "n_chars")
+          .as[(String, Long, Long)].collect().toSet, s"round $round diverged")
+    }
+  }
+
   test("PartialStore.restore recovers a crash mid-swap: refuse -> restore -> re-compact") {
     import graft.streaming.StreamingQuantile
     import java.nio.file.{Files => F, Paths}
