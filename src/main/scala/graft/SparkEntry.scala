@@ -2567,6 +2567,82 @@ object SparkEntry {
     graft.stats.Stats.winsorizedStats(rd(s, dir, "documents"),
       "n_chars", "source")
 
+  /** Near-dup graph degree histogram — how concentrated is duplication?
+    * A long-tailed degree distribution (few hub documents matched by
+    * thousands) wants keep-best + hub review; a flat one wants plain
+    * pair removal. Degrees come from the same banded-LSH pair list as
+    * q110/q40 (graph-sized, never all-pairs); the corpus joins the
+    * aggregate-bounded degree frame once so degree-0 docs are counted
+    * too; output is the ≤ max-degree-row histogram.
+    */
+  private def qDupDegree(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, minJaccard = 0.5, maxBucketSize = 64)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Kneser–Ney continuation counts — the statistic KN smoothing is
+    * built from (Kneser & Ney 1995; Chen & Goodman 1998 §2.7): per
+    * bigram, its raw count plus the RIGHT continuation count of w1
+    * (distinct w' with c(w1,w') > 0) and the LEFT continuation count of
+    * w2 (distinct w' with c(w',w2) > 0) — "how many contexts" rather
+    * than "how many occurrences", which is what makes KN back off
+    * correctly on high-frequency-but-fixed collocations. The exportable
+    * LM-artifact twin of q99's in-place surprisal.
+    *
+    * All-integer. One bigram aggregate (pair-vocabulary-bounded,
+    * localCheckpointed — three consumers), two vocabulary-keyed re-aggs
+    * whose counts ARE the distinct continuations (the pair table is
+    * already distinct on (w1, w2)), vocabulary joins never broadcast
+    * (q143 discipline), one TakeOrderedAndProject(20).
+    */
+  private def qKnCounts(s: SparkSession, dir: String): DataFrame = {
+    val pc = rdWide(s, dir, "documents")
+      .select(TextAnalysis.tokens(col("text")).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val r = pc.groupBy(col("w1")).agg(count(lit(1)).as("r_cont"))
+    val l = pc.groupBy(col("w2")).agg(count(lit(1)).as("l_cont"))
+    pc.join(r, Seq("w1")).join(l, Seq("w2"))
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c_ab"), col("r_cont"), col("l_cont"))
+  }
+
+  /** Event-type Markov transitions — the process-mining view of the
+    * events stream: per-user consecutive event pairs (ordered by ts,
+    * event_id tie-break), counted into the |types|² transition matrix
+    * with integer-ppm row-conditional probabilities. One user-partitioned
+    * lag window (the q30 sessionization shuffle shape), one hash
+    * aggregate, and a window over the ≤ |types|²-row matrix.
+    */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    readEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("from_type"), col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__ft", sum(col("n")).over(
+        Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div __ft").as("p_ppm"))
+  }
+
   /** Media near-duplicates via byte-histogram perceptual signatures and a
     * banded Hamming join between SIGNATURE GROUPS (pigeonhole-exact recall
     * at Hamming ≤ 3); see [[graft.multimodal.Multimodal.mediaNearDupGroups]].
@@ -2909,6 +2985,9 @@ object SparkEntry {
     "q144_cluster_quality" -> (qClusterQuality _),
     "q145_heaps_law" -> (qHeapsLaw _),
     "q146_winsorized_stats" -> (qWinsorizedStats _),
+    "q147_dup_degree" -> (qDupDegree _),
+    "q148_event_transitions" -> (qEventTransitions _),
+    "q149_kn_counts" -> (qKnCounts _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4418,6 +4497,54 @@ object SparkEntry {
         | round(sqrt((sum(cv*cv)::DOUBLE - sum(cv)::DOUBLE * sum(cv)::DOUBLE
         |   / count(*)::DOUBLE) / count(*)::DOUBLE), 4) AS win_std
         |FROM cl GROUP BY source""".stripMargin,
+
+    // q110's verified 0.5-Jaccard pair list -> endpoint degrees ->
+    // histogram including degree-0 docs via the corpus left join
+    "q147_dup_degree" ->
+      s"""WITH $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
+         | deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM
+         |   (SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id)
+         |SELECT coalesce(degree, 0)::BIGINT AS degree,
+         | count(*)::BIGINT AS n_docs
+         |FROM documents d LEFT JOIN deg USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    // bigram counts once (pair table already distinct on (w1,w2), so
+    // the re-agg counts ARE the continuation counts), vocab-keyed joins,
+    // count-desc/lexical top-20
+    "q149_kn_counts" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS c_ab FROM
+        |   (SELECT unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(0, len(w) - 1)]) AS p
+        |    FROM toks WHERE len(w) >= 2) GROUP BY 1, 2),
+        | r AS (SELECT w1, count(*)::BIGINT AS r_cont FROM pc GROUP BY 1),
+        | l AS (SELECT w2, count(*)::BIGINT AS l_cont FROM pc GROUP BY 1)
+        |SELECT pc.w1, pc.w2, c_ab, r_cont, l_cont
+        |FROM pc JOIN r USING (w1) JOIN l USING (w2)
+        |ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // per-user lag over (ts, event_id) -> transition matrix with
+    // integer-ppm row-conditional probabilities (div/// agree: operands
+    // non-negative)
+    "q148_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev
+        |  FROM events),
+        | c AS (SELECT prev AS from_type, event_type AS to_type,
+        |   count(*)::BIGINT AS n
+        |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_ppm
+        |FROM c""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
