@@ -2620,6 +2620,16 @@ object SparkEntry {
       .select(col("w1"), col("w2"), col("c_ab"), col("r_cont"), col("l_cont"))
   }
 
+  /** Bucket-local k-NN isolation outliers over the embedding table —
+    * the junk-embedding screen (complement of q118's hubness); see
+    * [[graft.search.Ann.bucketOutliers]]. bits = occupancyBits(500, 32)
+    * = 4 at the verify scale, where the oracle pins it (the q118
+    * convention).
+    */
+  private def qEmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    Ann.bucketOutliers(rd(s, dir, "embeddings"), k = 3,
+      targetOccupancy = 32.0, topK = 20)
+
   /** Event-type Markov transitions — the process-mining view of the
     * events stream: per-user consecutive event pairs (ordered by ts,
     * event_id tie-break), counted into the |types|² transition matrix
@@ -2988,6 +2998,7 @@ object SparkEntry {
     "q147_dup_degree" -> (qDupDegree _),
     "q148_event_transitions" -> (qEventTransitions _),
     "q149_kn_counts" -> (qKnCounts _),
+    "q150_embedding_outliers" -> (qEmbeddingOutliers _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4530,6 +4541,27 @@ object SparkEntry {
         |SELECT pc.w1, pc.w2, c_ab, r_cont, l_cont
         |FROM pc JOIN r USING (w1) JOIN l USING (w2)
         |ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // occupancy-4-bit sign buckets (pinned at the N=500 verify scale,
+    // q118 convention), within-bucket micro-quantized L2, k-th smallest
+    // as the rn >= k min (== the cumulative-mass rule at multiplicity 1)
+    "q150_embedding_outliers" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |   ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+         | bm AS (SELECT bucket, count(*)::BIGINT AS bm FROM b GROUP BY 1),
+         | p AS (SELECT x.vec_id AS u, y.vec_id AS w,
+         |    round(sqrt(list_sum([(x.v[i+1] - y.v[i+1]) * (x.v[i+1] - y.v[i+1])
+         |      for i in range(0, len(x.v))])) * 1e6)::BIGINT AS dmu
+         |   FROM b x JOIN b y USING (bucket) WHERE x.vec_id <> y.vec_id),
+         | r AS (SELECT u, dmu,
+         |    row_number() OVER (PARTITION BY u ORDER BY dmu ASC, w ASC) AS rn
+         |   FROM p),
+         | kth AS (SELECT u, min(dmu)::BIGINT AS knn_micro FROM r
+         |   WHERE rn >= 3 GROUP BY u)
+         |SELECT b.vec_id, (bm.bm - 1)::BIGINT AS n_cands, kth.knn_micro
+         |FROM b JOIN bm USING (bucket) JOIN kth ON kth.u = b.vec_id
+         |WHERE bm.bm - 1 >= 3
+         |ORDER BY knn_micro DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // per-user lag over (ts, event_id) -> transition matrix with
     // integer-ppm row-conditional probabilities (div/// agree: operands

@@ -991,6 +991,72 @@ object Ann {
         coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
 
+  /** Bucket-local k-NN isolation outliers — the complement of
+    * [[hubnessCloneCollapsed]]: where hubness finds points that appear
+    * in too MANY neighbor lists, this finds points too FAR from
+    * everything near them — the junk-embedding / mis-encoded-document
+    * screen run before ANN serving or semantic dedup trusts the space.
+    * Per point: candidates = co-bucket mass under the occupancy-derived
+    * sign-LSH partitioning, and the k-th smallest distance among them
+    * (micro-quantized). Top `topK` by that distance, descending.
+    *
+    * Clone discipline (the q118 lesson, applied from day one): exact
+    * duplicate vectors collapse to (distinct vector, multiplicity m)
+    * BEFORE the bucket pair join, so clone-heavy corpora never pay
+    * m² pair work. A group's own clones are candidates at distance 0 —
+    * m−1 > k means its k-NN distance IS 0 — and the k-th-with-
+    * multiplicity read-off is the same cumulative-mass rule the
+    * hubness closed form uses. Buckets with n_cands < k are excluded
+    * (nothing to rank against); at the production occupancy (~32)
+    * that's the empty-region signal itself.
+    *
+    * Scale: per-bucket pair work is O(occupancy²) at any corpus size;
+    * the per-u windows partition on rep_u; everything downstream of the
+    * pair join is hash aggregation.
+    */
+  def bucketOutliers(corpus: DataFrame, k: Int = 3,
+                     targetOccupancy: Double = 32.0, topK: Int = 20,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(topK > 0, s"topK must be > 0, got $topK")
+    val distinct = corpus.groupBy(col(vecCol).as("__v"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint() // consumed by count(), bucket mass, both join sides
+    val bits = occupancyBits(distinct.count(), targetOccupancy)
+    val d = distinct.withColumn("bucket",
+      graft.functions.SignBucket(col("__v"), bits))
+    val bmass = d.groupBy(col("bucket")).agg(sum(col("m")).as("__bm"))
+    val base = d.join(bmass, Seq("bucket"))
+      .select(col("rep"), col("m"), (col("__bm") - 1).as("n_cands"))
+      .filter(col("n_cands") >= k)
+    val x = d.select(col("bucket"), col("rep").as("rep_u"),
+      col("__v").as("__vu"), col("m").as("m_u"))
+    val y = d.select(col("bucket"), col("rep").as("rep_w"),
+      col("__v").as("__vw"), col("m").as("m_w"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_u")).orderBy(col("__dmu").asc, col("rep_w").asc)
+    val kthCross = x.join(y, Seq("bucket"))
+      .filter(col("rep_u") =!= col("rep_w"))
+      .withColumn("__dmu", round(sqrt(aggregate(
+        zip_with(asDouble(col("__vu")), asDouble(col("__vw")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, s) => acc + s)) * 1e6, 0).cast("long"))
+      .withColumn("__cum", sum(col("m_w")).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // the group's own m−1 zero-distance clones sit ahead of every
+      // cross distance, so the k-th lands where cumulative mass
+      // (clones + cross so far) first reaches k
+      .filter(col("__cum") + col("m_u") - 1 >= k)
+      .groupBy(col("rep_u")).agg(min(col("__dmu")).as("__kcross"))
+    base.join(kthCross, base("rep") === kthCross("rep_u"), "left")
+      .select(col("rep").as(idCol), col("n_cands"),
+        when(col("m") - 1 >= k, lit(0L)).otherwise(col("__kcross"))
+          .as("knn_micro"))
+      .orderBy(col("knn_micro").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Davies–Bouldin cluster-quality audit over a built IVF index
     * (Davies & Bouldin 1979): per cluster i, scatter Sᵢ = mean member
     * distance to its own centroid, and the DB component

@@ -486,6 +486,44 @@ class AnnSpec extends SparkSpec {
     assert(run1.values.sum == rows.size.toLong)
   }
 
+  test("bucketOutliers: brute-force equality on distinct corpus; clones score 0") {
+    // one bucket (all-positive first dims at bits=4): distances fully
+    // computable by hand-replica; k=2
+    val rnd = new scala.util.Random(19)
+    val data = (0L until 12L).map(i =>
+      (i, Seq.fill(4)(math.abs(rnd.nextGaussian()).toFloat + 0.1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val k = 2
+    val got = Ann.bucketOutliers(df, k = k, targetOccupancy = 16.0, topK = 12)
+      .as[(Long, Long, Long)].collect()
+    // replica: every vector shares the all-positive bucket
+    def dmu(a: Seq[Float], b: Seq[Float]): Long =
+      math.round(math.sqrt(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum) * 1e6)
+    val want = data.map { case (i, v) =>
+      val ds = data.filter(_._1 != i).map(o => dmu(v, o._2)).sorted
+      (i, data.size.toLong - 1, ds(k - 1))
+    }.sortBy(t => (-t._3, t._1))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+
+    // clone discipline: a 4-clone group (m-1 >= k) must score knn 0 with
+    // the clone mass counted in n_cands, and pair work never expands the
+    // clones (output has ONE row per distinct vector, rep = min id)
+    val clones = Seq(
+      (5L, Seq(1.0f, 1.0f, 1.0f, 1.0f)), (17L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f)), (30L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (9L, Seq(2.0f, 1.0f, 1.0f, 1.0f)), (4L, Seq(1.0f, 2.0f, 1.0f, 1.0f)))
+    val cg = Ann.bucketOutliers(clones.toDF("vec_id", "embedding"), k = 2,
+        targetOccupancy = 16.0, topK = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cg(2L) == ((2L, 5L, 0L)), cg.toString) // clone group rep: min id, knn 0
+    // the two singles rank against 4 clone-zeros first? no - their k-th
+    // (k=2) is the 2nd smallest CROSS distance: 4 clones at dist 1 and
+    // the other single at sqrt(2): kth = 1e6 for both
+    assert(cg(9L)._3 == 1000000L && cg(4L)._3 == 1000000L, cg.toString)
+    assert(cg.size == 3, s"clone members must not expand: $cg")
+  }
+
   test("daviesBouldin: planted tight/loose clusters rank by overlap, scatter exact") {
     // cluster 0: three copies of (0,0) -> scatter exactly 0
     // cluster 1: (10,0)±(1,0) -> scatter = mean(1e6, 1e6, 0) = 666666 (div)
