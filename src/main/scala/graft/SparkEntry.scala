@@ -2630,6 +2630,33 @@ object SparkEntry {
     Ann.bucketOutliers(rd(s, dir, "embeddings"), k = 3,
       targetOccupancy = 32.0, topK = 20)
 
+  /** Embedding-space benchmark decontamination — the SEMANTIC twin of
+    * q52's n-gram containment: corpus vectors whose cosine to any
+    * benchmark vector (vec_id < 10 stands in for the eval set, as in
+    * q52) clears the near-duplicate bar are leakage candidates that
+    * n-gram matching misses after paraphrase. Benchmark side broadcasts
+    * (fixed cardinality by definition); the corpus streams map-side
+    * through one codegen cosine per (doc, bench) pair — at 100 TB this
+    * is a scan, not a join problem. Top-20 by max cosine with the
+    * above-threshold hit count.
+    */
+  private def qEmbedDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val bench = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+    emb.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(bench))
+      .withColumn("__cos", round(graft.functions.CosineSimilarity(
+        col("embedding").cast("array<double>"),
+        col("bvec").cast("array<double>")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(col("__cos")).as("max_cos"),
+        sum(when(col("__cos") >= 0.9, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("flagged", col("max_cos") >= 0.9)
+      .orderBy(col("max_cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** Event-type Markov transitions — the process-mining view of the
     * events stream: per-user consecutive event pairs (ordered by ts,
     * event_id tie-break), counted into the |types|² transition matrix
@@ -2999,6 +3026,7 @@ object SparkEntry {
     "q148_event_transitions" -> (qEventTransitions _),
     "q149_kn_counts" -> (qKnCounts _),
     "q150_embedding_outliers" -> (qEmbeddingOutliers _),
+    "q151_embed_decontamination" -> (qEmbedDecontamination _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4541,6 +4569,21 @@ object SparkEntry {
         |SELECT pc.w1, pc.w2, c_ab, r_cont, l_cont
         |FROM pc JOIN r USING (w1) JOIN l USING (w2)
         |ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // benchmark vectors (vec_id < 10) vs the rest: per-corpus-vector max
+    // rounded cosine + count of >= 0.9 hits, cosine via the shared CosSql
+    "q151_embed_decontamination" ->
+      s"""WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS q
+         |   FROM embeddings WHERE vec_id < 10),
+         | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |   FROM embeddings WHERE vec_id >= 10),
+         | scored AS (SELECT vec_id, round($CosSql, 6) AS c
+         |   FROM corpus, bench),
+         | agg AS (SELECT vec_id, max(c) AS max_cos,
+         |    sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |   FROM scored GROUP BY 1)
+         |SELECT vec_id, max_cos, n_hits, (max_cos >= 0.9) AS flagged
+         |FROM agg ORDER BY max_cos DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // occupancy-4-bit sign buckets (pinned at the N=500 verify scale,
     // q118 convention), within-bucket micro-quantized L2, k-th smallest

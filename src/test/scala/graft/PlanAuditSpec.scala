@@ -67,6 +67,8 @@ class PlanAuditSpec extends SparkSpec {
       "broadcasts the anchor set (vec_id < 4): fixed-size training anchors, not corpus",
     "q52_contamination" ->
       "broadcasts the benchmark eval set (doc_id < 10 stand-in): fixed cardinality by definition",
+    "q151_embed_decontamination" ->
+      "broadcasts the benchmark eval set (vec_id < 10 stand-in): fixed cardinality by definition",
     "q68_bloom_join" ->
       ("broadcasts the bloom key set (o_totalprice > 495000): ~1e-5 selectivity, " +
         "~1.5M keys (~12 MB) at 100 TB; the bloom filter itself is the shuffle guard"),
