@@ -4501,10 +4501,10 @@ object SparkEntry {
         |   sum(y)::BIGINT AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM t)
         |SELECT n AS n_docs,
         | round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-        |       (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
+        |       nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0), 6) AS beta,
         | round(((sy::DOUBLE -
         |   ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE) /
+        |    nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0)) * sx::DOUBLE) /
         |   n::DOUBLE) / 1e6, 6) AS ln_k
         |FROM s""".stripMargin,
 
@@ -4533,8 +4533,8 @@ object SparkEntry {
         | sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
         | sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
         | round(sum(cv)::DOUBLE / count(*)::DOUBLE, 4) AS win_mean,
-        | round(sqrt((sum(cv*cv)::DOUBLE - sum(cv)::DOUBLE * sum(cv)::DOUBLE
-        |   / count(*)::DOUBLE) / count(*)::DOUBLE), 4) AS win_std
+        | round(sqrt(greatest(0.0, (sum(cv*cv)::DOUBLE - sum(cv)::DOUBLE * sum(cv)::DOUBLE
+        |   / count(*)::DOUBLE) / count(*)::DOUBLE)), 4) AS win_std
         |FROM cl GROUP BY source""".stripMargin,
 
     // q110's verified 0.5-Jaccard pair list -> endpoint degrees ->

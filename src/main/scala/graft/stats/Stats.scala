@@ -129,10 +129,13 @@ object Stats {
         col("n_clipped_low"), col("n_clipped_high"),
         round(col("__sc").cast("double") / col("n_rows").cast("double"), 4)
           .as("win_mean"),
-        round(sqrt(
+        // clamp at 0: on a near-constant group the exact-integer moments
+        // can round to an epsilon-NEGATIVE variance in double, and
+        // sqrt(-eps) is NaN — the clamp is engine-mirrored in the oracle
+        round(sqrt(greatest(lit(0.0),
           (col("__scc").cast("double") -
             col("__sc").cast("double") * col("__sc").cast("double") /
-              col("n_rows").cast("double")) / col("n_rows").cast("double")),
+              col("n_rows").cast("double")) / col("n_rows").cast("double"))),
           4).as("win_std"))
   }
 

@@ -366,6 +366,9 @@ object CorpusOps {
       .select(
         round(log(col("n").cast("double")) * 1e6, 0).cast("long").as("x"),
         round(log(col("v").cast("double")) * 1e6, 0).cast("long").as("y"))
+    // nullif on the variance term: a uniform-length corpus (all x equal)
+    // zeroes the denominator, and double 0/0 is engine-shaped NaN — null
+    // beta/ln_k is the deterministic, cross-engine answer for "no fit"
     t.agg(
         count(lit(1)).as("n_docs"),
         sum(col("x")).as("sx"),
@@ -376,15 +379,15 @@ object CorpusOps {
         round(
           (col("n_docs").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n_docs").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")),
+          nullif(col("n_docs").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"), lit(0.0)),
           6).as("beta"),
         round(
           ((col("sy").cast("double") -
             ((col("n_docs").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sy").cast("double")) /
-             (col("n_docs").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double"))) *
+             nullif(col("n_docs").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"), lit(0.0))) *
             col("sx").cast("double")) /
             col("n_docs").cast("double")) / 1e6,
           6).as("ln_k"))

@@ -206,6 +206,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got._2 > 0 && got._2 < 1.2)
   }
 
+  test("heapsLawFit: uniform-length corpus yields null fit, not NaN") {
+    // every doc has exactly 3 tokens -> zero x-variance -> denominator 0;
+    // the contract is NULL beta/ln_k (cross-engine deterministic), never
+    // an engine-shaped NaN/Infinity
+    val d = docs((1L, "a b c", "s"), (2L, "d e f", "s"), (3L, "g h i", "s"))
+    val row = CorpusOps.heapsLawFit(d).collect()(0)
+    assert(row.getLong(0) == 3L)
+    assert(row.isNullAt(1) && row.isNullAt(2), row.toString)
+  }
+
   test("bigramVocabCoverage: rank-cut vocab, per-source OOV ppm") {
     // corpus bigram counts: "a b" 2, "b a" 1, "c d" 1; vocabSize=2 keeps
     // "a b" then the count-1 tie broken lexically -> "b a"; so source t's

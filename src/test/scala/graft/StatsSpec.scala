@@ -145,6 +145,13 @@ class StatsSpec extends SparkSpec {
     assert(got("b") == (("b", 3L, 5L, 100L, 0L, 0L, mb, sb)), got("b").toString)
   }
 
+  test("winsorizedStats: constant group has std exactly 0.0 (clamped, never NaN)") {
+    val df = Seq.fill(7)(("c", 42L)).toDF("source", "n")
+    val got = Stats.winsorizedStats(df, "n", "source")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(got == (("c", 7L, 42L, 42L, 0L, 0L, 42.0, 0.0)), got.toString)
+  }
+
   test("exactQuantiles equals sort-based quantiles on random data") {
     val rnd = new scala.util.Random(3)
     val data = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextInt(50).toLong))
