@@ -2630,6 +2630,40 @@ object SparkEntry {
     Ann.bucketOutliers(rd(s, dir, "embeddings"), k = 3,
       targetOccupancy = 32.0, topK = 20)
 
+  /** Chunk-boundary quality audit over the REFERENCE's own chunker
+    * (SURVEY §2.3): per source, how many chunk boundaries came from the
+    * newline rule, the space rule, a hard cut, or end-of-text. A
+    * hard-cut-heavy source is prose the 200/50 window is mangling
+    * mid-word (retrieval quality degrades before any embedding sees
+    * it); this is the operator a pipeline runs before committing chunk
+    * parameters. The kept break character at span end e−1 exactly
+    * encodes the chunker's decision (a hard cut can never end in ' ' or
+    * '\n' — those positions would have been chosen by the break rules),
+    * so classification is a pure post-hoc span read. Dataset flatMap
+    * over [[graft.text.Chunker.chunkSpans]] (the imperative cursor loop
+    * is the operator), then one hash aggregate.
+    */
+  private def qChunkBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rdWide(s, dir, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (src, text) =>
+        graft.text.Chunker.chunkSpans(text, chunkSize = 200, overlap = 50)
+          .map { case (_, e) =>
+            val cls =
+              if (e == text.length) "final"
+              else if (text.charAt(e - 1) == '\n') "newline"
+              else if (text.charAt(e - 1) == ' ') "space"
+              else "hard"
+            (src, cls)
+          }
+      }
+      .toDF("source", "boundary")
+      .groupBy(col("source"), col("boundary"))
+      .agg(count(lit(1)).as("n_chunks"))
+  }
+
   /** Embedding-space benchmark decontamination — the SEMANTIC twin of
     * q52's n-gram containment: corpus vectors whose cosine to any
     * benchmark vector (vec_id < 10 stands in for the eval set, as in
@@ -3027,6 +3061,7 @@ object SparkEntry {
     "q149_kn_counts" -> (qKnCounts _),
     "q150_embedding_outliers" -> (qEmbeddingOutliers _),
     "q151_embed_decontamination" -> (qEmbedDecontamination _),
+    "q152_chunk_boundaries" -> (qChunkBoundaries _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4569,6 +4604,29 @@ object SparkEntry {
         |SELECT pc.w1, pc.w2, c_ab, r_cont, l_cont
         |FROM pc JOIN r USING (w1) JOIN l USING (w2)
         |ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // the q12 span recursion + boundary classification by the kept
+    // break char at position e (1-based substr == charAt(e-1))
+    "q152_chunk_boundaries" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, source, text AS t, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         | spans(doc_id, source, t, len, s, e) AS (
+         |  SELECT doc_id, source, t, len, 0, ${chunkEndSql("0")} FROM docs0
+         |  UNION ALL
+         |  SELECT doc_id, source, t, len, ns, ${chunkEndSql("ns")} FROM (
+         |    SELECT doc_id, source, t, len,
+         |      CASE WHEN e - 50 > s THEN e - 50 ELSE e END AS ns
+         |    FROM spans
+         |    WHERE len > 200)
+         |  WHERE ns < len)
+         |SELECT source,
+         | CASE WHEN e = len THEN 'final'
+         |      WHEN substr(t, e, 1) = chr(10) THEN 'newline'
+         |      WHEN substr(t, e, 1) = ' ' THEN 'space'
+         |      ELSE 'hard' END AS boundary,
+         | count(*)::BIGINT AS n_chunks
+         |FROM spans GROUP BY 1, 2""".stripMargin,
 
     // benchmark vectors (vec_id < 10) vs the rest: per-corpus-vector max
     // rounded cosine + count of >= 0.9 hits, cosine via the shared CosSql

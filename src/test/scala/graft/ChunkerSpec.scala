@@ -110,4 +110,30 @@ class ChunkerSpec extends AnyFunSuite {
       assert(Chunker.chunk(t, size, 0).mkString == t, s"len=$len size=$size")
     }
   }
+
+  test("boundary classification: the kept break char fully encodes the decision") {
+    // the q152 contract: for every NON-final span, charAt(e-1) is '\n'
+    // iff the newline rule fired, ' ' iff the space rule fired, and a
+    // hard cut can never end in either (those positions would have been
+    // chosen by the break rules). Fuzz over break-char-rich text.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 50) {
+      val t = (0 until 500).map { _ =>
+        rnd.nextInt(10) match {
+          case 0 => '\n'
+          case 1 | 2 => ' '
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.mkString
+      val size = 40 + rnd.nextInt(60)
+      for ((s, e) <- Chunker.chunkSpans(t, size, size / 4) if e < t.length) {
+        val last = t.charAt(e - 1)
+        if (last != '\n' && last != ' ') {
+          // hard cut: the window must contain NO usable newline and no
+          // back-half space — i.e. e is exactly the tentative cut
+          assert(e == s + size, s"trial $trial: hard cut not at s+size: ($s,$e)")
+        }
+      }
+    }
+  }
 }
