@@ -2643,6 +2643,23 @@ object SparkEntry {
     * over [[graft.text.Chunker.chunkSpans]] (the imperative cursor loop
     * is the operator), then one hash aggregate.
     */
+  /** Per-source unigram KL divergence vs the corpus (add-1 smoothing,
+    * closed-form absent-word mass — [[graft.text.CorpusOps.sourceKlDivergence]]):
+    * the domain-shift statistic mixture reweighting starts from.
+    */
+  private def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.sourceKlDivergence(rdWide(s, dir, "documents"))
+
+  /** FIM (fill-in-the-middle) span accounting per source: the md5-keyed
+    * deterministic prefix/middle/suffix split ([[graft.ops.Fim]]) applied
+    * at a 90% rate, reported as per-source rewrite counts, mean span
+    * fractions, and total middle-span mass. Map-only until the |sources|-
+    * row aggregate — the 100 TB plan is scan → project → one small agg.
+    */
+  private def qFimSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fim.sourceStats(rdWide(s, dir, "documents"),
+      idCol = "doc_id", textCol = "text", groupCol = "source")
+
   private def qChunkBoundaries(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     rdWide(s, dir, "documents")
@@ -3062,6 +3079,8 @@ object SparkEntry {
     "q150_embedding_outliers" -> (qEmbeddingOutliers _),
     "q151_embed_decontamination" -> (qEmbedDecontamination _),
     "q152_chunk_boundaries" -> (qChunkBoundaries _),
+    "q153_fim_spans" -> (qFimSpans _),
+    "q154_source_kl" -> (qSourceKl _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4607,6 +4626,53 @@ object SparkEntry {
 
     // the q12 span recursion + boundary classification by the kept
     // break char at position e (1-based substr == charAt(e-1))
+    // smoothed unigram KL per source vs corpus; absent-word mass in closed
+    // form: KL = Σ_present ps·ln(ps/q) + p0·[(V−Vs)·ln p0 − (L − Ls)]
+    "q154_source_kl" ->
+      """WITH toks AS (SELECT source,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        | sc AS (SELECT source, tok, count(*)::BIGINT AS cs
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        | cc AS (SELECT tok, sum(cs)::BIGINT AS c FROM sc GROUP BY 1),
+        | corpus AS (SELECT sum(c)::BIGINT AS t_corpus, count(*)::BIGINT AS v_corpus,
+        |   sum(ln(c::DOUBLE)) AS slc FROM cc),
+        | st AS (SELECT source, sum(cs)::BIGINT AS ts, count(*)::BIGINT AS vs
+        |  FROM sc GROUP BY 1),
+        | pres AS (SELECT sc.source,
+        |   sum(((sc.cs + 1)::DOUBLE / (st.ts + corpus.v_corpus)::DOUBLE) *
+        |       (ln((sc.cs + 1)::DOUBLE / (st.ts + corpus.v_corpus)::DOUBLE) -
+        |        (ln(cc.c::DOUBLE) - ln(corpus.t_corpus::DOUBLE)))) AS kl_present,
+        |   sum(ln(cc.c::DOUBLE) - ln(corpus.t_corpus::DOUBLE)) AS ls
+        |  FROM sc JOIN cc USING (tok) JOIN st ON sc.source = st.source
+        |  CROSS JOIN corpus GROUP BY 1)
+        |SELECT st.source, st.ts AS n_tokens, st.vs AS vocab_used,
+        | round(pres.kl_present +
+        |   (1.0 / (st.ts + c.v_corpus)::DOUBLE) *
+        |   ((c.v_corpus - st.vs)::DOUBLE * ln(1.0 / (st.ts + c.v_corpus)::DOUBLE) -
+        |    ((c.slc - c.v_corpus::DOUBLE * ln(c.t_corpus::DOUBLE)) - pres.ls)), 6) AS kl
+        |FROM st JOIN pres ON st.source = pres.source CROSS JOIN corpus c""".stripMargin,
+
+    // md5-keyed FIM gate + cut points replayed verbatim: h = first 8 hex
+    // chars of md5("salt:"+doc_id); c1 = h1 % (n+1), c2 = c1 + h2 % (n-c1+1)
+    "q153_fim_spans" ->
+      """WITH d AS (SELECT doc_id, source, length(text) AS n
+        |   FROM documents WHERE length(text) > 0),
+        | g AS (SELECT doc_id, source, n,
+        |   ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT % 1000 < 900 AS applied,
+        |   ('0x' || substr(md5('fimc1:' || doc_id), 1, 8))::BIGINT % (n + 1) AS c1r,
+        |   ('0x' || substr(md5('fimc2:' || doc_id), 1, 8))::BIGINT AS h2 FROM d),
+        | s AS (SELECT source, n, applied,
+        |   CASE WHEN applied THEN c1r ELSE 0 END AS c1,
+        |   CASE WHEN applied THEN c1r + h2 % (n - c1r + 1) ELSE 0 END AS c2 FROM g)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN applied THEN 1 ELSE 0 END)::BIGINT AS n_fim,
+        | round(avg(CASE WHEN applied THEN c1::DOUBLE / n END), 6) AS avg_prefix_frac,
+        | round(avg(CASE WHEN applied THEN (c2 - c1)::DOUBLE / n END), 6) AS avg_middle_frac,
+        | round(avg(CASE WHEN applied THEN (n - c2)::DOUBLE / n END), 6) AS avg_suffix_frac,
+        | sum(CASE WHEN applied THEN c2 - c1 ELSE 0 END)::BIGINT AS middle_chars
+        |FROM s GROUP BY source""".stripMargin,
+
     "q152_chunk_boundaries" ->
       s"""WITH RECURSIVE docs0 AS (
          |  SELECT doc_id, source, text AS t, length(text) AS len

@@ -393,6 +393,68 @@ object CorpusOps {
           6).as("ln_k"))
   }
 
+  /** Per-source distribution shift: smoothed unigram KL divergence of each
+    * source against the whole corpus — the domain-weighting diagnostic the
+    * mixture papers start from (DoReMi, Xie et al. 2023 §2 measures domain
+    * shift over exactly this unigram statistic before reweighting; DSIR,
+    * Xie et al. 2023 uses the same importance-ratio family).
+    *
+    * Definitions: corpus vocab V = distinct tokens, corpus q(w) = c(w)/T
+    * (never zero on its own support); source p_s add-1 smoothed over V,
+    * p_s(w) = (c_s(w)+1)/(t_s+V), so KL(p_s || q) is finite even where
+    * the source never uses a corpus word. The absent-word mass is closed
+    * form — with p0 = 1/(t_s+V) and L = Σ_{w∈V} ln q(w):
+    *
+    *   KL = Σ_present p_s ln(p_s/q)  +  p0·[(V−V_s)·ln p0 − (L − L_s)]
+    *
+    * so the plan never materializes the (source × vocab) dense grid: one
+    * token-keyed join for the present terms, aggregates for the rest.
+    *
+    * Scale shape: tokenize once; (source, token) and (token) hash
+    * aggregates; ONE equi-join of source counts against corpus counts on
+    * the token key (shuffle join — vocabulary is corpus-derived, never
+    * broadcast); the corpus scalars (T, V, L) and per-source totals are
+    * aggregate-bounded broadcasts. No windows, no all-pairs.
+    */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    // two plan references each (present-term join + totals) — checkpoint
+    // like sourceTokenSimilarity so the corpus tokenizes once
+    val sc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint(eager = true)
+    val cc = sc.groupBy(col("tok")).agg(sum(col("cs")).as("c"))
+      .localCheckpoint(eager = true)
+    val corpus = cc.agg(
+      sum(col("c")).as("t_corpus"),
+      count(lit(1)).as("v_corpus"),
+      sum(log(col("c").cast("double"))).as("slc")) // Σ ln c(w); L = slc − V·ln T
+    val st = sc.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ts"), count(lit(1)).as("vs"))
+    val present = sc
+      .join(cc, Seq("tok"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("ps",
+        (col("cs") + lit(1)).cast("double") / (col("ts") + col("v_corpus")).cast("double"))
+      .withColumn("lnq",
+        log(col("c").cast("double")) - log(col("t_corpus").cast("double")))
+      .groupBy(col("source"))
+      .agg(sum(col("ps") * (log(col("ps")) - col("lnq"))).as("kl_present"),
+        sum(col("lnq")).as("ls"))
+    st.join(present, Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("p0", lit(1.0) / (col("ts") + col("v_corpus")).cast("double"))
+      .withColumn("l_all",
+        col("slc") - col("v_corpus").cast("double") * log(col("t_corpus").cast("double")))
+      .select(col("source"), col("ts").as("n_tokens"), col("vs").as("vocab_used"),
+        round(col("kl_present") +
+          col("p0") * ((col("v_corpus") - col("vs")).cast("double") * log(col("p0")) -
+            (col("l_all") - col("ls"))), 6).as("kl"))
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

@@ -227,4 +227,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("s") == ((3L, 0L, 0L)), got.toString)
     assert(got("t") == ((1L, 1L, 1000000L)), got.toString)
   }
+
+  test("sourceKlDivergence matches a dense hand computation") {
+    // corpus: a:3 b:2 c:1 -> T=6, V=3; source s = "a a a b", t = "b c"
+    val d = docs((1L, "a a a b", "s"), (2L, "b c", "t"))
+    def kl(cs: Map[String, Long]): Double = {
+      val corpus = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+      val t = corpus.values.sum.toDouble
+      val ts = cs.values.sum
+      val v = corpus.size
+      corpus.map { case (w, c) =>
+        val ps = (cs.getOrElse(w, 0L) + 1).toDouble / (ts + v)
+        ps * math.log(ps / (c / t))
+      }.sum
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.sourceKlDivergence(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("s")._1 == 4L && got("s")._2 == 2L)
+    assert(got("t")._1 == 2L && got("t")._2 == 2L)
+    assert(math.abs(got("s")._3 - r6(kl(Map("a" -> 3L, "b" -> 1L)))) < 2e-6,
+      s"s: ${got("s")._3} vs ${kl(Map("a" -> 3L, "b" -> 1L))}")
+    assert(math.abs(got("t")._3 - r6(kl(Map("b" -> 1L, "c" -> 1L)))) < 2e-6,
+      s"t: ${got("t")._3} vs ${kl(Map("b" -> 1L, "c" -> 1L))}")
+  }
+
+  test("sourceKlDivergence: a source matching the corpus has near-zero KL") {
+    // two sources with identical token distributions -> smoothing noise only
+    val d = docs((1L, "a a b c", "s"), (2L, "a a b c", "t"))
+    val got = CorpusOps.sourceKlDivergence(d)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // at 4 tokens/source the add-1 smoothing alone contributes ~0.01
+    assert(got.values.forall(v => v >= 0 && v < 0.05), got.toString)
+    // and a wildly different source diverges more
+    val d2 = docs((1L, "a a a a a a a a", "s"), (2L, "x y z w q r t u", "t"))
+    val got2 = CorpusOps.sourceKlDivergence(d2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got2("t") > got.values.max, s"$got2 vs $got")
+  }
 }
