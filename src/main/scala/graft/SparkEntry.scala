@@ -2643,6 +2643,34 @@ object SparkEntry {
     * over [[graft.text.Chunker.chunkSpans]] (the imperative cursor loop
     * is the operator), then one hash aggregate.
     */
+  /** Quality-score calibration (decile reliability curve): does the
+    * lexical-diversity score predict the repetition failure mode? Score =
+    * type-token ratio per mille (integer-quantized so the decile
+    * histogram is domain-bounded — [[graft.stats.Stats.scoreCalibration]]);
+    * outcome = the Gopher repetition drop rule "most common token holds
+    * >= 11% of the doc" (Rae et al. 2021, Gopher, Table A1's repetition
+    * filters). A filtering pipeline reads this before trusting a score
+    * as a drop rule: outcome_rate should move monotonically across
+    * deciles or the score is noise for that failure mode.
+    */
+  private def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    // ONE per-doc token histogram yields both sides: score = type-token
+    // ratio per mille (v/n), outcome = Gopher repetition rule "most
+    // common token holds >= 11% of the doc" (mx/n)
+    val perDoc = rdWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__v"), sum(col("__c")).as("__n"),
+        max(col("__c")).as("__mx"))
+      .select(
+        expr("(1000 * __v) div __n").cast("long").as("score_pm"),
+        (expr("(1000 * __mx) div __n") >= 110).cast("int").as("is_repetitive"))
+    graft.stats.Stats.scoreCalibration(perDoc, "score_pm", "is_repetitive")
+  }
+
   /** Per-source unigram KL divergence vs the corpus (add-1 smoothing,
     * closed-form absent-word mass — [[graft.text.CorpusOps.sourceKlDivergence]]):
     * the domain-shift statistic mixture reweighting starts from.
@@ -3081,6 +3109,7 @@ object SparkEntry {
     "q152_chunk_boundaries" -> (qChunkBoundaries _),
     "q153_fim_spans" -> (qFimSpans _),
     "q154_source_kl" -> (qSourceKl _),
+    "q155_quality_calibration" -> (qQualityCalibration _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4626,6 +4655,31 @@ object SparkEntry {
 
     // the q12 span recursion + boundary classification by the kept
     // break char at position e (1-based substr == charAt(e-1))
+    // exact-decile calibration: boundaries via the cum-mass rule
+    // (cum*10 >= n*k) over the per-mille TTR histogram; bucket = 1 +
+    // |{b_k strictly below score}|; outcome = Gopher top-token >= 11% rule
+    "q155_quality_calibration" ->
+      """WITH t AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        | pc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+        |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+        | dd AS (SELECT (1000 * count(*)) // sum(c) AS score_pm,
+        |   CASE WHEN (1000 * max(c)) // sum(c) >= 110 THEN 1 ELSE 0 END AS is_rep
+        |  FROM pc GROUP BY doc_id),
+        | hist AS (SELECT score_pm, count(*)::BIGINT AS c FROM dd GROUP BY 1),
+        | cm AS (SELECT score_pm, sum(c) OVER (ORDER BY score_pm)::BIGINT AS cum,
+        |   sum(c) OVER ()::BIGINT AS n FROM hist),
+        | b AS (SELECT k, min(score_pm) AS bk
+        |  FROM cm CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks
+        |  WHERE cum * 10 >= n * k GROUP BY k),
+        | bucket AS (SELECT score_pm, is_rep,
+        |   (SELECT count(*) FROM b WHERE b.bk < dd.score_pm) + 1 AS decile FROM dd)
+        |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        | min(score_pm)::BIGINT AS score_lo, max(score_pm)::BIGINT AS score_hi,
+        | round(avg(is_rep::DOUBLE), 6) AS outcome_rate
+        |FROM bucket GROUP BY 1""".stripMargin,
+
     // smoothed unigram KL per source vs corpus; absent-word mass in closed
     // form: KL = Σ_present ps·ln(ps/q) + p0·[(V−Vs)·ln p0 − (L − Ls)]
     "q154_source_kl" ->

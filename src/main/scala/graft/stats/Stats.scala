@@ -299,4 +299,48 @@ object Stats {
         max(col("rate_micro")).as("rate_micro"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** Decile calibration of an integer-quantized score against a binary
+    * outcome — "does the quality score actually predict the thing we
+    * filter for?" Bins are EXACT corpus deciles of the score (the
+    * [[exactQuantiles]] cumulative-mass rule, cum·10 ≥ n·k), computed
+    * from a value-count histogram, so the global-sort trap never
+    * appears: `scoreCol` MUST be integer-quantized (e.g. a per-mille
+    * ratio in [0, 1000]) so the histogram — and the unpartitioned
+    * running-sum window over it — is bounded by the value domain, not
+    * the corpus. Docs land in bucket 1 + |{k : b_k < score}| (strict
+    * less, so ties collapse deterministically; degenerate boundaries
+    * merge buckets rather than split rows).
+    *
+    * Output: (decile, n_docs, score_lo, score_hi, outcome_rate) — a
+    * monotone outcome_rate over decile is the score doing its job.
+    *
+    * Scale shape: one (score → count) aggregate, window over ≤|domain|
+    * histogram rows, 9 boundary values broadcast back as one array
+    * literal row, one final 10-row aggregate. The corpus is scanned
+    * once and never key-shuffled.
+    */
+  def scoreCalibration(df: DataFrame, scoreCol: String, outcomeCol: String,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val ks = array((1 until buckets).map(k => lit(k.toLong)): _*)
+    val bounds = hist
+      .select(col(scoreCol), col("__cum"), col("__n"), explode(ks).as("__k"))
+      .filter(col("__cum") * buckets >= col("__n") * col("__k"))
+      .groupBy(col("__k")).agg(min(col(scoreCol)).as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        (size(filter(col("__bs"), b => b < col(scoreCol))) + lit(1)).cast("long"))
+      .groupBy(col("__bucket").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(scoreCol)).as("score_lo"),
+        max(col(scoreCol)).as("score_hi"),
+        round(avg(col(outcomeCol).cast("double")), 6).as("outcome_rate"))
+  }
 }

@@ -52,7 +52,12 @@ class PlanAuditSpec extends SparkSpec {
     "q132_unimax" ->
       "UniMax waterfill window over the per-language capacity frame: |langs| rows",
     "q136_doremi_mixture" ->
-      "DoReMi iteration windows over the per-domain frame: |domains| rows per step"
+      "DoReMi iteration windows over the per-domain frame: |domains| rows per step",
+    "q155_quality_calibration" ->
+      ("decile boundaries run over the per-mille score histogram " +
+        "(Stats.scoreCalibration: groupBy(score_pm).count first; score is " +
+        "integer-quantized to [0,1000], so the window sees <= 1001 rows at " +
+        "any corpus size)")
   )
 
   /** Queries allowed a hint-forced broadcast whose boundedness the rule

@@ -262,4 +262,34 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(10L -> 0L, 20L -> 200000L, 30L -> 300000L,
       40L -> 600000L, 50L -> 700000L, 60L -> 900000L), got.toString)
   }
+
+  test("scoreCalibration: exact deciles, strict-less bucketing, outcome rates") {
+    // scores 1..20 with outcome = score > 15; deciles split 2 values each
+    val df = (1L to 20L).map(s => (s, if (s > 15) 1 else 0)).toDF("score", "y")
+    val got = Stats.scoreCalibration(df, "score", "y")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    // decile k (1-based) holds scores {2k-1, 2k}: boundary b_k = 2k by the
+    // cum-mass rule, and strict-less bucketing puts score 2k in bucket k
+    got.zipWithIndex.foreach { case ((dec, n, lo, hi, rate), i) =>
+      val k = i + 1L
+      assert(dec == k && n == 2L && lo == 2 * k - 1 && hi == 2 * k,
+        s"decile $k malformed: ${got.toSeq}")
+      val want = if (k <= 7) 0.0 else if (k == 8) 0.5 else 1.0
+      assert(rate == want, s"decile $k outcome_rate $rate want $want")
+    }
+  }
+
+  test("scoreCalibration: degenerate score mass merges buckets, conserves rows") {
+    // 90% of rows share one score -> most boundaries coincide; buckets
+    // merge (no row is double-counted, none dropped)
+    val df = (Seq.fill(90)(5L) ++ Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+      .map(s => (s, 0)).toDF("score", "y")
+    val got = Stats.scoreCalibration(df, "score", "y")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._2).sum == 100L, s"rows not conserved: ${got.toSeq}")
+    val byDecile = got.map(r => r._1 -> r._2).toMap
+    // scores 1..4 sit strictly below every boundary (b_1..b_9 are all >= 5)
+    assert(byDecile(1L) >= 4L, got.toSeq.toString)
+  }
 }
