@@ -2643,6 +2643,50 @@ object SparkEntry {
     * over [[graft.text.Chunker.chunkSpans]] (the imperative cursor loop
     * is the operator), then one hash aggregate.
     */
+  /** Measured MinHash-LSH recall curve ([[graft.dedup.Dedup.recallCurve]]):
+    * plant deterministic token-dropout clones with known true Jaccard,
+    * run the PRODUCTION q14 LSH pipeline over corpus ∪ clones, and
+    * report recall per true-Jaccard decile — the empirical S-curve the
+    * band parameters (16 hashes / 8 bands) promise, and the acceptance
+    * gate for any shingle/band retuning.
+    */
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.recallCurve(rdWide(s, dir, "documents"), maxBucketSize = 64)
+
+  /** Bigram coverage curve: fraction of total bigram mass owned by the
+    * top-10 / top-100 / top-1000 bigrams — the concentration diagnostic
+    * that distinguishes boilerplate-heavy crawl (top-10 owns half the
+    * mass) from diverse prose, and sizes how far frequency-based
+    * dedup/scrubbing (q85/q133) can reach. One pair-vocabulary-bounded
+    * aggregate, one TakeOrderedAndProject(1000) with the (freq desc,
+    * gram asc) total order, cumulative sums over the 1000-row frame
+    * (limit-bounded — audit-clean), totals as a 1-row broadcast.
+    */
+  private def qBigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val grams = rdWide(s, dir, "documents")
+      .select(explode(graft.text.CorpusOps.tokenNgrams(col("text"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    val total = grams.agg(sum(col("freq")).as("total"))
+    val top = grams.orderBy(col("freq").desc, col("gram").asc).limit(1000)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("gram").asc)))
+      .withColumn("cum", sum(col("freq")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("gram").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    top.crossJoin(broadcast(total))
+      .select(col("rank"), col("cum"), col("total"),
+        explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("rank")).cast("long").as("n_grams"),
+        max(col("cum")).as("covered"),
+        max(col("total")).as("total_grams"))
+      .withColumn("coverage", round(col("covered").cast("double") /
+        col("total_grams").cast("double"), 6))
+  }
+
   /** Quality-score calibration (decile reliability curve): does the
     * lexical-diversity score predict the repetition failure mode? Score =
     * type-token ratio per mille (integer-quantized so the decile
@@ -3110,6 +3154,8 @@ object SparkEntry {
     "q153_fim_spans" -> (qFimSpans _),
     "q154_source_kl" -> (qSourceKl _),
     "q155_quality_calibration" -> (qQualityCalibration _),
+    "q156_bigram_coverage" -> (qBigramCoverage _),
+    "q157_dedup_recall" -> (qDedupRecall _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3229,8 +3275,13 @@ object SparkEntry {
   /** DuckDB CTEs: words → distinct 3-gram shingles → 16-slot MinHash
     * signature → 8 band hashes (mirrors Dedup.minhashBands exactly).
     */
-  private val MinhashCtes =
-    s"""words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+  /** The MinHash CTE chain (words → shingles → signatures → band keys)
+    * over an arbitrary source relation — q14's replay machinery, reused
+    * verbatim by every oracle that runs LSH over a derived corpus
+    * (q157's planted union).
+    */
+  private def minhashCtesOver(src: String): String =
+    s"""words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM $src),
        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
        |   THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w)-2)]
        |   ELSE [array_to_string(w, ' ')] END) AS shingles FROM words),
@@ -3238,6 +3289,8 @@ object SparkEntry {
        |   for s in shingles]) for j in range(0,16)] AS sig FROM sh),
        | bands AS (SELECT doc_id, band, md5(array_to_string(sig[band*2+1:band*2+2], ',')) AS band_hash
        |   FROM sig, (SELECT unnest(range(0,8)) AS band))""".stripMargin
+
+  private val MinhashCtes = minhashCtesOver("documents")
 
   private val EnStopSql = "['the','a','of','and','to','in','is','it']"
 
@@ -4655,6 +4708,54 @@ object SparkEntry {
 
     // the q12 span recursion + boundary classification by the kept
     // break char at position e (1-based substr == charAt(e-1))
+    // measured LSH S-curve: plant md5-gated dropout clones, replay the
+    // FULL q14 minhash/band machinery over the union, recall per exact
+    // integer true-Jaccard decile ((10*|A∩B|) div |A∪B|)
+    "q157_dedup_recall" ->
+      s"""WITH wb AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         | pl AS (SELECT doc_id AS orig_id,
+         |   array_to_string([w[i+1] for i in range(0, len(w))
+         |     if ('0x' || substr(md5('drop:' || doc_id || ':' || i), 1, 8))::BIGINT % 10 <> 0], ' ') AS text
+         |  FROM wb WHERE ('0x' || substr(md5('plant:' || doc_id), 1, 8))::BIGINT % 5 = 0),
+         | u AS (SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT orig_id + 10000000, text FROM pl),
+         | ${minhashCtesOver("u")},
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | truth AS (SELECT pl.orig_id, pl.orig_id + 10000000 AS clone_id,
+         |   (10 * len(list_intersect(sa.shingles, sc.shingles)))
+         |     // len(list_distinct(sa.shingles || sc.shingles)) AS jaccard_decile
+         |  FROM pl JOIN sh sa ON sa.doc_id = pl.orig_id
+         |   JOIN sh sc ON sc.doc_id = pl.orig_id + 10000000)
+         |SELECT jaccard_decile::BIGINT AS jaccard_decile,
+         | count(*)::BIGINT AS n_planted,
+         | count(c.doc_a)::BIGINT AS n_found,
+         | round(count(c.doc_a)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM truth t LEFT JOIN cand c
+         |  ON c.doc_a = t.orig_id AND c.doc_b = t.clone_id
+         |GROUP BY 1""".stripMargin,
+
+    // top-k bigram mass concentration; rank/cum in the (freq desc, gram
+    // asc) total order so the k-cut is deterministic under ties
+    "q156_bigram_coverage" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        | f AS (SELECT gram, count(*)::BIGINT AS freq FROM
+        |   (SELECT unnest([w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)]) AS gram
+        |    FROM toks WHERE len(w) >= 2) GROUP BY 1),
+        | tot AS (SELECT sum(freq)::BIGINT AS total_grams FROM f),
+        | r AS (SELECT freq,
+        |   row_number() OVER (ORDER BY freq DESC, gram ASC) AS rank,
+        |   sum(freq) OVER (ORDER BY freq DESC, gram ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f QUALIFY rank <= 1000)
+        |SELECT k, max(rank)::BIGINT AS n_grams, max(cum)::BIGINT AS covered,
+        | max(total_grams)::BIGINT AS total_grams,
+        | round(max(cum)::DOUBLE / max(total_grams)::DOUBLE, 6) AS coverage
+        |FROM r CROSS JOIN tot
+        | CROSS JOIN (SELECT unnest([10, 100, 1000]::BIGINT[]) AS k) ks
+        |WHERE rank <= k GROUP BY k""".stripMargin,
+
     // exact-decile calibration: boundaries via the cum-mass rule
     // (cum*10 >= n*k) over the per-mille TTR histogram; bucket = 1 +
     // |{b_k strictly below score}|; outcome = Gopher top-token >= 11% rule

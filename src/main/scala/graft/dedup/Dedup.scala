@@ -849,4 +849,74 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("__len")).as("dup_chars"))
   }
+
+  /** Deterministic planted near-duplicates for the recall harness:
+    * every doc whose md5("plant:"+id) bucket hits (1/`plantMod` of the
+    * corpus) gets one clone under `id + idOffset`, with each token i
+    * independently dropped when md5("drop:"+id+":"+i) lands in bucket 0
+    * of `dropMod` (≈10% dropout at the default) — so the clone's TRUE
+    * Jaccard to its original is known per pair and spans a spectrum,
+    * not a point. RNG-free: the same (id, position) always drops.
+    * Output: (orig_id, doc_id = orig_id + idOffset, text).
+    */
+  def plantedClones(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", plantMod: Int = 5,
+                    dropMod: Int = 10, idOffset: Long = 10000000L): DataFrame = {
+    require(plantMod >= 1 && dropMod >= 2,
+      s"need plantMod >= 1 and dropMod >= 2, got $plantMod/$dropMod")
+    import graft.functions.HashFunctions.md5Int32
+    docs
+      .filter(md5Int32(concat(lit("plant:"), col(idCol).cast("string"))) % plantMod === 0)
+      .select(col(idCol).cast("long").as("orig_id"),
+        array_join(
+          filter(tokens(col(textCol)), (t, i) =>
+            md5Int32(concat(lit("drop:"), col(idCol).cast("string"),
+              lit(":"), i.cast("string"))) % dropMod =!= 0),
+          " ").as("text"))
+      .select(col("orig_id"), (col("orig_id") + idOffset).as("doc_id"), col("text"))
+  }
+
+  /** MinHash-LSH recall curve, measured — not modeled: plant clones with
+    * known true Jaccard ([[plantedClones]]), run the production
+    * [[nearDupPairs]] pipeline over corpus ∪ clones, and report per
+    * true-Jaccard decile how many planted pairs the bands surfaced. This
+    * is the empirical LSH S-curve (the 1−(1−s^r)^b acceptance the band
+    * parameters promise — Leskovec/Rajaraman/Ullman, Mining of Massive
+    * Datasets ch. 3), and the acceptance gate a pipeline checks before
+    * trusting its dedup settings at a new shingle/band configuration.
+    *
+    * The decile is exact integer arithmetic ((10·|A∩B|) div |A∪B|), so
+    * the bin cut never depends on a float. Scale shape: everything is
+    * the production LSH plan plus one doc_id-keyed join of the planted
+    * frame (1/plantMod of the corpus) against the pair list; no step
+    * exceeds the dedup pass itself.
+    */
+  def recallCurve(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", plantMod: Int = 5,
+                  dropMod: Int = 10, idOffset: Long = 10000000L,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val clones = plantedClones(base, "doc_id", "text", plantMod, dropMod, idOffset)
+    val union = base.unionByName(clones.select(col("doc_id"), col("text")))
+    val pairs = nearDupPairs(union, "doc_id", "text",
+      maxBucketSize = maxBucketSize)
+    val shBase = base.select(col("doc_id").as("orig_id"),
+      shingles(col("text")).as("sh_o"))
+    val shClone = clones.select(col("orig_id"), col("doc_id").as("clone_id"),
+      shingles(col("text")).as("sh_c"))
+    val truth = shBase.join(shClone, Seq("orig_id"))
+      .select(col("orig_id"), col("clone_id"),
+        size(array_intersect(col("sh_o"), col("sh_c"))).cast("long").as("__i"),
+        size(array_union(col("sh_o"), col("sh_c"))).cast("long").as("__u"))
+      .withColumn("jaccard_decile", expr("(10 * __i) div __u").cast("long"))
+    val found = pairs.select(col("doc_a").as("orig_id"),
+      col("doc_b").as("clone_id"), lit(1).as("__f"))
+    truth.join(found, Seq("orig_id", "clone_id"), "left")
+      .groupBy(col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_planted"),
+        count(col("__f")).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_planted").cast("double"), 6))
+  }
 }

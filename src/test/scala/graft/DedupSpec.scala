@@ -466,4 +466,44 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Seq(101)) }
     intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Nil) }
   }
+
+  test("plantedClones: deterministic dropout, gated rate, offset ids") {
+    val corpus = spark.range(200).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 19), i -> concat('w', (id * 7 + i) % 40))) AS text")
+    val clones = Dedup.plantedClones(corpus).cache()
+    val n = clones.count()
+    // md5 gate at 1/5: binomial(200, 0.2) stays inside [20, 60] w.h.p.
+    assert(n >= 20 && n <= 60, s"plant rate off: $n/200")
+    val sample = clones.collect()
+    sample.foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("orig_id") + 10000000L)
+      assert(r.getAs[String]("text").nonEmpty)
+    }
+    // determinism under repartitioning
+    val again = Dedup.plantedClones(corpus.repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sample.map(r => r.getLong(0) -> r.getString(2)).toMap == again)
+    // dropout actually drops for at least one clone (20 tokens at 10%)
+    val origText = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sample.exists(r => r.getString(2) != origText(r.getLong(0))))
+  }
+
+  test("recallCurve: exact clones always recalled; counts conserve; bins valid") {
+    val corpus = spark.range(150).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 24), i -> concat('t', (id * 11 + i * 3) % 90))) AS text")
+    val curve = Dedup.recallCurve(corpus)
+      .collect().map(r => r.getAs[Long]("jaccard_decile") ->
+        (r.getAs[Long]("n_planted"), r.getAs[Long]("n_found"), r.getAs[Double]("recall")))
+    val nPlanted = curve.map(_._2._1).sum
+    assert(nPlanted == Dedup.plantedClones(corpus).count(), "every planted pair binned once")
+    curve.foreach { case (dec, (p, f, r)) =>
+      assert(dec >= 0 && dec <= 10, s"decile out of range: $dec")
+      assert(f <= p && r >= 0.0 && r <= 1.0, s"recall malformed at $dec: $f/$p")
+    }
+    // decile 10 = shingle-identical pairs -> identical signatures -> the
+    // bands MUST collide (probability-1 recall, not just high-probability)
+    curve.find(_._1 == 10L).foreach { case (_, (p, f, r)) =>
+      assert(f == p && r == 1.0, s"exact-dup recall must be 1.0, got $f/$p")
+    }
+  }
 }
