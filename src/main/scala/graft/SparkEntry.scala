@@ -2732,6 +2732,31 @@ object SparkEntry {
     graft.ops.Fim.sourceStats(rdWide(s, dir, "documents"),
       idCol = "doc_id", textCol = "text", groupCol = "source")
 
+  /** Weekly cohort retention over the event stream
+    * ([[graft.stats.Stats.retentionCohorts]]): cohort = ISO week of a
+    * user's first activity, retention(c, k) = |users of cohort c active
+    * in week c+k| / |cohort c| — the corpus-collection health read.
+    */
+  private def qRetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    Stats.retentionCohorts(readEvents(s, dir))
+
+  /** k-anonymity risk audit over the release metadata
+    * ([[graft.stats.Stats.kAnonymity]]): quasi-identifiers are
+    * (lang, source, ⌊n_chars/100⌋) — what a stripped corpus still
+    * exposes; complements the q66 in-text PII redaction.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Stats.kAnonymity(rd(s, dir, "documents"),
+      Seq(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket")))
+
+  /** Interpolated Kneser–Ney bigram LM scored per source
+    * ([[graft.text.CorpusOps.kneserNeyPerSource]]) — the smoothed-LM
+    * upgrade of q99's raw surprisal and the consumer of q149's
+    * continuation counts.
+    */
+  private def qKnScore(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.kneserNeyPerSource(rdWide(s, dir, "documents"))
+
   private def qChunkBoundaries(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     rdWide(s, dir, "documents")
@@ -3156,6 +3181,9 @@ object SparkEntry {
     "q155_quality_calibration" -> (qQualityCalibration _),
     "q156_bigram_coverage" -> (qBigramCoverage _),
     "q157_dedup_recall" -> (qDedupRecall _),
+    "q158_retention_cohorts" -> (qRetentionCohorts _),
+    "q159_kanonymity" -> (qKAnonymity _),
+    "q160_kn_score" -> (qKnScore _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4736,6 +4764,61 @@ object SparkEntry {
          |FROM truth t LEFT JOIN cand c
          |  ON c.doc_a = t.orig_id AND c.doc_b = t.clone_id
          |GROUP BY 1""".stripMargin,
+
+    // weekly cohort retention: cohort = date_trunc week (ISO Monday, same
+    // rule both engines) of first activity; offset in whole weeks
+    "q158_retention_cohorts" ->
+      """WITH grid AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+        |   FROM events),
+        | first AS (SELECT user_id, min(week) AS cohort_week FROM grid GROUP BY 1),
+        | sizes AS (SELECT cohort_week, count(*)::BIGINT AS cohort_users
+        |   FROM first GROUP BY 1),
+        | act AS (SELECT f.cohort_week,
+        |     date_diff('day', f.cohort_week, g.week) // 7 AS week_offset,
+        |     count(*)::BIGINT AS active_users
+        |   FROM grid g JOIN first f USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week::VARCHAR AS cohort_week, a.week_offset,
+        | a.active_users, s.cohort_users,
+        | round(a.active_users::DOUBLE / s.cohort_users::DOUBLE, 6) AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // k-anonymity: equivalence classes of (lang, source, n_chars//100);
+    // per k, classes below k and the document mass they expose
+    "q159_kanonymity" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |   count(*)::BIGINT AS cls FROM documents GROUP BY 1, 2, 3)
+        |SELECT k, count(*)::BIGINT AS total_classes, sum(cls)::BIGINT AS total_docs,
+        | count(CASE WHEN cls < k THEN 1 END)::BIGINT AS risky_classes,
+        | coalesce(sum(CASE WHEN cls < k THEN cls END), 0)::BIGINT AS risky_docs,
+        | round(coalesce(sum(CASE WHEN cls < k THEN cls END), 0)::DOUBLE /
+        |   sum(cls)::DOUBLE, 6) AS risk_frac
+        |FROM cls CROSS JOIN (SELECT unnest([2, 5, 10, 20]::BIGINT[]) AS k) ks
+        |GROUP BY k""".stripMargin,
+
+    // interpolated Kneser–Ney bigram LM (d = 0.75), scored per source:
+    // P = max(c_ab−d,0)/c_a + d·r_cont/c_a · l_cont/b_types; bits =
+    // −Σ n·ln P / ln 2 / Σ n, counts folded per (source, w1, w2) first
+    "q160_kn_score" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |   FROM documents),
+        | pairs AS (SELECT source, p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n FROM
+        |   (SELECT source, unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(0, len(w) - 1)]) AS p
+        |    FROM toks WHERE len(w) >= 2) GROUP BY 1, 2, 3),
+        | cab AS (SELECT w1, w2, sum(n)::BIGINT AS c_ab FROM pairs GROUP BY 1, 2),
+        | ctx AS (SELECT w1, sum(c_ab)::BIGINT AS c_a, count(*)::BIGINT AS r_cont
+        |   FROM cab GROUP BY 1),
+        | l AS (SELECT w2, count(*)::BIGINT AS l_cont FROM cab GROUP BY 1),
+        | ty AS (SELECT count(*)::BIGINT AS b_types FROM cab),
+        | sc AS (SELECT p.source, p.n,
+        |   greatest(cab.c_ab::DOUBLE - 0.75, 0.0) / ctx.c_a::DOUBLE
+        |     + 0.75 * ctx.r_cont::DOUBLE / ctx.c_a::DOUBLE
+        |       * (l.l_cont::DOUBLE / ty.b_types::DOUBLE) AS pkn
+        |  FROM pairs p JOIN cab USING (w1, w2) JOIN ctx USING (w1)
+        |   JOIN l USING (w2) CROSS JOIN ty)
+        |SELECT source, sum(n)::BIGINT AS n_bigrams,
+        | round(sum(-n::DOUBLE * ln(pkn)) / ln(2.0) / sum(n)::DOUBLE, 6)
+        |   AS kn_bits_per_bigram
+        |FROM sc GROUP BY source""".stripMargin,
 
     // top-k bigram mass concentration; rank/cum in the (freq desc, gram
     // asc) total order so the k-cut is deterministic under ties

@@ -343,4 +343,68 @@ object Stats {
         max(col(scoreCol)).as("score_hi"),
         round(avg(col(outcomeCol).cast("double")), 6).as("outcome_rate"))
   }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of a
+    * user's first activity; retention(c, k) = |cohort-c users active in
+    * week c+k| / |cohort c|. The corpus-collection health read ("are the
+    * crawl's sources still producing?") and the classic product-analytics
+    * primitive.
+    *
+    * Scale shape: the (user, week) activity grid is distinct-aggregated
+    * FIRST (shuffle on (user, week) — |users|·|weeks| rows at worst, not
+    * |events|), first-week via one more user-keyed aggregate, then a
+    * user-co-partitioned shuffle join grid⋈first, and a |weeks|²-bounded
+    * final aggregate. Because the grid is distinct per (user, week) and
+    * the offset is injective given the cohort, the active-user count is a
+    * plain count — no count-distinct expansion. Cohort sizes are a
+    * |weeks|-row broadcast.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val grid = events
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__week"))
+      .distinct()
+      .localCheckpoint(eager = true) // grid + first-week both read one scan
+    val first = grid.groupBy(col("__u")).agg(min(col("__week")).as("__cw"))
+    val sizes = first.groupBy(col("__cw")).agg(count(lit(1)).as("cohort_users"))
+    grid.join(first, Seq("__u"))
+      .select(col("__cw"), expr("datediff(__week, __cw) div 7").as("week_offset"))
+      .groupBy(col("__cw"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("__cw"))
+      // ISO string, not DateType: date32 vs an oracle DATE hash
+      // differently in serialized compares
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") /
+          col("cohort_users").cast("double"), 6).as("retention"))
+  }
+
+  /** k-anonymity risk audit (Sweeney 2002): an equivalence class is a
+    * distinct tuple of the quasi-identifier columns; a class smaller than
+    * k re-identifies its members. For each k in `ks`, reports classes
+    * below k, the rows they expose, and the exposed fraction — the
+    * privacy gate a pipeline runs BEFORE publishing corpus metadata.
+    *
+    * Scale shape: one hash aggregate to class sizes (quasi-identifier-
+    * domain-bounded rows), a ×|ks| explode on that small frame, one final
+    * |ks|-row aggregate — nothing corpus-sized past the first exchange.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column],
+                 ks: Seq[Long] = Seq(2L, 5L, 10L, 20L)): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"need ks all >= 2, got $ks")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("__cls"))
+      .select(col("__cls"), explode(array(ks.map(lit(_)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("total_classes"),
+        sum(col("__cls")).as("total_docs"),
+        count(when(col("__cls") < col("k"), lit(1))).as("risky_classes"),
+        coalesce(sum(when(col("__cls") < col("k"), col("__cls"))), lit(0L))
+          .as("risky_docs"))
+      .withColumn("risk_frac", round(col("risky_docs").cast("double") /
+        col("total_docs").cast("double"), 6))
+  }
 }

@@ -455,6 +455,67 @@ object CorpusOps {
             (col("l_all") - col("ls"))), 6).as("kl"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy per source (Kneser &
+    * Ney 1995; Chen & Goodman 1999 eq. 4.21 with a single fixed discount):
+    * build the corpus bigram LM
+    *
+    *   P_KN(w2|w1) = max(c(w1 w2) − d, 0)/c(w1·)
+    *               + d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    *
+    * from ONE tokenized pass, then score each source by its average
+    * −log2 P_KN over its own bigram tokens. This is the smoothed-LM form
+    * of the q149 raw continuation counts and the q99 unsmoothed surprisal:
+    * the number a mixture/filter pipeline reads as "how surprising is this
+    * source to a corpus-level bigram LM" without the degenerate zero-prob
+    * spikes the unsmoothed LM has on rare continuations.
+    *
+    * Scale posture: per-(source, w1, w2) occurrence counts are aggregated
+    * FIRST, so every downstream join runs on vocabulary-sized frames keyed
+    * by token — correctly shuffle joins (a corpus vocabulary is never
+    * broadcast-sized); the only broadcast is the 1-row type total. The
+    * per-source sum folds counts, not occurrences, so summation cost is
+    * vocabulary-bounded per source.
+    */
+  def kneserNeyPerSource(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"need 0 < discount < 1, got $discount")
+    val d = lit(discount)
+    val w = TextAnalysis.tokens(col("text"))
+    // per-(source, bigram) occurrence counts — the scoring side
+    val pairs = docs
+      .select(col("source"), w.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("source"), explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1))).as("b"))
+      .select(col("source"), col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // three LM views + scoring read one tokenize
+    val cab = pairs.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("c_ab"))
+      .localCheckpoint(eager = true)
+    // c(w1·) and the right-continuation fan-out N1+(w1·) in one aggregate
+    val ctx = cab.groupBy(col("w1"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("r_cont"))
+    val lcont = cab.groupBy(col("w2")).agg(count(lit(1)).as("l_cont"))
+    val types = cab.agg(count(lit(1)).as("b_types"))
+    pairs
+      .join(cab, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(lcont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("pkn",
+        greatest(col("c_ab").cast("double") - d, lit(0.0)) / col("c_a").cast("double")
+          + d * col("r_cont").cast("double") / col("c_a").cast("double")
+            * (col("l_cont").cast("double") / col("b_types").cast("double")))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(-col("n").cast("double") * log(col("pkn"))).as("__nats"))
+      .select(col("source"), col("n_bigrams"),
+        round(col("__nats") / log(lit(2.0)) / col("n_bigrams").cast("double"), 6)
+          .as("kn_bits_per_bigram"))
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

@@ -267,4 +267,33 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got2("t") > got.values.max, s"$got2 vs $got")
   }
+
+  test("kneserNeyPerSource: hand-computed interpolated KN on a 2-source corpus") {
+    // Corpus: A = "a b a b" (bigrams ab, ba, ab), B = "a c" (bigram ac).
+    // cab: ab=2, ba=1, ac=1. ctx: a -> c_a=3, r_cont=2; b -> c_a=1, r_cont=1.
+    // lcont: a=1, b=1, c=1. b_types=3. d=0.75.
+    //   P(b|a) = (2-.75)/3 + .75*(2/3)*(1/3) = 7/12
+    //   P(a|b) = (1-.75)/1 + .75*(1/1)*(1/3) = 1/2
+    //   P(c|a) = (1-.75)/3 + .75*(2/3)*(1/3) = 1/4
+    val d = docs((1L, "a b a b", "A"), (2L, "a c", "B"))
+    val got = CorpusOps.kneserNeyPerSource(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("A")._1 == 3L && got("B")._1 == 1L, got.toString)
+    // B's single bigram: -log2(1/4) = 2 bits exactly
+    assert(got("B")._2 == 2.0, got.toString)
+    val wantA = -(2.0 * math.log(7.0 / 12.0) + math.log(0.5)) / math.log(2.0) / 3.0
+    assert(math.abs(got("A")._2 - wantA) < 2e-6, s"${got("A")._2} vs $wantA")
+  }
+
+  test("kneserNeyPerSource: discounted probabilities leave mass for unseen continuations") {
+    // For any context, the summed probability over SEEN continuations must
+    // be < 1 (the discount reserves mass) and every P_KN must be > 0 even
+    // at c_ab = 1 (the continuation term never vanishes) — the property
+    // that distinguishes KN from the unsmoothed q99 surprisal.
+    val d = docs((1L, "a b a b a c", "A"), (2L, "b c b a c c", "B"))
+    val scored = CorpusOps.kneserNeyPerSource(d).collect()
+    assert(scored.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite),
+      scored.mkString(", "))
+    assert(scored.forall(_.getDouble(2) > 0.0), scored.mkString(", "))
+  }
 }

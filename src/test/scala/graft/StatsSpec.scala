@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.stats.Stats
 
 class StatsSpec extends SparkSpec {
@@ -291,5 +293,48 @@ class StatsSpec extends SparkSpec {
     val byDecile = got.map(r => r._1 -> r._2).toMap
     // scores 1..4 sit strictly below every boundary (b_1..b_9 are all >= 5)
     assert(byDecile(1L) >= 4L, got.toSeq.toString)
+  }
+
+  test("retentionCohorts: hand-computed weekly cohorts with in-week dedup") {
+    // Weeks (Mondays): W0=2024-01-01, W1=2024-01-08, W2=2024-01-15.
+    // u1: W0 (twice — must dedup), W1, W2; u2: W0, W2; u3: W1.
+    // Cohort W0 (2 users): offset 0 -> 2 (1.0), offset 1 -> 1 (0.5),
+    // offset 2 -> 2 (1.0). Cohort W1 (1 user): offset 0 -> 1 (1.0).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-05 09:00:00")),
+      (1L, ts("2024-01-08 00:00:00")), (1L, ts("2024-01-21 23:59:59")),
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-17 12:00:00")),
+      (3L, ts("2024-01-10 08:30:00"))
+    ).toDF("user_id", "ts")
+    val got = Stats.retentionCohorts(ev)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 2L, 1.0)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0))), got.toString)
+  }
+
+  test("kAnonymity: singleton classes counted per k, risky mass conserved") {
+    // Classes over (g, bucket): (x, 0) size 3, (y, 0) size 1, (x, 1) size 1.
+    val df = Seq(("x", 10L), ("x", 20L), ("x", 99L), ("y", 5L), ("x", 150L))
+      .toDF("g", "n")
+    val got = Stats.kAnonymity(df, Seq(col("g"), expr("n div 100").as("b")))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // k=2: the two singletons are risky (2 docs of 5)
+    assert(got(2L) == ((3L, 5L, 2L, 2L, 0.4)), got.toString)
+    // k=5: every class is below 5 -> all 5 docs exposed
+    assert(got(5L) == ((3L, 5L, 3L, 5L, 1.0)), got.toString)
+    assert(got(10L) == got(5L) && got(20L) == got(5L), got.toString)
+  }
+
+  test("kAnonymity: fully-anonymous table reports zero risk (coalesce path)") {
+    val df = Seq.fill(40)("same").toDF("g")
+    val got = Stats.kAnonymity(df, Seq(col("g")))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
 }
