@@ -2757,6 +2757,38 @@ object SparkEntry {
   private def qKnScore(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.kneserNeyPerSource(rdWide(s, dir, "documents"))
 
+  /** Exact two-sample KS distance of each source's length distribution
+    * vs the rest of the corpus ([[graft.stats.Stats.ksDrift]]) — the
+    * bucket-free complement of q106's PSI gate.
+    */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    Stats.ksDrift(rd(s, dir, "documents"), "n_chars", "source")
+
+  /** Duplication communities by synchronous label propagation
+    * ([[graft.dedup.DupClusters.labelPropagation]], 3 rounds) — the
+    * density-respecting complement of q40's connected components: a
+    * single bridge pair no longer merges two dense near-dup groups.
+    * Clone-guarded like the q97/q118 gates: exact clones collapse to
+    * their representative BEFORE the pair pass
+    * ([[graft.dedup.Dedup.nearDupPairsDeduped]]), LPA runs on the
+    * representative graph (each distinct content votes once), and
+    * members re-enter only as a per-group count at the end — a
+    * c-member clone clique costs one node, never C(c,2) edges. Top-20
+    * communities by TOTAL member count (clone groups included, so
+    * heavy exact duplication surfaces here too).
+    */
+  private def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    val (repPairs, groups) =
+      Dedup.nearDupPairsDeduped(docs, minJaccard = 0.5, maxBucketSize = 64)
+    val labels = graft.dedup.DupClusters.labelPropagation(repPairs, iterations = 3)
+    groups
+      .join(labels.withColumnRenamed("id", "keep_id"), Seq("keep_id"), "left")
+      .select(coalesce(col("label"), col("keep_id")).as("label"), col("n_copies"))
+      .groupBy(col("label")).agg(sum(col("n_copies")).as("n_members"))
+      .orderBy(col("n_members").desc, col("label").asc).limit(20)
+  }
+
   private def qChunkBoundaries(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     rdWide(s, dir, "documents")
@@ -2915,6 +2947,34 @@ object SparkEntry {
         round(avg(col("cos")), 6).as("avg_cos"),
         min(col("cos")).as("min_cos"),
         sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_low"))
+  }
+
+  /** Inter-label confusion map — the complement of q142's WITHIN-label
+    * cohesion: pairwise cosine between label centroids, most-confusable
+    * pairs first. A pair of labels whose centroids nearly coincide is a
+    * merge candidate (or a labeling-noise flag) BEFORE anyone trains a
+    * classifier head on them. One corpus scan to |labels| centroids
+    * (same rounded-centroid kernel as q142); the pair matrix lives on
+    * the aggregate-bounded |labels|-row frame (broadcast inequality
+    * join — never corpus-sized).
+    */
+  private def qLabelConfusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+    val cents = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("label"), transform(col("c"), x => round(x, 6)).as("c"), col("n"))
+      .localCheckpoint(eager = true)
+    cents.select(col("label").as("label_a"), col("c").as("ca"), col("n").as("n_a"))
+      .join(broadcast(cents.select(col("label").as("label_b"),
+        col("c").as("cb"), col("n").as("n_b"))),
+        col("label_a") < col("label_b"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("ca"), col("cb")), 6))
+      .orderBy(col("cos").desc, col("label_a").asc, col("label_b").asc)
+      .limit(10)
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("cos"))
   }
 
   /** Collocation mining by independence lift (the PMI family: lift =
@@ -3184,6 +3244,9 @@ object SparkEntry {
     "q158_retention_cohorts" -> (qRetentionCohorts _),
     "q159_kanonymity" -> (qKAnonymity _),
     "q160_kn_score" -> (qKnScore _),
+    "q161_ks_drift" -> (qKsDrift _),
+    "q162_lpa_communities" -> (qLpaCommunities _),
+    "q163_label_confusion" -> (qLabelConfusion _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4795,6 +4858,63 @@ object SparkEntry {
         |FROM cls CROSS JOIN (SELECT unnest([2, 5, 10, 20]::BIGINT[]) AS k) ks
         |GROUP BY k""".stripMargin,
 
+    // synchronous LPA, 3 unrolled rounds over the CLONE-COLLAPSED pair
+    // graph (exact md5 groups -> min-id reps, LSH pairs among reps only);
+    // closed-neighborhood vote (neighbors UNION ALL self), winner =
+    // (count desc, label asc); clone members re-enter as group counts;
+    // top-20 communities by total members, (size desc, label) order
+    "q162_lpa_communities" -> {
+      def lpaRound(prev: String, curr: String): String =
+        s"""$curr AS (SELECT id, label FROM (
+           |   SELECT id, label,
+           |     row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+           |   FROM (SELECT v.id, v.label, count(*)::BIGINT AS cnt FROM
+           |     (SELECT e.dst AS id, l.label FROM edges e JOIN $prev l ON l.id = e.src
+           |      UNION ALL SELECT id, label FROM $prev) v
+           |    GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+      s"""WITH g AS (SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+         |   FROM documents GROUP BY md5(text)),
+         | reps AS (SELECT d.* FROM documents d JOIN g ON d.doc_id = g.keep_id),
+         | ${minhashCtesOver("reps")},
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION SELECT doc_b, doc_a FROM pairs),
+         | l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+         | ${lpaRound("l0", "l1")},
+         | ${lpaRound("l1", "l2")},
+         | ${lpaRound("l2", "l3")}
+         |SELECT coalesce(l3.label, g.keep_id) AS label,
+         | sum(g.n_copies)::BIGINT AS n_members
+         |FROM g LEFT JOIN l3 ON l3.id = g.keep_id
+         |GROUP BY 1 ORDER BY n_members DESC, label ASC LIMIT 20""".stripMargin
+    },
+
+    // exact two-sample KS per source vs rest-of-corpus on n_chars: cum
+    // counts per source over the corpus value grid, D = max |cdf diff|
+    "q161_ks_drift" ->
+      """WITH counts AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2),
+        | vals AS (SELECT v, sum(c)::BIGINT AS call FROM counts GROUP BY 1),
+        | grp AS (SELECT source, sum(c)::BIGINT AS ns FROM counts GROUP BY 1),
+        | tot AS (SELECT sum(ns)::BIGINT AS n FROM grp),
+        | grid AS (SELECT g.source, va.v, va.call, g.ns, coalesce(c.c, 0) AS c
+        |   FROM vals va CROSS JOIN grp g
+        |   LEFT JOIN counts c ON c.source = g.source AND c.v = va.v),
+        | cums AS (SELECT source, ns,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cs,
+        |    sum(call) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca
+        |  FROM grid)
+        |SELECT source, max(ns)::BIGINT AS n_rows,
+        | round(max(abs(cs::DOUBLE / ns::DOUBLE -
+        |   (ca - cs)::DOUBLE / (n - ns)::DOUBLE)), 6) AS ks_d
+        |FROM cums CROSS JOIN tot WHERE ns < n GROUP BY source""".stripMargin,
+
     // interpolated Kneser–Ney bigram LM (d = 0.75), scored per source:
     // P = max(c_ab−d,0)/c_a + d·r_cont/c_a · l_cont/b_types; bits =
     // −Σ n·ln P / ln 2 / Σ n, counts folded per (source, w1, w2) first
@@ -4998,6 +5118,21 @@ object SparkEntry {
          | round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos,
          | sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low
          |FROM scored GROUP BY label""".stripMargin,
+
+    // pairwise cosine between the q142 rounded centroids, (a < b) pairs,
+    // most-confusable first; (cos desc, a, b) total order at the 10-cut
+    "q163_label_confusion" ->
+      s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |   unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+         | cdim AS (SELECT label, dim, round(sum(v) / count(*), 6) AS m
+         |  FROM ex GROUP BY 1, 2),
+         | cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cdim GROUP BY label),
+         | cnt AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1),
+         | cents AS (SELECT cent.label, c, n FROM cent JOIN cnt USING (label))
+         |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+         | round(${cosSqlAB("a.c", "b.c")}, 6) AS cos
+         |FROM cents a JOIN cents b ON a.label < b.label
+         |ORDER BY cos DESC, label_a ASC, label_b ASC LIMIT 10""".stripMargin,
 
     // count-min cells rebuilt as in q57, tau = ceil(total * 20000 ppm),
     // candidates = est >= tau (superset), exact counts + threshold

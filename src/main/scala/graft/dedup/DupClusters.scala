@@ -175,4 +175,49 @@ object DupClusters {
       .select(col("cluster_id"), col(idCol).as("keep_id"),
         col("n_members"), col(scoreCol).as("best_score"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * near-dup pair graph: every node starts as its own label and each
+    * round adopts the most frequent label in its CLOSED neighborhood
+    * (neighbors + its own current label), tie-broken to the smallest
+    * label — both choices make the rounds fully deterministic, and the
+    * self-vote prevents the classic 2-cycle oscillation of synchronous
+    * LPA on pair components. Unlike [[clusters]] (connected components —
+    * reachability), LPA respects edge DENSITY: a bridge between two
+    * dense near-dup groups doesn't merge them in a bounded number of
+    * rounds, which is what "duplication communities" means for keep-best
+    * review at corpus scale.
+    *
+    * Scale shape: each round is one shuffle join of the edge list with
+    * the |nodes|-row label frame plus two hash aggregates — graph-sized,
+    * never corpus-quadratic; labels are localCheckpoint-ed per round so
+    * lineage stays flat (the [[clusters]] discipline). Fixed round count
+    * (no convergence detection) keeps the stage graph static.
+    */
+  def labelPropagation(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"need 1 <= iterations <= 10, got $iterations")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val neighborVotes = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      labels = neighborVotes
+        .union(labels) // the self-vote
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("__cnt"))
+        // (count desc, label asc) as one struct max: (__cnt, -label)
+        .select(col("id"),
+          struct(col("__cnt"), (-col("label")).as("__nl")).as("__v"))
+        .groupBy(col("id")).agg(max(col("__v")).as("__m"))
+        .select(col("id"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
 }

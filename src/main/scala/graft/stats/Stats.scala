@@ -360,11 +360,29 @@ object Stats {
     * |weeks|-row broadcast.
     */
   def retentionCohorts(events: DataFrame, userCol: String = "user_id",
-                       tsCol: String = "ts"): DataFrame = {
-    val grid = events
-      .select(col(userCol).as("__u"),
-        date_trunc("week", col(tsCol)).cast("date").as("__week"))
+                       tsCol: String = "ts"): DataFrame =
+    retentionFromGrid(activityGrid(events, userCol, tsCol))
+
+  /** The (user, ISO-week) activity grid — retention's minimal sufficient
+    * statistic, and its mergeable partial: grids of event sub-streams
+    * union-distinct to the grid of the whole stream, which is what
+    * [[graft.streaming.StreamingRetention]] stores per micro-batch.
+    */
+  def activityGrid(events: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame =
+    events
+      .select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).cast("date").as("week"))
       .distinct()
+
+  /** Retention from an already-distinct (user_id, week) activity grid
+    * ([[activityGrid]] of a batch, or the merged micro-batch partials of
+    * a stream). Input MUST be distinct per (user_id, week) — both
+    * producers guarantee it; a duplicated row would double-count.
+    */
+  def retentionFromGrid(gridIn: DataFrame): DataFrame = {
+    val grid = gridIn
+      .select(col("user_id").as("__u"), col("week").as("__week"))
       .localCheckpoint(eager = true) // grid + first-week both read one scan
     val first = grid.groupBy(col("__u")).agg(min(col("__week")).as("__cw"))
     val sizes = first.groupBy(col("__cw")).agg(count(lit(1)).as("cohort_users"))
@@ -391,6 +409,49 @@ object Stats {
     * domain-bounded rows), a ×|ks| explode on that small frame, one final
     * |ks|-row aggregate — nothing corpus-sized past the first exchange.
     */
+  /** Exact two-sample Kolmogorov–Smirnov distance of each group's
+    * `valueCol` distribution against the REST of the corpus:
+    * D_g = max_v |CDF_g(v) − CDF_rest(v)|, evaluated at every distinct
+    * corpus value (where the step functions jump — the exact statistic,
+    * not a quantile approximation). The distribution-shift screen that
+    * catches what a mean/quantile comparison can't (shape changes at
+    * equal medians); PSI (q106) needs a bucket scheme, KS doesn't.
+    *
+    * Scale shape: ONE corpus-scale exchange (the (group, value) count
+    * aggregate); everything downstream lives on the |groups|·|values|
+    * histogram grid — value totals re-aggregated from it, the grid built
+    * by crossing distinct values with the |groups|-row totals frame
+    * (aggregate-bounded broadcast), cumulative sums under a
+    * PARTITIONED-by-group window, and a |groups|-row max. `valueCol`
+    * must be domain-bounded (ints like lengths/counts, or pre-quantized
+    * doubles) — the grid is |groups|·|distinct values|.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = true) // values + groups + grid read it
+    val values = counts.groupBy(col(valueCol)).agg(sum(col("__c")).as("__call"))
+    val groups = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
+    val total = groups.agg(sum(col("__ns")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    values
+      .crossJoin(broadcast(groups))
+      .join(counts, Seq(groupCol, valueCol), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cums", sum(col("__c")).over(w))
+      .withColumn("__cuma", sum(col("__call")).over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("__ns") < col("__n")) // rest-side empty ⇒ KS undefined
+      .withColumn("__d", abs(
+        col("__cums").cast("double") / col("__ns").cast("double") -
+          (col("__cuma") - col("__cums")).cast("double") /
+            (col("__n") - col("__ns")).cast("double")))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ns")).as("n_rows"), round(max(col("__d")), 6).as("ks_d"))
+  }
+
   def kAnonymity(df: DataFrame, quasiIds: Seq[Column],
                  ks: Seq[Long] = Seq(2L, 5L, 10L, 20L)): DataFrame = {
     require(quasiIds.nonEmpty, "need at least one quasi-identifier column")

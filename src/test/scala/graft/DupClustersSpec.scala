@@ -44,4 +44,35 @@ class DupClustersSpec extends SparkSpec {
     val got = DupClusters.clusters(pairs).as[(Long, Long)].collect().toMap
     assert(got.size == 13 && got.values.forall(_ == 0L))
   }
+
+  test("labelPropagation: triangle, pair, path — hand-replayed rounds") {
+    // Triangle {1,2,3}: round 1 already sends every closed neighborhood
+    // to min id 1 (all votes tie at 1, min wins). Pair {10,11}: the
+    // self-vote breaks the synchronous 2-cycle — round 1 ties each
+    // node's own label against the neighbor's, min 10 wins on both
+    // sides; WITHOUT the self-vote rounds would oscillate 10<->11
+    // forever. Path 20-21-22: 20 after round 2; round 3 stable.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val got = DupClusters.labelPropagation(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), got.toString)
+  }
+
+  test("labelPropagation respects density where components do not") {
+    // two 4-cliques bridged by ONE edge (3-4): connected components
+    // merge everything into one cluster; 3-round LPA keeps two
+    // communities because each clique's internal vote mass (3 neighbors
+    // + self) outweighs the single bridge vote every round.
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB :+ ((3L, 4L))).toDF("doc_a", "doc_b")
+    val cc = DupClusters.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1) // CC: one blob
+    val lpa = DupClusters.labelPropagation(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa.filterKeys(_ <= 3L).values.toSet == Set(0L), lpa.toString)
+    assert(lpa.filterKeys(_ >= 5L).values.toSet == Set(4L), lpa.toString)
+  }
 }

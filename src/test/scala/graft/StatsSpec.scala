@@ -331,6 +331,31 @@ class StatsSpec extends SparkSpec {
     assert(got(10L) == got(5L) && got(20L) == got(5L), got.toString)
   }
 
+  test("ksDrift: hand-computed D, disjoint supports, identical distributions") {
+    // A = [1,1,2], B = [1,2,2,2]: at v=1 cdf_A=2/3, cdf_B=1/4 -> D=5/12
+    // (each group's "rest" is exactly the other group)
+    val ab = (Seq.fill(2)(("A", 1L)) ++ Seq(("A", 2L)) ++
+      Seq(("B", 1L)) ++ Seq.fill(3)(("B", 2L))).toDF("g", "v")
+    val got = Stats.ksDrift(ab, "v", "g")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("A") == ((3L, 0.416667)) && got("B") == ((4L, 0.416667)), got.toString)
+
+    // disjoint supports -> D = 1 on both sides
+    val dis = Seq(("A", 1L), ("A", 2L), ("B", 10L), ("B", 11L)).toDF("g", "v")
+    val gotD = Stats.ksDrift(dis, "v", "g").as[(String, Long, Double)].collect()
+    assert(gotD.forall(_._3 == 1.0), gotD.toSeq.toString)
+
+    // identical distributions -> D = 0
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val got0 = Stats.ksDrift(same, "v", "g").as[(String, Long, Double)].collect()
+    assert(got0.forall(_._3 == 0.0), got0.toSeq.toString)
+  }
+
+  test("ksDrift: single-group corpus yields no rows (rest side empty)") {
+    val df = Seq(("only", 1L), ("only", 5L)).toDF("g", "v")
+    assert(Stats.ksDrift(df, "v", "g").count() == 0L)
+  }
+
   test("kAnonymity: fully-anonymous table reports zero risk (coalesce path)") {
     val df = Seq.fill(40)("same").toDF("g")
     val got = Stats.kAnonymity(df, Seq(col("g")))

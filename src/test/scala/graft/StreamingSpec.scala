@@ -711,4 +711,41 @@ class StreamingSpec extends SparkSpec {
       assert(got == batchRef)
     } finally q.stop()
   }
+
+  test("streaming retention == batch retention over the streamed events; compaction invariant") {
+    import graft.streaming.StreamingRetention
+    import graft.stats.Stats
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Files.createTempDirectory("graft_retention").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    def ev(rows: (Long, Long, String)*) =
+      rows.map { case (id, u, t) => (id, ts(t), u, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // u1 active W0+W1, u2 active W0 only; u1's W0 activity repeats in
+    // batch 2 (cross-batch duplicate the union-distinct merge must fold)
+    val b1 = ev((1L, 1L, "2024-01-02 10:00:00"), (2L, 2L, "2024-01-03 11:00:00"))
+    val b2 = ev((3L, 1L, "2024-01-04 09:00:00"), (4L, 1L, "2024-01-09 08:00:00"))
+    b1.write.parquet(src)
+    StreamingRetention.start(spark, src, store, ckpt).awaitTermination()
+    b2.write.mode("append").parquet(src)
+    StreamingRetention.start(spark, src, store, ckpt).awaitTermination()
+
+    val want = Stats.retentionCohorts(b1.union(b2))
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(want == Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5)), want.toString)
+    assert(StreamingRetention.retentionFromStore(spark, store)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == want)
+
+    // compaction folds the cross-batch duplicate row and changes nothing
+    val (n1, d1) = StreamingRetention.compactStore(spark, store)
+    assert(d1 == 2L && n1 == 3L, s"merged $n1 rows from $d1 dirs") // 3 distinct (u, week) rows
+    assert(StreamingRetention.retentionFromStore(spark, store)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == want)
+    val (n2, d2) = StreamingRetention.compactStore(spark, store)
+    assert(d2 == 1L && n2 == n1)
+    assert(StreamingRetention.retentionFromStore(spark, store)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == want)
+  }
 }
