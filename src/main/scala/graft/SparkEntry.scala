@@ -2977,6 +2977,19 @@ object SparkEntry {
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("cos"))
   }
 
+  /** Burstiness per event type — Fano factor of per-hour counts over
+    * the corpus-observed hour grid ([[graft.stats.Stats.fanoFactor]]).
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    Stats.fanoFactor(readEvents(s, dir))
+
+  /** Exact Gini concentration of document-length mass per source
+    * ([[graft.stats.Stats.giniByGroup]]) — the inequality read next to
+    * q154's KL: is a source's volume a few giant docs or many small ones?
+    */
+  private def qGiniLength(s: SparkSession, dir: String): DataFrame =
+    Stats.giniByGroup(rd(s, dir, "documents"), "n_chars", "source")
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3247,6 +3260,8 @@ object SparkEntry {
     "q161_ks_drift" -> (qKsDrift _),
     "q162_lpa_communities" -> (qLpaCommunities _),
     "q163_label_confusion" -> (qLabelConfusion _),
+    "q164_burstiness" -> (qBurstiness _),
+    "q165_gini_length" -> (qGiniLength _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5118,6 +5133,39 @@ object SparkEntry {
          | round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos,
          | sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low
          |FROM scored GROUP BY label""".stripMargin,
+
+    // Fano factor per type from integer sums: n = |distinct corpus
+    // hours|, S1/S2 per type; F = S2/S1 - S1/n (zero hours change only n)
+    "q164_burstiness" ->
+      """WITH ph AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |   count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        | hrs AS (SELECT count(DISTINCT h)::BIGINT AS n FROM ph)
+        |SELECT event_type, n AS n_hours, count(*)::BIGINT AS active_hours,
+        | sum(c)::BIGINT AS n_events,
+        | round(sum(c*c)::DOUBLE / sum(c)::DOUBLE -
+        |   sum(c)::DOUBLE / n::DOUBLE, 6) AS fano
+        |FROM ph CROSS JOIN hrs GROUP BY 1, 2""".stripMargin,
+
+    // grouped exact Gini from the per-source length histogram: ordered
+    // window-sum of c*(2*cumv - v*c), G read off the last bucket's row
+    "q165_gini_length" ->
+      """WITH hist AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2),
+        | acc AS (SELECT source, c,
+        |   v::DOUBLE * c::DOUBLE AS vc,
+        |   sum(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc,
+        |   sum(v::DOUBLE * c::DOUBLE) OVER (PARTITION BY source ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cumv
+        |  FROM hist),
+        | terms AS (SELECT source, cumc,
+        |   sum(c::DOUBLE * (2.0 * cumv - vc)) OVER (PARTITION BY source ORDER BY cumc
+        |     ROWS UNBOUNDED PRECEDING) AS g,
+        |   max(cumc) OVER (PARTITION BY source) AS n,
+        |   max(cumv) OVER (PARTITION BY source) AS t
+        |  FROM acc)
+        |SELECT source, n::BIGINT AS n_rows, round(t, 1) AS total_value,
+        | round(1.0 - g / (n::DOUBLE * t), 6) AS gini
+        |FROM terms WHERE cumc = n""".stripMargin,
 
     // pairwise cosine between the q142 rounded centroids, (a < b) pairs,
     // most-confusable first; (cos desc, a, b) total order at the 10-cut

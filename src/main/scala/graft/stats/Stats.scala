@@ -452,6 +452,74 @@ object Stats {
       .agg(max(col("__ns")).as("n_rows"), round(max(col("__d")), 6).as("ks_d"))
   }
 
+  /** Burstiness of each event type as the Fano factor of its per-hour
+    * counts: F = var/mean over the grid of ALL corpus-observed hours
+    * (zero hours included — they change n, not the sums, so no grid
+    * materializes). F ≈ 1 is Poisson-like arrival; F ≫ 1 flags bursty
+    * types (crawler stampedes, batch replays) that need admission
+    * smoothing before rate-based anomaly rules make sense. From integer
+    * sums only: n = |distinct hours| (corpus-wide), S1 = Σc, S2 = Σc²
+    * per type ⇒ F = S2/S1 − S1/n — deterministic doubles off exact
+    * longs. One (type, hour) hash aggregate is the only corpus-scale
+    * exchange; S2 overflow needs a single hour-bucket of one type past
+    * ~3e9 events, far beyond an hourly bucket's plausible mass.
+    */
+  def fanoFactor(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame = {
+    val perHour = events
+      .select(col(typeCol).as("__t"), date_trunc("hour", col(tsCol)).as("__h"))
+      .groupBy(col("__t"), col("__h")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = true) // hour total + per-type sums share it
+    val hours = perHour.select(col("__h")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    perHour.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__s1"), sum(col("__c") * col("__c")).as("__s2"),
+        count(lit(1)).as("active_hours"))
+      .crossJoin(broadcast(hours))
+      .select(col("__t").as(typeCol), col("__n").as("n_hours"),
+        col("active_hours"), col("__s1").as("n_events"),
+        round(col("__s2").cast("double") / col("__s1").cast("double") -
+          col("__s1").cast("double") / col("__n").cast("double"), 6).as("fano"))
+  }
+
+  /** Exact Gini concentration of `valueCol` mass per group, computed
+    * from the value histogram (exact for discrete data — every member
+    * of a histogram bucket holds the same value): with buckets sorted
+    * by value, G = 1 − Σᵢ cᵢ·(cumvᵢ₋₁ + cumvᵢ) / (n·T). The
+    * inequality statistic a mixture designer reads next to q154's KL:
+    * does one source's mass sit in a few giant documents?
+    *
+    * Scale shape: one (group, value) hash aggregate (the only corpus-
+    * scale exchange), then windows PARTITIONED by group over the
+    * domain-bounded histogram grid. The Σ term is accumulated as an
+    * ORDERED window sum of doubles (sequential in value order on any
+    * engine — deterministic, and immune to the long overflow a
+    * corpus-scale n·T product would hit); only the final bucket's row
+    * (cum count = n) survives to the |groups|-row output.
+    */
+  def giniByGroup(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__v", col(valueCol).cast("double") * col("__c").cast("double"))
+      .withColumn("__cumc", sum(col("__c")).over(w))
+      .withColumn("__cumv", sum(col("__v")).over(w))
+      .withColumn("__term",
+        col("__c").cast("double") * (lit(2.0) * col("__cumv") - col("__v")))
+      .withColumn("__g", sum(col("__term")).over(w))
+      .withColumn("__n", max(col("__cumc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__t", max(col("__cumv")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .filter(col("__cumc") === col("__n")) // the last bucket's row
+      .select(col(groupCol), col("__n").as("n_rows"),
+        round(col("__t"), 1).as("total_value"),
+        round(lit(1.0) - col("__g") /
+          (col("__n").cast("double") * col("__t")), 6).as("gini"))
+  }
+
   def kAnonymity(df: DataFrame, quasiIds: Seq[Column],
                  ks: Seq[Long] = Seq(2L, 5L, 10L, 20L)): DataFrame = {
     require(quasiIds.nonEmpty, "need at least one quasi-identifier column")

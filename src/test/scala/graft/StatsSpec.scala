@@ -356,6 +356,35 @@ class StatsSpec extends SparkSpec {
     assert(Stats.ksDrift(df, "v", "g").count() == 0L)
   }
 
+  test("fanoFactor: hand-computed variance-to-mean over the corpus hour grid") {
+    // hours H0..H2 observed corpus-wide (H2 only via type B). Type A:
+    // H0 -> 3 events, H1 -> 1, H2 -> 0 (zero hour counts in n only):
+    // F = S2/S1 - S1/n = 10/4 - 4/3 = 7/6. Type B: one event in each of
+    // H0, H2 and 0 in H1 -> F = 2/2 - 2/3 = 1/3.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (Seq.fill(3)(("A", ts("2024-03-01 10:15:00"))) ++ Seq(
+      ("A", ts("2024-03-01 11:05:00")),
+      ("B", ts("2024-03-01 10:59:59")), ("B", ts("2024-03-01 12:00:00"))))
+      .toDF("event_type", "ts")
+    val got = Stats.fanoFactor(ev)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((3L, 2L, 4L, 1.166667)), got.toString)
+    assert(got("B") == ((3L, 2L, 2L, 0.333333)), got.toString)
+  }
+
+  test("giniByGroup: hand values, equal-mass zero, two-point extreme") {
+    // [1,1,2] -> G = 1/6; [5,5] -> 0; [0,10] -> (n-1)/n = 0.5
+    val df = (Seq(("a", 1L), ("a", 1L), ("a", 2L)) ++
+      Seq(("b", 5L), ("b", 5L)) ++ Seq(("c", 0L), ("c", 10L))).toDF("g", "v")
+    val got = Stats.giniByGroup(df, "v", "g")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 4.0, 0.166667)), got.toString)
+    assert(got("b") == ((2L, 10.0, 0.0)), got.toString)
+    assert(got("c") == ((2L, 10.0, 0.5)), got.toString)
+  }
+
   test("kAnonymity: fully-anonymous table reports zero risk (coalesce path)") {
     val df = Seq.fill(40)("same").toDF("g")
     val got = Stats.kAnonymity(df, Seq(col("g")))
