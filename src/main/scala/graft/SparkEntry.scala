@@ -2990,6 +2990,54 @@ object SparkEntry {
   private def qGiniLength(s: SparkSession, dir: String): DataFrame =
     Stats.giniByGroup(rd(s, dir, "documents"), "n_chars", "source")
 
+  /** Inter-event gap calibration: exact p50/p90/p99 of the
+    * SECONDS-between-consecutive-events-of-one-user distribution, per
+    * event type — the measurement that justifies (or indicts) the
+    * 30-minute sessionization gap q30/q31 assume: the session cut
+    * should sit far into the gap distribution's tail for every major
+    * type. Gaps via lag over a (user)-PARTITIONED window (corpus
+    * shuffles once on user_id — the q158 key), then the q117 exact-
+    * quantile histogram discipline (no global sort; gap values are
+    * domain-bounded seconds). Typed per the FOLLOWING event.
+    */
+  private def qGapCalibration(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = readEvents(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("__prev"))).as("gap_s"))
+    Stats.exactQuantiles(gaps, "gap_s", "event_type",
+      quantiles = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+  }
+
+  /** Metadata-trust audit: does the declared `lang` column agree with
+    * what the content-side language detector (q16's stopword-hit
+    * kernel) says? Per (source, declared lang): match / mismatch /
+    * detector-abstain ("unknown") counts and the mismatch rate among
+    * non-abstains. A source whose declared labels the detector
+    * contradicts is a metadata bug or a mislabeled crawl — found BEFORE
+    * anyone trains on `lang`-filtered splits. Map-only scoring (the
+    * langId kernel is one codegen projection) into a
+    * |sources|·|langs|-row aggregate.
+    */
+  private def qLangMismatch(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.langId(col("text")).as("__pred"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pred") === col("lang"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("__pred") === "unknown", 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(col("__pred") =!= col("lang") && col("__pred") =!= "unknown", 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        when(col("n_match") + col("n_mismatch") > 0,
+          round(col("n_mismatch").cast("double") /
+            (col("n_match") + col("n_mismatch")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")))
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3262,6 +3310,8 @@ object SparkEntry {
     "q163_label_confusion" -> (qLabelConfusion _),
     "q164_burstiness" -> (qBurstiness _),
     "q165_gini_length" -> (qGiniLength _),
+    "q166_gap_calibration" -> (qGapCalibration _),
+    "q167_lang_mismatch" -> (qLangMismatch _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5133,6 +5183,55 @@ object SparkEntry {
          | round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos,
          | sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low
          |FROM scored GROUP BY label""".stripMargin,
+
+    // q16's stopword langid per WHOLE doc vs the declared lang column;
+    // mismatch rate over non-abstaining predictions, per (source, lang)
+    "q167_lang_mismatch" ->
+      s"""WITH p AS (SELECT source, lang,
+         |  CASE WHEN mx = 0 THEN 'unknown' WHEN s_en = mx THEN 'en'
+         |   WHEN s_fr = mx THEN 'fr' WHEN s_de = mx THEN 'de'
+         |   WHEN s_es = mx THEN 'es' ELSE 'zh' END AS pred
+         | FROM (SELECT source, lang,
+         |   greatest(s_en, s_fr, s_de, s_es, s_zh) AS mx, s_en, s_fr, s_de, s_es, s_zh
+         |  FROM (SELECT source, lang,
+         |   len(list_filter(w, x -> list_contains($EnStopSql, x))) AS s_en,
+         |   len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','un','est'], x))) AS s_fr,
+         |   len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+         |   len(list_filter(w, x -> list_contains(['el','la','de','y','los','en','un','es'], x))) AS s_es,
+         |   len(list_filter(w, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+         |  FROM (SELECT source, lang,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents))))
+         |SELECT source, lang, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_match,
+         | sum(CASE WHEN pred = 'unknown' THEN 1 ELSE 0 END)::BIGINT AS n_unknown,
+         | sum(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_mismatch,
+         | CASE WHEN sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |   + sum(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END) > 0
+         |  THEN round(sum(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END)::DOUBLE
+         |   / (sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END))::DOUBLE, 6)
+         |  ELSE NULL END AS mismatch_rate
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
+    // the following event; q117 cum-mass quantile rule on the gap histogram
+    "q166_gap_calibration" ->
+      """WITH g AS (SELECT event_type,
+        |   date_diff('second',
+        |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        |  FROM events),
+        | hist AS (SELECT event_type, gap_s, count(*)::BIGINT AS c
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        | cum AS (SELECT event_type, gap_s,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM hist)
+        |SELECT event_type, q.name AS quantile, min(gap_s)::BIGINT AS value,
+        | max(n)::BIGINT AS n_rows
+        |FROM cum CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |  ('p99', 99, 100)) q(name, num, den)
+        |WHERE cum * q.den >= n * q.num
+        |GROUP BY 1, 2""".stripMargin,
 
     // Fano factor per type from integer sums: n = |distinct corpus
     // hours|, S1/S2 per type; F = S2/S1 - S1/n (zero hours change only n)
