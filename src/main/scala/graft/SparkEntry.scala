@@ -3038,6 +3038,48 @@ object SparkEntry {
             (col("n_match") + col("n_mismatch")).cast("double"), 6))
           .otherwise(lit(null).cast("double")))
 
+  /** Magic-byte format audit over the media table
+    * ([[graft.multimodal.Multimodal.sniffFormat]]): plant a real file
+    * signature (by `doc_id % 8`: jpeg/png/gif/zip/gzip/mp3/wav/mp4 —
+    * the wav and mp4 classes exercise the offset-8 RIFF-subtype and
+    * offset-4 `ftyp` rules) ahead of each payload, corrupt every 13th
+    * payload with a leading NUL, and cross-tabulate declared format vs
+    * what the bytes say. The corrupted diagonal moving to `unknown` is
+    * the point: declared content-type is metadata, the sniff is ground
+    * truth, and this cross-tab is the route-to-decoder gate a 100 TB
+    * crawl runs first. Map-only codegen projection (one hex prefix per
+    * payload) into a |formats|²-bounded aggregate — no shuffle before
+    * the final tiny groupBy.
+    */
+  private def qSniffAudit(s: SparkSession, dir: String): DataFrame = {
+    val cls = (col("doc_id") % 8).cast("int")
+    val magics: Seq[(String, Array[Byte])] = Seq(
+      "jpeg" -> Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte),
+      "png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+      "gif" -> Array(0x47, 0x49, 0x46, 0x38).map(_.toByte),
+      "zip" -> Array(0x50, 0x4B, 0x03, 0x04).map(_.toByte),
+      "gzip" -> Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte),
+      "mp3" -> Array(0x49, 0x44, 0x33, 0x03).map(_.toByte),
+      "wav" -> "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("ISO-8859-1"),
+      "mp4" -> "\u0000\u0000\u0000\u0018ftyp".getBytes("ISO-8859-1"))
+    val declared = magics.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), i)) => when(cls === i, name).otherwise(acc)
+    }
+    val magic = magics.zipWithIndex.foldLeft(lit(Array.emptyByteArray)) {
+      case (acc, ((_, bytes), i)) => when(cls === i, lit(bytes)).otherwise(acc)
+    }
+    val payload = concat(
+      when(col("doc_id") % 13 === 0, lit(Array[Byte](0x00)))
+        .otherwise(lit(Array.emptyByteArray)),
+      magic, col("text").cast("binary"))
+    rdWide(s, dir, "documents")
+      .select(declared.as("declared"),
+        Multimodal.sniffFormat(payload).as("sniffed"))
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n_media"))
+      .withColumn("is_match", col("declared") === col("sniffed"))
+  }
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3312,6 +3354,7 @@ object SparkEntry {
     "q165_gini_length" -> (qGiniLength _),
     "q166_gap_calibration" -> (qGapCalibration _),
     "q167_lang_mismatch" -> (qLangMismatch _),
+    "q168_sniff_audit" -> (qSniffAudit _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5213,6 +5256,43 @@ object SparkEntry {
          |      + sum(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END))::DOUBLE, 6)
          |  ELSE NULL END AS mismatch_rate
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // replay the planting (class magic hex + every-13th NUL corruption)
+    // and the sniff rules over the hex prefix — both engines emit
+    // uppercase hex, so the 24-char prefix comparison is byte-exact
+    "q168_sniff_audit" ->
+      """WITH m AS (SELECT
+        |   CASE (doc_id % 8) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'zip' WHEN 4 THEN 'gzip'
+        |    WHEN 5 THEN 'mp3' WHEN 6 THEN 'wav' ELSE 'mp4' END AS declared,
+        |   CASE (doc_id % 8) WHEN 0 THEN 'FFD8FFE0' WHEN 1 THEN '89504E47'
+        |    WHEN 2 THEN '47494638' WHEN 3 THEN '504B0304'
+        |    WHEN 4 THEN '1F8B0800' WHEN 5 THEN '49443303'
+        |    WHEN 6 THEN '524946460000000057415645'
+        |    ELSE '0000001866747970' END AS magic_hex,
+        |   CASE WHEN doc_id % 13 = 0 THEN '00' ELSE '' END AS pre,
+        |   upper(hex(encode(text))) AS th
+        |  FROM documents),
+        | hh AS (SELECT declared, substr(pre || magic_hex || th, 1, 24) AS h FROM m),
+        | sn AS (SELECT declared,
+        |   CASE WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
+        |    WHEN h LIKE '89504E47%' THEN 'png'
+        |    WHEN h LIKE '474946%' THEN 'gif'
+        |    WHEN h LIKE '504B%' THEN 'zip'
+        |    WHEN h LIKE '1F8B%' THEN 'gzip'
+        |    WHEN h LIKE '494433%' THEN 'mp3'
+        |    WHEN h LIKE '4F676753%' THEN 'ogg'
+        |    WHEN h LIKE '664C6143%' THEN 'flac'
+        |    WHEN h LIKE '52494646%' AND substr(h, 17, 8) = '57415645' THEN 'wav'
+        |    WHEN h LIKE '52494646%' AND substr(h, 17, 8) = '57454250' THEN 'webp'
+        |    WHEN h LIKE '52494646%' THEN 'riff'
+        |    WHEN substr(h, 9, 8) = '66747970' THEN 'mp4'
+        |    WHEN h LIKE '424D%' THEN 'bmp'
+        |    ELSE 'unknown' END AS sniffed
+        |  FROM hh)
+        |SELECT declared, sniffed, count(*)::BIGINT AS n_media,
+        | declared = sniffed AS is_match
+        |FROM sn GROUP BY 1, 2""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -136,4 +136,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.mediaNearDupGroups(mediaDf(rows), maxHamming = 4, bands = 4))
   }
+
+  test("sniffFormat: magic prefixes, RIFF subtypes, ftyp offset, corruption") {
+    import org.apache.spark.sql.functions.col
+    def b(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val cases: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, b("FFD8FFE0") ++ "rest".getBytes, "jpeg"),
+      (2L, b("89504E47") ++ "rest".getBytes, "png"),
+      (3L, b("47494638"), "gif"),
+      (4L, b("504B0304"), "zip"),
+      (5L, b("1F8B0800"), "gzip"),
+      (6L, b("49443303"), "mp3"),
+      (7L, "OggSxxxx".getBytes("ISO-8859-1"), "ogg"),
+      (8L, "fLaCxxxx".getBytes("ISO-8859-1"), "flac"),
+      (9L, "RIFF".getBytes ++ b("00000000") ++ "WAVE".getBytes, "wav"),
+      (10L, "RIFF".getBytes ++ b("00000000") ++ "WEBP".getBytes, "webp"),
+      (11L, "RIFF".getBytes ++ b("00000000") ++ "AVI ".getBytes, "riff"),
+      (12L, b("00000018") ++ "ftypisom".getBytes, "mp4"),
+      (13L, b("424D") ++ "xx".getBytes, "bmp"),
+      // corruption: one leading NUL defeats every anchored rule
+      (14L, b("00") ++ b("FFD8FFE0"), "unknown"),
+      (15L, "just some text".getBytes, "unknown"),
+      (16L, Array.emptyByteArray, "unknown"))
+    val df = mediaDf(cases.map { case (id, p, _) => (id, p, "image", 1, 1) })
+      .select(col("media_id"),
+        Multimodal.sniffFormat(col("payload")).as("sniffed"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"media $id: got ${got(id)}, want $want")
+    }
+  }
 }
