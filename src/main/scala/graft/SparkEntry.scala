@@ -3080,6 +3080,17 @@ object SparkEntry {
       .withColumn("is_match", col("declared") === col("sniffed"))
   }
 
+  /** Source↔language mutual information
+    * ([[graft.stats.Stats.mutualInformation]]): per-cell pointwise MI
+    * plus corpus MI and normalized MI — quantifies how confounded the
+    * two mixture axes are. Next to q154 (which says WHICH sources drift
+    * lexically) this says whether balancing one metadata axis silently
+    * rebalances the other. One corpus hash aggregate; everything after
+    * lives on the |sources|·|langs| cell frame.
+    */
+  private def qSourceLangMi(s: SparkSession, dir: String): DataFrame =
+    Stats.mutualInformation(rd(s, dir, "documents"), "source", "lang")
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3355,6 +3366,7 @@ object SparkEntry {
     "q166_gap_calibration" -> (qGapCalibration _),
     "q167_lang_mismatch" -> (qLangMismatch _),
     "q168_sniff_audit" -> (qSniffAudit _),
+    "q169_source_lang_mi" -> (qSourceLangMi _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5293,6 +5305,27 @@ object SparkEntry {
         |SELECT declared, sniffed, count(*)::BIGINT AS n_media,
         | declared = sniffed AS is_match
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // MI/NMI from the (source, lang) cell histogram; the entropy scalars
+    // use the partition identity sum_cells p_cell*ln(p_a) = sum_a p_a*ln(p_a)
+    "q169_source_lang_mi" ->
+      """WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n_cell
+        |   FROM documents GROUP BY 1, 2),
+        | na AS (SELECT source, sum(n_cell)::BIGINT AS n_a FROM cells GROUP BY 1),
+        | nb AS (SELECT lang, sum(n_cell)::BIGINT AS n_b FROM cells GROUP BY 1),
+        | tot AS (SELECT sum(n_cell)::BIGINT AS n FROM cells),
+        | j AS (SELECT c.source, c.lang, c.n_cell,
+        |    ln(c.n_cell::DOUBLE * n::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)) AS pmi,
+        |    c.n_cell::DOUBLE / n::DOUBLE AS p_cell,
+        |    n_a::DOUBLE / n::DOUBLE AS p_a, n_b::DOUBLE / n::DOUBLE AS p_b
+        |   FROM cells c JOIN na USING (source) JOIN nb USING (lang) CROSS JOIN tot),
+        | s AS (SELECT sum(p_cell * pmi) AS mi,
+        |    -sum(p_cell * ln(p_a)) AS h_a, -sum(p_cell * ln(p_b)) AS h_b FROM j)
+        |SELECT source, lang, n_cell, round(pmi, 6) AS pmi,
+        | round(mi, 6) AS mi_nats,
+        | CASE WHEN h_a * h_b > 0 THEN round(mi / sqrt(h_a * h_b), 6)
+        |  ELSE NULL END AS nmi
+        |FROM j CROSS JOIN s""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -536,4 +536,46 @@ object Stats {
       .withColumn("risk_frac", round(col("risky_docs").cast("double") /
         col("total_docs").cast("double"), 6))
   }
+
+  /** Mutual information between two categorical columns (nats), with
+    * per-cell pointwise MI and the normalized MI (NMI =
+    * MI / sqrt(H_a · H_b)) attached to every cell row. The mixture-design
+    * confound detector: if MI(source, lang) is high, a "balance by
+    * source" pass silently rebalances languages too (and vice versa), so
+    * per-axis budgets like q103/q132 are not independent knobs. Cells,
+    * marginals, and entropies all derive from ONE corpus-scale hash
+    * aggregate (`groupBy(a, b).count`); every join after that lives on
+    * the ≤ |a|·|b|-row cell frame, and the entropy/MI scalars fall out of
+    * the identity Σ_cells p_cell·ln(p_a) = Σ_a p_a·ln(p_a) — no second
+    * corpus pass, no window. Counts are cast to double BEFORE the
+    * n_cell·N product (at 100 TB the long product overflows).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint() // |a|·|b| rows, read by the marginals AND the output
+    val na = cells.groupBy(col(aCol)).agg(sum("n_cell").as("__n_a"))
+    val nb = cells.groupBy(col(bCol)).agg(sum("n_cell").as("__n_b"))
+    val tot = cells.agg(sum("n_cell").as("__n"))
+    val j = cells.join(na, Seq(aCol)).join(nb, Seq(bCol)).crossJoin(tot)
+      .withColumn("__pmi", log(
+        col("n_cell").cast("double") * col("__n").cast("double") /
+          (col("__n_a").cast("double") * col("__n_b").cast("double"))))
+      .withColumn("__p", col("n_cell").cast("double") / col("__n").cast("double"))
+    val scalars = j.agg(
+      sum(col("__p") * col("__pmi")).as("__mi"),
+      (-sum(col("__p") * log(col("__n_a").cast("double") /
+        col("__n").cast("double")))).as("__h_a"),
+      (-sum(col("__p") * log(col("__n_b").cast("double") /
+        col("__n").cast("double")))).as("__h_b"))
+    j.crossJoin(scalars)
+      .select(col(aCol), col(bCol), col("n_cell"),
+        round(col("__pmi"), 6).as("pmi"),
+        round(col("__mi"), 6).as("mi_nats"),
+        // degenerate axes (single source / single lang) have H = 0: NMI
+        // is undefined there, surfaced as NULL rather than NaN
+        when(col("__h_a") * col("__h_b") > 0,
+          round(col("__mi") / sqrt(col("__h_a") * col("__h_b")), 6))
+          .otherwise(lit(null).cast("double")).as("nmi"))
+  }
 }

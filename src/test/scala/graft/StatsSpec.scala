@@ -391,4 +391,34 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
+
+  test("mutualInformation: independence → 0, determinism → H, degenerate → NULL") {
+    // independent 2x2 uniform: every pmi = ln(1) = 0, MI = 0, NMI = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val gi = Stats.mutualInformation(indep, "s", "l").collect()
+    assert(gi.length == 4)
+    gi.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("pmi")) == 0.0, r.toString)
+      assert(r.getDouble(r.fieldIndex("mi_nats")) == 0.0, r.toString)
+      assert(r.getDouble(r.fieldIndex("nmi")) == 0.0, r.toString)
+    }
+    // deterministic map s→l, uniform marginals: MI = H = ln(2), NMI = 1
+    val det = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("s", "l")
+    val gd = Stats.mutualInformation(det, "s", "l").collect()
+    assert(gd.length == 2)
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    gd.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("mi_nats")) == ln2, r.toString)
+      assert(r.getDouble(r.fieldIndex("nmi")) == 1.0, r.toString)
+      assert(r.getDouble(r.fieldIndex("pmi")) == ln2, r.toString)
+    }
+    // single source: H_a = 0 → NMI undefined (NULL), MI = 0
+    val degen = Seq(("only", "x"), ("only", "y")).toDF("s", "l")
+    val gz = Stats.mutualInformation(degen, "s", "l").collect()
+    gz.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("mi_nats")) == 0.0, r.toString)
+      assert(r.isNullAt(r.fieldIndex("nmi")), r.toString)
+    }
+  }
 }
