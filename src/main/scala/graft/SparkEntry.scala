@@ -3091,6 +3091,15 @@ object SparkEntry {
   private def qSourceLangMi(s: SparkSession, dir: String): DataFrame =
     Stats.mutualInformation(rd(s, dir, "documents"), "source", "lang")
 
+  /** Per-type daily-volume OLS trend ([[graft.stats.Stats.volumeTrend]])
+    * — slope/intercept/R² of events-per-day per type over the completed
+    * corpus day grid. The growth read that q164 (burstiness) and q166
+    * (gap calibration) don't give: which streams are growing, and is
+    * the growth linear enough to provision against?
+    */
+  private def qVolumeTrend(s: SparkSession, dir: String): DataFrame =
+    Stats.volumeTrend(readEvents(s, dir))
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3367,6 +3376,7 @@ object SparkEntry {
     "q167_lang_mismatch" -> (qLangMismatch _),
     "q168_sniff_audit" -> (qSniffAudit _),
     "q169_source_lang_mi" -> (qSourceLangMi _),
+    "q170_volume_trend" -> (qVolumeTrend _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5326,6 +5336,36 @@ object SparkEntry {
         | CASE WHEN h_a * h_b > 0 THEN round(mi / sqrt(h_a * h_b), 6)
         |  ELSE NULL END AS nmi
         |FROM j CROSS JOIN s""".stripMargin,
+
+    // completed day grid per type (absent days contribute y = 0), then
+    // closed-form OLS mirroring Stats.volumeTrend's arithmetic order
+    "q170_volume_trend" ->
+      """WITH pd AS (SELECT event_type, date_trunc('day', ts)::DATE AS d,
+        |   count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        | days AS (SELECT DISTINCT d FROM pd),
+        | types AS (SELECT DISTINCT event_type FROM pd),
+        | d0 AS (SELECT min(d) AS d0 FROM pd),
+        | grid AS (SELECT t.event_type,
+        |    date_diff('day', d0, days.d)::DOUBLE AS x,
+        |    coalesce(c, 0)::DOUBLE AS y
+        |   FROM types t CROSS JOIN days CROSS JOIN d0
+        |   LEFT JOIN pd ON pd.event_type = t.event_type AND pd.d = days.d),
+        | s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |   FROM grid GROUP BY 1),
+        | t AS (SELECT event_type, n, sy, n::DOUBLE AS nd,
+        |    n::DOUBLE * sxy - sx * sy AS covn,
+        |    n::DOUBLE * sxx - sx * sx AS varx,
+        |    n::DOUBLE * syy - sy * sy AS vary, sx
+        |   FROM s)
+        |SELECT event_type, n AS n_days, sy::BIGINT AS n_events,
+        | CASE WHEN varx > 0 THEN round(covn / varx, 6) ELSE NULL END
+        |   AS slope_per_day,
+        | CASE WHEN varx > 0 THEN round((sy - covn / varx * sx) / nd, 6)
+        |   ELSE NULL END AS intercept,
+        | CASE WHEN varx * vary > 0 THEN round(covn * covn / (varx * vary), 6)
+        |   ELSE NULL END AS r2
+        |FROM t""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

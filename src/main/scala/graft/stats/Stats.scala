@@ -537,6 +537,53 @@ object Stats {
         col("total_docs").cast("double"), 6))
   }
 
+  /** Per-type daily-volume trend: closed-form OLS of events-per-day on
+    * the day index, with R² — the capacity-planning read ("is this event
+    * type growing, and how linearly?") that eyeballing q164's burstiness
+    * can't give. The day grid is completed per type (a type with no
+    * events on an active corpus day contributes y = 0 — trends over
+    * active-days-only are biased toward flat), so the regression frame
+    * is |types|·|corpus days| rows: calendar-bounded at ANY corpus size,
+    * which is why the broadcast of the day frame is safe at every scale.
+    * One corpus-scale hash aggregate (type × day counts); sums feeding
+    * the normal equations are doubles (Σy² overflows a long once daily
+    * volumes pass ~1e9 at 100 TB).
+    */
+  def volumeTrend(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val perDay = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // |types|·|active days| rows; read three ways below
+    val days = perDay.select(col("__d")).distinct()
+    val types = perDay.select(col(typeCol)).distinct()
+    val day0 = perDay.agg(min(col("__d")).as("__d0"))
+    val grid = types.crossJoin(broadcast(days)).crossJoin(day0)
+      .join(perDay, Seq(typeCol, "__d"), "left")
+      .select(col(typeCol),
+        datediff(col("__d"), col("__d0")).cast("double").as("__x"),
+        coalesce(col("__c"), lit(0L)).cast("double").as("__y"))
+    grid.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__covn", col("__nd") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__varx", col("__nd") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vary", col("__nd") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col(typeCol), col("__n").as("n_days"),
+        col("__sy").cast("long").as("n_events"),
+        when(col("__varx") > 0, round(col("__covn") / col("__varx"), 6))
+          .otherwise(lit(null).cast("double")).as("slope_per_day"),
+        when(col("__varx") > 0, round(
+          (col("__sy") - col("__covn") / col("__varx") * col("__sx")) / col("__nd"), 6))
+          .otherwise(lit(null).cast("double")).as("intercept"),
+        when(col("__varx") * col("__vary") > 0, round(
+          col("__covn") * col("__covn") / (col("__varx") * col("__vary")), 6))
+          .otherwise(lit(null).cast("double")).as("r2"))
+  }
+
   /** Mutual information between two categorical columns (nats), with
     * per-cell pointwise MI and the normalized MI (NMI =
     * MI / sqrt(H_a · H_b)) attached to every cell row. The mixture-design

@@ -392,6 +392,31 @@ class StatsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
 
+  test("volumeTrend: hand OLS, absent days as zeros, single-day NULLs") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-03-${10 + day}%02d $h%02d:00:00")
+    // A: 1,2,3 events on days 0,1,2 → slope 1, intercept 1, r2 1
+    // B: 2 events on day 0 only → grid [2,0,0]: slope -1, icpt 5/3, r2 .75
+    val rows = Seq(
+      ("A", ts(0, 1)), ("A", ts(1, 1)), ("A", ts(1, 2)),
+      ("A", ts(2, 1)), ("A", ts(2, 2)), ("A", ts(2, 3)),
+      ("B", ts(0, 4)), ("B", ts(0, 5)))
+    val got = Stats.volumeTrend(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 6)
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0 && a.getDouble(5) == 1.0)
+    val bb = got("B")
+    assert(bb.getLong(1) == 3 && bb.getLong(2) == 2)
+    assert(bb.getDouble(3) == -1.0)
+    assert(bb.getDouble(4) == math.rint(5.0 / 3.0 * 1e6) / 1e6)
+    assert(bb.getDouble(5) == 0.75)
+    // single corpus day: varx = 0 → every fit column NULL
+    val one = Stats.volumeTrend(Seq(("A", ts(0, 1))).toDF("event_type", "ts"))
+      .collect().head
+    assert(one.isNullAt(3) && one.isNullAt(4) && one.isNullAt(5))
+  }
+
   test("mutualInformation: independence → 0, determinism → H, degenerate → NULL") {
     // independent 2x2 uniform: every pmi = ln(1) = 0, MI = 0, NMI = 0
     val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
