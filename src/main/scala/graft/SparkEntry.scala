@@ -3100,6 +3100,17 @@ object SparkEntry {
   private def qVolumeTrend(s: SparkSession, dir: String): DataFrame =
     Stats.volumeTrend(readEvents(s, dir))
 
+  /** Event-time disorder / watermark-sizing audit
+    * ([[graft.stats.Stats.disorderAudit]]): per type, the fraction of
+    * events arriving after a later-timestamped event and the
+    * p50/p95/p99/max lateness in seconds — the number `withWatermark`
+    * should be set from, measured instead of guessed. Arrival order is
+    * the event_id sequence; the running max uses the blocked two-level
+    * prefix scan so no corpus-scale frame crosses a single reducer.
+    */
+  private def qDisorderAudit(s: SparkSession, dir: String): DataFrame =
+    Stats.disorderAudit(readEvents(s, dir))
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3377,6 +3388,7 @@ object SparkEntry {
     "q168_sniff_audit" -> (qSniffAudit _),
     "q169_source_lang_mi" -> (qSourceLangMi _),
     "q170_volume_trend" -> (qVolumeTrend _),
+    "q171_disorder_audit" -> (qDisorderAudit _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5366,6 +5378,30 @@ object SparkEntry {
         | CASE WHEN varx * vary > 0 THEN round(covn * covn / (varx * vary), 6)
         |   ELSE NULL END AS r2
         |FROM t""".stripMargin,
+
+    // lateness = running-max(ts over event_id order) - ts; the oracle can
+    // afford the single full-order window the Spark side deliberately
+    // avoids; q117 cum-mass rule for the per-type quantiles
+    "q171_disorder_audit" ->
+      """WITH ev AS (SELECT event_type,
+        |   date_diff('second', ts,
+        |     max(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING))
+        |     AS lateness_s
+        |  FROM events),
+        | hist AS (SELECT event_type, lateness_s, count(*)::BIGINT AS c
+        |  FROM ev GROUP BY 1, 2),
+        | cum AS (SELECT event_type, lateness_s, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY lateness_s) AS cum,
+        |   sum(c) OVER (PARTITION BY event_type) AS n FROM hist)
+        |SELECT event_type, max(n)::BIGINT AS n_events,
+        | sum(CASE WHEN lateness_s > 0 THEN c ELSE 0 END)::BIGINT AS n_late,
+        | round(sum(CASE WHEN lateness_s > 0 THEN c ELSE 0 END)::DOUBLE
+        |   / max(n)::DOUBLE, 6) AS late_frac,
+        | min(CASE WHEN cum * 2 >= n THEN lateness_s END)::BIGINT AS p50_s,
+        | min(CASE WHEN cum * 20 >= n * 19 THEN lateness_s END)::BIGINT AS p95_s,
+        | min(CASE WHEN cum * 100 >= n * 99 THEN lateness_s END)::BIGINT AS p99_s,
+        | max(lateness_s)::BIGINT AS max_s
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -537,6 +537,65 @@ object Stats {
         col("total_docs").cast("double"), 6))
   }
 
+  /** Event-time disorder audit — the measurement that sizes
+    * `withWatermark`. Lateness of an event is `running-max(event time
+    * over arrivals so far) − its own event time`: exactly how far a
+    * streaming watermark tracking max-seen-ts would have advanced past
+    * it. Reported per type as the late fraction plus p50/p95/p99/max
+    * lateness seconds; pick the watermark delay at the tail quantile the
+    * pipeline can tolerate dropping.
+    *
+    * The naive running max is ONE unpartitioned window over the corpus —
+    * the single-reducer shape the plan audit exists to reject. Instead
+    * the classic two-level prefix scan: arrival order is blocked by
+    * `arrivalCol div blockSize`; per-block maxima (hash aggregate,
+    * corpus-scale but shuffle-free map-side combine) get a prefix-max
+    * window over |N/blockSize| skinny rows, and each event's running max
+    * is `greatest(previous blocks' prefix max, intra-block running max)`
+    * where the intra-block window is PARTITIONED by block. At 1e11
+    * events and the default block of 65536 the global window sees ~1.5M
+    * 16-byte rows — a single reducer's worth of nothing — while both
+    * corpus-scale passes stay partitioned.
+    */
+  def disorderAudit(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", arrivalCol: String = "event_id",
+                    blockSize: Long = 65536L): DataFrame = {
+    require(blockSize >= 2, s"need blockSize >= 2, got $blockSize")
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(typeCol), col(tsCol), col(arrivalCol))
+      .withColumn("__blk", expr(s"$arrivalCol div $blockSize"))
+    val blkPrefix = ev.groupBy(col("__blk")).agg(max(col(tsCol)).as("__blkmax"))
+      .withColumn("__prevmax", max(col("__blkmax")).over(
+        w.orderBy(col("__blk")).rowsBetween(w.unboundedPreceding, -1)))
+      .select(col("__blk"), col("__prevmax"))
+    val lat = ev.join(blkPrefix, Seq("__blk"))
+      .withColumn("__inmax", max(col(tsCol)).over(
+        w.partitionBy(col("__blk")).orderBy(col(arrivalCol))
+          .rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("__runmax",
+        greatest(col("__inmax"), coalesce(col("__prevmax"), col("__inmax"))))
+      .select(col(typeCol),
+        (unix_timestamp(col("__runmax")) - unix_timestamp(col(tsCol)))
+          .as("lateness_s"))
+    val cum = lat.groupBy(col(typeCol), col("lateness_s"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.partitionBy(col(typeCol)).orderBy(col("lateness_s"))))
+      .withColumn("__n", sum(col("__c")).over(w.partitionBy(col(typeCol))))
+    cum.groupBy(col(typeCol))
+      .agg(max(col("__n")).as("n_events"),
+        coalesce(sum(when(col("lateness_s") > 0, col("__c"))), lit(0L))
+          .as("n_late"),
+        min(when(col("__cum") * 2 >= col("__n"), col("lateness_s"))).as("p50_s"),
+        min(when(col("__cum") * 20 >= col("__n") * 19, col("lateness_s"))).as("p95_s"),
+        min(when(col("__cum") * 100 >= col("__n") * 99, col("lateness_s"))).as("p99_s"),
+        max(col("lateness_s")).as("max_s"))
+      .withColumn("late_frac",
+        round(col("n_late").cast("double") / col("n_events").cast("double"), 6))
+      .select(col(typeCol), col("n_events"), col("n_late"), col("late_frac"),
+        col("p50_s"), col("p95_s"), col("p99_s"), col("max_s"))
+  }
+
   /** Per-type daily-volume trend: closed-form OLS of events-per-day on
     * the day index, with R² — the capacity-planning read ("is this event
     * type growing, and how linearly?") that eyeballing q164's burstiness

@@ -57,7 +57,12 @@ class PlanAuditSpec extends SparkSpec {
       ("decile boundaries run over the per-mille score histogram " +
         "(Stats.scoreCalibration: groupBy(score_pm).count first; score is " +
         "integer-quantized to [0,1000], so the window sees <= 1001 rows at " +
-        "any corpus size)")
+        "any corpus size)"),
+    "q171_disorder_audit" ->
+      ("the two-level prefix scan's global window runs over PER-BLOCK " +
+        "maxima (groupBy(event_id div 65536).max first): N/65536 skinny " +
+        "rows (~1.5M at 1e11 events), while both corpus-scale passes — " +
+        "block maxima and the intra-block running max — stay partitioned")
   )
 
   /** Queries allowed a hint-forced broadcast whose boundedness the rule

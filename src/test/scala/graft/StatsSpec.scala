@@ -392,6 +392,33 @@ class StatsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
 
+  test("disorderAudit: hand lateness, and blocked == unblocked prefix scan") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2024-03-10 $s")
+    // arrival order (event_id) vs event time: two late events (2 s, 9 s)
+    val rows = Seq(
+      (1L, ts("10:00:00")), (2L, ts("10:00:05")), (3L, ts("10:00:03")),
+      (4L, ts("10:00:10")), (5L, ts("10:00:01")), (6L, ts("10:00:10")))
+      .map { case (id, t) => (id, t, "click") }
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val got = Stats.disorderAudit(df, blockSize = 2).collect().head
+    assert(got.getLong(1) == 6 && got.getLong(2) == 2, got.toString)
+    assert(got.getDouble(3) == math.rint(2.0 / 6.0 * 1e6) / 1e6)
+    assert(got.getLong(4) == 0 && got.getLong(5) == 9 && got.getLong(6) == 9
+      && got.getLong(7) == 9, got.toString)
+    // block boundaries must not change the running max: tiny blocks vs
+    // one block spanning everything agree on a multi-type interleaving
+    val mixed = (0L until 200L).map { i =>
+      val t = ts(f"10:${(i * 7 % 60)}%02d:${(i * 13 % 60)}%02d")
+      (i, t, if (i % 3 == 0) "a" else "b")
+    }
+    val small = Stats.disorderAudit(mixed.toDF("event_id", "ts", "event_type"),
+      blockSize = 4).collect().map(r => r.toSeq).toSet
+    val big = Stats.disorderAudit(mixed.toDF("event_id", "ts", "event_type"),
+      blockSize = 1000000L).collect().map(r => r.toSeq).toSet
+    assert(small == big, s"$small vs $big")
+  }
+
   test("volumeTrend: hand OLS, absent days as zeros, single-day NULLs") {
     import java.sql.Timestamp
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-03-${10 + day}%02d $h%02d:00:00")
