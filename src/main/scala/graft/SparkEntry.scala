@@ -3111,6 +3111,25 @@ object SparkEntry {
   private def qDisorderAudit(s: SparkSession, dir: String): DataFrame =
     Stats.disorderAudit(readEvents(s, dir))
 
+  /** Curriculum shard striping audit
+    * ([[graft.ops.TokenBudget.stripedShards]]): hash-stripe documents
+    * into 8 training shards inside each quality decile (TTR per-mille,
+    * the q155 score) and report per-(shard, decile) counts against the
+    * uniform expectation — the guarantee that every data-parallel
+    * worker sees the same curriculum mix, measured not assumed.
+    */
+  private def qCurriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = rdWide(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__v"), sum(col("__c")).as("__n"))
+      .select(col("doc_id"), expr("(1000 * __v) div __n").cast("long").as("score_pm"))
+    graft.ops.TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 8)
+  }
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3389,6 +3408,7 @@ object SparkEntry {
     "q169_source_lang_mi" -> (qSourceLangMi _),
     "q170_volume_trend" -> (qVolumeTrend _),
     "q171_disorder_audit" -> (qDisorderAudit _),
+    "q172_curriculum_shards" -> (qCurriculumShards _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5402,6 +5422,34 @@ object SparkEntry {
         | min(CASE WHEN cum * 100 >= n * 99 THEN lateness_s END)::BIGINT AS p99_s,
         | max(lateness_s)::BIGINT AS max_s
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // q155's per-doc TTR score + decile rule, then md5(doc_id) mod 8
+    // striping and the per-cell uniformity audit (integer numerator)
+    "q172_curriculum_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        | pc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+        |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+        | dd AS (SELECT doc_id, (1000 * count(*)) // sum(c) AS score_pm
+        |  FROM pc GROUP BY doc_id),
+        | hist AS (SELECT score_pm, count(*)::BIGINT AS c FROM dd GROUP BY 1),
+        | cm AS (SELECT score_pm, sum(c) OVER (ORDER BY score_pm)::BIGINT AS cum,
+        |   sum(c) OVER ()::BIGINT AS n FROM hist),
+        | b AS (SELECT k, min(score_pm) AS bk
+        |  FROM cm CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks
+        |  WHERE cum * 10 >= n * k GROUP BY k),
+        | assigned AS (SELECT
+        |   (SELECT count(*) FROM b WHERE b.bk < dd.score_pm) + 1 AS decile,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        |  FROM dd),
+        | cells AS (SELECT shard, decile, count(*)::BIGINT AS n_docs
+        |  FROM assigned GROUP BY 1, 2),
+        | pd AS (SELECT decile, sum(n_docs)::BIGINT AS nd FROM cells GROUP BY 1)
+        |SELECT shard::BIGINT AS shard, decile::BIGINT AS decile, n_docs,
+        | round(nd::DOUBLE / 8.0, 6) AS expected,
+        | round((n_docs * 8 - nd)::DOUBLE / nd::DOUBLE, 6) AS rel_dev
+        |FROM cells JOIN pd USING (decile)""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -338,4 +338,53 @@ object TokenBudget {
       .select(col(langCol), col("n_tokens"), col("capacity"),
         col("alloc_tokens"), col("is_capped"), col("micro_epochs"))
   }
+
+  /** Curriculum shard striping: assign every document to one of
+    * `nShards` training shards such that each shard carries the SAME
+    * quality-decile mix, then audit the result. Data ordering matters
+    * for training; a shard that drew mostly low-decile docs gives its
+    * data-parallel worker a different curriculum than its peers. The
+    * round-robin-within-decile construction needs a corpus-scale ordered
+    * window, so the assignment is HASH striping instead — `md5(id) mod
+    * nShards` inside each score decile: deterministic, partition-
+    * invariant, no window over the corpus, and uniform in expectation
+    * with deviation O(1/√(n_decile/nShards)), which the audit output
+    * measures rather than assumes.
+    *
+    * Deciles come from the q155 cum-mass rule over the integer score
+    * histogram (≤ |distinct scores| rows through the global window —
+    * scores are integer-quantized by contract). Output: one row per
+    * (shard, decile) with the exact count, the uniform expectation, and
+    * the exact-integer-numerator relative deviation.
+    */
+  def stripedShards(perDoc: DataFrame, scoreCol: String, idCol: String,
+                    nShards: Int, buckets: Int = 10): DataFrame = {
+    require(nShards >= 2 && nShards <= 65536,
+      s"need 2 <= nShards <= 65536, got $nShards")
+    require(buckets >= 2 && buckets <= 1000,
+      s"need 2 <= buckets <= 1000, got $buckets")
+    val hist = perDoc.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col(scoreCol))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+    val ks = array((1 until buckets).map(k => lit(k.toLong)): _*)
+    val bounds = hist
+      .select(col(scoreCol), col("__cum"), col("__n"), explode(ks).as("__k"))
+      .filter(col("__cum") * buckets >= col("__n") * col("__k"))
+      .groupBy(col("__k")).agg(min(col(scoreCol)).as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    val cells = perDoc.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (size(filter(col("__bs"), b => b < col(scoreCol))) + lit(1)).cast("long"))
+      .withColumn("shard", pmod(
+        graft.functions.HashFunctions.md5Int32(col(idCol).cast("string")),
+        lit(nShards.toLong)))
+      .groupBy(col("shard"), col("decile")).agg(count(lit(1)).as("n_docs"))
+    val perDecile = cells.groupBy(col("decile")).agg(sum("n_docs").as("__nd"))
+    cells.join(perDecile, Seq("decile"))
+      .select(col("shard"), col("decile"), col("n_docs"),
+        round(col("__nd").cast("double") / lit(nShards.toDouble), 6)
+          .as("expected"),
+        round((col("n_docs") * nShards - col("__nd")).cast("double") /
+          col("__nd").cast("double"), 6).as("rel_dev"))
+  }
 }

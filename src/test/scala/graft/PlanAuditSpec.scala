@@ -62,7 +62,12 @@ class PlanAuditSpec extends SparkSpec {
       ("the two-level prefix scan's global window runs over PER-BLOCK " +
         "maxima (groupBy(event_id div 65536).max first): N/65536 skinny " +
         "rows (~1.5M at 1e11 events), while both corpus-scale passes — " +
-        "block maxima and the intra-block running max — stay partitioned")
+        "block maxima and the intra-block running max — stay partitioned"),
+    "q172_curriculum_shards" ->
+      ("decile boundaries run over the per-mille TTR score histogram " +
+        "(TokenBudget.stripedShards: groupBy(score_pm).count first; " +
+        "score is integer-quantized to [0,1000] so the window sees " +
+        "<= 1001 rows at any corpus size)")
   )
 
   /** Queries allowed a hint-forced broadcast whose boundedness the rule

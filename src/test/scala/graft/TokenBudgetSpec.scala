@@ -165,4 +165,33 @@ class TokenBudgetSpec extends SparkSpec {
       .select("lang", "is_capped").as[(String, Boolean)].collect()
     assert(all.forall(_._2), all.mkString(","))
   }
+
+  test("stripedShards: mass conserved per decile, deterministic, exact rel_dev") {
+    import spark.implicits._
+    // two clean score groups → buckets=2 splits exactly between them
+    val perDoc = ((0L until 60L).map(i => (i, 100L)) ++
+      (60L until 100L).map(i => (i, 900L))).toDF("doc_id", "score_pm")
+    val got = TokenBudget.stripedShards(perDoc, "score_pm", "doc_id",
+      nShards = 4, buckets = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // every shard id in range; both deciles present
+    assert(got.forall(r => r._1 >= 0 && r._1 < 4), got.mkString(","))
+    assert(got.map(_._2).toSet == Set(1L, 2L), got.mkString(","))
+    // decile mass conserved: shard counts sum back to 60 / 40
+    val byDecile = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDecile == Map(1L -> 60L, 2L -> 40L), byDecile.toString)
+    // expected and rel_dev follow from the cell count exactly
+    got.foreach { case (_, d, n, exp, dev) =>
+      val nd = byDecile(d)
+      assert(exp == math.rint(nd / 4.0 * 1e6) / 1e6)
+      assert(dev == math.rint((n * 4 - nd).toDouble / nd * 1e6) / 1e6)
+    }
+    // deterministic: hash striping is content-addressed, not RNG
+    val again = TokenBudget.stripedShards(perDoc, "score_pm", "doc_id",
+      nShards = 4, buckets = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(again == got.toSet)
+    intercept[IllegalArgumentException](
+      TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 1))
+  }
 }
