@@ -3130,6 +3130,16 @@ object SparkEntry {
     graft.ops.TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 8)
   }
 
+  /** Template-family dedup ([[graft.dedup.Dedup.templateDupGroups]]):
+    * documents identical after digit/case/whitespace normalization —
+    * the machine-generated-boilerplate families exact dedup misses
+    * (serial numbers differ) and MinHash under-ranks (digit runs
+    * perturb many shingles). Exact-dedup scale shape: hash projection
+    * plus one two-level aggregate; text never shuffles.
+    */
+  private def qTemplateDups(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.templateDupGroups(rdWide(s, dir, "documents"))
+
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
     * PMI since ln is monotone, and lift needs no transcendental: the
@@ -3409,6 +3419,7 @@ object SparkEntry {
     "q170_volume_trend" -> (qVolumeTrend _),
     "q171_disorder_audit" -> (qDisorderAudit _),
     "q172_curriculum_shards" -> (qCurriculumShards _),
+    "q173_template_dups" -> (qTemplateDups _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5450,6 +5461,20 @@ object SparkEntry {
         | round(nd::DOUBLE / 8.0, 6) AS expected,
         | round((n_docs * 8 - nd)::DOUBLE / nd::DOUBLE, 6) AS rel_dev
         |FROM cells JOIN pd USING (decile)""".stripMargin,
+
+    // md5 over the digit/case/whitespace-normalized text; families with
+    // >= 2 raw variants (byte-identical families are q10's finding)
+    "q173_template_dups" ->
+      """WITH h AS (SELECT doc_id,
+        |   md5(regexp_replace(regexp_replace(lower(trim(text)),
+        |     '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS template_md5,
+        |   md5(text) AS raw_md5
+        |  FROM documents),
+        | v AS (SELECT template_md5, raw_md5, count(*)::BIGINT AS c,
+        |   min(doc_id) AS rep FROM h GROUP BY 1, 2)
+        |SELECT template_md5, sum(c)::BIGINT AS n_docs,
+        | count(*)::BIGINT AS n_variants, min(rep)::BIGINT AS rep_doc
+        |FROM v GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -919,4 +919,35 @@ object Dedup {
       .withColumn("recall",
         round(col("n_found").cast("double") / col("n_planted").cast("double"), 6))
   }
+
+  /** Template-family dedup: group documents by a NORMALIZED content hash
+    * — lowercase, every digit run collapsed to `0`, whitespace runs to a
+    * single space, trimmed — so "Order #12345 shipped 2024-01-02" and
+    * "Order #99871 shipped 2024-03-17" land in one family. This is the
+    * machine-generated-boilerplate detector (receipts, log lines, stock
+    * pages) that exact dedup (q10) misses because the serial numbers
+    * differ and MinHash (q14) ranks low because digits perturb many
+    * shingles. Only families with ≥ 2 RAW variants are reported: a family
+    * whose members are byte-identical is q10's finding, not a template.
+    *
+    * Same scale shape as exact dedup: map-side normalized+raw hash
+    * projection, a two-level hash aggregate keyed on the template hash —
+    * no joins, no windows, text never shuffles.
+    */
+  def templateDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(col(textCol))), "[0-9]+", "0"),
+      "\\s+", " ")
+    docs
+      .select(col(idCol), md5(norm.cast("binary")).as("template_md5"),
+        md5(col(textCol).cast("binary")).as("__raw"))
+      .groupBy(col("template_md5"), col("__raw"))
+      .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__rep"))
+      .groupBy(col("template_md5"))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_variants"),
+        min(col("__rep")).as("rep_doc"))
+      .filter(col("n_variants") >= 2)
+  }
 }

@@ -506,4 +506,21 @@ class DedupSpec extends SparkSpec {
       assert(f == p && r == 1.0, s"exact-dup recall must be 1.0, got $f/$p")
     }
   }
+
+  test("templateDupGroups: digit/case/ws families; exact clones excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // one template family, three raw variants
+      (1L, "Order #123  shipped on 2024-01-02"),
+      (2L, "ORDER #99871 shipped on 2024-03-17"),
+      (3L, "order #5 SHIPPED on 1-1-99"),
+      // byte-identical pair: a q10 finding, NOT a template family
+      (10L, "identical text"), (11L, "identical text"),
+      // unique doc: no family
+      (20L, "nothing like the others 42")).toDF("doc_id", "text")
+    val got = Dedup.templateDupGroups(docs)
+      .select("n_docs", "n_variants", "rep_doc")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((3L, 3L, 1L)), got.toSeq.toString)
+  }
 }
