@@ -857,6 +857,83 @@ object SparkEntry {
     */
   @volatile private var pqBooksForOracle: Array[Array[Array[Double]]] = _
 
+  /** IVF-PQ with exact rerank ([[graft.search.Ann.ivfPqSearch]]) — the
+    * FAISS IVFADC serving shape: coarse probe prunes inverted lists,
+    * ADC ranks codes only, exact cosine reranks a 32-row shortlist.
+    * Reuses q28's build-once coarse quantizer; the PQ codebooks train
+    * per call like q65 (m=2 keeps the ADC sum a single addition —
+    * commutative in IEEE double, so the oracle's GROUP BY sum is safe).
+    * PARTIAL oracle: both trained artifacts are exported as literals
+    * and DuckDB replays assignment, probe, encode, ADC, shortlist, and
+    * rerank end-to-end.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val ivf = ivfIndexFor(s, dir)
+    val pq = Ann.buildPq(ivf.assigned, m = 2, ks = 16, seed = 42L,
+      maxIter = 2, initMode = "random")
+    ivfPqForOracle = (ivf.centers, pq.codebooks)
+    Ann.ivfPqSearch(Ann.IvfPqIndex(pq.encoded, ivf.centers, pq.codebooks),
+      qVec, k = 5, nprobe = 2, shortlist = 32)
+  }
+
+  @volatile private var ivfPqForOracle
+    : (Array[Array[Double]], Array[Array[Array[Double]]]) = _
+
+  /** DuckDB replay of everything downstream of IVF-PQ training: coarse
+    * assignment + probe ranking (q28's rules), per-subspace encode + ADC
+    * (q65's rules), then the shortlist-32 cut and the exact-cosine
+    * rerank — each stage's ordering replayed with the same tie-breaks.
+    */
+  private def ivfPqOracleSql(centers: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): String = {
+    val d = centers(0).length
+    val sub = books(0)(0).length
+    val crows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    val brows = for {
+      (book, j) <- books.zipWithIndex
+      (ctr, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${ctr.mkString(", ")}]::DOUBLE[])"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | ctr(cid, c) AS (VALUES ${crows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | probes AS (SELECT cid FROM ctr, qv
+       |   ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC LIMIT 2),
+       | books(j, bc, bctr) AS (VALUES ${brows.mkString(",\n   ")}),
+       | dists AS (SELECT vec_id, j, bc,
+       |   list_sum([(e[j*$sub+i+1] - bctr[i+1]) * (e[j*$sub+i+1] - bctr[i+1])
+       |             for i in range(0, $sub)]) AS d2
+       |  FROM base, books),
+       | codes AS (SELECT vec_id, j, bc FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, bc ASC) = 1),
+       | qtab AS (SELECT j, bc,
+       |   list_sum([(q[j*$sub+i+1] - bctr[i+1]) * (q[j*$sub+i+1] - bctr[i+1])
+       |             for i in range(0, $sub)]) AS qd2
+       |  FROM books, qv),
+       | adc AS (SELECT vec_id, sum(qd2) AS approx_dist2
+       |  FROM codes JOIN qtab USING (j, bc) GROUP BY vec_id),
+       | short AS (SELECT a.vec_id, a.cid AS centroid_id, adc.approx_dist2, a.e
+       |  FROM assign a JOIN probes ON a.cid = probes.cid
+       |    JOIN adc ON adc.vec_id = a.vec_id
+       |  ORDER BY adc.approx_dist2 ASC, a.vec_id ASC LIMIT 32),
+       | topk AS (SELECT vec_id, centroid_id, approx_dist2,
+       |   ${cosSqlAB("e", "q")} AS score
+       |  FROM short, qv ORDER BY score DESC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, centroid_id, round(approx_dist2, 6) AS approx_dist2,
+       | round(score, 6) AS score FROM topk""".stripMargin
+  }
+
   /** DuckDB replay of everything downstream of PQ training: encode each
     * vector per subspace (argmin over the codebook literals, center-index
     * tie-break) and rank by the asymmetric distance-table sum. Double
@@ -3420,6 +3497,7 @@ object SparkEntry {
     "q171_disorder_audit" -> (qDisorderAudit _),
     "q172_curriculum_shards" -> (qCurriculumShards _),
     "q173_template_dups" -> (qTemplateDups _),
+    "q174_ivfpq" -> (qIvfPq _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3624,6 +3702,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlStatic ++
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
+      Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
       (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None) ++

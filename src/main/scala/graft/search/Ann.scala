@@ -1146,4 +1146,98 @@ object Ann {
       .select(col(idCol), col("centroid_id"),
         round(col("score"), 6).as("score"))
   }
+
+  /** A combined IVF-PQ index (Jégou et al. 2011's IVFADC layout): the
+    * corpus carries BOTH its inverted-list assignment (`centroid_id`)
+    * and its PQ codes, so a probe prunes lists first and then scans
+    * codes, never floats. Coarse centers and codebooks are both
+    * driver-resident literals at search time.
+    *
+    * The codes quantize the RAW vectors, not the residual (vector −
+    * coarse centroid) FAISS defaults to: residual encoding couples the
+    * two quantizers (codes become meaningless without the centroid),
+    * buys accuracy mainly at high nCentroids, and — decisive here —
+    * raw-vector codes let the DuckDB oracle replay encode/ADC with the
+    * SAME argmin rule q65 already proves out. The exact-rerank stage
+    * absorbs most of the accuracy difference at the shortlist sizes a
+    * serving path uses.
+    */
+  final case class IvfPqIndex(encoded: DataFrame,
+                              centers: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]])
+
+  /** Train both quantizers over the corpus: the coarse IVF (one KMeans)
+    * and the per-subspace PQ codebooks (M KMeans over D/M-dim slices),
+    * then encode every vector with both. The corpus is never shuffled —
+    * both assignment passes are map-side model transforms.
+    */
+  def buildIvfPq(corpus: DataFrame, nCentroids: Int = 16, m: Int = 8,
+                 ks: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+                 vecCol: String = "embedding",
+                 initMode: String = "k-means||"): IvfPqIndex = {
+    val ivf = buildIvf(corpus, nCentroids, seed, maxIter, vecCol, initMode)
+    val pq = buildPq(ivf.assigned, m, ks, seed, maxIter, vecCol,
+      trainFraction = 1.0, initMode = initMode)
+    IvfPqIndex(pq.encoded, ivf.centers, pq.codebooks)
+  }
+
+  /** The production ANN serving shape — FAISS-style IVF-PQ with exact
+    * rerank, three stages each strictly cheaper than the last one's
+    * input:
+    *  1. probe: rank coarse centroids vs the query DRIVER-side (same
+    *     cosine rule as [[ivfSearch]]), keep `nprobe` lists — a
+    *     partition-pruned scan when the encoded table is stored
+    *     partitioned by centroid_id;
+    *  2. ADC scan: rank ONLY the probed lists by the per-subspace
+    *     distance-table sum (M `element_at` lookups per row, no vector
+    *     math — [[pqSearch]]'s kernel), keep a `shortlist`;
+    *  3. exact rerank: cosine on the shortlist's float vectors, top-k.
+    * At 100 TB the float column is only ever read for `shortlist` rows
+    * per query; everything corpus-scale touches codes alone.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queryVec: Seq[Double], k: Int = 5,
+                  nprobe: Int = 2, shortlist: Int = 32,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m = index.codebooks.length
+    val sub = index.codebooks(0)(0).length
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != index dim ${m * sub}")
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = index.centers.zipWithIndex
+      .map { case (c, i) => (i, cos(c, queryVec)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
+    val tabs = Array.tabulate(m) { j =>
+      index.codebooks(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < sub) {
+          val dlt = queryVec(j * sub + i) - c(i); s += dlt * dlt; i += 1
+        }
+        s
+      }
+    }
+    val adc = (0 until m).map { j =>
+      element_at(array(tabs(j).map(lit).toSeq: _*), col("codes")(j) + 1)
+    }.reduce(_ + _)
+    val q = array(queryVec.map(lit): _*)
+    index.encoded
+      .filter(col("centroid_id").isin(probes.toSeq: _*))
+      .withColumn("approx_dist2", adc)
+      .orderBy(col("approx_dist2").asc, col(idCol).asc)
+      .limit(shortlist)
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("centroid_id"),
+        round(col("approx_dist2"), 6).as("approx_dist2"),
+        round(col("score"), 6).as("score"))
+  }
 }

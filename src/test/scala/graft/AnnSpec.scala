@@ -604,4 +604,33 @@ class AnnSpec extends SparkSpec {
     // Hamming-4 bucket stays unprobed — multiprobe is not a full scan
     assert(!wide.contains(22L))
   }
+
+  test("IVF-PQ: full probe + full shortlist + zero quant error == exact scan") {
+    import graft.search.Search
+    // 4-dim, two clean clusters; each subspace slice takes 2 distinct
+    // values with ks=2 → codes reconstruct exactly, ADC is true L2
+    val a = Seq(0.0f, 0.0f); val b = Seq(4.0f, 4.0f)
+    val vecs = Seq(a ++ a, a ++ b, b ++ a, b ++ b, a ++ a, b ++ b)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val index = Ann.buildIvfPq(df, nCentroids = 2, m = 2, ks = 2,
+      seed = 7L, maxIter = 10)
+    val q = Seq(1.0, 0.0, 4.0, 4.0)
+    // probe everything, keep everything → rerank must equal brute force
+    val got = Ann.ivfPqSearch(index, q, k = 6, nprobe = 2, shortlist = 6)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val exact = Search.topK(df, q, k = 6, threshold = -2.0)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+      .map { case (id, s) => (id, math.rint(s * 1e6) / 1e6) } // match round(6)
+    assert(got == exact, s"ivfpq $got != exact $exact")
+    // narrow probe scans only the probed list: nprobe=1 output ⊆ one
+    // centroid's members, and its centroid_id column is constant
+    val narrow = Ann.ivfPqSearch(index, q, k = 6, nprobe = 1, shortlist = 6)
+      .select("centroid_id").distinct().collect()
+    assert(narrow.length == 1, narrow.mkString(","))
+    intercept[IllegalArgumentException](
+      Ann.ivfPqSearch(index, q, k = 5, shortlist = 4))
+    intercept[IllegalArgumentException](
+      Ann.ivfPqSearch(index, Seq(1.0, 2.0), k = 1))
+  }
 }
