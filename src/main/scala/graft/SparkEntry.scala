@@ -3207,6 +3207,17 @@ object SparkEntry {
     graft.ops.TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 8)
   }
 
+  /** Content-defined chunking shared-mass audit
+    * ([[graft.dedup.Dedup.cdcSharedChunks]]): cut where the trailing
+    * 4-gram hash says so (shift-robust boundaries), hash the chunks,
+    * report per-source what fraction of char mass lives in chunks
+    * shared across ≥ 2 documents — the ceiling on sub-document dedup
+    * savings at this granularity, robust to single-byte edits that
+    * break every fixed-grid segmenter.
+    */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
+
   /** Template-family dedup ([[graft.dedup.Dedup.templateDupGroups]]):
     * documents identical after digit/case/whitespace normalization —
     * the machine-generated-boilerplate families exact dedup misses
@@ -3498,6 +3509,7 @@ object SparkEntry {
     "q172_curriculum_shards" -> (qCurriculumShards _),
     "q173_template_dups" -> (qTemplateDups _),
     "q174_ivfpq" -> (qIvfPq _),
+    "q175_cdc_dedup" -> (qCdcDedup _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5554,6 +5566,35 @@ object SparkEntry {
         |SELECT template_md5, sum(c)::BIGINT AS n_docs,
         | count(*)::BIGINT AS n_variants, min(rep)::BIGINT AS rep_doc
         |FROM v GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // CDC boundaries (trailing-4-gram md5 % 64 = 0, interior positions
+    // only), chunk md5s, shared mass = chunks in >= 2 distinct docs
+    "q175_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE length(text) > 0),
+        | cu AS (SELECT doc_id, source, text,
+        |   CASE WHEN length(text) >= 4 THEN
+        |     list_concat(list_concat([0],
+        |       [p for p in range(4, length(text) + 1)
+        |        if p < length(text)
+        |        and ('0x' || substr(md5(substr(text, p - 3, 4)), 1, 8))::BIGINT % 64 = 0]),
+        |       [length(text)])
+        |   ELSE [0, length(text)] END AS cs
+        |  FROM d),
+        | e AS (SELECT doc_id, source, text, cs,
+        |   unnest(range(1, len(cs))) AS j FROM cu),
+        | ch AS (SELECT doc_id, source,
+        |   md5(substr(text, cs[j] + 1, cs[j + 1] - cs[j])) AS h,
+        |   (cs[j + 1] - cs[j])::BIGINT AS len FROM e),
+        | dup AS (SELECT h FROM ch GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT source, count(*)::BIGINT AS n_chunks,
+        | sum(len)::BIGINT AS total_chars,
+        | coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN len END), 0)::BIGINT
+        |   AS shared_chars,
+        | round(coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN len END), 0)::DOUBLE
+        |   / sum(len)::DOUBLE, 6) AS shared_frac
+        |FROM ch LEFT JOIN dup ON ch.h = dup.h GROUP BY 1""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -934,6 +934,64 @@ object Dedup {
     * projection, a two-level hash aggregate keyed on the template hash —
     * no joins, no windows, text never shuffles.
     */
+  /** Content-defined chunking (CDC) shared-mass audit — the
+    * shift-robust sub-document dedup. Fixed-grid segmenting (q73's
+    * newline segments, q108's k-gram spans) breaks when one byte is
+    * inserted: every downstream boundary moves. CDC cuts where the text
+    * ITSELF says so — after any position whose trailing 4-gram hashes
+    * to 0 mod `modulus` — so an edit only redraws boundaries in its own
+    * neighborhood and every other chunk re-aligns (the Rabin/gear-hash
+    * idea behind LBFS/restic-style storage dedup, applied to corpus
+    * text). Expected chunk length ≈ `modulus` chars.
+    *
+    * Per source: chunk counts, char mass, and the fraction of mass in
+    * chunks that appear in ≥ 2 DISTINCT documents — the upper bound on
+    * what sub-document dedup at this granularity could save.
+    *
+    * Scale shape: boundary detection and chunk hashing are one
+    * map-side projection (md5 per position for oracle portability —
+    * production swaps xxhash64 in the same lambda, the q137 discipline);
+    * the only shuffles are the chunk-hash aggregate and the
+    * chunk⋈dup-hash equi-join, both keyed on content hashes. Documents
+    * with empty text carry no mass and are excluded on both engines.
+    */
+  def cdcSharedChunks(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", groupCol: String = "source",
+                      modulus: Int = 64): DataFrame = {
+    require(modulus >= 2, s"need modulus >= 2, got $modulus")
+    val cutsSql =
+      s"""CASE WHEN length($textCol) >= 4 THEN
+         |  concat(array(0),
+         |    filter(sequence(4, length($textCol)), p ->
+         |      p < length($textCol) AND
+         |      cast(conv(substring(md5(cast(substring($textCol, p - 3, 4) as binary)), 1, 8), 16, 10) as bigint) % $modulus = 0),
+         |    array(length($textCol)))
+         |ELSE array(0, length($textCol)) END""".stripMargin.replaceAll("\n", " ")
+    val chunks = docs
+      .filter(length(col(textCol)) > 0)
+      .withColumn("__cuts", expr(cutsSql))
+      .withColumn("__j", explode(expr("sequence(1, size(__cuts) - 1)")))
+      .select(col(idCol), col(groupCol),
+        expr(s"md5(cast(substring($textCol, element_at(__cuts, __j) + 1, " +
+          "element_at(__cuts, __j + 1) - element_at(__cuts, __j)) as binary))")
+          .as("__h"),
+        expr("element_at(__cuts, __j + 1) - element_at(__cuts, __j)")
+          .cast("long").as("__len"))
+      .localCheckpoint() // md5-per-position scan feeds both reads below
+    val dup = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"), lit(1).as("__dup"))
+    chunks.join(dup, Seq("__h"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__len")).as("total_chars"),
+        coalesce(sum(when(col("__dup").isNotNull, col("__len"))), lit(0L))
+          .as("shared_chars"))
+      .withColumn("shared_frac", round(
+        col("shared_chars").cast("double") / col("total_chars").cast("double"), 6))
+  }
+
   def templateDupGroups(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(

@@ -507,6 +507,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcSharedChunks: mass conserved, clone=1.0, shift-robust sharing") {
+    import spark.implicits._
+    // deterministic pseudo-random text long enough for many CDC cuts
+    // (seeded java.util.Random LCG is spec-stable across JVMs; a short-
+    // period generator here yields too few distinct 4-grams for any cut)
+    val base = new scala.util.Random(42).alphanumeric.take(2000).mkString
+    val single = Seq((1L, base, "s1")).toDF("doc_id", "text", "source")
+    val g1 = Dedup.cdcSharedChunks(single).collect().head
+    assert(g1.getAs[Long]("total_chars") == 2000L)
+    assert(g1.getAs[Long]("shared_chars") == 0L) // one doc shares nothing
+    // exact clone pair: every chunk shared → frac 1.0
+    val clones = Seq((1L, base, "s1"), (2L, base, "s1"))
+      .toDF("doc_id", "text", "source")
+    val gc = Dedup.cdcSharedChunks(clones).collect().head
+    assert(gc.getAs[Double]("shared_frac") == 1.0, gc.toString)
+    // SHIFT robustness — the point of CDC: one prepended char must leave
+    // most boundaries (hence most chunk mass) aligned with the original
+    val shifted = Seq((1L, base, "s1"), (2L, "X" + base, "s1"))
+      .toDF("doc_id", "text", "source")
+    val gs = Dedup.cdcSharedChunks(shifted).collect().head
+    assert(gs.getAs[Long]("total_chars") == 4001L)
+    assert(gs.getAs[Double]("shared_frac") > 0.5,
+      s"CDC lost alignment after a 1-char shift: ${gs.toString}")
+    // empty docs carry no mass; tiny docs are one chunk
+    val tiny = Seq((1L, "", "s1"), (2L, "ab", "s1"), (3L, "ab", "s1"))
+      .toDF("doc_id", "text", "source")
+    val gt = Dedup.cdcSharedChunks(tiny).collect().head
+    assert(gt.getAs[Long]("n_chunks") == 2L &&
+      gt.getAs[Double]("shared_frac") == 1.0, gt.toString)
+    intercept[IllegalArgumentException](
+      Dedup.cdcSharedChunks(tiny, modulus = 1))
+  }
+
   test("templateDupGroups: digit/case/ws families; exact clones excluded") {
     import spark.implicits._
     val docs = Seq(
