@@ -3207,6 +3207,34 @@ object SparkEntry {
     graft.ops.TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 8)
   }
 
+  /** Per-dimension embedding moments audit
+    * ([[graft.functions.VectorAggregates.MomentsAgg]]): mean and
+    * population variance of every embedding dimension plus a
+    * variance-collapse flag — the dead-dimension / normalization-bug
+    * screen run before anyone trusts cosine distances (a collapsed
+    * dimension contributes nothing; a huge-mean dimension dominates
+    * every dot product). ONE typed aggregate shuffles 2·dim doubles per
+    * partition; the per-dim frame after it is dim-bounded. The oracle
+    * phrases the same moments via unnest-and-group — value-identical,
+    * but it would shuffle N·dim rows, which is why the UDAF exists.
+    */
+  private def qDimAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = rd(s, dir, "embeddings")
+      .agg(graft.functions.VectorAggregates
+        .moments(col("embedding").cast("array<double>")).as("m"))
+      .select(col("m.sum").as("__s"), col("m.sumsq").as("__ss"),
+        col("m.n").as("__n"))
+    m.select(col("__n"), posexplode(arrays_zip(col("__s"), col("__ss"))))
+      .select(col("pos").cast("long").as("dim"),
+        (col("col.__s") / col("__n")).as("__mean"),
+        (col("col.__ss") / col("__n") -
+          (col("col.__s") / col("__n")) * (col("col.__s") / col("__n")))
+          .as("__var"))
+      .select(col("dim"), round(col("__mean"), 6).as("mean"),
+        round(col("__var"), 6).as("variance"),
+        (col("__var") < 0.01).as("is_collapsed"))
+  }
+
   /** Content-defined chunking shared-mass audit
     * ([[graft.dedup.Dedup.cdcSharedChunks]]): cut where the trailing
     * 4-gram hash says so (shift-robust boundaries), hash the chunks,
@@ -3510,6 +3538,7 @@ object SparkEntry {
     "q173_template_dups" -> (qTemplateDups _),
     "q174_ivfpq" -> (qIvfPq _),
     "q175_cdc_dedup" -> (qCdcDedup _),
+    "q176_dim_audit" -> (qDimAudit _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5595,6 +5624,21 @@ object SparkEntry {
         | round(coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN len END), 0)::DOUBLE
         |   / sum(len)::DOUBLE, 6) AS shared_frac
         |FROM ch LEFT JOIN dup ON ch.h = dup.h GROUP BY 1""".stripMargin,
+
+    // unnest-and-group phrasing of the per-dim moments (value-identical
+    // to the UDAF; mean/variance arithmetic order mirrored exactly)
+    "q176_dim_audit" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        | d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        | u0 AS (SELECT v, unnest(range(1, dim + 1)) AS j
+        |  FROM e CROSS JOIN d),
+        | u AS (SELECT (j - 1)::BIGINT AS dim, v[j] AS x FROM u0),
+        | s AS (SELECT dim, sum(x) AS sx, sum(x * x) AS sxx,
+        |   count(*)::BIGINT AS n FROM u GROUP BY 1)
+        |SELECT dim, round(sx / n, 6) AS mean,
+        | round(sxx / n - (sx / n) * (sx / n), 6) AS variance,
+        | (sxx / n - (sx / n) * (sx / n)) < 0.01 AS is_collapsed
+        |FROM s""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

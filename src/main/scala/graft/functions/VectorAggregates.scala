@@ -61,4 +61,64 @@ object VectorAggregates {
     val f = udaf(CentroidAgg)
     (c: Column) => f(c)
   }
+
+  /** Element-wise sum + sum-of-squares + count accumulator. */
+  final case class MomentsBuf(var sum: Array[Double],
+                              var sumsq: Array[Double], var n: Long)
+
+  /** First two element-wise moments of the corpus embedding matrix. */
+  final case class VecMoments(sum: Seq[Double], sumsq: Seq[Double], n: Long)
+
+  /** Per-dimension Σx and Σx² in ONE typed aggregate — the sufficient
+    * statistic for every per-dimension mean/variance read (q176's
+    * dead-dimension audit). Same scale story as [[CentroidAgg]]: map-side
+    * partials shuffle 2·dim doubles per partition instead of the N·dim
+    * exploded rows the posexplode phrasing (the oracle's documentation of
+    * the semantics) would move.
+    */
+  object MomentsAgg extends Aggregator[Seq[Double], MomentsBuf, VecMoments] {
+    override def zero: MomentsBuf =
+      MomentsBuf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: MomentsBuf, a: Seq[Double]): MomentsBuf = {
+      if (a == null || a.isEmpty) return b
+      if (b.n == 0L && b.sum.isEmpty) {
+        b.sum = new Array[Double](a.length)
+        b.sumsq = new Array[Double](a.length)
+      }
+      require(b.sum.length == a.length,
+        s"moments: dimension mismatch (${b.sum.length} vs ${a.length})")
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); b.sum(i) += x; b.sumsq(i) += x * x; i += 1
+      }
+      b.n += 1
+      b
+    }
+
+    override def merge(x: MomentsBuf, y: MomentsBuf): MomentsBuf = {
+      if (y.n == 0L) return x
+      if (x.n == 0L) return y
+      require(x.sum.length == y.sum.length,
+        s"moments: dimension mismatch (${x.sum.length} vs ${y.sum.length})")
+      var i = 0
+      while (i < x.sum.length) {
+        x.sum(i) += y.sum(i); x.sumsq(i) += y.sumsq(i); i += 1
+      }
+      x.n += y.n
+      x
+    }
+
+    override def finish(b: MomentsBuf): VecMoments =
+      VecMoments(b.sum.toSeq, b.sumsq.toSeq, b.n)
+
+    override def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+    override def outputEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
+  }
+
+  /** Column form: `moments($"embedding")` (input array<double>). */
+  val moments: Column => Column = {
+    val f = udaf(MomentsAgg)
+    (c: Column) => f(c)
+  }
 }
