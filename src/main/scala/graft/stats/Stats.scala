@@ -559,7 +559,21 @@ object Stats {
     */
   def disorderAudit(events: DataFrame, typeCol: String = "event_type",
                     tsCol: String = "ts", arrivalCol: String = "event_id",
-                    blockSize: Long = 65536L): DataFrame = {
+                    blockSize: Long = 65536L): DataFrame =
+    finishLateness(
+      latenessHistogram(events, typeCol, tsCol, arrivalCol, blockSize), typeCol)
+
+  /** The (type, lateness_s, cnt) histogram [[disorderAudit]] is finished
+    * from — exposed separately because it is lateness's MERGEABLE
+    * partial: histograms of consecutive arrival segments sum to the
+    * whole-stream histogram PROVIDED each later segment knows the
+    * running max the earlier ones reached, which is what `floorSec`
+    * carries (the streaming twin chains it across micro-batches).
+    */
+  def latenessHistogram(events: DataFrame, typeCol: String = "event_type",
+                        tsCol: String = "ts", arrivalCol: String = "event_id",
+                        blockSize: Long = 65536L,
+                        floorSec: Option[Long] = None): DataFrame = {
     require(blockSize >= 2, s"need blockSize >= 2, got $blockSize")
     val w = org.apache.spark.sql.expressions.Window
     val ev = events.select(col(typeCol), col(tsCol), col(arrivalCol))
@@ -568,23 +582,37 @@ object Stats {
       .withColumn("__prevmax", max(col("__blkmax")).over(
         w.orderBy(col("__blk")).rowsBetween(w.unboundedPreceding, -1)))
       .select(col("__blk"), col("__prevmax"))
-    val lat = ev.join(blkPrefix, Seq("__blk"))
+    val floored = floorSec match {
+      case Some(f) => (c: Column) => greatest(c, timestamp_seconds(lit(f)))
+      case None => (c: Column) => c
+    }
+    ev.join(blkPrefix, Seq("__blk"))
       .withColumn("__inmax", max(col(tsCol)).over(
         w.partitionBy(col("__blk")).orderBy(col(arrivalCol))
           .rowsBetween(w.unboundedPreceding, 0)))
-      .withColumn("__runmax",
-        greatest(col("__inmax"), coalesce(col("__prevmax"), col("__inmax"))))
+      .withColumn("__runmax", floored(
+        greatest(col("__inmax"), coalesce(col("__prevmax"), col("__inmax")))))
       .select(col(typeCol),
         (unix_timestamp(col("__runmax")) - unix_timestamp(col(tsCol)))
           .as("lateness_s"))
-    val cum = lat.groupBy(col(typeCol), col("lateness_s"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(
+      .groupBy(col(typeCol), col("lateness_s"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q117 cum-mass finisher over a (type, lateness_s, cnt) histogram —
+    * shared by the batch audit (q171) and the streaming lateness
+    * monitor, so stream == batch is structural.
+    */
+  def finishLateness(hist: DataFrame,
+                     typeCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
         w.partitionBy(col(typeCol)).orderBy(col("lateness_s"))))
-      .withColumn("__n", sum(col("__c")).over(w.partitionBy(col(typeCol))))
+      .withColumn("__n", sum(col("cnt")).over(w.partitionBy(col(typeCol))))
     cum.groupBy(col(typeCol))
       .agg(max(col("__n")).as("n_events"),
-        coalesce(sum(when(col("lateness_s") > 0, col("__c"))), lit(0L))
+        coalesce(sum(when(col("lateness_s") > 0, col("cnt"))), lit(0L))
           .as("n_late"),
         min(when(col("__cum") * 2 >= col("__n"), col("lateness_s"))).as("p50_s"),
         min(when(col("__cum") * 20 >= col("__n") * 19, col("lateness_s"))).as("p95_s"),

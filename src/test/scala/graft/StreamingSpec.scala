@@ -748,4 +748,50 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingRetention.retentionFromStore(spark, store)
       .as[(String, Long, Long, Long, Double)].collect().toSet == want)
   }
+
+  test("streaming lateness == batch disorderAudit; hwm chains across batches") {
+    import graft.streaming.StreamingLateness
+    import graft.stats.Stats
+    val base = Files.createTempDirectory("graft_late").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    def ev(id: Long, minute: Int, typ: String) =
+      (id, ts(minute), 1L, typ, 0.0, "")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: one 2-minute-late click (id 3 after id 2's later ts)
+    val b1 = Seq(ev(1, 10, "click"), ev(2, 15, "click"), ev(3, 13, "click"),
+      ev(4, 20, "view")).toDF(cols: _*)
+    // batch 2 opens EARLIER than batch 1's max (minute 20): the hwm must
+    // carry across the batch boundary for id 101's lateness to be seen
+    val b2 = Seq(ev(101, 18, "view"), ev(102, 25, "click"),
+      ev(103, 24, "view")).toDF(cols: _*)
+    b1.write.parquet(src)
+    StreamingLateness.start(spark, src, store, ckpt).awaitTermination()
+    assert(StreamingLateness.hwmFromStore(spark, store) ==
+      Some(ts(20).getTime / 1000))
+    b2.write.mode("append").parquet(src)
+    StreamingLateness.start(spark, src, store, ckpt).awaitTermination()
+
+    val want = Stats.disorderAudit(b1.union(b2))
+      .as[(String, Long, Long, Double, Long, Long, Long, Long)]
+      .collect().toSet
+    // cross-batch lateness present: the view at minute 18 is 120 s late
+    assert(StreamingLateness.auditFromStore(spark, store)
+      .filter($"event_type" === "view").select("n_late").as[Long]
+      .collect().head >= 1L)
+    val streamed = StreamingLateness.auditFromStore(spark, store)
+      .as[(String, Long, Long, Double, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(streamed == want, s"stream $streamed != batch $want")
+
+    // compaction: audit unchanged, idempotent, hwm survives
+    val (n1c, d1c) = StreamingLateness.compactStore(spark, store)
+    assert(d1c == 2L && n1c > 0L)
+    assert(StreamingLateness.auditFromStore(spark, store)
+      .as[(String, Long, Long, Double, Long, Long, Long, Long)]
+      .collect().toSet == want)
+    assert(StreamingLateness.hwmFromStore(spark, store) ==
+      Some(ts(25).getTime / 1000))
+    val (n2c, d2c) = StreamingLateness.compactStore(spark, store)
+    assert(d2c == 1L && n2c == n1c)
+  }
 }
