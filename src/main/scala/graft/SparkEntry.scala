@@ -860,9 +860,9 @@ object SparkEntry {
   /** IVF-PQ with exact rerank ([[graft.search.Ann.ivfPqSearch]]) — the
     * FAISS IVFADC serving shape: coarse probe prunes inverted lists,
     * ADC ranks codes only, exact cosine reranks a 32-row shortlist.
-    * Reuses q28's build-once coarse quantizer; the PQ codebooks train
-    * per call like q65 (m=2 keeps the ADC sum a single addition —
-    * commutative in IEEE double, so the oracle's GROUP BY sum is safe).
+    * Both quantizers are build-once per data dir ([[ivfPqIndexFor]],
+    * the q28 discipline); m=2 keeps the ADC sum a single addition —
+    * commutative in IEEE double, so the oracle's GROUP BY sum is safe.
     * PARTIAL oracle: both trained artifacts are exported as literals
     * and DuckDB replays assignment, probe, encode, ADC, shortlist, and
     * rerank end-to-end.
@@ -2798,11 +2798,14 @@ object SparkEntry {
     * as a drop rule: outcome_rate should move monotonically across
     * deciles or the score is noise for that failure mode.
     */
-  private def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
-    // ONE per-doc token histogram yields both sides: score = type-token
-    // ratio per mille (v/n), outcome = Gopher repetition rule "most
-    // common token holds >= 11% of the doc" (mx/n)
-    val perDoc = rdWide(s, dir, "documents")
+  /** Per-doc token-histogram stats (doc_id, distinct tokens __v, total
+    * tokens __n, max token count __mx) — the ONE per-mille-TTR base
+    * q155 (calibration) and q172 (curriculum striping) both derive
+    * their score from; editing the tokenization or the histogram here
+    * moves both queries (and both oracles mirror this single pipeline).
+    */
+  private def perDocTokenStats(s: SparkSession, dir: String): DataFrame =
+    rdWide(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
@@ -2810,6 +2813,12 @@ object SparkEntry {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__v"), sum(col("__c")).as("__n"),
         max(col("__c")).as("__mx"))
+
+  private def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    // ONE per-doc token histogram yields both sides: score = type-token
+    // ratio per mille (v/n), outcome = Gopher repetition rule "most
+    // common token holds >= 11% of the doc" (mx/n)
+    val perDoc = perDocTokenStats(s, dir)
       .select(
         expr("(1000 * __v) div __n").cast("long").as("score_pm"),
         (expr("(1000 * __mx) div __n") >= 110).cast("int").as("is_repetitive"))
@@ -3220,14 +3229,9 @@ object SparkEntry {
     * worker sees the same curriculum mix, measured not assumed.
     */
   private def qCurriculumShards(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = rdWide(s, dir, "documents")
+    val perDoc = perDocTokenStats(s, dir)
       .select(col("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__v"), sum(col("__c")).as("__n"))
-      .select(col("doc_id"), expr("(1000 * __v) div __n").cast("long").as("score_pm"))
+        expr("(1000 * __v) div __n").cast("long").as("score_pm"))
     graft.ops.TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 8)
   }
 
@@ -5581,8 +5585,8 @@ object SparkEntry {
     // q155's per-doc TTR score + decile rule, then md5(doc_id) mod 8
     // striping and the per-cell uniformity audit (integer numerator)
     "q172_curriculum_shards" ->
-      """WITH t AS (SELECT doc_id,
-        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      s"""WITH t AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
         |  FROM documents),
         | pc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
         |  FROM t WHERE tok <> '' GROUP BY 1, 2),
@@ -5596,7 +5600,7 @@ object SparkEntry {
         |  WHERE cum * 10 >= n * k GROUP BY k),
         | assigned AS (SELECT
         |   (SELECT count(*) FROM b WHERE b.bk < dd.score_pm) + 1 AS decile,
-        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        |   ${h32Sql("doc_id::VARCHAR")} % 8 AS shard
         |  FROM dd),
         | cells AS (SELECT shard, decile, count(*)::BIGINT AS n_docs
         |  FROM assigned GROUP BY 1, 2),
@@ -5623,14 +5627,14 @@ object SparkEntry {
     // CDC boundaries (trailing-4-gram md5 % 64 = 0, interior positions
     // only), chunk md5s, shared mass = chunks in >= 2 distinct docs
     "q175_cdc_dedup" ->
-      """WITH d AS (SELECT doc_id, source, text FROM documents
-        |  WHERE length(text) > 0),
+      s"""WITH d AS (SELECT doc_id, source, text FROM documents
+         |  WHERE length(text) > 0),
         | cu AS (SELECT doc_id, source, text,
         |   CASE WHEN length(text) >= 4 THEN
         |     list_concat(list_concat([0],
         |       [p for p in range(4, length(text) + 1)
         |        if p < length(text)
-        |        and ('0x' || substr(md5(substr(text, p - 3, 4)), 1, 8))::BIGINT % 64 = 0]),
+        |        and ${h32Sql("substr(text, p - 3, 4)")} % 64 = 0]),
         |       [length(text)])
         |   ELSE [0, length(text)] END AS cs
         |  FROM d),
@@ -5652,7 +5656,8 @@ object SparkEntry {
     // unnest-and-group phrasing of the per-dim moments (value-identical
     // to the UDAF; mean/variance arithmetic order mirrored exactly)
     "q176_dim_audit" ->
-      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
         | d AS (SELECT len(v) AS dim FROM e LIMIT 1),
         | u0 AS (SELECT v, unnest(range(1, dim + 1)) AS j
         |  FROM e CROSS JOIN d),

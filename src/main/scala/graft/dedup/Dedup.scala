@@ -920,20 +920,6 @@ object Dedup {
         round(col("n_found").cast("double") / col("n_planted").cast("double"), 6))
   }
 
-  /** Template-family dedup: group documents by a NORMALIZED content hash
-    * — lowercase, every digit run collapsed to `0`, whitespace runs to a
-    * single space, trimmed — so "Order #12345 shipped 2024-01-02" and
-    * "Order #99871 shipped 2024-03-17" land in one family. This is the
-    * machine-generated-boilerplate detector (receipts, log lines, stock
-    * pages) that exact dedup (q10) misses because the serial numbers
-    * differ and MinHash (q14) ranks low because digits perturb many
-    * shingles. Only families with ≥ 2 RAW variants are reported: a family
-    * whose members are byte-identical is q10's finding, not a template.
-    *
-    * Same scale shape as exact dedup: map-side normalized+raw hash
-    * projection, a two-level hash aggregate keyed on the template hash —
-    * no joins, no windows, text never shuffles.
-    */
   /** Content-defined chunking (CDC) shared-mass audit — the
     * shift-robust sub-document dedup. Fixed-grid segmenting (q73's
     * newline segments, q108's k-gram spans) breaks when one byte is
@@ -992,6 +978,20 @@ object Dedup {
         col("shared_chars").cast("double") / col("total_chars").cast("double"), 6))
   }
 
+  /** Template-family dedup: group documents by a NORMALIZED content hash
+    * — lowercase, every digit run collapsed to `0`, whitespace runs to a
+    * single space, trimmed — so "Order #12345 shipped 2024-01-02" and
+    * "Order #99871 shipped 2024-03-17" land in one family. This is the
+    * machine-generated-boilerplate detector (receipts, log lines, stock
+    * pages) that exact dedup (q10) misses because the serial numbers
+    * differ and MinHash (q14) ranks low because digits perturb many
+    * shingles. Only families with ≥ 2 RAW variants are reported: a family
+    * whose members are byte-identical is q10's finding, not a template.
+    *
+    * Same scale shape as exact dedup: map-side normalized+raw hash
+    * projection, a two-level hash aggregate keyed on the template hash —
+    * no joins, no windows, text never shuffles.
+    */
   def templateDupGroups(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(

@@ -363,18 +363,11 @@ object TokenBudget {
       s"need 2 <= nShards <= 65536, got $nShards")
     require(buckets >= 2 && buckets <= 1000,
       s"need 2 <= buckets <= 1000, got $buckets")
-    val hist = perDoc.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col(scoreCol))))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
-    val ks = array((1 until buckets).map(k => lit(k.toLong)): _*)
-    val bounds = hist
-      .select(col(scoreCol), col("__cum"), col("__n"), explode(ks).as("__k"))
-      .filter(col("__cum") * buckets >= col("__n") * col("__k"))
-      .groupBy(col("__k")).agg(min(col(scoreCol)).as("__b"))
-      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    // THE decile rule — shared with q155's calibration (Stats.bucketBounds)
+    // so the two queries' bucket boundaries can never drift apart
+    val bounds = graft.stats.Stats.bucketBounds(perDoc, scoreCol, buckets)
     val cells = perDoc.crossJoin(broadcast(bounds))
-      .withColumn("decile",
-        (size(filter(col("__bs"), b => b < col(scoreCol))) + lit(1)).cast("long"))
+      .withColumn("decile", graft.stats.Stats.bucketIndex(col(scoreCol)))
       .withColumn("shard", pmod(
         graft.functions.HashFunctions.md5Int32(col(idCol).cast("string")),
         lit(nShards.toLong)))

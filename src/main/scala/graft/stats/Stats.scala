@@ -320,23 +320,38 @@ object Stats {
     * literal row, one final 10-row aggregate. The corpus is scanned
     * once and never key-shuffled.
     */
-  def scoreCalibration(df: DataFrame, scoreCol: String, outcomeCol: String,
-                       buckets: Int = 10): DataFrame = {
-    require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
+  /** Exact cum-mass bucket boundaries of an integer-quantized score —
+    * THE one decile rule (q155's calibration and q172's curriculum
+    * striping both ride it; a tie-handling change here moves both in
+    * lockstep, which is the point of sharing it). One ≤-|distinct
+    * scores|-row window over the score histogram; returns a 1-row frame
+    * holding the sorted boundary array `__bs`, sized for broadcast.
+    */
+  def bucketBounds(df: DataFrame, scoreCol: String, buckets: Int): DataFrame = {
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))))
       .withColumn("__n", sum(col("__c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
     val ks = array((1 until buckets).map(k => lit(k.toLong)): _*)
-    val bounds = hist
+    hist
       .select(col(scoreCol), col("__cum"), col("__n"), explode(ks).as("__k"))
       .filter(col("__cum") * buckets >= col("__n") * col("__k"))
       .groupBy(col("__k")).agg(min(col(scoreCol)).as("__b"))
       .agg(sort_array(collect_list(col("__b"))).as("__bs"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__bucket",
-        (size(filter(col("__bs"), b => b < col(scoreCol))) + lit(1)).cast("long"))
+  }
+
+  /** 1-based bucket index of a score against a joined-in `__bs` bounds
+    * array (count of strictly-smaller boundaries + 1).
+    */
+  def bucketIndex(score: Column): Column =
+    (size(filter(col("__bs"), b => b < score)) + lit(1)).cast("long")
+
+  def scoreCalibration(df: DataFrame, scoreCol: String, outcomeCol: String,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
+    df.crossJoin(broadcast(bucketBounds(df, scoreCol, buckets)))
+      .withColumn("__bucket", bucketIndex(col(scoreCol)))
       .groupBy(col("__bucket").as("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(scoreCol)).as("score_lo"),

@@ -45,23 +45,6 @@ object StreamingLateness {
   /** Reserved event_type for the high-water-mark carrier row. */
   val HwmType = "__hwm"
 
-  /** One micro-batch's partial: its lateness histogram (floored at the
-    * carried high-water mark) plus the updated `__hwm` row.
-    */
-  def batchPartial(batch: DataFrame, prevHwmSec: Option[Long]): DataFrame = {
-    val hist = Stats.latenessHistogram(batch, floorSec = prevHwmSec)
-    val m = max(unix_timestamp(col("ts")))
-    val hwmVal = prevHwmSec match {
-      case Some(p) => greatest(m, lit(p)) // greatest skips the null of an empty batch
-      case None => m
-    }
-    val hwm = batch.agg(hwmVal.as("lateness_s"))
-      .select(lit(HwmType).as("event_type"), col("lateness_s"),
-        lit(1L).as("cnt"))
-      .filter(col("lateness_s").isNotNull) // empty first batch: no hwm yet
-    hist.unionByName(hwm)
-  }
-
   /** Current high-water mark recorded in the store (None before the
     * first non-empty batch).
     */
@@ -77,22 +60,40 @@ object StreamingLateness {
 
   /** Stream event files from `srcDir`; append one partial per
     * micro-batch. Sequential micro-batch execution is what makes the
-    * hwm chain sound — structured streaming runs one batch at a time.
+    * hwm chain sound — structured streaming runs one batch at a time,
+    * so the mark is read from the store ONCE per run and threaded
+    * forward in memory (re-reading the whole store before every batch
+    * would make the run O(batches²) in store reads just to recover a
+    * scalar the driver already knows).
     */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
     val rs = spark.readStream.schema(EventSchema)
     val rs2 = if (maxFilesPerTrigger > 0)
       rs.option("maxFilesPerTrigger", maxFilesPerTrigger) else rs
+    var hwm: Option[Long] = hwmFromStore(spark, storeDir)
     rs2
       .parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = hwmFromStore(spark, storeDir)
-        batchPartial(batch, prev)
-          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        batch.persist() // read twice: batch max + lateness histogram
+        try {
+          val bmaxRow = batch.agg(max(unix_timestamp(col("ts")))).collect().head
+          val bmax = if (bmaxRow.isNullAt(0)) None else Some(bmaxRow.getLong(0))
+          val newHwm = (hwm.toSeq ++ bmax.toSeq).reduceOption(_ max _)
+          val hist = Stats.latenessHistogram(batch, floorSec = hwm)
+          val partial = newHwm match {
+            case Some(h) => hist.unionByName(
+              batch.sparkSession.range(1).select(
+                lit(HwmType).as("event_type"), lit(h).as("lateness_s"),
+                lit(1L).as("cnt")))
+            case None => hist // empty first batch: no hwm yet
+          }
+          partial.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+          hwm = newHwm
+        } finally batch.unpersist()
       }
       .start()
   }
