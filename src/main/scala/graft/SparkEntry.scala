@@ -3274,6 +3274,31 @@ object SparkEntry {
   private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
 
+  /** Event seasonality ([[graft.stats.Stats.seasonality]]): lag-1 and
+    * lag-24 autocorrelation of the per-type hourly count series over
+    * the completed corpus hour grid — the periodicity read next to
+    * q164 (is burstiness local or a daily rhythm?) and q170 (is growth
+    * a trend or a cycle?).
+    */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame =
+    Stats.seasonality(readEvents(s, dir))
+
+  /** Scene-cut detection ([[graft.multimodal.Multimodal.sceneCuts]]):
+    * per-media consecutive-frame mean-absolute-byte differences with a
+    * cut threshold — the shot-boundary pass a video curation pipeline
+    * runs before frame sampling (sample per SCENE, not per N frames).
+    * One mapPartitions pass per payload, no shuffle before the
+    * per-media aggregate; diffs are exact multiples of 1/32 so the
+    * oracle comparison is float-exact.
+    */
+  private def qSceneCuts(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneCuts(mediaOf(s, dir), frameBytes = 32, threshold = 24.0)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        round(avg(col("diff")), 6).as("mean_diff"),
+        round(max(col("diff")), 6).as("max_diff"))
+
   /** Template-family dedup ([[graft.dedup.Dedup.templateDupGroups]]):
     * documents identical after digit/case/whitespace normalization —
     * the machine-generated-boilerplate families exact dedup misses
@@ -3567,6 +3592,8 @@ object SparkEntry {
     "q174_ivfpq" -> (qIvfPq _),
     "q175_cdc_dedup" -> (qCdcDedup _),
     "q176_dim_audit" -> (qDimAudit _),
+    "q177_scene_cuts" -> (qSceneCuts _),
+    "q178_seasonality" -> (qSeasonality _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5667,6 +5694,50 @@ object SparkEntry {
         |SELECT dim, round(sx / n, 6) AS mean,
         | round(sxx / n - (sx / n) * (sx / n), 6) AS variance,
         | (sxx / n - (sx / n) * (sx / n)) < 0.01 AS is_collapsed
+        |FROM s""".stripMargin,
+
+    // frame pairs over the UTF-8 byte stream (hex-decoded per position);
+    // diff is an exact multiple of 1/32, so the compare is float-exact
+    "q177_scene_cuts" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 32 AS nf FROM documents),
+        | fr AS (SELECT media_id, hx, unnest(range(1, nf)) AS f FROM m),
+        | pairs AS (SELECT media_id,
+        |   list_sum([abs(('0x' || substr(hx, 2*((f-1)*32+p)-1, 2))::INT
+        |               - ('0x' || substr(hx, 2*(f*32+p)-1, 2))::INT)
+        |             for p in range(1, 33)])::DOUBLE / 32 AS diff
+        |  FROM fr)
+        |SELECT media_id, count(*)::BIGINT AS n_pairs,
+        | sum(CASE WHEN diff > 24.0 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+        | round(avg(diff), 6) AS mean_diff, round(max(diff), 6) AS max_diff
+        |FROM pairs GROUP BY 1""".stripMargin,
+
+    // completed hour grid per type; centered lag products over the grid
+    // windows mirror Stats.seasonality's arithmetic order
+    "q178_seasonality" ->
+      """WITH ph AS (SELECT event_type,
+        |   floor(epoch(ts))::BIGINT // 3600 AS h, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        | b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ph),
+        | hrs AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        | typ AS (SELECT DISTINCT event_type FROM ph),
+        | grid AS (SELECT t.event_type, hrs.h, coalesce(c, 0)::DOUBLE AS y
+        |  FROM typ t CROSS JOIN hrs
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.h = hrs.h),
+        | m AS (SELECT event_type, avg(y) AS mu, count(*)::BIGINT AS n
+        |  FROM grid GROUP BY 1),
+        | lagged AS (SELECT g.event_type, y, mu, n,
+        |   lag(y, 1) OVER w AS y1, lag(y, 24) OVER w AS y24
+        |  FROM grid g JOIN m USING (event_type)
+        |  WINDOW w AS (PARTITION BY g.event_type ORDER BY h)),
+        | s AS (SELECT event_type, max(n)::BIGINT AS n_hours, max(mu) AS mu,
+        |   sum((y - mu) * (y - mu)) AS den,
+        |   sum(CASE WHEN y1 IS NOT NULL THEN (y - mu) * (y1 - mu) END) AS num1,
+        |   sum(CASE WHEN y24 IS NOT NULL THEN (y - mu) * (y24 - mu) END) AS num24
+        |  FROM lagged GROUP BY 1)
+        |SELECT event_type, n_hours, round(mu, 6) AS mean_per_hour,
+        | CASE WHEN den > 0 THEN round(num1 / den, 6) END AS r_lag1,
+        | CASE WHEN den > 0 THEN round(num24 / den, 6) END AS r_lag24
         |FROM s""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by

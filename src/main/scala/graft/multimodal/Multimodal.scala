@@ -388,6 +388,57 @@ object Multimodal {
       .select("rep_a", "rep_b", "n_a", "n_b", "hamming")
   }
 
+  /** Scene-cut detection over framed payload bytes: per consecutive
+    * FULL-frame pair, the mean absolute byte difference (0..255 scale);
+    * a cut is flagged where the difference exceeds `threshold`. This is
+    * the shot-boundary primitive every video curation pipeline runs
+    * before frame sampling (sample once per SCENE, not once per N
+    * frames, or the dataset over-represents static shots) — under the
+    * stub codec the "frames" are raw payload strides, but framing,
+    * differencing, thresholding, and the Spark shape (one JVM pass per
+    * payload via mapPartitions, no shuffle; a real decoder plugs in at
+    * the [[MediaCodec]] seam upstream) are the production-real parts.
+    * Trailing partial frames are dropped (mean-diff over unequal
+    * lengths is undefined); payloads under 2 full frames emit nothing.
+    *
+    * Emits (media_id, frame_index, diff, is_cut) — frame_index is the
+    * LATER frame of the pair (1-based over full frames).
+    */
+  def sceneCuts(media: DataFrame, frameBytes: Int = 32,
+                threshold: Double = 24.0,
+                idCol: String = "media_id",
+                payloadCol: String = "payload"): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be > 0, got $frameBytes")
+    require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("diff", DoubleType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false)))
+    val enc = Encoders.row(schema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          val nFrames = payload.length / frameBytes
+          (1 until nFrames).iterator.map { f =>
+            var s = 0L
+            var i = 0
+            while (i < frameBytes) {
+              val a = payload((f - 1) * frameBytes + i) & 0xff
+              val b = payload(f * frameBytes + i) & 0xff
+              s += math.abs(a - b)
+              i += 1
+            }
+            val d = s.toDouble / frameBytes
+            Row(id, f, d, d > threshold)
+          }
+        }
+      }(enc)
+  }
+
   /** Magic-byte format sniffing — classify a payload by its leading byte
     * signature (the public file-magic numbers: JPEG `FF D8 FF`, PNG
     * `89 50 4E 47`, RIFF containers resolved by the subtype tag at

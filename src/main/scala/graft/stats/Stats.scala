@@ -639,6 +639,54 @@ object Stats {
         col("p50_s"), col("p95_s"), col("p99_s"), col("max_s"))
   }
 
+  /** Per-type seasonality: lag autocorrelation of the hourly event-count
+    * series over the COMPLETED corpus hour grid (absent hours count 0 —
+    * computing autocorrelation over active hours only destroys the very
+    * gaps that carry the periodicity). r at lag 24 ≈ 1 means strong
+    * daily rhythm — batch-driven or timezone-concentrated traffic, which
+    * changes capacity planning and windowed-aggregation sizing; r ≈ 0
+    * means arrival is steady and q164's Fano burstiness is local, not
+    * periodic. One corpus-scale (type, hour) hash aggregate; the grid,
+    * the mean join, and the lag windows are all calendar-bounded
+    * (|types|·|hours| rows at any corpus size).
+    */
+  def seasonality(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts",
+                  lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need lags all >= 1, got $lags")
+    val w = org.apache.spark.sql.expressions.Window
+    val ph = events
+      .groupBy(col(typeCol), expr(s"unix_timestamp($tsCol) div 3600").as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // corpus aggregate; bounds/types/grid all read it
+    val bounds = ph.agg(min(col("__h")).as("__h0"), max(col("__h")).as("__h1"))
+    val hours = bounds.select(explode(sequence(col("__h0"), col("__h1"))).as("__h"))
+    val types = ph.select(col(typeCol)).distinct()
+    val grid = types.crossJoin(broadcast(hours))
+      .join(ph, Seq(typeCol, "__h"), "left")
+      .select(col(typeCol), col("__h"),
+        coalesce(col("__c"), lit(0L)).cast("double").as("__y"))
+    val means = grid.groupBy(col(typeCol))
+      .agg(avg(col("__y")).as("__mu"), count(lit(1)).as("__n"))
+    val lw = w.partitionBy(col(typeCol)).orderBy(col("__h"))
+    val lagged = lags.foldLeft(grid.join(means, Seq(typeCol))) { (d, l) =>
+      d.withColumn(s"__y$l", lag(col("__y"), l).over(lw))
+    }
+    val aggs =
+      Seq(max(col("__n")).as("n_hours"), max(col("__mu")).as("__mu2"),
+        sum((col("__y") - col("__mu")) * (col("__y") - col("__mu"))).as("__den")) ++
+      lags.map(l => sum(when(col(s"__y$l").isNotNull,
+        (col("__y") - col("__mu")) * (col(s"__y$l") - col("__mu")))).as(s"__num$l"))
+    val s0 = lagged.groupBy(col(typeCol)).agg(aggs.head, aggs.tail: _*)
+    lags.foldLeft(
+      s0.withColumn("mean_per_hour", round(col("__mu2"), 6))) { (d, l) =>
+      d.withColumn(s"r_lag$l",
+        when(col("__den") > 0, round(col(s"__num$l") / col("__den"), 6))
+          .otherwise(lit(null).cast("double")))
+    }.select(col(typeCol) +: col("n_hours") +: col("mean_per_hour") +:
+      lags.map(l => col(s"r_lag$l")): _*)
+  }
+
   /** Per-type daily-volume trend: closed-form OLS of events-per-day on
     * the day index, with R² — the capacity-planning read ("is this event
     * type growing, and how linearly?") that eyeballing q164's burstiness

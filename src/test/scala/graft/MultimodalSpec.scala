@@ -137,6 +137,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.mediaNearDupGroups(mediaDf(rows), maxHamming = 4, bands = 4))
   }
 
+  test("sceneCuts: hand diffs, threshold, partial frame dropped, tiny empty") {
+    // 4-byte frames: [0×4][0×4][100×4][100,104,100,104] + 2 trailing
+    // bytes (dropped): pair diffs 0, 100, 2
+    val payload = (Array.fill(4)(0) ++ Array.fill(4)(0) ++
+      Array.fill(4)(100) ++ Array(100, 104, 100, 104) ++ Array(9, 9))
+      .map(_.toByte)
+    val got = Multimodal.sceneCuts(
+        mediaDf(Seq((5L, payload, "video", 1, 1))), frameBytes = 4,
+        threshold = 50.0)
+      .orderBy("frame_index")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1, 0.0, false), (2, 100.0, true), (3, 2.0, false)),
+      got.toSeq.toString)
+    // payloads under 2 full frames emit nothing
+    val tiny = Multimodal.sceneCuts(
+      mediaDf(Seq((6L, Array[Byte](1, 2, 3, 4, 5), "video", 1, 1))),
+      frameBytes = 4)
+    assert(tiny.count() == 0)
+    intercept[IllegalArgumentException](
+      Multimodal.sceneCuts(mediaDf(Seq.empty), frameBytes = 0))
+  }
+
   test("sniffFormat: magic prefixes, RIFF subtypes, ftyp offset, corruption") {
     import org.apache.spark.sql.functions.col
     def b(hex: String): Array[Byte] =

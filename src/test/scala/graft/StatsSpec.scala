@@ -392,6 +392,27 @@ class StatsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
 
+  test("seasonality: alternating series has r1=-0.95/r2=0.9; flat is NULL") {
+    import java.sql.Timestamp
+    def hts(h: Int) = Timestamp.valueOf(f"2024-03-10 ${h}%02d:30:00")
+    // type a: one event in every EVEN hour of 0..18; type b's lone event
+    // at hour 19 stretches the CORPUS grid to 20 hours, so a's series is
+    // 1,0,1,0,...,0: mean .5, den 5, num1 = -.25·19, num2 = .25·18
+    val rows = (0 until 20 by 2).map(h => ("a", hts(h))) :+ ("b", hts(19))
+    val got = Stats.seasonality(rows.toDF("event_type", "ts"),
+      lags = Seq(1, 2)).collect()
+      .find(_.getString(0) == "a").get
+    assert(got.getLong(1) == 20 && got.getDouble(2) == 0.5, got.toString)
+    assert(got.getDouble(3) == -0.95 && got.getDouble(4) == 0.9, got.toString)
+    // degenerate single-hour corpus: den = 0 → autocorr undefined
+    val one = Stats.seasonality(
+      Seq(("a", hts(3)), ("a", hts(3))).toDF("event_type", "ts"),
+      lags = Seq(1)).collect().head
+    assert(one.getLong(1) == 1 && one.isNullAt(3), one.toString)
+    intercept[IllegalArgumentException](
+      Stats.seasonality(rows.toDF("event_type", "ts"), lags = Seq(0)))
+  }
+
   test("disorderAudit: hand lateness, and blocked == unblocked prefix scan") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s"2024-03-10 $s")
