@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingDistinct, StreamingDrift, StreamingQuantile}
+import graft.streaming.{StreamingDistinct, StreamingDrift, StreamingLateness, StreamingQuantile}
 
 /** Long-session soak for the streaming partial stores (HLL registers,
   * quantile buckets, drift histograms): drive ≥200 REAL micro-batches
@@ -62,10 +62,27 @@ object StreamSoak {
         .repartition(nFiles)
         .write.mode("append").parquet(dir)
 
+    // Synthetic event stream for the lateness store: event_id is the
+    // arrival order, ts deliberately scrambled against it (id*7919 mod
+    // 3600 seconds) so every batch carries genuine disorder.
+    def writeEvents(dir: String, nFiles: Int, idOffset: Long): Unit =
+      spark.range(nFiles * 8L)
+        .select(
+          (col("id") + idOffset).as("event_id"),
+          timestamp_seconds(lit(1700000000L) +
+            ((col("id") + idOffset) * 7919L % 3600L)).as("ts"),
+          (col("id") % 50).as("user_id"),
+          concat(lit("t"), (col("id") % 3).cast("string")).as("event_type"),
+          lit(0.0d).as("value"),
+          lit("").as("props"))
+        .repartition(nFiles)
+        .write.mode("append").parquet(dir)
+
     case class Store(name: String,
                      start: (String, String, String) => Unit,
                      read: String => DataFrame,
-                     compact: String => (Long, Long))
+                     compact: String => (Long, Long),
+                     writeSrc: (String, Int, Long) => Unit = writeDocs)
     val stores = Seq(
       Store("quantile",
         (s, st, c) => { StreamingQuantile.start(spark, s, st, c, maxFilesPerTrigger = 1).awaitTermination() },
@@ -78,13 +95,18 @@ object StreamSoak {
       Store("drift",
         (s, st, c) => { StreamingDrift.start(spark, s, st, c, maxFilesPerTrigger = 1).awaitTermination() },
         st => StreamingDrift.histogramFromStore(spark, st),
-        st => StreamingDrift.compactStore(spark, st)))
+        st => StreamingDrift.compactStore(spark, st)),
+      Store("lateness",
+        (s, st, c) => { StreamingLateness.start(spark, s, st, c, maxFilesPerTrigger = 1).awaitTermination() },
+        st => StreamingLateness.histogramFromStore(spark, st),
+        st => StreamingLateness.compactStore(spark, st),
+        writeSrc = writeEvents))
 
     for (s <- stores) {
       val src = s"$work/${s.name}/src"
       val store = s"$work/${s.name}/store"
       val ckpt = s"$work/${s.name}/ckpt"
-      writeDocs(src, n, 0L)
+      s.writeSrc(src, n, 0L)
       val (_, streamSec) = timed(s.start(src, store, ckpt))
       val dirs = new java.io.File(store).listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -96,7 +118,7 @@ object StreamSoak {
       val (rowsC, readC) = timed(s.read(store).count())
       require(rowsU == rowsC, s"${s.name}: compaction changed the merged row count")
       // resume: more micro-batches on top of the compacted store
-      writeDocs(src, resume, n * 8L)
+      s.writeSrc(src, resume, n * 8L)
       s.start(src, store, ckpt)
       val (_, readR) = timed(s.read(store).count())
       println(f"""{"store":"${s.name}","batches":$dirs,"stream_sec":$streamSec%.1f,""" +

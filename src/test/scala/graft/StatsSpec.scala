@@ -392,6 +392,17 @@ class StatsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0), got.toSeq.toString)
   }
 
+  test("new stats ops degrade to empty output on empty input (no throw)") {
+    import java.sql.Timestamp
+    val noEvents = Seq.empty[(Long, Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    assert(Stats.disorderAudit(noEvents).count() == 0)
+    assert(Stats.volumeTrend(noEvents.select($"event_type", $"ts")).count() == 0)
+    assert(Stats.seasonality(noEvents.select($"event_type", $"ts")).count() == 0)
+    val noDocs = Seq.empty[(String, String)].toDF("s", "l")
+    assert(Stats.mutualInformation(noDocs, "s", "l").count() == 0)
+  }
+
   test("seasonality: alternating series has r1=-0.95/r2=0.9; flat is NULL") {
     import java.sql.Timestamp
     def hts(h: Int) = Timestamp.valueOf(f"2024-03-10 ${h}%02d:30:00")
