@@ -115,6 +115,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(1, "k", 16), intArg(2, "modulo", 16))
       }))
     e.injectFunction((
+      FunctionIdentifier("sniff_format"),
+      new ExpressionInfo(classOf[graft.multimodal.Multimodal.type].getName,
+        "sniff_format"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"sniff_format expects 1 argument (binary payload), got ${exprs.length}")
+        // built-in composition (hex/substring/case-when), not a custom
+        // expression: the sniff rules expand as a plain Catalyst tree
+        graft.multimodal.Multimodal.sniffFormatExpr(exprs.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("chunk_text"),
       new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
       (exprs: Seq[Expression]) => {

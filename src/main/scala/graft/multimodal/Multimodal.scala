@@ -456,23 +456,40 @@ object Multimodal {
     * parquet (cell-level pruning does not exist), so the scan is
     * byte-volume-bound but strictly map-only: no shuffle, no state.
     */
-  def sniffFormat(payload: Column): Column = {
-    val h = upper(hex(substring(payload, 1, 12)))
-    when(h.startsWith("FFD8FF"), "jpeg")
-      .when(h.startsWith("89504E47"), "png")
-      .when(h.startsWith("474946"), "gif")
-      .when(h.startsWith("504B"), "zip")
-      .when(h.startsWith("1F8B"), "gzip")
-      .when(h.startsWith("494433"), "mp3")
-      .when(h.startsWith("4F676753"), "ogg")
-      .when(h.startsWith("664C6143"), "flac")
+  def sniffFormat(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      sniffFormatExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(payload)))
+
+  /** Catalyst-tree form of [[sniffFormat]] — the single source of the
+    * sniff rules, built from expression nodes directly so the SQL
+    * surface (`GraftExtensions` registers `sniff_format`) can inject it
+    * without a Column round-trip (a Column built over an already-
+    * analyzed SQL expression stays an unevaluable wrapper node).
+    */
+  def sniffFormatExpr(payload: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val h = Upper(Hex(Substring(payload, Literal(1), Literal(12))))
+    def sw(prefix: String) = StartsWith(h, Literal(prefix))
+    def tag(pos: Int, hexTag: String) =
+      EqualTo(Substring(h, Literal(pos), Literal(8)), Literal(hexTag))
+    CaseWhen(Seq[(Expression, Expression)](
+      sw("FFD8FF") -> Literal("jpeg"),
+      sw("89504E47") -> Literal("png"),
+      sw("474946") -> Literal("gif"),
+      sw("504B") -> Literal("zip"),
+      sw("1F8B") -> Literal("gzip"),
+      sw("494433") -> Literal("mp3"),
+      sw("4F676753") -> Literal("ogg"),
+      sw("664C6143") -> Literal("flac"),
       // RIFF containers: kind lives in the subtype tag at byte offset 8
-      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
-      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57454250", "webp")
-      .when(h.startsWith("52494646"), "riff")
+      And(sw("52494646"), tag(17, "57415645")) -> Literal("wav"),
+      And(sw("52494646"), tag(17, "57454250")) -> Literal("webp"),
+      sw("52494646") -> Literal("riff"),
       // ISO base media (mp4/mov family): 'ftyp' box tag at byte offset 4
-      .when(substring(h, 9, 8) === "66747970", "mp4")
-      .when(h.startsWith("424D"), "bmp")
-      .otherwise("unknown")
+      tag(9, "66747970") -> Literal("mp4"),
+      sw("424D") -> Literal("bmp")),
+      Some(Literal("unknown")))
   }
 }

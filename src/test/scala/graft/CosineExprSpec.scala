@@ -122,4 +122,17 @@ class CosineExprSpec extends SparkSpec {
     // grams: [a b, b a, a b, b a, a b] → 2 distinct of 5 → 0.6
     assert(math.abs(r2 - 0.6) < 1e-12)
   }
+
+  test("SQL surface: sniff_format (built-in composition, not a custom expr)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sniff_format",
+      exprs => graft.multimodal.Multimodal.sniffFormatExpr(exprs.head),
+      "built-in")
+    val got = spark.sql(
+      """SELECT sniff_format(concat(unhex('89504E47'), cast('rest' as binary)))
+        |  AS png,
+        | sniff_format(cast('plain text' as binary)) AS unk""".stripMargin)
+      .as[(String, String)].head()
+    assert(got == ("png", "unknown"), got.toString)
+  }
 }
