@@ -3274,6 +3274,16 @@ object SparkEntry {
   private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
 
+  /** Robust daily-volume anomaly screen
+    * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
+    * completed daily-count series, days beyond 3·MAD, and the worst
+    * day — the outlier-proof companion to q170's OLS trend (which the
+    * outliers themselves drag). Zero-filled days flag silent outages
+    * exactly like floods.
+    */
+  private def qVolumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    Stats.volumeAnomaly(readEvents(s, dir))
+
   /** Event seasonality ([[graft.stats.Stats.seasonality]]): lag-1 and
     * lag-24 autocorrelation of the per-type hourly count series over
     * the completed corpus hour grid — the periodicity read next to
@@ -3594,6 +3604,7 @@ object SparkEntry {
     "q176_dim_audit" -> (qDimAudit _),
     "q177_scene_cuts" -> (qSceneCuts _),
     "q178_seasonality" -> (qSeasonality _),
+    "q179_volume_anomaly" -> (qVolumeAnomaly _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5739,6 +5750,46 @@ object SparkEntry {
         | CASE WHEN den > 0 THEN round(num1 / den, 6) END AS r_lag1,
         | CASE WHEN den > 0 THEN round(num24 / den, 6) END AS r_lag24
         |FROM s""".stripMargin,
+
+    // completed day grid; lower medians via the q117 cum-mass rule
+    // (value at position ceil(n/2) — tie order inside rn cannot change
+    // the selected VALUE); worst day = max deviation, latest-day tie
+    "q179_volume_anomaly" ->
+      """WITH pd AS (SELECT event_type, date_trunc('day', ts)::DATE AS d,
+        |   count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        | days AS (SELECT DISTINCT d FROM pd),
+        | types AS (SELECT DISTINCT event_type FROM pd),
+        | grid AS (SELECT t.event_type, days.d, coalesce(c, 0)::BIGINT AS c
+        |  FROM types t CROSS JOIN days
+        |  LEFT JOIN pd ON pd.event_type = t.event_type AND pd.d = days.d),
+        | med AS (SELECT event_type, min(c) AS med FROM (
+        |   SELECT event_type, c,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |     count(*) OVER (PARTITION BY event_type) AS n FROM grid)
+        |  WHERE rn * 2 >= n GROUP BY 1),
+        | ad AS (SELECT g.event_type, d, c, med, abs(c - med) AS adv
+        |  FROM grid g JOIN med USING (event_type)),
+        | mad AS (SELECT event_type, min(adv) AS mad FROM (
+        |   SELECT event_type, adv,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+        |     count(*) OVER (PARTITION BY event_type) AS n FROM ad)
+        |  WHERE rn * 2 >= n GROUP BY 1),
+        | fl AS (SELECT ad.event_type, d, c, med, adv, mad,
+        |   (mad > 0 AND adv::DOUBLE > 3.0 * mad) AS anom
+        |  FROM ad JOIN mad USING (event_type)),
+        | worst AS (SELECT event_type, strftime(d, '%Y-%m-%d') AS worst_day,
+        |   c AS worst_cnt FROM (
+        |   SELECT event_type, d, c,
+        |     row_number() OVER (PARTITION BY event_type
+        |       ORDER BY adv DESC, d DESC) AS wrn FROM fl)
+        |  WHERE wrn = 1),
+        | agg AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |   max(med)::BIGINT AS median_cnt, max(mad)::BIGINT AS mad,
+        |   coalesce(sum(CASE WHEN anom THEN 1 END), 0)::BIGINT AS n_anomalous
+        |  FROM fl GROUP BY 1)
+        |SELECT event_type, n_days, median_cnt, mad, n_anomalous,
+        | worst_day, worst_cnt
+        |FROM agg JOIN worst USING (event_type)""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

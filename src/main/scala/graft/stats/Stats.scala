@@ -701,18 +701,11 @@ object Stats {
     */
   def volumeTrend(events: DataFrame, typeCol: String = "event_type",
                   tsCol: String = "ts"): DataFrame = {
-    val perDay = events
-      .groupBy(col(typeCol), to_date(col(tsCol)).as("__d"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // |types|·|active days| rows; read three ways below
-    val days = perDay.select(col("__d")).distinct()
-    val types = perDay.select(col(typeCol)).distinct()
-    val day0 = perDay.agg(min(col("__d")).as("__d0"))
-    val grid = types.crossJoin(broadcast(days)).crossJoin(day0)
-      .join(perDay, Seq(typeCol, "__d"), "left")
+    val (grid0, day0) = dayCountGrid(events, typeCol, tsCol)
+    val grid = grid0.crossJoin(day0)
       .select(col(typeCol),
         datediff(col("__d"), col("__d0")).cast("double").as("__x"),
-        coalesce(col("__c"), lit(0L)).cast("double").as("__y"))
+        col("__c").cast("double").as("__y"))
     grid.groupBy(col(typeCol))
       .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"),
         sum("__y").as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
@@ -732,6 +725,76 @@ object Stats {
         when(col("__varx") * col("__vary") > 0, round(
           col("__covn") * col("__covn") / (col("__varx") * col("__vary")), 6))
           .otherwise(lit(null).cast("double")).as("r2"))
+  }
+
+  /** The completed (type, day, count) grid both daily-volume reads ride
+    * — absent days count 0 (a silent day IS the signal for the anomaly
+    * screen, and its absence biases the trend flat). Returns the grid
+    * plus the 1-row first-day frame. One corpus-scale hash aggregate
+    * (localCheckpointed — days, types, day0, and the left join all read
+    * it); everything after is |types|·|corpus days|, calendar-bounded.
+    */
+  private def dayCountGrid(events: DataFrame, typeCol: String,
+                           tsCol: String): (DataFrame, DataFrame) = {
+    val perDay = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val days = perDay.select(col("__d")).distinct()
+    val types = perDay.select(col(typeCol)).distinct()
+    val day0 = perDay.agg(min(col("__d")).as("__d0"))
+    val grid = types.crossJoin(broadcast(days))
+      .join(perDay, Seq(typeCol, "__d"), "left")
+      .select(col(typeCol), col("__d"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    (grid, day0)
+  }
+
+  /** Robust daily-volume anomaly screen: per type, the median and MAD
+    * (median absolute deviation) of the completed daily-count series,
+    * the number of days beyond `k`·MAD, and the single worst day — the
+    * monitoring read q170's least-squares trend can't give (OLS is
+    * itself dragged by the outliers this screens for; median/MAD have a
+    * 50% breakdown point). Zero-filled days participate, so a silent
+    * day (crawler down) flags exactly like a flood. MAD = 0 (an
+    * ultra-regular series) reports zero anomalies rather than dividing
+    * by it. Medians use the q117 cum-mass rule (lower median) via
+    * row_number over the per-type day frame; every window is
+    * PARTITIONED by type over calendar-bounded rows. Worst-day
+    * tie-break: highest deviation, then latest day.
+    */
+  def volumeAnomaly(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val (grid, _) = dayCountGrid(events, typeCol, tsCol)
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          w.partitionBy(col(typeCol)).orderBy(col(valueCol))))
+        .withColumn("__n", count(lit(1)).over(w.partitionBy(col(typeCol))))
+        .filter(col("__rn") * 2 >= col("__n"))
+        .groupBy(col(typeCol)).agg(min(col(valueCol)).as(out))
+    val med = lowerMedian(grid, "__c", "__med")
+    val withAd = grid.join(med, Seq(typeCol))
+      .withColumn("__ad", abs(col("__c") - col("__med")))
+    val mad = lowerMedian(withAd, "__ad", "__mad")
+    val flagged = withAd.join(mad, Seq(typeCol))
+      .withColumn("__anom",
+        col("__mad") > 0 && col("__ad").cast("double") > lit(k) * col("__mad"))
+    val worst = flagged
+      .withColumn("__wrn", row_number().over(
+        w.partitionBy(col(typeCol)).orderBy(col("__ad").desc, col("__d").desc)))
+      .filter(col("__wrn") === 1)
+      // ISO string, not DateType: date columns reach pandas as objects
+      // on one engine and datetime64 on the other — strings compare flat
+      .select(col(typeCol),
+        date_format(col("__d"), "yyyy-MM-dd").as("worst_day"),
+        col("__c").as("worst_cnt"))
+    flagged.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"), max(col("__med")).as("median_cnt"),
+        max(col("__mad")).as("mad"),
+        coalesce(sum(when(col("__anom"), 1L)), lit(0L)).as("n_anomalous"))
+      .join(worst, Seq(typeCol))
   }
 
   /** Mutual information between two categorical columns (nats), with

@@ -451,6 +451,27 @@ class StatsSpec extends SparkSpec {
     assert(small == big, s"$small vs $big")
   }
 
+  test("volumeAnomaly: hand median/MAD, spike flagged, MAD=0 reports none") {
+    import java.sql.Timestamp
+    val cnts = Seq(8, 10, 12, 9, 11, 10, 10, 50)
+    // type a: daily counts above (median 10, MAD 1, the 50-day beyond
+    // 3*MAD); type b: constant 5 per day -> MAD 0 -> zero anomalies
+    val rows = (0 until 8).flatMap { i =>
+      val day = f"2024-03-${10 + i}%02d"
+      (0 until cnts(i)).map(j =>
+        ("a", Timestamp.valueOf(s"$day 0${j % 10}:0${j / 10}:00"))) ++
+        (0 until 5).map(j => ("b", Timestamp.valueOf(s"$day 01:1$j:00")))
+    }
+    val got = Stats.volumeAnomaly(rows.toDF("event_type", "ts"))
+      .as[(String, Long, Long, Long, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 8L, 10L, 1L, 1L, "2024-03-17", 50L), got("a").toString)
+    val b = got("b")
+    assert(b._3 == 5L && b._4 == 0L && b._5 == 0L, b.toString)
+    intercept[IllegalArgumentException](
+      Stats.volumeAnomaly(rows.toDF("event_type", "ts"), k = 0.0))
+  }
+
   test("volumeTrend: hand OLS, absent days as zeros, single-day NULLs") {
     import java.sql.Timestamp
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-03-${10 + day}%02d $h%02d:00:00")
