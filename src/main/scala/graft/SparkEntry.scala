@@ -3274,6 +3274,40 @@ object SparkEntry {
   private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
 
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971; the classic PRF
+    * loop): retrieve top-10, average their vectors into a feedback
+    * centroid, re-query with q' = q + 0.75·centroid, return the
+    * re-ranked top-10 — the zero-training recall booster every vector
+    * search stack offers over its flagship query (the reference's
+    * `/query` is round 1 of exactly this). Two broadcast scans; the
+    * feedback state between them is k vectors (driver-bounded by
+    * construction). The centroid is rounded to 6 decimals HALF_UP
+    * before the re-query on BOTH engines, so the second-pass scores
+    * compare bit-flat (the q142 pre-compare-rounding discipline).
+    */
+  private def qRocchioPrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val top = Search.topK(emb, qVec, k = 10, threshold = -2.0)
+      .select(col("vec_id"))
+    val fb = emb.join(top, "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    val d = qVec.length
+    val sums = new Array[Double](d)
+    fb.foreach { r =>
+      val v = r.getSeq[Double](1)
+      var i = 0; while (i < d) { sums(i) += v(i); i += 1 }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q2 = (0 until d).map(i => qVec(i) + 0.75 * r6(sums(i) / fb.length))
+    Search.topK(emb, q2, k = 10, threshold = -2.0)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
   /** Robust daily-volume anomaly screen
     * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
     * completed daily-count series, days beyond 3·MAD, and the worst
@@ -3605,6 +3639,7 @@ object SparkEntry {
     "q177_scene_cuts" -> (qSceneCuts _),
     "q178_seasonality" -> (qSeasonality _),
     "q179_volume_anomaly" -> (qVolumeAnomaly _),
+    "q180_rocchio_prf" -> (qRocchioPrf _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5790,6 +5825,28 @@ object SparkEntry {
         |SELECT event_type, n_days, median_cnt, mad, n_anomalous,
         | worst_day, worst_cnt
         |FROM agg JOIN worst USING (event_type)""".stripMargin,
+
+    // round 1 top-10 by cosine, feedback centroid rounded HALF_UP to 6
+    // per component, q' = q + 0.75*c, round 2 top-10 — the pre-compare
+    // rounding makes the second-pass scores engine-identical
+    "q180_rocchio_prf" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         | dd AS (SELECT len(q) AS dim FROM qv),
+         | r1 AS (SELECT vec_id, e FROM
+         |   (SELECT vec_id, e, $CosSql AS score FROM base, qv)
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+         | u0 AS (SELECT e, unnest(range(1, dim + 1)) AS j
+         |  FROM r1 CROSS JOIN dd),
+         | cm AS (SELECT j, round(sum(e[j]) / 10.0, 6) AS cj
+         |  FROM u0 GROUP BY j),
+         | cv AS (SELECT list(cj ORDER BY j) AS c FROM cm),
+         | q2 AS (SELECT [q[x] + 0.75 * c[x] for x in range(1, dim + 1)] AS q
+         |  FROM qv, cv, dd),
+         | scored AS (SELECT vec_id, label, $CosSql AS score
+         |  FROM base, (SELECT q FROM q2) qv)
+         |SELECT vec_id, label, round(score, 6) AS score FROM
+         | (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram
