@@ -66,22 +66,43 @@ object Bench {
 
     // Warm the JVM/session once (codegen, parquet footer cache paths) and
     // touch every table's footer/file listing so per-query numbers measure
-    // compute, not first-touch metadata I/O.
+    // compute, not first-touch metadata I/O. The same pass stamps a corpus
+    // fingerprint (per-table rows + on-disk bytes, plus content-char mass
+    // for documents) into the output JSON: the driver regenerated testdata
+    // under round 11's bench and every cross-round delta silently broke —
+    // with the fingerprint, a BENCH_rN total is attributable to code vs
+    // data (VERDICT r11 item 1).
     spark.range(1000).selectExpr("sum(id)").collect()
+    val fp = collection.mutable.ListBuffer.empty[String]
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .foreach { f =>
-        try spark.read.parquet(f.getPath).count()
-        catch { case e: Throwable =>
+        try {
+          val table = f.getName.stripSuffix(".parquet")
+          val df = spark.read.parquet(f.getPath)
+          val rows = df.count()
+          def dirBytes(x: java.io.File): Long =
+            if (x.isFile) x.length()
+            else Option(x.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+          val extra =
+            if (table == "documents" && df.columns.contains("content")) {
+              val chars = df.selectExpr("sum(length(content)) as c")
+                .collect()(0).getLong(0)
+              s""","chars":$chars"""
+            } else ""
+          fp += s""""$table":{"rows":$rows,"bytes":${dirBytes(f)}$extra}"""
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] warmup skip ${f.getName}: ${e.getMessage}")
         }
       }
+    val corpusJson = fp.mkString("\"corpus\":{", ",", "}")
+    System.err.println(s"[bench] $corpusJson")
 
     // optional arg: comma-separated query-name filter (dev loop — the
     // driver always runs argless and benches everything)
     val only: Option[Set[String]] =
       args.headOption.map(_.split(",").toSet)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -148,11 +169,16 @@ object Bench {
     // query throw would otherwise LOWER the total and read as a speedup
     // to a consumer comparing totals without inspecting "failed".
     val degraded = failures.nonEmpty
+    // compact fingerprint for the size-capped stdout line: only the three
+    // tables whose mass drives the heavy families (full version on stderr)
+    val corpusCompact = fp
+      .filter(s => Seq("documents", "embeddings", "events").exists(t => s.startsWith("\"" + t)))
+      .mkString("\"corpus\":{", ",", "}")
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""queries":${jsonMap(med)},""" +
       f""""queries_min":${jsonMap(mins)},"passes":$passes,"failed":$failedJson,""" +
-      ctl + f""","sf":"$sfDir"}"""
+      ctl + "," + corpusJson + f""","sf":"$sfDir"}"""
     // The consumer captures only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there. The full per-query line
     // above is ~6 KB at 100+ queries, so printing it last truncates its
@@ -172,7 +198,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
       f""""queries":${jsonMap(headline)},""" +
-      ctl + f""","sf":"$sfDir"}""")
+      ctl + "," + corpusCompact + f""","sf":"$sfDir"}""")
     if (degraded)
       System.err.println(s"[bench] DEGRADED: failures in ${failures.keys.toSeq.sorted.mkString(", ")} — 'value' excludes them")
 
@@ -254,7 +280,7 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
         f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
         f""""queries":${jsonMap(headline)},""" +
-        ctl + "," + sf1Json + f""","sf":"$sfDir"}""")
+        ctl + "," + corpusCompact + "," + sf1Json + f""","sf":"$sfDir"}""")
     }
     // Exit 0 even with per-query failures: the "failed" JSON field carries
     // the signal, and a nonzero rc would make the driver discard the whole

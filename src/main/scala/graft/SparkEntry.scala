@@ -3350,8 +3350,26 @@ object SparkEntry {
     * perturb many shingles). Exact-dedup scale shape: hash projection
     * plus one two-level aggregate; text never shuffles.
     */
-  private def qTemplateDups(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.templateDupGroups(rdWide(s, dir, "documents"))
+  private def qTemplateDups(s: SparkSession, dir: String): DataFrame = {
+    // Plant deterministic template-family variants (q168/q157 discipline):
+    // the driver corpus has no organic template families, so without
+    // planting the oracle comparison is vacuous (spark_rows=0, VERDICT r11
+    // ADVICE). For every 17th doc with a lowercase letter, add an
+    // upper-cased twin (same template after lower(), different raw md5) and
+    // a digit-rotated twin (each digit -> '7': run lengths/boundaries
+    // preserved, so [0-9]+ -> '0' normalizes identically). Planted ids sit
+    // above 10M so rep_doc stays the organic minimum.
+    val docs = rdWide(s, dir, "documents").select(col("doc_id"), col("text"))
+    val seeds = docs.filter(col("doc_id") % 17 === 0)
+    val upperTwin = seeds.filter(col("text").rlike("[a-z]"))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        upper(col("text")).as("text"))
+    val digitTwin = seeds.filter(col("text").rlike("[0-9]"))
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+        regexp_replace(col("text"), "[0-9]", "7").as("text"))
+    graft.dedup.Dedup.templateDupGroups(
+      docs.unionByName(upperTwin).unionByName(digitTwin))
+  }
 
   /** Collocation mining by independence lift (the PMI family: lift =
     * P(ab)/(P(a)·P(b)), PMI = ln(lift) — ranking by lift IS ranking by
@@ -3456,6 +3474,17 @@ object SparkEntry {
   }
 
   // ===========================================================================
+
+  /** Bench-only probes: run by [[Bench]] alongside [[queries]] but NOT
+    * dumped by [[Verify]] — these deliberately have no DuckDB-expressible
+    * oracle (e.g. xxhash64 has no DuckDB twin; its semantics are proven by
+    * a JVM hasher-parity spec, CorpusOpsSpec). Keeping them out of the
+    * oracled registry keeps CORRECTNESS at N/N with zero `err` rows while
+    * the probes still contribute timing signal (VERDICT r11 item 2).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137x_quality_xxh" -> (qQualityClassifierXxh _)
+  )
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3596,7 +3625,6 @@ object SparkEntry {
     "q135_temperature_sample" -> (qTemperatureSample _),
     "q136_doremi_mixture" -> (qDoremiMixture _),
     "q137_quality_classifier" -> (qQualityClassifier _),
-    "q137x_quality_xxh" -> (qQualityClassifierXxh _),
     "q138_media_neardup" -> (qMediaNearDup _),
     "q139_vocab_coverage" -> (qVocabCoverage _),
     "q140_heavy_hitters" -> (qHeavyHitters _),
@@ -5677,20 +5705,32 @@ object SparkEntry {
         |  FROM dd),
         | cells AS (SELECT shard, decile, count(*)::BIGINT AS n_docs
         |  FROM assigned GROUP BY 1, 2),
-        | pd AS (SELECT decile, sum(n_docs)::BIGINT AS nd FROM cells GROUP BY 1)
-        |SELECT shard::BIGINT AS shard, decile::BIGINT AS decile, n_docs,
+        | pd AS (SELECT decile, sum(n_docs)::BIGINT AS nd FROM cells GROUP BY 1),
+        | grid AS (SELECT s.shard, pd.decile, pd.nd FROM pd
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS shard) s)
+        |SELECT g.shard::BIGINT AS shard, g.decile::BIGINT AS decile,
+        | coalesce(n_docs, 0)::BIGINT AS n_docs,
         | round(nd::DOUBLE / 8.0, 6) AS expected,
-        | round((n_docs * 8 - nd)::DOUBLE / nd::DOUBLE, 6) AS rel_dev
-        |FROM cells JOIN pd USING (decile)""".stripMargin,
+        | round((coalesce(n_docs, 0) * 8 - nd)::DOUBLE / nd::DOUBLE, 6) AS rel_dev
+        |FROM grid g LEFT JOIN cells USING (shard, decile)""".stripMargin,
 
     // md5 over the digit/case/whitespace-normalized text; families with
     // >= 2 raw variants (byte-identical families are q10's finding)
     "q173_template_dups" ->
-      """WITH h AS (SELECT doc_id,
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        | planted AS (
+        |   SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+        |    FROM d0 WHERE doc_id % 17 = 0 AND regexp_matches(text, '[a-z]')
+        |   UNION ALL
+        |   SELECT doc_id + 20000000 AS doc_id,
+        |     regexp_replace(text, '[0-9]', '7', 'g') AS text
+        |    FROM d0 WHERE doc_id % 17 = 0 AND regexp_matches(text, '[0-9]')),
+        | du AS (SELECT * FROM d0 UNION ALL SELECT * FROM planted),
+        | h AS (SELECT doc_id,
         |   md5(regexp_replace(regexp_replace(lower(trim(text)),
         |     '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS template_md5,
         |   md5(text) AS raw_md5
-        |  FROM documents),
+        |  FROM du),
         | v AS (SELECT template_md5, raw_md5, count(*)::BIGINT AS c,
         |   min(doc_id) AS rep FROM h GROUP BY 1, 2)
         |SELECT template_md5, sum(c)::BIGINT AS n_docs,
@@ -5836,9 +5876,10 @@ object SparkEntry {
          | r1 AS (SELECT vec_id, e FROM
          |   (SELECT vec_id, e, $CosSql AS score FROM base, qv)
          |  ORDER BY score DESC, vec_id ASC LIMIT 10),
-         | u0 AS (SELECT e, unnest(range(1, dim + 1)) AS j
+         | u0 AS (SELECT vec_id, e, unnest(range(1, dim + 1)) AS j
          |  FROM r1 CROSS JOIN dd),
-         | cm AS (SELECT j, round(sum(e[j]) / 10.0, 6) AS cj
+         | cm AS (SELECT j,
+         |   round(list_sum(list(e[j] ORDER BY vec_id)) / count(*), 6) AS cj
          |  FROM u0 GROUP BY j),
          | cv AS (SELECT list(cj ORDER BY j) AS c FROM cm),
          | q2 AS (SELECT [q[x] + 0.75 * c[x] for x in range(1, dim + 1)] AS q

@@ -373,7 +373,15 @@ object TokenBudget {
         lit(nShards.toLong)))
       .groupBy(col("shard"), col("decile")).agg(count(lit(1)).as("n_docs"))
     val perDecile = cells.groupBy(col("decile")).agg(sum("n_docs").as("__nd"))
-    cells.join(perDecile, Seq("decile"))
+    // Complete the (shard × observed-decile) grid before reporting: a
+    // shard that drew ZERO docs in a decile is the worst curriculum-skew
+    // violation this audit exists to catch, and a grouped count silently
+    // omits it. |grid| = nShards × buckets rows — driver-side tiny; the
+    // shard frame is a broadcast range, never a shuffle of the corpus.
+    val shards = cells.sparkSession.range(nShards).select(col("id").as("shard"))
+    val grid = perDecile.crossJoin(broadcast(shards))
+    grid.join(cells, Seq("shard", "decile"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .select(col("shard"), col("decile"), col("n_docs"),
         round(col("__nd").cast("double") / lit(nShards.toDouble), 6)
           .as("expected"),

@@ -192,10 +192,11 @@ class PlanAuditSpec extends SparkSpec {
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val usedWindowAllowlist = scala.collection.mutable.Set.empty[String]
       val usedBroadcastAllowlist = scala.collection.mutable.Set.empty[String]
-      val names = SparkEntry.queries.keys.toSeq.sorted
+      val registry = SparkEntry.queries ++ SparkEntry.benchOnly
+      val names = registry.keys.toSeq.sorted
       for (name <- names) {
         val df =
-          try SparkEntry.queries(name)(spark, sfDir)
+          try registry(name)(spark, sfDir)
           catch {
             case e: Exception =>
               failures += s"$name: query construction failed: ${e.getMessage}"; null
