@@ -85,8 +85,8 @@ object Bench {
             if (x.isFile) x.length()
             else Option(x.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
           val extra =
-            if (table == "documents" && df.columns.contains("content")) {
-              val chars = df.selectExpr("sum(length(content)) as c")
+            if (table == "documents" && df.columns.contains("text")) {
+              val chars = df.selectExpr("sum(length(text)) as c")
                 .collect()(0).getLong(0)
               s""","chars":$chars"""
             } else ""
@@ -247,7 +247,9 @@ object Bench {
         var ncJson = """"nonclone":null"""
         try {
           val ncDir = sys.env.getOrElse("SPARK_GRAFT_SF1_NC_DIR", "/tmp/graft-sf1-nonclone")
-          val ncMarker = new java.io.File(ncDir, "_GRAFT_SF1_OK")
+          // _v2: the perturbation switched from splice to same-mass
+          // substitution; a replica built by the old code must not be reused
+          val ncMarker = new java.io.File(ncDir, "_GRAFT_SF1_OK_v2")
           if (!ncMarker.exists()) {
             val r0 = System.nanoTime()
             Stress.replicateDocsPerturbed(spark, sfDir, 10, ncDir)

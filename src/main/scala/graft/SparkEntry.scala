@@ -3274,6 +3274,16 @@ object SparkEntry {
   private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
 
+  /** Bench-only twin of q175 with the xxhash64 hasher — measures the
+    * "production swaps xxhash64" claim the q175 PLANS entry carried
+    * unmeasured for two rounds (VERDICT r11 item 3), exactly as q137x
+    * measured q137's digest. No oracle (xxhash64 has no DuckDB twin);
+    * invariants spec-checked in DedupSpec's hasher-parity test.
+    */
+  private def qCdcDedupXxh(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"),
+      hasher = "xxh")
+
   /** Rocchio pseudo-relevance feedback (Rocchio 1971; the classic PRF
     * loop): retrieve top-10, average their vectors into a feedback
     * centroid, re-query with q' = q + 0.75·centroid, return the
@@ -3483,7 +3493,8 @@ object SparkEntry {
     * the probes still contribute timing signal (VERDICT r11 item 2).
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q137x_quality_xxh" -> (qQualityClassifierXxh _)
+    "q137x_quality_xxh" -> (qQualityClassifierXxh _),
+    "q175x_cdc_xxh" -> (qCdcDedupXxh _)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -935,22 +935,37 @@ object Dedup {
     * what sub-document dedup at this granularity could save.
     *
     * Scale shape: boundary detection and chunk hashing are one
-    * map-side projection (md5 per position for oracle portability —
-    * production swaps xxhash64 in the same lambda, the q137 discipline);
-    * the only shuffles are the chunk-hash aggregate and the
-    * chunk⋈dup-hash equi-join, both keyed on content hashes. Documents
-    * with empty text carry no mass and are excluded on both engines.
+    * map-side projection; the only shuffles are the chunk-hash aggregate
+    * and the chunk⋈dup-hash equi-join, both keyed on content hashes.
+    * Documents with empty text carry no mass and are excluded on both
+    * engines.
+    *
+    * `hasher` picks the per-position digest: "md5" (default — DuckDB-
+    * portable, the oracle path) or "xxh" (xxhash64, the claimed
+    * production swap). MEASURED in round 12 (PERF.md): like q137's
+    * digest experiment, the choice is what the numbers say it is — the
+    * boundary selection differs per hasher, so the two variants are
+    * separate audits of the same corpus, not bit-identical outputs.
     */
   def cdcSharedChunks(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", groupCol: String = "source",
-                      modulus: Int = 64): DataFrame = {
+                      modulus: Int = 64, hasher: String = "md5"): DataFrame = {
     require(modulus >= 2, s"need modulus >= 2, got $modulus")
+    require(hasher == "md5" || hasher == "xxh",
+      s"hasher must be md5 or xxh, got $hasher")
+    def posHash(sub: String): String =
+      if (hasher == "md5")
+        s"cast(conv(substring(md5(cast($sub as binary)), 1, 8), 16, 10) as bigint)"
+      else s"xxhash64(cast($sub as binary))"
+    def chunkHash(sub: String): String =
+      if (hasher == "md5") s"md5(cast($sub as binary))"
+      else s"cast(xxhash64(cast($sub as binary)) as string)"
     val cutsSql =
       s"""CASE WHEN length($textCol) >= 4 THEN
          |  concat(array(0),
          |    filter(sequence(4, length($textCol)), p ->
          |      p < length($textCol) AND
-         |      cast(conv(substring(md5(cast(substring($textCol, p - 3, 4) as binary)), 1, 8), 16, 10) as bigint) % $modulus = 0),
+         |      pmod(${posHash(s"substring($textCol, p - 3, 4)")}, $modulus) = 0),
          |    array(length($textCol)))
          |ELSE array(0, length($textCol)) END""".stripMargin.replaceAll("\n", " ")
     val chunks = docs
@@ -958,8 +973,8 @@ object Dedup {
       .withColumn("__cuts", expr(cutsSql))
       .withColumn("__j", explode(expr("sequence(1, size(__cuts) - 1)")))
       .select(col(idCol), col(groupCol),
-        expr(s"md5(cast(substring($textCol, element_at(__cuts, __j) + 1, " +
-          "element_at(__cuts, __j + 1) - element_at(__cuts, __j)) as binary))")
+        expr(chunkHash(s"substring($textCol, element_at(__cuts, __j) + 1, " +
+          "element_at(__cuts, __j + 1) - element_at(__cuts, __j))"))
           .as("__h"),
         expr("element_at(__cuts, __j + 1) - element_at(__cuts, __j)")
           .cast("long").as("__len"))

@@ -540,6 +540,29 @@ class DedupSpec extends SparkSpec {
       Dedup.cdcSharedChunks(tiny, modulus = 1))
   }
 
+  test("cdcSharedChunks: xxhash64 hasher parity — same invariants, same " +
+    "verdict class as md5") {
+    import spark.implicits._
+    val base = new scala.util.Random(42).alphanumeric.take(2000).mkString
+    // the two hashers pick DIFFERENT boundaries (that's inherent), but
+    // every invariant the audit reports on must hold under both: exact
+    // mass conservation, clone-pair frac 1.0, shift robustness
+    val clones = Seq((1L, base, "s1"), (2L, base, "s1"))
+      .toDF("doc_id", "text", "source")
+    val shifted = Seq((1L, base, "s1"), (2L, "X" + base, "s1"))
+      .toDF("doc_id", "text", "source")
+    for (h <- Seq("md5", "xxh")) {
+      val gc = Dedup.cdcSharedChunks(clones, hasher = h).collect().head
+      assert(gc.getAs[Long]("total_chars") == 4000L, s"$h: ${gc.toString}")
+      assert(gc.getAs[Double]("shared_frac") == 1.0, s"$h: ${gc.toString}")
+      val gs = Dedup.cdcSharedChunks(shifted, hasher = h).collect().head
+      assert(gs.getAs[Double]("shared_frac") > 0.5,
+        s"$h lost alignment after a 1-char shift: ${gs.toString}")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.cdcSharedChunks(clones, hasher = "sha1"))
+  }
+
   test("templateDupGroups: digit/case/ws families; exact clones excluded") {
     import spark.implicits._
     val docs = Seq(
