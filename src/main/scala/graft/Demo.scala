@@ -24,6 +24,16 @@ import graft.stats.Stats
   * repo; this container has no egress).
   */
 object Demo {
+
+  /** What the demo produced — returned so DemoSpec can assert the e2e
+    * flow (the reference's demo.sh is its only end-to-end artifact;
+    * parity deserves a gate, VERDICT r11 item 8).
+    */
+  final case class Report(files: Long, chunks: Long,
+                          hits: Array[org.apache.spark.sql.Row],
+                          totalChunks: Long, uniqueFiles: Long,
+                          byExtension: Map[String, Long])
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -32,9 +42,16 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
     val srcDir = args.headOption.getOrElse(sampleRepo())
     val query = args.lift(1).getOrElse("how does the vector database api work")
+    run(spark, srcDir, query)
+    spark.stop()
+  }
+
+  /** The demo flow against a caller-owned session (what DemoSpec
+    * drives): convert -> query -> stats, printing as it goes.
+    */
+  def run(spark: SparkSession, srcDir: String, query: String): Report = {
     val store = Files.createTempDirectory("graft-demo-store").toString
 
     // ---- convert (repo → chunk+embed corpus; reference §3.1) ----
@@ -76,11 +93,13 @@ object Demo {
     println(s"[demo] stats: total_chunks=${summary.getLong(0)} " +
       s"unique_files=${summary.getLong(1)} total_kb=${summary.getDouble(2)}")
     byExt.foreach(r => println(s"[demo]   ${r.get(0)}: ${r.getLong(1)}"))
-    spark.stop()
+    Report(files.count(), stored.count(), hits,
+      summary.getLong(0), summary.getLong(1),
+      byExt.map(r => r.get(0).toString -> r.getLong(1)).toMap)
   }
 
   /** Self-contained stand-in for the reference's git clone step. */
-  private def sampleRepo(): String = {
+  private[graft] def sampleRepo(): String = {
     val dir = Files.createTempDirectory("graft-demo-src")
     def w(name: String, text: String): Unit = {
       val p = dir.resolve(name)

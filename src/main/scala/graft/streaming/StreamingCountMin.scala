@@ -47,8 +47,10 @@ object StreamingCountMin {
   /** The current sketch: merge all partial cells by addition (the
     * batch_id partition column from the idempotent layout is ignored).
     */
-  def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "sketchFromStore")
     spark.read.parquet(storeDir)
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 }

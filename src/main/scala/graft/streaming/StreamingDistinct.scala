@@ -50,10 +50,12 @@ object StreamingDistinct {
     * (the batch_id partition column from the idempotent layout is
     * ignored).
     */
-  def registersFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def registersFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "registersFromStore")
     spark.read.parquet(storeDir)
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rmax")).as("rmax"))
+  }
 
   /** Current per-source distinct-shingle estimate. */
   def estimateFromStore(spark: SparkSession, storeDir: String): DataFrame =

@@ -81,10 +81,12 @@ object StreamingDrift {
   }
 
   /** Current stream-side histogram (fold the partials with one more sum). */
-  def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "histogramFromStore")
     spark.read.parquet(storeDir)
       .groupBy(col("feature"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** PSI per feature between a reference histogram and a current one —
     * q106's math (add-one smoothing over the feature's full bucket-range

@@ -101,11 +101,13 @@ object StreamingLateness {
   /** Stream-so-far lateness histogram (hwm rows excluded, partials
     * summed) — the exact input shape [[Stats.finishLateness]] takes.
     */
-  def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "histogramFromStore")
     spark.read.parquet(storeDir)
       .filter(col("event_type") =!= HwmType)
       .groupBy(col("event_type"), col("lateness_s"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** The q171 audit over everything streamed so far — same finisher as
     * the batch audit, by construction.

@@ -47,10 +47,12 @@ object StreamingQuantile {
   /** Current sketch: fold the per-batch partials with one more sum (the
     * batch_id partition column from the idempotent layout is ignored).
     */
-  def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "sketchFromStore")
     spark.read.parquet(storeDir)
       .groupBy(col("source"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Current per-source quantile estimates at the given integer
     * percents — identical read-off rule to the batch path, so

@@ -65,10 +65,12 @@ object StreamingRetention {
     * (a user re-active in the same week across micro-batches folds to
     * one row — union-distinct IS the merge).
     */
-  def gridFromStore(spark: SparkSession, storeDir: String): DataFrame =
+  def gridFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    PartialStore.assertUnlocked(storeDir, "gridFromStore")
     spark.read.parquet(storeDir)
       .select(col("user_id"), col("week"))
       .distinct()
+  }
 
   /** Cohort retention of the stream so far — the batch finisher over the
     * merged grid.

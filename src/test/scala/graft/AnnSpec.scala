@@ -486,6 +486,33 @@ class AnnSpec extends SparkSpec {
     assert(run1.values.sum == rows.size.toLong)
   }
 
+  test("knnLabelNoise: planted mislabel is flagged; clean clusters read zero") {
+    // two sign-separated clusters (bits=4 at this n): cluster A = 5 'a'
+    // points + 1 mislabeled 'b' point in the SAME geometry; cluster B =
+    // 4 clean 'b' points. The mislabel's 3 NN are all 'a' -> diff 3,
+    // flagged; every a-point ranks its fellow a's above the mislabel
+    // (cos ~0.9998 within-a vs ~0.9988 to the off-geometry point).
+    val aPts = (0 until 5).map(i =>
+      (i.toLong, "a", Seq(1.0f, 1.0f, 1.0f, 0.1f + 0.01f * i)))
+    val mislabel = Seq((10L, "b", Seq(1.0f, 1.0f, 0.9f, 0.1f)))
+    val bPts = (0 until 4).map(j =>
+      (20L + j, "b", Seq(-1.0f, -1.0f, 1.0f, 0.1f + 0.01f * j)))
+    val df = (aPts ++ mislabel ++ bPts).toDF("vec_id", "label", "embedding")
+    val got = Ann.knnLabelNoise(df, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // (label, n_points, n_neighbors, n_disagree, n_flagged, noise_rate)
+    assert(got("a") == (("a", 5L, 15L, 0L, 0L, 0.0)), got("a").toString)
+    assert(got("b") == (("b", 5L, 15L, 3L, 1L, 0.2)), got("b").toString)
+    // singleton buckets are excluded, not scored
+    val lone = df.unionByName(
+      Seq((99L, "c", Seq(1.0f, -1.0f, -1.0f, -0.5f)))
+        .toDF("vec_id", "label", "embedding"))
+    val withLone = Ann.knnLabelNoise(lone, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(!withLone.exists(_._1 == "c"), withLone.mkString(","))
+  }
+
   test("bucketOutliers: brute-force equality on distinct corpus; clones score 0") {
     // one bucket (all-positive first dims at bits=4): distances fully
     // computable by hand-replica; k=2

@@ -495,6 +495,39 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == before)
   }
 
+  test("PartialStore .compact-lock: concurrent readers and compactors " +
+    "are refused while held; restore releases it") {
+    import graft.streaming.StreamingQuantile
+    val base = Files.createTempDirectory("graft_lock").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    Seq((1L, "t", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(src)
+    StreamingQuantile.start(spark, src, store, ckpt).awaitTermination()
+    // simulate an in-flight compaction: the lock sentinel is held
+    val lock = java.nio.file.Paths.get(store + ".compact-lock")
+    Files.createDirectory(lock)
+    // a reader racing the swap window gets a loud refusal, not an
+    // empty sketch
+    val re = intercept[IllegalArgumentException](
+      StreamingQuantile.sketchFromStore(spark, store))
+    assert(re.getMessage.contains("compact-lock"), re.getMessage)
+    // a second compactor dies acquiring the lock. NOTE: compactStore
+    // evaluates its reader argument first, so the refusal surfaces
+    // there — calling PartialStore.compact with a pre-built frame hits
+    // the IllegalStateException branch; both paths are loud
+    val ce = intercept[Exception](StreamingQuantile.compactStore(spark, store))
+    assert(ce.getMessage.contains("compact-lock") ||
+      ce.getMessage.contains("already held"), ce.getMessage)
+    // restore() releases the lock (nothing to repair -> "clean"), after
+    // which reads and compaction proceed and agree
+    assert(graft.streaming.StreamingQuantile.restoreStore(store) == "clean")
+    val before = StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet
+    StreamingQuantile.compactStore(spark, store)
+    assert(StreamingQuantile.sketchFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == before)
+  }
+
   test("partial-store compaction cadence: compact every N batches, reads stay exact") {
     // The long-session discipline (soaked at 200+ batches by the
     // StreamSoak main; PERF.md carries the latencies): a stream that

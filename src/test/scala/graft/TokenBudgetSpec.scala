@@ -193,5 +193,33 @@ class TokenBudgetSpec extends SparkSpec {
     assert(again == got.toSet)
     intercept[IllegalArgumentException](
       TokenBudget.stripedShards(perDoc, "score_pm", "doc_id", nShards = 1))
+    // grid completion (ADVICE r11): with more shards than docs per decile,
+    // empty cells MUST surface as n_docs=0 / rel_dev=-1, not vanish —
+    // a shard with zero docs in a decile is the worst curriculum skew
+    val wide = TokenBudget.stripedShards(perDoc, "score_pm", "doc_id",
+      nShards = 64, buckets = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(wide.length == 128, s"grid incomplete: ${wide.length} cells")
+    val empty = wide.filter(_._3 == 0L)
+    assert(empty.nonEmpty, "64 shards over 60/40 docs must leave empty cells")
+    assert(empty.forall(_._5 == -1.0), empty.take(3).mkString(","))
+  }
+
+  test("packingCurve: closed-form block math on hand-counted tokens") {
+    import spark.implicits._
+    // BPE counts: "aaa bbb"=2, "a1b"=3 (letter/digit/letter runs),
+    // "x y z w v"=5, ""=0 (excluded)
+    val docs = Seq("aaa bbb", "a1b", "x y z w v", "").toDF("text")
+    val got = TokenBudget.packingCurve(docs, lengths = Seq(2, 4))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // (context_len, n_docs, total_tokens, doc_blocks, concat_blocks,
+    //  pad_tokens, waste_frac)
+    assert(got(2L) == ((2L, 3L, 10L, 6L, 5L, 2L, 0.166667)), got(2L).toString)
+    assert(got(4L) == ((4L, 3L, 10L, 4L, 3L, 6L, 0.375)), got(4L).toString)
+    intercept[IllegalArgumentException](
+      TokenBudget.packingCurve(docs, lengths = Seq.empty))
+    intercept[IllegalArgumentException](
+      TokenBudget.packingCurve(docs, lengths = Seq(0)))
   }
 }
