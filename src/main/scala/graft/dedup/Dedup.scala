@@ -821,17 +821,35 @@ object Dedup {
     */
   def substringDupSpans(docs: DataFrame, k: Int = 32,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        kernelGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"substringDupSpans: k must be >= 2, got $k")
-    val grams = docs
-      .select(col(idCol), lower(trim(col(textCol))).as("__t"))
-      .filter(length(col("__t")) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"),
-        col("__t"))
-      .select(col(idCol), col("pos"),
-        md5Int60(expr(s"substring(__t, pos, $k)")).as("h"))
+    // kernel path: ONE long-array projection per doc, then posexplode of
+    // (pos, hash) — the text never survives into the exploded rows. The
+    // composed path explodes a row PER CHARACTER POSITION carrying the
+    // full text, then pays the md5-hex-parse chain per row (the r12
+    // kernel discipline: q137 21x, q175 2x, here 1.6x at 100x — the
+    // residual cost is the inherent corpus-wide (pos, h) gram shuffle
+    // plus the md5-per-position mass itself). Kept as the spec-asserted
+    // equivalence witness.
+    val grams =
+      if (kernelGrams)
+        docs
+          .select(col(idCol), lower(trim(col(textCol))).as("__t"))
+          .filter(length(col("__t")) >= k)
+          .select(col(idCol),
+            posexplode(graft.functions.KgramHashes(col("__t"), k))
+              .as(Seq("__p0", "h")))
+          .select(col(idCol), (col("__p0") + 1).as("pos"), col("h"))
+      else docs
+        .select(col(idCol), lower(trim(col(textCol))).as("__t"))
+        .filter(length(col("__t")) >= k)
+        .select(col(idCol),
+          explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"),
+          col("__t"))
+        .select(col(idCol), col("pos"),
+          md5Int60(expr(s"substring(__t, pos, $k)")).as("h"))
     val repeated = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select(col("h"))
@@ -949,7 +967,8 @@ object Dedup {
     */
   def cdcSharedChunks(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", groupCol: String = "source",
-                      modulus: Int = 64, hasher: String = "md5"): DataFrame = {
+                      modulus: Int = 64, hasher: String = "md5",
+                      kernelCuts: Boolean = true): DataFrame = {
     require(modulus >= 2, s"need modulus >= 2, got $modulus")
     require(hasher == "md5" || hasher == "xxh",
       s"hasher must be md5 or xxh, got $hasher")
@@ -960,6 +979,10 @@ object Dedup {
     def chunkHash(sub: String): String =
       if (hasher == "md5") s"md5(cast($sub as binary))"
       else s"cast(xxhash64(cast($sub as binary)) as string)"
+    // composed per-position form: DedupSpec's equivalence witness for the
+    // native kernel (the q137 discipline — the expression tree pays an
+    // md5-hex-parse chain PER CHARACTER POSITION; the kernel digests the
+    // 4-gram bytes directly, 21x on q137's identical shape)
     val cutsSql =
       s"""CASE WHEN length($textCol) >= 4 THEN
          |  concat(array(0),
@@ -968,9 +991,13 @@ object Dedup {
          |      pmod(${posHash(s"substring($textCol, p - 3, 4)")}, $modulus) = 0),
          |    array(length($textCol)))
          |ELSE array(0, length($textCol)) END""".stripMargin.replaceAll("\n", " ")
+    val cuts =
+      if (kernelCuts)
+        graft.functions.CdcCutPositions(col(textCol), modulus, hasher != "md5")
+      else expr(cutsSql)
     val chunks = docs
       .filter(length(col(textCol)) > 0)
-      .withColumn("__cuts", expr(cutsSql))
+      .withColumn("__cuts", cuts)
       .withColumn("__j", explode(expr("sequence(1, size(__cuts) - 1)")))
       .select(col(idCol), col(groupCol),
         expr(chunkHash(s"substring($textCol, element_at(__cuts, __j) + 1, " +

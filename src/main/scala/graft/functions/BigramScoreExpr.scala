@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, GenericInternalRow}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass bigram weight-sum: the q137 quality-classifier
+  * kernel as ONE codegen expression instead of a per-bigram expression
+  * tree.
+  *
+  * The composed form (`tokenNgrams(text, 2)` → `transform(weightOf)` →
+  * `aggregate`) pays, PER BIGRAM: an array `slice`, an `array_join`
+  * string allocation, an md5 → HEX STRING → `substring` → `conv` parse
+  * chain, and a boxed lambda step — and the round-11/12 measurements
+  * proved the digest itself is NOT the cost (md5 vs xxhash64 was a wash:
+  * 322.6 vs 294.2 s at 100×), the per-bigram expression machinery is.
+  * This kernel tokenizes once (identical semantics:
+  * `split(lower(trim(text)), '\s+')` with Spark's keep-trailing-empties
+  * limit = -1), then per bigram feeds the two token byte slices straight
+  * into a thread-local MD5 (or Spark's XXH64) and indexes the broadcast
+  * weight table — no hex strings, no per-bigram arrays, no lambda.
+  *
+  * Semantics are bit-identical to the composed form for BOTH hashers
+  * (md5: first-4-bytes-big-endian of md5("tok1 tok2") mod buckets, the
+  * `HashFunctions.md5Int32` contract the DuckDB oracle replays; xxhash64:
+  * Spark's own seed-42 XXH64 with pmod) — CorpusOpsSpec asserts kernel ==
+  * composed on both paths.
+  *
+  * Returns struct(wsum BIGINT, n_bigrams BIGINT); a sub-2-token text
+  * yields (0, 0), which the caller's `n_bigrams > 0` filter drops —
+  * exactly the composed form's empty-array semantics.
+  */
+case class BigramWeightSum(child: Expression, weights: Array[Long],
+                           useXxHash: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BigramWeightSum.Schema
+
+  override def prettyName: String = "bigram_weight_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramWeightSum.compute(input.asInstanceOf[UTF8String], weights, useXxHash)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bigramWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BigramWeightSum.compute($a, $w, $useXxHash);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramWeightSum {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("wsum", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+
+  def apply(c: Column, weights: Array[Long], useXxHash: Boolean): Column =
+    ColumnShim.column(BigramWeightSum(
+      ColumnShim.expression(c), weights, useXxHash))
+
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val Space = Array[Byte](' ')
+
+  /** One pass: trim(' ' only, Spark's trim) → lower (UTF8String, Spark's
+    * lower) → split("\\s+", -1) (Spark's keep-trailing-empties split) →
+    * per-window digest of "tokᵢ SP tokᵢ₊₁" bytes → weight-table sum.
+    */
+  def compute(s: UTF8String, weights: Array[Long],
+              useXxHash: Boolean): InternalRow = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
+    val n = math.max(toks.length - 1, 0).toLong
+    if (n == 0L) return new GenericInternalRow(Array[Any](0L, 0L))
+    val buckets = weights.length
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var wsum = 0L
+    if (useXxHash) {
+      // Spark xxhash64: XXH64 over the concatenated UTF-8 bytes, seed 42
+      var j = 0
+      while (j < toks.length - 1) {
+        val a = bytes(j); val b = bytes(j + 1)
+        val buf = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, buf, 0, a.length)
+        buf(a.length) = ' '
+        System.arraycopy(b, 0, buf, a.length + 1, b.length)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            buf.length, 42L)
+        val m = ((h % buckets) + buckets) % buckets // pmod
+        wsum += weights(m.toInt)
+        j += 1
+      }
+    } else {
+      val md = digestLocal.get()
+      var j = 0
+      while (j < toks.length - 1) {
+        md.reset()
+        md.update(bytes(j))
+        md.update(Space)
+        md.update(bytes(j + 1))
+        val d = md.digest()
+        // first 4 bytes big-endian unsigned = HashFunctions.md5Int32
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        wsum += weights((h % buckets).toInt)
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](wsum, n))
+  }
+}

@@ -281,6 +281,45 @@ object CorpusOps {
     // the oracle-replayable default (DuckDB computes the identical
     // bucket); xxhash64 is the production path (Spark-native codegen
     // hash, no digest allocation), same plan, same weight table.
+    // ONE codegen kernel per row (tokenize once, digest raw bytes per
+    // bigram, weight-table sum) — bit-identical to the composed
+    // tokenNgrams→transform→aggregate form below, which stays as the
+    // spec-asserted equivalence witness. The r12 measurement that
+    // motivated it: the composed form's per-bigram expression machinery
+    // (slice + array_join + md5-hex-parse chain) was the cost, not the
+    // digest (md5 vs xxh was a wash at 100×).
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.BigramWeightSum(col("text"), weights.toArray,
+          useXxHash = hasher != "md5").as("__bg"))
+      .select(col("doc_id"), col("source"),
+        col("__bg").getField("n_bigrams").as("n_bigrams"),
+        col("__bg").getField("wsum").as("__wsum"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("score_milli", expr("__wsum div n_bigrams - 1000"))
+      .withColumn("keep", col("score_milli") >= 0)
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "source", "n_bigrams", "score_milli", "keep")
+  }
+
+  /** Built-ins-only composed form of [[hashedBigramQuality]]'s scoring —
+    * the per-bigram expression-tree pipeline the native kernel replaced.
+    * Kept as the kernel's spec-asserted equivalence witness (the
+    * blocklistAudit discipline): CorpusOpsSpec pins kernel == composed
+    * on both hashers.
+    */
+  def hashedBigramQualityComposed(docs: DataFrame, buckets: Int = 4096,
+                                  topK: Int = 20,
+                                  hasher: String = "md5"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(hasher == "md5" || hasher == "xxhash64",
+      s"hasher must be md5 or xxhash64, got $hasher")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weights = (0 until buckets).map { b =>
+      md.reset()
+      val d = md.digest(("w" + b).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
+    }
     val bucketOf: Column => Column = hasher match {
       case "md5" => g =>
         (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int")

@@ -182,6 +182,34 @@ class CorpusOpsSpec extends SparkSpec {
       }
   }
 
+  test("hashedBigramQuality native kernel == composed expression tree, " +
+    "both hashers, adversarial whitespace") {
+    // edge inputs chosen to catch tokenization drift between the kernel
+    // and Spark's split(lower(trim(text)), '\\s+'): leading/trailing
+    // TABS (trim removes only spaces -> empty edge tokens), repeated
+    // whitespace, digits/punctuation, mixed case, sub-2-token docs
+    val d = docs(
+      (1L, "Alpha BETA gamma", "s"),
+      (2L, "\talpha beta", "s"),       // leading tab -> empty first token
+      (3L, "alpha beta\t", "s"),       // trailing tab -> empty last token
+      (4L, "a  b   c", "t"),           // runs of spaces
+      (5L, "x1 2y z!z", "t"),
+      (6L, "single", "t"),             // drops on both paths
+      (7L, "  padded  ", "u"),         // spaces trimmed -> 1 token, drops
+      (8L, "tab\tsep\ttokens", "u"))
+    for (h <- Seq("md5", "xxhash64")) {
+      val kernel = CorpusOps.hashedBigramQuality(d, buckets = 4096,
+          topK = 20, hasher = h)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      val composed = CorpusOps.hashedBigramQualityComposed(d, buckets = 4096,
+          topK = 20, hasher = h)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      assert(kernel == composed, s"$h: kernel=$kernel composed=$composed")
+    }
+  }
+
   test("heapsLawFit: micro-nat least squares matches a JVM replica; short docs drop") {
     val d = docs(
       (1L, "a b", "s"),               // (n=2, v=2)

@@ -563,6 +563,25 @@ class DedupSpec extends SparkSpec {
       Dedup.cdcSharedChunks(clones, hasher = "sha1"))
   }
 
+  test("cdcSharedChunks: native cut kernel == composed per-position form, " +
+    "both hashers, boundary-length texts") {
+    import spark.implicits._
+    val base = new scala.util.Random(42).alphanumeric.take(2000).mkString
+    val docs = Seq(
+      (1L, base, "s1"), (2L, "X" + base, "s1"), (3L, base.take(500), "s2"),
+      (4L, "abc", "s2"),   // < 4 chars -> single chunk on both paths
+      (5L, "abcd", "s2"),  // exactly 4: one interior position candidate? (p<len -> none)
+      (6L, "ab cd ef gh ij", "s3"))
+      .toDF("doc_id", "text", "source")
+    for (h <- Seq("md5", "xxh")) {
+      val kernel = Dedup.cdcSharedChunks(docs, hasher = h)
+        .collect().map(_.toString).sorted.toSeq
+      val composed = Dedup.cdcSharedChunks(docs, hasher = h, kernelCuts = false)
+        .collect().map(_.toString).sorted.toSeq
+      assert(kernel == composed, s"$h: kernel=$kernel composed=$composed")
+    }
+  }
+
   test("templateDupGroups: digit/case/ws families; exact clones excluded") {
     import spark.implicits._
     val docs = Seq(

@@ -47,6 +47,21 @@ class SubstringDupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).toSet
     assert(got == Set(1L, 2L))
   }
+  test("native k-gram kernel == composed per-position form (md5Int60 parity)") {
+    val base = new scala.util.Random(31).alphanumeric.take(600).mkString
+    val docs = Seq(
+      (1L, base),
+      (2L, "zz" + base.substring(100, 400) + "qq"),  // shared middle
+      (3L, base.take(31)),                           // len = k-1 -> drops
+      (4L, base.take(32)),                           // exactly k: 1 gram
+      (5L, "  " + base.take(64).toUpperCase + "  ")) // trim+lower path
+      .toDF("doc_id", "text")
+    val kernel = Dedup.substringDupSpans(docs, k = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    val composed = Dedup.substringDupSpans(docs, k = 32, kernelGrams = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kernel == composed, s"kernel=$kernel composed=$composed")
+  }
 }
 
 class LeakFreeFoldsSpec extends SparkSpec {
