@@ -44,30 +44,54 @@ object NbLang {
     */
   def confusion(docs: DataFrame, buckets: Int = 2048,
                 idCol: String = "doc_id", langCol: String = "lang",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text",
+                kernelGrams: Boolean = true): DataFrame = {
     require(buckets >= 2, s"NbLang: buckets must be >= 2, got $buckets")
-    val feats = docs
-      .select(col(idCol), col(langCol), lower(trim(col(textCol))).as("__t"))
-      .filter(length(col("__t")) >= 3)
-      .select(col(idCol), col(langCol),
-        explode(sequence(lit(1), length(col("__t")) - 2)).as("pos"), col("__t"))
-      .select(col(idCol), col(langCol),
-        (md560(expr("substring(__t, pos, 3)")) % buckets).as("b"))
-      .groupBy(col(idCol), col(langCol), col("b"))
-      .agg(count(lit(1)).as("n"))
-      // feats feeds BOTH the training aggregate and the scoring join;
-      // without this the trigram explode over the corpus — the dominant
-      // cost — runs twice (measured 2.2× per-unit inflation at the 20×
-      // stress scale). Eager: materializes (id, lang, b, n) once.
-      .localCheckpoint(eager = true)
+    // kernel path: one long-array of trigram hashes per doc (the q108
+    // KgramHashes kernel at k=3 — identical md5Int60 contract), then an
+    // explode that carries NO text. The composed path explodes a row
+    // PER CHARACTER POSITION with the full document string attached —
+    // at the 100× battery that materialized ~148 M text copies through
+    // the checkpoint and died with UNABLE_TO_ACQUIRE_MEMORY (r12); the
+    // kernel form runs the same corpus in seconds. Composed form kept
+    // as the spec-asserted equivalence witness.
+    val grams =
+      if (kernelGrams)
+        docs
+          .select(col(idCol), col(langCol), lower(trim(col(textCol))).as("__t"))
+          .filter(length(col("__t")) >= 3)
+          .select(col(idCol), col(langCol),
+            explode(graft.functions.KgramHashes(col("__t"), 3)).as("__h"))
+          .select(col(idCol), col(langCol), (col("__h") % buckets).as("b"))
+      else docs
+        .select(col(idCol), col(langCol), lower(trim(col(textCol))).as("__t"))
+        .filter(length(col("__t")) >= 3)
+        .select(col(idCol), col(langCol),
+          explode(sequence(lit(1), length(col("__t")) - 2)).as("pos"), col("__t"))
+        .select(col(idCol), col(langCol),
+          (md560(expr("substring(__t, pos, 3)")) % buckets).as("b"))
+    // NO corpus-sized intermediate anywhere (the r12 lesson — the old
+    // per-(doc, bucket) feats frame, ~250 rows/doc, was materialized for
+    // reuse and starved the aggregates' execution memory at the 100×
+    // battery: AGGREGATE_OUT_OF_MEMORY under the 8g harness heap).
+    // Instead the gram stream is consumed TWICE — once by training, once
+    // by scoring — and both consumers collapse it map-side: training
+    // partial-aggregates to ≤ `buckets` keys per task, scoring to
+    // docs-per-partition keys. Recomputing the grams costs one extra
+    // kernel pass (seconds at 100×, now that KgramHashes replaced the
+    // per-position expression tree); in exchange nothing corpus-sized is
+    // ever stored, shuffled wide, or spilled — the shape that survives
+    // 100 TB, and measured 4.6× faster than the persist form at 100×
+    // (88.9 s → 19.2 s).
 
-    // training pass 1: per-(bucket, class) counts, wide — one shuffle
-    // over <= `buckets` keys
+    // training: per-(bucket, class) occurrence counts — one shuffle over
+    // <= `buckets` keys (each gram contributes 1; map-side combine does
+    // the heavy lifting)
     val ccCols = Langs.map(l =>
-      sum(when(col(langCol) === l, col("n")).otherwise(0L)).as(s"c_$l"))
+      sum(when(col(langCol) === l, 1L).otherwise(0L)).as(s"c_$l"))
     // ≤ buckets rows, read by totals AND the model projection —
     // checkpoint so the training aggregate over the corpus runs once
-    val classCounts = feats.groupBy(col("b")).agg(ccCols.head, ccCols.tail: _*)
+    val classCounts = grams.groupBy(col("b")).agg(ccCols.head, ccCols.tail: _*)
       .localCheckpoint(eager = true)
     // per-class feature totals + per-class doc counts (priors)
     val ttCols = Langs.map(l => sum(col(s"c_$l")).as(s"t_$l"))
@@ -88,8 +112,11 @@ object NbLang {
       round(log(col(s"d_$l").cast("double") / col("n_all").cast("double")) * 1e6)
         .cast("long").as(s"p_$l")): _*)
 
-    val ssCols = Langs.map(l => sum(col("n") * col(s"l_$l")).as(s"s_$l"))
-    val scored = feats.join(broadcast(model), "b")
+    // scoring: second gram pass, model broadcast onto the stream, one
+    // integer sum per (doc, class) — each occurrence adds its bucket's
+    // log-likelihood once, identical totals to the old n × loglik form
+    val ssCols = Langs.map(l => sum(col(s"l_$l")).as(s"s_$l"))
+    val scored = grams.join(broadcast(model), "b")
       .groupBy(col(idCol), col(langCol))
       .agg(ssCols.head, ssCols.tail: _*)
       .crossJoin(broadcast(priors))

@@ -91,4 +91,17 @@ class NbLangSpec extends SparkSpec {
       graft.ops.NbLang.confusion(corpus, buckets = 1)
     }
   }
+
+  test("native trigram kernel == composed per-position form") {
+    // includes a doc of exactly 3 chars (one trigram) and one of 2
+    // (drops on both paths), plus mixed case/whitespace normalization
+    val edge = corpus.union(Seq(
+      (7L, "en", "abc"), (8L, "de", "ab"), (9L, "en", "  MiXeD Case  ")
+    ).toDF("doc_id", "lang", "text"))
+    val kernel = graft.ops.NbLang.confusion(edge)
+      .as[(String, String, Long)].collect().toSet
+    val composed = graft.ops.NbLang.confusion(edge, kernelGrams = false)
+      .as[(String, String, Long)].collect().toSet
+    assert(kernel == composed, s"kernel=$kernel composed=$composed")
+  }
 }
