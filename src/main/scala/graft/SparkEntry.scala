@@ -3382,6 +3382,17 @@ object SparkEntry {
     Ann.knnLabelNoise(rd(s, dir, "embeddings"), k = 3,
       targetOccupancy = 8.0)
 
+  /** Quality-signal agreement
+    * ([[graft.text.CorpusOps.qualitySignalAgreement]]): per source, the
+    * exact-moment Pearson correlation between the q137 bigram quality
+    * score and the q172 type-token ratio — the filter-redundancy audit
+    * (two signals at r ≈ 0.9 are one filter; r ≈ 0 in a source means
+    * neither should gate it unreviewed). Integer signals, exact integer
+    * moments, float only in the final 6-scalar closed form.
+    */
+  private def qSignalAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.qualitySignalAgreement(rdWide(s, dir, "documents"))
+
   /** Robust daily-volume anomaly screen
     * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
     * completed daily-count series, days beyond 3·MAD, and the worst
@@ -3746,6 +3757,7 @@ object SparkEntry {
     "q181_packing_curve" -> (qPackingCurve _),
     "q182_stale_embeddings" -> (qStaleEmbeddings _),
     "q183_knn_label_noise" -> (qKnnLabelNoise _),
+    "q184_signal_agreement" -> (qSignalAgreement _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6048,6 +6060,39 @@ object SparkEntry {
          | sum(CASE WHEN diff * 2 > nb THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
          | round(sum(diff)::DOUBLE / sum(nb)::DOUBLE, 6) AS noise_rate
          |FROM pp GROUP BY 1""".stripMargin,
+
+    // q137's per-doc score + q172's ttr_pm, exact integer moments per
+    // source, float only in the final 6-scalar closed form (q170 rule)
+    "q184_signal_agreement" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w FROM documents),
+        | grams AS (SELECT doc_id, source, CASE WHEN len(w) >= 2
+        |   THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)] ELSE [] END AS g FROM toks),
+        | xs AS (SELECT doc_id, source,
+        |   (list_sum([('0x' || substr(md5('w' || ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)::VARCHAR)), 1, 8))::BIGINT % 2001
+        |     for x in g])::BIGINT // len(g) - 1000)::BIGINT AS x
+        |  FROM grams WHERE len(g) > 0),
+        | tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        | pc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        | ys AS (SELECT doc_id, (1000 * count(*)) // sum(c) AS y
+        |  FROM pc GROUP BY doc_id),
+        | m AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |   sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |   sum(x * y)::BIGINT AS sxy
+        |  FROM xs JOIN ys USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs,
+        | (CASE WHEN sx >= 0 THEN sx // n_docs
+        |   ELSE -((-sx) // n_docs) END)::BIGINT AS mean_score_milli,
+        | (sy // n_docs)::BIGINT AS mean_ttr_pm,
+        | CASE WHEN (n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * (n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+        |  THEN round((n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * (n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |  END AS r
+        |FROM m""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

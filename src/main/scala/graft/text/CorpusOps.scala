@@ -261,22 +261,27 @@ object CorpusOps {
     * production serving path — Spark's native codegen hash, ~4× less
     * per-occurrence work, same plan shape (PERF.md carries both rates).
     */
+  /** The q137 weight table — the MODEL: `buckets` longs, materialized
+    * once on the driver and shipped as a plan literal (the
+    * broadcast-the-model serving discipline; with trained weights this
+    * is the only line that changes). JVM md5 is bit-identical to the
+    * engines' md5, so the precomputation is oracle-exact.
+    */
+  private def bigramWeightTable(buckets: Int): IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until buckets).map { b =>
+      md.reset()
+      val d = md.digest(("w" + b).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
+    }
+  }
+
   def hashedBigramQuality(docs: DataFrame, buckets: Int = 4096,
                           topK: Int = 20, hasher: String = "md5"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(hasher == "md5" || hasher == "xxhash64",
       s"hasher must be md5 or xxhash64, got $hasher")
-    // The weight table is the MODEL — `buckets` longs, materialized once
-    // on the driver and shipped as a plan literal (the broadcast-the-model
-    // serving discipline; with trained weights this line is the only
-    // change). JVM md5 is bit-identical to the engines' md5, so the
-    // precomputation is oracle-exact while halving per-occurrence hashing.
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val weights = (0 until buckets).map { b =>
-      md.reset()
-      val d = md.digest(("w" + b).getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
-    }
+    val weights = bigramWeightTable(buckets)
     // Per-occurrence feature hash — the ONLY per-token cost knob. md5 is
     // the oracle-replayable default (DuckDB computes the identical
     // bucket); xxhash64 is the production path (Spark-native codegen
@@ -314,12 +319,7 @@ object CorpusOps {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(hasher == "md5" || hasher == "xxhash64",
       s"hasher must be md5 or xxhash64, got $hasher")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val weights = (0 until buckets).map { b =>
-      md.reset()
-      val d = md.digest(("w" + b).getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2001
-    }
+    val weights = bigramWeightTable(buckets)
     val bucketOf: Column => Column = hasher match {
       case "md5" => g =>
         (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int")
@@ -553,6 +553,68 @@ object CorpusOps {
       .select(col("source"), col("n_bigrams"),
         round(col("__nats") / log(lit(2.0)) / col("n_bigrams").cast("double"), 6)
           .as("kn_bits_per_bigram"))
+  }
+
+  /** Quality-signal agreement: per source, the exact Pearson correlation
+    * between two independent per-document quality signals — the q137
+    * hashed-bigram classifier score and the q172 type-token-ratio — the
+    * redundancy audit a pipeline runs before stacking filters: two
+    * signals that correlate at 0.9 in a source are one filter, not two,
+    * and a source where they DISAGREE (r near 0) needs a human look
+    * before either is trusted to gate it.
+    *
+    * Engine-stability discipline (q170's): both signals are
+    * integer-quantized per doc (score_milli, ttr_pm), the five
+    * correlation moments are EXACT integer sums, and floats appear only
+    * in the final closed-form r over six scalars — no float ever
+    * aggregates across rows. Moments fit int64 comfortably (|x|,|y| ≤
+    * ~1000 ⇒ Σxy ≤ n·1e6: exact to n = 9e12 docs).
+    *
+    * Scale shape: signal x is ONE codegen kernel scan
+    * ([[graft.functions.BigramWeightSum]]); signal y is the q172
+    * tokenize + two-level aggregate (the corpus shuffles (doc, token)
+    * once — tokenize-bound like q172 itself); the join is doc-keyed and
+    * feeds straight into a |sources|-row aggregate.
+    */
+  def qualitySignalAgreement(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    val weights = bigramWeightTable(buckets)
+    val x = docs.select(col("doc_id"), col("source"),
+        graft.functions.BigramWeightSum(col("text"), weights.toArray,
+          useXxHash = false).as("__bg"))
+      .select(col("doc_id"), col("source"),
+        col("__bg").getField("n_bigrams").as("__nb"),
+        col("__bg").getField("wsum").as("__ws"))
+      .filter(col("__nb") > 0)
+      .withColumn("x", expr("__ws div __nb - 1000"))
+      .select(col("doc_id"), col("source"), col("x"))
+    val y = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("(1000 * count(1)) div sum(__c)").as("y"))
+    x.join(y, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"),
+        sum(col("x") * col("y")).as("__sxy"))
+      .withColumn("mean_score_milli", expr("__sx div n_docs"))
+      .withColumn("mean_ttr_pm", expr("__sy div n_docs"))
+      .withColumn("__cov",
+        col("n_docs").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double"))
+      .withColumn("__vx",
+        col("n_docs").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n_docs").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("r", when(col("__vx") * col("__vy") > 0,
+        round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6)))
+      .select(col("source"), col("n_docs"), col("mean_score_milli"),
+        col("mean_ttr_pm"), col("r"))
   }
 
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =

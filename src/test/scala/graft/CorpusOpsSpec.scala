@@ -210,6 +210,47 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualitySignalAgreement matches a JVM replica of both signals") {
+    val d = docs(
+      (1L, "alpha beta gamma alpha", "s"),
+      (2L, "alpha beta", "s"),
+      (3L, "x y z", "s"),
+      (4L, "single", "s"),        // 1 token -> no bigram signal -> excluded
+      (5L, "aa bb aa bb", "t"),
+      (6L, "cc dd", "t"))
+    def weight(g: String): Long = h32("w" + (h32(g) % 4096).toString) % 2001
+    def x(text: String): Long = {
+      val w = text.split("\\s+").toSeq
+      val grams = w.sliding(2).map(_.mkString(" ")).toSeq
+      grams.map(weight).sum / grams.size - 1000
+    }
+    def y(text: String): Long = {
+      val w = text.split("\\s+").toSeq
+      1000L * w.distinct.size / w.size
+    }
+    val bySource = Map(
+      "s" -> Seq("alpha beta gamma alpha", "alpha beta", "x y z"),
+      "t" -> Seq("aa bb aa bb", "cc dd"))
+    val want = bySource.map { case (src, texts) =>
+      val xs = texts.map(x); val ys = texts.map(y)
+      val n = texts.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val (sxx, syy, sxy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum,
+        xs.zip(ys).map { case (a, b) => a * b }.sum)
+      val cov = n.toDouble * sxy - sx.toDouble * sy
+      val vx = n.toDouble * sxx - sx.toDouble * sx
+      val vy = n.toDouble * syy - sy.toDouble * sy
+      val r = if (vx * vy > 0)
+        Some(math.rint(cov / math.sqrt(vx * vy) * 1e6) / 1e6) else None
+      (src, (n, sx / n, sy / n, r))
+    }
+    val got = CorpusOps.qualitySignalAgreement(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("heapsLawFit: micro-nat least squares matches a JVM replica; short docs drop") {
     val d = docs(
       (1L, "a b", "s"),               // (n=2, v=2)
