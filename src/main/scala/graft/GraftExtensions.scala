@@ -115,6 +115,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(1, "k", 16), intArg(2, "modulo", 16))
       }))
     e.injectFunction((
+      FunctionIdentifier("kgram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.KgramHashes].getName,
+        "kgram_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kgram_hashes expects 2 arguments (text, k), got ${exprs.length}")
+        require(exprs(1).foldable, "kgram_hashes k must be a literal")
+        val k = exprs(1).eval() match {
+          case v: Number => v.intValue
+          case other => throw new IllegalArgumentException(
+            s"kgram_hashes k must be a non-null integer, got $other")
+        }
+        graft.functions.KgramHashes(exprs.head, k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[graft.functions.CdcCutPositions].getName,
+        "cdc_cuts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"cdc_cuts expects 1-2 arguments (text[, modulus]), got ${exprs.length}")
+        val modulus =
+          if (exprs.length < 2) 64
+          else {
+            require(exprs(1).foldable, "cdc_cuts modulus must be a literal")
+            exprs(1).eval() match {
+              case v: Number => v.intValue
+              case other => throw new IllegalArgumentException(
+                s"cdc_cuts modulus must be a non-null integer, got $other")
+            }
+          }
+        graft.functions.CdcCutPositions(exprs.head, modulus, useXxHash = false)
+      }))
+    e.injectFunction((
       FunctionIdentifier("sniff_format"),
       new ExpressionInfo(classOf[graft.multimodal.Multimodal.type].getName,
         "sniff_format"),

@@ -107,6 +107,29 @@ class CosineExprSpec extends SparkSpec {
     assert(fps.nonEmpty && fps.forall(_ >= 0))
   }
 
+  test("SQL surface: kgram_hashes / cdc_cuts agree with the Column forms") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kgram_hashes",
+      exprs => graft.functions.KgramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("cdc_cuts",
+      exprs => graft.functions.CdcCutPositions(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue, useXxHash = false),
+      "built-in")
+    val hs = spark.sql("SELECT kgram_hashes('abcdef', 3) AS h")
+      .as[Seq[Long]].head()
+    // 4 windows: abc bcd cde def — each equal to md5Int60 of the window
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    assert(hs == Seq("abc", "bcd", "cde", "def").map(h60), hs.toString)
+    val cuts = spark.sql("SELECT cdc_cuts('abcdef', 2) AS c")
+      .as[Seq[Int]].head()
+    assert(cuts.head == 0 && cuts.last == 6 && cuts == cuts.sorted,
+      cuts.toString)
+  }
+
   test("SQL surface: repetition_ratio with default and explicit n") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("repetition_ratio",
