@@ -62,6 +62,80 @@ case class BigramWeightSum(child: Expression, weights: Array[Long],
     copy(child = newChild)
 }
 
+/** Native token-bigram hash array: the 60-bit md5 prefix
+  * ([[HashFunctions.md5Int60]] contract) of every adjacent
+  * whitespace-token pair "tokᵢ SP tokᵢ₊₁", in position order — the DSIR
+  * (q109) feature extractor as one codegen scan. Replaces the
+  * transform(concat_ws) + per-element md5-hex-parse tree (the q137
+  * overhead class); DsirSpec pins kernel == composed. Tokenization is
+  * exactly `split(lower(trim(text)), '\s+')` with Spark's
+  * keep-trailing-empties limit -1 and NO empty-token filter (the
+  * composed `element_at` form kept them too). Sub-2-token text yields
+  * an empty array.
+  */
+case class TokenBigramHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "token_bigram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenBigramHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenBigramHashes.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenBigramHashes {
+
+  def apply(c: Column): Column =
+    ColumnShim.column(TokenBigramHashes(ColumnShim.expression(c)))
+
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
+    if (toks.length < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = digestLocal.get()
+    val out = new Array[Long](toks.length - 1)
+    var j = 0
+    while (j < toks.length - 1) {
+      md.reset()
+      md.update(bytes(j))
+      md.update(' '.toByte)
+      md.update(bytes(j + 1))
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(j) = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object BigramWeightSum {
 
   val Schema: StructType = StructType(Seq(

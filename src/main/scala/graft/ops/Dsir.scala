@@ -41,19 +41,31 @@ object Dsir {
   def importanceWeights(docs: DataFrame, isTarget: Column,
                         buckets: Int = 1024,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        kernelGrams: Boolean = true): DataFrame = {
     require(buckets >= 2, s"Dsir: buckets must be >= 2, got $buckets")
-    val w = graft.text.TextAnalysis.tokens(col(textCol))
-    val bgs = docs
-      .select(col(idCol), isTarget.as("__tgt"), w.as("__w"))
-      .select(col(idCol), col("__tgt"),
-        explode(when(size(col("__w")) >= 2,
-          transform(sequence(lit(0), size(col("__w")) - 2),
-            i => concat_ws(" ", element_at(col("__w"), i + 1),
-              element_at(col("__w"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .select(col(idCol), col("__tgt"),
-        (graft.functions.HashFunctions.md5Int60(col("bg")) % buckets).as("b"))
+    // kernel path: one long-array of token-bigram md5Int60 hashes per
+    // doc (TokenBigramHashes, the r12 kernel discipline) — no per-bigram
+    // string construction or md5-hex-parse tree. Composed form kept as
+    // DsirSpec's equivalence witness.
+    val bgs =
+      if (kernelGrams)
+        docs.select(col(idCol), isTarget.as("__tgt"),
+            explode(graft.functions.TokenBigramHashes(col(textCol))).as("__h"))
+          .select(col(idCol), col("__tgt"), (col("__h") % buckets).as("b"))
+      else {
+        val w = graft.text.TextAnalysis.tokens(col(textCol))
+        docs
+          .select(col(idCol), isTarget.as("__tgt"), w.as("__w"))
+          .select(col(idCol), col("__tgt"),
+            explode(when(size(col("__w")) >= 2,
+              transform(sequence(lit(0), size(col("__w")) - 2),
+                i => concat_ws(" ", element_at(col("__w"), i + 1),
+                  element_at(col("__w"), i + 2))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+          .select(col(idCol), col("__tgt"),
+            (graft.functions.HashFunctions.md5Int60(col("bg")) % buckets).as("b"))
+      }
     // one aggregate, both distributions: raw count + target-flagged count
     // (≤ buckets rows; checkpointed because totals AND the ratio join
     // both read it — otherwise the feature pass over the corpus reruns)

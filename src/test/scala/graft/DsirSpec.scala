@@ -44,4 +44,21 @@ class DsirSpec extends SparkSpec {
       Dsir.importanceWeights(docs, col("lang") === "en", buckets = 1)
     }
   }
+
+  test("native token-bigram kernel == composed form (md5Int60 parity)") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, "en", "the quick brown fox jumps over the dog"),
+      (2L, "de", "der schnelle braune fuchs springt"),
+      (3L, "en", "single"),             // no bigrams on either path
+      (4L, "en", "  Mixed CASE pad  "), // trim+lower
+      (5L, "de", "tab\tsep tokens"))
+      .toDF("doc_id", "lang", "text")
+    val kernel = Dsir.importanceWeights(edge, col("lang") === "en")
+      .as[(Long, Long)].collect().toSet
+    val composed = Dsir.importanceWeights(edge, col("lang") === "en",
+        kernelGrams = false)
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == composed, s"kernel=$kernel composed=$composed")
+  }
 }
