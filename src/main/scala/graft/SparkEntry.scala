@@ -1403,9 +1403,10 @@ object SparkEntry {
     * Output is the per-(lang, dist) pair histogram.
     */
   private def qEditPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.editNearPairs(rdWide(s, dir, "documents"))
-      .groupBy(col("lang"), col("dist"))
-      .agg(count(lit(1)).as("n_pairs"))
+    // clone-collapsed count form (r12): per-id pairing was quadratic in
+    // clone multiplicity on the 100× replica (258.7 s → collapsed form;
+    // DedupSpec pins count equality with the per-id form)
+    Dedup.editNearPairCounts(rdWide(s, dir, "documents"))
 
   /** Passage-level exact dedup: non-overlapping 8-token segments, hashed
     * (md5-prefix, portable); segments appearing in ≥ 2 documents with
@@ -2214,17 +2215,22 @@ object SparkEntry {
     * unique to that doc).
     */
   private def qBigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // hash-domain novelty (r12): document frequency is counted over the
+    // 60-bit md5 bigram hash (TokenBigramHashes kernel), not the bigram
+    // STRING — the df aggregate and the df join ship 8-byte longs
+    // instead of text, and the per-bigram string-construction tree is
+    // gone. The oracle mirrors the same hash, so parity is exact; a
+    // 60-bit collision (≈ n²/2^61 — immaterial below ~10^8 distinct
+    // bigrams, and detectable: novelty only ever drops) is the
+    // documented trade.
     val docs = rdWide(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("__w"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(when(size(col("__w")) >= 2,
-          transform(sequence(lit(0), size(col("__w")) - 2),
-            i => concat_ws(" ", element_at(col("__w"), i + 1),
-              element_at(col("__w"), i + 2))))
-          .otherwise(array().cast("array<string>")))).as("bg"))
-    val dfreq = docs.groupBy(col("bg"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    docs.join(dfreq, "bg")
+        explode(array_distinct(
+          graft.functions.TokenBigramHashes(col("text")))).as("h"))
+    // hashes are per-doc distinct already: count(1) IS the doc frequency
+    val dfreq = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    docs.join(dfreq, "h")
       .groupBy(col("doc_id"), col("source"))
       .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
         count(lit(1)).cast("double")).as("novelty"))
@@ -4761,17 +4767,19 @@ object SparkEntry {
         |SELECT host, count(*) AS n_docs, count(DISTINCT doc_id) AS n_urls
         |FROM n GROUP BY host""".stripMargin,
 
+    // df over the 60-bit md5 bigram hash (mirrors TokenBigramHashes)
     "q83_bigram_novelty" ->
       """WITH w AS (SELECT doc_id, source,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
         | bgs AS (SELECT doc_id, source, unnest(list_distinct(
         |   CASE WHEN len(w) >= 2
-        |    THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)]
-        |    ELSE []::VARCHAR[] END)) AS bg FROM w),
-        | dfreq AS (SELECT bg, count(DISTINCT doc_id) AS df FROM bgs GROUP BY bg),
+        |    THEN [('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+        |          for i in range(0, len(w) - 1)]
+        |    ELSE []::BIGINT[] END)) AS h FROM w),
+        | dfreq AS (SELECT h, count(*) AS df FROM bgs GROUP BY h),
         | nov AS (SELECT doc_id, source,
         |   sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
-        |  FROM bgs JOIN dfreq USING (bg) GROUP BY doc_id, source)
+        |  FROM bgs JOIN dfreq USING (h) GROUP BY doc_id, source)
         |SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
         |FROM nov GROUP BY source""".stripMargin,
 

@@ -367,6 +367,59 @@ object Dedup {
       .select(col(groupCol), col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Clone-collapsed aggregate form of [[editNearPairs]]: per
+    * (group, dist), the EXACT pair count, computed by pairing DISTINCT
+    * titles only and reconstructing multiplicities in closed form — the
+    * q97/q118 clone-guard discipline applied to entity-resolution
+    * blocking. Identical titles share every blocking key by
+    * construction, so per-id pairing is quadratic in clone multiplicity
+    * (the 100× id-shift replica turns every title into a 100-clone
+    * clique: measured 258.7 s, r12); here a title pair (u, w) with
+    * multiplicities m_u, m_w contributes m_u·m_w pairs at
+    * dist(u, w) — id interleaving never matters to an equi-blocked
+    * count — and each title's internal clones contribute C(m, 2) pairs
+    * at dist 0. DedupSpec asserts equality with the per-id form on
+    * clone-planted corpora.
+    */
+  def editNearPairCounts(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", groupCol: String = "lang",
+                         prefixTokens: Int = 5, maxDist: Int = 8,
+                         lengthBand: Int = 16): DataFrame = {
+    require(lengthBand == 0 || lengthBand > maxDist,
+      s"lengthBand must be 0 (off) or > maxDist for lossless banding; " +
+        s"got band=$lengthBand maxDist=$maxDist")
+    val distinct = docs
+      .select(col(idCol), col(groupCol),
+        array_join(slice(split(lower(trim(col(textCol))), "\\s+"),
+          1, prefixTokens), " ").as("title"))
+      .groupBy(col(groupCol), col("title"))
+      .agg(count(lit(1)).as("m"), min(col(idCol)).as("rep"))
+      .withColumn("blk", substring_index(col("title"), " ", 1))
+      .withColumn("lb",
+        if (lengthBand == 0) lit(0L) else floor(length(col("title")) / lengthBand))
+      .localCheckpoint(eager = true) // feeds both join sides + internal agg
+    val internal = distinct.filter(col("m") >= 2)
+      .groupBy(col(groupCol))
+      // integer C(m,2): `/` on Columns is DOUBLE division; div is exact
+      .agg(sum(expr("m * (m - 1) div 2")).as("n_pairs"))
+      .withColumn("dist", lit(0))
+    val a = distinct.select(col(groupCol), col("blk"),
+      explode(if (lengthBand == 0) array(col("lb"))
+        else array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbj"),
+      col("rep").as("rep_a"), col("m").as("m_a"), col("title").as("t_a"))
+    val b = distinct.select(col(groupCol), col("blk"), col("lb").as("lbj"),
+      col("rep").as("rep_b"), col("m").as("m_b"), col("title").as("t_b"))
+    val cross = a.join(b, Seq(groupCol, "blk", "lbj"))
+      .filter(col("rep_a") < col("rep_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col(groupCol), col("dist"))
+      .agg(sum(col("m_a") * col("m_b")).as("n_pairs"))
+    cross.unionByName(internal.select(col(groupCol), col("dist"), col("n_pairs")))
+      .groupBy(col(groupCol), col("dist"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+  }
+
   /** C4-style boilerplate REMOVAL at segment granularity — the action
     * half of segment dedup (q73 detects cross-document repeated
     * segments; this rewrites each document without them). Documents are
@@ -473,7 +526,13 @@ object Dedup {
           .cast("long").as("n_removed"))
 
   /** Per-token 32-bit hashes of a text column (the SimHash input). */
-  def tokenHashes(text: Column): Column = transform(tokens(text), w => h32(w))
+  // native kernel (one pass, no per-token md5-hex-parse tree); the
+  // composed transform(tokens, h32) stays as the spec equivalence witness
+  def tokenHashes(text: Column): Column =
+    graft.functions.TokenHashes32(text)
+
+  def tokenHashesComposed(text: Column): Column =
+    transform(tokens(text), w => h32(w))
 
   /** SimHash near-duplicate pairs by banded hamming join: each 32-bit
     * simhash splits into `nBands` equal bit-bands; only simhashes

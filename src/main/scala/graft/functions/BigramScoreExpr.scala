@@ -136,6 +136,62 @@ object TokenBigramHashes {
   }
 }
 
+/** Native per-token 32-bit hash array: [[HashFunctions.md5Int32]] of
+  * every whitespace token of `lower(trim(text))` (split limit -1, empty
+  * tokens hashed like the composed `transform(tokens, h32)` form they
+  * replace), in position order. Feeds [[SimHash]] (q15/q55) without the
+  * per-token md5-hex-parse expression tree; DedupSpec's simhash tests
+  * pin kernel == composed.
+  */
+case class TokenHashes32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "token_hashes32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashes32.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenHashes32.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenHashes32 {
+
+  def apply(c: Column): Column =
+    ColumnShim.column(TokenHashes32(ColumnShim.expression(c)))
+
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
+    val md = digestLocal.get()
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object BigramWeightSum {
 
   val Schema: StructType = StructType(Seq(

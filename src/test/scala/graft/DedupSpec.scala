@@ -507,6 +507,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editNearPairCounts == per-id editNearPairs counts on a " +
+    "clone-heavy corpus") {
+    import spark.implicits._
+    // clone cliques (identical titles, interleaved ids), near-titles
+    // (dist 1-2), cross-band misses, multiple langs
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta eps tail a"),
+      (101L, "en", "alpha beta gamma delta eps tail b"),   // clone title of 1
+      (201L, "en", "alpha beta gamma delta eps other"),    // clone title of 1
+      (2L, "en", "alpha beta gamma delta ops xx"),         // dist 1 from above
+      (3L, "en", "alpha beta gamma muchlongertitleword yy"),
+      (4L, "de", "der schnelle fuchs springt hoch zz"),
+      (104L, "de", "der schnelle fuchs springt hoch ww"),  // clone of 4
+      (5L, "de", "der schnelle fuchs springt tief qq"),    // dist ~3 from 4
+      (6L, "en", "single"))
+      .toDF("doc_id", "lang", "text")
+    val perId = Dedup.editNearPairs(docs)
+      .groupBy(col("lang"), col("dist"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_pairs"))
+      .as[(String, Int, Long)].collect().toSet
+    val collapsed = Dedup.editNearPairCounts(docs)
+      .as[(String, Int, Long)].collect().toSet
+    assert(collapsed == perId, s"collapsed=$collapsed perId=$perId")
+    // the clone cliques must actually be exercised: dist-0 mass present
+    assert(collapsed.exists { case (_, d, n) => d == 0 && n >= 3 },
+      collapsed.toString)
+  }
+
   test("cdcSharedChunks: mass conserved, clone=1.0, shift-robust sharing") {
     import spark.implicits._
     // deterministic pseudo-random text long enough for many CDC cuts

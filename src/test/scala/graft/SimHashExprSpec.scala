@@ -17,6 +17,22 @@ class SimHashExprSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("TokenHashes32 kernel == composed transform(tokens, h32) on the " +
+    "sf0.001 corpus and whitespace edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("\tlead tab", "trail\t", "a  b", "", "  spaced  ")
+        .toDF("text"))
+    val both = docs.select(
+      Dedup.tokenHashes(col("text")).as("kernel"),
+      Dedup.tokenHashesComposed(col("text")).as("composed")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"${r.getSeq[Long](0)} != ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("hand-computed small cases") {
     // one hash 0b101 → bits 0 and 2 win (single positive vote), bit 1 loses
     val df = Seq(Seq(5L), Seq(0L), Seq(1L, 1L, 2L)).toDF("hs")
