@@ -3399,6 +3399,21 @@ object SparkEntry {
   private def qSignalAgreement(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.qualitySignalAgreement(rdWide(s, dir, "documents"))
 
+  /** Dedup scaling curve ([[graft.dedup.Dedup.dedupScalingCurve]]):
+    * exact-dup rate at nested 10/20/50/100% corpus samples — the
+    * marginal-crawl-value read (steepening dup rate ⇒ the next crawl
+    * buys less). The corpus is planted with clones for every 9th doc
+    * (q157 discipline) so the curve is non-degenerate at the verify
+    * scale. One hash projection, one hash-keyed aggregate with subset
+    * flags riding the same shuffle, one |points|-row rollup.
+    */
+  private def qDedupScaling(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents").select(col("doc_id"), col("text"))
+    val clones = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + lit(30000000L)).as("doc_id"), col("text"))
+    graft.dedup.Dedup.dedupScalingCurve(docs.unionByName(clones))
+  }
+
   /** Robust daily-volume anomaly screen
     * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
     * completed daily-count series, days beyond 3·MAD, and the worst
@@ -3764,6 +3779,7 @@ object SparkEntry {
     "q182_stale_embeddings" -> (qStaleEmbeddings _),
     "q183_knn_label_noise" -> (qKnnLabelNoise _),
     "q184_signal_agreement" -> (qSignalAgreement _),
+    "q185_dedup_scaling" -> (qDedupScaling _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6101,6 +6117,35 @@ object SparkEntry {
         |       * (n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |  END AS r
         |FROM m""".stripMargin,
+
+    // planted clones (every 9th doc, +3e7 id), nested md5(id) mod 10
+    // subsets, per-hash conditional counts -> dup rate per curve point
+    "q185_dedup_scaling" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, text FROM documents WHERE doc_id % 9 = 0),
+         | hb AS (SELECT md5(text) AS h,
+         |   ${h32Sql("doc_id::VARCHAR")} % 10 AS bk FROM d0),
+         | ph AS (SELECT h,
+         |   sum(CASE WHEN bk < 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |   sum(CASE WHEN bk < 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+         |   sum(CASE WHEN bk < 5 THEN 1 ELSE 0 END)::BIGINT AS c5,
+         |   sum(CASE WHEN bk < 10 THEN 1 ELSE 0 END)::BIGINT AS c10
+         |  FROM hb GROUP BY h),
+         | r AS (SELECT
+         |   sum(c1)::BIGINT AS n1, sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END)::BIGINT AS d1,
+         |   sum(c2)::BIGINT AS n2, sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END)::BIGINT AS d2,
+         |   sum(c5)::BIGINT AS n5, sum(CASE WHEN c5 > 0 THEN 1 ELSE 0 END)::BIGINT AS d5,
+         |   sum(c10)::BIGINT AS n10, sum(CASE WHEN c10 > 0 THEN 1 ELSE 0 END)::BIGINT AS d10
+         |  FROM ph),
+         | pts AS (SELECT unnest([
+         |   {'k': 1, 'n': n1, 'd': d1}, {'k': 2, 'n': n2, 'd': d2},
+         |   {'k': 5, 'n': n5, 'd': d5}, {'k': 10, 'n': n10, 'd': d10}],
+         |   recursive := true) FROM r)
+         |SELECT k::BIGINT AS fraction_tenths, n AS n_docs, d AS n_distinct,
+         | (n - d)::BIGINT AS n_dups,
+         | CASE WHEN n > 0 THEN round((n - d)::DOUBLE / n::DOUBLE, 6) END AS dup_rate
+         |FROM pts""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

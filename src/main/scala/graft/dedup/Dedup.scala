@@ -367,6 +367,50 @@ object Dedup {
       .select(col(groupCol), col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Dedup scaling curve: exact-duplicate rate at nested corpus
+    * fractions — the concavity read that prices marginal crawl: if the
+    * dup rate climbs steeply from the 10% subset to the full corpus,
+    * new data is increasingly redundant and the next crawl buys less
+    * than the last (the scaling-law companion to q119's threshold
+    * curve, which varies the THRESHOLD at fixed size; this varies the
+    * SIZE at exact-dup granularity). Subsets are nested by md5(id) mod
+    * `den` < k (content-independent, deterministic), so each point is a
+    * uniform sample of the corpus and a subset of every larger point.
+    *
+    * Scale shape: ONE text-hash projection; ONE hash-keyed aggregate
+    * producing per-hash subset counts (conditional sums — the subset
+    * flags ride the same shuffle); ONE |fractions|-row rollup. The text
+    * never shuffles; adding a curve point adds a column, not a pass.
+    */
+  def dedupScalingCurve(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        numerators: Seq[Int] = Seq(1, 2, 5, 10),
+                        den: Int = 10): DataFrame = {
+    require(numerators.nonEmpty && numerators.forall(k => k >= 1 && k <= den),
+      s"need 1 <= k <= $den for every curve point, got $numerators")
+    val bucket = pmod(graft.functions.HashFunctions
+      .md5Int32(col(idCol).cast("string")), lit(den.toLong))
+    val subsetCols = numerators.map(k =>
+      sum(when(col("__bk") < k, 1L).otherwise(0L)).as(s"c_$k"))
+    val perHash = docs
+      .select(md5(col(textCol).cast("binary")).as("__h"), bucket.as("__bk"))
+      .groupBy(col("__h"))
+      .agg(subsetCols.head, subsetCols.tail: _*)
+    val rollCols = numerators.flatMap(k => Seq(
+      sum(col(s"c_$k")).as(s"n_$k"),
+      sum(when(col(s"c_$k") > 0, 1L).otherwise(0L)).as(s"d_$k")))
+    val rolled = perHash.agg(rollCols.head, rollCols.tail: _*)
+    rolled.select(explode(array(numerators.map(k =>
+        struct(lit(k).as("k"), col(s"n_$k").as("n_docs"),
+          col(s"d_$k").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.k").cast("long").as("fraction_tenths"),
+        col("p.n_docs"), col("p.n_distinct"),
+        (col("p.n_docs") - col("p.n_distinct")).as("n_dups"),
+        when(col("p.n_docs") > 0, round(
+          (col("p.n_docs") - col("p.n_distinct")).cast("double") /
+            col("p.n_docs").cast("double"), 6)).as("dup_rate"))
+  }
+
   /** Clone-collapsed aggregate form of [[editNearPairs]]: per
     * (group, dist), the EXACT pair count, computed by pairing DISTINCT
     * titles only and reconstructing multiplicities in closed form — the

@@ -507,6 +507,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupScalingCurve: nested subsets, exact dup math, monotone n") {
+    import spark.implicits._
+    // 40 base docs + full-corpus clones of the first 10 (ids 100-109):
+    // dup mass exists at every curve point in expectation
+    val docs = ((0L until 40L).map(i => (i, s"text $i")) ++
+      (0L until 10L).map(i => (100L + i, s"text $i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupScalingCurve(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 5L, 10L))
+    // the k=10 point sees everything: exact totals are hand-computable
+    assert(got(10L)._2 == 50L && got(10L)._3 == 40L && got(10L)._4 == 10L)
+    assert(got(10L)._5.contains(0.2))
+    // nesting: n and distinct are monotone non-decreasing in k
+    val ks = Seq(1L, 2L, 5L, 10L)
+    ks.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(a)._2 <= got(b)._2 && got(a)._3 <= got(b)._3,
+        s"not nested at $a->$b: ${got(a)} ${got(b)}")
+    }
+    // per-point identity: dups = n - distinct, rate = dups/n
+    got.values.foreach { case (_, n, d, dup, rate) =>
+      assert(dup == n - d)
+      if (n > 0) assert(rate.contains(math.rint(dup.toDouble / n * 1e6) / 1e6))
+    }
+    intercept[IllegalArgumentException](
+      Dedup.dedupScalingCurve(docs, numerators = Seq(11)))
+  }
+
   test("editNearPairCounts == per-id editNearPairs counts on a " +
     "clone-heavy corpus") {
     import spark.implicits._
