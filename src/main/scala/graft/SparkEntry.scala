@@ -3414,6 +3414,103 @@ object SparkEntry {
     graft.dedup.Dedup.dedupScalingCurve(docs.unionByName(clones))
   }
 
+  /** IVF nprobe recall/cost curve: for nprobe = 1..4 against the SAME
+    * persisted q28 index, recall@5 vs the exact scan next to the
+    * fraction of the corpus actually scanned — the serving-tuning table
+    * behind every IVF deployment (q105 measures recall at one operating
+    * point; this prices the whole knob). Probe order is the q28 rule
+    * (center cosine desc, cid asc), computed once; levels share ONE
+    * scored pass — the per-level candidacy is `probe_rank <= nprobe`,
+    * so adding a curve point adds a predicate, not a scan. Scores round
+    * to 6dp BEFORE ranking (the q105 cross-engine rank discipline).
+    */
+  private def qNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val index = ivfIndexFor(s, dir)
+    nprobeCentersForOracle = index.centers
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val prank: Map[Int, Int] = index.centers.zipWithIndex
+      .map { case (c, i) => (i, cos(c, qVec)) }
+      .sortBy { case (i, sc) => (-sc, i) }
+      .zipWithIndex.map { case ((cid, _), r) => cid -> (r + 1) }.toMap
+    val prankCol = element_at(
+      typedLit(prank.map { case (k, v) => (k.toLong, v) }),
+      col("centroid_id").cast("long"))
+    val q = array(qVec.map(lit): _*)
+    val scored = index.assigned
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(
+          col("embedding").cast("array<double>"), q), 6).as("score"),
+        prankCol.as("__pr"))
+      .localCheckpoint() // feeds exact top-5 + all four curve levels
+    val exact5 = scored
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      .select(col("vec_id"), lit(1).as("__ex"))
+    val levels = scored
+      .withColumn("nprobe", explode(typedLit(Seq(1, 2, 3, 4))))
+      .filter(col("__pr") <= col("nprobe"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("nprobe"))
+          .orderBy(col("score").desc, col("vec_id").asc)))
+    val n = emb.count()
+    levels.join(broadcast(exact5), Seq("vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_scanned"),
+        sum(when(col("__r") <= 5 && col("__ex").isNotNull, 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        col("n_scanned"),
+        round(col("n_scanned").cast("double") / lit(n.toDouble), 6)
+          .as("scanned_frac"),
+        col("hits"),
+        round(col("hits").cast("double") / 5.0, 6).as("recall_at_5"))
+  }
+  private var nprobeCentersForOracle: Array[Array[Double]] = _
+
+  private def nprobeOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | pr AS (SELECT cid, row_number() OVER (
+       |     ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC) AS prank
+       |   FROM ctr, qv),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | scored AS (SELECT a.vec_id, round(${cosSqlAB("a.e", "q")}, 6) AS score,
+       |    pr.prank FROM assign a JOIN pr ON a.cid = pr.cid, qv),
+       | exact5 AS (SELECT vec_id FROM scored
+       |  ORDER BY score DESC, vec_id ASC LIMIT 5),
+       | lv AS (SELECT s.*, np.nprobe FROM scored s
+       |   CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS nprobe) np
+       |  WHERE s.prank <= np.nprobe),
+       | rk AS (SELECT vec_id, nprobe,
+       |    row_number() OVER (PARTITION BY nprobe
+       |      ORDER BY score DESC, vec_id ASC) AS r FROM lv)
+       |SELECT nprobe::BIGINT AS nprobe, count(*)::BIGINT AS n_scanned,
+       | round(count(*)::DOUBLE / max(n), 6) AS scanned_frac,
+       | sum(CASE WHEN r <= 5 AND vec_id IN (SELECT vec_id FROM exact5)
+       |     THEN 1 ELSE 0 END)::BIGINT AS hits,
+       | round(sum(CASE WHEN r <= 5 AND vec_id IN (SELECT vec_id FROM exact5)
+       |     THEN 1 ELSE 0 END)::DOUBLE / 5.0, 6) AS recall_at_5
+       |FROM rk CROSS JOIN nn GROUP BY 1""".stripMargin
+  }
+
   /** Robust daily-volume anomaly screen
     * ([[graft.stats.Stats.volumeAnomaly]]): per type, median/MAD of the
     * completed daily-count series, days beyond 3·MAD, and the worst
@@ -3780,6 +3877,7 @@ object SparkEntry {
     "q183_knn_label_noise" -> (qKnnLabelNoise _),
     "q184_signal_agreement" -> (qSignalAgreement _),
     "q185_dedup_scaling" -> (qDedupScaling _),
+    "q186_nprobe_curve" -> (qNprobeCurve _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -3986,6 +4084,7 @@ object SparkEntry {
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
+      Option(nprobeCentersForOracle).map(c => "q186_nprobe_curve" -> nprobeOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
       (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None) ++
       Option(whitenForOracle).map { case (w, m) => "q126_whitened_topk" -> whitenedOracleSql(w, m) } ++

@@ -486,6 +486,23 @@ class AnnSpec extends SparkSpec {
     assert(run1.values.sum == rows.size.toLong)
   }
 
+  test("q186 nprobe curve: monotone nesting — scanned and recall never " +
+    "decrease with nprobe; full probe of all lists reaches recall 1.0") {
+    // driven through SparkEntry so the curve runs against the REAL
+    // persisted q28 index machinery at sf0.001
+    val got = SparkEntry.queries("q186_nprobe_curve")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"scanned shrank: $a -> $b")
+      assert(a._5 <= b._5 + 1e-9, s"recall shrank: $a -> $b")
+    }
+    got.foreach { case (_, scanned, frac, hits, recall) =>
+      assert(hits >= 0 && hits <= 5 && recall == hits / 5.0)
+      assert(frac > 0 && frac <= 1.0 && scanned > 0)
+    }
+  }
+
   test("knnLabelNoise: planted mislabel is flagged; clean clusters read zero") {
     // two sign-separated clusters (bits=4 at this n): cluster A = 5 'a'
     // points + 1 mislabeled 'b' point in the SAME geometry; cluster B =

@@ -43,6 +43,9 @@ class JobAuditSpec extends SparkSpec {
       "(3 warm / more cold) k-means train + persist on first touch of a " +
         "data dir: constant Lloyd iterations, one job each; warm runs " +
         "reopen the on-disk index and pay ~3 jobs"),
+    "q186_nprobe_curve" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd iterations); " +
+        "the curve itself is one scored pass + a count + the noop write"),
     "q144_cluster_quality" -> (40,
       "(14) Davies-Bouldin rides the q28 index build on a cold dir " +
         "(constant-iteration k-means) before its one-pass scatter aggregate"),
