@@ -31,6 +31,60 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Per-query serial-history ledger (VERDICT r12 item 1): quiet-window
+    * medians recorded by the builder's closing bench (run with
+    * SPARK_GRAFT_WRITE_HISTORY=1) and committed at perf/serial_history
+    * .json. Every later bench compares its in-bench medians against the
+    * ledger and stamps "inflation_suspect" on any query reading > 3× its
+    * serial history (with a 1 s absolute floor so sub-second jitter
+    * never flags) — the mechanical form of the "driver windows carry
+    * 2–6× multiprogramming inflation" adjudication PERF.md used to
+    * record by hand each round. Keys: the sfDir basename ("sf0.1") for
+    * the main run, "sf1" for the replica pass.
+    */
+  private val HistoryPath = "perf/serial_history.json"
+
+  private def readHistory(key: String): Map[String, Double] = try {
+    val f = new java.io.File(HistoryPath)
+    if (!f.exists()) Map.empty
+    else {
+      val sub = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f).get(key)
+      if (sub == null) Map.empty
+      else {
+        val it = sub.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] serial history unreadable: ${e.getMessage}")
+    Map.empty
+  }
+
+  private def writeHistory(key: String, med: Seq[(String, Double)]): Unit = try {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = new java.io.File(HistoryPath)
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (f.exists()) mapper.readTree(f).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else mapper.createObjectNode()
+    val sub = root.`with`(key) // merge: existing queries not in this run survive
+    med.foreach { case (n, v) => sub.put(n, math.rint(v * 1000) / 1000) }
+    Option(f.getParentFile).foreach(_.mkdirs())
+    mapper.writerWithDefaultPrettyPrinter().writeValue(f, root)
+    System.err.println(s"[bench] serial history updated: $HistoryPath [$key] ${med.size} queries")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] serial history write failed: ${e.getMessage}")
+  }
+
+  private def suspects(hist: Map[String, Double],
+                       med: Seq[(String, Double)]): Seq[String] =
+    med.filter { case (n, t) => hist.get(n).exists(h => t > 3 * h && t - h > 1.0) }
+      .map(_._1).sorted
+
   /** Fixed-size CPU-bound job used as the per-pass noise floor: a 2^22-row
     * range with a multiply-hash aggregate. No I/O, no shuffle beyond the
     * final single-partition agg; any variance in this number is the
@@ -86,7 +140,10 @@ object Bench {
             else Option(x.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
           val extra =
             if (table == "documents" && df.columns.contains("text")) {
-              val chars = df.selectExpr("sum(length(text)) as c")
+              // coalesce: sum(length(text)) is NULL on an empty or
+              // all-null-text table, and a degenerate corpus must still
+              // fingerprint its rows/bytes (ADVICE r12)
+              val chars = df.selectExpr("coalesce(sum(length(text)), 0) as c")
                 .collect()(0).getLong(0)
               s""","chars":$chars"""
             } else ""
@@ -104,7 +161,13 @@ object Bench {
       args.headOption.map(_.split(",").toSet)
     val names = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // queries whose kernels honor spark.graft.hasher: each pass re-runs
+    // them with the conf flipped to xxh (same registry entry, no twin
+    // queries) so the production-hash rate ships next to the oracle rate
+    val xxhNames = names.filter(p => SparkEntry.hasherSensitive.contains(p._1))
     val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val samplesXxh = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     // query -> number of passes in which it threw. Failed passes contribute
     // NO sample (a fast failure must not masquerade as a fast success).
@@ -135,6 +198,21 @@ object Bench {
             System.err.println(s"[bench] pass $pass $name FAILED: ${e.getMessage}")
         }
       }
+      if (xxhNames.nonEmpty) {
+        spark.conf.set(graft.functions.Hashers.ConfKey, "xxh")
+        try xxhNames.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            samplesXxh(name) = samplesXxh(name) :+ sec
+            System.err.println(f"[bench] pass $pass $name%-24s $sec%8.3f s  (hasher=xxh)")
+          } catch {
+            case e: Throwable => // xxh timing is advisory; never degrades the bench
+              System.err.println(s"[bench] pass $pass $name (xxh) FAILED: ${e.getMessage}")
+          }
+        } finally spark.conf.unset(graft.functions.Hashers.ConfKey)
+      }
     }
 
     // Queries with at least one successful pass report their median/min over
@@ -143,6 +221,14 @@ object Bench {
     val timed = names.filter { case (name, _) => samples(name).nonEmpty }
     val med = timed.map { case (name, _) => name -> median(samples(name)) }
     val mins = timed.map { case (name, _) => name -> samples(name).min }
+    val medXxh = xxhNames.filter { case (name, _) => samplesXxh(name).nonEmpty }
+      .map { case (name, _) => name -> median(samplesXxh(name)) }
+    val mainKey = new java.io.File(sfDir.replaceAll("/+$", "")).getName
+    val writeHist = sys.env.get("SPARK_GRAFT_WRITE_HISTORY").contains("1")
+    if (writeHist) writeHistory(mainKey, med)
+    val mainSuspects = suspects(readHistory(mainKey), med)
+    val suspectJson = mainSuspects.map("\"" + _ + "\"").mkString(
+      "\"inflation_suspect\":[", ",", "]")
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val failedJson = failures.toSeq.sortBy(_._1)
@@ -176,8 +262,9 @@ object Bench {
       .mkString("\"corpus\":{", ",", "}")
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
-      f""""queries":${jsonMap(med)},""" +
+      f""""queries":${jsonMap(med)},"queries_xxh":${jsonMap(medXxh)},""" +
       f""""queries_min":${jsonMap(mins)},"passes":$passes,"failed":$failedJson,""" +
+      suspectJson + "," +
       ctl + "," + corpusJson + f""","sf":"$sfDir"}"""
     // The consumer captures only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there. The full per-query line
@@ -197,7 +284,8 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
-      f""""queries":${jsonMap(headline)},""" +
+      f""""queries":${jsonMap(headline)},"queries_xxh":${jsonMap(medXxh)},""" +
+      suspectJson + "," +
       ctl + "," + corpusCompact + f""","sf":"$sfDir"}""")
     if (degraded)
       System.err.println(s"[bench] DEGRADED: failures in ${failures.keys.toSeq.sorted.mkString(", ")} — 'value' excludes them")
@@ -236,6 +324,28 @@ object Bench {
               System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
           }
         }
+        // production-hash column at sf1 too (same registry entries,
+        // conf flipped — the former q137x/q175x twins' sf1 signal)
+        val sf1Xxh = collection.mutable.ListBuffer.empty[(String, Double)]
+        if (xxhNames.nonEmpty) {
+          spark.conf.set(graft.functions.Hashers.ConfKey, "xxh")
+          try xxhNames.foreach { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              sf1Xxh += name -> sec
+              System.err.println(f"[bench] sf1 $name%-24s $sec%8.3f s  (hasher=xxh)")
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] sf1 $name (xxh) FAILED: ${e.getMessage}")
+            }
+          } finally spark.conf.unset(graft.functions.Hashers.ConfKey)
+        }
+        if (writeHist) writeHistory("sf1", sf1Samples.toSeq)
+        val sf1Suspects = suspects(readHistory("sf1"), sf1Samples.toSeq)
+        val sf1SuspectJson = sf1Suspects.map("\"" + _ + "\"").mkString(
+          "\"inflation_suspect\":[", ",", "]")
         val sf1Total = sf1Samples.map(_._2).sum
         val sf1Slow = sf1Samples.sortBy(-_._2).take(5).toSeq
         // The id-shift replica turns every doc into a 10-clone clique, so
@@ -272,6 +382,7 @@ object Bench {
         sf1Json =
           f""""sf1":{"value":$sf1Total%.3f,"n_queries":${sf1Samples.size},""" +
           f""""n_failed":$sf1Failed,"factor":10,"slowest":${jsonMap(sf1Slow)},""" +
+          f""""queries_xxh":${jsonMap(sf1Xxh.toSeq)},""" + sf1SuspectJson + "," +
           ncJson + "}"
         System.err.println(f"[bench] sf1 total $sf1Total%.1f s over ${sf1Samples.size} queries, $sf1Failed failed")
       } catch {
@@ -281,7 +392,8 @@ object Bench {
       println(
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
         f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
-        f""""queries":${jsonMap(headline)},""" +
+        f""""queries":${jsonMap(headline)},"queries_xxh":${jsonMap(medXxh)},""" +
+        suspectJson + "," +
         ctl + "," + corpusCompact + "," + sf1Json + f""","sf":"$sfDir"}""")
     }
     // Exit 0 even with per-query failures: the "failed" JSON field carries

@@ -2597,16 +2597,6 @@ object SparkEntry {
   private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"))
 
-  /** PRODUCTION-hash twin of q137: identical plan with xxhash64 feature
-    * hashing instead of oracle-replayable md5. No DuckDB surface
-    * (xxhash64 isn't replayable there) → rows-only gate; it rides the
-    * bench so every round records the real serving rate next to the
-    * oracle rate (VERDICT r10 item 4).
-    */
-  private def qQualityClassifierXxh(s: SparkSession, dir: String): DataFrame =
-    graft.text.CorpusOps.hashedBigramQuality(rdWide(s, dir, "documents"),
-      hasher = "xxhash64")
-
   /** Davies–Bouldin cluster-quality audit over the q100 working set's
     * IVF clustering (same subset, seed, and trained centers): per-cluster
     * scatter in exact integer micro-units + the max overlap ratio.
@@ -2866,12 +2856,15 @@ object SparkEntry {
       Seq(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket")))
 
   /** Interpolated Kneser–Ney bigram LM scored per source
-    * ([[graft.text.CorpusOps.kneserNeyPerSource]]) — the smoothed-LM
-    * upgrade of q99's raw surprisal and the consumer of q149's
-    * continuation counts.
+    * ([[graft.text.CorpusOps.kneserNeyPerSourceHashed]]) — the
+    * smoothed-LM upgrade of q99's raw surprisal and the consumer of
+    * q149's continuation counts. Registered in the 60-bit hash-key form
+    * (every vocabulary join on md5Int60 longs, the oracle replaying the
+    * identical hash); the string-keyed form stays as CorpusOpsSpec's
+    * equality witness.
     */
   private def qKnScore(s: SparkSession, dir: String): DataFrame =
-    graft.text.CorpusOps.kneserNeyPerSource(rdWide(s, dir, "documents"))
+    graft.text.CorpusOps.kneserNeyPerSourceHashed(rdWide(s, dir, "documents"))
 
   /** Exact two-sample KS distance of each source's length distribution
     * vs the rest of the corpus ([[graft.stats.Stats.ksDrift]]) — the
@@ -3285,16 +3278,6 @@ object SparkEntry {
   private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"))
 
-  /** Bench-only twin of q175 with the xxhash64 hasher — measures the
-    * "production swaps xxhash64" claim the q175 PLANS entry carried
-    * unmeasured for two rounds (VERDICT r11 item 3), exactly as q137x
-    * measured q137's digest. No oracle (xxhash64 has no DuckDB twin);
-    * invariants spec-checked in DedupSpec's hasher-parity test.
-    */
-  private def qCdcDedupXxh(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.cdcSharedChunks(rdWide(s, dir, "documents"),
-      hasher = "xxh")
-
   /** Rocchio pseudo-relevance feedback (Rocchio 1971; the classic PRF
     * loop): retrieve top-10, average their vectors into a feedback
     * centroid, re-query with q' = q + 0.75·centroid, return the
@@ -3384,9 +3367,22 @@ object SparkEntry {
     * LSH width (the q118 discipline), so pair work stays constant per
     * bucket at any corpus size.
     */
-  private def qKnnLabelNoise(s: SparkSession, dir: String): DataFrame =
-    Ann.knnLabelNoise(rd(s, dir, "embeddings"), k = 3,
-      targetOccupancy = 8.0)
+  private def qKnnLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    // Planted label-pure clone groups (q157/q173 discipline): every 97th
+    // vector gains two exact copies at vec_id + 10M/+20M, so the verify
+    // corpus exercises the CLONE-COLLAPSE path (m_v = 3 co-clones fill
+    // internal slots; m_v ≤ k probes externally) instead of only the
+    // all-distinct fast path. The oracle replays the same planting
+    // verbatim and keeps the per-id phrasing — AnnSpec pins collapsed ==
+    // per-id on exactly this corpus class. Planting keeps bits stable:
+    // 500→512 points at verify scale is still occupancyBits = 6.
+    val base = rd(s, dir, "embeddings")
+    val clones = base.filter(col("vec_id") % 97 === 0)
+    val planted = base
+      .unionByName(clones.withColumn("vec_id", col("vec_id") + lit(10000000L)))
+      .unionByName(clones.withColumn("vec_id", col("vec_id") + lit(20000000L)))
+    Ann.knnLabelNoiseCollapsed(planted, k = 3, targetOccupancy = 8.0)
+  }
 
   /** Quality-signal agreement
     * ([[graft.text.CorpusOps.qualitySignalAgreement]]): per source, the
@@ -3679,16 +3675,22 @@ object SparkEntry {
   // ===========================================================================
 
   /** Bench-only probes: run by [[Bench]] alongside [[queries]] but NOT
-    * dumped by [[Verify]] — these deliberately have no DuckDB-expressible
-    * oracle (e.g. xxhash64 has no DuckDB twin; its semantics are proven by
-    * a JVM hasher-parity spec, CorpusOpsSpec). Keeping them out of the
-    * oracled registry keeps CORRECTNESS at N/N with zero `err` rows while
-    * the probes still contribute timing signal (VERDICT r11 item 2).
+    * dumped by [[Verify]] — the slot for anything with timing signal but
+    * no DuckDB-expressible oracle. Empty since the r12 xxh twins
+    * collapsed into the `spark.graft.hasher` conf ([[hasherSensitive]]):
+    * Bench now measures the xxh production path by flipping the conf on
+    * the SAME registry entries instead of running twin queries.
     */
-  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q137x_quality_xxh" -> (qQualityClassifierXxh _),
-    "q175x_cdc_xxh" -> (qCdcDedupXxh _)
-  )
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+
+  /** Queries whose hot kernel honors `spark.graft.hasher`: the oracle
+    * gate always runs them on the default (md5); [[Bench]] re-runs them
+    * with the conf set to `xxh` and reports the production-hash timing
+    * as `queries_xxh` next to the md5 column, from the same registry
+    * entry (VERDICT r12 item 3 — formerly the q137x/q175x twins).
+    */
+  val hasherSensitive: Seq[String] =
+    Seq("q137_quality_classifier", "q175_cdc_dedup")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5553,8 +5555,16 @@ object SparkEntry {
     // interpolated Kneser–Ney bigram LM (d = 0.75), scored per source:
     // P = max(c_ab−d,0)/c_a + d·r_cont/c_a · l_cont/b_types; bits =
     // −Σ n·ln P / ln 2 / Σ n, counts folded per (source, w1, w2) first
+    // joins keyed on the per-token 60-bit md5 prefix (the
+    // TokenPairHashes kernel contract: ('0x'||substr(md5(t),1,15))::BIGINT),
+    // mirroring the Spark hash-domain plan exactly — the KN statistics
+    // are count-shaped, so values match the string-keyed form unless two
+    // tokens collide in 60 bits, and a collision moves both engines
+    // identically
     "q160_kn_score" ->
-      """WITH toks AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      """WITH toks AS (SELECT source,
+        |   [('0x' || substr(md5(t), 1, 15))::BIGINT
+        |     for t in regexp_split_to_array(lower(trim(text)), '\s+')] AS w
         |   FROM documents),
         | pairs AS (SELECT source, p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n FROM
         |   (SELECT source, unnest([{'w1': w[i+1], 'w2': w[i+2]} for i in range(0, len(w) - 1)]) AS p
@@ -6160,12 +6170,21 @@ object SparkEntry {
          | min(cos) AS min_cos, max(worst_doc)::BIGINT AS worst_doc
          |FROM cosd JOIN worst USING (source) GROUP BY 1""".stripMargin,
 
-    // q118's bucket machinery at occupancy 8 (bits = ceil(log2(500/8)) = 6
-    // at the verify scale, where the oracle pins it); per-point 3-NN label
-    // disagreement folded per label
+    // q118's bucket machinery at occupancy 8 (bits = ceil(log2(512/8)) = 6
+    // at the verify scale with planting, where the oracle pins it);
+    // per-point 3-NN label disagreement folded per label. The planted
+    // clone groups (every 97th vec_id, two exact copies at +10M/+20M)
+    // mirror the Spark fixture verbatim; the oracle keeps the PER-ID
+    // phrasing — equality with the registered clone-collapsed plan is
+    // the point (AnnSpec pins it on this corpus class).
     "q183_knn_label_noise" ->
-      s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         |   ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+      s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings
+         |   UNION ALL SELECT vec_id + 10000000, label, embedding
+         |     FROM embeddings WHERE vec_id % 97 = 0
+         |   UNION ALL SELECT vec_id + 20000000, label, embedding
+         |     FROM embeddings WHERE vec_id % 97 = 0),
+         | b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |   ${bucketSql("embedding", 6)} AS bucket FROM emb),
          | sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
          | kept AS (SELECT b.* FROM b JOIN sz USING (bucket)
          |  WHERE n >= 2 AND n <= 4096),

@@ -1070,17 +1070,17 @@ object Dedup {
     */
   def cdcSharedChunks(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", groupCol: String = "source",
-                      modulus: Int = 64, hasher: String = "md5",
+                      modulus: Int = 64,
+                      hasher: String = graft.functions.Hashers.FromConf,
                       kernelCuts: Boolean = true): DataFrame = {
     require(modulus >= 2, s"need modulus >= 2, got $modulus")
-    require(hasher == "md5" || hasher == "xxh",
-      s"hasher must be md5 or xxh, got $hasher")
+    val h = graft.functions.Hashers.resolve(docs.sparkSession, hasher)
     def posHash(sub: String): String =
-      if (hasher == "md5")
+      if (h == "md5")
         s"cast(conv(substring(md5(cast($sub as binary)), 1, 8), 16, 10) as bigint)"
       else s"xxhash64(cast($sub as binary))"
     def chunkHash(sub: String): String =
-      if (hasher == "md5") s"md5(cast($sub as binary))"
+      if (h == "md5") s"md5(cast($sub as binary))"
       else s"cast(xxhash64(cast($sub as binary)) as string)"
     // composed per-position form: DedupSpec's equivalence witness for the
     // native kernel (the q137 discipline — the expression tree pays an
@@ -1096,7 +1096,7 @@ object Dedup {
          |ELSE array(0, length($textCol)) END""".stripMargin.replaceAll("\n", " ")
     val cuts =
       if (kernelCuts)
-        graft.functions.CdcCutPositions(col(textCol), modulus, hasher != "md5")
+        graft.functions.CdcCutPositions(col(textCol), modulus, h != "md5")
       else expr(cutsSql)
     val chunks = docs
       .filter(length(col(textCol)) > 0)

@@ -136,6 +136,101 @@ object TokenBigramHashes {
   }
 }
 
+/** Native adjacent-token hash-pair array: for every adjacent
+  * whitespace-token pair of `lower(trim(text))`, the 60-bit md5 prefix
+  * ([[HashFunctions.md5Int60]] contract) of EACH token separately —
+  * struct(h1, h2) in position order. This is the q160 Kneser–Ney
+  * feature extractor: the LM's joins (pairs ⋈ cab ⋈ ctx ⋈ lcont) need
+  * w1 and w2 as SEPARATE keys, so the combined-pair hash
+  * [[TokenBigramHashes]] emits cannot serve them; hashing each token
+  * once moves every downstream shuffle from variable-length string keys
+  * into fixed 8-byte longs (the measured ~2× class, q83/PERF.md r12).
+  *
+  * Each distinct token is digested once per occurrence position but the
+  * per-token byte encoding is done once per token slot, same as the
+  * sibling kernels; a sub-2-token text yields an empty array (the
+  * composed form's `size >= 2` filter semantics). Tokenization is
+  * exactly `split(lower(trim(text)), '\s+')` with keep-trailing-empties
+  * limit -1 and NO empty-token filter, matching
+  * [[graft.text.TextAnalysis.tokens]] and the DuckDB oracle's
+  * regexp_split_to_array. 60-bit collision odds on a V-token
+  * vocabulary are ~V²/2^61 (V = 10⁶ → 4·10⁻⁷) — and the oracle replays
+  * the identical hash, so a collision changes both engines identically.
+  */
+case class TokenPairHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenPairHashes.Schema
+
+  override def prettyName: String = "token_pair_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenPairHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenPairHashes.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenPairHashes {
+
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  def apply(c: Column): Column =
+    ColumnShim.column(TokenPairHashes(ColumnShim.expression(c)))
+
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5Int60: first 15 hex chars of md5 = 7 bytes + high nibble of the
+    * 8th, big-endian — `('0x' || substr(md5(t), 1, 15))::BIGINT` in the
+    * oracle.
+    */
+  private def h60(md: java.security.MessageDigest, tok: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(tok)
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
+    if (toks.length < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = digestLocal.get()
+    // hash each token slot once; pair j reuses slot j+1's hash as its h2
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      hs(i) = h60(md,
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val out = new Array[Any](toks.length - 1)
+    var j = 0
+    while (j < toks.length - 1) {
+      out(j) = new GenericInternalRow(Array[Any](hs(j), hs(j + 1)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native per-token 32-bit hash array: [[HashFunctions.md5Int32]] of
   * every whitespace token of `lower(trim(text))` (split limit -1, empty
   * tokens hashed like the composed `transform(tokens, h32)` form they

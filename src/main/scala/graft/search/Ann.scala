@@ -536,6 +536,136 @@ object Ann {
         col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 6))
   }
 
+  /** [[knnLabelNoise]] with clone collapse — the [[hubnessCloneCollapsed]]
+    * template applied to the label-noise screen (closes q183's clone
+    * hole: the per-id form's maxBucketSize cap DROPS clone-heavy buckets,
+    * so on a duplicate-heavy corpus the screen silently audits only the
+    * clean part; here pair work is O(distinct-occupancy²) regardless of
+    * clone multiplicity, so those buckets stay audited).
+    *
+    * Collapse unit: distinct (vector, label) subgroups with multiplicity
+    * m_vl, rolled up to per-vector totals m_v. Every point of a subgroup
+    * has identical neighbor stats, reconstructed closed-form:
+    *
+    *   - internal: a point's co-clones (cos exactly 1.0) outrank every
+    *     non-identical vector, so it takes c_int = min(k, m_v−1) of them;
+    *     when k cuts INSIDE the clone set, subgroups are consumed in
+    *     rep-id order (exact vs the per-id dst-asc order whenever each
+    *     subgroup's ids form contiguous ascending blocks — and label-pure
+    *     groups make the order irrelevant entirely);
+    *   - external: only vectors with m_v ≤ k have slots left; remaining
+    *     r = k − (m_v−1) slots fill greedily over DISTINCT same-bucket
+    *     vectors in (cos desc, rep asc) order with multiplicity m_w,
+    *     labels within a consumed-partway w again in rep-subgroup order.
+    *
+    * Exact vs [[knnLabelNoise]] except under cross-group cosine TIES cut
+    * mid-tie (per-id breaks ties by raw id across groups) — impossible
+    * on generic float vectors, and AnnSpec pins equality on all-distinct,
+    * planted label-pure-clone, and mixed-label-clone corpora. Bucket
+    * admission mirrors the per-id form with the cap reinterpreted:
+    * ≥ 2 POINTS (pairs exist) and ≤ maxBucketSize DISTINCT vectors (the
+    * quantity that actually bounds pair work here).
+    */
+  def knnLabelNoiseCollapsed(corpus: DataFrame, k: Int = 3,
+                             targetOccupancy: Double = 8.0,
+                             maxBucketSize: Int = 4096,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val bits = occupancyBits(corpus.count(), targetOccupancy)
+    // distinct (vector, label) subgroups; several consumers → checkpoint
+    val byVl = corpus
+      .groupBy(col(vecCol).as("__v"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("m_vl"), min(col(idCol)).as("rep_vl"))
+      .localCheckpoint(eager = true)
+    val byV = byVl.groupBy(col("__v"))
+      .agg(sum(col("m_vl")).as("m_v"), min(col("rep_vl")).as("rep"))
+      .withColumn("bucket", graft.functions.SignBucket(col("__v"), bits))
+      .localCheckpoint(eager = true)
+    val sized = byV.groupBy(col("bucket"))
+      .agg(sum(col("m_v")).as("__pts"), count(lit(1)).as("__nvec"))
+      .filter(col("__pts") >= 2 && col("__nvec") <= maxBucketSize)
+      .select(col("bucket"))
+    val kept = byV.join(sized, Seq("bucket"), "left_semi")
+
+    // ---- internal (co-clone) takes per src subgroup (v, l_src): the
+    // (subgroups × subgroups-of-same-vector) frame is tiny (labels per
+    // vector), never bucket-joined
+    val srcSub = byVl.join(kept.select(col("__v"), col("m_v")), Seq("__v"))
+      .select(col("__v"), col("__l").as("__ls"), col("m_vl").as("m_s"), col("m_v"))
+    val nbSub = byVl.select(col("__v"), col("__l").as("__ln"),
+      col("m_vl").as("m_n"), col("rep_vl").as("rep_n"))
+    val wInt = Window.partitionBy(col("__v"), col("__ls")).orderBy(col("rep_n").asc)
+    val cInt = least(lit(k.toLong), col("m_v") - 1)
+    val internal = srcSub.join(nbSub, Seq("__v"))
+      .withColumn("avail",
+        when(col("__ln") === col("__ls"), col("m_n") - 1).otherwise(col("m_n")))
+      .withColumn("cumb", coalesce(sum(col("avail")).over(
+        wInt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take", least(greatest(cInt - col("cumb"), lit(0L)), col("avail")))
+      .groupBy(col("__v"), col("__ls"))
+      .agg(max(col("m_s")).as("m_s"), max(col("m_v")).as("m_v"),
+        sum(col("take")).as("nb_int"),
+        sum(when(col("__ln") =!= col("__ls"), col("take")).otherwise(lit(0L)))
+          .as("diff_int"))
+
+    // ---- external takes: same-bucket DISTINCT-vector pairs, u side only
+    // vectors with slots left (m_v <= k), greedy over (cos desc, rep asc)
+    // with multiplicities — the hubnessCloneCollapsed edge discipline
+    val x = kept.filter(col("m_v") <= k)
+      .select(col("bucket"), col("__v").as("__vu"), col("rep").as("rep_u"),
+        col("m_v").as("m_u"))
+    val y = kept.select(col("bucket"), col("__v").as("__vw"),
+      col("rep").as("rep_w"), col("m_v").as("m_w"))
+    val wExt = Window.partitionBy(col("rep_u"))
+      .orderBy(col("__cos").desc, col("rep_w").asc)
+    val edges = x.join(y, Seq("bucket"))
+      .filter(col("rep_u") =!= col("rep_w"))
+      .withColumn("__cos", graft.functions.CosineSimilarity(
+        col("__vu").cast("array<double>"), col("__vw").cast("array<double>")))
+      .withColumn("cumw", coalesce(sum(col("m_w")).over(
+        wExt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take_w", least(
+        greatest(lit(k.toLong) - (col("m_u") - 1) - col("cumw"), lit(0L)),
+        col("m_w")))
+      .filter(col("take_w") > 0)
+      .select(col("__vu"), col("rep_u"), col("__vw").as("__vn"), col("take_w"))
+    // split a partially-consumed w across its label subgroups (rep order)
+    val wLab = Window.partitionBy(col("rep_u"), col("__vn"))
+      .orderBy(col("rep_vl").asc)
+    val extLab = edges
+      .join(byVl.select(col("__v").as("__vn"), col("__l").as("__ln"),
+        col("m_vl").as("m_n"), col("rep_vl")), Seq("__vn"))
+      .withColumn("cuml", coalesce(sum(col("m_n")).over(
+        wLab.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take_l", least(
+        greatest(col("take_w") - col("cuml"), lit(0L)), col("m_n")))
+      .filter(col("take_l") > 0)
+      .groupBy(col("__vu"), col("__ln"))
+      .agg(sum(col("take_l")).as("t"))
+      .localCheckpoint(eager = true) // consumed twice (totals + same-label)
+    val extTot = extLab.groupBy(col("__vu")).agg(sum(col("t")).as("nb_ext"))
+
+    // ---- per-subgroup stats × multiplicity → per-label rollup
+    internal
+      .join(extTot.withColumnRenamed("__vu", "__v"), Seq("__v"), "left")
+      .join(extLab.select(col("__vu").as("__v"), col("__ln").as("__ls"),
+        col("t").as("t_same")), Seq("__v", "__ls"), "left")
+      .withColumn("nb", col("nb_int") + coalesce(col("nb_ext"), lit(0L)))
+      .withColumn("diff", col("diff_int") +
+        coalesce(col("nb_ext"), lit(0L)) - coalesce(col("t_same"), lit(0L)))
+      .filter(col("nb") > 0)
+      .groupBy(col("__ls").as("label"))
+      .agg(sum(col("m_s")).as("n_points"),
+        sum(col("m_s") * col("nb")).as("n_neighbors"),
+        sum(col("m_s") * col("diff")).as("n_disagree"),
+        sum(when(col("diff") * 2 > col("nb"), col("m_s")).otherwise(lit(0L)))
+          .as("n_flagged"))
+      .withColumn("noise_rate", round(
+        col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 6))
+  }
+
   /** Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
     * criterion): candidate (src, tgt) pairs score
     * margin = cos / ((knn̄(src) + knn̄(tgt)) / 2) — similarity RELATIVE

@@ -277,10 +277,10 @@ object CorpusOps {
   }
 
   def hashedBigramQuality(docs: DataFrame, buckets: Int = 4096,
-                          topK: Int = 20, hasher: String = "md5"): DataFrame = {
+                          topK: Int = 20,
+                          hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    require(hasher == "md5" || hasher == "xxhash64",
-      s"hasher must be md5 or xxhash64, got $hasher")
+    val h = graft.functions.Hashers.resolve(docs.sparkSession, hasher)
     val weights = bigramWeightTable(buckets)
     // Per-occurrence feature hash — the ONLY per-token cost knob. md5 is
     // the oracle-replayable default (DuckDB computes the identical
@@ -295,7 +295,7 @@ object CorpusOps {
     // digest (md5 vs xxh was a wash at 100×).
     docs.select(col("doc_id"), col("source"),
         graft.functions.BigramWeightSum(col("text"), weights.toArray,
-          useXxHash = hasher != "md5").as("__bg"))
+          useXxHash = h != "md5").as("__bg"))
       .select(col("doc_id"), col("source"),
         col("__bg").getField("n_bigrams").as("n_bigrams"),
         col("__bg").getField("wsum").as("__wsum"))
@@ -315,12 +315,11 @@ object CorpusOps {
     */
   def hashedBigramQualityComposed(docs: DataFrame, buckets: Int = 4096,
                                   topK: Int = 20,
-                                  hasher: String = "md5"): DataFrame = {
+                                  hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    require(hasher == "md5" || hasher == "xxhash64",
-      s"hasher must be md5 or xxhash64, got $hasher")
+    val h = graft.functions.Hashers.resolve(docs.sparkSession, hasher)
     val weights = bigramWeightTable(buckets)
-    val bucketOf: Column => Column = hasher match {
+    val bucketOf: Column => Column = h match {
       case "md5" => g =>
         (graft.functions.HashFunctions.md5Int32(g) % buckets).cast("int")
       case _ => g => pmod(xxhash64(g), lit(buckets.toLong)).cast("int")
@@ -542,6 +541,58 @@ object CorpusOps {
       .join(cab, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .join(lcont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("pkn",
+        greatest(col("c_ab").cast("double") - d, lit(0.0)) / col("c_a").cast("double")
+          + d * col("r_cont").cast("double") / col("c_a").cast("double")
+            * (col("l_cont").cast("double") / col("b_types").cast("double")))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(-col("n").cast("double") * log(col("pkn"))).as("__nats"))
+      .select(col("source"), col("n_bigrams"),
+        round(col("__nats") / log(lit(2.0)) / col("n_bigrams").cast("double"), 6)
+          .as("kn_bits_per_bigram"))
+  }
+
+  /** [[kneserNeyPerSource]] with every vocabulary join moved into the
+    * 60-bit hash domain — the production form q160 registers. The
+    * string form shuffles (w1, w2) VARCHAR keys through four joins; at
+    * corpus scale the bigram vocabulary is tens of millions of rows and
+    * variable-length keys dominate the shuffle (the measured ~2× class:
+    * q83's distinct-count move, PERF.md r12). Here ONE codegen kernel
+    * ([[graft.functions.TokenPairHashes]]) tokenizes and hashes each
+    * token to its md5Int60 long in a single pass, so pairs/cab/ctx/lcont
+    * all key on fixed 8-byte longs and the string never leaves the scan.
+    *
+    * The KN statistics are count-shaped (c_ab, c(w1·), N1+(·w2), type
+    * counts), so the result is bit-identical to the string form unless
+    * two distinct TOKENS collide in 60 bits (~V²/2^61 — V = 10⁶ vocab →
+    * 4·10⁻⁷; a collision merges two context rows). CorpusOpsSpec pins
+    * hashed == string on the test corpora; the DuckDB oracle replays the
+    * identical per-token hash, so Spark and oracle move together even on
+    * a collision.
+    */
+  def kneserNeyPerSourceHashed(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"need 0 < discount < 1, got $discount")
+    val d = lit(discount)
+    val pairs = docs
+      .select(col("source"),
+        explode(graft.functions.TokenPairHashes(col("text"))).as("b"))
+      .select(col("source"), col("b.h1").as("h1"), col("b.h2").as("h2"))
+      .groupBy(col("source"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // three LM views + scoring read one tokenize
+    val cab = pairs.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("n")).as("c_ab"))
+      .localCheckpoint(eager = true)
+    val ctx = cab.groupBy(col("h1"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("r_cont"))
+    val lcont = cab.groupBy(col("h2")).agg(count(lit(1)).as("l_cont"))
+    val types = cab.agg(count(lit(1)).as("b_types"))
+    pairs
+      .join(cab, Seq("h1", "h2"))
+      .join(ctx, Seq("h1"))
+      .join(lcont, Seq("h2"))
       .crossJoin(broadcast(types))
       .withColumn("pkn",
         greatest(col("c_ab").cast("double") - d, lit(0.0)) / col("c_a").cast("double")

@@ -530,6 +530,77 @@ class AnnSpec extends SparkSpec {
     assert(!withLone.exists(_._1 == "c"), withLone.mkString(","))
   }
 
+  test("knnLabelNoiseCollapsed == knnLabelNoise on an all-distinct corpus") {
+    val rnd = new scala.util.Random(23)
+    val labels = Seq("a", "b", "c")
+    val data = (0L until 60L).map(i =>
+      (i, labels((i % 3).toInt), Seq.fill(6)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "label", "embedding")
+    val plain = Ann.knnLabelNoise(df, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val collapsed = Ann.knnLabelNoiseCollapsed(df, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(collapsed == plain, s"got $collapsed want $plain")
+  }
+
+  test("knnLabelNoiseCollapsed == knnLabelNoise on planted clone groups " +
+    "(label-pure and mixed-label)") {
+    // multiplicities straddle the closed-form regimes (m=1 external-only,
+    // m=k internal+1 external slot, m=k+1 exactly filled, m>k+1
+    // internal-cut), and one group mixes labels with each subgroup's ids
+    // a contiguous ascending block (the layout under which the collapsed
+    // rep-order convention is exact vs the per-id dst-asc order)
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 8).map(_ => Seq.fill(6)(rnd.nextGaussian().toFloat))
+    // (group, members as (id, label)): ids blocked per subgroup
+    val members: Seq[Seq[(Long, String)]] = Seq(
+      Seq((0L, "a")),                                         // m=1
+      Seq((100L, "a"), (101L, "a"), (102L, "a")),             // m=k, pure
+      Seq((200L, "b"), (201L, "b"), (202L, "b"), (203L, "b")),// m=k+1, pure
+      Seq((300L, "a"), (301L, "a"), (310L, "b"), (311L, "b"), (312L, "b"),
+        (320L, "c")),                                         // m>k+1, MIXED
+      Seq((400L, "c")),                                       // m=1
+      Seq((500L, "b"), (501L, "b")),                          // m=2
+      Seq((600L, "a")),                                       // m=1
+      Seq((700L, "c"), (701L, "c"), (702L, "c"), (703L, "c"), (704L, "c")))
+    val rows = base.zip(members).flatMap { case (v, ms) =>
+      ms.map { case (id, l) => (id, l, v) }
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val plain = Ann.knnLabelNoise(df, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val collapsed = Ann.knnLabelNoiseCollapsed(df, k = 3, targetOccupancy = 8.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(collapsed == plain, s"got $collapsed want $plain")
+    // total audited points = every point in a kept bucket, both forms
+    assert(collapsed.toSeq.map(_._2).sum == plain.toSeq.map(_._2).sum)
+  }
+
+  test("knnLabelNoiseCollapsed audits the clone-heavy bucket the per-id " +
+    "cap would drop (the q183 hole)") {
+    // 40 clones of one vector + 2 distinct points in the same bucket:
+    // per-id with maxBucketSize=16 drops the bucket (42 points) and
+    // audits nothing there; collapsed counts 3 DISTINCT vectors — far
+    // under the cap — and keeps all 42 points in the audit
+    val v = Seq(0.9f, 0.8f, 0.7f, 0.6f)
+    val rows =
+      (0L until 40L).map(i => (i, "a", v)) ++
+        Seq((100L, "b", Seq(0.9f, 0.8f, 0.7f, 0.61f)),
+          (101L, "a", Seq(0.9f, 0.81f, 0.7f, 0.6f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val perId = Ann.knnLabelNoise(df, k = 3, targetOccupancy = 8.0,
+      maxBucketSize = 16).as[(String, Long, Long, Long, Long, Double)].collect()
+    val collapsed = Ann.knnLabelNoiseCollapsed(df, k = 3,
+      targetOccupancy = 8.0, maxBucketSize = 16)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(collapsed.map(_._2).sum > perId.map(_._2).sum,
+      s"collapsed=${collapsed.mkString(",")} perId=${perId.mkString(",")}")
+    assert(collapsed.map(_._2).sum == 42L, collapsed.mkString(","))
+    // the 40 clones each take k=3 co-clone neighbors, all same-label
+    val a = collapsed.find(_._1 == "a").get
+    assert(a._2 == 41L, a.toString)
+  }
+
   test("bucketOutliers: brute-force equality on distinct corpus; clones score 0") {
     // one bucket (all-positive first dims at bits=4): distances fully
     // computable by hand-replica; k=2

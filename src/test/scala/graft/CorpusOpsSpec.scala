@@ -149,6 +149,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("spark.graft.hasher conf drives the default hasher (md5 unset, xxh set)") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "s"),
+      (3L, "alpha beta", "t"),
+      (4L, "kappa lambda mu", "u"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // default (conf unset) == explicit md5, the oracle path
+    val viaDefault = rows(CorpusOps.hashedBigramQuality(d, topK = 10))
+    assert(viaDefault == rows(
+      CorpusOps.hashedBigramQuality(d, topK = 10, hasher = "md5")))
+    spark.conf.set(graft.functions.Hashers.ConfKey, "xxh")
+    try {
+      // conf=xxh == explicit xxhash64, from the same call site
+      assert(rows(CorpusOps.hashedBigramQuality(d, topK = 10)) == rows(
+        CorpusOps.hashedBigramQuality(d, topK = 10, hasher = "xxhash64")))
+      // an explicit argument always beats the conf
+      assert(rows(CorpusOps.hashedBigramQuality(d, topK = 10, hasher = "md5"))
+        == viaDefault)
+    } finally spark.conf.unset(graft.functions.Hashers.ConfKey)
+    spark.conf.set(graft.functions.Hashers.ConfKey, "blake3")
+    try intercept[IllegalArgumentException](
+      CorpusOps.hashedBigramQuality(d, topK = 10))
+    finally spark.conf.unset(graft.functions.Hashers.ConfKey)
+  }
+
   test("hashedBigramQuality hasher parity: xxhash64 twin keeps plan semantics") {
     val d = docs(
       (1L, "alpha beta gamma delta", "s"),
@@ -352,6 +379,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("B")._2 == 2.0, got.toString)
     val wantA = -(2.0 * math.log(7.0 / 12.0) + math.log(0.5)) / math.log(2.0) / 3.0
     assert(math.abs(got("A")._2 - wantA) < 2e-6, s"${got("A")._2} vs $wantA")
+  }
+
+  test("kneserNeyPerSourceHashed == string-keyed form (the q160 hash-domain witness)") {
+    // The registered q160 keys its four LM joins on TokenPairHashes'
+    // per-token md5Int60 longs; the string-keyed form is the readable
+    // spec of the semantics. Equality must hold bit-exact on a corpus
+    // with repeated bigrams, multi-source overlap, adversarial
+    // whitespace (leading TAB — Spark trim strips only ASCII space —
+    // plus a double space making an empty token), and mixed case.
+    val d = docs(
+      (1L, "a b a b the cat", "A"),
+      (2L, "\tThe  cat a c", "B"),
+      (3L, "b a THE the cat cat", "A"),
+      (4L, "solo", "C")) // < 2 tokens: contributes nothing in both forms
+    val str = CorpusOps.kneserNeyPerSource(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hsh = CorpusOps.kneserNeyPerSourceHashed(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hsh == str, s"$hsh vs $str")
   }
 
   test("kneserNeyPerSource: discounted probabilities leave mass for unseen continuations") {

@@ -618,6 +618,17 @@ class DedupSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](
       Dedup.cdcSharedChunks(clones, hasher = "sha1"))
+    // spark.graft.hasher conf drives the default-arg path (item the
+    // q175x twin used to cover): conf=xxh == explicit xxh, bit-exact
+    spark.conf.set(graft.functions.Hashers.ConfKey, "xxh")
+    try {
+      val viaConf = Dedup.cdcSharedChunks(clones).collect().head
+      val explicit = Dedup.cdcSharedChunks(clones, hasher = "xxh").collect().head
+      assert(viaConf.toString == explicit.toString)
+    } finally spark.conf.unset(graft.functions.Hashers.ConfKey)
+    val defaultIsMd5 = Dedup.cdcSharedChunks(clones).collect().head
+    assert(defaultIsMd5.toString ==
+      Dedup.cdcSharedChunks(clones, hasher = "md5").collect().head.toString)
   }
 
   test("cdcSharedChunks: native cut kernel == composed per-position form, " +
