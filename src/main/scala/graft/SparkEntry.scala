@@ -3395,6 +3395,49 @@ object SparkEntry {
   private def qSignalAgreement(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.qualitySignalAgreement(rdWide(s, dir, "documents"))
 
+  /** Duplicate-group size power law
+    * ([[graft.dedup.Dedup.dupSizePowerlaw]]): exact-dup group-size
+    * histogram + the Clauset-MLE exponent — the dedup-economics read
+    * (head-heavy vs diffuse duplication). Planted multiplicities (every
+    * 9th doc +1 copy, every 27th +1 more, every 81st +1 more — sizes
+    * 2/3/4 at the verify scale, oracle-mirrored) keep the distribution
+    * non-degenerate on the clone-free driver corpus.
+    */
+  private def qDupPowerlaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents").select(col("doc_id"), col("text"))
+    def copies(mod: Int, off: Long) = docs
+      .filter(col("doc_id") % mod === 0)
+      .withColumn("doc_id", col("doc_id") + lit(off))
+    val planted = docs
+      .unionByName(copies(9, 50000000L))
+      .unionByName(copies(27, 60000000L))
+      .unionByName(copies(81, 70000000L))
+    graft.dedup.Dedup.dupSizePowerlaw(planted)
+  }
+
+  /** Embedding variance-spectrum health ([[graft.stats.Stats
+    * .effectiveRank]]): effective rank (exp-entropy of the normalized
+    * per-dim variances), participation ratio, top-dimension share —
+    * the one-row dimension-collapse gate next to q176's per-dim table.
+    */
+  private def qEffectiveRank(s: SparkSession, dir: String): DataFrame =
+    Stats.effectiveRank(rd(s, dir, "embeddings"))
+
+  /** Token-mass filter funnel ([[graft.text.QualityRules.tokenFunnel]]):
+    * tokens (not docs) surviving raw → lang → Gopher → exact-dedup →
+    * length cap, applied cumulatively. Planted clones of every 9th doc
+    * (oracle-mirrored) make the dedup stage non-vacuous on the
+    * clone-free driver corpus.
+    */
+  private def qTokenFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(80000000L)))
+    graft.text.QualityRules.tokenFunnel(planted)
+  }
+
   /** Dedup scaling curve ([[graft.dedup.Dedup.dedupScalingCurve]]):
     * exact-dup rate at nested 10/20/50/100% corpus samples — the
     * marginal-crawl-value read (steepening dup rate ⇒ the next crawl
@@ -3880,6 +3923,9 @@ object SparkEntry {
     "q184_signal_agreement" -> (qSignalAgreement _),
     "q185_dedup_scaling" -> (qDedupScaling _),
     "q186_nprobe_curve" -> (qNprobeCurve _),
+    "q187_dup_powerlaw" -> (qDupPowerlaw _),
+    "q188_effective_rank" -> (qEffectiveRank _),
+    "q189_token_funnel" -> (qTokenFunnel _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6264,6 +6310,109 @@ object SparkEntry {
          | (n - d)::BIGINT AS n_dups,
          | CASE WHEN n > 0 THEN round((n - d)::DOUBLE / n::DOUBLE, 6) END AS dup_rate
          |FROM pts""".stripMargin,
+
+    // exact-dup group sizes over the planted-multiplicity corpus
+    // (sizes 2/3/4 from the %9/%27/%81 copies); α = Clauset 2009 eq.
+    // 3.7 at xmin=1, folded over the SIZE-ORDERED histogram on both
+    // engines so the 6dp output can't ride on reduce order
+    "q187_dup_powerlaw" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | planted AS (SELECT text FROM base
+        |   UNION ALL SELECT text FROM base WHERE doc_id % 9 = 0
+        |   UNION ALL SELECT text FROM base WHERE doc_id % 27 = 0
+        |   UNION ALL SELECT text FROM base WHERE doc_id % 81 = 0),
+        | g AS (SELECT md5(coalesce(text, '')) AS h, count(*)::BIGINT AS sz
+        |  FROM planted GROUP BY 1),
+        | hist AS (SELECT sz, count(*)::BIGINT AS n_groups FROM g GROUP BY 1),
+        | a AS (SELECT sum(n_groups)::BIGINT AS n,
+        |   list_sum(list(n_groups * ln(sz / 0.5) ORDER BY sz)) AS lnsum
+        |  FROM hist)
+        |SELECT sz::BIGINT AS group_size, n_groups,
+        | (sz * n_groups)::BIGINT AS n_docs,
+        | round(1.0 + n / lnsum, 6) AS alpha_mle, n AS n_groups_total
+        |FROM hist CROSS JOIN a""".stripMargin,
+
+    // q176's per-dim moments, variances rounded to 6dp BEFORE the
+    // spectrum statistics (identical fold inputs on both engines; the
+    // dim-ordered list makes the fold order explicit)
+    "q188_effective_rank" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        | d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        | u0 AS (SELECT v, unnest(range(1, dim + 1)) AS j FROM e CROSS JOIN d),
+        | u AS (SELECT (j - 1)::BIGINT AS dm, v[j] AS x FROM u0),
+        | s AS (SELECT dm, sum(x) AS sx, sum(x * x) AS sxx,
+        |   count(*)::BIGINT AS n FROM u GROUP BY 1),
+        | vs AS (SELECT list(round(sxx / n - (sx / n) * (sx / n), 6)
+        |     ORDER BY dm) AS v, max(n)::BIGINT AS nv FROM s),
+        | sc AS (SELECT v, nv, len(v)::BIGINT AS nd, list_sum(v) AS tot,
+        |   list_sum(list_transform(v, x -> x * x)) AS sq FROM vs),
+        | en AS (SELECT *, list_sum(list_transform(v, x ->
+        |     CASE WHEN x > 0 AND tot > 0
+        |       THEN -(x / tot) * ln(x / tot) ELSE 0.0 END)) AS ent
+        |  FROM sc)
+        |SELECT nd AS n_dims, nv AS n_vectors,
+        | round(tot, 6) AS total_variance,
+        | CASE WHEN tot > 0 THEN round(exp(ent), 6) END AS effective_rank,
+        | CASE WHEN sq > 0 THEN round(tot * tot / sq, 6) END
+        |   AS participation_ratio,
+        | CASE WHEN tot > 0 THEN round(list_max(v) / tot, 6) END
+        |   AS top_dim_share
+        |FROM en""".stripMargin,
+
+    // cumulative token-mass funnel over the %9-clone-planted corpus;
+    // rule tests are q111's integer cross-multiplications; dedup-keep
+    // ranks among stage-2 SURVIVORS (prior-survivor window = 0)
+    "q189_token_funnel" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        | planted AS (SELECT * FROM base UNION ALL
+        |   SELECT doc_id + 80000000, text, lang FROM base WHERE doc_id % 9 = 0),
+        | dd AS (SELECT doc_id, lang, lower(trim(text)) AS t,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |   md5(text) AS h FROM planted),
+        | f AS (SELECT doc_id, lang, h, len(w)::BIGINT AS ntok,
+        |   list_sum(list_transform(w, x -> len(x)))::BIGINT AS sumlen,
+        |   (len(t) - len(replace(t, '#', '')))::BIGINT AS nhash,
+        |   ((len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS nell,
+        |   len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::BIGINT AS nalpha,
+        |   len(list_intersect(list_distinct(w),
+        |       ['the','a','of','and','to','in','is','it']))::BIGINT AS stop
+        |  FROM dd),
+        | c AS (SELECT doc_id, h, ntok, (lang = 'en') AS c1,
+        |   (lang = 'en' AND ntok >= 30 AND ntok <= 100000
+        |    AND 3 * ntok <= sumlen AND sumlen <= 10 * ntok
+        |    AND (nhash + nell) * 10 <= ntok AND nalpha * 5 >= ntok * 4
+        |    AND stop >= 2) AS c2
+        |  FROM f),
+        | k AS (SELECT ntok, c1, c2, coalesce(
+        |    sum(CASE WHEN c2 THEN 1 ELSE 0 END) OVER (PARTITION BY h
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM c),
+        | st AS (SELECT ntok, c1, c2, (c2 AND prior = 0) AS c3,
+        |   (c2 AND prior = 0 AND ntok <= 80) AS c4 FROM k),
+        | agg AS (SELECT count(*)::BIGINT AS d0, sum(ntok)::BIGINT AS t0,
+        |   sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |   coalesce(sum(CASE WHEN c1 THEN ntok END), 0)::BIGINT AS t1,
+        |   sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |   coalesce(sum(CASE WHEN c2 THEN ntok END), 0)::BIGINT AS t2,
+        |   sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        |   coalesce(sum(CASE WHEN c3 THEN ntok END), 0)::BIGINT AS t3,
+        |   sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+        |   coalesce(sum(CASE WHEN c4 THEN ntok END), 0)::BIGINT AS t4
+        |  FROM st),
+        | pts AS (SELECT unnest([
+        |   {'stage': 0, 'nm': '0_raw',     'd': d0, 't': t0},
+        |   {'stage': 1, 'nm': '1_lang',    'd': d1, 't': t1},
+        |   {'stage': 2, 'nm': '2_gopher',  'd': d2, 't': t2},
+        |   {'stage': 3, 'nm': '3_dedup',   'd': d3, 't': t3},
+        |   {'stage': 4, 'nm': '4_len_cap', 'd': d4, 't': t4}],
+        |   recursive := true), t0 AS raw FROM agg)
+        |SELECT stage::BIGINT AS stage, nm AS stage_name, d AS n_docs,
+        | t AS n_tokens,
+        | CASE WHEN raw > 0 THEN round(t::DOUBLE / raw::DOUBLE, 6) END
+        |   AS token_frac_of_raw
+        |FROM pts""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

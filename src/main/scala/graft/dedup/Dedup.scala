@@ -388,12 +388,20 @@ object Dedup {
                         den: Int = 10): DataFrame = {
     require(numerators.nonEmpty && numerators.forall(k => k >= 1 && k <= den),
       s"need 1 <= k <= $den for every curve point, got $numerators")
+    // degenerate rows are counted DETERMINISTICALLY, not dropped (ADVICE
+    // r12): a null id hashes as "" (stable bucket, so the doc is in the
+    // same nested subsets every run instead of silently vanishing from
+    // all of them — including the 100% point), and a null text groups
+    // with the empty string (null md5 would otherwise collapse all null
+    // texts into one NULL group-key "duplicate" cluster by accident;
+    // empty-vs-null is not a distinction an exact-dup curve should draw)
     val bucket = pmod(graft.functions.HashFunctions
-      .md5Int32(col(idCol).cast("string")), lit(den.toLong))
+      .md5Int32(coalesce(col(idCol).cast("string"), lit(""))), lit(den.toLong))
     val subsetCols = numerators.map(k =>
       sum(when(col("__bk") < k, 1L).otherwise(0L)).as(s"c_$k"))
     val perHash = docs
-      .select(md5(col(textCol).cast("binary")).as("__h"), bucket.as("__bk"))
+      .select(md5(coalesce(col(textCol), lit("")).cast("binary")).as("__h"),
+        bucket.as("__bk"))
       .groupBy(col("__h"))
       .agg(subsetCols.head, subsetCols.tail: _*)
     val rollCols = numerators.flatMap(k => Seq(
@@ -409,6 +417,50 @@ object Dedup {
         when(col("p.n_docs") > 0, round(
           (col("p.n_docs") - col("p.n_distinct")).cast("double") /
             col("p.n_docs").cast("double"), 6)).as("dup_rate"))
+  }
+
+  /** Duplicate-group size distribution + discrete power-law exponent:
+    * exact-duplicate groups (md5 of text; singletons are size-1 groups),
+    * their size histogram, and the continuous-approximation MLE of the
+    * power-law exponent at xmin = 1 (Clauset, Shalizi & Newman 2009,
+    * eq. 3.7: α = 1 + N / Σᵢ ln(xᵢ / (xmin − ½))) — the dedup-ECONOMICS
+    * read q185's scaling curve doesn't give: a heavy tail (small α)
+    * means a few giant clone families own the dup mass (dedup = kill
+    * the head), while large α means diffuse pairwise dups (dedup must
+    * be exhaustive to matter). The α estimate is exact given the
+    * histogram, and the histogram is exact.
+    *
+    * Scale shape: ONE text-hash projection → ONE hash-keyed aggregate
+    * (group sizes) → ONE size-keyed aggregate (histogram, ≤ O(√N_docs)
+    * distinct sizes at any corpus — Σ sz·n_sz = N bounds the frame) →
+    * the α scalar folds the SORTED histogram sequentially inside one
+    * row (deterministic summation order, the q180 discipline — both
+    * engines fold identical rounded terms in size order, so the 6dp
+    * output can't wobble on reduce order). Histogram rows + the 1-row
+    * α broadcast are the only things that move after the group-size
+    * shuffle.
+    */
+  def dupSizePowerlaw(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sizes = docs
+      .select(md5(coalesce(col(textCol), lit("")).cast("binary")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__sz"))
+    val hist = sizes.groupBy(col("__sz")).agg(count(lit(1)).as("n_groups"))
+      .localCheckpoint(eager = true) // feeds the α fold AND the output
+    val alpha = hist
+      .agg(sort_array(collect_list(struct(col("__sz"), col("n_groups"))))
+        .as("__hrows"))
+      .withColumn("__n", expr(
+        "aggregate(__hrows, 0L, (a, e) -> a + e.n_groups)"))
+      .withColumn("__lnsum", expr(
+        "aggregate(__hrows, cast(0 as double), " +
+          "(a, e) -> a + e.n_groups * ln(e.__sz / 0.5))"))
+      .select(round(lit(1.0) + col("__n") / col("__lnsum"), 6).as("alpha_mle"),
+        col("__n").as("n_groups_total"))
+    hist
+      .select(col("__sz").as("group_size"), col("n_groups"),
+        (col("__sz") * col("n_groups")).as("n_docs"))
+      .crossJoin(broadcast(alpha))
   }
 
   /** Clone-collapsed aggregate form of [[editNearPairs]]: per

@@ -35,9 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields (0, 0), which the caller's `n_bigrams > 0` filter drops —
   * exactly the composed form's empty-array semantics.
   */
-case class BigramWeightSum(child: Expression, weights: Array[Long],
+case class BigramWeightSum(child: Expression, weights: IndexedSeq[Long],
                            useXxHash: Boolean)
   extends UnaryExpression {
+
+  // case-class field is an IndexedSeq (content equals/hashCode) so two
+  // semantically identical instances canonicalize equal — an Array field
+  // compares by reference and defeats Catalyst CSE (ADVICE r12); the
+  // eval/codegen hot path still sees a primitive long[]
+  @transient private lazy val weightsArr: Array[Long] = weights.toArray
 
   override def dataType: DataType = BigramWeightSum.Schema
 
@@ -50,10 +56,10 @@ case class BigramWeightSum(child: Expression, weights: Array[Long],
   }
 
   override def nullSafeEval(input: Any): Any =
-    BigramWeightSum.compute(input.asInstanceOf[UTF8String], weights, useXxHash)
+    BigramWeightSum.compute(input.asInstanceOf[UTF8String], weightsArr, useXxHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("bigramWeights", weights, "long[]")
+    val w = ctx.addReferenceObj("bigramWeights", weightsArr, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.BigramWeightSum.compute($a, $w, $useXxHash);")
   }
@@ -293,7 +299,7 @@ object BigramWeightSum {
     StructField("wsum", LongType, nullable = false),
     StructField("n_bigrams", LongType, nullable = false)))
 
-  def apply(c: Column, weights: Array[Long], useXxHash: Boolean): Column =
+  def apply(c: Column, weights: IndexedSeq[Long], useXxHash: Boolean): Column =
     ColumnShim.column(BigramWeightSum(
       ColumnShim.expression(c), weights, useXxHash))
 

@@ -666,10 +666,15 @@ object Stats {
       .join(ph, Seq(typeCol, "__h"), "left")
       .select(col(typeCol), col("__h"),
         coalesce(col("__c"), lit(0L)).cast("double").as("__y"))
-    val means = grid.groupBy(col(typeCol))
-      .agg(avg(col("__y")).as("__mu"), count(lit(1)).as("__n"))
-    val lw = w.partitionBy(col(typeCol)).orderBy(col("__h"))
-    val lagged = lags.foldLeft(grid.join(means, Seq(typeCol))) { (d, l) =>
+    // per-type mean/count as PARTITIONED window expressions instead of a
+    // groupBy + join-back (one fewer broadcast-build job; same
+    // calendar-bounded frame — the r13 q179 discipline)
+    val wt = w.partitionBy(col(typeCol))
+    val lw = wt.orderBy(col("__h"))
+    val withMu = grid
+      .withColumn("__mu", avg(col("__y")).over(wt))
+      .withColumn("__n", count(lit(1)).over(wt))
+    val lagged = lags.foldLeft(withMu) { (d, l) =>
       d.withColumn(s"__y$l", lag(col("__y"), l).over(lw))
     }
     val aggs =
@@ -767,34 +772,86 @@ object Stats {
                     tsCol: String = "ts", k: Double = 3.0): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val w = org.apache.spark.sql.expressions.Window
+    val wt = w.partitionBy(col(typeCol))
     val (grid, _) = dayCountGrid(events, typeCol, tsCol)
-    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
-      df.withColumn("__rn", row_number().over(
-          w.partitionBy(col(typeCol)).orderBy(col(valueCol))))
-        .withColumn("__n", count(lit(1)).over(w.partitionBy(col(typeCol))))
-        .filter(col("__rn") * 2 >= col("__n"))
-        .groupBy(col(typeCol)).agg(min(col(valueCol)).as(out))
-    val med = lowerMedian(grid, "__c", "__med")
-    val withAd = grid.join(med, Seq(typeCol))
+    // Both median rounds as PARTITIONED window expressions over the
+    // calendar-bounded grid — the lower median is
+    // min(value | rn·2 ≥ n) within the type partition, so neither round
+    // needs the filter→groupBy→join-back (each of which cost a
+    // broadcast-build job; the r12 audit measured 19 jobs, VERDICT item
+    // 6). The whole screen is now one window-chained pass: grid →
+    // median → |deviation| → MAD → flags/worst-day → |types|-row
+    // aggregate. Every window is type-partitioned over
+    // |types|·|corpus days| rows — calendar-bounded, never corpus-sized.
+    val g = grid
+      .withColumn("__rn", row_number().over(wt.orderBy(col("__c"))))
+      .withColumn("__n", count(lit(1)).over(wt))
+      .withColumn("__med",
+        min(when(col("__rn") * 2 >= col("__n"), col("__c"))).over(wt))
       .withColumn("__ad", abs(col("__c") - col("__med")))
-    val mad = lowerMedian(withAd, "__ad", "__mad")
-    val flagged = withAd.join(mad, Seq(typeCol))
+      .withColumn("__rn2", row_number().over(wt.orderBy(col("__ad"))))
+      .withColumn("__mad",
+        min(when(col("__rn2") * 2 >= col("__n"), col("__ad"))).over(wt))
       .withColumn("__anom",
         col("__mad") > 0 && col("__ad").cast("double") > lit(k) * col("__mad"))
-    val worst = flagged
       .withColumn("__wrn", row_number().over(
-        w.partitionBy(col(typeCol)).orderBy(col("__ad").desc, col("__d").desc)))
-      .filter(col("__wrn") === 1)
-      // ISO string, not DateType: date columns reach pandas as objects
-      // on one engine and datetime64 on the other — strings compare flat
-      .select(col(typeCol),
-        date_format(col("__d"), "yyyy-MM-dd").as("worst_day"),
-        col("__c").as("worst_cnt"))
-    flagged.groupBy(col(typeCol))
+        wt.orderBy(col("__ad").desc, col("__d").desc)))
+    g.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_days"), max(col("__med")).as("median_cnt"),
         max(col("__mad")).as("mad"),
-        coalesce(sum(when(col("__anom"), 1L)), lit(0L)).as("n_anomalous"))
-      .join(worst, Seq(typeCol))
+        coalesce(sum(when(col("__anom"), 1L)), lit(0L)).as("n_anomalous"),
+        // ISO string, not DateType: date columns reach pandas as objects
+        // on one engine and datetime64 on the other — strings compare flat
+        max(when(col("__wrn") === 1,
+          date_format(col("__d"), "yyyy-MM-dd"))).as("worst_day"),
+        max(when(col("__wrn") === 1, col("__c"))).as("worst_cnt"))
+  }
+
+  /** Embedding-space dimension-collapse audit: the variance spectrum's
+    * effective rank (Roy & Vetterli 2007 — exp of the entropy of the
+    * normalized per-dimension variances), participation ratio
+    * ((Σv)²/Σv²), and top-dimension share. The representation-health
+    * read next to q176's per-dimension table and q126's whitening: an
+    * encoder whose 384-dim output has effective rank 40 wastes 90% of
+    * its index/memory budget and makes cosine scores cluster — the
+    * anisotropy failure the whitening fix exists for. One number per
+    * concept so the audit can gate a pipeline.
+    *
+    * Exactness discipline: per-dimension variances come from ONE
+    * map-side moments pass (q176's aggregator) and are ROUNDED to 6dp
+    * BEFORE the spectrum statistics, so both engines fold over
+    * IDENTICAL inputs; the folds themselves run sequentially in
+    * dimension order inside a 1-row frame (`aggregate` HOF / ordered
+    * list), so reduce-order float noise is ~1e-15 on same inputs —
+    * invisible at the 6dp output. Nothing but the 1-row moments struct
+    * ever leaves the scan.
+    */
+  def effectiveRank(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val m = emb
+      .agg(graft.functions.VectorAggregates
+        .moments(col(vecCol).cast("array<double>")).as("m"))
+      .select(col("m.sum").as("__s"), col("m.sumsq").as("__ss"),
+        col("m.n").as("__n"))
+    m.withColumn("__vars", expr(
+        "transform(arrays_zip(__s, __ss), " +
+          "x -> round(x.__ss / __n - (x.__s / __n) * (x.__s / __n), 6))"))
+      .withColumn("__tot", expr(
+        "aggregate(__vars, cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("__sq", expr(
+        "aggregate(__vars, cast(0 as double), (a, x) -> a + x * x)"))
+      .withColumn("__ent", expr(
+        "aggregate(__vars, cast(0 as double), (a, x) -> a + " +
+          "(CASE WHEN x > 0 AND __tot > 0 " +
+          "THEN -(x / __tot) * ln(x / __tot) ELSE cast(0 as double) END))"))
+      .select(
+        expr("size(__vars)").cast("long").as("n_dims"),
+        col("__n").as("n_vectors"),
+        round(col("__tot"), 6).as("total_variance"),
+        when(col("__tot") > 0, round(exp(col("__ent")), 6)).as("effective_rank"),
+        when(col("__sq") > 0, round(col("__tot") * col("__tot") / col("__sq"), 6))
+          .as("participation_ratio"),
+        when(col("__tot") > 0,
+          round(expr("array_max(__vars)") / col("__tot"), 6)).as("top_dim_share"))
   }
 
   /** Mutual information between two categorical columns (nats), with

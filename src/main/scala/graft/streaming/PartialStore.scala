@@ -47,6 +47,29 @@ private[streaming] object PartialStore {
         s"$who refused: retry after compact() returns, or run " +
         "PartialStore.restore() if it crashed")
 
+  /** The reader entry point: check the lock, snapshot the store's file
+    * listing (parquet DataFrame construction builds its file index
+    * EAGERLY, so a compaction that starts after this line can only fail
+    * the eventual scan loudly with missing files, never silently empty
+    * it), then check the lock AGAIN. The second check closes the
+    * check-then-act window ADVICE r12 called out: a compactor that
+    * acquired the lock between the first check and the listing is still
+    * inside its critical section (the lock spans move-out…move-in), so
+    * the race surfaces as a refusal rather than an empty frame. Residual
+    * (documented best-effort): a compactor whose ENTIRE cycle —
+    * acquire, swap, release — fits between the two checks could still
+    * slip a stale listing through; with compactions that rewrite the
+    * whole store this is sub-millisecond-window improbable, and the
+    * outcome is a loud FileNotFound at scan time, not silent emptiness.
+    */
+  def guardedRead(spark: SparkSession, storeDir: String,
+                  who: String): org.apache.spark.sql.DataFrame = {
+    assertUnlocked(storeDir, who)
+    val df = spark.read.parquet(storeDir)
+    assertUnlocked(storeDir, who)
+    df
+  }
+
   /** Collapse every `batch_id=*` dir of `storeDir` into `batch_id=-1`
     * holding `merged` (the caller's already-merged view of the store).
     * Returns (mergedRows, batchDirsBefore).

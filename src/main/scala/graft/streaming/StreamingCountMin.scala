@@ -48,8 +48,7 @@ object StreamingCountMin {
     * batch_id partition column from the idempotent layout is ignored).
     */
   def sketchFromStore(spark: SparkSession, storeDir: String): DataFrame = {
-    PartialStore.assertUnlocked(storeDir, "sketchFromStore")
-    spark.read.parquet(storeDir)
+    PartialStore.guardedRead(spark, storeDir, "sketchFromStore")
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }

@@ -51,8 +51,7 @@ object StreamingDistinct {
     * ignored).
     */
   def registersFromStore(spark: SparkSession, storeDir: String): DataFrame = {
-    PartialStore.assertUnlocked(storeDir, "registersFromStore")
-    spark.read.parquet(storeDir)
+    PartialStore.guardedRead(spark, storeDir, "registersFromStore")
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rmax")).as("rmax"))
   }

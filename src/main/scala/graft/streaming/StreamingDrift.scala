@@ -82,8 +82,7 @@ object StreamingDrift {
 
   /** Current stream-side histogram (fold the partials with one more sum). */
   def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame = {
-    PartialStore.assertUnlocked(storeDir, "histogramFromStore")
-    spark.read.parquet(storeDir)
+    PartialStore.guardedRead(spark, storeDir, "histogramFromStore")
       .groupBy(col("feature"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }

@@ -102,8 +102,7 @@ object StreamingLateness {
     * summed) — the exact input shape [[Stats.finishLateness]] takes.
     */
   def histogramFromStore(spark: SparkSession, storeDir: String): DataFrame = {
-    PartialStore.assertUnlocked(storeDir, "histogramFromStore")
-    spark.read.parquet(storeDir)
+    PartialStore.guardedRead(spark, storeDir, "histogramFromStore")
       .filter(col("event_type") =!= HwmType)
       .groupBy(col("event_type"), col("lateness_s"))
       .agg(sum(col("cnt")).as("cnt"))

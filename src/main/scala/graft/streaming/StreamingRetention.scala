@@ -66,8 +66,7 @@ object StreamingRetention {
     * one row — union-distinct IS the merge).
     */
   def gridFromStore(spark: SparkSession, storeDir: String): DataFrame = {
-    PartialStore.assertUnlocked(storeDir, "gridFromStore")
-    spark.read.parquet(storeDir)
+    PartialStore.guardedRead(spark, storeDir, "gridFromStore")
       .select(col("user_id"), col("week"))
       .distinct()
   }

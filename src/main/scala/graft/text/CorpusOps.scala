@@ -294,7 +294,7 @@ object CorpusOps {
     // (slice + array_join + md5-hex-parse chain) was the cost, not the
     // digest (md5 vs xxh was a wash at 100×).
     docs.select(col("doc_id"), col("source"),
-        graft.functions.BigramWeightSum(col("text"), weights.toArray,
+        graft.functions.BigramWeightSum(col("text"), weights,
           useXxHash = h != "md5").as("__bg"))
       .select(col("doc_id"), col("source"),
         col("__bg").getField("n_bigrams").as("n_bigrams"),
@@ -463,8 +463,11 @@ object CorpusOps {
     val sc = toks.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cs"))
       .localCheckpoint(eager = true)
+    // cc stays LAZY: its two consumers (corpus scalars + present join)
+    // each re-run one vocabulary-sized aggregate over the CHECKPOINTED
+    // sc frame — cheaper than a second eager materialization job, and
+    // the corpus itself still tokenizes exactly once (r13 job shave)
     val cc = sc.groupBy(col("tok")).agg(sum(col("cs")).as("c"))
-      .localCheckpoint(eager = true)
     val corpus = cc.agg(
       sum(col("c")).as("t_corpus"),
       count(lit(1)).as("v_corpus"),
@@ -630,7 +633,7 @@ object CorpusOps {
   def qualitySignalAgreement(docs: DataFrame, buckets: Int = 4096): DataFrame = {
     val weights = bigramWeightTable(buckets)
     val x = docs.select(col("doc_id"), col("source"),
-        graft.functions.BigramWeightSum(col("text"), weights.toArray,
+        graft.functions.BigramWeightSum(col("text"), weights,
           useXxHash = false).as("__bg"))
       .select(col("doc_id"), col("source"),
         col("__bg").getField("n_bigrams").as("__nb"),

@@ -69,4 +69,72 @@ object QualityRules {
           col("__r.symbol_ratio") && col("__r.alpha_words") &&
           col("__r.stopwords"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** Token-mass filter funnel: how many TOKENS (not docs) survive each
+    * stage of the standard cleaning stack applied cumulatively —
+    * raw → language gate → Gopher rule battery → exact-dedup keep →
+    * length cap. Docs-surviving funnels (q94, [[funnelBySource]])
+    * answer "how many documents"; a training-budget owner asks "how
+    * many TOKENS", because that is what epochs are priced in and the
+    * stages remove very differently-sized documents (dedup kills big
+    * boilerplate, the length cap kills the longest tail — doc counts
+    * hide both).
+    *
+    * Stage semantics (cumulative conjunction, all integer-exact):
+    * lang = `keepLang`; gopher = all five [[ruleFlags]]; dedup keep =
+    * the smallest doc_id of each exact-text (md5) group; cap =
+    * token count ≤ `maxTokens`.
+    *
+    * Scale shape: one tokenize+flags projection per doc; the ONLY
+    * exchange is the md5-partitioned rank window (bounded per dup
+    * group) feeding a 5-row aggregate; stage rows ride one explode of
+    * a 5-element literal-shaped array. Integer sums throughout — the
+    * percentage is the only division, applied to two scalars per row.
+    */
+  def tokenFunnel(docs: DataFrame, keepLang: String = "en",
+                  minWords: Int = 30, maxTokens: Int = 80,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val per = docs
+      .withColumn("__w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__nt", size(col("__w")).cast("long"))
+      .withColumn("__r", ruleFlags(col(textCol), col("__w"), minWords = minWords))
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+      .withColumn("__c1", col(langCol) === keepLang)
+      .withColumn("__c2", col("__c1") &&
+        col("__r.word_count") && col("__r.word_length") &&
+        col("__r.symbol_ratio") && col("__r.alpha_words") &&
+        col("__r.stopwords"))
+      // dedup keep AMONG stage-2 survivors (pipelines dedup what they
+      // kept, not the raw crawl): keep iff this doc survived stage 2
+      // and no smaller-id stage-2 survivor shares its exact text
+      .withColumn("__prior", coalesce(
+        sum(when(col("__c2"), 1L).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__c3", col("__c2") && col("__prior") === 0L)
+      .withColumn("__c4", col("__c3") && col("__nt") <= maxTokens)
+    def stage(flag: Column, nm: String): Column = struct(
+      sum(when(flag, 1L).otherwise(0L)).as(s"d"),
+      coalesce(sum(when(flag, col("__nt"))), lit(0L)).as(s"t"),
+      lit(nm).as("nm"))
+    val agg = per.agg(
+      stage(lit(true), "0_raw").as("s0"),
+      stage(col("__c1"), "1_lang").as("s1"),
+      stage(col("__c2"), "2_gopher").as("s2"),
+      stage(col("__c3"), "3_dedup").as("s3"),
+      stage(col("__c4"), "4_len_cap").as("s4"))
+    agg
+      .select(posexplode(array(col("s0"), col("s1"), col("s2"), col("s3"),
+        col("s4"))).as(Seq("__i", "__s")), col("s0.t").as("__raw"))
+      .select(col("__i").cast("long").as("stage"),
+        col("__s.nm").as("stage_name"),
+        col("__s.d").as("n_docs"),
+        col("__s.t").as("n_tokens"),
+        when(col("__raw") > 0,
+          round(col("__s.t").cast("double") / col("__raw").cast("double"), 6))
+          .as("token_frac_of_raw"))
+  }
 }

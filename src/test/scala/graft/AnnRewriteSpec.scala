@@ -85,6 +85,125 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- persisted-IVF probe (VERDICT r12 item 5) ----
+
+  private lazy val ivfIndexPath: String = {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 48L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      .repartition(4) // multi-file lists
+    val idx = Ann.buildIvf(corpus, nCentroids = 4, seed = 7L)
+    val p = java.nio.file.Files.createTempDirectory("graft_annrw_ivf").toString
+    Ann.writeIvf(idx, p)
+    p
+  }
+
+  private def ivfQuery(qv: Seq[Double], k: Int) =
+    spark.read.parquet(s"$ivfIndexPath/lists")
+      .withColumn("score", graft.functions.CosineSimilarity(
+        $"embedding", array(qv.map(lit): _*)))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(k)
+
+  private def withNprobe[A](n: Int)(body: => A): A = {
+    spark.conf.set(AnnTopKRewrite.NprobeKey, n.toString)
+    try body finally spark.conf.unset(AnnTopKRewrite.NprobeKey)
+  }
+
+  private val ivfQVec = Seq(0.5, -0.3, 0.8, 0.1, -0.6, 0.2, 0.9, -0.4)
+
+  test("ivf rewrite off: index scan untouched, exact answer") {
+    withFlag(false) {
+      val df = ivfQuery(ivfQVec, 5)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("centroid_id IN") && !plan.contains("sign_bucket"),
+        s"expected untouched plan:\n$plan")
+      assert(df.count() == 5)
+    }
+  }
+
+  test("ivf rewrite on: centroid IN-probe injected, result == ivfSearch, " +
+    "scan partition-pruned") {
+    withFlag(true) {
+      withNprobe(2) {
+        val df = ivfQuery(ivfQVec, 5)
+        val optimized = df.queryExecution.optimizedPlan
+        val probeFilters = optimized.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.references.exists(_.name == "centroid_id") => f
+        }
+        assert(probeFilters.size == 1,
+          s"expected exactly one centroid probe in:\n$optimized")
+        // the probe must land in the scan's PARTITION filters (zero I/O
+        // for unprobed lists), not the data filters
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty &&
+          scans.head.partitionFilters.exists(
+            _.references.exists(_.name == "centroid_id")),
+          s"probe not in partitionFilters: ${scans.map(_.partitionFilters)}")
+        // answer == the explicit ivfSearch API at the same k/nprobe
+        val idx = Ann.readIvf(spark, ivfIndexPath)
+        val want = Ann.ivfSearch(idx, ivfQVec, k = 5, nprobe = 2)
+          .select($"vec_id").as[Long].collect().toSeq
+        val got = df.select($"vec_id").as[Long].collect().toSeq
+        assert(got == want, s"got $got want $want")
+      }
+    }
+  }
+
+  test("ivf rewrite honors the nprobe recall knob; all-lists probe == exact") {
+    withFlag(true) {
+      def ids(n: Int): Seq[Long] = withNprobe(n) {
+        ivfQuery(ivfQVec, 5).select($"vec_id").as[Long].collect().toSeq
+      }
+      val exact = withFlag(false) {
+        ivfQuery(ivfQVec, 5).select($"vec_id").as[Long].collect().toSeq
+      }
+      // nprobe == nCentroids scans every list -> exact answer recovered
+      assert(ids(4) == exact, s"${ids(4)} vs $exact")
+      // each nprobe's answer == ivfSearch at that nprobe (recall curve
+      // honored knob-for-knob)
+      val idx = Ann.readIvf(spark, ivfIndexPath)
+      for (n <- 1 to 4) {
+        val want = Ann.ivfSearch(idx, ivfQVec, k = 5, nprobe = n)
+          .select($"vec_id").as[Long].collect().toSeq
+        assert(ids(n) == want, s"nprobe=$n: ${ids(n)} vs $want")
+      }
+    }
+  }
+
+  test("ivf rewrite is idempotent; non-index partitioned scans fall back " +
+    "to sign-bucket") {
+    withFlag(true) {
+      withNprobe(2) {
+        // re-running the optimizer on an already-rewritten plan inserts
+        // nothing new (exactly one centroid predicate survives)
+        val df = ivfQuery(ivfQVec, 5)
+        val again = org.apache.spark.sql.SparkSession.active.sessionState
+          .optimizer.execute(df.queryExecution.optimizedPlan)
+        val probes = again.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.references.exists(_.name == "centroid_id") => f
+        }
+        assert(probes.size == 1, s"expected one probe after re-optimize:\n$again")
+        // a centroid_id-partitioned table that is NOT an ivf-v2 layout
+        // (no IVF_FORMAT/centroids sibling) must not get the IVF probe
+        val p = java.nio.file.Files.createTempDirectory("graft_annrw_plain").toString
+        spark.read.parquet(s"$ivfIndexPath/lists")
+          .write.partitionBy("centroid_id").mode("overwrite").parquet(p)
+        val plainDf = spark.read.parquet(p)
+          .withColumn("score", graft.functions.CosineSimilarity(
+            $"embedding", array(ivfQVec.map(lit): _*)))
+          .orderBy($"score".desc, $"vec_id".asc).limit(5)
+        val plan = plainDf.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("centroid_id IN"), s"IVF probe on non-index:\n$plan")
+        assert(plan.contains("sign_bucket"), s"expected sign-bucket fallback:\n$plan")
+      }
+    }
+  }
+
   test("rule is idempotent and ignores non-matching shapes") {
     withFlag(true) {
       val df = Search.topK(corpus, qVec, k = 3, threshold = -2.0)

@@ -149,6 +149,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("BigramWeightSum canonicalizes by weight CONTENT (ADVICE r12: " +
+    "Array field broke CSE)") {
+    val child = org.apache.spark.sql.catalyst.expressions.Literal("some text")
+    val w1 = IndexedSeq(1L, 2L, 3L)
+    val w2 = IndexedSeq(1L, 2L, 3L) // distinct instance, equal content
+    val a = graft.functions.BigramWeightSum(child, w1, useXxHash = false)
+    val b = graft.functions.BigramWeightSum(child, w2, useXxHash = false)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(!a.semanticEquals(a.copy(weights = IndexedSeq(9L, 2L, 3L))))
+  }
+
   test("spark.graft.hasher conf drives the default hasher (md5 unset, xxh set)") {
     val d = docs(
       (1L, "alpha beta gamma delta", "s"),

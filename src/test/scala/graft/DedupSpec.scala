@@ -536,6 +536,31 @@ class DedupSpec extends SparkSpec {
       Dedup.dedupScalingCurve(docs, numerators = Seq(11)))
   }
 
+  test("dedupScalingCurve: null id/text counted deterministically, never dropped") {
+    import spark.implicits._
+    // ADVICE r12: a null id used to null the md5 bucket and vanish the
+    // doc from EVERY subset (including the 100% point); null texts all
+    // merged into one NULL-key "duplicate" group. Now: null id hashes
+    // as "" (stable bucket), null text groups with the empty string.
+    val docs = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (None: Option[Long], Some("c")),      // null id
+      (Some(3L), None: Option[String]),     // null text
+      (Some(4L), Some("")))                 // empty text — groups with null
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupScalingCurve(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // 100% point: all 5 docs present; null-text + empty-text = 1 dup
+    assert(got(10L)._2 == 5L, got(10L).toString)
+    assert(got(10L)._4 == 1L, got(10L).toString)
+    // determinism: same answer on re-run
+    val again = Dedup.dedupScalingCurve(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("editNearPairCounts == per-id editNearPairs counts on a " +
     "clone-heavy corpus") {
     import spark.implicits._
@@ -666,4 +691,31 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(got.toSeq == Seq((3L, 3L, 1L)), got.toSeq.toString)
   }
+  test("dupSizePowerlaw: exact histogram and closed-form alpha") {
+    import spark.implicits._
+    // groups: 3 singletons, 2 pairs, 1 quad -> hist {1:3, 2:2, 4:1}
+    val d = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "cc"),
+      (4L, "dd"), (5L, "dd"), (6L, "ee"), (7L, "ee"),
+      (8L, "ff"), (9L, "ff"), (10L, "ff"), (11L, "ff"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSizePowerlaw(d)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L)._2 == 3L && got(1L)._3 == 3L)
+    assert(got(2L)._2 == 2L && got(2L)._3 == 4L)
+    assert(got(4L)._2 == 1L && got(4L)._3 == 4L)
+    // alpha = 1 + N / sum(n_g * ln(sz/0.5)), N = 6 groups
+    val lnsum = 3 * math.log(1 / 0.5) + 2 * math.log(2 / 0.5) + math.log(4 / 0.5)
+    val want = math.rint((1.0 + 6.0 / lnsum) * 1e6) / 1e6
+    assert(got(1L)._4 == want, s"${got(1L)._4} vs $want")
+    assert(got.values.forall(_._5 == 6L))
+    // all-unique corpus: alpha = 1 + 1/ln 2, never degenerate
+    val uniq = (1L to 8L).map(i => (i, s"u$i")).toDF("doc_id", "text")
+    val a = Dedup.dupSizePowerlaw(uniq)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(a.forall(_._4 == math.rint((1.0 + 1.0 / math.log(2.0)) * 1e6) / 1e6))
+  }
+
 }

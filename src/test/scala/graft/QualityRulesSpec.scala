@@ -57,6 +57,39 @@ class QualityRulesSpec extends SparkSpec {
     assert(s0.getAs[Long]("n_kept") == 1L) // "x" fails, the full sentence passes
     assert(s0.getAs[Long]("n_fail_word_count") == 1L)
   }
+
+  test("tokenFunnel: cumulative stages, dedup among survivors, token math") {
+    import spark.implicits._
+    // 40 tokens, mean length 3.1 (within [3,10]), 2 distinct stopwords
+    val good = ("the cat sat on a mat with some more text " * 4).trim
+    val d = Seq(
+      (1L, good, "en"),            // survives all stages
+      (2L, good, "en"),            // exact dup of 1 -> dropped at stage 3
+      (3L, good, "fr"),            // dropped at stage 1 (lang)
+      (4L, "short text", "en"),    // dropped at stage 2 (word_count)
+      (5L, ("the cat sat on a mat with some more text " * 9).trim, "en")) // 90 toks -> stage 4 cap
+      .toDF("doc_id", "text", "lang")
+    val got = QualityRules.tokenFunnel(d)
+      .as[(Long, String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._3 == 5L && got(0L)._4 == 40L + 40L + 40L + 2L + 90L)
+    assert(got(1L)._3 == 4L && got(1L)._4 == 40L + 40L + 2L + 90L)
+    assert(got(2L)._3 == 3L && got(2L)._4 == 40L + 40L + 90L)
+    assert(got(3L)._3 == 2L && got(3L)._4 == 40L + 90L)
+    assert(got(4L)._3 == 1L && got(4L)._4 == 40L)
+    assert(got(0L)._5.contains(1.0))
+    // a doc whose smaller-id clone FAILED a filter is still kept at dedup
+    val d2 = Seq(
+      (1L, good, "fr"),   // clone with smaller id, killed by lang
+      (2L, good, "en"))   // must survive dedup (rank among survivors)
+      .toDF("doc_id", "text", "lang")
+    val got2 = QualityRules.tokenFunnel(d2)
+      .as[(Long, String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got2(3L)._3 == 1L, got2.toString)
+    assert(got2(4L)._3 == 1L, got2.toString)
+  }
+
 }
 
 class NbLangSpec extends SparkSpec {
@@ -104,4 +137,5 @@ class NbLangSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(kernel == composed, s"kernel=$kernel composed=$composed")
   }
+
 }

@@ -526,4 +526,26 @@ class StatsSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("nmi")), r.toString)
     }
   }
+  test("effectiveRank: isotropic spectrum reads full rank, collapsed reads ~1") {
+    import spark.implicits._
+    // 4 dims with equal variance (one-hot +/-1 per dim): eff rank = 4
+    val iso = (0L until 64L).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v((i % 4).toInt) = if (i % 2 == 0) 1.0f else -1.0f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val r1 = Stats.effectiveRank(iso).collect().head
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 64L)
+    assert(math.abs(r1.getDouble(3) - 4.0) < 1e-4, r1.toString)
+    assert(math.abs(r1.getDouble(4) - 4.0) < 1e-4, r1.toString)
+    assert(math.abs(r1.getDouble(5) - 0.25) < 1e-4, r1.toString)
+    // variance concentrated in one dim -> eff rank near 1, share near 1
+    val coll = (0L until 64L).map { i =>
+      (i, Seq(if (i % 2 == 0) 5.0f else -5.0f, 0.001f * (i % 3), 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r2 = Stats.effectiveRank(coll).collect().head
+    assert(r2.getDouble(3) < 1.02, r2.toString)
+    assert(r2.getDouble(5) > 0.99, r2.toString)
+  }
+
 }
