@@ -42,10 +42,11 @@ object Bench {
     * record by hand each round. Keys: the sfDir basename ("sf0.1") for
     * the main run, "sf1" for the replica pass.
     */
-  private val HistoryPath = "perf/serial_history.json"
+  private[graft] val HistoryPath = "perf/serial_history.json"
 
-  private def readHistory(key: String): Map[String, Double] = try {
-    val f = new java.io.File(HistoryPath)
+  private[graft] def readHistory(key: String,
+                                 path: String = HistoryPath): Map[String, Double] = try {
+    val f = new java.io.File(path)
     if (!f.exists()) Map.empty
     else {
       val sub = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -65,9 +66,10 @@ object Bench {
     Map.empty
   }
 
-  private def writeHistory(key: String, med: Seq[(String, Double)]): Unit = try {
+  private[graft] def writeHistory(key: String, med: Seq[(String, Double)],
+                                  path: String = HistoryPath): Unit = try {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val f = new java.io.File(HistoryPath)
+    val f = new java.io.File(path)
     val root: com.fasterxml.jackson.databind.node.ObjectNode =
       if (f.exists()) mapper.readTree(f).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       else mapper.createObjectNode()
@@ -75,13 +77,13 @@ object Bench {
     med.foreach { case (n, v) => sub.put(n, math.rint(v * 1000) / 1000) }
     Option(f.getParentFile).foreach(_.mkdirs())
     mapper.writerWithDefaultPrettyPrinter().writeValue(f, root)
-    System.err.println(s"[bench] serial history updated: $HistoryPath [$key] ${med.size} queries")
+    System.err.println(s"[bench] serial history updated: $path [$key] ${med.size} queries")
   } catch { case e: Throwable =>
     System.err.println(s"[bench] serial history write failed: ${e.getMessage}")
   }
 
-  private def suspects(hist: Map[String, Double],
-                       med: Seq[(String, Double)]): Seq[String] =
+  private[graft] def suspects(hist: Map[String, Double],
+                              med: Seq[(String, Double)]): Seq[String] =
     med.filter { case (n, t) => hist.get(n).exists(h => t > 3 * h && t - h > 1.0) }
       .map(_._1).sorted
 

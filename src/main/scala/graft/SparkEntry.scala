@@ -3438,6 +3438,49 @@ object SparkEntry {
     graft.text.QualityRules.tokenFunnel(planted)
   }
 
+  /** Retrieval-margin serving audit: for a FIXED batch of query vectors
+    * (every 100th vec_id below 2000 — ≤ 20 queries at ANY corpus size),
+    * the top-1/top-2 exact cosine neighbors (self excluded) and their
+    * margin — the serving-confidence read: a query whose top-1 barely
+    * beats its top-2 is answered by a coin-flip under any ANN
+    * approximation, so low-margin queries are exactly the ones q105's
+    * recall gate and q186's nprobe curve must be sized for. Complements
+    * q102 (margin for MINING across corpora) with the per-query serving
+    * form.
+    *
+    * Scale shape: the q02 batch discipline verbatim — the query batch
+    * is CONSTANT-bounded (a probe set, never a corpus fraction: a
+    * %-of-corpus batch made the broadcast NL join quadratic — 400 M
+    * pairs at 100×, caught in the r13 battery loop), ONE corpus scan,
+    * per-query top-2 via a query-partitioned rank window
+    * (WindowGroupLimit bounds the exchange to 2 rows per query per
+    * task), |queries|-row output. Margin and the confident flag derive
+    * from the ROUNDED 6dp scores, so both engines subtract identical
+    * doubles.
+    */
+  private def qRetrievalMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__s", graft.functions.CosineSimilarity(
+        col("embedding").cast("array<double>"), col("__qv")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 2)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("__r") === 1, col("vec_id"))).as("top1_id"),
+        round(max(when(col("__r") === 1, col("__s"))), 6).as("top1_score"),
+        max(when(col("__r") === 2, col("vec_id"))).as("top2_id"),
+        round(max(when(col("__r") === 2, col("__s"))), 6).as("top2_score"))
+      .withColumn("margin", round(col("top1_score") - col("top2_score"), 6))
+      .withColumn("confident", col("margin") >= 0.05)
+  }
+
   /** Dedup scaling curve ([[graft.dedup.Dedup.dedupScalingCurve]]):
     * exact-dup rate at nested 10/20/50/100% corpus samples — the
     * marginal-crawl-value read (steepening dup rate ⇒ the next crawl
@@ -3926,6 +3969,7 @@ object SparkEntry {
     "q187_dup_powerlaw" -> (qDupPowerlaw _),
     "q188_effective_rank" -> (qEffectiveRank _),
     "q189_token_funnel" -> (qTokenFunnel _),
+    "q190_retrieval_margin" -> (qRetrievalMargin _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6413,6 +6457,27 @@ object SparkEntry {
         | CASE WHEN raw > 0 THEN round(t::DOUBLE / raw::DOUBLE, 6) END
         |   AS token_frac_of_raw
         |FROM pts""".stripMargin,
+
+    // per-query top-2 exact neighbors (self excluded); margin and the
+    // confident flag derive from the ROUNDED 6dp scores on both engines
+    "q190_retrieval_margin" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, e AS qv FROM base
+         |   WHERE vec_id % 100 = 0 AND vec_id < 2000),
+         | sc AS (SELECT query_id, b.vec_id, ${cosSqlAB("b.e", "qv")} AS s
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY s DESC, vec_id ASC) AS rn FROM sc),
+         | t AS (SELECT query_id,
+         |   max(CASE WHEN rn = 1 THEN vec_id END) AS top1_id,
+         |   round(max(CASE WHEN rn = 1 THEN s END), 6) AS top1_score,
+         |   max(CASE WHEN rn = 2 THEN vec_id END) AS top2_id,
+         |   round(max(CASE WHEN rn = 2 THEN s END), 6) AS top2_score
+         |  FROM r WHERE rn <= 2 GROUP BY 1)
+         |SELECT query_id, top1_id, top1_score, top2_id, top2_score,
+         | round(top1_score - top2_score, 6) AS margin,
+         | round(top1_score - top2_score, 6) >= 0.05 AS confident
+         |FROM t""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

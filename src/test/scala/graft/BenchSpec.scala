@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The inflation_suspect mechanics (VERDICT r12 item 1): the ledger
+  * round-trips, merging preserves other keys/queries, and the 3×-with-
+  * 1s-floor rule flags exactly the multiprogramming-inflation class —
+  * no SparkSession needed, so this runs in milliseconds.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("serial-history ledger: write/read round-trip, merge semantics") {
+    val p = java.nio.file.Files.createTempDirectory("graft_bench")
+      .resolve("hist.json").toString
+    assert(Bench.readHistory("sf0.1", p).isEmpty) // missing file -> empty
+    Bench.writeHistory("sf0.1", Seq("q1" -> 1.234, "q2" -> 0.5), p)
+    Bench.writeHistory("sf1", Seq("q1" -> 10.0), p)
+    assert(Bench.readHistory("sf0.1", p) == Map("q1" -> 1.234, "q2" -> 0.5))
+    assert(Bench.readHistory("sf1", p) == Map("q1" -> 10.0))
+    // re-write merges per key: q2 survives a run that only measured q1
+    Bench.writeHistory("sf0.1", Seq("q1" -> 2.0), p)
+    assert(Bench.readHistory("sf0.1", p) == Map("q1" -> 2.0, "q2" -> 0.5))
+    assert(Bench.readHistory("nope", p).isEmpty)
+    // corrupt file reads as empty (bench must never die on its ledger)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "not json".getBytes)
+    assert(Bench.readHistory("sf0.1", p).isEmpty)
+  }
+
+  test("inflation_suspect: >3x serial AND >1s absolute; unknown queries never flag") {
+    val hist = Map("slow" -> 10.0, "fast" -> 0.1, "mid" -> 2.0)
+    val med = Seq(
+      "slow" -> 35.0,   // 3.5x and +25s -> flagged
+      "fast" -> 0.9,    // 9x but sub-second absolute -> NOT flagged
+      "mid" -> 5.9,     // 2.95x -> NOT flagged (under 3x)
+      "new" -> 99.0)    // no history -> NOT flagged
+    assert(Bench.suspects(hist, med) == Seq("slow"))
+    // boundary: exactly 3x is not a suspect (strict >)
+    assert(Bench.suspects(Map("q" -> 2.0), Seq("q" -> 6.0)).isEmpty)
+    assert(Bench.suspects(Map("q" -> 2.0), Seq("q" -> 6.1)) == Seq("q"))
+  }
+}
