@@ -2443,7 +2443,8 @@ object SparkEntry {
     * [[graft.text.CorpusOps.intraDocRepeats]] for the plan argument.
     */
   private def qIntradocRepeats(s: SparkSession, dir: String): DataFrame =
-    graft.text.CorpusOps.intraDocRepeats(rdWide(s, dir, "documents"), n = 5, topK = 20)
+    graft.text.CorpusOps.intraDocRepeatsHashed(rdWide(s, dir, "documents"),
+      n = 5, topK = 20)
 
   /** Blocklisted-phrase audit per source: exact literal-substring counts
     * via the replace length-delta identity — all integers, one pass.
@@ -2760,8 +2761,14 @@ object SparkEntry {
     * (limit-bounded — audit-clean), totals as a 1-row broadcast.
     */
   private def qBigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    // 60-bit hash domain (r13): the gram key never reaches the output —
+    // only counts/coverage do — so the vocabulary aggregate and the
+    // top-1000 cut ship longs instead of bigram strings; the rank
+    // tie-break moves from (freq desc, gram asc) to (freq desc, hash
+    // asc), mirrored in the oracle (tied freqs contribute the same mass,
+    // so coverage at every k is unchanged by the reorder)
     val grams = rdWide(s, dir, "documents")
-      .select(explode(graft.text.CorpusOps.tokenNgrams(col("text"), 2)).as("gram"))
+      .select(explode(graft.functions.TokenBigramHashes(col("text"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
     val total = grams.agg(sum(col("freq")).as("total"))
     val top = grams.orderBy(col("freq").desc, col("gram").asc).limit(1000)
@@ -2981,7 +2988,7 @@ object SparkEntry {
     * [[graft.text.CorpusOps.bigramVocabCoverage]].
     */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
-    graft.text.CorpusOps.bigramVocabCoverage(rdWide(s, dir, "documents"))
+    graft.text.CorpusOps.bigramVocabCoverageHashed(rdWide(s, dir, "documents"))
 
   /** Sketch-guided EXACT heavy hitters: count-min model collected once
     * (≤ 256 longs) and applied as a map-side occurrence filter, so the
@@ -5254,9 +5261,11 @@ object SparkEntry {
 
     // within-doc repeated 5-grams: token windows via list slice, counted
     // per (doc, ngram); repeated_positions = sum(cnt-1)
+    // 60-bit hash domain (r13): ng = md5Int60 of the 5-token window —
+    // the TokenNgramHashes kernel contract; output carries no strings
     "q121_intradoc_repeats" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        | g AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+        | g AS (SELECT doc_id, unnest([${h60Sql("array_to_string(w[i:i+4], ' ')")}
         |   for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS ng FROM toks),
         | c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2),
         | d AS (SELECT doc_id, sum(cnt)::BIGINT AS n_ngrams,
@@ -5675,12 +5684,14 @@ object SparkEntry {
         |   AS kn_bits_per_bigram
         |FROM sc GROUP BY source""".stripMargin,
 
-    // top-k bigram mass concentration; rank/cum in the (freq desc, gram
-    // asc) total order so the k-cut is deterministic under ties
+    // top-k bigram mass concentration; 60-bit hash domain (r13): gram =
+    // md5Int60 of "w1 SP w2" (TokenBigramHashes contract), rank/cum in
+    // the (freq desc, HASH asc) total order — tied freqs contribute the
+    // same mass, so coverage at every k is unchanged by the reorder
     "q156_bigram_coverage" ->
-      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      s"""WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
         | f AS (SELECT gram, count(*)::BIGINT AS freq FROM
-        |   (SELECT unnest([w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)]) AS gram
+        |   (SELECT unnest([${h60Sql("w[i+1] || ' ' || w[i+2]")} for i in range(0, len(w) - 1)]) AS gram
         |    FROM toks WHERE len(w) >= 2) GROUP BY 1),
         | tot AS (SELECT sum(freq)::BIGINT AS total_grams FROM f),
         | r AS (SELECT freq,
@@ -6655,11 +6666,14 @@ object SparkEntry {
 
     // top-256 corpus bigram vocab (count desc, bigram asc), per-source
     // OOV occurrence mass in ppm
+    // 60-bit hash domain (r13): g = md5Int60 of "w1 SP w2" (the
+    // TokenBigramHashes contract — NO empty-token filter, matching the
+    // kernel); the vocab cut ties break on the hash, replayed here
     "q139_vocab_coverage" ->
-      """WITH toks AS (SELECT source,
-        |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w FROM documents),
+      s"""WITH toks AS (SELECT source,
+        |   regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
         | grams AS (SELECT source, unnest(CASE WHEN len(w) >= 2
-        |   THEN [w[i+1] || ' ' || w[i+2] for i in range(0, len(w) - 1)] ELSE [] END) AS g FROM toks),
+        |   THEN [${h60Sql("w[i+1] || ' ' || w[i+2]")} for i in range(0, len(w) - 1)] ELSE [] END) AS g FROM toks),
         | stc AS (SELECT source, g, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2),
         | vocab AS (SELECT g FROM (SELECT g, sum(cnt)::BIGINT AS c FROM stc GROUP BY g
         |   ORDER BY c DESC, g ASC LIMIT 256)),

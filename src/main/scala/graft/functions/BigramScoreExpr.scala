@@ -142,6 +142,86 @@ object TokenBigramHashes {
   }
 }
 
+/** Native token n-gram hash array: the 60-bit md5 prefix
+  * ([[HashFunctions.md5Int60]] contract) of every n-token window
+  * "tok₁ SP … SP tokₙ" of `lower(trim(text))`, in position order — the
+  * generalization of [[TokenBigramHashes]] to any n (bit-identical to
+  * it at n = 2, spec-pinned). Lets the within-doc repeat audit (q121)
+  * and any n-gram-vocabulary aggregate shuffle fixed 8-byte longs
+  * instead of n-token strings: the composed form pays an array slice +
+  * array_join allocation + md5-hex-parse chain PER WINDOW (the q137
+  * overhead class). Sub-n-token text yields an empty array
+  * (tokenNgrams' `size >= n` semantics); tokenization is
+  * `split(lower(trim(text)), '\s+')` limit -1, no empty filter.
+  */
+case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "token_ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got $n")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string column, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNgramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenNgramHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenNgramHashes {
+
+  def apply(c: Column, n: Int): Column =
+    ColumnShim.column(TokenNgramHashes(ColumnShim.expression(c), n))
+
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = digestLocal.get()
+    val out = new Array[Long](toks.length - n + 1)
+    var j = 0
+    while (j < out.length) {
+      md.reset()
+      var w = 0
+      while (w < n) {
+        if (w > 0) md.update(' '.toByte)
+        md.update(bytes(j + w))
+        w += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(j) = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native adjacent-token hash-pair array: for every adjacent
   * whitespace-token pair of `lower(trim(text))`, the 60-bit md5 prefix
   * ([[HashFunctions.md5Int60]] contract) of EACH token separately —

@@ -372,6 +372,59 @@ object CorpusOps {
       .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_grams"))
   }
 
+  /** [[bigramVocabCoverage]] in the 60-bit hash domain — the form q139
+    * registers: ONE [[graft.functions.TokenBigramHashes]] kernel scan
+    * (no per-window slice/join/md5-hex chains), (source, hash-long)
+    * aggregate, vocabulary cut ranked (count desc, HASH asc) — the same
+    * deterministic total order as the string form's (count desc, gram
+    * asc), just over a different tie-break key, mirrored verbatim in the
+    * oracle. Output has no gram strings, so the result is identical to
+    * the string form except when a count TIE straddles the vocab-size
+    * boundary (both engines then agree with each other — the cut is
+    * replayed on the same key) or two bigrams collide in 60 bits
+    * (~V²/2^61). Shuffles move fixed 8-byte longs instead of
+    * variable-length bigram strings — the measured ~2× class (q83/q160).
+    */
+  def bigramVocabCoverageHashed(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val stc = docs
+      .select(col("source"),
+        explode(graft.functions.TokenBigramHashes(col("text"))).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = stc.groupBy("g").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(vocabSize)
+    val tot = stc.groupBy("source").agg(sum("cnt").as("n_grams"))
+    val oov = stc.join(broadcast(vocab.select("g")), Seq("g"), "left_anti")
+      .groupBy("source").agg(sum("cnt").as("n_oov"))
+    tot.join(oov, Seq("source"), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_grams"))
+  }
+
+  /** [[intraDocRepeats]] in the 60-bit hash domain — the form q121
+    * registers: ONE [[graft.functions.TokenNgramHashes]] kernel scan,
+    * (doc_id, hash) aggregate, per-doc rollup, top-K. The output carries
+    * no n-gram strings, so the result is bit-identical to the string
+    * form unless two n-grams of the SAME document collide in 60 bits
+    * (~per-doc-windows²/2^61 — vanishing, and the oracle replays the
+    * identical hash so both engines move together). CorpusOpsSpec pins
+    * hashed == string on clone/adversarial corpora.
+    */
+  def intraDocRepeatsHashed(docs: DataFrame, n: Int = 5, topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TokenNgramHashes(col("text"), n)).as("ng"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        (sum(col("cnt")) - count(lit(1))).as("repeated_positions"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("distinct_repeated"))
+      .orderBy(col("repeated_positions").desc, col("doc_id").asc)
+      .limit(topK)
+
   /** Heaps'-law fit — the vocabulary-growth exponent β (and log-space
     * intercept) of V = K·N^β across documents, by closed-form least
     * squares on (ln n_tokens, ln n_types) per document. β far from the

@@ -393,6 +393,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(got("A")._2 - wantA) < 2e-6, s"${got("A")._2} vs $wantA")
   }
 
+  test("intraDocRepeatsHashed == string form; TokenNgramHashes(2) == TokenBigramHashes") {
+    // hash-domain witness (q121): repeated windows, adversarial
+    // whitespace (leading TAB, double space), sub-n docs
+    val d = docs(
+      (1L, "a b c a b c a b c d e", "s"),      // repeated 3-gram window
+      (2L, "\tx  y z x y z", "s"),             // tab + empty token
+      (3L, "one two", "t"),                    // < n tokens: no windows
+      (4L, "p q r s t p q r s t p q r s t", "t"))
+    for (n <- Seq(2, 3, 5)) {
+      val str = CorpusOps.intraDocRepeats(d, n = n, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val hsh = CorpusOps.intraDocRepeatsHashed(d, n = n, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(hsh == str, s"n=$n: $hsh vs $str")
+    }
+    // the n=2 kernel is bit-identical to TokenBigramHashes
+    val pair = d.select(
+        graft.functions.TokenNgramHashes(col("text"), 2).as("a"),
+        graft.functions.TokenBigramHashes(col("text")).as("b"))
+      .collect()
+    assert(pair.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("bigramVocabCoverageHashed == string form (single source: tie swaps " +
+    "at the cut move equal mass, so oov is invariant)") {
+    val d = docs(
+      (1L, "a b " * 8 + "c d " * 4 + "e f " * 2 + "g h", "s"),
+      (2L, "a b a b c d q r", "s"))
+    val str = CorpusOps.bigramVocabCoverage(d, vocabSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val hsh = CorpusOps.bigramVocabCoverageHashed(d, vocabSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hsh == str, s"$hsh vs $str")
+  }
+
   test("kneserNeyPerSourceHashed == string-keyed form (the q160 hash-domain witness)") {
     // The registered q160 keys its four LM joins on TokenPairHashes'
     // per-token md5Int60 longs; the string-keyed form is the readable
