@@ -3488,6 +3488,82 @@ object SparkEntry {
       .withColumn("confident", col("margin") >= 0.05)
   }
 
+  /** Duplicate-weighted token exposure per source: what fraction of a
+    * source's TOKEN mass lives in documents whose exact text appears ≥ 2
+    * times corpus-wide — the memorization-risk read in the unit training
+    * actually consumes (doc-level dup rates hide that dup docs skew
+    * long/boilerplate; verbatim-repeated tokens are the ones an LM
+    * memorizes, Lee et al. 2022 §5). Planted clones of every 9th doc
+    * (oracle-mirrored) keep the read non-degenerate on the clone-free
+    * driver corpus.
+    *
+    * Scale shape: one map pass (hash + token count per doc), multiplicity
+    * via a hash-PARTITIONED window (bounded per dup group — never a
+    * global window), |sources|-row rollup. Integer masses; the exposure
+    * ratio is the only division.
+    */
+  private def qDupExposure(s: SparkSession, dir: String): DataFrame = {
+    val base = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(90000000L)))
+    val w = Window.partitionBy(col("__h"))
+    planted
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .withColumn("__nt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("__m", count(lit(1)).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__m") > 1, col("__nt")).otherwise(0L)).as("dup_tokens"),
+        max(col("__m")).as("max_multiplicity"))
+      .withColumn("dup_exposure", when(col("n_tokens") > 0,
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)))
+  }
+
+  /** Embedding snapshot centroid drift: split the corpus into two
+    * deterministic halves (vec_id parity — the A/B snapshot proxy), and
+    * report the cosine between the halves' centroids plus the max
+    * per-dimension and L2 drift — the index-refresh trigger read (a
+    * drifted embedding distribution silently degrades a trained coarse
+    * quantizer: q28's centers stop matching the data; this is the cheap
+    * gate that says "rebuild"). The B half is PLANTED with a
+    * deterministic per-dim shift (x + (i+1)/(50·dim), oracle-mirrored)
+    * so the drift is non-degenerate on the i.i.d. driver corpus.
+    *
+    * Exactness: centroid dims round to 6dp BEFORE any comparison (the
+    * q93 discipline) and the drift folds run in dim order inside 1-row
+    * frames (q188 discipline); the only join is a crossJoin of two
+    * 1-row aggregates. One grouped moments pass over the corpus.
+    */
+  private def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val shifted = emb.withColumn("e",
+      when(col("vec_id") % 2 === 1,
+        expr("transform(e, (x, i) -> x + (i + 1) / (50.0 * size(e)))"))
+        .otherwise(col("e")))
+    val halves = shifted
+      .groupBy((col("vec_id") % 2).as("half"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("half"), transform(col("c"), x => round(x, 6)).as("c"), col("n"))
+    val a = halves.filter(col("half") === 0)
+      .select(col("c").as("ca"), col("n").as("n_a"))
+    val b = halves.filter(col("half") === 1)
+      .select(col("c").as("cb"), col("n").as("n_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(graft.functions.CosineSimilarity(col("ca"), col("cb")), 6)
+          .as("centroid_cos"),
+        round(expr("aggregate(zip_with(ca, cb, (x, y) -> abs(x - y)), " +
+          "cast(0 as double), (acc, v) -> greatest(acc, v))"), 6)
+          .as("max_dim_drift"),
+        round(expr("sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, v) -> acc + v))"), 6).as("l2_drift"))
+  }
+
   /** Dedup scaling curve ([[graft.dedup.Dedup.dedupScalingCurve]]):
     * exact-dup rate at nested 10/20/50/100% corpus samples — the
     * marginal-crawl-value read (steepening dup rate ⇒ the next crawl
@@ -3977,6 +4053,8 @@ object SparkEntry {
     "q188_effective_rank" -> (qEffectiveRank _),
     "q189_token_funnel" -> (qTokenFunnel _),
     "q190_retrieval_margin" -> (qRetrievalMargin _),
+    "q191_dup_exposure" -> (qDupExposure _),
+    "q192_centroid_drift" -> (qCentroidDrift _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6489,6 +6567,48 @@ object SparkEntry {
          | round(top1_score - top2_score, 6) AS margin,
          | round(top1_score - top2_score, 6) >= 0.05 AS confident
          |FROM t""".stripMargin,
+
+    // dup-weighted token mass per source over the %9-clone-planted
+    // corpus; multiplicity via the hash-partitioned window, all integers
+    "q191_dup_exposure" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        | planted AS (SELECT * FROM base UNION ALL
+        |   SELECT doc_id + 90000000, source, text FROM base WHERE doc_id % 9 = 0),
+        | d AS (SELECT source, md5(text) AS h,
+        |   len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS nt
+        |  FROM planted),
+        | m AS (SELECT *, count(*) OVER (PARTITION BY h) AS mult FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        | coalesce(sum(CASE WHEN mult > 1 THEN nt END), 0)::BIGINT AS dup_tokens,
+        | max(mult)::BIGINT AS max_multiplicity,
+        | CASE WHEN sum(nt) > 0 THEN round(
+        |   coalesce(sum(CASE WHEN mult > 1 THEN nt END), 0)::DOUBLE
+        |     / sum(nt)::DOUBLE, 6) END AS dup_exposure
+        |FROM m GROUP BY source""".stripMargin,
+
+    // halves by vec_id parity; B half planted with the deterministic
+    // per-dim shift x + j/(50·dim) (j 1-based = Spark's i+1); centroid
+    // dims rounded to 6dp BEFORE the folds (q93/q188 discipline)
+    "q192_centroid_drift" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | sh AS (SELECT vec_id, CASE WHEN vec_id % 2 = 1
+         |    THEN [e[j] + j / (50.0 * len(e)) for j in range(1, len(e) + 1)]
+         |    ELSE e END AS e FROM e0),
+         | ex AS (SELECT vec_id % 2 AS half,
+         |   generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS v FROM sh),
+         | cdim AS (SELECT half, dim, round(sum(v) / count(*), 6) AS mn,
+         |   count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+         | cent AS (SELECT half, list(mn ORDER BY dim) AS c,
+         |   max(cnt)::BIGINT AS n FROM cdim GROUP BY 1),
+         | a AS (SELECT c AS ca, n AS n_a FROM cent WHERE half = 0),
+         | b AS (SELECT c AS cb, n AS n_b FROM cent WHERE half = 1)
+         |SELECT n_a, n_b,
+         | round(${cosSqlAB("ca", "cb")}, 6) AS centroid_cos,
+         | round(list_max([abs(ca[j] - cb[j]) for j in range(1, len(ca) + 1)]), 6)
+         |   AS max_dim_drift,
+         | round(sqrt(list_sum([(ca[j] - cb[j]) * (ca[j] - cb[j])
+         |   for j in range(1, len(ca) + 1)])), 6) AS l2_drift
+         |FROM a CROSS JOIN b""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram
