@@ -231,6 +231,13 @@ object Bench {
     val mainSuspects = suspects(readHistory(mainKey), med)
     val suspectJson = mainSuspects.map("\"" + _ + "\"").mkString(
       "\"inflation_suspect\":[", ",", "]")
+    // the compact stdout line lives in a ~2000-char tail window; a badly
+    // inflated window could flag dozens of queries, so the compact form
+    // caps the list and carries the full count (full list on stderr)
+    val suspectCompact =
+      f""""n_inflation_suspect":${mainSuspects.size},""" +
+        mainSuspects.take(10).map("\"" + _ + "\"").mkString(
+          "\"inflation_suspect\":[", ",", "]")
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val failedJson = failures.toSeq.sortBy(_._1)
@@ -287,7 +294,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
       f""""queries":${jsonMap(headline)},"queries_xxh":${jsonMap(medXxh)},""" +
-      suspectJson + "," +
+      suspectCompact + "," +
       ctl + "," + corpusCompact + f""","sf":"$sfDir"}""")
     if (degraded)
       System.err.println(s"[bench] DEGRADED: failures in ${failures.keys.toSeq.sorted.mkString(", ")} — 'value' excludes them")
@@ -346,8 +353,13 @@ object Bench {
         }
         if (writeHist) writeHistory("sf1", sf1Samples.toSeq)
         val sf1Suspects = suspects(readHistory("sf1"), sf1Samples.toSeq)
-        val sf1SuspectJson = sf1Suspects.map("\"" + _ + "\"").mkString(
-          "\"inflation_suspect\":[", ",", "]")
+        // capped like the main compact list (this block rides the
+        // compact stdout line); full per-query detail is on stderr
+        val sf1SuspectJson =
+          f""""n_inflation_suspect":${sf1Suspects.size},""" +
+            sf1Suspects.take(10).map("\"" + _ + "\"").mkString(
+              "\"inflation_suspect\":[", ",", "]")
+        System.err.println(s"[bench] sf1 inflation_suspect: $sf1Suspects")
         val sf1Total = sf1Samples.map(_._2).sum
         val sf1Slow = sf1Samples.sortBy(-_._2).take(5).toSeq
         // The id-shift replica turns every doc into a 10-clone clique, so
@@ -395,7 +407,7 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
         f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
         f""""queries":${jsonMap(headline)},"queries_xxh":${jsonMap(medXxh)},""" +
-        suspectJson + "," +
+        suspectCompact + "," +
         ctl + "," + corpusCompact + "," + sf1Json + f""","sf":"$sfDir"}""")
     }
     // Exit 0 even with per-query failures: the "failed" JSON field carries
