@@ -3509,9 +3509,12 @@ object SparkEntry {
       base.filter(col("doc_id") % 9 === 0)
         .withColumn("doc_id", col("doc_id") + lit(90000000L)))
     val w = Window.partitionBy(col("__h"))
+    // ADVICE r13: coalesce(text,'') so null text hashes/tokenizes
+    // identically on both engines (q185 discipline)
     planted
-      .withColumn("__h", md5(col("text").cast("binary")))
-      .withColumn("__nt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("__h", md5(coalesce(col("text"), lit("")).cast("binary")))
+      .withColumn("__nt",
+        size(TextAnalysis.tokens(coalesce(col("text"), lit("")))).cast("long"))
       .withColumn("__m", count(lit(1)).over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -6355,7 +6358,11 @@ object SparkEntry {
     // clone groups (every 97th vec_id, two exact copies at +10M/+20M)
     // mirror the Spark fixture verbatim; the oracle keeps the PER-ID
     // phrasing — equality with the registered clone-collapsed plan is
-    // the point (AnnSpec pins it on this corpus class).
+    // the point (AnnSpec pins it on this corpus class). ADVICE r13:
+    // bucket admission gates on count(DISTINCT v) <= 4096 (points >= 2),
+    // mirroring the collapsed plan's reinterpreted cap, so a clone-heavy
+    // bucket with >4096 points but <=4096 distinct vectors stays audited
+    // by BOTH engines at scale.
     "q183_knn_label_noise" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings
          |   UNION ALL SELECT vec_id + 10000000, label, embedding
@@ -6364,9 +6371,10 @@ object SparkEntry {
          |     FROM embeddings WHERE vec_id % 97 = 0),
          | b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |   ${bucketSql("embedding", 6)} AS bucket FROM emb),
-         | sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+         | sz AS (SELECT bucket, count(*) AS n,
+         |   count(DISTINCT v) AS nv FROM b GROUP BY 1),
          | kept AS (SELECT b.* FROM b JOIN sz USING (bucket)
-         |  WHERE n >= 2 AND n <= 4096),
+         |  WHERE n >= 2 AND nv <= 4096),
          | p AS (SELECT x.vec_id AS src, x.label AS lx, y.vec_id AS dst,
          |    y.label AS ly, ${cosSqlAB("x.v", "y.v")} AS c
          |   FROM kept x JOIN kept y USING (bucket) WHERE x.vec_id <> y.vec_id),
@@ -6446,8 +6454,9 @@ object SparkEntry {
 
     // exact-dup group sizes over the planted-multiplicity corpus
     // (sizes 2/3/4 from the %9/%27/%81 copies); α = Clauset 2009 eq.
-    // 3.7 at xmin=1, folded over the SIZE-ORDERED histogram on both
-    // engines so the 6dp output can't ride on reduce order
+    // 3.7 at xmin=1, folded over the SIZE-ORDERED histogram with each
+    // ln term rounded to 9dp first (ADVICE r13) so the 6dp output can't
+    // ride on reduce order or libm-vs-JVM ln ULPs
     "q187_dup_powerlaw" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         | planted AS (SELECT text FROM base
@@ -6458,7 +6467,8 @@ object SparkEntry {
         |  FROM planted GROUP BY 1),
         | hist AS (SELECT sz, count(*)::BIGINT AS n_groups FROM g GROUP BY 1),
         | a AS (SELECT sum(n_groups)::BIGINT AS n,
-        |   list_sum(list(n_groups * ln(sz / 0.5) ORDER BY sz)) AS lnsum
+        |   list_sum(list(n_groups * round(ln(sz / 0.5), 9) ORDER BY sz))
+        |     AS lnsum
         |  FROM hist)
         |SELECT sz::BIGINT AS group_size, n_groups,
         | (sz * n_groups)::BIGINT AS n_docs,
@@ -6500,9 +6510,9 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, text, lang FROM documents),
         | planted AS (SELECT * FROM base UNION ALL
         |   SELECT doc_id + 80000000, text, lang FROM base WHERE doc_id % 9 = 0),
-        | dd AS (SELECT doc_id, lang, lower(trim(text)) AS t,
-        |   regexp_split_to_array(lower(trim(text)), '\s+') AS w,
-        |   md5(text) AS h FROM planted),
+        | dd AS (SELECT doc_id, lang, lower(trim(coalesce(text, ''))) AS t,
+        |   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS w,
+        |   md5(coalesce(text, '')) AS h FROM planted),
         | f AS (SELECT doc_id, lang, h, len(w)::BIGINT AS ntok,
         |   list_sum(list_transform(w, x -> len(x)))::BIGINT AS sumlen,
         |   (len(t) - len(replace(t, '#', '')))::BIGINT AS nhash,
@@ -6574,8 +6584,9 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, source, text FROM documents),
         | planted AS (SELECT * FROM base UNION ALL
         |   SELECT doc_id + 90000000, source, text FROM base WHERE doc_id % 9 = 0),
-        | d AS (SELECT source, md5(text) AS h,
-        |   len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS nt
+        | d AS (SELECT source, md5(coalesce(text, '')) AS h,
+        |   len(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+        |       '\s+'))::BIGINT AS nt
         |  FROM planted),
         | m AS (SELECT *, count(*) OVER (PARTITION BY h) AS mult FROM d)
         |SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,

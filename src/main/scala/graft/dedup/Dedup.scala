@@ -434,9 +434,10 @@ object Dedup {
     * (group sizes) → ONE size-keyed aggregate (histogram, ≤ O(√N_docs)
     * distinct sizes at any corpus — Σ sz·n_sz = N bounds the frame) →
     * the α scalar folds the SORTED histogram sequentially inside one
-    * row (deterministic summation order, the q180 discipline — both
-    * engines fold identical rounded terms in size order, so the 6dp
-    * output can't wobble on reduce order). Histogram rows + the 1-row
+    * row (deterministic summation order, the q180 discipline — each
+    * ln term is rounded to 9dp first, so both engines fold IDENTICAL
+    * terms in size order and the 6dp output can't wobble on reduce
+    * order or libm-vs-JVM ln ULPs). Histogram rows + the 1-row
     * α broadcast are the only things that move after the group-size
     * shuffle.
     */
@@ -452,9 +453,12 @@ object Dedup {
         .as("__hrows"))
       .withColumn("__n", expr(
         "aggregate(__hrows, 0L, (a, e) -> a + e.n_groups)"))
+      // ADVICE r13: each ln term rounds to 9dp BEFORE accumulation —
+      // JVM Math.log vs libm ln can differ by ULPs, and only rounded
+      // (engine-identical) terms make the size-ordered fold exact
       .withColumn("__lnsum", expr(
         "aggregate(__hrows, cast(0 as double), " +
-          "(a, e) -> a + e.n_groups * ln(e.__sz / 0.5))"))
+          "(a, e) -> a + e.n_groups * round(ln(e.__sz / 0.5), 9))"))
       .select(round(lit(1.0) + col("__n") / col("__lnsum"), 6).as("alpha_mle"),
         col("__n").as("n_groups_total"))
     hist

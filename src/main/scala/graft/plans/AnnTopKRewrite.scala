@@ -149,11 +149,14 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     n
   }
 
-  /** Trained centers per centroids-dir, cached per JVM: the table is
-    * nCentroids tiny rows but loading it is a (sub-second) Spark job,
-    * and the optimizer may re-enter many times. Rebalancing/rebuilding
-    * an index in-place while cached goes stale — call [[clearCache]]
-    * (readIvf itself always reads fresh).
+  /** Trained centers per (centroids-dir, IVF_FORMAT marker mtime),
+    * cached per JVM: the table is nCentroids tiny rows but loading it
+    * is a (sub-second) Spark job, and the optimizer may re-enter many
+    * times. ADVICE r13: the key carries the marker's modification time
+    * (writeIvf re-stamps it on every persist/rebalance), so an in-place
+    * index rebuild — even from another process — can no longer serve
+    * stale centers and mis-prune; [[Ann.writeIvf]] also calls
+    * [[clearCache]] to drop the dead entry eagerly.
     */
   private val centersCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
@@ -161,9 +164,11 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   def clearCache(): Unit = centersCache.clear()
 
   /** The child's single parquet relation rooted at `<p>/lists` of an
-    * ivf-v2 index, if that is what is being scanned.
+    * ivf-v2 index, if that is what is being scanned. Returns the
+    * centroids dir plus the IVF_FORMAT marker's mtime (the cache
+    * freshness stamp).
     */
-  private def indexCentroidsDir(child: LogicalPlan): Option[String] = {
+  private def indexCentroidsDir(child: LogicalPlan): Option[(String, Long)] = {
     val roots = child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
@@ -176,19 +181,22 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
             .active.sparkContext.hadoopConfiguration)
           val marker = new org.apache.hadoop.fs.Path(parent, "IVF_FORMAT")
           val cdir = new org.apache.hadoop.fs.Path(parent, "centroids")
-          if (fs.exists(marker) && fs.exists(cdir)) Some(cdir.toString) else None
+          if (fs.exists(marker) && fs.exists(cdir))
+            Some((cdir.toString, fs.getFileStatus(marker).getModificationTime))
+          else None
         } catch { case _: Exception => None }
       case _ => None
     }
   }
 
-  private def centersFor(centroidsDir: String): Option[Array[Array[Double]]] =
+  private def centersFor(centroidsDir: String,
+                         stamp: Long): Option[Array[Array[Double]]] =
     try {
-      Some(centersCache.computeIfAbsent(centroidsDir, dir => {
+      Some(centersCache.computeIfAbsent(s"$centroidsDir@$stamp", _ => {
         val byId = org.apache.spark.sql.SparkSession.active
-          .read.parquet(dir).collect()
+          .read.parquet(centroidsDir).collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        require(byId.nonEmpty, s"IVF centroids at $dir are empty")
+        require(byId.nonEmpty, s"IVF centroids at $centroidsDir are empty")
         val k = byId.keys.max + 1
         val dim = byId.values.head.length
         // readIvf's tolerant dense layout: gaps get zero vectors, which
@@ -223,8 +231,8 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         for {
           cid <- child.output.find(a => a.name == "centroid_id" &&
             (a.dataType == IntegerType || a.dataType == LongType))
-          cdir <- indexCentroidsDir(child)
-          centers <- centersFor(cdir)
+          cdirStamp <- indexCentroidsDir(child)
+          centers <- centersFor(cdirStamp._1, cdirStamp._2)
           qv <- evalVector(q)
         } yield {
           val probes = rankProbes(centers, qv, nprobe)

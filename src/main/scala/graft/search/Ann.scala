@@ -790,6 +790,10 @@ object Ann {
     val out = fs.create(marker, true)
     try out.write("ivf-v2:lists+centroids\n".getBytes("UTF-8"))
     finally out.close()
+    // ADVICE r13: an in-place rebuild must not leave the plan rewrite
+    // pruning on the old centers — the rewrite's cache is keyed on the
+    // marker mtime (re-stamped just above) AND dropped eagerly here
+    graft.plans.AnnTopKRewrite.clearCache()
   }
 
   /** Reload a persisted IVF index. The centroid table is driver-sized

@@ -97,11 +97,15 @@ object QualityRules {
                   langCol: String = "lang"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    // ADVICE r13: null text tokenizes/hashes as '' on BOTH engines
+    // (Spark legacy sizeOfNull would yield -1 and md5(NULL) splits
+    // hash groups differently than the oracle)
+    val txt = coalesce(col(textCol), lit(""))
     val per = docs
-      .withColumn("__w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__w", TextAnalysis.tokens(txt))
       .withColumn("__nt", size(col("__w")).cast("long"))
-      .withColumn("__r", ruleFlags(col(textCol), col("__w"), minWords = minWords))
-      .withColumn("__h", md5(col(textCol).cast("binary")))
+      .withColumn("__r", ruleFlags(txt, col("__w"), minWords = minWords))
+      .withColumn("__h", md5(txt.cast("binary")))
       .withColumn("__c1", col(langCol) === keepLang)
       .withColumn("__c2", col("__c1") &&
         col("__r.word_count") && col("__r.word_length") &&
