@@ -18,7 +18,12 @@ import org.apache.spark.sql.SparkSession
   *   - a fixed no-op control job ("__control") runs once per pass and is
   *     reported separately as the noise floor — if the control's spread is
   *     wide, the window itself was noisy and cross-round deltas in that
-  *     window are not code-attributable.
+  *     window are not code-attributable;
+  *   - any query whose median reads > 3× its committed serial-history
+  *     ledger is stamped "inflation_suspect" AND re-run once solo after
+  *     all passes finish: "serial_recheck" ships the solo seconds and
+  *     "recheck_regression" the suspects still >3× — the artifact
+  *     adjudicates inflation-vs-regression by itself (VERDICT r13).
   *
   * Each query is materialized through the noop sink (full evaluation of
   * every column, no driver collect, no pruned-count shortcut) after a
@@ -86,6 +91,24 @@ object Bench {
                               med: Seq[(String, Double)]): Seq[String] =
     med.filter { case (n, t) => hist.get(n).exists(h => t > 3 * h && t - h > 1.0) }
       .map(_._1).sorted
+
+  /** Solo re-run of every inflation suspect after ALL passes finish
+    * (VERDICT r13 item 1): the in-bench number rode a multiprogrammed
+    * window; one more measurement with nothing else queued adjudicates
+    * inflation-vs-regression inside the artifact itself — BENCH_rN.json
+    * carries "serial_recheck" (the solo seconds) and
+    * "recheck_regression" (suspects STILL >3× their serial history
+    * after the solo run — the only ones worth a human's attention).
+    * Generic in the query type so the adjudication logic is
+    * spec-coverable without a SparkSession.
+    */
+  private[graft] def recheckSuspects[F](names: Seq[(String, F)],
+                                        suspectNames: Seq[String],
+                                        runOnce: (String, F) => Option[Double])
+      : Seq[(String, Double)] =
+    suspectNames.flatMap(n => names.find(_._1 == n).flatMap {
+      case (_, fn) => runOnce(n, fn).map(n -> _)
+    })
 
   /** Fixed-size CPU-bound job used as the per-pass noise floor: a 2^22-row
     * range with a multiply-hash aggregate. No I/O, no shuffle beyond the
@@ -229,6 +252,23 @@ object Bench {
     val writeHist = sys.env.get("SPARK_GRAFT_WRITE_HISTORY").contains("1")
     if (writeHist) writeHistory(mainKey, med)
     val mainSuspects = suspects(readHistory(mainKey), med)
+    // solo re-run of each suspect, AFTER the interleaved passes, so the
+    // artifact adjudicates inflation-vs-regression by itself
+    def soloRun(dir: String)(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] recheck $name%-24s $sec%8.3f s  (solo)")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recheck $name FAILED: ${e.getMessage}")
+        None
+      }
+    }
+    val mainRecheck = recheckSuspects(names, mainSuspects, soloRun(sfDir))
+    val mainStillBad = suspects(readHistory(mainKey), mainRecheck)
     val suspectJson = mainSuspects.map("\"" + _ + "\"").mkString(
       "\"inflation_suspect\":[", ",", "]")
     // the compact stdout line lives in a ~2000-char tail window; a badly
@@ -238,6 +278,11 @@ object Bench {
       f""""n_inflation_suspect":${mainSuspects.size},""" +
         mainSuspects.take(10).map("\"" + _ + "\"").mkString(
           "\"inflation_suspect\":[", ",", "]")
+    def recheckJson(rc: Seq[(String, Double)], still: Seq[String],
+                    cap: Int = Int.MaxValue): String =
+      s""""serial_recheck":${jsonMap(rc.take(cap))},""" +
+        still.take(cap).map("\"" + _ + "\"").mkString(
+          "\"recheck_regression\":[", ",", "]")
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val failedJson = failures.toSeq.sortBy(_._1)
@@ -273,7 +318,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""queries":${jsonMap(med)},"queries_xxh":${jsonMap(medXxh)},""" +
       f""""queries_min":${jsonMap(mins)},"passes":$passes,"failed":$failedJson,""" +
-      suspectJson + "," +
+      suspectJson + "," + recheckJson(mainRecheck, mainStillBad) + "," +
       ctl + "," + corpusJson + f""","sf":"$sfDir"}"""
     // The consumer captures only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there. The full per-query line
@@ -294,7 +339,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","degraded":$degraded,""" +
       f""""n_queries":${med.size},"n_failed":${failures.size},"failed":$failedCompact,"passes":$passes,""" +
       f""""queries":${jsonMap(headline)},"queries_xxh":${jsonMap(medXxh)},""" +
-      suspectCompact + "," +
+      suspectCompact + "," + recheckJson(mainRecheck, mainStillBad, cap = 10) + "," +
       ctl + "," + corpusCompact + f""","sf":"$sfDir"}""")
     if (degraded)
       System.err.println(s"[bench] DEGRADED: failures in ${failures.keys.toSeq.sorted.mkString(", ")} — 'value' excludes them")
@@ -353,6 +398,8 @@ object Bench {
         }
         if (writeHist) writeHistory("sf1", sf1Samples.toSeq)
         val sf1Suspects = suspects(readHistory("sf1"), sf1Samples.toSeq)
+        val sf1Recheck = recheckSuspects(names, sf1Suspects, soloRun(dir))
+        val sf1StillBad = suspects(readHistory("sf1"), sf1Recheck)
         // capped like the main compact list (this block rides the
         // compact stdout line); full per-query detail is on stderr
         val sf1SuspectJson =
@@ -397,6 +444,7 @@ object Bench {
           f""""sf1":{"value":$sf1Total%.3f,"n_queries":${sf1Samples.size},""" +
           f""""n_failed":$sf1Failed,"factor":10,"slowest":${jsonMap(sf1Slow)},""" +
           f""""queries_xxh":${jsonMap(sf1Xxh.toSeq)},""" + sf1SuspectJson + "," +
+          recheckJson(sf1Recheck, sf1StillBad, cap = 10) + "," +
           ncJson + "}"
         System.err.println(f"[bench] sf1 total $sf1Total%.1f s over ${sf1Samples.size} queries, $sf1Failed failed")
       } catch {

@@ -39,4 +39,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspects(Map("q" -> 2.0), Seq("q" -> 6.0)).isEmpty)
     assert(Bench.suspects(Map("q" -> 2.0), Seq("q" -> 6.1)) == Seq("q"))
   }
+
+  test("serial_recheck: suspects re-run solo; still->3x adjudicates regression") {
+    // registry: query name -> the "query" (here just its solo seconds)
+    val names = Seq("qa" -> 2.0, "qb" -> 50.0, "qc" -> 1.0)
+    val ran = collection.mutable.ListBuffer.empty[String]
+    def runOnce(n: String, solo: Double): Option[Double] = {
+      ran += n
+      if (n == "qc") None else Some(solo) // qc's solo run throws -> no sample
+    }
+    // only flagged suspects re-run, in suspect order; missing names skipped
+    val rc = Bench.recheckSuspects(names, Seq("qa", "qb", "qc", "zz"), runOnce)
+    assert(ran.toList == List("qa", "qb", "qc"))
+    assert(rc == Seq("qa" -> 2.0, "qb" -> 50.0))
+    // the adjudication: history says qa=1.5 (solo 2.0 -> clean, inflation
+    // confirmed), qb=10 (solo 50 -> STILL >3x, a real regression)
+    val still = Bench.suspects(Map("qa" -> 1.5, "qb" -> 10.0), rc)
+    assert(still == Seq("qb"))
+    // no suspects -> no re-runs at all
+    assert(Bench.recheckSuspects(names, Nil, runOnce) == Nil)
+  }
 }
