@@ -2731,22 +2731,17 @@ object SparkEntry {
   /** Near-dup graph degree histogram — how concentrated is duplication?
     * A long-tailed degree distribution (few hub documents matched by
     * thousands) wants keep-best + hub review; a flat one wants plain
-    * pair removal. Degrees come from the same banded-LSH pair list as
-    * q110/q40 (graph-sized, never all-pairs); the corpus joins the
-    * aggregate-bounded degree frame once so degree-0 docs are counted
-    * too; output is the ≤ max-degree-row histogram.
+    * pair removal. r14 (VERDICT r13 item 3): CLONE-COLLAPSED — exact
+    * clones collapse to representatives before the banded-LSH pair
+    * list, degrees reconstruct closed-form from group multiplicities
+    * ([[graft.dedup.Dedup.dupDegreeHistogram]]), so a clone-heavy
+    * corpus costs rep-scale pair work instead of C(c,2) per clique.
+    * Same banded-LSH machinery as q110/q40 on the rep side; degree-0
+    * docs counted through their groups.
     */
-  private def qDupDegree(s: SparkSession, dir: String): DataFrame = {
-    val docs = rdWide(s, dir, "documents")
-    val pairs = Dedup.nearDupPairs(docs, minJaccard = 0.5, maxBucketSize = 64)
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    docs.select(col("doc_id"))
-      .join(deg, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("degree"))
-      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
-  }
+  private def qDupDegree(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupDegreeHistogram(rdWide(s, dir, "documents"),
+      minJaccard = 0.5, maxBucketSize = 64)
 
   /** Kneser–Ney continuation counts — the statistic KN smoothing is
     * built from (Kneser & Ney 1995; Chen & Goodman 1998 §2.7): per

@@ -760,6 +760,52 @@ object Dedup {
     (nearDupPairs(reps, idCol, textCol, minJaccard, maxBucketSize), groups)
   }
 
+  /** Near-dup degree histogram, clone-collapsed (VERDICT r13 item 3 —
+    * the q118/q183 discipline applied to the q147 read): how many docs
+    * have 0, 1, 2, … near-dup partners, including degree-0 docs.
+    *
+    * The per-id form (degrees over [[nearDupPairs]] endpoints) is
+    * quadratic in clone multiplicity: a c-member exact-clone clique
+    * contributes C(c,2) jaccard-1.0 pairs before a single degree is
+    * counted. Here exact clones collapse to their lowest-id
+    * representative FIRST, MinHash-LSH + exact Jaccard runs on
+    * DISTINCT texts only, and every degree is reconstructed
+    * closed-form: a doc in clone group u with multiplicity m_u and
+    * rep-partner set P(u) has degree (m_u − 1) + Σ_{w∈P(u)} m_w —
+    * its co-clones (jaccard exactly 1.0, always ≥ any threshold the
+    * pair list used) plus every member of every matched group. The
+    * histogram then weights each group's degree by m_u. Exactly equal
+    * to the per-id form (DedupSpec pins all-distinct and planted-clone
+    * corpora) except under the bucket cap, which this form
+    * reinterprets over DISTINCT-text occupancy — the quantity that
+    * actually bounds pair work — mirroring [[graft.search.Ann
+    * .knnLabelNoiseCollapsed]]'s documented cap caveat.
+    *
+    * Scale shape: one text-hash aggregate (content never shuffles
+    * again), the rep-only LSH pair list (graph-sized), two
+    * group-frame joins, and a ≤-max-degree-row histogram.
+    */
+  def dupDegreeHistogram(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", minJaccard: Double = 0.0,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val groups = exactDupGroups(docs, idCol, textCol)
+      .select(col("keep_id"), col("n_copies"))
+      .localCheckpoint(eager = true) // reps + multiplicities, read 3×
+    val reps = docs.join(groups.select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
+    val pairs = nearDupPairs(reps, idCol, textCol, minJaccard, maxBucketSize)
+    // neighbor mass per rep: every distinct partner w contributes m_w
+    val mass = pairs.select(col("doc_a").as("keep_id"), col("doc_b").as("__w"))
+      .union(pairs.select(col("doc_b").as("keep_id"), col("doc_a").as("__w")))
+      .join(groups.select(col("keep_id").as("__w"), col("n_copies").as("m_w")),
+        Seq("__w"))
+      .groupBy(col("keep_id")).agg(sum(col("m_w")).as("__s"))
+    groups.join(mass, Seq("keep_id"), "left")
+      .na.fill(0L, Seq("__s"))
+      .withColumn("degree", col("n_copies") - 1 + col("__s"))
+      .groupBy(col("degree")).agg(sum(col("n_copies")).as("n_docs"))
+  }
+
   /** Clone-guarded [[containmentPairsExact]]: exact duplicates collapse
     * to one representative first, the prefix-filtered join runs on
     * representatives only, and clone membership ships separately —

@@ -160,6 +160,45 @@ class DedupSpec extends SparkSpec {
     assert(p == Set((1L, 4L))) // only the representative pairs; no C(3,2) clique pairs
   }
 
+  test("dupDegreeHistogram == per-id degree histogram on all-distinct " +
+    "and planted-clone corpora (closed-form reconstruction)") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.DataFrame
+    def perId(docs: DataFrame, minJ: Double): Map[Long, Long] = {
+      val pairs = Dedup.nearDupPairs(docs, minJaccard = minJ)
+      val deg = pairs.select($"doc_a".as("doc_id"))
+        .union(pairs.select($"doc_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      docs.select($"doc_id").join(deg, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        .as[(Long, Long)].collect().toMap
+    }
+    def collapsed(docs: DataFrame, minJ: Double): Map[Long, Long] =
+      Dedup.dupDegreeHistogram(docs, minJaccard = minJ)
+        .as[(Long, Long)].collect().toMap
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val distinctDocs = Seq(
+      (1L, base), (2L, near),
+      (3L, "completely different content with nothing shared here at all"),
+      (4L, "yet another unrelated document text body entirely distinct")
+    ).toDF("doc_id", "text")
+    assert(collapsed(distinctDocs, 0.3) == perId(distinctDocs, 0.3))
+    // clone-heavy: 3-clique + a cloned near-dup pair + a singleton; the
+    // collapse must reconstruct (m_u − 1) + Σ m_w exactly
+    val cloneDocs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, near), (5L, near),
+      (6L, "completely different content with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = collapsed(cloneDocs, 0.3)
+    assert(got == perId(cloneDocs, 0.3))
+    // closed form: clique members (3−1)+2 = 4, near-pair members
+    // (2−1)+3 = 4, singleton 0
+    assert(got == Map(4L -> 5L, 0L -> 1L))
+  }
+
   test("exactDupGroups keeps lowest id and counts copies") {
     val got = Dedup.exactDupGroups(docs)
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
