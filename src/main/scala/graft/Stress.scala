@@ -60,6 +60,43 @@ object Stress {
     Seq("region", "nation", "part", "supplier").foreach(replicate(_, Map.empty))
   }
 
+  /** Events-weighted replica (VERDICT r13 item 7): events replicate
+    * `factor`× with BOTH event_id and user_id shifted into disjoint
+    * spaces (disjoint arrival sequences and user populations — the
+    * uniform [[replicateDir]] keeps one event_id sequence, which is
+    * fine at its 100× but would corrupt the arrival-order reads at
+    * 1000×); every other table copies through at 1×. The uniform
+    * battery scales events in lockstep with documents (gs100x rides
+    * 10 M events), so the window-heavy event family never sees 100 M+
+    * events without this axis. Timestamps are NOT shifted: ×factor
+    * density on the same clock window is the production shape of a
+    * busier event stream.
+    */
+  def replicateEventsWeighted(spark: SparkSession, sfDir: String,
+                              factor: Int, workDir: String): Unit = {
+    def copyOrReplicate(name: String, shifts: Map[String, Long], f: Int): Unit = {
+      val src = s"$sfDir/$name.parquet"
+      if (!new java.io.File(src).exists()) return
+      val df = spark.read.parquet(src)
+      val out =
+        if (shifts.isEmpty || f == 1) df
+        else {
+          val reps = spark.range(f).withColumnRenamed("id", "__rep")
+          val crossed = df.crossJoin(reps)
+          shifts.foldLeft(crossed) { case (d, (c, stride)) =>
+            if (!df.columns.contains(c)) d
+            else d.withColumn(c, col(c) + col("__rep") * stride)
+          }.drop("__rep")
+        }
+      out.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+    }
+    copyOrReplicate("events",
+      Map("event_id" -> IdStride, "user_id" -> UserStride), factor)
+    Seq("documents", "embeddings", "customer", "orders", "lineitem",
+      "region", "nation", "part", "supplier")
+      .foreach(copyOrReplicate(_, Map.empty, 1))
+  }
+
   /** NON-CLONE documents replica: ids shift like [[replicateDir]], but each
     * replica r > 0 also has every 4th word SUBSTITUTED by a same-length
     * md5-derived pseudo-word keyed on (word, replica), so cross-replica
@@ -102,10 +139,17 @@ object Stress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    // factor syntax: "N" = uniform N× replica; "events=N" = events-only
+    // N× (other tables 1×, the VERDICT r13 item 7 axis); 0 = reuse
+    val factorArg = args.lift(1).getOrElse("20")
+    val eventsFactor =
+      if (factorArg.startsWith("events=")) factorArg.stripPrefix("events=").toInt
+      else 0
+    val factor = if (eventsFactor > 0) -1 else factorArg.toInt
     val workDir = args.lift(2).getOrElse("/tmp/graft-stress")
     val only = args.lift(3).map(_.split(",").toSet)
-    require(factor >= 0, s"factor must be >= 0 (0 = reuse workDir), got $factor")
+    require(eventsFactor > 0 || factor >= 0,
+      s"factor must be >= 0 (0 = reuse workDir) or events=N, got $factorArg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -118,7 +162,12 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (factor > 0) {
+    if (eventsFactor > 0) {
+      System.err.println(s"[stress] replicating $sfDir events x$eventsFactor (others x1) -> $workDir")
+      val t0 = System.nanoTime()
+      replicateEventsWeighted(spark, sfDir, eventsFactor, workDir)
+      System.err.println(f"[stress] replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else if (factor > 0) {
       System.err.println(s"[stress] replicating $sfDir x$factor -> $workDir")
       val t0 = System.nanoTime()
       replicateDir(spark, sfDir, factor, workDir)
