@@ -750,6 +750,19 @@ object SparkEntry {
     }
   }
 
+  /** MinHash-LSH banding planner over the corpus signature: measured
+    * candidate-pair work per (bands × rows) config next to its S-curve
+    * constants; see [[graft.dedup.Dedup.lshBandPlanner]].
+    */
+  private def qLshPlanner(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshBandPlanner(rdWide(s, dir, "documents"))
+
+  /** Per-source rational-IDF document informativeness (log-free,
+    * all-integer); see [[graft.text.CorpusOps.docInformativeness]].
+    */
+  private def qDocInformativeness(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.docInformativeness(rdWide(s, dir, "documents"))
+
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
     */
@@ -2826,7 +2839,9 @@ object SparkEntry {
     // asc), mirrored in the oracle (tied freqs contribute the same mass,
     // so coverage at every k is unchanged by the reorder)
     val grams = rdWide(s, dir, "documents")
-      .select(explode(graft.functions.TokenBigramHashes(col("text"))).as("gram"))
+      .select(explode(graft.functions.TokenBigramHashes(col("text"),
+        graft.functions.Hashers.resolve(s, graft.functions.Hashers.FromConf) == "xxh"))
+        .as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
     val total = grams.agg(sum(col("freq")).as("total"))
     val top = grams.orderBy(col("freq").desc, col("gram").asc).limit(1000)
@@ -3920,7 +3935,13 @@ object SparkEntry {
     * entry (VERDICT r12 item 3 — formerly the q137x/q175x twins).
     */
   val hasherSensitive: Seq[String] =
-    Seq("q137_quality_classifier", "q175_cdc_dedup")
+    Seq("q137_quality_classifier", "q175_cdc_dedup",
+      // r14 (VERDICT r13 item 8): the 60-bit-hash-domain kernel
+      // consumers — TokenNgramHashes / TokenBigramHashes /
+      // TokenPairHashes all honor the conf now (xxh = seed-42 XXH64
+      // over the identical window bytes, full 64-bit keys)
+      "q121_intradoc_repeats", "q139_vocab_coverage",
+      "q156_bigram_coverage", "q160_kn_score")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4117,6 +4138,8 @@ object SparkEntry {
     "q191_dup_exposure" -> (qDupExposure _),
     "q192_centroid_drift" -> (qCentroidDrift _),
     "q193_ivf_probe_topk" -> (qIvfProbeTopK _),
+    "q194_lsh_planner" -> (qLshPlanner _),
+    "q195_doc_informativeness" -> (qDocInformativeness _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4241,6 +4264,30 @@ object SparkEntry {
     * verbatim by every oracle that runs LSH over a derived corpus
     * (q157's planted union).
     */
+  /** q194's oracle: the shared sig CTE, then per banding config the
+    * exact bucket-count candidate mass, with the planner's S-curve
+    * constants interpolated from the SAME driver-side computation the
+    * Spark plan embeds ([[graft.dedup.Dedup.plannerCurve]]).
+    */
+  private def lshPlannerOracleSql: String = {
+    val cfgSelects = Dedup.PlannerConfigs.map { case (b, r) =>
+      val (t50, ps) = Dedup.plannerCurve(b, r)
+      val curve = ps.map { case (j, p) => f"$p%.6f::DOUBLE AS p_at_0$j" }
+        .mkString(", ")
+      s"""SELECT ${b}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band,
+         | coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS cand_pairs,
+         | count(*)::BIGINT AS n_buckets, max(n)::BIGINT AS max_bucket,
+         | ${f"$t50%.6f"}::DOUBLE AS threshold_50, $curve
+         |FROM (SELECT band, bh, count(*)::BIGINT AS n FROM
+         |  (SELECT doc_id, band,
+         |     md5(array_to_string(sig[band*$r+1:band*$r+$r], ',')) AS bh
+         |   FROM sig, (SELECT unnest(range(0, $b)) AS band))
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH $MinhashCtes
+       |${cfgSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def minhashCtesOver(src: String): String =
     s"""words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM $src),
        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
@@ -6679,6 +6726,34 @@ object SparkEntry {
          | round(sqrt(list_sum([(ca[j] - cb[j]) * (ca[j] - cb[j])
          |   for j in range(1, len(ca) + 1)])), 6) AS l2_drift
          |FROM a CROSS JOIN b""".stripMargin,
+
+    // full q14 minhash/sig machinery, then per (bands, rows) config the
+    // exact bucket-count candidate mass; the S-curve values are
+    // driver-computed constants (explicit multiplication chains + 6dp
+    // rounding in Dedup.plannerCurve) embedded as literals in BOTH
+    // engines, so no runtime float path exists to drift
+    "q194_lsh_planner" -> lshPlannerOracleSql,
+
+    // rational ppm idf over per-doc DISTINCT 60-bit token hashes
+    // (DISTINCT applied to the HASH on both engines, so a collision
+    // merges identically); all-integer `div`/`//` arithmetic end-to-end
+    "q195_doc_informativeness" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, source,
+        |   ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, source,
+        |     unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS t
+        |    FROM documents)),
+        | n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        | dfr AS (SELECT h, count(*)::BIGINT AS df FROM tk GROUP BY 1),
+        | per AS (SELECT doc_id, source, count(*)::BIGINT AS k,
+        |    sum((1000000 * nd) // df)::BIGINT AS s
+        |   FROM tk JOIN dfr USING (h) CROSS JOIN n GROUP BY 1, 2),
+        | doc AS (SELECT source, (s // k)::BIGINT AS doc_idf_ppm FROM per)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | (sum(doc_idf_ppm) // count(*))::BIGINT AS mean_doc_idf_ppm,
+        | min(doc_idf_ppm)::BIGINT AS min_doc_idf_ppm,
+        | max(doc_idf_ppm)::BIGINT AS max_doc_idf_ppm
+        |FROM doc GROUP BY 1""".stripMargin,
 
     // the rewritten-plan gate (VERDICT r13 item 2): the Spark side runs
     // the partition-pruned centroid IN-probe over the persisted q28

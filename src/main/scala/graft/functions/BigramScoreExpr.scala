@@ -79,7 +79,8 @@ case class BigramWeightSum(child: Expression, weights: IndexedSeq[Long],
   * composed `element_at` form kept them too). Sub-2-token text yields
   * an empty array.
   */
-case class TokenBigramHashes(child: Expression) extends UnaryExpression {
+case class TokenBigramHashes(child: Expression,
+                             useXxHash: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -92,11 +93,11 @@ case class TokenBigramHashes(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    TokenBigramHashes.compute(input.asInstanceOf[UTF8String])
+    TokenBigramHashes.compute(input.asInstanceOf[UTF8String], useXxHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TokenBigramHashes.compute($a);")
+      s"${ev.value} = graft.functions.TokenBigramHashes.compute($a, $useXxHash);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -104,15 +105,43 @@ case class TokenBigramHashes(child: Expression) extends UnaryExpression {
 
 object TokenBigramHashes {
 
-  def apply(c: Column): Column =
-    ColumnShim.column(TokenBigramHashes(ColumnShim.expression(c)))
+  def apply(c: Column): Column = apply(c, useXxHash = false)
+
+  def apply(c: Column, useXxHash: Boolean): Column =
+    ColumnShim.column(TokenBigramHashes(ColumnShim.expression(c), useXxHash))
 
   private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** xxh mode (`spark.graft.hasher=xxh`, timing-only — no DuckDB twin):
+    * Spark's own seed-42 XXH64 over the identical "tok SP tok" bytes,
+    * full 64-bit value (the keys are shuffle/group keys only, so no
+    * 60-bit masking is needed). Bit-identical to
+    * `xxhash64(concat(tok1, ' ', tok2))` — CorpusOpsSpec pins it.
+    */
+  private[functions] def xxhWindow(bytes: Array[Array[Byte]],
+                                   from: Int, n: Int): Long = {
+    var len = n - 1
+    var i = from
+    while (i < from + n) { len += bytes(i).length; i += 1 }
+    val buf = new Array[Byte](len)
+    var off = 0
+    i = from
+    while (i < from + n) {
+      val b = bytes(i)
+      System.arraycopy(b, 0, buf, off, b.length)
+      off += b.length
+      if (i < from + n - 1) { buf(off) = ' '; off += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, buf.length, 42L)
+  }
+
+  def compute(s: UTF8String,
+              useXxHash: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
     if (toks.length < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -122,6 +151,15 @@ object TokenBigramHashes {
     while (i < toks.length) {
       bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       i += 1
+    }
+    if (useXxHash) {
+      val out = new Array[Long](toks.length - 1)
+      var j = 0
+      while (j < toks.length - 1) {
+        out(j) = xxhWindow(bytes, j, 2)
+        j += 1
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
     val md = digestLocal.get()
     val out = new Array[Long](toks.length - 1)
@@ -154,7 +192,8 @@ object TokenBigramHashes {
   * (tokenNgrams' `size >= n` semantics); tokenization is
   * `split(lower(trim(text)), '\s+')` limit -1, no empty filter.
   */
-case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class TokenNgramHashes(child: Expression, n: Int,
+                            useXxHash: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -169,11 +208,11 @@ case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    TokenNgramHashes.compute(input.asInstanceOf[UTF8String], n)
+    TokenNgramHashes.compute(input.asInstanceOf[UTF8String], n, useXxHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TokenNgramHashes.compute($a, $n);")
+      s"${ev.value} = graft.functions.TokenNgramHashes.compute($a, $n, $useXxHash);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -181,15 +220,18 @@ case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object TokenNgramHashes {
 
-  def apply(c: Column, n: Int): Column =
-    ColumnShim.column(TokenNgramHashes(ColumnShim.expression(c), n))
+  def apply(c: Column, n: Int): Column = apply(c, n, useXxHash = false)
+
+  def apply(c: Column, n: Int, useXxHash: Boolean): Column =
+    ColumnShim.column(TokenNgramHashes(ColumnShim.expression(c), n, useXxHash))
 
   private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def compute(s: UTF8String, n: Int,
+              useXxHash: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
     if (toks.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -200,8 +242,18 @@ object TokenNgramHashes {
       bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       i += 1
     }
-    val md = digestLocal.get()
     val out = new Array[Long](toks.length - n + 1)
+    if (useXxHash) {
+      // seed-42 XXH64 over the same window bytes, full 64-bit keys
+      // (shuffle/group keys only — see TokenBigramHashes.xxhWindow)
+      var j = 0
+      while (j < out.length) {
+        out(j) = TokenBigramHashes.xxhWindow(bytes, j, n)
+        j += 1
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    val md = digestLocal.get()
     var j = 0
     while (j < out.length) {
       md.reset()
@@ -243,7 +295,8 @@ object TokenNgramHashes {
   * vocabulary are ~V²/2^61 (V = 10⁶ → 4·10⁻⁷) — and the oracle replays
   * the identical hash, so a collision changes both engines identically.
   */
-case class TokenPairHashes(child: Expression) extends UnaryExpression {
+case class TokenPairHashes(child: Expression,
+                           useXxHash: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = TokenPairHashes.Schema
 
@@ -256,11 +309,11 @@ case class TokenPairHashes(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    TokenPairHashes.compute(input.asInstanceOf[UTF8String])
+    TokenPairHashes.compute(input.asInstanceOf[UTF8String], useXxHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TokenPairHashes.compute($a);")
+      s"${ev.value} = graft.functions.TokenPairHashes.compute($a, $useXxHash);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -272,8 +325,10 @@ object TokenPairHashes {
     StructField("h1", LongType, nullable = false),
     StructField("h2", LongType, nullable = false))), containsNull = false)
 
-  def apply(c: Column): Column =
-    ColumnShim.column(TokenPairHashes(ColumnShim.expression(c)))
+  def apply(c: Column): Column = apply(c, useXxHash = false)
+
+  def apply(c: Column, useXxHash: Boolean): Column =
+    ColumnShim.column(TokenPairHashes(ColumnShim.expression(c), useXxHash))
 
   private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -293,7 +348,8 @@ object TokenPairHashes {
     (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
-  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def compute(s: UTF8String,
+              useXxHash: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = s.trim().toLowerCase.toString.split("\\s+", -1)
     if (toks.length < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -303,8 +359,12 @@ object TokenPairHashes {
     val hs = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      hs(i) = h60(md,
-        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) =
+        if (useXxHash)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        else h60(md, b)
       i += 1
     }
     val out = new Array[Any](toks.length - 1)

@@ -385,11 +385,13 @@ object CorpusOps {
     * (~V²/2^61). Shuffles move fixed 8-byte longs instead of
     * variable-length bigram strings — the measured ~2× class (q83/q160).
     */
-  def bigramVocabCoverageHashed(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+  def bigramVocabCoverageHashed(docs: DataFrame, vocabSize: Int = 256,
+                                hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val xxh = graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh"
     val stc = docs
       .select(col("source"),
-        explode(graft.functions.TokenBigramHashes(col("text"))).as("g"))
+        explode(graft.functions.TokenBigramHashes(col("text"), xxh)).as("g"))
       .groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -413,9 +415,11 @@ object CorpusOps {
     * identical hash so both engines move together). CorpusOpsSpec pins
     * hashed == string on clone/adversarial corpora.
     */
-  def intraDocRepeatsHashed(docs: DataFrame, n: Int = 5, topK: Int = 20): DataFrame =
+  def intraDocRepeatsHashed(docs: DataFrame, n: Int = 5, topK: Int = 20,
+                            hasher: String = graft.functions.Hashers.FromConf): DataFrame =
     docs.select(col("doc_id"),
-        explode(graft.functions.TokenNgramHashes(col("text"), n)).as("ng"))
+        explode(graft.functions.TokenNgramHashes(col("text"), n,
+          graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh")).as("ng"))
       .groupBy(col("doc_id"), col("ng"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -628,12 +632,14 @@ object CorpusOps {
     * identical per-token hash, so Spark and oracle move together even on
     * a collision.
     */
-  def kneserNeyPerSourceHashed(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+  def kneserNeyPerSourceHashed(docs: DataFrame, discount: Double = 0.75,
+                               hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
     require(discount > 0.0 && discount < 1.0, s"need 0 < discount < 1, got $discount")
     val d = lit(discount)
     val pairs = docs
       .select(col("source"),
-        explode(graft.functions.TokenPairHashes(col("text"))).as("b"))
+        explode(graft.functions.TokenPairHashes(col("text"),
+          graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh")).as("b"))
       .select(col("source"), col("b.h1").as("h1"), col("b.h2").as("h2"))
       .groupBy(col("source"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("n"))
@@ -722,6 +728,57 @@ object CorpusOps {
         round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6)))
       .select(col("source"), col("n_docs"), col("mean_score_milli"),
         col("mean_ttr_pm"), col("r"))
+  }
+
+  /** Per-source document informativeness via RATIONAL inverse document
+    * frequency — mean over each doc's DISTINCT tokens of
+    * `(1e6 · N) div df(token)` in ppm, rolled up per source (mean /
+    * min / max of the per-doc means). The boilerplate screen TF-IDF
+    * gives without its float log: a doc of corpus-universal tokens
+    * (df ≈ N) scores ≈ 1e6, a doc of hapaxes scores ≈ 1e6·N. Log-free
+    * rational idf is the [[graft.text.Bm25]] parity discipline — every
+    * arithmetic step is exact BIGINT (`div`), so there is NO float
+    * anywhere and the oracle can't ULP-drift.
+    *
+    * Tokens ride the 60-bit hash domain ([[graft.functions
+    * .TokenNgramHashes]] at n = 1, the q121 class): the df aggregate
+    * and the idf join ship 8-byte longs, never token strings. A 60-bit
+    * collision merges two df rows (~V²/2^61); the oracle replays the
+    * identical hash, so both engines move together. Null text
+    * coalesces to '' (tokenizes to [''], one token) on both engines —
+    * the q189/q191 discipline.
+    *
+    * Scale shape: one tokenize+hash kernel scan (per-doc distinct done
+    * INSIDE the row via array_distinct — no (doc, token) pre-shuffle),
+    * one vocabulary-keyed df aggregate, one hash-keyed join back, one
+    * per-doc aggregate, one |sources|-row rollup. The N scalar rides a
+    * broadcast 1-row crossJoin.
+    */
+  def docInformativeness(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", srcCol: String = "source",
+                         hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
+    val xxh = graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh"
+    val tk = docs
+      .select(col(idCol), col(srcCol),
+        explode(array_distinct(graft.functions.TokenNgramHashes(
+          coalesce(col(textCol), lit("")), 1, xxh))).as("h"))
+      .localCheckpoint(eager = true) // df aggregate + idf join both read it
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val dfreq = tk.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    tk.join(dfreq, Seq("h"))
+      .crossJoin(broadcast(nd))
+      .groupBy(col(idCol), col(srcCol))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("(1000000 * nd) div df")).as("s"))
+      .select(col(srcCol), expr("s div k").as("doc_idf_ppm"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_idf_ppm")).as("__s"),
+        min(col("doc_idf_ppm")).as("min_doc_idf_ppm"),
+        max(col("doc_idf_ppm")).as("max_doc_idf_ppm"))
+      .select(col(srcCol).as("source"), col("n_docs"),
+        expr("__s div n_docs").as("mean_doc_idf_ppm"),
+        col("min_doc_idf_ppm"), col("max_doc_idf_ppm"))
   }
 
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =

@@ -447,6 +447,84 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hsh == str, s"$hsh vs $str")
   }
 
+  test("xxh kernel mode == composed xxhash64 phrasing; hash-domain ops are " +
+    "hasher-invariant on count-shaped outputs (r14, VERDICT r13 item 8)") {
+    val d = docs(
+      (1L, "a b c a b c a b c d e", "s"),
+      (2L, "\tx  y z x y z", "s"),            // tab + empty token
+      (3L, "one two", "t"),
+      (4L, "The  CAT the cat p q r s t p q", "t"))
+    // TokenNgramHashes(xxh) == xxhash64 over the composed window strings
+    for (n <- Seq(2, 3)) {
+      val rows = d.select(
+          graft.functions.TokenNgramHashes(col("text"), n, useXxHash = true)
+            .as("k"),
+          when(size(split(lower(trim(col("text"))), "\\s+")) >= n,
+            expr(s"transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - $n), " +
+              s"i -> xxhash64(array_join(slice(split(lower(trim(text)), '\\\\s+'), i + 1, $n), ' ')))"))
+            .otherwise(expr("cast(array() as array<bigint>)")).as("c"))
+        .collect()
+      assert(rows.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)),
+        s"n=$n kernel != composed xxhash64")
+    }
+    // TokenBigramHashes(xxh) == TokenNgramHashes(2, xxh)
+    val bg = d.select(
+        graft.functions.TokenBigramHashes(col("text"), useXxHash = true).as("a"),
+        graft.functions.TokenNgramHashes(col("text"), 2, useXxHash = true).as("b"))
+      .collect()
+    assert(bg.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // TokenPairHashes(xxh): each slot is xxhash64 of the single token
+    val tp = d.select(
+        graft.functions.TokenPairHashes(col("text"), useXxHash = true).as("p"),
+        expr("transform(split(lower(trim(text)), '\\\\s+'), t -> xxhash64(t))").as("h"))
+      .collect()
+    tp.foreach { r =>
+      val p = r.getSeq[org.apache.spark.sql.Row](0)
+      val h = r.getSeq[Long](1)
+      p.zipWithIndex.foreach { case (pr, i) =>
+        assert(pr.getLong(0) == h(i) && pr.getLong(1) == h(i + 1))
+      }
+    }
+    // flipping the hasher changes shuffle keys only — the count-shaped
+    // outputs are identical (hash values never reach the output)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    assert(rowsOf(CorpusOps.intraDocRepeatsHashed(d, hasher = "xxh")) ==
+      rowsOf(CorpusOps.intraDocRepeatsHashed(d, hasher = "md5")))
+    assert(rowsOf(CorpusOps.kneserNeyPerSourceHashed(d, hasher = "xxh")) ==
+      rowsOf(CorpusOps.kneserNeyPerSourceHashed(d, hasher = "md5")))
+    // coverage: single source (count TIES at the global vocab cut order
+    // differently per hasher; within one source tied grams carry equal
+    // mass, so oov is invariant — multi-source redistribution is the
+    // documented tie caveat, same as the string-vs-hash witness)
+    val single = docs(
+      (1L, "a b " * 8 + "c d " * 4 + "e f " * 2 + "g h", "s"),
+      (2L, "a b a b c d q r", "s"))
+    assert(rowsOf(CorpusOps.bigramVocabCoverageHashed(single, 3, hasher = "xxh")).toSet ==
+      rowsOf(CorpusOps.bigramVocabCoverageHashed(single, 3, hasher = "md5")).toSet)
+  }
+
+  test("docInformativeness: hand-computed rational idf, null text as '', " +
+    "hasher-invariant") {
+    val d = docs(
+      (1L, "a b", "s"),
+      (2L, "a c", "s"),
+      (3L, "a", "t"),
+      (4L, null, "t")) // coalesces to '' -> one '' token
+    // N=4; df: a=3, b=1, c=1, ''=1; idf_ppm: a=1333333, others=4000000
+    // d1=(1333333+4000000) div 2=2666666; d2=2666666; d3=1333333; d4=4000000
+    val got = CorpusOps.docInformativeness(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("s") == ((2L, 2666666L, 2666666L, 2666666L)), got("s"))
+    assert(got("t") == ((2L, 2666666L, 1333333L, 4000000L)), got("t"))
+    // hash domain is keys-only: md5 and xxh give identical outputs
+    val xxh = CorpusOps.docInformativeness(d, hasher = "xxh")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(xxh == got)
+  }
+
   test("kneserNeyPerSource: discounted probabilities leave mass for unseen continuations") {
     // For any context, the summed probability over SEEN continuations must
     // be < 1 (the discount reserves mass) and every P_KN must be > 0 even

@@ -199,6 +199,37 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(4L -> 5L, 0L -> 1L))
   }
 
+  test("lshBandPlanner: candidate mass grows with band count; clone clique " +
+    "shows up as exact C(n,2) at every config; S-curve constants sane") {
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), // identical signatures
+      (4L, "completely different content with nothing shared here at all"),
+      (5L, "yet another unrelated document text body entirely distinct")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.lshBandPlanner(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    // the 3-clone clique collides in EVERY band of EVERY config:
+    // per-band C(3,2) = 3 pairs × b bands minimum
+    rows.foreach { case (b, _, cand, _) =>
+      assert(cand >= 3L * b, s"bands=$b cand=$cand") }
+    // more bands -> looser S-curve -> more (or equal) enqueued work
+    val byBands = rows.sortBy(_._1)
+    assert(byBands.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      byBands.mkString(","))
+    // t50 midpoints: monotone decreasing in band count, within (0, 1]
+    assert(byBands.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    assert(rows.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+    // the committed 8x2 production config's curve constants are the
+    // documented 1-(1-j^2)^8 values
+    val (t50, ps) = Dedup.plannerCurve(8, 2)
+    assert(math.abs(ps.toMap.apply(50) - 0.899887) < 1e-6)
+    assert(math.abs(t50 - 0.288090) < 1e-6)
+  }
+
   test("exactDupGroups keeps lowest id and counts copies") {
     val got = Dedup.exactDupGroups(docs)
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
