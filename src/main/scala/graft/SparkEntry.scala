@@ -763,6 +763,36 @@ object SparkEntry {
   private def qDocInformativeness(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.docInformativeness(rdWide(s, dir, "documents"))
 
+  /** Per-source character-entropy stats (in-row class counts, 9dp-ln
+    * terms, integer micro-units); see [[graft.text.CorpusOps.charEntropy]].
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.charEntropy(rdWide(s, dir, "documents"))
+
+  /** Positional boilerplate screen: tokens ranked by mean-position
+    * distance from uniform; see [[graft.text.CorpusOps.tokenPositionBias]].
+    */
+  private def qTokenPositionBias(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.tokenPositionBias(rdWide(s, dir, "documents"))
+
+  /** Duplication-by-length histogram (fixed-width buckets); see
+    * [[graft.dedup.Dedup.dupByLengthBuckets]].
+    */
+  private def qDupByLength(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupByLengthBuckets(rdWide(s, dir, "documents"))
+
+  /** Most-bursty tokens by df/cf dispersion; see
+    * [[graft.text.CorpusOps.tokenDispersion]].
+    */
+  private def qTokenDispersion(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.tokenDispersion(rdWide(s, dir, "documents"))
+
+  /** MinHash estimator error vs exact Jaccard by decile; see
+    * [[graft.dedup.Dedup.minhashAccuracy]].
+    */
+  private def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(rdWide(s, dir, "documents"))
+
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
     */
@@ -2488,10 +2518,12 @@ object SparkEntry {
   /** Dedup threshold-sensitivity curve: pair/doc counts per candidate
     * Jaccard threshold from ONE LSH pass; integer cross-multiplied
     * threshold compares. Hot-bucket cap on (spec asserts capped ==
-    * uncapped at this scale).
+    * uncapped at this scale). r14: clone-collapsed form — LSH and the
+    * set verify run on distinct texts, counts reconstructed closed-form
+    * (DedupSpec pins equality to the per-id form).
     */
   private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupThresholdCurve(rdWide(s, dir, "documents"), maxBucketSize = 64)
+    Dedup.dedupThresholdCurveCollapsed(rdWide(s, dir, "documents"), maxBucketSize = 64)
 
   /** Tokenizer fertility audit: per language, the token-economics table
     * a multilingual training budget is planned from — whitespace words,
@@ -4140,6 +4172,11 @@ object SparkEntry {
     "q193_ivf_probe_topk" -> (qIvfProbeTopK _),
     "q194_lsh_planner" -> (qLshPlanner _),
     "q195_doc_informativeness" -> (qDocInformativeness _),
+    "q196_char_entropy" -> (qCharEntropy _),
+    "q197_token_position_bias" -> (qTokenPositionBias _),
+    "q198_dup_by_length" -> (qDupByLength _),
+    "q199_token_dispersion" -> (qTokenDispersion _),
+    "q200_minhash_accuracy" -> (qMinhashAccuracy _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4286,6 +4323,32 @@ object SparkEntry {
     }
     s"""WITH $MinhashCtes
        |${cfgSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q196's oracle, generated from [[graft.text.CorpusOps.EntropyClasses]]
+    * so the class list and the FIXED term order (a..z, space, other)
+    * can't drift from the Spark fold; per-class counts use the same
+    * length-replace identity, each ln rounds to 9dp before the chained
+    * sum, and the per-doc value is integer micro-units before any
+    * cross-row aggregate.
+    */
+  private def charEntropyOracleSql: String = {
+    val t = "coalesce(text, '')"
+    val classes = graft.text.CorpusOps.EntropyClasses
+    val kCols = classes.zipWithIndex.map { case (c, i) =>
+      s"length($t) - length(replace($t, '$c', '')) AS k_$i"
+    } :+ s"length(regexp_replace($t, '[a-z ]', '', 'g')) AS k_oth"
+    val terms = (classes.indices.map(i => s"k_$i") :+ "k_oth").map { k =>
+      s"CASE WHEN $k > 0 THEN ($k / n) * round(ln($k / n), 9) ELSE 0 END"
+    }
+    s"""WITH c AS (SELECT source, length($t) AS n,
+       |   ${kCols.mkString(",\n   ")}
+       |  FROM documents),
+       | e AS (SELECT source, CAST(round(-(${terms.mkString("\n   + ")}) * 1000000, 0) AS BIGINT) AS m FROM c)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       | (sum(m) // count(*))::BIGINT AS mean_entropy_micro,
+       | min(m)::BIGINT AS min_entropy_micro, max(m)::BIGINT AS max_entropy_micro
+       |FROM e GROUP BY 1""".stripMargin
   }
 
   private def minhashCtesOver(src: String): String =
@@ -6754,6 +6817,66 @@ object SparkEntry {
         | min(doc_idf_ppm)::BIGINT AS min_doc_idf_ppm,
         | max(doc_idf_ppm)::BIGINT AS max_doc_idf_ppm
         |FROM doc GROUP BY 1""".stripMargin,
+
+    // generated from EntropyClasses — fixed-order 28-term ln chain,
+    // 9dp per term, integer micro-units before the source rollup
+    "q196_char_entropy" -> charEntropyOracleSql,
+
+    // occurrence position as (1e6·(i−1)) // (len−1); single-token docs
+    // excluded on both engines (no positional information)
+    "q197_token_position_bias" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS w FROM documents),
+        | g AS (SELECT unnest([{'token': w[i], 'ppm': (1000000 * (i - 1)) // (len(w) - 1)}
+        |    for i in range(1, len(w) + 1)]) AS s FROM toks WHERE len(w) >= 2),
+        | a AS (SELECT s.token AS token, count(*)::BIGINT AS n_occ,
+        |    (sum(s.ppm) // count(*))::BIGINT AS mean_pos_ppm FROM g GROUP BY 1)
+        |SELECT token, n_occ, mean_pos_ppm,
+        | abs(mean_pos_ppm - 500000)::BIGINT AS bias_ppm
+        |FROM a ORDER BY bias_ppm DESC, token ASC LIMIT 20""".stripMargin,
+
+    // exact-clone stats per fixed-width length bucket; md5 equality ==
+    // text equality here (the q10 grouping convention)
+    "q198_dup_by_length" ->
+      """WITH g AS (SELECT md5(coalesce(text, '')) AS h,
+        |   length(coalesce(text, '')) // 50 AS len_bucket, count(*)::BIGINT AS m
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT len_bucket, count(*)::BIGINT AS n_groups, sum(m)::BIGINT AS n_docs,
+        | sum(CASE WHEN m >= 2 THEN m ELSE 0 END)::BIGINT AS n_dup_docs,
+        | sum(m * (m - 1) // 2)::BIGINT AS n_dup_pairs
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // df/cf dispersion, most-bursty first; (dispersion, token) is a
+    // total order so the LIMIT cut replays exactly
+    "q199_token_dispersion" ->
+      """WITH t AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS token
+        |  FROM documents),
+        | c AS (SELECT doc_id, token, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        | a AS (SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf FROM c GROUP BY 1)
+        |SELECT token, df, cf, ((1000000 * df) // cf)::BIGINT AS dispersion_ppm
+        |FROM a ORDER BY dispersion_ppm ASC, token ASC LIMIT 20""".stripMargin,
+
+    // the full sig/band replay over text-collapsed reps (the Spark
+    // side's exactDupGroups collapse), then all-integer common-denom
+    // error: |1e6·(agree·uni − 16·inter)| // (16·uni)
+    "q200_minhash_accuracy" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         | ${minhashCtesOver("reps")},
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pv AS (SELECT
+         |    len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS inter,
+         |    len(list_distinct(sa.shingles || sb.shingles))::BIGINT AS uni,
+         |    len(list_filter(range(1, 17), i -> ga.sig[i] = gb.sig[i]))::BIGINT AS agree
+         |   FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |    JOIN sig ga ON ga.doc_id = doc_a JOIN sig gb ON gb.doc_id = doc_b),
+         | e AS (SELECT (10 * inter) // uni AS jaccard_decile,
+         |    abs(1000000 * (agree * uni - 16 * inter)) // (16 * uni) AS err_ppm FROM pv)
+         |SELECT jaccard_decile, count(*)::BIGINT AS n_pairs,
+         | (sum(err_ppm) // count(*))::BIGINT AS mean_err_ppm,
+         | max(err_ppm)::BIGINT AS max_err_ppm
+         |FROM e GROUP BY 1""".stripMargin,
 
     // the rewritten-plan gate (VERDICT r13 item 2): the Spark side runs
     // the partition-pruned centroid IN-probe over the persisted q28

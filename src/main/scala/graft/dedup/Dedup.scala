@@ -467,6 +467,85 @@ object Dedup {
       .crossJoin(broadcast(alpha))
   }
 
+  /** Duplication-by-length histogram: exact-clone statistics stratified
+    * by fixed-width text-length buckets — WHERE the duplication lives.
+    * Short-doc-heavy duplication is boilerplate/template mass (scrub
+    * it); long-doc duplication is mirrored content (dedup it); the
+    * split decides which pipeline stage pays. Fixed-width buckets
+    * (length div `bucketChars`), not quantiles — quantile edges are
+    * tie-broken by row order and would not replay across engines.
+    *
+    * One hash aggregate keyed (text_hash, bucket) — the bucket is a
+    * function of the text, so the key adds no cardinality — then a
+    * ≤max-length/width-row rollup. All integers.
+    */
+  def dupByLengthBuckets(docs: DataFrame, textCol: String = "text",
+                         bucketChars: Int = 50): DataFrame = {
+    require(bucketChars > 0, s"bucketChars must be > 0, got $bucketChars")
+    val t = coalesce(col(textCol), lit(""))
+    docs
+      .groupBy(md5(t.cast("binary")).as("__h"),
+        expr(s"length(coalesce($textCol, '')) div $bucketChars").as("len_bucket"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("m")).as("n_docs"),
+        sum(when(col("m") >= 2, col("m")).otherwise(lit(0L))).as("n_dup_docs"),
+        sum(expr("m * (m - 1) div 2")).as("n_dup_pairs"))
+  }
+
+  /** MinHash estimator accuracy audit: over the LSH candidate pairs of
+    * DISTINCT texts, how far the signature-agreement estimate
+    * (agreeing slots / [[NumHashes]]) sits from the exact shingle
+    * Jaccard, bucketed by exact-Jaccard decile. The audit that
+    * justifies (or indicts) the signature width the whole LSH family
+    * runs on: if mean error at the dedup threshold's decile rivals the
+    * band gap, the index needs more hashes — measured on THIS corpus,
+    * not the i.i.d. model. Companion to [[recallCurve]] (which audits
+    * the BANDING; this audits the ESTIMATOR).
+    *
+    * Error is exact-integer ppm: |1e6·(agree·uni − k·inter)| div
+    * (k·uni) — the common-denominator form of |agree/k − inter/uni| —
+    * so every cell replays in any engine. Clone discipline: exact
+    * clones collapse first (identical texts estimate trivially and
+    * quadratically inflate candidates); the oracle collapses
+    * identically.
+    */
+  def minhashAccuracy(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val groups = exactDupGroups(docs, idCol, textCol)
+    val reps = docs.join(groups.select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
+    val base = reps
+      .select(col(idCol), tokens(col(textCol)).as("__w"),
+        shingles(col(textCol)).as("__sh"))
+      .select(col(idCol),
+        graft.functions.MinHashSignature(col("__w"), 3, NumHashes).as("__sig"),
+        col("__sh"))
+      .localCheckpoint(eager = true) // bands + both pair sides read it
+    val bands = base.select(col(idCol),
+      posexplode(bandHashes(col("__sig"))).as(Seq("band", "band_hash")))
+    val pairs = candidatePairs(bands, idCol, maxBucketSize)
+    val a = base.select(col(idCol).as("doc_a"), col("__sig").as("sig_a"),
+      col("__sh").as("sh_a"))
+    val b = base.select(col(idCol).as("doc_b"), col("__sig").as("sig_b"),
+      col("__sh").as("sh_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("long").as("agree"))
+      .select(expr("(10 * inter) div uni").as("jaccard_decile"),
+        expr(s"abs(1000000 * (agree * uni - $NumHashes * inter)) div ($NumHashes * uni)")
+          .as("err_ppm"))
+      .groupBy(col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err_ppm")).as("__s"),
+        max(col("err_ppm")).as("max_err_ppm"))
+      .select(col("jaccard_decile"), col("n_pairs"),
+        expr("__s div n_pairs").as("mean_err_ppm"), col("max_err_ppm"))
+  }
+
   /** Clone-collapsed aggregate form of [[editNearPairs]]: per
     * (group, dist), the EXACT pair count, computed by pairing DISTINCT
     * titles only and reconstructing multiplicities in closed form — the
@@ -1034,6 +1113,94 @@ object Dedup {
       .groupBy(col("threshold_pct"))
       .agg(countDistinct(col("d")).as("n_docs"))
     nPairs.join(nDocs, Seq("threshold_pct"))
+  }
+
+  /** Clone-collapsed [[dedupThresholdCurve]] (the q118/q147/q183
+    * discipline applied to the threshold-tuning audit): exact clones
+    * collapse to their lowest-id representative FIRST, MinHash-LSH +
+    * the integer-Jaccard verify run on DISTINCT texts only, and each
+    * threshold's counts are reconstructed closed-form —
+    *
+    *  - a passing representative pair (u, w) stands for m_u·m_w doc
+    *    pairs (every clone of u pairs with every clone of w at the
+    *    same intersection/union, since the sets depend only on text);
+    *  - a clone group of multiplicity m contributes C(m,2) internal
+    *    pairs at EVERY threshold (identical texts have Jaccard exactly
+    *    1 ≥ any t ≤ 100, and identical signatures share every band,
+    *    so the per-id form always counted them);
+    *  - n_docs(t) = Σ m over groups touched at t: endpoints of a
+    *    passing representative pair, plus every m ≥ 2 group.
+    *
+    * Value-identical to the per-id form when the bucket cap never
+    * fires (DedupSpec pins all-distinct and planted-clone corpora);
+    * under `maxBucketSize` the cap is reinterpreted over DISTINCT-text
+    * bucket occupancy — the quantity that actually bounds pair work —
+    * the same documented caveat as [[dupDegreeHistogram]]. Null-text
+    * docs form one clone group (md5(null) groups together), mirroring
+    * [[dedupScalingCurve]]'s deterministic null treatment.
+    *
+    * Scale shape: the per-id form pays the signature pass per DOC and
+    * the set-verify per clone-pair — quadratic in multiplicity; this
+    * form pays one text-hash aggregate, representative-scale LSH, and
+    * three group-frame joins. On the clone-replica battery that is the
+    * difference between corpus² and representative² work.
+    */
+  def dedupThresholdCurveCollapsed(docs: DataFrame,
+                                   thresholdsPct: Seq[Int] = Seq(50, 60, 70, 80, 90),
+                                   idCol: String = "doc_id", textCol: String = "text",
+                                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(thresholdsPct.nonEmpty && thresholdsPct.forall(t => t > 0 && t <= 100),
+      s"thresholdsPct must be in (0, 100], got $thresholdsPct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // lazy cache, not an eager checkpoint: the three readers (reps join,
+    // internal agg, every-threshold touched frame) all sit inside ONE
+    // action, so caching shares the group frame without spending a job
+    // (the audit-relevant difference from dupDegreeHistogram's shape)
+    val groups = exactDupGroups(docs, idCol, textCol)
+      .select(col("keep_id"), col("n_copies"))
+      .cache()
+    // inner join carries the multiplicity along, so the pair frame never
+    // joins back to groups
+    val reps = docs.join(groups, col(idCol) === col("keep_id"))
+      .select(col(idCol), col(textCol), col("n_copies"))
+    val sh = reps.select(col(idCol), col("n_copies"),
+      shingles(col(textCol)).as("sh"))
+    val repPairs = candidatePairs(minhashBands(reps, idCol, textCol), idCol, maxBucketSize)
+      .join(sh.select(col(idCol).as("doc_a"), col("n_copies").as("m_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("n_copies").as("m_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("m_a"), col("m_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("__uni"))
+    val ts = array(thresholdsPct.map(t => lit(t.toLong)): _*)
+    val at = repPairs
+      .select(col("doc_a"), col("doc_b"), col("m_a"), col("m_b"),
+        col("__inter"), col("__uni"), explode(ts).as("threshold_pct"))
+      .filter(col("__inter") * 100 >= col("threshold_pct") * col("__uni"))
+    val tFrame = thresholdsPct.map(_.toLong).toDF("threshold_pct")
+    val clones = groups.filter(col("n_copies") >= 2)
+    // 1-row frame: internal clone pairs, identical at every threshold
+    val internal = clones
+      .agg(coalesce(sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L))
+        .as("__int_pairs"))
+    val cross = at.groupBy(col("threshold_pct"))
+      .agg(sum(col("m_a") * col("m_b")).as("__cross_pairs"))
+    val touched = at
+      .select(col("threshold_pct"), col("doc_a").as("k"), col("m_a").as("m"))
+      .union(at.select(col("threshold_pct"), col("doc_b").as("k"), col("m_b").as("m")))
+      .union(tFrame.crossJoin( // m ≥ 2 groups are touched at every threshold
+        clones.select(col("keep_id").as("k"), col("n_copies").as("m"))))
+      .distinct()
+      .groupBy(col("threshold_pct")).agg(sum(col("m")).as("n_docs"))
+    tFrame
+      .join(cross, Seq("threshold_pct"), "left")
+      .crossJoin(internal) // 1-row aggregate
+      .withColumn("n_pairs", coalesce(col("__cross_pairs"), lit(0L)) + col("__int_pairs"))
+      .filter(col("n_pairs") > 0) // per-id form emits no row for a pairless threshold
+      .join(touched, Seq("threshold_pct"))
+      .select(col("threshold_pct"), col("n_pairs"), col("n_docs"))
   }
 
   /** Cross-source duplication matrix: for every pair of sources, how

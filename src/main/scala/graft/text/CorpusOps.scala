@@ -781,6 +781,110 @@ object CorpusOps {
         col("min_doc_idf_ppm"), col("max_doc_idf_ppm"))
   }
 
+  /** Character classes the entropy profile counts: the 26 ASCII letters
+    * plus space; anything else falls into one "other" bucket. Shared
+    * with the oracle generator so the class list can never drift.
+    */
+  val EntropyClasses: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** Per-source character-entropy profile: Shannon entropy of each
+    * doc's character distribution (a-z, space, other — 28 classes),
+    * then integer micro-unit stats per source. Low-entropy docs are
+    * degenerate (one repeated char, binary junk decoded as text);
+    * anomalously high entropy flags encoding noise — both standard
+    * pre-training triage signals (the character-level complement of
+    * the token-level quality rules in [[graft.text.QualityRules]]).
+    *
+    * Exactness discipline: class counts come from the in-row
+    * length-replace identity (no explode — the q122 trick, so a doc
+    * never shuffles its characters); each p·ln(p) term rounds its ln
+    * to 9dp before the FIXED-ORDER sum (the q180/q187 float rule), and
+    * the per-doc entropy converts to integer micro-units before any
+    * cross-row aggregation — sums/min/max are then exact integers in
+    * any engine.
+    *
+    * Scale shape: one corpus scan (28 codegen'd replaces per row),
+    * one |sources|-row aggregate. No shuffle carries text.
+    */
+  def charEntropy(docs: DataFrame, srcCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val n = length(t).cast("double")
+    def term(k: Column): Column = {
+      val kd = k.cast("double")
+      when(kd > 0, (kd / n) * round(log(kd / n), 9)).otherwise(lit(0.0))
+    }
+    val classCounts = EntropyClasses.map(c => length(t) - length(replace(t, lit(c), lit(""))))
+    val other = length(regexp_replace(t, "[a-z ]", ""))
+    // fixed-order left fold: a, b, …, z, space, other — the oracle SQL
+    // chains the same terms in the same order
+    val entropy = -(classCounts.map(term) :+ term(other)).reduce(_ + _)
+    val micro = round(entropy * 1000000, 0).cast("long")
+    docs.select(col(srcCol).as("source"), micro.as("__e"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__e")).as("__s"),
+        min(col("__e")).as("min_entropy_micro"),
+        max(col("__e")).as("max_entropy_micro"))
+      .select(col("source"), col("n_docs"),
+        expr("__s div n_docs").as("mean_entropy_micro"),
+        col("min_entropy_micro"), col("max_entropy_micro"))
+  }
+
+  /** Token position bias: for every vocabulary token, the mean relative
+    * position (ppm of the 0..len-1 span) of its occurrences across the
+    * corpus, ranked by distance from the uniform midpoint. Tokens that
+    * systematically open documents (templated prefixes, boilerplate
+    * headers) or close them (signatures, footers) surface at the top —
+    * the positional complement of frequency-based boilerplate
+    * detection ([[intraDocScrub]]). Single-token docs carry no
+    * positional information and are excluded on both engines.
+    *
+    * All-integer: rel position is (1e6·pos) div (len−1); means are
+    * sum div count. Scale: one scan + posexplode, vocabulary-bounded
+    * aggregate, top-k total order (bias desc, token asc).
+    */
+  def tokenPositionBias(docs: DataFrame, textCol: String = "text",
+                        topK: Int = 20): DataFrame = {
+    val w = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    docs.select(w.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(size(col("__w")).as("__len"),
+        posexplode(col("__w")).as(Seq("pos", "token")))
+      .select(col("token"),
+        expr("(1000000L * pos) div (__len - 1)").as("__ppm"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("__ppm")).as("__s"))
+      .select(col("token"), col("n_occ"),
+        expr("__s div n_occ").as("mean_pos_ppm"))
+      .withColumn("bias_ppm", abs(col("mean_pos_ppm") - 500000))
+      .orderBy(col("bias_ppm").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Token dispersion: document frequency vs collection frequency per
+    * token. dispersion_ppm = 1e6·df/cf — 1.0 means the token never
+    * repeats within a doc (function-word-like spread); low values mean
+    * burstiness (a token concentrated in few docs — topical or
+    * template spam). The cross-document complement of the within-doc
+    * repetition ratios (q51/q121). Returns the topK MOST bursty
+    * (lowest dispersion; token asc tiebreak — a total order).
+    *
+    * Scale shape: one scan, a (doc, token) partial-combined aggregate
+    * (≈ vocab rows per doc, linear), then a vocabulary-bounded rollup.
+    */
+  def tokenDispersion(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", topK: Int = 20): DataFrame = {
+    val w = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    docs.select(col(idCol), explode(w).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("cf"))
+      .select(col("token"), col("df"), col("cf"),
+        expr("(1000000 * df) div cf").as("dispersion_ppm"))
+      .orderBy(col("dispersion_ppm").asc, col("token").asc)
+      .limit(topK)
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

@@ -525,6 +525,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(xxh == got)
   }
 
+  test("charEntropy: hand-mirrored 9dp-ln fold, micro-units, other bucket, " +
+    "null/empty as zero") {
+    // mirror of the op's fixed-order fold (and the generated oracle SQL)
+    def ent(text: String): Long = {
+      val t = Option(text).getOrElse("")
+      val n = t.length.toDouble
+      def rnd9(x: Double) =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ks = CorpusOps.EntropyClasses.map(c => t.count(_.toString == c).toLong) :+
+        t.count(ch => !(ch == ' ' || (ch >= 'a' && ch <= 'z'))).toLong
+      val s = ks.map(k => if (k > 0) (k / n) * rnd9(math.log(k / n)) else 0.0)
+        .foldLeft(0.0)(_ + _)
+      math.round(-s * 1000000)
+    }
+    val d = docs(
+      (1L, "aaaa", "s"),          // single class: entropy 0
+      (2L, "ab", "s"),            // two equal classes: ln 2
+      (3L, "a b!", "t"),          // space + other bucket
+      (4L, null, "t"),            // null -> '' -> 0
+      (5L, "the quick brown fox", "t"))
+    val got = CorpusOps.charEntropy(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sVals = Seq(ent("aaaa"), ent("ab"))
+    val tVals = Seq(ent("a b!"), ent(null), ent("the quick brown fox"))
+    assert(ent("aaaa") == 0L && ent("ab") == 693147L)
+    assert(got("s") == ((2L, sVals.sum / 2, sVals.min, sVals.max)), got("s"))
+    assert(got("t") == ((3L, tVals.sum / 3, tVals.min, tVals.max)), got("t"))
+  }
+
+  test("tokenPositionBias: integer ppm positions, single-token docs excluded, " +
+    "bias ranks openers/closers first") {
+    val d = docs(
+      (1L, "start mid mid mid end", "s"), // start ppm 0, end ppm 1e6
+      (2L, "start mid end", "s"),
+      (3L, "lonely", "s")) // excluded: no positional information
+    val got = CorpusOps.tokenPositionBias(d, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("start") == (("start", 2L, 0L, 500000L)))
+    assert(byTok("end") == (("end", 2L, 1000000L, 500000L)))
+    // mid in doc1: 250000, 500000, 750000; doc2: 500000 -> mean 500000, bias 0
+    assert(byTok("mid") == (("mid", 4L, 500000L, 0L)))
+    assert(!byTok.contains("lonely"))
+    // ordering: bias desc, token asc -> end before start before mid
+    assert(got.map(_._1).toSeq == Seq("end", "start", "mid"))
+  }
+
+  test("tokenDispersion: df/cf ppm, bursty tokens rank first") {
+    val d = docs(
+      (1L, "spam spam spam spam common", "s"),
+      (2L, "common other", "s"),
+      (3L, "common third", "s"))
+    val got = CorpusOps.tokenDispersion(d, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("spam") == (("spam", 1L, 4L, 250000L)))   // maximally bursty
+    assert(byTok("common") == (("common", 3L, 3L, 1000000L)))
+    assert(got.head._1 == "spam") // lowest dispersion first
+  }
+
   test("kneserNeyPerSource: discounted probabilities leave mass for unseen continuations") {
     // For any context, the summed probability over SEEN continuations must
     // be < 1 (the discount reserves mass) and every P_KN must be > 0 even

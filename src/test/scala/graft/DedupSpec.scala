@@ -535,6 +535,100 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Seq(0)) }
     intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Seq(101)) }
     intercept[IllegalArgumentException] { Dedup.dedupThresholdCurve(df, Nil) }
+    intercept[IllegalArgumentException] { Dedup.dedupThresholdCurveCollapsed(df, Seq(0)) }
+  }
+
+  test("dupByLengthBuckets: fixed-width buckets, closed-form pair counts, " +
+    "null text as ''") {
+    val d = Seq(
+      (1L, "short a"), (2L, "short a"), (3L, "short b"),          // bucket 0
+      (4L, "x" * 60), (5L, "x" * 60), (6L, "x" * 60), (7L, "y" * 55), // bucket 1
+      (8L, null.asInstanceOf[String])                              // '' -> bucket 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupByLengthBuckets(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // bucket 0: groups {short a: 2, short b: 1, '': 1} -> 3 groups, 4 docs,
+    // 2 dup docs, C(2,2)=1 pair
+    assert(got(0L) == ((3L, 4L, 2L, 1L)), got(0L))
+    // bucket 1: {x60: 3, y55: 1} -> 2 groups, 4 docs, 3 dup docs, C(3,2)=3
+    assert(got(1L) == ((2L, 4L, 3L, 3L)), got(1L))
+  }
+
+  test("minhashAccuracy: integer-ppm error matches a direct sig/shingle replay; " +
+    "clones collapse first") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base), // clone clique: must NOT pair
+      (4L, near),
+      (5L, "mu nu xi omicron pi rho sigma tau upsilon phi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashAccuracy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // expected from first principles over the representative set {1,4,5}
+    val reps = d.filter($"doc_id".isin(1L, 4L, 5L))
+    val cand = Dedup.candidatePairs(Dedup.minhashBands(reps))
+      .as[(Long, Long)].collect().toSeq
+    val sig = reps.select($"doc_id",
+        Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = reps.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val want = cand.map { case (a, b) =>
+      val inter = sh(a).intersect(sh(b)).size.toLong
+      val uni = sh(a).union(sh(b)).size.toLong
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      ((10 * inter) / uni,
+        math.abs(1000000 * (agree * uni - 16 * inter)) / (16 * uni))
+    }.groupBy(_._1).map { case (dec, es) =>
+      dec -> ((es.size.toLong, es.map(_._2).sum / es.size, es.map(_._2).max))
+    }
+    assert(got == want, s"got=$got want=$want")
+    // the clone clique contributed nothing: no decile-10 bucket unless a
+    // genuinely-distinct pair hashes identical (it doesn't here)
+    assert(!got.contains(10L) || want.contains(10L))
+  }
+
+  test("dedupThresholdCurveCollapsed == per-id curve on all-distinct and " +
+    "planted-clone corpora (closed-form reconstruction)") {
+    import org.apache.spark.sql.DataFrame
+    def curve(f: (DataFrame, Seq[Int]) => DataFrame, docs: DataFrame,
+              ts: Seq[Int]): Map[Long, (Long, Long)] =
+      f(docs, ts).as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val perId = (d: DataFrame, ts: Seq[Int]) => Dedup.dedupThresholdCurve(d, ts)
+    val coll = (d: DataFrame, ts: Seq[Int]) => Dedup.dedupThresholdCurveCollapsed(d, ts)
+    val ts = Seq(50, 80, 90)
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+      (4L, "totally different words here about unrelated topics entirely now")
+    ).toDF("doc_id", "text")
+    assert(curve(coll, distinctDocs, ts) == curve(perId, distinctDocs, ts))
+    // clone-heavy: a 3-clique, a cloned near-dup pair, a singleton — the
+    // collapse must reconstruct m_u·m_w cross pairs + C(m,2) internal
+    // pairs and multiplicity-weighted touched docs exactly
+    val cloneDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (6L, "mu nu xi omicron pi rho sigma tau upsilon phi")
+    ).toDF("doc_id", "text")
+    val got = curve(coll, cloneDocs, ts)
+    assert(got == curve(perId, cloneDocs, ts))
+    // closed form at 80/90%: only the cliques' internal pairs survive
+    // (the near pair's Jaccard is 7/9 < 0.8): C(3,2) + C(2,2) = 4
+    assert(got(90L) == (4L, 5L))
+    assert(got(80L) == (4L, 5L))
+    // at 50% the near pair (7/9 ≥ 0.5) adds 3×2 cross pairs IF the
+    // bands caught it (deterministic given the fixed hash family)
+    val candAB = Dedup.candidatePairs(Dedup.minhashBands(
+      cloneDocs.filter($"doc_id".isin(1L, 4L)))).count() > 0
+    assert(got(50L) == (if (candAB) (10L, 5L) else (4L, 5L)))
   }
 
   test("plantedClones: deterministic dropout, gated rate, offset ids") {
