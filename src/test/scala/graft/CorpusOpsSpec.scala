@@ -555,6 +555,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("t") == ((3L, tVals.sum / 3, tVals.min, tVals.max)), got("t"))
   }
 
+  test("charEntropy kernel == composed replace-chain form, adversarial " +
+    "chars (uppercase, unicode, tabs); CharClassCounts is code-point exact") {
+    val d = docs(
+      (1L, "Mixed CASE with Upper", "s"),
+      (2L, "tab\tand\nnewline chars", "s"),
+      (3L, "unicode: café 世界 😀 end", "t"), // é, CJK, emoji
+      (4L, "", "t"),
+      (5L, null, "t"),
+      (6L, "plain lowercase words only", "u"))
+    val kernel = CorpusOps.charEntropy(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val composed = CorpusOps.charEntropyComposed(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(kernel == composed, s"kernel=$kernel composed=$composed")
+    // direct kernel counts: surrogate-pair emoji counts ONCE in other
+    val cnts = d.filter($"doc_id" === 3L)
+      .select(graft.functions.CharClassCounts(coalesce($"text", lit(""))))
+      .as[Seq[Long]].head()
+    val txt = "unicode: café 世界 😀 end"
+    assert(cnts.length == 28)
+    assert(cnts(26) == txt.count(_ == ' '), "space slot")
+    assert(cnts(0) == txt.count(_ == 'a'), "a slot")
+    // other = code points − counted: é + 世 + 界 + emoji(1) + ':' = 5
+    assert(cnts(27) == 5L, s"other slot: $cnts")
+  }
+
   test("tokenPositionBias: integer ppm positions, single-token docs excluded, " +
     "bias ranks openers/closers first") {
     val d = docs(
