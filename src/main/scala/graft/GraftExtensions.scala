@@ -149,6 +149,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CdcCutPositions(exprs.head, modulus, useXxHash = false)
       }))
     e.injectFunction((
+      FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[graft.functions.CharClassCounts].getName,
+        "char_class_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"char_class_counts expects 1 argument (text), got ${exprs.length}")
+        graft.functions.CharClassCounts(exprs.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("sniff_format"),
       new ExpressionInfo(classOf[graft.multimodal.Multimodal.type].getName,
         "sniff_format"),

@@ -793,6 +793,60 @@ object SparkEntry {
   private def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashAccuracy(rdWide(s, dir, "documents"))
 
+  /** Label-space affinity matrix: pairwise cosine between per-label
+    * centroids (dims 6dp-rounded BEFORE the cosine — the q192
+    * determinism recipe — so both engines dot identical doubles). High
+    * off-diagonal affinity flags merge candidates / confusion-prone
+    * label pairs before any training run. Scale shape: one centroid
+    * aggregate (map-side partials over the 200-value vectors), then a
+    * |labels|²-bounded nested-loop join of a |labels|-row frame.
+    */
+  private def qLabelAffinity(s: SparkSession, dir: String): DataFrame = {
+    val cents = rd(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.centroid(col("e")).as("c"),
+        // q31 convention: count exactly the rows the centroid averages
+        count(when(col("e").isNotNull && size(col("e")) > 0, lit(1))).as("n"))
+      .select(col("label"), transform(col("c"), x => round(x, 6)).as("c"),
+        col("n"))
+    val a = cents.select(col("label").as("label_a"), col("c").as("ca"),
+      col("n").as("n_a"))
+    val b = cents.select(col("label").as("label_b"), col("c").as("cb"),
+      col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(graft.functions.CosineSimilarity(col("ca"), col("cb")), 6)
+          .as("centroid_cos"))
+  }
+
+  /** Context-window budget audit: per source, how the corpus maps onto
+    * a fixed sequence budget WITHOUT cross-doc packing — docs that fit,
+    * total ceil(tokens/B) pieces, padding tokens, utilization ppm. The
+    * no-packing baseline that q53/q181's packing strategies are judged
+    * against (utilization lift = the packing win). All-integer; one
+    * scan + a |sources|-row aggregate.
+    */
+  private def qContextBudget(s: SparkSession, dir: String): DataFrame = {
+    val B = 512
+    val nt = size(graft.text.TextAnalysis.tokens(
+      coalesce(col("text"), lit("")))).cast("long")
+    rdWide(s, dir, "documents")
+      .select(col("source"), nt.as("__t"))
+      .select(col("source"), col("__t"),
+        expr(s"(__t + ${B - 1}) div $B").as("__p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__t") <= B, lit(1L)).otherwise(lit(0L))).as("n_fit"),
+        sum(col("__t")).as("total_tokens"),
+        sum(col("__p")).as("total_pieces"))
+      .select(col("source"), col("n_docs"), col("n_fit"),
+        col("total_tokens"), col("total_pieces"),
+        (col("total_pieces") * B - col("total_tokens")).as("pad_tokens"),
+        expr(s"(1000000 * total_tokens) div (total_pieces * $B)")
+          .as("utilization_ppm"))
+  }
+
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
     */
@@ -4177,6 +4231,8 @@ object SparkEntry {
     "q198_dup_by_length" -> (qDupByLength _),
     "q199_token_dispersion" -> (qTokenDispersion _),
     "q200_minhash_accuracy" -> (qMinhashAccuracy _),
+    "q201_label_affinity" -> (qLabelAffinity _),
+    "q202_context_budget" -> (qContextBudget _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6877,6 +6933,34 @@ object SparkEntry {
          | (sum(err_ppm) // count(*))::BIGINT AS mean_err_ppm,
          | max(err_ppm)::BIGINT AS max_err_ppm
          |FROM e GROUP BY 1""".stripMargin,
+
+    // q31's per-dim centroid CTE, dims rounded to 6dp BEFORE the cosine
+    // (the q192 recipe: both engines dot identical doubles)
+    "q201_label_affinity" ->
+      s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |   unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+         | cdim AS (SELECT label, dim, round(sum(v) / count(*), 6) AS mn,
+         |   count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+         | cent AS (SELECT label, list(mn ORDER BY dim) AS c,
+         |   max(cnt)::BIGINT AS n FROM cdim GROUP BY 1)
+         |SELECT x.label AS label_a, y.label AS label_b,
+         | x.n AS n_a, y.n AS n_b,
+         | round(${cosSqlAB("x.c", "y.c")}, 6) AS centroid_cos
+         |FROM cent x JOIN cent y ON x.label < y.label""".stripMargin,
+
+    // no-packing context-budget baseline at B=512; ceil via
+    // (nt + 511) // 512, all-integer
+    "q202_context_budget" ->
+      """WITH t AS (SELECT source,
+        |   len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        | p AS (SELECT source, nt, (nt + 511) // 512 AS pieces FROM t)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN nt <= 512 THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+        | sum(nt)::BIGINT AS total_tokens, sum(pieces)::BIGINT AS total_pieces,
+        | (sum(pieces) * 512 - sum(nt))::BIGINT AS pad_tokens,
+        | ((1000000 * sum(nt)) // (sum(pieces) * 512))::BIGINT AS utilization_ppm
+        |FROM p GROUP BY 1""".stripMargin,
 
     // the rewritten-plan gate (VERDICT r13 item 2): the Spark side runs
     // the partition-pruned centroid IN-probe over the persisted q28
