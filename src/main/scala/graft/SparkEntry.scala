@@ -1017,6 +1017,49 @@ object SparkEntry {
     */
   @volatile private var pqBooksForOracle: Array[Array[Array[Double]]] = _
 
+  /** PQ quantization-distortion audit over a freshly trained q65-shaped
+    * index (per subspace: mean/max integer-micro squared error to the
+    * assigned centroid); see [[graft.search.Ann.pqDistortion]]. Books
+    * exported for the oracle like q65's.
+    */
+  private def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildPq(rd(s, dir, "embeddings"), m = 2, ks = 16,
+      seed = 42L, maxIter = 2, initMode = "random")
+    pqDistBooksForOracle = index.codebooks
+    Ann.pqDistortion(index)
+  }
+
+  @volatile private var pqDistBooksForOracle: Array[Array[Array[Double]]] = _
+
+  /** q203's oracle: q65's encode replay (d2-argmin over the exported
+    * codebook literals, c-asc tiebreak) but keeping the winning d2 as
+    * the per-(vector, subspace) distortion, micro-integered per row
+    * before the rollup.
+    */
+  private def pqDistortionOracleSql(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val rows = for {
+      (book, j) <- books.zipWithIndex
+      (ctr, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${ctr.mkString(", ")}]::DOUBLE[])"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  WHERE len(embedding) = ${m * sub}),
+       | books(j, c, ctr) AS (VALUES ${rows.mkString(",\n   ")}),
+       | dists AS (SELECT vec_id, j, c,
+       |   list_sum([(e[j*$sub+i+1] - ctr[i+1]) * (e[j*$sub+i+1] - ctr[i+1])
+       |             for i in range(0, $sub)]) AS d2
+       |  FROM base, books),
+       | win AS (SELECT vec_id, j, d2 FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) = 1),
+       | mi AS (SELECT j::BIGINT AS subspace,
+       |   CAST(round(d2 * 1000000, 0) AS BIGINT) AS m FROM win)
+       |SELECT subspace, count(*)::BIGINT AS n_vectors,
+       | (sum(m) // count(*))::BIGINT AS mean_err_micro,
+       | max(m)::BIGINT AS max_err_micro
+       |FROM mi GROUP BY 1""".stripMargin
+  }
+
   /** IVF-PQ with exact rerank ([[graft.search.Ann.ivfPqSearch]]) — the
     * FAISS IVFADC serving shape: coarse probe prunes inverted lists,
     * ADC ranks codes only, exact cosine reranks a 32-row shortlist.
@@ -4233,6 +4276,7 @@ object SparkEntry {
     "q200_minhash_accuracy" -> (qMinhashAccuracy _),
     "q201_label_affinity" -> (qLabelAffinity _),
     "q202_context_budget" -> (qContextBudget _),
+    "q203_pq_distortion" -> (qPqDistortion _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4487,6 +4531,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlStatic ++
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
+      Option(pqDistBooksForOracle).map(b => "q203_pq_distortion" -> pqDistortionOracleSql(b)) ++
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(nprobeCentersForOracle).map(c => "q186_nprobe_curve" -> nprobeOracleSql(c)) ++

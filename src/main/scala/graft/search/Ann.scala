@@ -886,6 +886,50 @@ object Ann {
       codebooks)
   }
 
+  /** PQ quantization-distortion audit: per subspace, integer-micro
+    * stats of the squared L2 distance between each vector's subslice
+    * and its ASSIGNED centroid — the index-quality number (FAISS's
+    * imbalance/quantization-error report) that decides whether the
+    * codebook needs more centroids, more training iterations, or a
+    * different subspace split BEFORE recall pays for it. A subspace
+    * whose mean error dwarfs the others is the one dragging ADC
+    * ranking quality.
+    *
+    * Exactness: the per-row error is one fixed-order fold over literal
+    * codebook doubles, converted to integer micro-units (round·1e6 →
+    * BIGINT) BEFORE any cross-row aggregation, so mean/max replay
+    * exactly in any engine; the oracle re-derives the
+    * assignment as the d2-argmin over the SAME codebook literals (the
+    * q65-proven equivalence with spark.ml's transform). Scale shape:
+    * ONE scan of the encoded table (m zip_with folds per row), one
+    * m-row aggregate; vectors with a wrong/absent dimensionality are
+    * excluded identically on both engines.
+    */
+  def pqDistortion(index: PqIndex, vecCol: String = "embedding"): DataFrame = {
+    val m = index.codebooks.length
+    val sub = index.codebooks(0)(0).length
+    val d = m * sub
+    val e = asDouble(col(vecCol))
+    val errs = array((0 until m).map { j =>
+      val bookLit = typedLit(index.codebooks(j).map(_.toSeq).toSeq)
+      val x = slice(e, j * sub + 1, sub)
+      val cvec = element_at(bookLit, col("codes").getItem(j) + 1)
+      aggregate(zip_with(x, cvec, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    index.encoded
+      .filter(size(col(vecCol)) === d)
+      .select(posexplode(errs).as(Seq("subspace", "__err")))
+      .select(col("subspace").cast("long").as("subspace"),
+        round(col("__err") * 1000000, 0).cast("long").as("__e"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__e")).as("__s"),
+        max(col("__e")).as("max_err_micro"))
+      .select(col("subspace"), col("n_vectors"),
+        expr("__s div n_vectors").as("mean_err_micro"),
+        col("max_err_micro"))
+  }
+
   /** Persist a PQ index: the codes table (the 32×-smaller scan layout —
     * the float column is not stored at all) plus the codebooks flattened
     * to (subspace, code, centroid) rows, so a scan fleet reopens the

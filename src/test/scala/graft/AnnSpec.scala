@@ -116,6 +116,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pqDistortion: zero on a codebook that fits exactly; hand value on a " +
+    "planted offset; wrong-dim rows excluded") {
+    val a = Seq(0.0f, 0.0f); val b = Seq(4.0f, 4.0f)
+    val vecs = Seq(a ++ a, a ++ b, b ++ a, b ++ b, a ++ a, b ++ b)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val index = Ann.buildPq(df, m = 2, ks = 2, seed = 7L, maxIter = 10)
+    val zero = Ann.pqDistortion(index)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(zero == Seq((0L, 6L, 0L, 0L), (1L, 6L, 0L, 0L)), zero)
+    // force single-centroid codebooks (ks=2 but only subspace means move):
+    // replace each codebook with one planted centroid at the subspace mean
+    // (2, 2) -> every row's error is (x-2)^2*2 = 8.0 -> 8_000_000 micro
+    val planted = index.copy(codebooks =
+      Array.fill(2)(Array(Array(2.0, 2.0))))
+    val forced = planted.copy(encoded =
+      planted.encoded.withColumn("codes", array(lit(0), lit(0))))
+    val got = Ann.pqDistortion(forced)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 6L, 8000000L, 8000000L),
+      (1L, 6L, 8000000L, 8000000L)), got)
+    // a wrong-dimensionality row is excluded, not crashed on
+    val withBad = index.copy(encoded = index.encoded.unionByName(
+      Seq((99L, Seq(1.0f), Seq(0, 0))).toDF("vec_id", "embedding", "codes")))
+    val n = Ann.pqDistortion(withBad).agg(max($"n_vectors")).head().getLong(0)
+    assert(n == 6L)
+  }
+
   test("PQ recall is exact-set on clustered data (the workload PQ is built for)") {
     // 5 well-separated cluster centers in 8-dim; 10 members each with a
     // small deterministic jitter. Query = center 0 → exact top-10 is

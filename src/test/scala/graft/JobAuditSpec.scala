@@ -81,6 +81,10 @@ class JobAuditSpec extends SparkSpec {
     "q65_pq_topk" -> (24,
       "(16) PQ codebook training: constant Lloyd iterations per subspace " +
         "+ the trained-books collect for the oracle"),
+    "q203_pq_distortion" -> (24,
+      "(15) same PQ codebook training as q65 (constant Lloyd iterations " +
+        "per subspace + books collect); the distortion read itself is one " +
+        "scan + an m-row aggregate"),
     "q100_semdedup" -> (24,
       "(11) SemDeDup k-means clustering: constant Lloyd iterations"),
     // ---- constant-round graph protocols: one shuffle join + checkpoint
