@@ -474,6 +474,42 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet == want)
   }
 
+  test("streaming char-class entropy == batch over the streamed rows; " +
+    "compaction idempotent") {
+    import graft.streaming.StreamingCharClasses
+    val base = Files.createTempDirectory("graft_chcls").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq((1L, "aaaa", "en", "web", 0L),
+      (2L, "ab cd!", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingCharClasses.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((3L, "more web text here", "en", "web", 0L),
+      (4L, null.asInstanceOf[String], "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingCharClasses.start(spark, src, store, ckpt).awaitTermination()
+
+    val want = StreamingCharClasses.finishEntropy(
+        StreamingCharClasses.classCounts(b1.union(b2)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(StreamingCharClasses.entropyFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+    // hand value: "aaaa" alone would be entropy 0; source "web" mixes in
+    // b2's text so its aggregate entropy is strictly positive
+    val byS = want.map(t => t._1 -> t).toMap
+    assert(byS("web")._3 > 0L && byS("web")._2 == 22L, byS("web"))
+    // compaction leaves the read unchanged; re-compacting is a no-op merge
+    val (n1, d1) = StreamingCharClasses.compactStore(spark, store)
+    assert(d1 == 2L && n1 > 0L)
+    assert(StreamingCharClasses.entropyFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+    val (n2, d2) = StreamingCharClasses.compactStore(spark, store)
+    assert(d2 == 1L && n2 == n1)
+    assert(StreamingCharClasses.entropyFromStore(spark, store)
+      .as[(String, Long, Long)].collect().toSet == want)
+  }
+
   test("PartialStore compaction refuses to run over leftover trash from a crash") {
     import graft.streaming.StreamingQuantile
     val base = Files.createTempDirectory("graft_trash").toString
