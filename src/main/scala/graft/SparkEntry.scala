@@ -3178,6 +3178,38 @@ object SparkEntry {
         expr("(n * 1000000) div __ft").as("p_ppm"))
   }
 
+  /** Event-transition entropy: per preceding event type, the Shannon
+    * entropy of the NEXT-event distribution — the Markov predictability
+    * audit over q148's transition matrix (a type whose entropy
+    * collapses is a deterministic funnel step; one near ln(|types|) is
+    * noise). Same consecutive-pair semantics as q148 ((ts, event_id)
+    * order per user); the fold runs over the to_type-sorted count list
+    * with 9dp-rounded ln terms and micro-integer output (the q187
+    * discipline), so every cell replays exactly. Scale shape: one
+    * user-partitioned window pass, a |types|²-bounded aggregate, a
+    * |types|-row finisher.
+    */
+  private def qTransitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    readEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("from_type"), col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_next_types"),
+        sort_array(collect_list(struct(col("to_type"), col("n")))).as("__h"))
+      .withColumn("entropy_micro", expr(
+        "cast(round(-aggregate(__h, cast(0 as double), (a, e) -> a + " +
+          "(e.n / n_total) * round(ln(e.n / n_total), 9)) " +
+          "* 1000000, 0) as long)"))
+      .select(col("from_type"), col("n_total"), col("n_next_types"),
+        col("entropy_micro"))
+  }
+
   /** Media near-duplicates via byte-histogram perceptual signatures and a
     * banded Hamming join between SIGNATURE GROUPS (pigeonhole-exact recall
     * at Hamming ≤ 3); see [[graft.multimodal.Multimodal.mediaNearDupGroups]].
@@ -4277,6 +4309,7 @@ object SparkEntry {
     "q201_label_affinity" -> (qLabelAffinity _),
     "q202_context_budget" -> (qContextBudget _),
     "q203_pq_distortion" -> (qPqDistortion _),
+    "q204_transition_entropy" -> (qTransitionEntropy _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6199,6 +6232,25 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_ppm
         |FROM c""".stripMargin,
+
+    // q148's transition counts, then the to_type-sorted 9dp-ln fold in
+    // integer micro-units (the q187 float discipline)
+    "q204_transition_entropy" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev
+        |  FROM events),
+        | c AS (SELECT prev AS from_type, event_type AS to_type,
+        |   count(*)::BIGINT AS n
+        |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+        | g AS (SELECT from_type, sum(n)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS n_next_types,
+        |    list(struct_pack(t := to_type, n := n) ORDER BY to_type) AS hh
+        |  FROM c GROUP BY 1)
+        |SELECT from_type, n_total, n_next_types,
+        | CAST(round(-list_sum([(x.n / n_total) * round(ln(x.n / n_total), 9)
+        |   for x in hh]) * 1000000, 0) AS BIGINT) AS entropy_micro
+        |FROM g""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
