@@ -791,7 +791,10 @@ object SparkEntry {
     * [[graft.dedup.Dedup.minhashAccuracy]].
     */
   private def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashAccuracy(rdWide(s, dir, "documents"))
+    // cap = the q40/q110 hot-bucket bound: empty-shingle reps (short docs)
+    // share one signature and would otherwise form a quadratic clique on
+    // short-doc-heavy corpora; never fires on testdata, so oracle-safe
+    Dedup.minhashAccuracy(rdWide(s, dir, "documents"), maxBucketSize = 64)
 
   /** Label-space affinity matrix: pairwise cosine between per-label
     * centroids (dims 6dp-rounded BEFORE the cosine — the q192
@@ -7025,7 +7028,8 @@ object SparkEntry {
          |   FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
          |    JOIN sig ga ON ga.doc_id = doc_a JOIN sig gb ON gb.doc_id = doc_b),
          | e AS (SELECT (10 * inter) // uni AS jaccard_decile,
-         |    abs(1000000 * (agree * uni - 16 * inter)) // (16 * uni) AS err_ppm FROM pv)
+         |    abs(1000000 * (agree * uni - 16 * inter)) // (16 * uni) AS err_ppm
+         |   FROM pv WHERE uni > 0)
          |SELECT jaccard_decile, count(*)::BIGINT AS n_pairs,
          | (sum(err_ppm) // count(*))::BIGINT AS mean_err_ppm,
          | max(err_ppm)::BIGINT AS max_err_ppm

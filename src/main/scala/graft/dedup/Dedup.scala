@@ -536,6 +536,11 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"),
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
           .cast("long").as("agree"))
+      // distinct texts shorter than the shingle width all share the empty
+      // shingle set (and hence one signature): uni = 0 makes both ratios
+      // undefined, and the pairs carry no estimator information — drop
+      // them BEFORE the division (ADVICE r14; mirrored in the q200 oracle)
+      .filter(col("uni") > 0)
       .select(expr("(10 * inter) div uni").as("jaccard_decile"),
         expr(s"abs(1000000 * (agree * uni - $NumHashes * inter)) div ($NumHashes * uni)")
           .as("err_ppm"))
@@ -1168,8 +1173,12 @@ object Dedup {
     // probe is one tiny aggregate over the cached group frame.
     val probe = groups.agg(count(lit(1)), coalesce(sum(col("n_copies")), lit(0L)))
       .collect()(0)
-    if (probe.getLong(0) == probe.getLong(1))
+    if (probe.getLong(0) == probe.getLong(1)) {
+      // the per-id plan never reads the group frame again — release the
+      // probe-populated cache now (ADVICE r14: a session-lifetime pin)
+      groups.unpersist()
       return dedupThresholdCurve(docs, thresholdsPct, idCol, textCol, maxBucketSize)
+    }
     // inner join carries the multiplicity along, so the pair frame never
     // joins back to groups
     val reps = docs.join(groups, col(idCol) === col("keep_id"))
@@ -1208,13 +1217,19 @@ object Dedup {
         clones.select(col("keep_id").as("k"), col("n_copies").as("m"))))
       .distinct()
       .groupBy(col("threshold_pct")).agg(sum(col("m")).as("n_docs"))
-    tFrame
+    val result = tFrame
       .join(cross, Seq("threshold_pct"), "left")
       .crossJoin(internal) // 1-row aggregate
       .withColumn("n_pairs", coalesce(col("__cross_pairs"), lit(0L)) + col("__int_pairs"))
       .filter(col("n_pairs") > 0) // per-id form emits no row for a pairless threshold
       .join(touched, Seq("threshold_pct"))
       .select(col("threshold_pct"), col("n_pairs"), col("n_docs"))
+      // ≤ |thresholds| rows: pin them so the group-frame cache can be
+      // released before returning (ADVICE r14) — the one extra job is on
+      // the clone-bearing path only; the zero-clone fallback stays flat
+      .localCheckpoint(eager = true)
+    groups.unpersist()
+    result
   }
 
   /** Cross-source duplication matrix: for every pair of sources, how

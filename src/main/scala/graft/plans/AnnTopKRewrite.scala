@@ -158,8 +158,8 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     * stale centers and mis-prune; [[Ann.writeIvf]] also calls
     * [[clearCache]] to drop the dead entry eagerly.
     */
-  private val centersCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val centersCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Array[Double]])]()
 
   def clearCache(): Unit = centersCache.clear()
 
@@ -192,17 +192,26 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   private def centersFor(centroidsDir: String,
                          stamp: Long): Option[Array[Array[Double]]] =
     try {
-      Some(centersCache.computeIfAbsent(s"$centroidsDir@$stamp", _ => {
-        val byId = org.apache.spark.sql.SparkSession.active
-          .read.parquet(centroidsDir).collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        require(byId.nonEmpty, s"IVF centroids at $centroidsDir are empty")
-        val k = byId.keys.max + 1
-        val dim = byId.values.head.length
-        // readIvf's tolerant dense layout: gaps get zero vectors, which
-        // cosine-rank last and are never probed first
-        Array.tabulate(k)(i => byId.getOrElse(i, new Array[Double](dim)))
-      }))
+      // keyed by dir with the stamp INSIDE the value (ADVICE r14): a
+      // rebuild replaces the dir's single entry instead of accumulating
+      // one entry per marker mtime for the JVM lifetime. Two rebuilds
+      // inside one mtime tick can still alias cross-process — inherent
+      // to an mtime stamp; same-process rebuilds are covered by the
+      // eager clearCache() in Ann.writeIvf.
+      Some(centersCache.compute(centroidsDir, (_, cur) => {
+        if (cur != null && cur._1 == stamp) cur
+        else {
+          val byId = org.apache.spark.sql.SparkSession.active
+            .read.parquet(centroidsDir).collect()
+            .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+          require(byId.nonEmpty, s"IVF centroids at $centroidsDir are empty")
+          val k = byId.keys.max + 1
+          val dim = byId.values.head.length
+          // readIvf's tolerant dense layout: gaps get zero vectors, which
+          // cosine-rank last and are never probed first
+          (stamp, Array.tabulate(k)(i => byId.getOrElse(i, new Array[Double](dim))))
+        }
+      })._2)
     } catch { case _: Exception => None }
 
   /** ivfSearch's probe ranking, verbatim: centroid cosine desc, id asc. */

@@ -266,17 +266,40 @@ private[streaming] object PartialStore {
         dropOrphans()
         "restored"
       }
+    } else if (target.nonEmpty) {
+      // symlinked root + trash. Checked BEFORE the .compact-tmp branch
+      // (ADVICE r14): when the published version still holds its content,
+      // the trash is redundant pre-merge partials — a stale legacy tmp
+      // must not route us into moveChildrenBack, which would move
+      // batch_id=N partials through the symlink INTO the already-published
+      // merged version and silently double-count under sum-merge. The
+      // discriminator is the resolved store's content: a published
+      // version was verified non-empty before its symlink landed, so an
+      // EMPTY target can only mean a (downgraded) pre-r14 compactor moved
+      // the children out — move them back; a NON-empty target means the
+      // trash is the superseded pre-merge state — discard it.
+      val hasContent = {
+        val s = Files.list(root) // resolves through the symlink
+        try s.anyMatch(p => p.getFileName.toString.startsWith("batch_id="))
+        finally s.close()
+      }
+      if (hasContent) {
+        deleteRecursively(trash)
+        if (Files.exists(tmp)) deleteRecursively(tmp)
+        dropOrphans()
+        "finished"
+      } else {
+        moveChildrenBack(trash, root)
+        if (Files.exists(tmp)) deleteRecursively(tmp)
+        dropOrphans()
+        "restored"
+      }
     } else if (Files.exists(tmp)) {
       // pre-r14 crash mid-move-out: originals back, tmp discarded
       moveChildrenBack(trash, root)
       deleteRecursively(tmp)
       dropOrphans()
       "restored"
-    } else if (target.nonEmpty) {
-      // migration crash between symlink-in and trash cleanup
-      deleteRecursively(trash)
-      dropOrphans()
-      "finished"
     } else {
       // pre-r14 post-swap crash: merged batch_id=-1 landed, trash is
       // redundant pre-merge partials (re-adding would double-count)

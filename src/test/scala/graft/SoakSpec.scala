@@ -141,6 +141,28 @@ class SoakSpec extends SparkSpec {
     assert(!F.exists(prevTarget), "superseded version survived restore")
     assert(storeSketch(store) == want, "post-restore(B) != batch")
 
+    // ---- phase 3c: the ADVICE r14 double-count hazard. A stale legacy
+    // .compact-tmp lingers while an r14 migration crash left trash +
+    // symlinked root: the root resolves to the COMPLETE merged version,
+    // and the trash holds pre-merge batch_id=N partials whose mass is
+    // ALREADY inside batch_id=-1. Restore must report the compaction
+    // finished and DISCARD the trash — moving it back through the
+    // symlink would double-count every row under sum-merge.
+    val trashC = Paths.get(store + ".compact-old")
+    F.createDirectory(trashC)
+    // a pre-merge partial: re-materialize the merged content as a
+    // batch_id=7 partial inside the trash (its re-addition would double
+    // every bucket count, so a silent move-back flips the equality)
+    spark.read.parquet(store).select("source", "bucket", "cnt")
+      .coalesce(1).write.parquet(trashC.resolve("batch_id=7").toString)
+    F.createDirectory(Paths.get(store + ".compact-tmp"))
+    F.createDirectory(lock)
+    assert(StreamingQuantile.restoreStore(store) == "finished")
+    assert(!F.exists(trashC), "pre-merge trash survived restore")
+    assert(!F.exists(Paths.get(store + ".compact-tmp")), "stale tmp survived")
+    assert(storeSketch(store) == want,
+      "post-restore(C) != batch — pre-merge partials were double-counted")
+
     // ---- phase 4: append-after-compact resume (10 more batches on the
     // same checkpoint — source offsets survive the compaction)
     writeDocs(src, 10, 400L)
