@@ -87,10 +87,32 @@ object Bench {
     System.err.println(s"[bench] serial history write failed: ${e.getMessage}")
   }
 
+  /** The ledger row that stamps each history write with ITS machine
+    * state: the control median of the session that recorded it. The
+    * suspect rule then compares like with like across machine states —
+    * r14's close showed a uniform ~+30% ambient drift that made raw
+    * cross-round comparisons noisy (VERDICT r14 item 6).
+    */
+  private[graft] val ControlKey = "__control"
+
+  /** Normalization factor for the >3× rule: how much slower THIS
+    * session's control runs than the ledger-writing session's. Clamped
+    * below at 1.0 — a faster machine keeps the raw rule (suspects only
+    * get MORE scrutiny, never less) — and above at 10 so a pathological
+    * control reading can't disable the tripwire entirely.
+    */
+  private[graft] def driftFactor(hist: Map[String, Double],
+                                 ctlNow: Option[Double]): Double =
+    (for { h <- hist.get(ControlKey) if h > 0; c <- ctlNow if c > 0 }
+      yield math.min(10.0, math.max(1.0, c / h))).getOrElse(1.0)
+
   private[graft] def suspects(hist: Map[String, Double],
-                              med: Seq[(String, Double)]): Seq[String] =
-    med.filter { case (n, t) => hist.get(n).exists(h => t > 3 * h && t - h > 1.0) }
-      .map(_._1).sorted
+                              med: Seq[(String, Double)],
+                              drift: Double = 1.0): Seq[String] =
+    med.filter { case (n, t) =>
+      n != ControlKey &&
+        hist.get(n).exists(h => t > 3 * h * drift && t - h * drift > 1.0)
+    }.map(_._1).sorted
 
   /** Solo re-run of every inflation suspect after ALL passes finish
     * (VERDICT r13 item 1): the in-bench number rode a multiprogrammed
@@ -250,25 +272,43 @@ object Bench {
       .map { case (name, _) => name -> median(samplesXxh(name)) }
     val mainKey = new java.io.File(sfDir.replaceAll("/+$", "")).getName
     val writeHist = sys.env.get("SPARK_GRAFT_WRITE_HISTORY").contains("1")
-    if (writeHist) writeHistory(mainKey, med)
-    val mainSuspects = suspects(readHistory(mainKey), med)
+    val ctlMedian =
+      if (controlSamples.nonEmpty) Some(median(controlSamples.toList)) else None
+    val ctlEntry = ctlMedian.map(ControlKey -> _).toSeq
+    // the xxh column joins the same ledger/suspect/recheck machinery under
+    // suffixed names (VERDICT r14 item 1: it was the last unadjudicated
+    // number in the artifact next to sf1's nonclone column)
+    val medXxhTagged = medXxh.map { case (n, v) => s"$n@xxh" -> v }
+    if (writeHist) writeHistory(mainKey, med ++ medXxhTagged ++ ctlEntry)
+    val mainHist = readHistory(mainKey)
+    val mainDrift = driftFactor(mainHist, ctlMedian)
+    if (mainDrift > 1.0)
+      System.err.println(f"[bench] control drift vs ledger: $mainDrift%.2fx — " +
+        "suspect rule normalized (VERDICT r14 item 6)")
+    val mainSuspects = suspects(mainHist, med ++ medXxhTagged, mainDrift)
     // solo re-run of each suspect, AFTER the interleaved passes, so the
-    // artifact adjudicates inflation-vs-regression by itself
-    def soloRun(dir: String)(name: String,
+    // artifact adjudicates inflation-vs-regression by itself. Tagged
+    // names route themselves: @xxh flips the hasher conf, @nonclone runs
+    // against the perturbed replica.
+    def soloRun(dir: String, ncDir: => Option[String] = None)(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val xxh = name.endsWith("@xxh")
+      val d = if (name.endsWith("@nonclone")) ncDir.getOrElse(return None) else dir
+      if (xxh) spark.conf.set(graft.functions.Hashers.ConfKey, "xxh")
       val t0 = System.nanoTime()
       try {
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] recheck $name%-24s $sec%8.3f s  (solo)")
         Some(sec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recheck $name FAILED: ${e.getMessage}")
         None
-      }
+      } finally if (xxh) spark.conf.unset(graft.functions.Hashers.ConfKey)
     }
-    val mainRecheck = recheckSuspects(names, mainSuspects, soloRun(sfDir))
-    val mainStillBad = suspects(readHistory(mainKey), mainRecheck)
+    val mainRegistry = names ++ xxhNames.map { case (n, f) => (s"$n@xxh", f) }
+    val mainRecheck = recheckSuspects(mainRegistry, mainSuspects, soloRun(sfDir))
+    val mainStillBad = suspects(mainHist, mainRecheck, mainDrift)
     val suspectJson = mainSuspects.map("\"" + _ + "\"").mkString(
       "\"inflation_suspect\":[", ",", "]")
     // the compact stdout line lives in a ~2000-char tail window; a badly
@@ -293,8 +333,6 @@ object Bench {
     // on untouched code, making raw totals unreadable. value_per_control
     // (total / control median, dimensionless) is the number PERF.md uses
     // for round-over-round claims.
-    val ctlMedian =
-      if (controlSamples.nonEmpty) Some(median(controlSamples.toList)) else None
     val perControl = ctlMedian.filter(_ > 0).map(total / _)
     val perControlJson = perControl
       .map(v => f""""value_per_control":$v%.1f""")
@@ -396,28 +434,20 @@ object Bench {
             }
           } finally spark.conf.unset(graft.functions.Hashers.ConfKey)
         }
-        if (writeHist) writeHistory("sf1", sf1Samples.toSeq)
-        val sf1Suspects = suspects(readHistory("sf1"), sf1Samples.toSeq)
-        val sf1Recheck = recheckSuspects(names, sf1Suspects, soloRun(dir))
-        val sf1StillBad = suspects(readHistory("sf1"), sf1Recheck)
-        // capped like the main compact list (this block rides the
-        // compact stdout line); full per-query detail is on stderr
-        val sf1SuspectJson =
-          f""""n_inflation_suspect":${sf1Suspects.size},""" +
-            sf1Suspects.take(10).map("\"" + _ + "\"").mkString(
-              "\"inflation_suspect\":[", ",", "]")
-        System.err.println(s"[bench] sf1 inflation_suspect: $sf1Suspects")
-        val sf1Total = sf1Samples.map(_._2).sum
-        val sf1Slow = sf1Samples.sortBy(-_._2).take(5).toSeq
         // The id-shift replica turns every doc into a 10-clone clique, so
         // the dedup family's sf1 numbers measure worst-case (clone-pair)
         // output. Re-run those queries against a perturbed-text replica
         // whose only near-dups are the base corpus's organic ones, and
-        // ship both variants' numbers (VERDICT r10 item 6).
+        // ship both variants' numbers (VERDICT r10 item 6). Measured
+        // BEFORE the ledger write so the @nonclone entries ride the same
+        // suspect/recheck machinery as everything else (r14 item 1: the
+        // single cold post-pass number stamped q119 at 86.8 s where the
+        // quiet-window close read 9.9 s, and nothing in-band said so).
         val nonCloneQs = Seq("q14_minhash_pairs", "q110_leak_split", "q119_dedup_curve")
-        var ncJson = """"nonclone":null"""
+        val ncSamples = collection.mutable.ListBuffer.empty[(String, Double)]
+        var ncOk = false
+        val ncDir = sys.env.getOrElse("SPARK_GRAFT_SF1_NC_DIR", "/tmp/graft-sf1-nonclone")
         try {
-          val ncDir = sys.env.getOrElse("SPARK_GRAFT_SF1_NC_DIR", "/tmp/graft-sf1-nonclone")
           // _v2: the perturbation switched from splice to same-mass
           // substitution; a replica built by the old code must not be reused
           val ncMarker = new java.io.File(ncDir, "_GRAFT_SF1_OK_v2")
@@ -427,7 +457,6 @@ object Bench {
             java.nio.file.Files.write(ncMarker.toPath, "10\n".getBytes)
             System.err.println(f"[bench] sf1 non-clone replica built in ${(System.nanoTime() - r0) / 1e9}%.1f s")
           } else System.err.println(s"[bench] sf1 non-clone replica reused at $ncDir")
-          val ncSamples = collection.mutable.ListBuffer.empty[(String, Double)]
           names.filter(n => nonCloneQs.contains(n._1)).foreach { case (name, fn) =>
             val t0 = System.nanoTime()
             fn(spark, ncDir).write.format("noop").mode("overwrite").save()
@@ -435,11 +464,40 @@ object Bench {
             ncSamples += name -> sec
             System.err.println(f"[bench] sf1-nonclone $name%-24s $sec%8.3f s")
           }
-          ncJson = s""""nonclone":${jsonMap(ncSamples.toSeq)}"""
+          ncOk = true
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] sf1 non-clone pass aborted: ${e.getMessage}")
         }
+        val ncJson =
+          if (ncOk) s""""nonclone":${jsonMap(ncSamples.toSeq)}"""
+          else """"nonclone":null"""
+        // all three sf1 columns share one ledger key, distinguished by
+        // suffix; the drift factor reuses the session control (measured
+        // once per pass on the main run — same JVM, same machine state)
+        val sf1XxhTagged = sf1Xxh.toSeq.map { case (n, v) => s"$n@xxh" -> v }
+        val ncTagged = ncSamples.toSeq.map { case (n, v) => s"$n@nonclone" -> v }
+        val sf1All = sf1Samples.toSeq ++ sf1XxhTagged ++ ncTagged
+        if (writeHist) writeHistory("sf1", sf1All ++ ctlEntry)
+        val sf1Hist = readHistory("sf1")
+        val sf1Drift = driftFactor(sf1Hist, ctlMedian)
+        val sf1Suspects = suspects(sf1Hist, sf1All, sf1Drift)
+        val sf1Registry = names ++
+          xxhNames.map { case (n, f) => (s"$n@xxh", f) } ++
+          names.filter(n => nonCloneQs.contains(n._1))
+            .map { case (n, f) => (s"$n@nonclone", f) }
+        val sf1Recheck = recheckSuspects(sf1Registry, sf1Suspects,
+          soloRun(dir, if (ncOk) Some(ncDir) else None))
+        val sf1StillBad = suspects(sf1Hist, sf1Recheck, sf1Drift)
+        // capped like the main compact list (this block rides the
+        // compact stdout line); full per-query detail is on stderr
+        val sf1SuspectJson =
+          f""""n_inflation_suspect":${sf1Suspects.size},""" +
+            sf1Suspects.take(10).map("\"" + _ + "\"").mkString(
+              "\"inflation_suspect\":[", ",", "]")
+        System.err.println(s"[bench] sf1 inflation_suspect: $sf1Suspects")
+        val sf1Total = sf1Samples.map(_._2).sum
+        val sf1Slow = sf1Samples.sortBy(-_._2).take(5).toSeq
         sf1Json =
           f""""sf1":{"value":$sf1Total%.3f,"n_queries":${sf1Samples.size},""" +
           f""""n_failed":$sf1Failed,"factor":10,"slowest":${jsonMap(sf1Slow)},""" +

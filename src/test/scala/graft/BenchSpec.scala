@@ -40,6 +40,46 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspects(Map("q" -> 2.0), Seq("q" -> 6.1)) == Seq("q"))
   }
 
+  test("control normalization: drift factor scales the 3x rule (VERDICT r14 item 6)") {
+    // ledger written on a quiet machine (control 0.4 s); this session's
+    // control reads 0.8 s -> everything ambient is ~2x slower, so the
+    // suspect threshold stretches to 6x
+    val hist = Map(Bench.ControlKey -> 0.4, "q" -> 10.0)
+    assert(Bench.driftFactor(hist, Some(0.8)) == 2.0)
+    assert(Bench.suspects(hist, Seq("q" -> 35.0), 2.0).isEmpty)  // 3.5x raw, 1.75x normalized
+    assert(Bench.suspects(hist, Seq("q" -> 61.0), 2.0) == Seq("q")) // >6x
+    // faster machine: clamped at 1.0 — the raw rule stays in force
+    assert(Bench.driftFactor(hist, Some(0.2)) == 1.0)
+    // pathological control can't disable the tripwire (cap 10)
+    assert(Bench.driftFactor(hist, Some(400.0)) == 10.0)
+    // missing control on either side -> no normalization
+    assert(Bench.driftFactor(Map("q" -> 1.0), Some(0.8)) == 1.0)
+    assert(Bench.driftFactor(hist, None) == 1.0)
+    // the control row itself never flags, whatever it reads
+    assert(Bench.suspects(hist, Seq(Bench.ControlKey -> 99.0)).isEmpty)
+  }
+
+  test("tagged columns (@xxh/@nonclone) ride the same ledger and recheck path") {
+    val p = java.nio.file.Files.createTempDirectory("graft_bench")
+      .resolve("hist.json").toString
+    // one ledger key holds plain, tagged, and control rows side by side
+    Bench.writeHistory("sf1", Seq("q119" -> 10.0, "q119@nonclone" -> 6.1,
+      "q119@xxh" -> 8.0, Bench.ControlKey -> 0.4), p)
+    val hist = Bench.readHistory("sf1", p)
+    assert(hist("q119@nonclone") == 6.1 && hist(Bench.ControlKey) == 0.4)
+    // the r14 ambiguity, adjudicated in-band: nonclone's cold post-pass
+    // single reads 86.8 s vs its 6.1 s ledger -> stamped suspect...
+    val medd = Seq("q119" -> 11.0, "q119@nonclone" -> 86.8, "q119@xxh" -> 9.0)
+    assert(Bench.suspects(hist, medd) == Seq("q119@nonclone"))
+    // ...and the solo recheck (warm, quiet) reads 9.9 s -> inflation
+    // confirmed, no regression
+    val reg = Seq(("q119", 0), ("q119@nonclone", 1), ("q119@xxh", 2))
+    val rc = Bench.recheckSuspects(reg, Seq("q119@nonclone"),
+      (n: String, _: Int) => Some(9.9))
+    assert(rc == Seq("q119@nonclone" -> 9.9))
+    assert(Bench.suspects(hist, rc).isEmpty)
+  }
+
   test("serial_recheck: suspects re-run solo; still->3x adjudicates regression") {
     // registry: query name -> the "query" (here just its solo seconds)
     val names = Seq("qa" -> 2.0, "qb" -> 50.0, "qc" -> 1.0)
