@@ -1004,14 +1004,52 @@ object SparkEntry {
     val qVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    // m=2/maxIter 2/random init: a usable demo quantizer, not a converged
-    // one — per-subspace training cost dominates this query's bench time
-    // otherwise (each subspace is one spark.ml KMeans fit)
-    val index = Ann.buildPq(emb, m = 2, ks = 16, seed = 42L, maxIter = 2,
-      initMode = "random")
+    val index = pqIndexFor(s, dir)
     pqBooksForOracle = index.codebooks
     Ann.pqSearch(index, qVec, k = 5)
   }
+
+  /** Build-once / probe-many seam for the PQ family (VERDICT r14 item 3
+    * — the q28 discipline extended to the plain-PQ quantizer): codebooks
+    * + codes are trained ONCE per data dir, persisted with
+    * [[graft.search.Ann.writePq]] under a [[dirCacheKey]]-keyed tmpdir
+    * path, and every later q65/q203 run — in this session via the JVM
+    * cache, in the NEXT session via the on-disk store — reopens them
+    * with readPq and pays read-cost only. Both queries were
+    * training-dominated (12.8 / 16.8 s at 100×; the scan itself is one
+    * pass). The `PQ_FORMAT` marker is stamped only after both artifacts
+    * land, so a crashed build is rebuilt, never half-read; a data-dir
+    * whose parquet is regenerated in place gets a NEW path (the key
+    * hashes every leaf file's name/length/mtime), so stale codebooks
+    * cannot be served — PqStorageSpec pins both properties.
+    *
+    * m=2/maxIter 2/random init: a usable demo quantizer, not a converged
+    * one — per-subspace training cost dominates even the BUILD otherwise
+    * (each subspace is one spark.ml KMeans fit).
+    */
+  private val pqCache = collection.mutable.Map.empty[String, Ann.PqIndex]
+
+  private[graft] def pqPathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-pq-${dirCacheKey(s, dir, "embeddings")}"
+
+  private[graft] def pqIndexFor(s: SparkSession, dir: String): Ann.PqIndex =
+    pqCache.synchronized {
+      val path = pqPathFor(s, dir)
+      pqCache.getOrElseUpdate(path, {
+        val marker = new org.apache.hadoop.fs.Path(path, "PQ_FORMAT")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val t0 = System.nanoTime()
+          val built = Ann.buildPq(rd(s, dir, "embeddings"), m = 2, ks = 16,
+            seed = 42L, maxIter = 2, initMode = "random")
+          Ann.writePq(built, path)
+          fs.create(marker, true).close()
+          System.err.println(
+            f"[graft] q65 PQ build+persist ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        Ann.readPq(s, path)
+      })
+    }
 
   /** Codebooks trained by the last [[qPqTopK]] run, exported into the
     * q65 oracle SQL as literals (Verify dumps oracle_sql.json after all
@@ -1026,10 +1064,16 @@ object SparkEntry {
     * exported for the oracle like q65's.
     */
   private def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
-    val index = Ann.buildPq(rd(s, dir, "embeddings"), m = 2, ks = 16,
-      seed = 42L, maxIter = 2, initMode = "random")
+    // the persisted codes table deliberately drops the float column (the
+    // 32×-smaller serving layout); the distortion audit needs it back, so
+    // it joins the source embeddings on vec_id — one equi-join, still
+    // read-cost next to the k-means training the gate now amortizes
+    val index = pqIndexFor(s, dir)
     pqDistBooksForOracle = index.codebooks
-    Ann.pqDistortion(index)
+    val withVec = Ann.PqIndex(
+      index.encoded.join(rd(s, dir, "embeddings"), Seq("vec_id")),
+      index.codebooks)
+    Ann.pqDistortion(withVec)
   }
 
   @volatile private var pqDistBooksForOracle: Array[Array[Array[Double]]] = _

@@ -960,11 +960,17 @@ object Ann {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     require(flat.nonEmpty, s"PQ store at $path has no codebooks")
     val m = flat.map(_._1).max + 1
-    val ks = flat.map(_._2).max + 1
-    val books = Array.ofDim[Array[Double]](m, ks)
-    flat.foreach { case (j, c, cent) => books(j)(c) = cent }
-    require(books.forall(_.forall(_ != null)),
-      s"PQ store at $path is missing (subspace, code) entries")
+    // subspaces may train DIFFERENT center counts (k-means returns fewer
+    // than ks when a tiny/duplicate-heavy corpus can't support k distinct
+    // clusters), so the books are ragged per subspace — each must only be
+    // contiguous from 0, since codes index into it positionally
+    val books = Array.tabulate(m) { j =>
+      val rows = flat.filter(_._1 == j).sortBy(_._2)
+      require(rows.nonEmpty && rows.map(_._2).toSeq == (0 until rows.length),
+        s"PQ store at $path: subspace $j codebook is missing code entries " +
+          s"(have ${rows.map(_._2).mkString(",")})")
+      rows.map(_._3)
+    }
     PqIndex(encoded, books)
   }
 
