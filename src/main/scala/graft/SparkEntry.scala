@@ -773,6 +773,12 @@ object SparkEntry {
     * distance from uniform; see [[graft.text.CorpusOps.tokenPositionBias]].
     */
   private def qTokenPositionBias(s: SparkSession, dir: String): DataFrame =
+    // STRING-keyed on purpose (r15, VERDICT r14 items 2+8): the
+    // hash-domain twin (tokenPositionBiasHashed, spec-witnessed) measured
+    // 3.0× SLOWER at 100× (15.4 → 45.9 s md5, 31.4 s xxh) — single-token
+    // keys are short, map-side combine already shrinks the string
+    // shuffle, and md5-per-token + the winner-recovery scan dominate.
+    // The q69 negative-result class; PERF.md r15 records the A/B.
     graft.text.CorpusOps.tokenPositionBias(rdWide(s, dir, "documents"))
 
   /** Duplication-by-length histogram (fixed-width buckets); see
@@ -785,6 +791,8 @@ object SparkEntry {
     * [[graft.text.CorpusOps.tokenDispersion]].
     */
   private def qTokenDispersion(s: SparkSession, dir: String): DataFrame =
+    // STRING-keyed on purpose — the hashed twin measured 2.1× slower at
+    // 100× (21.1 → 44.7 s); see qTokenPositionBias and PERF.md r15
     graft.text.CorpusOps.tokenDispersion(rdWide(s, dir, "documents"))
 
   /** MinHash estimator error vs exact Jaccard by decile; see
@@ -4150,6 +4158,10 @@ object SparkEntry {
       // over the identical window bytes, full 64-bit keys)
       "q121_intradoc_repeats", "q139_vocab_coverage",
       "q156_bigram_coverage", "q160_kn_score")
+    // q197/q199 are NOT here: their hash-domain twins measured 2-3×
+    // slower at 100× (the q69 class — short single-token keys, winners
+    // need string recovery), so the registered forms are string-keyed
+    // and hasher-independent. PERF.md r15 has the A/B.
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

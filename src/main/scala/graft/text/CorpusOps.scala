@@ -909,6 +909,100 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** [[tokenPositionBias]] in the 60-bit hash domain — built for
+    * VERDICT r14 item 2 and then MEASURED SLOWER, so q197 registers the
+    * string form (PERF.md r15: 15.4 s string vs 45.9 s md5-hash vs
+    * 31.4 s xxh at 100× — the q69 negative-result class: single-token
+    * keys are short, map-side combine already shrinks the string
+    * shuffle to the per-partition vocabulary, and the per-token digest
+    * plus the winner-recovery scan dominate). Kept as the library's
+    * alternative for long-token/URL-key corpora where the trade flips:
+    * the aggregate rides ONE [[graft.functions.TokenNgramHashes]]
+    * (n = 1) kernel scan, the top-K cut ranks (bias desc, HASH asc),
+    * and only the ≤ topK winning hashes get strings back via
+    * [[recoverTokens]]. Output is identical to the string form except
+    * when a bias tie straddles the cut or two vocabulary tokens collide
+    * in 60 bits (~V²/2^61); CorpusOpsSpec pins parity.
+    */
+  def tokenPositionBiasHashed(docs: DataFrame, textCol: String = "text",
+                              topK: Int = 20,
+                              hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
+    val xxh = graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh"
+    val t = coalesce(col(textCol), lit(""))
+    val winners = docs
+      .select(graft.functions.TokenNgramHashes(t, 1, xxh).as("__h"))
+      .filter(size(col("__h")) >= 2)
+      .select(size(col("__h")).as("__len"),
+        posexplode(col("__h")).as(Seq("pos", "tokh")))
+      .select(col("tokh"),
+        expr("(1000000L * pos) div (__len - 1)").as("__ppm"))
+      .groupBy(col("tokh"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("__ppm")).as("__s"))
+      .select(col("tokh"), col("n_occ"),
+        expr("__s div n_occ").as("mean_pos_ppm"))
+      .withColumn("bias_ppm", abs(col("mean_pos_ppm") - 500000))
+      .orderBy(col("bias_ppm").desc, col("tokh").asc)
+      .limit(topK)
+      // k rows, read twice (semi-join build + name re-attach): pin them
+      // so the vocabulary aggregate runs once
+      .localCheckpoint(eager = true)
+    recoverTokens(docs, winners, textCol, xxh)
+      .select(col("token"), col("n_occ"), col("mean_pos_ppm"), col("bias_ppm"))
+      .orderBy(col("bias_ppm").desc, col("token").asc)
+  }
+
+  /** [[tokenDispersion]] in the 60-bit hash domain — same contract,
+    * caveats, AND negative perf result as [[tokenPositionBiasHashed]]
+    * (21.1 s string vs 44.7 s hashed at 100×), so q199 registers the
+    * string form; this stays as the long-key alternative. The
+    * (doc, token) combine and the vocabulary rollup both move longs;
+    * (dispersion asc, HASH asc) is the cut's total order.
+    */
+  def tokenDispersionHashed(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", topK: Int = 20,
+                            hasher: String = graft.functions.Hashers.FromConf): DataFrame = {
+    val xxh = graft.functions.Hashers.resolve(docs.sparkSession, hasher) == "xxh"
+    val t = coalesce(col(textCol), lit(""))
+    val winners = docs
+      .select(col(idCol),
+        explode(graft.functions.TokenNgramHashes(t, 1, xxh)).as("tokh"))
+      .groupBy(col(idCol), col("tokh")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("tokh"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("cf"))
+      .select(col("tokh"), col("df"), col("cf"),
+        expr("(1000000 * df) div cf").as("dispersion_ppm"))
+      .orderBy(col("dispersion_ppm").asc, col("tokh").asc)
+      .limit(topK)
+      .localCheckpoint(eager = true)
+    recoverTokens(docs, winners, textCol, xxh)
+      .select(col("token"), col("df"), col("cf"), col("dispersion_ppm"))
+      .orderBy(col("dispersion_ppm").asc, col("token").asc)
+  }
+
+  /** Token-string recovery for a ≤ topK frame of winning 60-bit hashes
+    * (`tokh` column): one more kernel scan zips every doc's tokens with
+    * their hashes positionally, a BROADCAST semi-join drops everything
+    * but winner occurrences BEFORE any shuffle touches a string (the
+    * map-side-combined distinct then moves ≤ winners rows per
+    * partition), and the tiny name table re-attaches broadcast. The
+    * corpus-wide aggregates upstream never see a string key; the
+    * recovery scan itself is the cost that (with the per-token digest)
+    * made the move a net loss on short-token corpora — see the
+    * registration notes on the two Hashed forms above.
+    */
+  private def recoverTokens(docs: DataFrame, winners: DataFrame,
+                            textCol: String, xxh: Boolean): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val z = zip_with(TextAnalysis.tokens(t),
+      graft.functions.TokenNgramHashes(t, 1, xxh),
+      (tok, h) => struct(tok.as("token"), h.as("tokh")))
+    val names = docs.select(explode(z).as("__p"))
+      .select(col("__p.token").as("token"), col("__p.tokh").as("tokh"))
+      .join(broadcast(winners.select(col("tokh"))), Seq("tokh"), "left_semi")
+      .distinct()
+    winners.join(broadcast(names), Seq("tokh"))
+  }
+
   def mixedLanguage(docs: DataFrame, segLen: Int = 200, topK: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(charSegments(col("text"), segLen)).as("seg"))
       .select(col("doc_id"), TextAnalysis.langId(col("seg")).as("seg_lang"))

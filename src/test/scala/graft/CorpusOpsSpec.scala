@@ -428,6 +428,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hsh == str, s"$hsh vs $str")
   }
 
+  test("tokenPositionBiasHashed / tokenDispersionHashed == string forms " +
+    "(the q197/q199 hash-domain witnesses, r15 VERDICT r14 item 2)") {
+    // adversarial whitespace: leading TAB (Spark trim strips only ASCII
+    // space) plus a double space making an empty token; a 1-token doc
+    // (excluded by position bias, counted by dispersion); clones
+    val d = docs(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "\tbeta  gamma alpha alpha", "s"),
+      (3L, "solo", "t"),
+      (4L, "gamma gamma gamma end alpha", "t"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    // topK ≥ vocabulary: the cut drops nothing, so the hash-vs-string
+    // tie-break difference (the one documented divergence) can't move a
+    // boundary and the outputs must be row-identical, order included
+    val k = 100
+    assert(rows(CorpusOps.tokenPositionBiasHashed(d, topK = k)) ==
+      rows(CorpusOps.tokenPositionBias(d, topK = k)))
+    assert(rows(CorpusOps.tokenDispersionHashed(d, topK = k)) ==
+      rows(CorpusOps.tokenDispersion(d, topK = k)))
+    // hasher-invariant: hash longs are shuffle/cut keys only — they
+    // never reach the output once the winners' strings are recovered
+    assert(rows(CorpusOps.tokenPositionBiasHashed(d, topK = k, hasher = "xxh")) ==
+      rows(CorpusOps.tokenPositionBiasHashed(d, topK = k, hasher = "md5")))
+    assert(rows(CorpusOps.tokenDispersionHashed(d, topK = k, hasher = "xxh")) ==
+      rows(CorpusOps.tokenDispersionHashed(d, topK = k, hasher = "md5")))
+  }
+
   test("kneserNeyPerSourceHashed == string-keyed form (the q160 hash-domain witness)") {
     // The registered q160 keys its four LM joins on TokenPairHashes'
     // per-token md5Int60 longs; the string-keyed form is the readable
