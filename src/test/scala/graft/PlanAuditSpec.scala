@@ -253,4 +253,47 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset(AnnTopKRewrite.NprobeKey)
     }
   }
+
+  test("q205's batched probe partition-prunes the persisted q28 index to " +
+    "the probe UNION (VERDICT r14 item 5)") {
+    // nprobe 2 here so the pruning is visible: 3 queries × 2 probes can
+    // select at most 6 of the 16 list directories (fewer when queries
+    // share probes). The registered q205 runs nprobe=16 so its ORACLE
+    // stays exact — same plan shape, one knob. AQE off: the join-bearing
+    // plan otherwise wraps in AdaptiveSparkPlanExec and the scan isn't
+    // visible until execution (q193's single-scan plan dodges AQE).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = SparkEntry.ivfBatchProbeFrame(spark, sfDir, nprobe = 2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over lists/")
+    // the probe-union literal is STATIC pruning, evaluable pre-execution;
+    // the broadcast join on centroid_id additionally plants a
+    // DynamicPruningExpression (runtime DPP — a bonus, but not what the
+    // guarantee rests on), which listFiles can't evaluate before the
+    // build side runs, so prune with the static predicates only
+    val static = scans.head.partitionFilters.filterNot(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning => true
+      case _ => false
+    })
+    assert(static.exists(_.references.exists(_.name == "centroid_id")),
+      s"static probe union not in partitionFilters: ${scans.map(_.partitionFilters)}")
+    val selected = scans.head.relation.location.listFiles(static, Nil)
+    assert(selected.size <= 6 && selected.size >= 2,
+      s"expected 2..6 pruned partitions (3 queries × nprobe 2), got ${selected.size}")
+    // and the per-query restriction holds end-to-end: every returned row's
+    // list was actually probed by THAT query (nprobe=2 result is a subset
+    // of each query's probed lists)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perQueryLists = rows.groupBy(_.get(0).toString)
+      .map { case (q, rs) => q -> rs.map(_.get(2).toString).distinct.length }
+    assert(perQueryLists.values.forall(_ <= 2),
+      s"a query scored rows from more lists than it probed: $perQueryLists")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }
