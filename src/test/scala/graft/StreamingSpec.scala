@@ -510,6 +510,53 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == want)
   }
 
+  test("streaming media signature groups == batch over the streamed rows; " +
+    "near-dups from store == batch mediaNearDupGroups; compaction idempotent") {
+    import graft.streaming.StreamingMediaSignatures
+    val base = Files.createTempDirectory("graft_msig").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    // docs 1/3 are exact payload copies (one signature group, n_media 2);
+    // docs 2/4 differ; doc 5 is a small byte-distribution perturbation of
+    // doc 2 (near-dup candidate at small Hamming distance)
+    val b1 = Seq((1L, "the quick brown fox jumps over it", "en", "web", 0L),
+      (2L, "aaaa bbbb cccc dddd", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.write.parquet(src)
+    StreamingMediaSignatures.start(spark, src, store, ckpt).awaitTermination()
+    val b2 = Seq((3L, "the quick brown fox jumps over it", "en", "web", 0L),
+      (4L, "zzzz!! ???? ++++", "en", "web", 0L),
+      (5L, "aaaa bbbb cccc dddd!", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b2.write.mode("append").parquet(src)
+    StreamingMediaSignatures.start(spark, src, store, ckpt).awaitTermination()
+
+    val all = b1.union(b2)
+    val wantGroups = StreamingMediaSignatures.signatureGroups(
+        StreamingMediaSignatures.mediaFromDocs(all))
+      .as[(Long, Long, Long)].collect().toSet
+    def storeGroups: Set[(Long, Long, Long)] =
+      StreamingMediaSignatures.groupsFromStore(spark, store)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(storeGroups == wantGroups)
+    // the 1/3 exact-copy clique collapsed into one group with rep = 1
+    assert(wantGroups.exists(g => g._2 == 1L && g._3 == 2L), wantGroups)
+    // near-dups from the store == the batch operator over the same media
+    val wantPairs = graft.multimodal.Multimodal.mediaNearDupGroups(
+        StreamingMediaSignatures.mediaFromDocs(all))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def storePairs: Set[(Long, Long, Long, Long, Long)] =
+      StreamingMediaSignatures.nearDupsFromStore(spark, store)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(storePairs == wantPairs)
+    // compaction leaves both reads unchanged; re-compacting is a no-op
+    val (n1, d1) = StreamingMediaSignatures.compactStore(spark, store)
+    assert(d1 == 2L && n1 > 0L)
+    assert(storeGroups == wantGroups && storePairs == wantPairs)
+    val (n2, d2) = StreamingMediaSignatures.compactStore(spark, store)
+    assert(d2 == 1L && n2 == n1)
+    assert(storeGroups == wantGroups && storePairs == wantPairs)
+  }
+
   test("PartialStore compaction refuses to run over leftover trash from a crash") {
     import graft.streaming.StreamingQuantile
     val base = Files.createTempDirectory("graft_trash").toString
