@@ -841,6 +841,17 @@ object SparkEntry {
     * |labels|²-bounded nested-loop join of a |labels|-row frame.
     */
   private def qLabelAffinity(s: SparkSession, dir: String): DataFrame = {
+    // |labels|² cardinality guard (VERDICT r14 item 8 — the
+    // hardNegatives bounded-count discipline): the affinity matrix is
+    // inherently quadratic in label count, so refuse loudly instead of
+    // silently planning a trillion-pair nested loop on a million-label
+    // corpus. The probe is O(cap) work however many labels exist.
+    val labelCap = 4096
+    val nLabels = rd(s, dir, "embeddings").select(col("label"))
+      .distinct().limit(labelCap + 1).count()
+    require(nLabels <= labelCap,
+      s"label affinity is |labels|²-shaped: > $labelCap distinct labels — " +
+        "coarsen the label space first, or chunk the matrix by label range")
     val cents = rd(s, dir, "embeddings")
       .select(col("label"), col("embedding").cast("array<double>").as("e"))
       .groupBy(col("label"))
@@ -3273,6 +3284,17 @@ object SparkEntry {
     * |types|-row finisher.
     */
   private def qTransitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    // |types|² cardinality guard (VERDICT r14 item 8): the transition
+    // matrix has up to |types|² cells and each from_type row
+    // collect_lists up to |types| successors — fine for event
+    // vocabularies, quadratic poison for an unbounded one (e.g. raw
+    // URLs as types). Bounded O(cap) probe, loud refusal.
+    val typeCap = 1024
+    val nTypes = readEvents(s, dir).select(col("event_type"))
+      .distinct().limit(typeCap + 1).count()
+    require(nTypes <= typeCap,
+      s"transition entropy is |types|²-shaped: > $typeCap distinct " +
+        "event types — bucket/coarsen event_type first")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     readEvents(s, dir)
