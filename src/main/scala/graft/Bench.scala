@@ -279,8 +279,12 @@ object Bench {
     // suffixed names (VERDICT r14 item 1: it was the last unadjudicated
     // number in the artifact next to sf1's nonclone column)
     val medXxhTagged = medXxh.map { case (n, v) => s"$n@xxh" -> v }
-    if (writeHist) writeHistory(mainKey, med ++ medXxhTagged ++ ctlEntry)
+    // read BEFORE write: a WRITE_HISTORY (closing) run must adjudicate
+    // against the PREVIOUS ledger, not the one it is about to define —
+    // the old order made the builder's own suspect column vacuous
+    // (every query compared to itself)
     val mainHist = readHistory(mainKey)
+    if (writeHist) writeHistory(mainKey, med ++ medXxhTagged ++ ctlEntry)
     val mainDrift = driftFactor(mainHist, ctlMedian)
     if (mainDrift > 1.0)
       System.err.println(f"[bench] control drift vs ledger: $mainDrift%.2fx — " +
@@ -478,8 +482,8 @@ object Bench {
         val sf1XxhTagged = sf1Xxh.toSeq.map { case (n, v) => s"$n@xxh" -> v }
         val ncTagged = ncSamples.toSeq.map { case (n, v) => s"$n@nonclone" -> v }
         val sf1All = sf1Samples.toSeq ++ sf1XxhTagged ++ ncTagged
+        val sf1Hist = readHistory("sf1") // before the write — see mainHist
         if (writeHist) writeHistory("sf1", sf1All ++ ctlEntry)
-        val sf1Hist = readHistory("sf1")
         val sf1Drift = driftFactor(sf1Hist, ctlMedian)
         val sf1Suspects = suspects(sf1Hist, sf1All, sf1Drift)
         val sf1Registry = names ++
