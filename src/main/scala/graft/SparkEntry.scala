@@ -316,6 +316,49 @@ object SparkEntry {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** Train/test split-leakage audit — the GPT-3 appendix-C-style n-gram
+    * contamination MEASUREMENT applied to q42's own content-hash split:
+    * per source, what fraction of the test bucket's 13-token windows
+    * also occur anywhere in train? A content-hash split guarantees
+    * identical texts land together, but organic near-duplicates
+    * straddle buckets and leak training windows into test — the number
+    * this reports is exactly the eval-set inflation a leak-free split
+    * (q110) exists to remove. Output per source: test docs (with ≥ 1
+    * window; sub-13-token docs carry no 13-gram evidence and are
+    * excluded identically on both engines), gram totals, leaked ppm,
+    * docs with any leak, docs ≥ 50% leaked.
+    *
+    * Scale shape: grams ride the 60-bit [[graft.functions
+    * .TokenNgramHashes]] kernel end-to-end — the distinct-train-set
+    * build and the presence join shuffle 8-byte longs, count-shaped
+    * with NO string recovery (the hash-domain class that pays, per the
+    * r15 q197/q199 negative result). One corpus scan feeds both sides;
+    * the train-set distinct is corpus-linear — the inherent cost of
+    * exact decontamination. All-integer ppm.
+    */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val base = rdWide(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        pmod(graft.functions.HashFunctions.md5Int32(col("text")), lit(10)).as("__b"),
+        explode(graft.functions.TokenNgramHashes(t, 13)).as("g"))
+    val trainGrams = base.filter(col("__b") <= 7)
+      .select(col("g")).distinct()
+      .withColumn("__hit", lit(1))
+    base.filter(col("__b") === 9)
+      .join(trainGrams, Seq("g"), "left") // distinct build side: ≤ 1 match/row
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_leaked"))
+      .withColumn("__ppm", expr("(1000000 * n_leaked) div n_grams"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_leaked")).as("n_leaked"),
+        sum(when(col("n_leaked") > 0, 1L).otherwise(0L)).as("n_docs_leaked"),
+        sum(when(col("__ppm") >= 500000, 1L).otherwise(0L)).as("n_docs_heavy"))
+      .withColumn("corpus_leaked_ppm", expr("(1000000 * n_leaked) div n_grams"))
+  }
+
   /** Vocabulary building: the 20 most frequent tokens corpus-wide with
     * document frequency — explode → two-level aggregate → top-k
     * (TakeOrderedAndProject; the shuffle carries (token, partial counts),
@@ -4420,6 +4463,7 @@ object SparkEntry {
     "q203_pq_distortion" -> (qPqDistortion _),
     "q204_transition_entropy" -> (qTransitionEntropy _),
     "q205_ivf_batch_probe" -> (qIvfBatchProbe _),
+    "q206_split_leakage" -> (qSplitLeakage _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6377,6 +6421,29 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, rank, round(score, 6) AS score
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // q42's bucket rule + q121's 13-token-window h60 phrasing; the train
+    // gram set is DISTINCT so the presence check is an IN, and sub-13-
+    // token docs drop out of g on both engines (empty range)
+    "q206_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, source, ${h32Sql("text")} % 10 AS b,
+         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS w
+         |  FROM documents),
+         | g AS (SELECT doc_id, source, b,
+         |    unnest([${h60Sql("array_to_string(w[i:i+12], ' ')")}
+         |      for i in range(1, greatest(len(w) - 12, 0) + 1)]) AS g
+         |  FROM d),
+         | tr AS (SELECT DISTINCT g FROM g WHERE b <= 7),
+         | pd AS (SELECT doc_id, source, count(*)::BIGINT AS n_grams,
+         |    sum(CASE WHEN g IN (SELECT g FROM tr) THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+         |   FROM g WHERE b = 9 GROUP BY 1, 2),
+         | pd2 AS (SELECT *, (1000000 * n_leaked) // n_grams AS ppm FROM pd)
+         |SELECT source, count(*)::BIGINT AS n_test_docs,
+         | sum(n_grams)::BIGINT AS n_grams, sum(n_leaked)::BIGINT AS n_leaked,
+         | sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_leaked,
+         | sum(CASE WHEN ppm >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_docs_heavy,
+         | ((1000000 * sum(n_leaked)) // sum(n_grams))::BIGINT AS corpus_leaked_ppm
+         |FROM pd2 GROUP BY 1""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
