@@ -359,6 +359,53 @@ object SparkEntry {
       .withColumn("corpus_leaked_ppm", expr("(1000000 * n_leaked) div n_grams"))
   }
 
+  /** Quality × duplication joint audit: per quality decile (q17's
+    * composite score, micro-integered then bucketed — no float decile
+    * boundaries), how many docs participate in ≥ 1 verified near-dup
+    * pair (q14's LSH candidates at Jaccard ≥ 0.5, q40's threshold).
+    * THE curation-ordering question — if duplication concentrates in
+    * low-quality deciles, a quality filter before dedup shrinks the
+    * expensive pairing input; if it is flat, dedup first. Scale shape:
+    * the pair frame is LSH-banded/bucket-capped (never all-pairs),
+    * membership is a distinct-id frame joined back broadcast-or-hash on
+    * the id; the decile rollup is one scan + a ≤ 10-row aggregate.
+    */
+  private def qQualityDupJoint(s: SparkSession, dir: String): DataFrame = {
+    val docs = rdWide(s, dir, "documents")
+    // clone-collapse (the q97/q119/q147 discipline): quality AND
+    // near-dup membership are both pure functions of the text, so LSH
+    // runs over DISTINCT texts and multiplicities weight the rollup.
+    // Exact clones (m ≥ 2) are near-dup members BY DEFINITION (Jaccard
+    // 1 between copies) — identical to what uncapped per-id LSH yields,
+    // which is exactly what the oracle replays; the first cut was
+    // per-id and measured clone-quadratic on the 100× replica (33 s;
+    // this form reads 3-4 s). The rep frame is distinct-text-sized and
+    // feeds three consumers (shingles, bands, decile scan) — pinned.
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+    val reps = docs.join(groups, col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("n_copies"))
+      .localCheckpoint(eager = true)
+    val pairs = Dedup.nearDupPairs(reps, minJaccard = 0.5, maxBucketSize = 64)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("__dup", lit(1))
+    reps
+      .select(col("doc_id"), col("n_copies"),
+        TextAnalysis.qualityScore(col("text")).as("__q"))
+      .select(col("doc_id"), col("n_copies"),
+        least(expr("cast(round(__q * 1000000, 0) as bigint) div 100000"), lit(9L))
+          .as("q_decile"))
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("__m",
+        when(col("__dup").isNotNull || col("n_copies") >= 2, col("n_copies"))
+          .otherwise(lit(0L)))
+      .groupBy(col("q_decile"))
+      .agg(sum(col("n_copies")).as("n_docs"), sum(col("__m")).as("n_neardup"))
+      .withColumn("neardup_ppm", expr("(1000000 * n_neardup) div n_docs"))
+  }
+
   /** Vocabulary building: the 20 most frequent tokens corpus-wide with
     * document frequency — explode → two-level aggregate → top-k
     * (TakeOrderedAndProject; the shuffle carries (token, partial counts),
@@ -4464,6 +4511,7 @@ object SparkEntry {
     "q204_transition_entropy" -> (qTransitionEntropy _),
     "q205_ivf_batch_probe" -> (qIvfBatchProbe _),
     "q206_split_leakage" -> (qSplitLeakage _),
+    "q207_quality_dup_joint" -> (qQualityDupJoint _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6444,6 +6492,35 @@ object SparkEntry {
          | sum(CASE WHEN ppm >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_docs_heavy,
          | ((1000000 * sum(n_leaked)) // sum(n_grams))::BIGINT AS corpus_leaked_ppm
          |FROM pd2 GROUP BY 1""".stripMargin,
+
+    // q14's cand + q40's >= 0.5 verified pairs for membership, q86's
+    // quality replay micro-integered into deciles (least(qm//1e5, 9) —
+    // no float decile boundary)
+    "q207_quality_dup_joint" ->
+      s"""WITH $MinhashCtes,
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |   WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |     / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5),
+         | mem AS (SELECT DISTINCT doc_id FROM (
+         |   SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+         | docq AS (SELECT doc_id, round((least(len(w) / 100.0, 1.0)
+         |     + greatest(0.0, 1.0 - abs(length(text)::DOUBLE / len(w) - 5.0) / 10.0)
+         |     + least(len(list_filter(w, x -> list_contains($EnStopSql, x)))::DOUBLE / len(w) * 5.0, 1.0)
+         |     + len(list_distinct(w))::DOUBLE / len(w)) / 4.0, 6) AS q
+         |  FROM (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)),
+         | dd AS (SELECT doc_id,
+         |    least(CAST(round(q * 1000000, 0) AS BIGINT) // 100000, 9) AS q_decile
+         |   FROM docq)
+         |SELECT q_decile, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem) THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
+         | ((1000000 * sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem) THEN 1 ELSE 0 END))
+         |   // count(*))::BIGINT AS neardup_ppm
+         |FROM dd GROUP BY 1""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
