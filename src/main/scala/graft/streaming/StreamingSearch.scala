@@ -49,4 +49,30 @@ object StreamingSearch {
         sink(scan(corpus, batch, k, threshold))
       }
       .start()
+
+  /** Persisted-index scan for [[serveTopK]] (VERDICT r14 item 5's
+    * serving seam): each micro-batch routes through the batched IVF
+    * probe ([[graft.search.Ann.ivfSearchBatch]]) — every query probes
+    * its own `nprobe` inverted lists and the lists scan partition-prunes
+    * to the probe union — instead of a full corpus pass per batch. The
+    * serve loop's `corpus` frame is ignored: the index IS the corpus's
+    * serving layout (rebuild/append via writeIvf/appendToIvf, picked up
+    * on the next batch because the lists are re-read each time).
+    * nprobe = nCentroids is exact (recall 1.0, StreamingSpec pins
+    * parity with the exact scan); smaller nprobe is the usual
+    * recall-for-cost knob. Output shape matches topKBatch:
+    * (queryId, vec_id, score, rank), threshold after ranking, score
+    * rounded 6dp by the probe.
+    */
+  def indexedScan(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String, nprobe: Int,
+                  queryId: String = "query_id", queryVec: String = "query_vec")
+      : (DataFrame, DataFrame, Int, Double) => DataFrame = {
+    import org.apache.spark.sql.functions.col
+    (_, batch, k, t) =>
+      graft.search.Ann.ivfSearchBatch(spark, indexPath, batch, k, nprobe,
+        queryIdCol = queryId, queryVecCol = queryVec)
+        .filter(col("score") >= t)
+        .select(col(queryId), col("vec_id"), col("score"), col("rank"))
+  }
 }

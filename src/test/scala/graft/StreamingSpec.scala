@@ -289,6 +289,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("serveTopK over a persisted IVF index (indexedScan at nprobe=all) " +
+    "== exact batch top-k (VERDICT r14 item 5 serving seam)") {
+    import graft.streaming.StreamingSearch
+    import graft.search.Ann
+    // 8 well-separated vectors, 2 inverted lists; nprobe=2 probes BOTH
+    // lists per query -> recall 1.0 by construction, so the streamed
+    // indexed results must equal the exact batch operator's
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq(
+        if (i % 2 == 0) 1.0f + i * 0.01f else 0.02f * i,
+        if (i % 2 == 1) 1.0f + i * 0.01f else 0.01f * i,
+        0.1f * i))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft_sidx").toString + "/ivf"
+    Ann.writeIvf(Ann.buildIvf(corpus, nCentroids = 2, seed = 42L,
+      maxIter = 4, initMode = "random"), idx)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingSearch.serveTopK(
+      input.toDF().toDF("query_id", "query_vec"), corpus,
+      res => got.synchronized {
+        got ++= res.select($"query_id", $"vec_id", $"rank")
+          .as[(Long, Long, Long)].collect()
+      }, k = 3, threshold = 0.0)(
+      StreamingSearch.indexedScan(spark, idx, nprobe = 2))
+    try {
+      input.addData((100L, Seq(1.0f, 0.0f, 0.1f)), (101L, Seq(0.0f, 1.0f, 0.2f)))
+      q.processAllAvailable()
+      input.addData((102L, Seq(0.5f, 0.5f, 0.0f)))
+      q.processAllAvailable()
+      val queries = Seq(
+        (100L, Seq(1.0f, 0.0f, 0.1f)), (101L, Seq(0.0f, 1.0f, 0.2f)),
+        (102L, Seq(0.5f, 0.5f, 0.0f))).toDF("query_id", "query_vec")
+      val want = graft.search.Search.topKBatch(corpus, queries, k = 3,
+          threshold = 0.0)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"got=$got want=${want.toSeq}")
+      assert(got.count(_._1 == 102L) == 3) // k respected per query
+    } finally q.stop()
+  }
+
   test("serveTopK default scan honors custom query column names") {
     import graft.streaming.StreamingSearch
     val corpus = Seq(
