@@ -987,6 +987,35 @@ object SparkEntry {
           .as("utilization_ppm"))
   }
 
+  /** Context-budget CURVE: q202's no-packing audit swept across
+    * sequence budgets B ∈ {128 … 2048} — the corpus-level "choose the
+    * context length" table (fit rate, piece count, padding mass,
+    * utilization ppm per B). Padding falls and truncation pressure
+    * rises with B; the knee of this curve is where packing (q53/q181)
+    * starts paying. One scan: the token count is computed once per doc
+    * and a 5-element explode fans it across budgets; all-integer
+    * ceil-division, |budgets|-row aggregate.
+    */
+  private def qBudgetCurve(s: SparkSession, dir: String): DataFrame = {
+    val bs = Seq(128L, 256L, 512L, 1024L, 2048L)
+    val nt = size(graft.text.TextAnalysis.tokens(
+      coalesce(col("text"), lit("")))).cast("long")
+    rdWide(s, dir, "documents")
+      .select(nt.as("__t"), explode(array(bs.map(lit): _*)).as("budget"))
+      .select(col("budget"), col("__t"),
+        expr("(__t + budget - 1) div budget").as("__p"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__t") <= col("budget"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("__t")).as("total_tokens"),
+        sum(col("__p")).as("total_pieces"))
+      .select(col("budget"), col("n_docs"), col("n_fit"),
+        col("total_tokens"), col("total_pieces"),
+        (col("total_pieces") * col("budget") - col("total_tokens")).as("pad_tokens"),
+        expr("(1000000 * total_tokens) div (total_pieces * budget)")
+          .as("utilization_ppm"))
+  }
+
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
     */
@@ -4512,6 +4541,7 @@ object SparkEntry {
     "q205_ivf_batch_probe" -> (qIvfBatchProbe _),
     "q206_split_leakage" -> (qSplitLeakage _),
     "q207_quality_dup_joint" -> (qQualityDupJoint _),
+    "q208_budget_curve" -> (qBudgetCurve _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6521,6 +6551,19 @@ object SparkEntry {
          | ((1000000 * sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem) THEN 1 ELSE 0 END))
          |   // count(*))::BIGINT AS neardup_ppm
          |FROM dd GROUP BY 1""".stripMargin,
+
+    // q202's ceil-division audit fanned across budgets; all-integer
+    "q208_budget_curve" ->
+      """WITH t AS (SELECT len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        | f AS (SELECT nt, unnest([128, 256, 512, 1024, 2048])::BIGINT AS budget FROM t),
+        | p AS (SELECT budget, nt, (nt + budget - 1) // budget AS pieces FROM f)
+        |SELECT budget, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN nt <= budget THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+        | sum(nt)::BIGINT AS total_tokens, sum(pieces)::BIGINT AS total_pieces,
+        | (sum(pieces) * budget - sum(nt))::BIGINT AS pad_tokens,
+        | ((1000000 * sum(nt)) // (sum(pieces) * budget))::BIGINT AS utilization_ppm
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q93's centroid replay + cosine to own-label centroid, per-label
     // cohesion rollup with an exact outlier count at cos < 0.5
