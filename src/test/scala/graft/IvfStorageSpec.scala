@@ -31,6 +31,35 @@ class IvfStorageSpec extends SparkSpec {
       Seq("codes", "vec_id"))
   }
 
+  test("ivfSearchBatch: per-query results == per-query ivfSearch at the " +
+    "same nprobe; nprobe clamps at nCentroids; empty batch yields empty") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    val path = Files.createTempDirectory("ivf_batch").toString + "/index"
+    Ann.writeIvf(index, path)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    for (np <- Seq(1, 2, 4, 99)) { // 99 > nCentroids: clamps to 4
+      val batch = Ann.ivfSearchBatch(spark, path, queries, k = 5, nprobe = np)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(4))).toSeq
+        }
+      for (qid <- 0L to 2L) {
+        val qVec = emb.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val single = Ann.ivfSearch(index, qVec, k = 5, nprobe = math.min(np, 4))
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        assert(batch(qid) == single, s"nprobe=$np qid=$qid")
+      }
+    }
+    // empty query batch: no probes, empty result, no crash
+    assert(Ann.ivfSearchBatch(spark, path,
+      queries.filter(col("query_id") < 0), k = 5, nprobe = 2).count() == 0L)
+  }
+
   test("writeIvf/readIvf round-trips and probes with partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qVec = emb.filter(col("vec_id") === 0)
