@@ -1016,6 +1016,33 @@ object SparkEntry {
           .as("utilization_ppm"))
   }
 
+  /** Embedding-norm degeneracy audit: per label — zero-norm count
+    * (rows cosine can never rank: the reference's zero-norm guard makes
+    * them score 0 everywhere), min/mean/max integer-micro squared L2
+    * norm. The pre-flight that catches collapsed embeddings (all-zero
+    * rows from a failed encoder batch), unnormalized mixtures (norm
+    * spread across labels/batches), and scale drift BEFORE retrieval
+    * quality pays for it. One scan; the per-row norm² is the same
+    * fixed-order fold as the cosine kernel's, micro-integered before
+    * any cross-row aggregation; |labels|-row output.
+    */
+  private def qNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val norm2 = aggregate(e, lit(0.0), (acc, x) => acc + x * x)
+    rd(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), round(norm2 * 1000000, 0).cast("long").as("__n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__n2") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("__n2")).as("min_norm2_micro"),
+        sum(col("__n2")).as("__s"),
+        max(col("__n2")).as("max_norm2_micro"))
+      .select(col("label"), col("n_vectors"), col("n_zero_norm"),
+        col("min_norm2_micro"), expr("__s div n_vectors").as("mean_norm2_micro"),
+        col("max_norm2_micro"))
+  }
+
   /** Centroids trained by the last [[qIvfKmeans]] run (see
     * [[pqBooksForOracle]] for the export mechanism).
     */
@@ -4542,6 +4569,7 @@ object SparkEntry {
     "q206_split_leakage" -> (qSplitLeakage _),
     "q207_quality_dup_joint" -> (qQualityDupJoint _),
     "q208_budget_curve" -> (qBudgetCurve _),
+    "q209_norm_audit" -> (qNormAudit _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6551,6 +6579,19 @@ object SparkEntry {
          | ((1000000 * sum(CASE WHEN doc_id IN (SELECT doc_id FROM mem) THEN 1 ELSE 0 END))
          |   // count(*))::BIGINT AS neardup_ppm
          |FROM dd GROUP BY 1""".stripMargin,
+
+    // per-row norm² = list_sum of squares (the q201-proven sequential-
+    // fold twin of the Spark aggregate), micro-integered per row
+    "q209_norm_audit" ->
+      """WITH b AS (SELECT label,
+        |   CAST(round(list_sum([x * x for x in embedding::DOUBLE[]]) * 1000000, 0) AS BIGINT) AS n2
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, count(*)::BIGINT AS n_vectors,
+        | sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+        | min(n2)::BIGINT AS min_norm2_micro,
+        | (sum(n2) // count(*))::BIGINT AS mean_norm2_micro,
+        | max(n2)::BIGINT AS max_norm2_micro
+        |FROM b GROUP BY 1""".stripMargin,
 
     // q202's ceil-division audit fanned across budgets; all-integer
     "q208_budget_curve" ->
