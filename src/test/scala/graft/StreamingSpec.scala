@@ -599,6 +599,47 @@ class StreamingSpec extends SparkSpec {
     assert(storeGroups == wantGroups && storePairs == wantPairs)
   }
 
+  test("streaming norm audit == q209's batch audit over the streamed " +
+    "vectors; compaction idempotent; zero-norm batch flags") {
+    import graft.streaming.StreamingNormAudit
+    val base = Files.createTempDirectory("graft_norm").toString
+    val src = s"$base/src"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.5f, 0.5f, 0.0f), 0),
+      (3L, Seq(0.0f, 2.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    b1.write.parquet(src)
+    StreamingNormAudit.start(spark, src, store, ckpt).awaitTermination()
+    // second batch: an all-zero vector (the failed-encoder case) + null
+    val b2 = Seq(
+      (4L, Seq(0.0f, 0.0f, 0.0f), 1),
+      (5L, null.asInstanceOf[Seq[Float]], 0)
+    ).toDF("vec_id", "embedding", "label")
+    b2.write.mode("append").parquet(src)
+    StreamingNormAudit.start(spark, src, store, ckpt).awaitTermination()
+
+    // batch oracle: the same partial+merge over the union
+    def fin(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long, Long, Long)] =
+      df.as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val want = fin(StreamingNormAudit.normPartial(b1.union(b2))
+      .select($"label", $"n_vectors", $"n_zero_norm", $"min_norm2_micro",
+        expr("sum_norm2_micro div n_vectors").as("mean_norm2_micro"),
+        $"max_norm2_micro"))
+    assert(fin(StreamingNormAudit.auditFromStore(spark, store)) == want)
+    // the zero-norm vector is visible on label 1 (and the null dropped)
+    val byLabel = want.map(t => t._1 -> t).toMap
+    assert(byLabel(1)._3 == 1L && byLabel(1)._4 == 0L, byLabel(1).toString)
+    assert(byLabel(0)._2 == 2L) // null embedding contributed nothing
+    // compaction leaves the read unchanged; re-compacting is a no-op
+    val (n1, d1) = StreamingNormAudit.compactStore(spark, store)
+    assert(d1 == 2L && n1 > 0L)
+    assert(fin(StreamingNormAudit.auditFromStore(spark, store)) == want)
+    val (n2, d2) = StreamingNormAudit.compactStore(spark, store)
+    assert(d2 == 1L && n2 == n1)
+    assert(fin(StreamingNormAudit.auditFromStore(spark, store)) == want)
+  }
+
   test("PartialStore compaction refuses to run over leftover trash from a crash") {
     import graft.streaming.StreamingQuantile
     val base = Files.createTempDirectory("graft_trash").toString
