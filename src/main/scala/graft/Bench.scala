@@ -461,13 +461,25 @@ object Bench {
             java.nio.file.Files.write(ncMarker.toPath, "10\n".getBytes)
             System.err.println(f"[bench] sf1 non-clone replica built in ${(System.nanoTime() - r0) / 1e9}%.1f s")
           } else System.err.println(s"[bench] sf1 non-clone replica reused at $ncDir")
-          names.filter(n => nonCloneQs.contains(n._1)).foreach { case (name, fn) =>
-            val t0 = System.nanoTime()
-            fn(spark, ncDir).write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
-            ncSamples += name -> sec
-            System.err.println(f"[bench] sf1-nonclone $name%-24s $sec%8.3f s")
+          // 3 interleaved samples per query, MEDIAN reported: the single
+          // cold read this column used to ship moved 11.6 → 31.5 s across
+          // two same-code closes (replica first-touch + ambient) — the
+          // exact ambiguity class the r14 verdict flagged. The first
+          // pass absorbs the cold first-touch; the median lands on a
+          // warm read.
+          val ncRaw = collection.mutable.Map.empty[String, List[Double]]
+            .withDefaultValue(Nil)
+          for (p <- 1 to 3) {
+            names.filter(n => nonCloneQs.contains(n._1)).foreach { case (name, fn) =>
+              val t0 = System.nanoTime()
+              fn(spark, ncDir).write.format("noop").mode("overwrite").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              ncRaw(name) = ncRaw(name) :+ sec
+              System.err.println(f"[bench] sf1-nonclone pass $p $name%-24s $sec%8.3f s")
+            }
           }
+          nonCloneQs.filter(ncRaw.contains).foreach(n =>
+            ncSamples += n -> median(ncRaw(n)))
           ncOk = true
         } catch {
           case e: Throwable =>
