@@ -99,4 +99,63 @@ class BenchSpec extends AnyFunSuite {
     // no suspects -> no re-runs at all
     assert(Bench.recheckSuspects(names, Nil, runOnce) == Nil)
   }
+
+  test("final stdout line stays under the driver's tail window at worst case (VERDICT r15 item 1)") {
+    // worst case across every variable-length part: long query names
+    // (longest real name + @nonclone suffix class), 5-digit seconds,
+    // hundreds of failures/suspects on BOTH scales, nonclone present.
+    val name = "q199_token_entropy_window@nonclone" // 34 chars, > any real name
+    def kv(n: Int) = (1 to n).map(i => f"$name$i%03d" -> 99999.999)
+    def ns(n: Int) = (1 to n).map(i => f"$name$i%03d")
+    val ctlWorst =
+      """"control":{"median":99.999,"min":99.999,"max":999.999},""" +
+        """"value_per_control":99999.9"""
+    val diffWorst =
+      """"ledger_diff":{"n_common":999,"sum_now":99999.9,""" +
+        """"sum_ledger":99999.9,"ratio":99.999,"ratio_ctl_norm":99.999}"""
+    val sf1Worst = Bench.sf1Compact(99999.999, 999, 999, kv(50),
+      999, ns(50), kv(50), ns(50), Some(kv(10)))
+    val line = Bench.finalLine(99999.999, degraded = true, 999, 999,
+      ns(50), 3, kv(50), 999, ns(50), kv(50), ns(50),
+      ctlWorst, diffWorst, Some(sf1Worst), "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"final line ${line.length} chars:\n$line")
+    // the line must still carry BOTH scales' recheck blocks (the r15
+    // artifact dropped the sf0.1 one) and the headline query map
+    assert(line.indexOf("\"serial_recheck\":") >= 0)
+    assert(line.indexOf("\"serial_recheck\":", line.indexOf("\"sf1\":")) > 0)
+    assert(line.contains("\"recheck_regression\":"))
+    assert(line.contains("\"queries\":{"))
+    assert(line.contains("\"ledger_diff\":"))
+    // and it must be parseable JSON with at least the top entries of every
+    // capped list surviving (char-budgeted, not count-capped)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(tree.get("value").asDouble() == 99999.999)
+    assert(tree.get("n_failed").asInt() == 999)
+    assert(tree.get("sf1").get("serial_recheck").size() >= 2)
+    assert(tree.get("serial_recheck").size() >= 2)
+    assert(tree.get("n_inflation_suspect").asInt() == 999) // full count always ships
+    // with realistic name lengths the budgets carry ~3 entries per list
+    val realKv = (1 to 9).map(i => f"q119_dedup_curve@nonclone$i" -> 12.345)
+    val realLine = Bench.finalLine(398.8, degraded = false, 209, 0, Nil, 3,
+      realKv.take(4), 18, realKv.map(_._1), realKv, realKv.map(_._1),
+      ctlWorst, diffWorst, None, "/root/testdata/sf0.1")
+    val rt = new com.fasterxml.jackson.databind.ObjectMapper().readTree(realLine)
+    assert(rt.get("serial_recheck").size() >= 3)
+    assert(rt.get("queries").size() >= 3)
+  }
+
+  test("ledger_diff: common-query ratio, control-normalized, null when no overlap") {
+    val hist = Map("qa" -> 2.0, "qb" -> 4.0, Bench.ControlKey -> 0.5)
+    val med = Seq("qa" -> 3.0, "qb" -> 6.0, "qc" -> 99.0, Bench.ControlKey -> 1.0)
+    // common = qa,qb: now 9.0 vs ledger 6.0 -> ratio 1.5; control drifted
+    // 2x -> normalized 0.75 (the machine, not the code)
+    val j = Bench.ledgerDiff(hist, med, Some(2.0))
+    val t = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{" + j + "}").get("ledger_diff")
+    assert(t.get("n_common").asInt() == 2)
+    assert(t.get("ratio").asDouble() == 1.5)
+    assert(t.get("ratio_ctl_norm").asDouble() == 0.75)
+    assert(Bench.ledgerDiff(Map.empty, med, None) == """"ledger_diff":null""")
+    assert(Bench.ledgerDiff(hist, Seq("qz" -> 1.0), None) == """"ledger_diff":null""")
+  }
 }
