@@ -1426,9 +1426,13 @@ object Ann {
                      queryIdCol: String = "query_id",
                      queryVecCol: String = "query_vec",
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     threshold: Double = Double.NegativeInfinity,
+                     maxBroadcastQueries: Int = 100000): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
+    require(maxBroadcastQueries > 0,
+      s"maxBroadcastQueries must be > 0, got $maxBroadcastQueries")
     val centers = readIvf(spark, path).centers
     val qv = asDouble(col(queryVecCol))
     // (−score, cid) structs sort ascending == (score desc, cid asc):
@@ -1439,21 +1443,50 @@ object Ann {
     }.toSeq: _*))
     val probeArr = transform(
       slice(ranked, 1, math.min(nprobe, centers.length)), p => p.getField("cid"))
+    // the probes frame is read TWICE (probe-union collect + the join);
+    // a lazy localCheckpoint pins one evaluation, so a non-deterministic
+    // queries source can't probe lists absent from the static pruning
+    // literal and silently drop rows (ADVICE r15). Lazy: it materializes
+    // inside the collect action below — no extra job (JobAuditSpec).
     val probes = queries.select(col(queryIdCol), qv.as("__qv"),
-      explode(probeArr).as("centroid_id"))
+      explode(probeArr).as("centroid_id")).localCheckpoint(false)
     // ≤ nCentroids distinct ids: the static partition-pruning literal
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    // broadcast gated on a bounded count probe (the hardNegatives
+    // discipline — O(cap) work however large the batch is): a serving
+    // micro-batch beyond the cap falls back to a shuffle join on
+    // centroid_id instead of risking a driver/executor OOM on a
+    // batch-sized × nprobe × vector-width broadcast (ADVICE r15). The
+    // count probes the CHECKPOINTED frame (already materialized by the
+    // collect above), so it reads cached blocks, never the source; the
+    // cap is in queries, the frame rows are queries × nprobe.
+    val probeRowCap = math.min(Int.MaxValue.toLong - 1,
+      maxBroadcastQueries.toLong * math.min(nprobe, centers.length)).toInt
+    val probeSide =
+      if (probes.limit(probeRowCap + 1).count() <= probeRowCap)
+        broadcast(probes)
+      else probes
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
-    lists.join(broadcast(probes), Seq("centroid_id"))
+    val rankedRows = lists.join(probeSide, Seq("centroid_id"))
       .withColumn("score", CosineSimilarity(col(vecCol), col("__qv")))
       .select(col(queryIdCol), col(idCol), col("centroid_id"), col("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    // threshold applies to the RAW score BEFORE the 6dp display rounding,
+    // so the indexed serving path shares Search.topKBatch's threshold
+    // semantic exactly (ADVICE r15: a score within 5e-7 of the threshold
+    // must land the same way on both paths). Separate filter node, added
+    // only when finite, so the default plan (q205, PlanAuditSpec) is
+    // unchanged.
+    val thresholded =
+      if (threshold.isNegInfinity) rankedRows
+      else rankedRows.filter(col("score") >= threshold)
+    thresholded
       .select(col(queryIdCol), col(idCol), col("centroid_id"), col("rank"),
         round(col("score"), 6).as("score"))
   }

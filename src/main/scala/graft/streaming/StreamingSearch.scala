@@ -61,8 +61,11 @@ object StreamingSearch {
     * nprobe = nCentroids is exact (recall 1.0, StreamingSpec pins
     * parity with the exact scan); smaller nprobe is the usual
     * recall-for-cost knob. Output shape matches topKBatch:
-    * (queryId, vec_id, score, rank), threshold after ranking, score
-    * rounded 6dp by the probe.
+    * (queryId, vec_id, score, rank), threshold after ranking on the RAW
+    * score (inside the probe, before its 6dp display rounding — the
+    * same threshold semantic as topKBatch, so a score within 5e-7 of
+    * the threshold lands identically on both serving paths; ADVICE
+    * r15), score rounded 6dp by the probe.
     */
   def indexedScan(spark: org.apache.spark.sql.SparkSession,
                   indexPath: String, nprobe: Int,
@@ -71,8 +74,7 @@ object StreamingSearch {
     import org.apache.spark.sql.functions.col
     (_, batch, k, t) =>
       graft.search.Ann.ivfSearchBatch(spark, indexPath, batch, k, nprobe,
-        queryIdCol = queryId, queryVecCol = queryVec)
-        .filter(col("score") >= t)
+        queryIdCol = queryId, queryVecCol = queryVec, threshold = t)
         .select(col(queryId), col("vec_id"), col("score"), col("rank"))
   }
 }

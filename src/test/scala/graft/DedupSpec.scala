@@ -95,6 +95,28 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("q207 cap (maxBucketSize=64) witness: never fires on the gate corpus") {
+    // q207's Spark side runs nearDupPairs over the clone-collapsed reps
+    // with maxBucketSize = 64 while its DuckDB oracle's candidate join
+    // is uncapped (ADVICE r15): a band bucket holding > 64 distinct
+    // texts would drop pairs only on the Spark side and break the hash
+    // silently. Assert the cap CANNOT fire on the data the gate runs
+    // over: max band-bucket occupancy over the reps stays under 64 at
+    // both gate scales (driver verifies at sf0.01; specs drive sf0.001).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val reps = docs.groupBy(col("text"))
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val occ = Dedup.minhashBands(reps)
+        .groupBy(col("band"), col("band_hash"))
+        .count().agg(org.apache.spark.sql.functions.max(col("count")))
+        .head().getLong(0)
+      assert(occ <= 64, s"$sf: max band-bucket occupancy $occ exceeds the " +
+        "q207 cap — mirror the cap in the oracle or raise it")
+    }
+  }
+
   test("editNearPairs: length banding is lossless and bounds stopword blocks") {
     // Stopword-leading corpus: every title starts with "the", so
     // first-token blocking alone puts ALL docs in one block. Titles

@@ -60,6 +60,41 @@ class IvfStorageSpec extends SparkSpec {
       queries.filter(col("query_id") < 0), k = 5, nprobe = 2).count() == 0L)
   }
 
+  test("ivfSearchBatch: shuffle fallback above the broadcast cap is " +
+    "result-identical; threshold matches topKBatch's raw-score semantic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ann.buildIvf(emb, nCentroids = 4, seed = 42L)
+    val path = Files.createTempDirectory("ivf_batch_gate").toString + "/index"
+    Ann.writeIvf(index, path)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        r.getDouble(4))).toSet
+    // ADVICE r15: a micro-batch above maxBroadcastQueries must not fail
+    // or OOM — it falls back to a shuffle join with identical results
+    val bc = Ann.ivfSearchBatch(spark, path, queries, k = 5, nprobe = 4)
+    val sh = Ann.ivfSearchBatch(spark, path, queries, k = 5, nprobe = 4,
+      maxBroadcastQueries = 2) // 5 queries > 2: fallback path
+    assert(rows(bc) == rows(sh) && rows(bc).nonEmpty)
+    // ADVICE r15: threshold applies to the RAW score before the 6dp
+    // rounding — exactly topKBatch's semantic. Pick a threshold strictly
+    // between two consecutive raw scores; both paths must cut the same.
+    val exact = graft.search.Search.topKBatch(emb, queries, k = 5,
+      threshold = Double.NegativeInfinity)
+      .select(col("query_id"), col("vec_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val scores = exact.map(_._3).distinct.sorted
+    val t = (scores(scores.length / 2) + scores(scores.length / 2 + 1)) / 2
+    val gotT = Ann.ivfSearchBatch(spark, path, queries, k = 5, nprobe = 4,
+      threshold = t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantT = graft.search.Search.topKBatch(emb, queries, k = 5, threshold = t)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotT == wantT && gotT.nonEmpty && gotT.size < rows(bc).size)
+  }
+
   test("writeIvf/readIvf round-trips and probes with partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qVec = emb.filter(col("vec_id") === 0)
