@@ -831,6 +831,45 @@ object SparkEntry {
     ivfBatchProbeFrame(s, dir, nprobe = 16)
       .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
 
+  /** The COMPOSED online serving loop (VERDICT r15 item 3): a panel of
+    * TEXT queries is embedded with [[graft.embed.Md5TokenEmbedder]] (the
+    * oracle-replayable hash-projection embedder, 64-dim = the corpus
+    * dim) and probes the PERSISTED q28 IVF index through
+    * [[graft.search.Ann.ivfSearchBatch]] — the reference's full online
+    * path (`/root/reference/query_vector_db.py:111-140`, embed then
+    * search) as ONE oracled query instead of its two halves (q32 embeds,
+    * q205 probes). Exposed uncollected so PlanAuditSpec can assert the
+    * lists scan partition-prunes on the probe-union literal in the
+    * composed plan too.
+    */
+  private[graft] def textServingFrame(s: SparkSession, dir: String,
+                                      nprobe: Int = 16): DataFrame = {
+    ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
+    val embedder = new graft.embed.Md5TokenEmbedder()
+    val panel = s.createDataFrame(Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "delta epsilon zeta alpha"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "gamma gamma delta omega")))
+      .toDF("query_id", "query_text")
+    val queries = panel.select(col("query_id"),
+      graft.embed.Embedder.embedDoubleColumn(col("query_text"), embedder)
+        .as("query_vec"))
+    Ann.ivfSearchBatch(s, ivfPathFor(s, dir), queries, k = 10, nprobe = nprobe)
+  }
+
+  /** Text-query serving gate: [[textServingFrame]] at nprobe = 16 — all
+    * 16 inverted lists probed, recall 1.0 BY CONSTRUCTION — so the
+    * DuckDB oracle replays embed (q32's token-hash projection + L2
+    * normalization) and the EXACT batched scan (q205's shape)
+    * independently; any defect in the embed column, the per-row probe
+    * ranking, the probe-union pruning, or the window ranking breaks the
+    * hash match.
+    */
+  private def qTextServing(s: SparkSession, dir: String): DataFrame =
+    textServingFrame(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
+
   /** q28's index queried through the OPT-IN plan rewrite, in the
     * hash-exact gate (VERDICT r13 item 2): an unmodified exact cosine
     * top-10 over the persisted `lists` layout runs with
@@ -4570,6 +4609,7 @@ object SparkEntry {
     "q207_quality_dup_joint" -> (qQualityDupJoint _),
     "q208_budget_curve" -> (qBudgetCurve _),
     "q209_norm_audit" -> (qNormAudit _),
+    "q210_text_serving" -> (qTextServing _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6526,6 +6566,40 @@ object SparkEntry {
          |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // the composed serving loop (VERDICT r15 item 3): the oracle replays
+    // BOTH halves independently — the embed (q32's token-hash projection:
+    // md5-prefix bucket/sign/magnitude sums densified over all 64 dims,
+    // then L2-normalized exactly as Md5TokenEmbedder.embedDouble does)
+    // and the exact batched scan (q205's shape, nprobe=16 = all lists on
+    // the Spark side so recall is 1.0 by construction)
+    "q210_text_serving" ->
+      s"""WITH qp(query_id, qt) AS (VALUES
+         |   (0, 'alpha beta gamma'),
+         |   (1, 'delta epsilon zeta alpha'),
+         |   (2, 'the quick brown fox jumps'),
+         |   (3, 'gamma gamma delta omega')),
+         | qtok AS (SELECT query_id,
+         |   unnest(list_filter(regexp_split_to_array(lower(qt), '\\s+'), x -> x <> '')) AS w
+         |  FROM qp),
+         | qc AS (SELECT query_id, $TokContribSql
+         |  FROM (SELECT query_id, ${h32Sql("w")} AS h FROM qtok)),
+         | qs AS (SELECT query_id, idx, sum(v) AS sv FROM qc GROUP BY 1, 2),
+         | dims AS (SELECT unnest(range(0, 64)) AS idx),
+         | qfull AS (SELECT p.query_id, d.idx, coalesce(s.sv, 0.0) AS sv
+         |  FROM (SELECT DISTINCT query_id FROM qp) p CROSS JOIN dims d
+         |  LEFT JOIN qs s ON s.query_id = p.query_id AND s.idx = d.idx),
+         | qn AS (SELECT query_id, sqrt(sum(sv * sv)) AS n FROM qfull GROUP BY 1),
+         | qarr AS (SELECT f.query_id,
+         |   list(CASE WHEN n > 0 THEN sv / n ELSE sv END ORDER BY f.idx) AS q
+         |  FROM qfull f JOIN qn USING (query_id) GROUP BY f.query_id, n),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qarr),
+         | ranked AS (SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id::BIGINT AS query_id, vec_id, rank, round(score, 6) AS score
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // q42's bucket rule + q121's 13-token-window h60 phrasing; the train

@@ -296,4 +296,32 @@ class PlanAuditSpec extends SparkSpec {
       s"a query scored rows from more lists than it probed: $perQueryLists")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
+
+  test("q210's composed text→embed→probe plan partition-prunes the lists " +
+    "scan on the probe union (VERDICT r15 item 3)") {
+    // same discipline as q205's audit: nprobe=2 so pruning is visible
+    // (4 text queries × 2 probes select at most 8 of 16 directories; the
+    // registered q210 runs nprobe=16 so its oracle stays exact). The
+    // embed UDF sits UPSTREAM of the probe collect — the pruning literal
+    // must still be static on the lists scan.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.textServingFrame(spark, sfDir, nprobe = 2)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over lists/")
+      val static = scans.head.partitionFilters.filterNot(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning => true
+        case _ => false
+      })
+      assert(static.exists(_.references.exists(_.name == "centroid_id")),
+        s"static probe union not in partitionFilters: ${scans.map(_.partitionFilters)}")
+      val selected = scans.head.relation.location.listFiles(static, Nil)
+      assert(selected.size <= 8 && selected.size >= 1,
+        s"expected 1..8 pruned partitions (4 queries × nprobe 2), got ${selected.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }
