@@ -1165,15 +1165,29 @@ object Dedup {
     val groups = exactDupGroups(docs, idCol, textCol)
       .select(col("keep_id"), col("n_copies"))
       .cache()
-    // adaptive fallback (the incrementalDedup probe pattern): with ZERO
-    // exact clones the collapse is the identity (reps == docs, every
-    // m = 1, rep-occupancy == doc-occupancy even under the cap — the
-    // parity DedupSpec pins), and the per-id plan skips the reps join
-    // and reconstruction frames: measured 1.9 vs 3.1 s at sf0.1. The
-    // probe is one tiny aggregate over the cached group frame.
-    val probe = groups.agg(count(lit(1)), coalesce(sum(col("n_copies")), lit(0L)))
+    // adaptive fallback (the incrementalDedup probe pattern), gated on
+    // clone MASS, not mere presence (VERDICT r15 item 2): the collapse
+    // saves per-id work proportional to the clone-pair count — Σ C(m,2)
+    // internal set-verifies plus Σ(m−1) redundant signature passes —
+    // while its own overhead is a handful of corpus-scale passes (reps
+    // join, two checkpoint barriers, reconstruction joins). r15's close
+    // measured the mis-route both ways: sf0.1 carries 8 organic clone
+    // texts in 5000 docs, and routing them through the collapse DOUBLED
+    // the ledger median (4.50 → 7.98 s) for nothing, while the sf1
+    // 10-clique replica improved 2.8× on the same code. Rule: collapse
+    // only when the clone-driven work is at least ~5% of a corpus pass
+    // (internal pairs + excess docs ≥ corpus rows / 20, phrased as an
+    // integer division so a clique-heavy corpus can't overflow a
+    // multiply); zero clones and the empty corpus route per-id as
+    // before (0 ≤ 0). Value-identical either way — DedupSpec pins
+    // parity AND the routing on both corpus classes. The probe is one
+    // tiny aggregate over the cached group frame.
+    val probe = groups.agg(count(lit(1)), coalesce(sum(col("n_copies")), lit(0L)),
+      coalesce(sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L)))
       .collect()(0)
-    if (probe.getLong(0) == probe.getLong(1)) {
+    val excess = probe.getLong(1) - probe.getLong(0)
+    val internalPairs = probe.getLong(2)
+    if (internalPairs + excess <= probe.getLong(1) / 20L) {
       // the per-id plan never reads the group frame again — release the
       // probe-populated cache now (ADVICE r14: a session-lifetime pin)
       groups.unpersist()

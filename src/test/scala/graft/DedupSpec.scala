@@ -653,6 +653,35 @@ class DedupSpec extends SparkSpec {
     assert(got(50L) == (if (candAB) (10L, 5L) else (4L, 5L)))
   }
 
+  test("dedupThresholdCurveCollapsed routes by clone MASS (VERDICT r15 item 2)") {
+    // r15's close measured the mis-route: sf0.1's 8 organic clones in
+    // 5000 docs doubled q119's ledger through the collapse machinery.
+    // The gate is clone work ≥ corpus/20. Routing is observable in the
+    // returned plan: the collapsed path ends in an eager localCheckpoint
+    // (LogicalRDD); the per-id fallback returns the live join plan.
+    def isCheckpointed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD]
+    def doc(i: Long, salt: String) = (i,
+      s"unique$salt$i words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    // 100 docs, ONE clone pair: internal 1 + excess 1 = 2 < 100/20 -> per-id
+    val lowMass = ((1L to 99L).map(doc(_, "x")) :+ (100L, doc(1L, "x")._2))
+      .toDF("doc_id", "text")
+    val low = Dedup.dedupThresholdCurveCollapsed(lowMass, Seq(90))
+    assert(!isCheckpointed(low), "low clone mass must route per-id")
+    // 100 docs as 10 10-cliques (the sf1 replica shape): internal
+    // 10·C(10,2)=450 + excess 90 >> 5 -> collapsed
+    val highMass = (1L to 100L).map(i => (i, doc(i % 10, "y")._2))
+      .toDF("doc_id", "text")
+    val high = Dedup.dedupThresholdCurveCollapsed(highMass, Seq(90))
+    assert(isCheckpointed(high), "clone-heavy corpus must route collapsed")
+    // and both routes stay value-identical to the per-id reference
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(m(low) == m(Dedup.dedupThresholdCurve(lowMass, Seq(90))))
+    assert(m(high) == m(Dedup.dedupThresholdCurve(highMass, Seq(90))))
+  }
+
   test("plantedClones: deterministic dropout, gated rate, offset ids") {
     val corpus = spark.range(200).selectExpr("id AS doc_id",
       "concat_ws(' ', transform(sequence(0, 19), i -> concat('w', (id * 7 + i) % 40))) AS text")
