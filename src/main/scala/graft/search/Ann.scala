@@ -1497,32 +1497,52 @@ object Ann {
     * codes, never floats. Coarse centers and codebooks are both
     * driver-resident literals at search time.
     *
-    * The codes quantize the RAW vectors, not the residual (vector −
-    * coarse centroid) FAISS defaults to: residual encoding couples the
-    * two quantizers (codes become meaningless without the centroid),
-    * buys accuracy mainly at high nCentroids, and — decisive here —
-    * raw-vector codes let the DuckDB oracle replay encode/ADC with the
-    * SAME argmin rule q65 already proves out. The exact-rerank stage
-    * absorbs most of the accuracy difference at the shortlist sizes a
-    * serving path uses.
+    * By DEFAULT the codes quantize the RAW vectors, not the residual
+    * (vector − coarse centroid) FAISS defaults to: residual encoding
+    * couples the two quantizers (codes become meaningless without the
+    * centroid), buys accuracy mainly at high nCentroids, and — decisive
+    * here — raw-vector codes let the DuckDB oracle replay encode/ADC
+    * with the SAME argmin rule q65 already proves out. The exact-rerank
+    * stage absorbs most of the accuracy difference at the shortlist
+    * sizes a serving path uses. `residual = true` (VERDICT r15 item 4)
+    * opts into the FAISS default for deployments that want it: codes
+    * quantize (vector − assigned center) and ADC builds per-PROBE
+    * lookup tables from (query − probed center). The oracled gate
+    * (q174) stays on the raw form; AnnSpec A/Bs recall at a fixed code
+    * budget and PERF.md records the numbers.
     */
   final case class IvfPqIndex(encoded: DataFrame,
                               centers: Array[Array[Double]],
-                              codebooks: Array[Array[Array[Double]]])
+                              codebooks: Array[Array[Array[Double]]],
+                              residual: Boolean = false)
 
   /** Train both quantizers over the corpus: the coarse IVF (one KMeans)
     * and the per-subspace PQ codebooks (M KMeans over D/M-dim slices),
     * then encode every vector with both. The corpus is never shuffled —
-    * both assignment passes are map-side model transforms.
+    * both assignment passes are map-side model transforms (the residual
+    * subtraction is a zip_with against the ≤nCentroids center literal,
+    * map-side too).
     */
   def buildIvfPq(corpus: DataFrame, nCentroids: Int = 16, m: Int = 8,
                  ks: Int = 16, seed: Long = 42L, maxIter: Int = 10,
                  vecCol: String = "embedding",
-                 initMode: String = "k-means||"): IvfPqIndex = {
+                 initMode: String = "k-means||",
+                 residual: Boolean = false): IvfPqIndex = {
     val ivf = buildIvf(corpus, nCentroids, seed, maxIter, vecCol, initMode)
-    val pq = buildPq(ivf.assigned, m, ks, seed, maxIter, vecCol,
-      trainFraction = 1.0, initMode = initMode)
-    IvfPqIndex(pq.encoded, ivf.centers, pq.codebooks)
+    if (!residual) {
+      val pq = buildPq(ivf.assigned, m, ks, seed, maxIter, vecCol,
+        trainFraction = 1.0, initMode = initMode)
+      IvfPqIndex(pq.encoded, ivf.centers, pq.codebooks)
+    } else {
+      val centersLit = typedLit(ivf.centers.map(_.toSeq).toSeq)
+      val withRes = ivf.assigned.withColumn("__res",
+        zip_with(asDouble(col(vecCol)),
+          element_at(centersLit, col("centroid_id") + 1), (a, b) => a - b))
+      val pq = buildPq(withRes, m, ks, seed, maxIter, vecCol = "__res",
+        trainFraction = 1.0, initMode = initMode)
+      IvfPqIndex(pq.encoded.drop("__res"), ivf.centers, pq.codebooks,
+        residual = true)
+    }
   }
 
   /** The production ANN serving shape — FAISS-style IVF-PQ with exact
@@ -1559,18 +1579,41 @@ object Ann {
       .map { case (c, i) => (i, cos(c, queryVec)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1)
-    val tabs = Array.tabulate(m) { j =>
-      index.codebooks(j).map { c =>
-        var s = 0.0; var i = 0
-        while (i < sub) {
-          val dlt = queryVec(j * sub + i) - c(i); s += dlt * dlt; i += 1
+    def distTables(q: IndexedSeq[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { j =>
+        index.codebooks(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val dlt = q(j * sub + i) - c(i); s += dlt * dlt; i += 1
+          }
+          s
         }
-        s
       }
-    }
-    val adc = (0 until m).map { j =>
-      element_at(array(tabs(j).map(lit).toSeq: _*), col("codes")(j) + 1)
-    }.reduce(_ + _)
+    val adc =
+      if (!index.residual) {
+        val tabs = distTables(queryVec.toIndexedSeq)
+        (0 until m).map { j =>
+          element_at(array(tabs(j).map(lit).toSeq: _*), col("codes")(j) + 1)
+        }.reduce(_ + _)
+      } else {
+        // residual coding (FAISS's IVFADC default, VERDICT r15 item 4):
+        // codes quantize (vector − assigned center), so the lookup
+        // tables are PER PROBED LIST — built driver-side from
+        // (query − center_c) for each of the nprobe probes (O(nprobe ×
+        // ks × D) work, still query-sized) and shipped as one map
+        // literal keyed by centroid_id. Scan cost per row is unchanged:
+        // m element_at lookups + adds.
+        val tabsByProbe = probes.map { c =>
+          val qres = IndexedSeq.tabulate(queryVec.length)(i =>
+            queryVec(i) - index.centers(c)(i))
+          c -> distTables(qres).map(_.toSeq).toSeq
+        }.toMap
+        val tabsLit = typedLit(tabsByProbe)
+        (0 until m).map { j =>
+          element_at(element_at(element_at(tabsLit, col("centroid_id")),
+            j + 1), col("codes")(j) + 1)
+        }.reduce(_ + _)
+      }
     val q = array(queryVec.map(lit): _*)
     index.encoded
       .filter(col("centroid_id").isin(probes.toSeq: _*))

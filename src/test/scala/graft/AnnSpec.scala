@@ -776,4 +776,46 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ann.ivfPqSearch(index, Seq(1.0, 2.0), k = 1))
   }
+
+  test("IVF-PQ residual coding (FAISS default, VERDICT r15 item 4): " +
+    "exact at full probe+shortlist; recall A/B vs raw at a fixed code budget") {
+    import graft.search.Search
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // fixed code budget: identical nCentroids/m/ks on both variants —
+    // the only difference is WHAT the codes quantize
+    val raw = Ann.buildIvfPq(emb, nCentroids = 8, m = 8, ks = 16,
+      seed = 7L, maxIter = 5)
+    val res = Ann.buildIvfPq(emb, nCentroids = 8, m = 8, ks = 16,
+      seed = 7L, maxIter = 5, residual = true)
+    assert(res.residual && !raw.residual)
+    // same coarse quantizer, different code semantics, same schema
+    assert(res.centers.map(_.toSeq).toSeq == raw.centers.map(_.toSeq).toSeq)
+    assert(res.encoded.columns.sorted.toSeq == raw.encoded.columns.sorted.toSeq)
+    val n = emb.count().toInt
+    def exactIds(q: Seq[Double]): Seq[Long] =
+      Search.topK(emb, q, k = 10, threshold = -2.0)
+        .select("vec_id").as[Long].collect().toSeq
+    def qVec(id: Long): Seq[Double] = emb.filter($"vec_id" === id)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    // plumbing exactness: every list probed + corpus-sized shortlist →
+    // the per-probe residual tables and rerank must reproduce brute force
+    val q1 = qVec(1L)
+    assert(Ann.ivfPqSearch(res, q1, k = 10, nprobe = 8, shortlist = n)
+      .select("vec_id").as[Long].collect().toSeq == exactIds(q1))
+    // A/B recall@10 at serving settings over an 8-query panel
+    def recall(idx: Ann.IvfPqIndex): Double = {
+      val hits = (0L until 8L).map { id =>
+        val q = qVec(id)
+        val got = Ann.ivfPqSearch(idx, q, k = 10, nprobe = 2, shortlist = 32)
+          .select("vec_id").as[Long].collect().toSet
+        (exactIds(q).toSet & got).size
+      }.sum
+      hits / 80.0
+    }
+    val rRaw = recall(raw); val rRes = recall(res)
+    info(f"recall@10 nprobe=2 shortlist=32: raw=$rRaw%.3f residual=$rRes%.3f")
+    // both variants must be usable at serving settings; the relative
+    // ordering is data-dependent (PERF.md records the measured pair)
+    assert(rRaw >= 0.3 && rRes >= 0.3, f"raw=$rRaw%.3f res=$rRes%.3f")
+  }
 }
