@@ -1389,6 +1389,107 @@ object SparkEntry {
   @volatile private var ivfPqForOracle
     : (Array[Array[Double]], Array[Array[Array[Double]]]) = _
 
+  /** Residual-coded IVF-PQ gate (VERDICT r15 item 4's follow-through):
+    * the SAME three-stage probe as q174 but with FAISS's IVFADC default
+    * — codes quantize (vector − assigned coarse center), ADC tables are
+    * per-PROBE from (query − probed center) — oracled end-to-end so the
+    * new code path sits inside the hash gate, not just AnnSpec. The
+    * oracle replays everything downstream of training: coarse
+    * assignment, probe ranking, residual encode (argmin over the
+    * exported codebooks), per-probe ADC, shortlist, exact rerank.
+    */
+  private def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val index = ivfPqResIndexFor(s, dir)
+    ivfPqResForOracle = (index.centers, index.codebooks)
+    Ann.ivfPqSearch(index, qVec, k = 5, nprobe = 2, shortlist = 32)
+  }
+
+  /** Build-once seam for q211 (the q174 discipline): residual IVF-PQ
+    * trained once per data dir, encoded table localCheckpointed, every
+    * later run pays probe + per-probe ADC + rerank only.
+    */
+  private val ivfPqResCache =
+    collection.mutable.Map.empty[String, Ann.IvfPqIndex]
+
+  private def ivfPqResIndexFor(s: SparkSession, dir: String): Ann.IvfPqIndex =
+    ivfPqResCache.synchronized {
+      val key = dirCacheKey(s, dir, "embeddings")
+      ivfPqResCache.getOrElseUpdate(key, {
+        val t0 = System.nanoTime()
+        val idx = Ann.buildIvfPq(rd(s, dir, "embeddings"), nCentroids = 16,
+          m = 2, ks = 16, seed = 42L, maxIter = 2, initMode = "random",
+          residual = true)
+        val enc = idx.encoded.localCheckpoint()
+        System.err.println(
+          f"[graft] q211 residual IVF-PQ train+encode ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        idx.copy(encoded = enc)
+      })
+    }
+
+  @volatile private var ivfPqResForOracle
+    : (Array[Array[Double]], Array[Array[Array[Double]]]) = _
+
+  /** DuckDB replay of the residual-coded probe (q211): q174's oracle
+    * with two deltas — the per-subspace encode argmin runs over the
+    * RESIDUAL (e − assigned center), and the ADC table is per-PROBE
+    * (query − probed center), joined on the row's centroid so each row
+    * is scored against its own list's table.
+    */
+  private def ivfPqResOracleSql(centers: Array[Array[Double]],
+                                books: Array[Array[Array[Double]]]): String = {
+    val d = centers(0).length
+    val sub = books(0)(0).length
+    val crows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    val brows = for {
+      (book, j) <- books.zipWithIndex
+      (ctr, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${ctr.mkString(", ")}]::DOUBLE[])"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | ctr(cid, c) AS (VALUES ${crows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | res AS (SELECT a.vec_id, a.cid, a.e,
+       |    [a.e[i+1] - t.c[i+1] for i in range(0, $d)] AS r
+       |  FROM assign a JOIN ctr t ON t.cid = a.cid),
+       | probes AS (SELECT cid FROM ctr, qv
+       |   ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC LIMIT 2),
+       | books(j, bc, bctr) AS (VALUES ${brows.mkString(",\n   ")}),
+       | dists AS (SELECT vec_id, j, bc,
+       |   list_sum([(r[j*$sub+i+1] - bctr[i+1]) * (r[j*$sub+i+1] - bctr[i+1])
+       |             for i in range(0, $sub)]) AS d2
+       |  FROM res, books),
+       | codes AS (SELECT vec_id, j, bc FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, bc ASC) = 1),
+       | qtab AS (SELECT p.cid, j, bc,
+       |   list_sum([((q[j*$sub+i+1] - t.c[j*$sub+i+1]) - bctr[i+1])
+       |             * ((q[j*$sub+i+1] - t.c[j*$sub+i+1]) - bctr[i+1])
+       |             for i in range(0, $sub)]) AS qd2
+       |  FROM probes p JOIN ctr t ON t.cid = p.cid, books, qv),
+       | adc AS (SELECT c.vec_id, sum(t.qd2) AS approx_dist2
+       |  FROM codes c JOIN assign a USING (vec_id)
+       |    JOIN qtab t ON t.cid = a.cid AND t.j = c.j AND t.bc = c.bc
+       |  GROUP BY c.vec_id),
+       | short AS (SELECT a.vec_id, a.cid AS centroid_id, adc.approx_dist2, a.e
+       |  FROM assign a JOIN adc ON adc.vec_id = a.vec_id
+       |  ORDER BY adc.approx_dist2 ASC, a.vec_id ASC LIMIT 32),
+       | topk AS (SELECT vec_id, centroid_id, approx_dist2,
+       |   ${cosSqlAB("e", "q")} AS score
+       |  FROM short, qv ORDER BY score DESC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, centroid_id, round(approx_dist2, 6) AS approx_dist2,
+       | round(score, 6) AS score FROM topk""".stripMargin
+  }
+
   /** DuckDB replay of everything downstream of IVF-PQ training: coarse
     * assignment + probe ranking (q28's rules), per-subspace encode + ADC
     * (q65's rules), then the shortlist-32 cut and the exact-cosine
@@ -4610,6 +4711,7 @@ object SparkEntry {
     "q208_budget_curve" -> (qBudgetCurve _),
     "q209_norm_audit" -> (qNormAudit _),
     "q210_text_serving" -> (qTextServing _),
+    "q211_ivfpq_residual" -> (qIvfPqResidual _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -4866,6 +4968,7 @@ object SparkEntry {
       Option(pqBooksForOracle).map(b => "q65_pq_topk" -> pqOracleSql(b)) ++
       Option(pqDistBooksForOracle).map(b => "q203_pq_distortion" -> pqDistortionOracleSql(b)) ++
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
+      Option(ivfPqResForOracle).map { case (c, b) => "q211_ivfpq_residual" -> ivfPqResOracleSql(c, b) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(nprobeCentersForOracle).map(c => "q186_nprobe_curve" -> nprobeOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++

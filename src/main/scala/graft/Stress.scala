@@ -140,16 +140,24 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // factor syntax: "N" = uniform N× replica; "events=N" = events-only
-    // N× (other tables 1×, the VERDICT r13 item 7 axis); 0 = reuse
+    // N× (other tables 1×, the VERDICT r13 item 7 axis); "docs=N" =
+    // documents-only N× via the same-mass PERTURBED replica (organic
+    // near-dups only — the text/dedup axis, VERDICT r15 item 5; the
+    // id-shift replica would make every doc an N-clone clique and
+    // measure the collapse extreme instead of the typical plan);
+    // 0 = reuse
     val factorArg = args.lift(1).getOrElse("20")
     val eventsFactor =
       if (factorArg.startsWith("events=")) factorArg.stripPrefix("events=").toInt
       else 0
-    val factor = if (eventsFactor > 0) -1 else factorArg.toInt
+    val docsFactor =
+      if (factorArg.startsWith("docs=")) factorArg.stripPrefix("docs=").toInt
+      else 0
+    val factor = if (eventsFactor > 0 || docsFactor > 0) -1 else factorArg.toInt
     val workDir = args.lift(2).getOrElse("/tmp/graft-stress")
     val only = args.lift(3).map(_.split(",").toSet)
-    require(eventsFactor > 0 || factor >= 0,
-      s"factor must be >= 0 (0 = reuse workDir) or events=N, got $factorArg")
+    require(eventsFactor > 0 || docsFactor > 0 || factor >= 0,
+      s"factor must be >= 0 (0 = reuse workDir), events=N, or docs=N, got $factorArg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,6 +174,11 @@ object Stress {
       System.err.println(s"[stress] replicating $sfDir events x$eventsFactor (others x1) -> $workDir")
       val t0 = System.nanoTime()
       replicateEventsWeighted(spark, sfDir, eventsFactor, workDir)
+      System.err.println(f"[stress] replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else if (docsFactor > 0) {
+      System.err.println(s"[stress] replicating $sfDir documents x$docsFactor (perturbed, others omitted) -> $workDir")
+      val t0 = System.nanoTime()
+      replicateDocsPerturbed(spark, sfDir, docsFactor, workDir)
       System.err.println(f"[stress] replication done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else if (factor > 0) {
       System.err.println(s"[stress] replicating $sfDir x$factor -> $workDir")

@@ -77,4 +77,26 @@ object StreamingSearch {
         queryIdCol = queryId, queryVecCol = queryVec, threshold = t)
         .select(col(queryId), col("vec_id"), col("score"), col("rank"))
   }
+
+  /** TEXT-query serving seam (q210's composition in streaming form —
+    * the reference's full online path, text in → neighbors out, as one
+    * serve loop): each micro-batch of (queryId, `textCol`) rows is
+    * embedded MAP-SIDE with the oracle-replayable
+    * [[graft.embed.Md5TokenEmbedder]] and handed to `inner` — the exact
+    * scan or [[indexedScan]] — unchanged. Composition keeps the two
+    * halves independently testable: embed parity is q32/q210's gate,
+    * scan parity is the serve-loop specs'.
+    */
+  def embedThenScan(inner: (DataFrame, DataFrame, Int, Double) => DataFrame,
+                    textCol: String = "query_text",
+                    queryVec: String = "query_vec",
+                    embedder: graft.embed.Md5TokenEmbedder =
+                      new graft.embed.Md5TokenEmbedder())
+      : (DataFrame, DataFrame, Int, Double) => DataFrame = {
+    import org.apache.spark.sql.functions.col
+    (corpus, batch, k, t) => inner(corpus,
+      batch.withColumn(queryVec,
+        graft.embed.Embedder.embedDoubleColumn(col(textCol), embedder)),
+      k, t)
+  }
 }

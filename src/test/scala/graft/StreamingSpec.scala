@@ -331,6 +331,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming TEXT serving (embed -> indexed probe) == batch " +
+    "embed+topKBatch (q210's loop in streaming form)") {
+    import graft.streaming.StreamingSearch
+    import graft.search.Ann
+    // 3-dim embedder so the text queries land in the same space as the
+    // synthetic corpus; nprobe=2 probes both lists -> recall 1.0, so the
+    // streamed text path must equal the exact batch scan over the SAME
+    // embedded panel (embed parity is structural: one embedder instance
+    // class, same column code path as q210)
+    val embedder = new graft.embed.Md5TokenEmbedder(3)
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq(
+        if (i % 2 == 0) 1.0f + i * 0.01f else 0.02f * i,
+        if (i % 2 == 1) 1.0f + i * 0.01f else 0.01f * i,
+        0.1f * i))
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft_stext").toString + "/ivf"
+    Ann.writeIvf(Ann.buildIvf(corpus, nCentroids = 2, seed = 42L,
+      maxIter = 4, initMode = "random"), idx)
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingSearch.serveTopK(
+      input.toDF().toDF("query_id", "query_text"), corpus,
+      res => got.synchronized {
+        got ++= res.select($"query_id", $"vec_id", $"rank")
+          .as[(Long, Long, Long)].collect()
+      }, k = 3, threshold = -2.0)(
+      StreamingSearch.embedThenScan(
+        StreamingSearch.indexedScan(spark, idx, nprobe = 2),
+        embedder = embedder))
+    try {
+      input.addData((100L, "alpha beta gamma"), (101L, "delta epsilon"))
+      q.processAllAvailable()
+      input.addData((102L, "zeta eta theta iota"))
+      q.processAllAvailable()
+      val panel = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon"),
+        (102L, "zeta eta theta iota")).toDF("query_id", "query_text")
+        .withColumn("query_vec", graft.embed.Embedder
+          .embedDoubleColumn($"query_text", embedder))
+      val want = graft.search.Search.topKBatch(corpus, panel, k = 3,
+          threshold = -2.0)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"got=$got want=${want.toSeq}")
+      assert(got.count(_._1 == 100L) == 3)
+    } finally q.stop()
+  }
+
   test("serveTopK default scan honors custom query column names") {
     import graft.streaming.StreamingSearch
     val corpus = Seq(
