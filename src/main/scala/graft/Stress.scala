@@ -194,7 +194,10 @@ object Stress {
       val ok =
         try { fn(spark, workDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[stress] $name failed: ${e.getMessage}")
+          // single line: a multi-line Spark message here shoves the final
+          // JSON line out of any tail-capture window
+          System.err.println(s"[stress] $name failed: " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(400))
           false
         }
       val sec = (System.nanoTime() - q0) / 1e9

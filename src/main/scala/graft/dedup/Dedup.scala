@@ -151,16 +151,28 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", minJaccard: Double = 0.0,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = Int.MaxValue,
+                   keepRawJaccard: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
-    candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
-      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    val verified =
+      candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
+        .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= minJaccard)
+    // raw_jaccard lets ONE LSH pass serve several downstream thresholds
+    // exactly: a later filter on the RAW value is identical to passing a
+    // higher minJaccard here (the output column is 6dp-rounded, so
+    // filtering on it instead would misplace pairs within 5e-7 of the cut)
+    if (keepRawJaccard)
+      verified.select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        col("jaccard").as("raw_jaccard"))
+    else
+      verified.select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** LSH candidates verified with exact shingle CONTAINMENT —

@@ -131,16 +131,24 @@ object DupClusters {
     * is never key-shuffled — only the nFolds-row summary aggregates.
     */
   def leakFreeFolds(docs: DataFrame, pairs: DataFrame, nFolds: Int = 5,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    prebuiltClusters: Option[DataFrame] = None): DataFrame = {
     require(nFolds >= 2, s"leakFreeFolds: nFolds must be >= 2, got $nFolds")
     def foldOf(key: Column): Column =
       graft.functions.HashFunctions.md5Int60(
         concat(lit("fold:"), key.cast("string"))) % nFolds
     // the pair graph feeds BOTH the cluster build and the leak audit —
     // materialize it once or the whole LSH candidate+verify pass runs
-    // twice (it was the slowest query in the r8 bench before this)
-    val pairList = pairs.localCheckpoint(eager = true)
-    val clus = clusters(pairList).localCheckpoint(eager = true)
+    // twice (it was the slowest query in the r8 bench before this).
+    // `prebuiltClusters` skips the label propagation entirely when the
+    // caller already holds the persisted cluster map for `pairs` (the
+    // materialized-table seam): both frames are then table-backed, so
+    // no extra checkpoint copies are made.
+    val pairList =
+      if (prebuiltClusters.isDefined) pairs
+      else pairs.localCheckpoint(eager = true)
+    val clus = prebuiltClusters
+      .getOrElse(clusters(pairList).localCheckpoint(eager = true))
     // audit over the pair graph only — cluster members' folds derive
     // from the cluster map, so the corpus never enters this branch
     val clusFold = clus.select(col(idCol), foldOf(col("cluster_id")).as("fold"))

@@ -93,13 +93,19 @@ class JobAuditSpec extends SparkSpec {
       "(11) SemDeDup k-means clustering: constant Lloyd iterations"),
     // ---- constant-round graph protocols: one shuffle join + checkpoint
     // per round, round count fixed by design, never data-dependent
-    "q110_leak_split" -> (22,
-      "(17) rides the connected-components build (fixed small-star/" +
-        "large-star iteration cap) plus the LSH pair materialization; " +
-        "every job is one round of a CONSTANT-round protocol"),
-    "q40_dup_clusters" -> (16,
-      "(11) connected components: fixed small-star/large-star iteration " +
-        "cap, one job per iteration"),
+    // the dup-graph consumers (q14/q40/q86/q110) share one materialized
+    // pair-graph + cluster-map build (SparkEntry.dupGraphFor); whichever
+    // runs FIRST in a JVM pays the cold build (LSH pass checkpoint, two
+    // pair-table writes, the constant-round label propagation, the
+    // cluster-table write), so each carries a cold-path budget even
+    // though the warm read is 1-3 jobs
+    "q110_leak_split" -> (28,
+      "(25 cold) dup-graph build (constant-round label prop + 3 table " +
+        "writes) + the fold summary and pair-list audit"),
+    "q40_dup_clusters" -> (26,
+      "(cold) dup-graph build; warm path is one parquet read"),
+    "q14_minhash_pairs" -> (26,
+      "(cold) dup-graph build; warm path is one parquet read"),
     "q162_lpa_communities" -> (16,
       "(11) label propagation: fixed round count over the clone-collapsed " +
         "pair graph, one job per round"),
@@ -111,9 +117,9 @@ class JobAuditSpec extends SparkSpec {
     "q88_incremental_dedup" -> (16,
       "(12) incremental batch protocol: per-batch state save/load " +
         "round-trips, constant batch count in the fixture"),
-    "q86_keep_best" -> (16,
-      "(12) keep-best joins the dup-cluster frame back twice (cluster " +
-        "build + representative pick), constant protocol"),
+    "q86_keep_best" -> (26,
+      "(cold) dup-graph build; warm path is the quality scan + one " +
+        "pair-graph-sized window"),
     "q39_regional_revenue" -> (16,
       "(12) stats-driven broadcast decision reads dim-side counts first " +
         "(r11 fix replacing the forced hint); constant handful of probes"),

@@ -107,4 +107,21 @@ class LeakFreeFoldsSpec extends SparkSpec {
       DupClusters.leakFreeFolds(docs, pairs, nFolds = 1)
     }
   }
+
+  test("prebuiltClusters (the materialized dup-graph seam) == label-prop path") {
+    // q110's seam hands leakFreeFolds a cluster map read back from
+    // parquet instead of rebuilding it; the fold summary must be
+    // identical. Round-trip through disk to mirror the real seam.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupg").toString
+    pairs.write.parquet(s"$dir/pairs")
+    DupClusters.clusters(spark.read.parquet(s"$dir/pairs"))
+      .write.parquet(s"$dir/clusters")
+    val viaSeam = DupClusters.leakFreeFolds(docs,
+        spark.read.parquet(s"$dir/pairs"), nFolds = 5,
+        prebuiltClusters = Some(spark.read.parquet(s"$dir/clusters")))
+      .orderBy("fold").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = DupClusters.leakFreeFolds(docs, pairs, nFolds = 5)
+      .orderBy("fold").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaSeam == direct)
+  }
 }
