@@ -931,6 +931,160 @@ object SparkEntry {
     textServingFrame(s, dir)
       .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
 
+  /** Metadata-FILTERED vector search over the persisted q28 index,
+    * exposed uncollected so PlanAuditSpec can assert BOTH prunings on
+    * the lists scan: centroid_id in PartitionFilters (the probe) and
+    * the label predicate in PushedFilters (the metadata filter reaching
+    * the parquet reader) — filter-during-search, not post-filter.
+    */
+  private[graft] def filteredAnnFrame(s: SparkSession, dir: String,
+                                      nprobe: Int): DataFrame = {
+    ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
+    val qVec = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    Ann.ivfSearchFiltered(s, ivfPathFor(s, dir), qVec,
+      pred = col("label") === 3, k = 10, nprobe = nprobe)
+  }
+
+  /** Filtered-ANN gate: [[graft.search.Ann.ivfSearchFiltered]] for
+    * vec_id 0's vector restricted to `label = 3`, nprobe = 16 (all
+    * lists — recall 1.0 BY CONSTRUCTION), k = 10. The oracle is the
+    * plain exact filtered scan, so the probe ranking, the partition
+    * pruning, the pushed label predicate, and the top-k must compose to
+    * the exact filtered answer. The "vector search with a WHERE clause"
+    * every vector store serves; the reference has no filter surface
+    * (`/root/reference/query_vector_db.py:111-140` scans everything).
+    */
+  private def qFilteredAnn(s: SparkSession, dir: String): DataFrame =
+    filteredAnnFrame(s, dir, nprobe = 16)
+
+  /** Centers of the persisted q28 index as probed by the LAST
+    * [[qRetrievalQuality]] run (the [[ivfCentersForOracle]] export
+    * mechanism — q213's oracle must replay assignment + probe ranking
+    * from the exact trained centers).
+    */
+  @volatile private var retrievalCentersForOracle: Array[Array[Double]] = _
+
+  /** Graded retrieval-quality metrics for the indexed serving path —
+    * NDCG@10 and MRR of the nprobe=2 batched IVF probe against
+    * exact-cosine graded relevance, per panel query (vec_id < 8).
+    * Relevance of a corpus row is (11 − exact_rank) for the exact
+    * top-10, 0 beyond. The rank-discount weights 1/log2(rank+1) and the
+    * rank-10 ideal DCG are driver-computed DOUBLE LITERALS shared with
+    * the oracle SQL verbatim ([[NdcgWeights]]/[[NdcgIdcg10]]) — Spark's
+    * log2 (ln ratio) and DuckDB's (native log2) differ by an ulp at
+    * several integer points, so neither engine's libm is allowed into
+    * the comparison (the q101 discipline). MRR is the reciprocal ANN
+    * rank of the exact top-1 (0 when the probe misses it). q105 gates
+    * recall@k (set overlap); this gates the RANKING the index serves —
+    * the two diverge (all-hits in the wrong order is recall 1.0 but
+    * NDCG < 1), and ordering is what a retrieval consumer sees. Scale
+    * shape: the ANN side is the partition-pruned batched probe (q205's
+    * plan); the exact side is one broadcast-panel corpus scan +
+    * rank-≤10 window — the periodic index-calibration job a 100 TB
+    * deployment runs on a sampled panel, never per serve.
+    */
+  private def qRetrievalQuality(s: SparkSession, dir: String): DataFrame = {
+    val index = ivfIndexFor(s, dir)
+    retrievalCentersForOracle = index.centers
+    val emb = rd(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    val ann = Ann.ivfSearchBatch(s, ivfPathFor(s, dir), queries,
+        k = 10, nprobe = 2)
+      .select(col("query_id"), col("vec_id"), col("rank").as("ann_rank"))
+    val exact = Search.topKBatch(emb, queries, k = 10,
+        threshold = Double.NegativeInfinity)
+      .select(col("query_id"), col("vec_id"), col("rank").as("exact_rank"))
+    val w = array(NdcgWeights.map(lit): _*)
+    ann.join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(col("exact_rank")).as("n_hits10"),
+        round(coalesce(max(when(col("exact_rank") === 1,
+          lit(1.0) / col("ann_rank"))), lit(0.0)), 6).as("mrr"),
+        round(sum(coalesce(
+          (lit(11) - col("exact_rank")).cast("double")
+            * element_at(w, col("ann_rank").cast("int")),
+          lit(0.0))) / lit(NdcgIdcg10), 6).as("ndcg10"))
+  }
+
+  /** 1/log2(rank+1) for ranks 1..10 — THE shared literals (see
+    * [[qRetrievalQuality]]); `Double.toString` round-trips, and DuckDB's
+    * decimal parser is correctly-rounded, so the SQL literal parses to
+    * the bit-identical double.
+    */
+  private val NdcgWeights: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ideal DCG@10 under [[NdcgWeights]] (graded 10..1), summed in fixed
+    * rank order driver-side and embedded in both engines as one literal.
+    */
+  private val NdcgIdcg10: Double =
+    (1 to 10).map(i => (11.0 - i) * NdcgWeights(i - 1)).sum
+
+  /** On-disk home of the q214 DELETE-exercised index copy — a scratch
+    * clone of the q28 index so tombstones never touch the shared seam
+    * that q28/q193/q205/q210/q212/q213 probe.
+    */
+  private def ivfDeletePathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfdel-${dirCacheKey(s, dir, "embeddings")}"
+
+  /** The ids q214 deletes: a fixed, scale-independent panel (query
+    * vector vec_id 0 among them, so the gate also proves a deleted
+    * row's own vector can no longer retrieve it).
+    */
+  private val DeletedVecIds: Seq[Long] = Seq(0L, 7L, 14L, 21L, 28L)
+
+  /** Build-once clone of the persisted q28 index with [[DeletedVecIds]]
+    * tombstoned (content-keyed like every seam; the tombstone write is
+    * part of the one-time build, so repeat touches never re-append).
+    */
+  private def ivfDeleteIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      val path = ivfDeletePathFor(s, dir)
+      val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        ivfIndexFor(s, dir) // ensure the source index exists
+        val t0 = System.nanoTime()
+        Ann.writeIvf(Ann.readIvf(s, ivfPathFor(s, dir)), path)
+        Ann.deleteFromIvf(s, path, DeletedVecIds)
+        System.err.println(
+          f"[graft] q214 delete-index clone+tombstone ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      path
+    }
+
+  /** The batched probe over the TOMBSTONED index copy, exposed
+    * uncollected for PlanAuditSpec (partition pruning must survive the
+    * anti-join's presence in the plan).
+    */
+  private[graft] def ivfDeleteProbeFrame(s: SparkSession, dir: String,
+                                         nprobe: Int): DataFrame = {
+    val path = ivfDeleteIndexFor(s, dir)
+    val queries = rd(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    Ann.ivfSearchBatch(s, path, queries, k = 10, nprobe = nprobe)
+  }
+
+  /** Delete-by-id gate: [[graft.search.Ann.deleteFromIvf]] tombstones
+    * [[DeletedVecIds]] on a clone of the q28 index, then the q205
+    * batched probe runs at nprobe = 16 (recall 1.0 by construction
+    * among SURVIVORS). The oracle is the exact batched scan minus the
+    * deleted ids — vec_id 0 is both a panel query and a deleted row, so
+    * rank 1 of query 0 must shift: a stale lists scan, a broken
+    * anti-join, or tombstones leaking into the probe all break the
+    * hash. Deletes are O(deleted ids) (LSM tombstone discipline);
+    * space reclaim is [[graft.search.Ann.compactIvf]], spec'd
+    * idempotent in AnnSpec.
+    */
+  private def qIvfDelete(s: SparkSession, dir: String): DataFrame =
+    ivfDeleteProbeFrame(s, dir, nprobe = 16)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
+
   /** q28's index queried through the OPT-IN plan rewrite, in the
     * hash-exact gate (VERDICT r13 item 2): an unmodified exact cosine
     * top-10 over the persisted `lists` layout runs with
@@ -1175,6 +1329,52 @@ object SparkEntry {
        | topk AS (SELECT vec_id, centroid_id, score FROM scored
        |  ORDER BY score DESC, vec_id ASC LIMIT 5)
        |SELECT vec_id, centroid_id, round(score, 6) AS score FROM topk""".stripMargin
+  }
+
+  /** DuckDB replay of q213 end-to-end: assignment + per-query probe
+    * ranking from the exported center literals (ivfOracleSql's rules,
+    * batched), the nprobe=2 restricted cosine ranking, the exact
+    * ranking, and the NDCG/MRR arithmetic — with the rank-discount
+    * weights and the ideal DCG injected as the SAME double literals the
+    * Spark side multiplies by ([[NdcgWeights]]/[[NdcgIdcg10]]; neither
+    * engine's log2 enters the comparison).
+    */
+  private def retrievalQualityOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | probes AS (SELECT query_id, cid FROM (
+       |    SELECT s.query_id, cid,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY ${cosSqlAB("c", "s.q")} DESC, cid ASC) AS pr
+       |    FROM ctr, qs s) WHERE pr <= 2),
+       | ann AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS ar
+       |   FROM (SELECT s.query_id, a.vec_id, ${cosSqlAB("a.e", "s.q")} AS score
+       |     FROM assign a JOIN probes p ON a.cid = p.cid
+       |     JOIN qs s ON s.query_id = p.query_id)
+       |   QUALIFY ar <= 10),
+       | ex AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS er
+       |   FROM (SELECT query_id, vec_id, $CosSql AS score FROM base, qs)
+       |   QUALIFY er <= 10),
+       | j AS (SELECT a.query_id, a.ar, x.er FROM ann a
+       |   LEFT JOIN ex x ON x.query_id = a.query_id AND x.vec_id = a.vec_id),
+       | w(warr) AS (VALUES ([${NdcgWeights.mkString(", ")}]::DOUBLE[]))
+       |SELECT query_id, count(er)::BIGINT AS n_hits10,
+       | round(coalesce(max(CASE WHEN er = 1 THEN 1.0 / ar END), 0.0), 6) AS mrr,
+       | round(sum(coalesce((11 - er) * warr[ar], 0.0)) / $NdcgIdcg10, 6) AS ndcg10
+       |FROM j, w GROUP BY query_id""".stripMargin
   }
 
   /** PII scrubbing (TextAnalysis.redactPii): contact strings are BUILT
@@ -4777,6 +4977,9 @@ object SparkEntry {
     "q209_norm_audit" -> (qNormAudit _),
     "q210_text_serving" -> (qTextServing _),
     "q211_ivfpq_residual" -> (qIvfPqResidual _),
+    "q212_filtered_ann" -> (qFilteredAnn _),
+    "q213_retrieval_quality" -> (qRetrievalQuality _),
+    "q214_ivf_delete" -> (qIvfDelete _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5035,6 +5238,8 @@ object SparkEntry {
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfPqResForOracle).map { case (c, b) => "q211_ivfpq_residual" -> ivfPqResOracleSql(c, b) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
+      Option(retrievalCentersForOracle)
+        .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++
       Option(nprobeCentersForOracle).map(c => "q186_nprobe_curve" -> nprobeOracleSql(c)) ++
       Option(semdedupCentersForOracle).map(c => "q100_semdedup" -> semDedupOracleSql(c)) ++
       (if (pageRankN > 0) Some("q107_pagerank" -> pageRankOracleSql(pageRankN)) else None) ++
@@ -6728,6 +6933,31 @@ object SparkEntry {
     // window ranking breaks the hash match
     "q205_ivf_batch_probe" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 3),
+         | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qs),
+         | ranked AS (SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // filtered ANN at nprobe = all: the oracle is the exact scan with
+    // the same WHERE clause — probe ranking, partition pruning, and the
+    // pushed label predicate must compose to the exact filtered answer
+    "q212_filtered_ann" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+         |   FROM embeddings WHERE label = 3),
+         | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT vec_id, label, $CosSql AS score FROM base, qv),
+         | topk AS (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, label, round(score, 6) AS score FROM topk""".stripMargin,
+
+    // delete-by-id at nprobe = all: q205's exact batched scan minus the
+    // tombstoned ids (vec_id 0 is both a panel query and deleted, so
+    // query 0's rank 1 must shift — a leaked tombstone breaks the hash)
+    "q214_ivf_delete" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |   WHERE vec_id NOT IN (${DeletedVecIds.mkString(", ")})),
          | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 3),
          | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qs),
          | ranked AS (SELECT query_id, vec_id, score,

@@ -149,17 +149,26 @@ object DupClusters {
       else pairs.localCheckpoint(eager = true)
     val clus = prebuiltClusters
       .getOrElse(clusters(pairList).localCheckpoint(eager = true))
+    // On the derived path the cluster map is a checkpointed RDD with no
+    // size statistics, so the broadcast is HINTED (the frame is
+    // pair-graph-sized by construction). On the table-backed path the
+    // map is parquet WITH stats — the hint is dropped and Catalyst/AQE
+    // picks broadcast-vs-shuffle from the actual table size, which is
+    // the correct call at 100 TB where a cluster map can outgrow the
+    // broadcast ceiling (PlanAuditSpec's forced-broadcast rule).
+    def sized(df: DataFrame): DataFrame =
+      if (prebuiltClusters.isDefined) df else broadcast(df)
     // audit over the pair graph only — cluster members' folds derive
     // from the cluster map, so the corpus never enters this branch
     val clusFold = clus.select(col(idCol), foldOf(col("cluster_id")).as("fold"))
     val leak = pairList
-      .join(broadcast(clusFold.select(col(idCol).as("doc_a"), col("fold").as("__fa"))), "doc_a")
-      .join(broadcast(clusFold.select(col(idCol).as("doc_b"), col("fold").as("__fb"))), "doc_b")
+      .join(sized(clusFold.select(col(idCol).as("doc_a"), col("fold").as("__fa"))), "doc_a")
+      .join(sized(clusFold.select(col(idCol).as("doc_b"), col("fold").as("__fb"))), "doc_b")
       .filter(col("__fa") =!= col("__fb"))
       .agg(count(lit(1)).as("cross_fold_dup_pairs"))
     // one corpus scan for the summary; the cluster map broadcasts
     docs.select(col(idCol))
-      .join(broadcast(clus), Seq(idCol), "left")
+      .join(sized(clus), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("group_key"),
         col("cluster_id").isNotNull.as("in_cluster"))

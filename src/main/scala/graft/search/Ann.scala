@@ -813,7 +813,9 @@ object Ann {
       "index stored parquet directly at the root; rebuild with writeIvf)")
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
       s"$path is not an ivf-v2 index (missing $path/lists)")
-    val assigned = spark.read.parquet(s"$path/lists")
+    // deletes ride along: an index with a tombstone table reloads as the
+    // surviving rows (no extra plan node when there are none)
+    val assigned = listsMinusTombstones(spark, path)
     val byId = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
@@ -1453,7 +1455,9 @@ object Ann {
     // ≤ nCentroids distinct ids: the static partition-pruning literal
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$path/lists")
+    // tombstone-aware (deleteFromIvf): identical raw scan when the index
+    // has no tombstone table, so the audited q205/q210 plans are unchanged
+    val lists = listsMinusTombstones(spark, path, idCol)
       .filter(col("centroid_id").isin(probedIds.toSeq: _*))
     // broadcast gated on a bounded count probe (the hardNegatives
     // discipline — O(cap) work however large the batch is): a serving
@@ -1489,6 +1493,150 @@ object Ann {
     thresholded
       .select(col(queryIdCol), col(idCol), col("centroid_id"), col("rank"),
         round(col("score"), 6).as("score"))
+  }
+
+  // =========================================================================
+  // Filtered search + delete-by-id on the persisted IVF layout — the two
+  // remaining table-stakes vector-store operations (every production
+  // vector DB ships metadata-filtered queries and deletes; the reference
+  // only truncates, /root/reference/vector_db_api.py clear_database)
+  // =========================================================================
+
+  /** The persisted inverted lists minus any tombstoned ids. When the
+    * index has no tombstone table (the common case: [[deleteFromIvf]]
+    * never ran, or [[compactIvf]] folded them in) the frame is the raw
+    * lists scan with NO extra plan node, so the existing probe plans
+    * (q193/q205/q210, PlanAuditSpec) are untouched. With tombstones
+    * present, exclusion is a LEFT ANTI join on the id — broadcastable
+    * while the tombstone table is small (AQE decides from its actual
+    * size; deletes are assumed rare relative to the corpus — a
+    * deployment whose tombstones rival the corpus should [[compactIvf]],
+    * which this module treats as the compaction contract).
+    */
+  private[graft] def listsMinusTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val tomb = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) lists
+    else lists.join(spark.read.parquet(tomb.toString)
+      .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Delete-by-id on a persisted IVF index: the ids land in an
+    * append-only `tombstones` table beside the lists, and every probe
+    * path over the persisted layout ([[ivfSearchBatch]],
+    * [[ivfSearchFiltered]]) anti-joins them out. The lists parquet is
+    * NOT rewritten — at 100 TB a delete must be O(deleted ids), not
+    * O(index); reclaiming the space is [[compactIvf]]'s job (the
+    * LSM-style tombstone/compaction split every mutable columnar store
+    * uses). Idempotent: re-deleting an id appends a duplicate row that
+    * the probe-side `distinct` collapses and the next compaction drops.
+    */
+  def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    ids: Seq[Long], idCol: String = "vec_id"): Unit = {
+    require(ids.nonEmpty, s"deleteFromIvf($path): empty id list")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
+      s"$path is not an ivf-v2 index (missing $path/lists)")
+    import spark.implicits._
+    ids.toDF(idCol).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Fold tombstones into the lists: rewrite the inverted lists minus
+    * the deleted ids (same partitioned layout) and drop the tombstone
+    * table. Safe to call with no tombstones (no-op). The rewrite goes
+    * through a temporary sibling directory + rename so a crash mid-way
+    * leaves EITHER the old lists + tombstones (not yet swapped) OR the
+    * new lists (swap done) — never a half-written lists directory being
+    * read by probes.
+    */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                 idCol: String = "vec_id"): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(root, "tombstones")
+    if (!fs.exists(tomb)) return
+    val tmp = new org.apache.hadoop.fs.Path(root, "lists.compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // dead prior attempt
+    listsMinusTombstones(spark, path, idCol)
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(tmp.toString)
+    val lists = new org.apache.hadoop.fs.Path(root, "lists")
+    val old = new org.apache.hadoop.fs.Path(root, "lists.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(lists, old), s"compactIvf($path): could not swap lists out")
+    require(fs.rename(tmp, lists), s"compactIvf($path): could not swap lists in")
+    fs.delete(old, true)
+    fs.delete(tomb, true)
+    graft.plans.AnnTopKRewrite.clearCache()
+  }
+
+  /** Metadata-FILTERED ANN over a persisted IVF index — the "vector
+    * search with a WHERE clause" every vector store serves (cosine
+    * top-k among rows matching `pred`). The predicate references the
+    * payload columns stored IN the inverted lists (writeIvf persists
+    * every corpus column), so it rides the same scan the probe already
+    * does: partition pruning cuts to `nprobe` list directories and the
+    * predicate pushes into the parquet reader (PushedFilters — audited
+    * by PlanAuditSpec), i.e. filter-during-search, not post-filter over
+    * a materialized candidate set.
+    *
+    * The production failure mode of filtered ANN is RECALL STARVATION:
+    * a selective predicate can leave fewer than k matches inside the
+    * probed lists even though the corpus holds plenty. `widenToFill`
+    * opts into the standard mitigation (probe widening, cf. FAISS
+    * selector / Milvus iterative-filter): one bounded `limit(k).count`
+    * probe of the filtered candidate frame, and only on shortfall a
+    * single re-probe at nprobe = nCentroids (exact-within-filter).
+    * Two stages, not a loop — O(1) extra jobs, worst case one full
+    * filtered scan, which is what a correct answer costs at that point.
+    *
+    * Output: (idCol, extraCols…, rank, score) ordered by (score desc,
+    * id asc), rank 1..k, score rounded 6dp after the ordering.
+    */
+  def ivfSearchFiltered(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queryVec: Seq[Double], pred: Column,
+                        k: Int = 5, nprobe: Int = 2,
+                        widenToFill: Boolean = false,
+                        extraCols: Seq[String] = Seq("label"),
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
+    val centers = readIvf(spark, path).centers
+    def cos(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * queryVec(i); na += a(i) * a(i)
+        nb += queryVec(i) * queryVec(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // ivfSearch's probe ranking exactly (centroid cosine desc, id asc)
+    def probeIds(n: Int): Seq[Int] = centers.zipWithIndex
+      .map { case (c, i) => (i, cos(c)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(n).map(_._1).toSeq
+    val q = array(queryVec.map(lit): _*)
+    def candidates(n: Int): DataFrame =
+      listsMinusTombstones(spark, path, idCol)
+        .filter(col("centroid_id").isin(probeIds(n): _*))
+        .filter(pred)
+    val nEff =
+      if (!widenToFill || nprobe >= centers.length) nprobe
+      // bounded shortfall probe: reads at most k rows of the filtered
+      // pruned scan (limit-pushdown), never the corpus
+      else if (candidates(nprobe).limit(k).count() >= k) nprobe
+      else centers.length
+    candidates(nEff)
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol) +: extraCols.map(col) :+
+        round(col("score"), 6).as("score"): _*)
   }
 
   /** A combined IVF-PQ index (Jégou et al. 2011's IVFADC layout): the

@@ -818,4 +818,102 @@ class AnnSpec extends SparkSpec {
     // ordering is data-dependent (PERF.md records the measured pair)
     assert(rRaw >= 0.3 && rRes >= 0.3, f"raw=$rRaw%.3f res=$rRes%.3f")
   }
+
+  // two tight clusters for the delete/filtered tests: ids 0..11 near
+  // (1,0,0,0) ("A"), ids 12..23 near (0,1,0,0) ("B")
+  private def twoClusterLabeled: org.apache.spark.sql.DataFrame =
+    ((0 until 12).map(i =>
+        (i.toLong, Seq(1.0f + 0.01f * i, 0.002f * i, 0.0f, 0.0f), i % 3)) ++
+      (12 until 24).map(i =>
+        (i.toLong, Seq(0.002f * i, 1.0f + 0.01f * i, 0.0f, 0.0f), i % 3)))
+      .toDF("vec_id", "embedding", "label")
+
+  private def bruteTopK(corp: org.apache.spark.sql.DataFrame,
+                        q: Seq[Double], k: Int): Seq[Long] =
+    corp.withColumn("s", graft.functions.CosineSimilarity(
+        $"embedding", array(q.map(lit): _*)))
+      .orderBy($"s".desc, $"vec_id".asc).limit(k)
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("deleteFromIvf: probes exclude tombstoned ids; compactIvf folds " +
+    "them into the lists and is idempotent") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    val queries = corp.filter($"vec_id".isin(0L, 12L))
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("query_vec"))
+    def probe(): Seq[(Long, Long)] =
+      Ann.ivfSearchBatch(spark, p, queries, k = 5, nprobe = 2)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+    val before = probe()
+    assert(before.contains((0L, 0L)), "sanity: id 0 retrievable pre-delete")
+    Ann.deleteFromIvf(spark, p, Seq(0L, 13L))
+    val after = probe()
+    assert(!after.exists(r => r._2 == 0L || r._2 == 13L),
+      s"tombstoned id leaked into a probe: $after")
+    // survivors rank exactly like brute force over the surviving corpus
+    val live = corp.filter(!$"vec_id".isin(0L, 13L))
+    val q0 = corp.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    assert(after.filter(_._1 == 0L).map(_._2) == bruteTopK(live, q0, 5),
+      "post-delete probe != brute force over survivors")
+    // reload honors tombstones too
+    assert(Ann.readIvf(spark, p).assigned.count() == 22)
+    // delete is idempotent (duplicate tombstone rows collapse)
+    Ann.deleteFromIvf(spark, p, Seq(0L))
+    assert(probe() == after)
+    // compaction: lists rewritten minus tombstones, tombstone table gone,
+    // serving unchanged; a second compact is a clean no-op
+    Ann.compactIvf(spark, p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, "tombstones")),
+      "compactIvf left the tombstone table behind")
+    assert(spark.read.parquet(s"$p/lists")
+      .filter($"vec_id".isin(0L, 13L)).count() == 0,
+      "compacted lists still hold deleted rows")
+    assert(probe() == after, "compaction changed serving results")
+    Ann.compactIvf(spark, p)
+    assert(probe() == after)
+  }
+
+  test("ivfSearchFiltered: nprobe=all == exact filtered scan; pushed " +
+    "predicate; widenToFill rescues a starved selective filter") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filt").toString + "/ivf"
+    // label 9 lives ONLY in cluster B — a query near cluster A probing
+    // 1 list sees zero label-9 rows (the filtered-ANN starvation case)
+    val corp = twoClusterLabeled
+      .withColumn("label", when($"vec_id" >= 12, 9).otherwise($"label"))
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    val q0 = Seq(1.0, 0.0, 0.0, 0.0) // cluster A's direction
+    val wantFiltered = bruteTopK(corp.filter($"label" === 9), q0, 5)
+    def got(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").as[Long].collect().toSeq
+    // full probe == exact filtered answer (q212's gate shape)
+    assert(got(Ann.ivfSearchFiltered(spark, p, q0, $"label" === 9,
+      k = 5, nprobe = 2)) == wantFiltered)
+    // starved: 1 probed list has no label-9 rows at all
+    assert(got(Ann.ivfSearchFiltered(spark, p, q0, $"label" === 9,
+      k = 5, nprobe = 1)).isEmpty)
+    // widenToFill detects the shortfall and re-probes everything
+    assert(got(Ann.ivfSearchFiltered(spark, p, q0, $"label" === 9,
+      k = 5, nprobe = 1, widenToFill = true)) == wantFiltered)
+    // no-shortfall path: the probed list fills k, the bounded limit(k)
+    // probe reports no starvation, and the answer is still exact
+    val wantLocal = bruteTopK(corp.filter($"label" =!= 9 && $"vec_id" < 12),
+      q0, 5)
+    assert(got(Ann.ivfSearchFiltered(spark, p, q0, $"label" =!= 9,
+      k = 5, nprobe = 1, widenToFill = true)) == wantLocal)
+    // deletes compose: tombstoning the filtered top-1 removes exactly it
+    Ann.deleteFromIvf(spark, p, Seq(wantFiltered.head))
+    assert(got(Ann.ivfSearchFiltered(spark, p, q0, $"label" === 9,
+      k = 5, nprobe = 2)) ==
+      bruteTopK(corp.filter($"label" === 9 &&
+        $"vec_id" =!= wantFiltered.head), q0, 5))
+  }
 }

@@ -79,6 +79,17 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd iterations); " +
         "warm runs pay the centroids collect, the bounded probe-union " +
         "collect (≤ nCentroids rows), and the noop write (~5)"),
+    "q212_filtered_ann" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd iterations); " +
+        "warm runs pay the query-vector head, the centroids collect, and " +
+        "the k-row filtered probe (~4)"),
+    "q213_retrieval_quality" -> (40,
+      "rides the same q28 index (cold build); warm runs pay the batched " +
+        "probe's bounded collects plus the exact-panel scan (~6)"),
+    "q214_ivf_delete" -> (45,
+      "cold path = q28 build PLUS the one-time delete-clone write " +
+        "(lists + centroids + tombstone append, ~6 jobs); warm runs are " +
+        "the q205 probe shape (~5)"),
     "q174_ivfpq" -> (30,
       "(20) IVF-PQ builder: coarse k-means + per-subspace PQ training, " +
         "all constant-iteration Lloyd; warm (in-JVM cache) runs are ~2"),

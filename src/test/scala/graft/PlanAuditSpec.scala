@@ -80,6 +80,8 @@ class PlanAuditSpec extends SparkSpec {
       "broadcasts the query batch (vec_id < 4): the query WORKLOAD, fixed 4 rows at any SF",
     "q91_hard_negatives" ->
       "broadcasts the anchor set (vec_id < 4): fixed-size training anchors, not corpus",
+    "q213_retrieval_quality" ->
+      "broadcasts the calibration panel (vec_id < 8): the query WORKLOAD, fixed 8 rows at any SF",
     "q52_contamination" ->
       "broadcasts the benchmark eval set (doc_id < 10 stand-in): fixed cardinality by definition",
     "q151_embed_decontamination" ->
@@ -322,6 +324,62 @@ class PlanAuditSpec extends SparkSpec {
       val selected = scans.head.relation.location.listFiles(static, Nil)
       assert(selected.size <= 8 && selected.size >= 1,
         s"expected 1..8 pruned partitions (4 queries × nprobe 2), got ${selected.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("q212's filtered probe: partition pruning AND the label predicate " +
+    "pushed into the lists scan (filter-during-search, not post-filter)") {
+    // nprobe=2 so the pruning is visible; the registered q212 runs
+    // nprobe=16 so its oracle stays the exact filtered scan
+    val df = SparkEntry.filteredAnnFrame(spark, sfDir, nprobe = 2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over lists/")
+    assert(scans.head.partitionFilters.exists(
+      _.references.exists(_.name == "centroid_id")),
+      s"probe not in partitionFilters: ${scans.map(_.partitionFilters)}")
+    val selected = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil)
+    assert(selected.size == 2,
+      s"expected 2 pruned partitions at nprobe=2, got ${selected.size}")
+    // the metadata filter reaches the parquet reader: row groups whose
+    // label stats exclude 3 are skipped, not decoded-then-dropped
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan: $pushed")
+  }
+
+  test("q214's probe over the tombstoned index: partition pruning " +
+    "survives the anti-join's presence in the plan") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.ivfDeleteProbeFrame(spark, sfDir, nprobe = 2)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(p =>
+              p.toString.contains("graft-ivfdel") &&
+                p.toString.contains("lists")) => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over the " +
+        "delete clone's lists/")
+      val static = scans.head.partitionFilters.filterNot(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning => true
+        case _ => false
+      })
+      assert(static.exists(_.references.exists(_.name == "centroid_id")),
+        s"static probe union not in partitionFilters: ${scans.map(_.partitionFilters)}")
+      val selected = scans.head.relation.location.listFiles(static, Nil)
+      assert(selected.size <= 6 && selected.size >= 1,
+        s"expected 1..6 pruned partitions (3 queries × nprobe 2), got ${selected.size}")
+      // and the tombstone exclusion is IN this plan (left anti on vec_id)
+      val antis = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.nonEmpty, "tombstone anti-join missing from the probe plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 }
