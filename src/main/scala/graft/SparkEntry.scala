@@ -1046,6 +1046,7 @@ object SparkEntry {
       val path = ivfDeletePathFor(s, dir)
       val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tomb = new org.apache.hadoop.fs.Path(path, "tombstones")
       if (!fs.exists(marker)) {
         ivfIndexFor(s, dir) // ensure the source index exists
         val t0 = System.nanoTime()
@@ -1053,6 +1054,10 @@ object SparkEntry {
         Ann.deleteFromIvf(s, path, DeletedVecIds)
         System.err.println(
           f"[graft] q214 delete-index clone+tombstone ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else if (!fs.exists(tomb)) {
+        // writeIvf's marker landed but the process died before the
+        // tombstone append — re-delete rather than serve undeleted rows
+        Ann.deleteFromIvf(s, path, DeletedVecIds)
       }
       path
     }

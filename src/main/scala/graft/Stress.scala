@@ -98,21 +98,28 @@ object Stress {
   }
 
   /** NON-CLONE documents replica: ids shift like [[replicateDir]], but each
-    * replica r > 0 also has every 4th word SUBSTITUTED by a same-length
-    * md5-derived pseudo-word keyed on (word, replica), so cross-replica
-    * shingle Jaccard drops far below every near-dup threshold in the
-    * battery. Substitution (not splicing) keeps the replica's char and
-    * token mass IDENTICAL to the base corpus — the r11 splice variant
-    * carried ~25% more tokens, confounding dup rate with corpus volume in
-    * the clone-vs-nonclone comparison (VERDICT r11 item 5). The
-    * id-shift-only replica turns EVERY document into a `factor`-clone
-    * clique, which makes the dedup family (q14/q110/q119) measure its
-    * worst case (output genuinely inflates with clone pairs), not its
-    * typical plan; this variant keeps only the base corpus's organic
-    * near-dups: the substitution is a pure function of (word, replica),
-    * so two organically-similar docs inside one replica stay similar.
-    * Replica 0 keeps the original text byte-for-byte. Writes ONLY
-    * documents.parquet — the queries benched against it read nothing else.
+    * replica r > 0 also has EVERY word SUBSTITUTED by a same-length
+    * md5-derived pseudo-word keyed on (word, replica) — a per-replica
+    * bijective RENAMING of the vocabulary. Within a replica all organic
+    * structure is preserved exactly (same word → same pseudo-word, so
+    * token/shingle Jaccard between any two docs of one replica equals
+    * the base corpus's), the token frequency profile is identical (the
+    * support is renamed, not reweighted), and char/token mass match the
+    * base byte-for-byte in length. Across replicas the overlap is ~0.
+    *
+    * History: the first cut (r15) substituted only every 4TH word, which
+    * kept cross-replica VERIFIED similarity below every battery
+    * threshold but left ~25% of token n-grams shared between a doc and
+    * its 999 perturbed twins — SUB-threshold candidate cliques quadratic
+    * in the factor. q97's guaranteed-recall prefix-filter join must
+    * enumerate such candidates (its PPJoin positional filter correctly
+    * keeps them: the first shared gram's bound is loose), so at
+    * docs=1000 the candidate shuffle filled the disk. That is a DATA
+    * property, not a plan defect — "organic near-dups only" requires
+    * cross-replica overlap ~0 at the GRAM level too, which the full
+    * renaming provides. Replica 0 keeps the original text byte-for-byte.
+    * Writes ONLY documents.parquet — the queries benched against it read
+    * nothing else.
     */
   def replicateDocsPerturbed(spark: SparkSession, sfDir: String, factor: Int,
                              workDir: String): Unit = {
@@ -121,7 +128,7 @@ object Stress {
     val perturbed = expr(
       """array_join(
         |  transform(split(text, ' '),
-        |    (x, i) -> IF(i % 4 = 3 AND length(x) > 0,
+        |    x -> IF(length(x) > 0,
         |      substring(repeat(md5(concat(x, ':', __rep)),
         |                       1 + int(length(x) / 32)), 1, length(x)),
         |      x)),

@@ -1430,7 +1430,8 @@ object Ann {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      threshold: Double = Double.NegativeInfinity,
-                     maxBroadcastQueries: Int = 100000): DataFrame = {
+                     maxBroadcastQueries: Int = 100000,
+                     pred: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
     require(maxBroadcastQueries > 0,
@@ -1456,9 +1457,15 @@ object Ann {
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     // tombstone-aware (deleteFromIvf): identical raw scan when the index
-    // has no tombstone table, so the audited q205/q210 plans are unchanged
-    val lists = listsMinusTombstones(spark, path, idCol)
-      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    // has no tombstone table, so the audited q205/q210 plans are unchanged.
+    // `pred` is the batched form of [[ivfSearchFiltered]]'s metadata
+    // filter: applied directly on the pruned lists scan so it pushes into
+    // the parquet reader (shared across the batch — per-query predicates
+    // belong in the queries frame as join columns, not here); None adds
+    // no plan node
+    val lists = pred.foldLeft(
+        listsMinusTombstones(spark, path, idCol)
+          .filter(col("centroid_id").isin(probedIds.toSeq: _*)))(_.filter(_))
     // broadcast gated on a bounded count probe (the hardNegatives
     // discipline — O(cap) work however large the batch is): a serving
     // micro-batch beyond the cap falls back to a shuffle join on

@@ -69,14 +69,33 @@ object StreamingSearch {
     */
   def indexedScan(spark: org.apache.spark.sql.SparkSession,
                   indexPath: String, nprobe: Int,
-                  queryId: String = "query_id", queryVec: String = "query_vec")
+                  queryId: String = "query_id", queryVec: String = "query_vec",
+                  pred: Option[org.apache.spark.sql.Column] = None)
       : (DataFrame, DataFrame, Int, Double) => DataFrame = {
     import org.apache.spark.sql.functions.col
     (_, batch, k, t) =>
       graft.search.Ann.ivfSearchBatch(spark, indexPath, batch, k, nprobe,
-        queryIdCol = queryId, queryVecCol = queryVec, threshold = t)
+        queryIdCol = queryId, queryVecCol = queryVec, threshold = t,
+        pred = pred)
         .select(col(queryId), col("vec_id"), col("score"), col("rank"))
   }
+
+  /** FILTERED continuous serving (q212's metadata predicate in streaming
+    * form): [[indexedScan]] with a batch-wide predicate over the payload
+    * columns stored in the inverted lists — pushed into the pruned
+    * parquet scan each micro-batch, never a post-filter over scored
+    * candidates. Per-REQUEST predicates (each query filtering its own
+    * label) are a different shape: route those as join columns on the
+    * queries frame, or partition the batch by predicate and serve one
+    * scan per group.
+    */
+  def filteredIndexedScan(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, nprobe: Int,
+                          pred: org.apache.spark.sql.Column,
+                          queryId: String = "query_id",
+                          queryVec: String = "query_vec")
+      : (DataFrame, DataFrame, Int, Double) => DataFrame =
+    indexedScan(spark, indexPath, nprobe, queryId, queryVec, Some(pred))
 
   /** TEXT-query serving seam (q210's composition in streaming form —
     * the reference's full online path, text in → neighbors out, as one

@@ -331,6 +331,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FILTERED continuous serving (filteredIndexedScan at nprobe=all) " +
+    "== exact batch top-k over the filtered corpus (q212 streaming twin)") {
+    import graft.streaming.StreamingSearch
+    import graft.search.Ann
+    // labels alternate across both inverted lists, so the predicate
+    // prunes rows INSIDE every probed list (not a whole-list cut)
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq(
+        if (i % 2 == 0) 1.0f + i * 0.01f else 0.02f * i,
+        if (i % 2 == 1) 1.0f + i * 0.01f else 0.01f * i,
+        0.1f * i), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Files.createTempDirectory("graft_sfidx").toString + "/ivf"
+    Ann.writeIvf(Ann.buildIvf(corpus, nCentroids = 2, seed = 42L,
+      maxIter = 4, initMode = "random"), idx)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingSearch.serveTopK(
+      input.toDF().toDF("query_id", "query_vec"), corpus,
+      res => got.synchronized {
+        got ++= res.select($"query_id", $"vec_id", $"rank")
+          .as[(Long, Long, Long)].collect()
+      }, k = 3, threshold = 0.0)(
+      StreamingSearch.filteredIndexedScan(spark, idx, nprobe = 2,
+        pred = $"label" =!= 1))
+    try {
+      input.addData((100L, Seq(1.0f, 0.0f, 0.1f)), (101L, Seq(0.0f, 1.0f, 0.2f)))
+      q.processAllAvailable()
+      val queries = Seq(
+        (100L, Seq(1.0f, 0.0f, 0.1f)),
+        (101L, Seq(0.0f, 1.0f, 0.2f))).toDF("query_id", "query_vec")
+      val want = graft.search.Search.topKBatch(
+          corpus.filter($"label" =!= 1), queries, k = 3, threshold = 0.0)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"got=$got want=${want.toSeq}")
+      assert(!got.exists(r => r._2 % 3 == 1), "a filtered-out row was served")
+    } finally q.stop()
+  }
+
   test("streaming TEXT serving (embed -> indexed probe) == batch " +
     "embed+topKBatch (q210's loop in streaming form)") {
     import graft.streaming.StreamingSearch
