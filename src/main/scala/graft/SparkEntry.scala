@@ -1090,6 +1090,68 @@ object SparkEntry {
     ivfDeleteProbeFrame(s, dir, nprobe = 16)
       .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
 
+  /** On-disk home of the q215 UPSERT-exercised index clone (the q214
+    * discipline: mutations never touch the shared q28 seam).
+    */
+  private def ivfUpsertPathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfup-${dirCacheKey(s, dir, "embeddings")}"
+
+  /** Build-once clone of the q28 index with ONE row upserted: vec_id 0's
+    * embedding is REPLACED by the reverse of vec_id 1's (deterministic,
+    * arithmetic-free — both engines copy the same floats). Upsert is
+    * idempotent (replace-again is a no-op), so the crash window between
+    * the clone write and the upsert is closed by re-upserting whenever
+    * the done-marker is missing.
+    */
+  private def ivfUpsertIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      val path = ivfUpsertPathFor(s, dir)
+      val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
+      val done = new org.apache.hadoop.fs.Path(path, "UPSERT_DONE")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker) || !fs.exists(done)) {
+        ivfIndexFor(s, dir) // ensure the source index exists
+        val t0 = System.nanoTime()
+        if (!fs.exists(marker))
+          Ann.writeIvf(Ann.readIvf(s, ivfPathFor(s, dir)), path)
+        val donor = rd(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(lit(0L).as("vec_id"), reverse(col("embedding")).as("embedding"),
+            col("label"))
+        Ann.upsertIntoIvf(s, path, donor)
+        fs.create(done, true).close()
+        System.err.println(
+          f"[graft] q215 upsert-index clone+upsert ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      path
+    }
+
+  /** The batched probe over the UPSERTED index clone, exposed
+    * uncollected for PlanAuditSpec.
+    */
+  private[graft] def ivfUpsertProbeFrame(s: SparkSession, dir: String,
+                                         nprobe: Int): DataFrame = {
+    val path = ivfUpsertIndexFor(s, dir)
+    val queries = rd(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    Ann.ivfSearchBatch(s, path, queries, k = 10, nprobe = nprobe)
+  }
+
+  /** Upsert gate: [[graft.search.Ann.upsertIntoIvf]] replaces vec_id 0
+    * on a clone of the q28 index (new value = reverse of vec_id 1's
+    * vector — the row may move lists, exercising the targeted rewrite +
+    * frozen-quantizer re-assignment), then the q205 batched probe runs
+    * at nprobe = 16 over the ORIGINAL query panel. The oracle is the
+    * exact batched scan over the post-upsert corpus: a stale old row, a
+    * dropped new row, or a double row (old not removed) all break the
+    * hash — query 0 still probes with its OLD vector, so its former
+    * self-match at score 1.0 must be gone. Updates are O(affected lists
+    * + batch), never O(index).
+    */
+  private def qIvfUpsert(s: SparkSession, dir: String): DataFrame =
+    ivfUpsertProbeFrame(s, dir, nprobe = 16)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
+
   /** q28's index queried through the OPT-IN plan rewrite, in the
     * hash-exact gate (VERDICT r13 item 2): an unmodified exact cosine
     * top-10 over the persisted `lists` layout runs with
@@ -4985,6 +5047,7 @@ object SparkEntry {
     "q212_filtered_ann" -> (qFilteredAnn _),
     "q213_retrieval_quality" -> (qRetrievalQuality _),
     "q214_ivf_delete" -> (qIvfDelete _),
+    "q215_ivf_upsert" -> (qIvfUpsert _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -6956,6 +7019,24 @@ object SparkEntry {
          | scored AS (SELECT vec_id, label, $CosSql AS score FROM base, qv),
          | topk AS (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)
          |SELECT vec_id, label, round(score, 6) AS score FROM topk""".stripMargin,
+
+    // upsert at nprobe = all: the exact batched scan over the
+    // POST-upsert corpus (vec 0's embedding = reverse of vec 1's — a
+    // float copy, no arithmetic). A stale old row, a dropped new row,
+    // or a doubled id all break the hash.
+    "q215_ivf_upsert" ->
+      s"""WITH donor AS (SELECT embedding::DOUBLE[] AS de FROM embeddings WHERE vec_id = 1),
+         | base AS (SELECT vec_id,
+         |    CASE WHEN vec_id = 0 THEN (SELECT list_reverse(de) FROM donor)
+         |         ELSE embedding::DOUBLE[] END AS e
+         |   FROM embeddings),
+         | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 3),
+         | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qs),
+         | ranked AS (SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // delete-by-id at nprobe = all: q205's exact batched scan minus the
     // tombstoned ids (vec_id 0 is both a panel query and deleted, so

@@ -1581,6 +1581,71 @@ object Ann {
     graft.plans.AnnTopKRewrite.clearCache()
   }
 
+  /** UPSERT on a persisted IVF index: replace any existing rows carrying
+    * the incoming ids, then append the new rows under the frozen
+    * quantizer ([[appendToIvf]]'s assignment rule). The replacement is a
+    * TARGETED list rewrite: one pushed-filter scan finds which inverted
+    * lists hold the incoming ids (parquet row-group stats prune
+    * everything else), ONLY those list directories are rewritten minus
+    * the ids (per-directory old→new swap), and any tombstones for the
+    * ids are dropped so the fresh rows aren't masked by a past delete.
+    * Cost is O(affected lists + batch), never O(index) — the granularity
+    * a 100 TB index needs for row updates. Same single-maintenance-
+    * writer assumption as writeIvf/appendToIvf/compactIvf; a concurrent
+    * probe can race one directory swap, the same window compactIvf has.
+    */
+  def upsertIntoIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    rows: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
+      s"$path is not an ivf-v2 index (missing $path/lists)")
+    // batch-sized by assumption (an upsert batch is an ingest batch,
+    // not a corpus) — the same bound appendToIvf already relies on
+    val ids = rows.select(col(idCol)).distinct().collect().map(_.get(0))
+    require(ids.nonEmpty, s"upsertIntoIvf($path): empty batch")
+    val lists = spark.read.parquet(s"$path/lists")
+    val affected = lists.filter(col(idCol).isin(ids.toSeq: _*))
+      .select(col("centroid_id")).distinct().collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(root, "lists.upsert.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // dead prior attempt
+      lists.filter(col("centroid_id").isin(affected.toSeq: _*))
+        .filter(!col(idCol).isin(ids.toSeq: _*))
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .parquet(tmp.toString)
+      for (cid <- affected) {
+        val dst = new org.apache.hadoop.fs.Path(root, s"lists/centroid_id=$cid")
+        val src = new org.apache.hadoop.fs.Path(tmp, s"centroid_id=$cid")
+        val old = new org.apache.hadoop.fs.Path(root, s"lists/.centroid_id=$cid.old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(dst, old), s"upsertIntoIvf($path): swap-out of list $cid failed")
+        // src absent = the list held ONLY upserted ids; it simply vanishes
+        if (fs.exists(src))
+          require(fs.rename(src, dst), s"upsertIntoIvf($path): swap-in of list $cid failed")
+        fs.delete(old, true)
+      }
+      fs.delete(tmp, true)
+    }
+    // unmask: a tombstone for an upserted id would hide the NEW row
+    val tomb = new org.apache.hadoop.fs.Path(root, "tombstones")
+    if (fs.exists(tomb)) {
+      val live = spark.read.parquet(tomb.toString)
+        .filter(!col(idCol).isin(ids.toSeq: _*))
+      val tmpT = new org.apache.hadoop.fs.Path(root, "tombstones.upsert.tmp")
+      if (fs.exists(tmpT)) fs.delete(tmpT, true)
+      if (live.isEmpty) fs.delete(tomb, true)
+      else {
+        live.write.mode("overwrite").parquet(tmpT.toString)
+        fs.delete(tomb, true)
+        require(fs.rename(tmpT, tomb), s"upsertIntoIvf($path): tombstone swap failed")
+      }
+    }
+    appendToIvf(spark, path, rows, vecCol)
+    graft.plans.AnnTopKRewrite.clearCache()
+  }
+
   /** Metadata-FILTERED ANN over a persisted IVF index — the "vector
     * search with a WHERE clause" every vector store serves (cosine
     * top-k among rows matching `pred`). The predicate references the

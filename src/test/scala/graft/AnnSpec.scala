@@ -880,6 +880,54 @@ class AnnSpec extends SparkSpec {
     assert(probe() == after)
   }
 
+  test("upsertIntoIvf: replaces across lists, unmasks a deleted id, " +
+    "inserts a new id; probes match brute force over the updated corpus") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_up").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    def probeIds(q: Seq[Double]): Seq[Long] = {
+      val qdf = Seq((0L, q.map(_.toFloat))).toDF("query_id", "query_vec")
+      Ann.ivfSearchBatch(spark, p, qdf, k = 5, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    val qB = Seq(0.0, 1.0, 0.0, 0.0) // cluster B's direction
+    // 1. MOVE: id 5 (cluster A) gets a cluster-B vector — the targeted
+    //    rewrite must drop it from A's list, the frozen quantizer must
+    //    land it in B's
+    val newVec5 = Seq(0.01f, 1.5f, 0.0f, 0.0f)
+    Ann.upsertIntoIvf(spark, p,
+      Seq((5L, newVec5, 2)).toDF("vec_id", "embedding", "label"))
+    val updated = corp.filter($"vec_id" =!= 5L)
+      .union(Seq((5L, newVec5, 2)).toDF("vec_id", "embedding", "label"))
+    assert(probeIds(qB) == bruteTopK(updated, qB, 5),
+      "post-move probe != brute force over the updated corpus")
+    assert(spark.read.parquet(s"$p/lists").filter($"vec_id" === 5L).count() == 1,
+      "upsert left a stale or doubled row")
+    // 2. UNMASK: delete id 6, then upsert it back with a new vector —
+    //    the tombstone must not hide the fresh row
+    Ann.deleteFromIvf(spark, p, Seq(6L))
+    val newVec6 = Seq(0.02f, 1.6f, 0.0f, 0.0f)
+    Ann.upsertIntoIvf(spark, p,
+      Seq((6L, newVec6, 0)).toDF("vec_id", "embedding", "label"))
+    val updated2 = updated.filter($"vec_id" =!= 6L)
+      .union(Seq((6L, newVec6, 0)).toDF("vec_id", "embedding", "label"))
+    assert(probeIds(qB) == bruteTopK(updated2, qB, 5),
+      "a tombstone masked the upserted row")
+    // 3. INSERT: a brand-new id takes the pure-append path
+    val newVec99 = Seq(0.03f, 1.7f, 0.0f, 0.0f)
+    Ann.upsertIntoIvf(spark, p,
+      Seq((99L, newVec99, 1)).toDF("vec_id", "embedding", "label"))
+    assert(probeIds(qB) == bruteTopK(
+      updated2.union(Seq((99L, newVec99, 1)).toDF("vec_id", "embedding", "label")),
+      qB, 5))
+    // idempotence: re-upserting the same row changes nothing
+    Ann.upsertIntoIvf(spark, p,
+      Seq((99L, newVec99, 1)).toDF("vec_id", "embedding", "label"))
+    assert(spark.read.parquet(s"$p/lists").filter($"vec_id" === 99L).count() == 1)
+  }
+
   test("ivfSearchFiltered: nprobe=all == exact filtered scan; pushed " +
     "predicate; widenToFill rescues a starved selective filter") {
     val p = java.nio.file.Files

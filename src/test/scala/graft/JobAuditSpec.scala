@@ -90,6 +90,11 @@ class JobAuditSpec extends SparkSpec {
       "cold path = q28 build PLUS the one-time delete-clone write " +
         "(lists + centroids + tombstone append, ~6 jobs); warm runs are " +
         "the q205 probe shape (~5)"),
+    "q215_ivf_upsert" -> (50,
+      "cold path = q28 build PLUS the one-time upsert-clone write and " +
+        "the upsert itself (affected-list discovery, targeted rewrite, " +
+        "append — ~10 bounded jobs); warm runs are the q205 probe " +
+        "shape (~5)"),
     "q174_ivfpq" -> (30,
       "(20) IVF-PQ builder: coarse k-means + per-subspace PQ training, " +
         "all constant-iteration Lloyd; warm (in-JVM cache) runs are ~2"),
