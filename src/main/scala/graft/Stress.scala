@@ -209,6 +209,15 @@ object Stress {
         }
       val sec = (System.nanoTime() - q0) / 1e9
       System.err.println(f"[stress] $name%-24s $sec%8.3f s${if (ok) "" else "  FAILED"}")
+      // shuffle-file hygiene between queries: Spark's ContextCleaner only
+      // deletes a finished query's shuffle directories when the driver
+      // GCs the RDD references, and a large-heap battery session can run
+      // for an hour without a full GC — by which point the ACCUMULATED
+      // shuffle files of every earlier query share one /tmp with the
+      // running one (r16: q97 at docs=1000 died on disk behind q110's +
+      // q119's leftovers; outside the battery it fits). The explicit GC
+      // after each query is battery-only hygiene, not engine code.
+      System.gc()
       (name, sec, ok)
     }
     // Failed queries are excluded from the total and reported separately —
