@@ -32,7 +32,41 @@ object FilteredBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // "gen:rows=2000000,dim=128,centers=64" synthesizes a CLUSTERED
+    // corpus instead of reading one: center c = seeded Gaussian, row =
+    // center[id % centers] + hash-derived noise, label orthogonal to
+    // cluster. The sf testdata's embeddings are near-isotropic (no
+    // semantic clusters), which makes ANY coarse quantizer's low-nprobe
+    // recall ~0 under a filter — real corpora cluster, and this mode
+    // measures the regime IVF exists for.
+    val embPath =
+      if (!sfDir.startsWith("gen:")) s"$sfDir/embeddings.parquet"
+      else {
+        val kv = sfDir.stripPrefix("gen:").split(",")
+          .map(_.split("=")).map(a => a(0) -> a(1).toInt).toMap
+        val (rows, dim, centers) =
+          (kv("rows").toLong, kv("dim"), kv("centers"))
+        val rng = new scala.util.Random(42)
+        val ctrs = Array.fill(centers, dim)(rng.nextGaussian())
+        val ctrLit = array(ctrs.map(c => array(c.map(lit): _*)): _*)
+        val p = s"$work/gen_embeddings.parquet"
+        if (!new java.io.File(p).exists()) {
+          val t0 = System.nanoTime()
+          spark.range(rows)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(dim - 1)), i =>
+                (element_at(element_at(ctrLit,
+                  (col("id") % centers).cast("int") + 1), i + 1) +
+                  (pmod(hash(col("id") * dim + i), lit(1000)).cast("double")
+                    - 500.0) / 2500.0).cast("float")).as("embedding"),
+              pmod(hash(col("id")), lit(10)).cast("int").as("label"))
+            .write.mode("overwrite").parquet(p)
+          System.err.println(f"[fb] generated $rows x $dim, $centers clusters " +
+            f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } else System.err.println(s"[fb] reusing generated corpus at $p")
+        p
+      }
+    val emb = spark.read.parquet(embPath)
     val idxDir = s"$work/ivf"
     if (!new java.io.File(idxDir, "IVF_FORMAT").exists()) {
       val t0 = System.nanoTime()
@@ -67,7 +101,7 @@ object FilteredBench {
       ids(exact()) // warm the scan path once
       val (want, tExact) = time(ids(exact()))
       System.err.println(f"[fb] $label exact filtered scan: $tExact%.3f s, ${want.size} rows")
-      for (nprobe <- Seq(1, 2, 4); widen <- Seq(false, true)) {
+      for (nprobe <- Seq(1, 2, 4, nCentroids); widen <- Seq(false, true)) {
         val (got, t) = time(ids(Ann.ivfSearchFiltered(spark, idxDir, qVec,
           pred, k = k, nprobe = nprobe, widenToFill = widen)))
         val recall =

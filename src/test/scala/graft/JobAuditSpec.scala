@@ -98,6 +98,10 @@ class JobAuditSpec extends SparkSpec {
     "q174_ivfpq" -> (30,
       "(20) IVF-PQ builder: coarse k-means + per-subspace PQ training, " +
         "all constant-iteration Lloyd; warm (in-JVM cache) runs are ~2"),
+    "q211_ivfpq_residual" -> (30,
+      "(24 cold) q174's builder shape with residual coding: coarse " +
+        "k-means + per-subspace PQ over residuals, constant-iteration " +
+        "Lloyd + the codebook collects; warm (in-JVM cache) runs are ~2"),
     "q65_pq_topk" -> (24,
       "(16) PQ codebook training: constant Lloyd iterations per subspace " +
         "+ the trained-books collect for the oracle"),
