@@ -119,5 +119,46 @@ class IndexCycleSpec extends SparkSpec {
     val probeNear = Ann.ivfSearch(served, query, k = 5, nprobe = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(probeNear == brute, s"2-probe $probeNear != brute $brute")
+
+    // 5. MUTATE: STREAMING upserts (two replacements, one moving a row
+    //    across the A/B boundary — the targeted list rewrite + frozen-
+    //    quantizer re-assignment) then a delete; serving must equal
+    //    brute force over the post-mutation corpus, and compaction must
+    //    fold the tombstone without changing results
+    val upInput = MemoryStream[(Long, Seq[Float])](spark)
+    val uq = upInput.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.upsertIntoIvf(spark, path, batch)
+      }
+      .start()
+    try {
+      upInput.addData((0L, vecB(50)), (100L, vecB(51)))
+      uq.processAllAvailable()
+    } finally uq.stop()
+    Ann.deleteFromIvf(spark, path, Seq(10L))
+    val mutated = all.filter(!col("vec_id").isin(0L, 100L, 10L))
+      .unionByName(Seq((0L, vecB(50)), (100L, vecB(51)))
+        .toDF("vec_id", "embedding"))
+    def bruteM(q: Seq[Double]): Seq[Long] = mutated
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col("embedding").cast("array<double>"), array(q.map(lit): _*)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5).select("vec_id").as[Long].collect().toSeq
+    val qB = Seq(0.0, 1.1, 0.0, 0.0)
+    val afterMut = Ann.readIvf(spark, path)
+    def probeM(q: Seq[Double]): Seq[Long] =
+      Ann.ivfSearch(afterMut, q, k = 5, nprobe = afterMut.centers.length)
+        .select("vec_id").as[Long].collect().toSeq
+    assert(probeM(qB) == bruteM(qB), "post-mutation serve != brute force")
+    assert(probeM(query) == bruteM(query))
+    assert(afterMut.assigned.count() == 43) // 44 − 1 deleted
+    Ann.compactIvf(spark, path)
+    val compacted = Ann.readIvf(spark, path)
+    assert(!Files.exists(Paths.get(path, "tombstones")))
+    assert(Ann.ivfSearch(compacted, qB, k = 5,
+      nprobe = compacted.centers.length)
+      .select("vec_id").as[Long].collect().toSeq == bruteM(qB),
+      "compaction changed post-mutation serving")
   }
 }
