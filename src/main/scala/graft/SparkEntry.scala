@@ -2356,13 +2356,17 @@ object SparkEntry {
         round(sqrt(col("n_docs")) /
           sum(sqrt(col("n_docs"))).over(Window.partitionBy()), 6))
 
-  /** Shingle-containment near-dups (Dedup.containmentNearDups): catches
-    * subset duplication (a doc embedded in a larger one) that symmetric
-    * Jaccard dilutes. Same LSH candidate generation as q14; different
-    * verification metric.
+  /** Shingle-containment near-dups via the clone-collapsed entry point
+    * ([[graft.dedup.Dedup.containmentNearDupsCollapsed]] — IDENTICAL
+    * output to the per-id form, DedupSpec-pinned, so the per-id oracle
+    * is unchanged): catches subset duplication (a doc embedded in a
+    * larger one) that symmetric Jaccard dilutes. Same LSH candidate
+    * generation as q14 on distinct texts; clone-pair output
+    * reconstructed closed-form (was 56.3 s of identical-array
+    * intersects at gs100x per-id).
     */
   private def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentNearDups(rdWide(s, dir, "documents"),
+    Dedup.containmentNearDupsCollapsed(rdWide(s, dir, "documents"),
       minContainment = 0.5)
 
   /** Guaranteed-recall containment pairs via the CLONE-GUARDED entry

@@ -206,6 +206,57 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Clone-collapsed [[containmentNearDups]] with IDENTICAL output: a
+    * clone copy carries exactly its representative's bands and shingle
+    * set, so the per-id candidate+verify pass factorizes — LSH and the
+    * intersect verification run on DISTINCT texts only, and the per-id
+    * pair list is reconstructed closed-form (rep pair × both member
+    * lists for inter-group pairs; containment exactly 1.0 for
+    * intra-group pairs, which always band-collide). Verification work
+    * drops from per-pair to per-REP-pair (the gs100x clone replica ran
+    * q75's per-id form at 56.3 s of mostly identical-array intersects);
+    * the expansion is output-sized with no set operations. Intra-group
+    * pairs are emitted unconditionally at 1.0 — which the per-id form
+    * also always keeps, since 1.0 passes every threshold. Parity is
+    * exact at `maxBucketSize = Int.MaxValue` (q75's contract); under a
+    * finite cap the collapsed form reinterprets occupancy over DISTINCT
+    * texts (the q183/q198 cap caveat) and keeps intra-clique pairs a
+    * per-id cap would drop.
+    */
+  def containmentNearDupsCollapsed(docs: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text", n: Int = 3,
+                                   minContainment: Double = 0.0,
+                                   maxBucketSize: Int = Int.MaxValue)
+      : DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val groups = exactDupGroups(docs, idCol, textCol)
+    // (doc_id, keep_id) for every doc — corpus-sized, one hash join
+    val mapping = docs.select(col(idCol), h.as("__h"))
+      .join(groups.select(col("text_hash").as("__h"), col("keep_id")), "__h")
+      .select(col(idCol), col("keep_id"))
+      .localCheckpoint(eager = true) // feeds three joins below
+    val reps = docs.join(groups.select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
+    val repPairs = containmentNearDups(reps, idCol, textCol, n,
+      minContainment, maxBucketSize)
+    // inter-group: every (member of a) × (member of b) pair, the rep
+    // pair's containment verbatim (identical texts ⇒ identical metric)
+    val inter = repPairs
+      .join(mapping.select(col("keep_id").as("doc_a"), col(idCol).as("__ua")), "doc_a")
+      .join(mapping.select(col("keep_id").as("doc_b"), col(idCol).as("__ub")), "doc_b")
+      .select(least(col("__ua"), col("__ub")).as("doc_a"),
+        greatest(col("__ua"), col("__ub")).as("doc_b"),
+        col("containment"))
+    // intra-group: clone copies always share every band; containment 1.0
+    val intra = mapping
+      .join(mapping.select(col("keep_id"), col(idCol).as("__v")), Seq("keep_id"))
+      .filter(col(idCol) < col("__v"))
+      .select(col(idCol).as("doc_a"), col("__v").as("doc_b"),
+        lit(1.0).as("containment"))
+    inter.unionByName(intra)
+  }
+
   /** Containment pairs with GUARANTEED recall — no LSH false negatives.
     * Prefix filtering over a shingle inverted index (the AllPairs/PPJoin
     * family, Bayardo et al. "Scaling Up All Pairs Similarity Search";

@@ -933,4 +933,38 @@ class DedupSpec extends SparkSpec {
     assert(a.forall(_._4 == math.rint((1.0 + 1.0 / math.log(2.0)) * 1e6) / 1e6))
   }
 
+  test("containmentNearDupsCollapsed == per-id form on all-distinct and " +
+    "planted-clone corpora (exact pair-list reconstruction)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_a", "doc_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+      (4L, "totally different words here about unrelated topics entirely now")
+    ).toDF("doc_id", "text")
+    assert(pairs(Dedup.containmentNearDupsCollapsed(distinctDocs, minContainment = 0.5))
+      == pairs(Dedup.containmentNearDups(distinctDocs, minContainment = 0.5)))
+    // clone-heavy, interleaved ids (copies of different groups straddle
+    // each other, exercising the least/greatest normalization): a
+    // 3-clique, a cloned near-dup partner, a singleton
+    val cloneDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi")
+    ).toDF("doc_id", "text")
+    val got = pairs(Dedup.containmentNearDupsCollapsed(cloneDocs, minContainment = 0.5))
+    assert(got == pairs(Dedup.containmentNearDups(cloneDocs, minContainment = 0.5)))
+    // intra-clique pairs all present at exactly 1.0
+    for ((a, b) <- Seq((1L, 5L), (1L, 9L), (5L, 9L), (2L, 7L)))
+      assert(got.contains((a, b, 1.0)), s"missing clone pair ($a,$b)")
+    // at least-one cross pair check rides whatever the bands caught —
+    // the per-id equality above is the contract; this pins the shape
+    assert(got.size >= 4)
+  }
+
 }

@@ -126,6 +126,10 @@ class JobAuditSpec extends SparkSpec {
       "(cold) dup-graph build; warm path is one parquet read"),
     "q14_minhash_pairs" -> (26,
       "(cold) dup-graph build; warm path is one parquet read"),
+    "q75_containment" -> (12,
+      "(9) clone-collapse protocol: the exact-dup-groups pass + the " +
+        "eager mapping checkpoint (read by three expansion joins) ride " +
+        "ahead of the rep-level LSH+verify — constant job shape"),
     "q162_lpa_communities" -> (16,
       "(11) label propagation: fixed round count over the clone-collapsed " +
         "pair graph, one job per round"),
