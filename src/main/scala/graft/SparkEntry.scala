@@ -958,6 +958,34 @@ object SparkEntry {
   private def qFilteredAnn(s: SparkSession, dir: String): DataFrame =
     filteredAnnFrame(s, dir, nprobe = 16)
 
+  /** The BATCHED filtered probe (q212's predicate through
+    * [[graft.search.Ann.ivfSearchBatch]]'s `pred` seam — the serving
+    * shape [[graft.streaming.StreamingSearch.filteredIndexedScan]]
+    * routes), exposed uncollected for PlanAuditSpec: the lists scan
+    * must carry the probe-union PartitionFilters AND the pushed label
+    * predicate simultaneously in the join-bearing batch plan.
+    */
+  private[graft] def filteredBatchProbeFrame(s: SparkSession, dir: String,
+                                             nprobe: Int): DataFrame = {
+    ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
+    val queries = rd(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    Ann.ivfSearchBatch(s, ivfPathFor(s, dir), queries, k = 10,
+      nprobe = nprobe, pred = Some(col("label") === 3))
+  }
+
+  /** Batched filtered-serving gate: three query vectors, each top-10
+    * among `label = 3` rows only, served by the probe-union pruned +
+    * predicate-pushed lists scan at nprobe = 16 (recall 1.0 by
+    * construction). The oracle is q205's exact batched scan over the
+    * label-filtered corpus — the per-query list restriction, the
+    * shared predicate, and the window ranking must compose exactly.
+    */
+  private def qFilteredBatch(s: SparkSession, dir: String): DataFrame =
+    filteredBatchProbeFrame(s, dir, nprobe = 16)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("score"))
+
   /** Centers of the persisted q28 index as probed by the LAST
     * [[qRetrievalQuality]] run (the [[ivfCentersForOracle]] export
     * mechanism — q213's oracle must replay assignment + probe ranking
@@ -5052,6 +5080,7 @@ object SparkEntry {
     "q213_retrieval_quality" -> (qRetrievalQuality _),
     "q214_ivf_delete" -> (qIvfDelete _),
     "q215_ivf_upsert" -> (qIvfUpsert _),
+    "q216_filtered_batch" -> (qFilteredBatch _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7023,6 +7052,19 @@ object SparkEntry {
          | scored AS (SELECT vec_id, label, $CosSql AS score FROM base, qv),
          | topk AS (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10)
          |SELECT vec_id, label, round(score, 6) AS score FROM topk""".stripMargin,
+
+    // batched filtered serving at nprobe = all: q205's exact batched
+    // scan restricted to the label-3 corpus (queries unfiltered)
+    "q216_filtered_batch" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |   WHERE label = 3),
+         | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 3),
+         | scored AS (SELECT query_id, vec_id, $CosSql AS score FROM base, qs),
+         | ranked AS (SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // upsert at nprobe = all: the exact batched scan over the
     // POST-upsert corpus (vec 0's embedding = reverse of vec 1's — a

@@ -83,6 +83,9 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd iterations); " +
         "warm runs pay the query-vector head, the centroids collect, and " +
         "the k-row filtered probe (~4)"),
+    "q216_filtered_batch" -> (40,
+      "rides the same q28 index (cold build); warm runs are the q205 " +
+        "probe shape (~5) with the predicate pushed into the same scan"),
     "q213_retrieval_quality" -> (40,
       "rides the same q28 index (cold build); warm runs pay the batched " +
         "probe's bounded collects plus the exact-panel scan (~6)"),

@@ -351,6 +351,32 @@ class PlanAuditSpec extends SparkSpec {
       s"label predicate not pushed to the scan: $pushed")
   }
 
+  test("q216's batched filtered probe: probe-union pruning AND the " +
+    "pushed label predicate in the join-bearing batch plan") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.filteredBatchProbeFrame(spark, sfDir, nprobe = 2)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over lists/")
+      val static = scans.head.partitionFilters.filterNot(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning => true
+        case _ => false
+      })
+      assert(static.exists(_.references.exists(_.name == "centroid_id")),
+        s"static probe union not in partitionFilters: ${scans.map(_.partitionFilters)}")
+      val selected = scans.head.relation.location.listFiles(static, Nil)
+      assert(selected.size <= 6 && selected.size >= 1,
+        s"expected 1..6 pruned partitions (3 queries × nprobe 2), got ${selected.size}")
+      val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("EqualTo(label,3)"),
+        s"label predicate not pushed to the batched scan: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q214's probe over the tombstoned index: partition pruning " +
     "survives the anti-join's presence in the plan") {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
