@@ -808,6 +808,7 @@ object Ann {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no IVF index at $path (path missing)")
+    recoverIvf(spark, path) // repair any crashed maintenance swap first
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
       s"$path is not an ivf-v2 index (missing $path/centroids — a pre-v2 " +
       "index stored parquet directly at the root; rebuild with writeIvf)")
@@ -1552,23 +1553,124 @@ object Ann {
     ids.toDF(idCol).write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Crash-recovery sweep over the maintenance artifacts of a persisted
+    * IVF index. [[compactIvf]] and [[upsertIntoIvf]] mutate the store
+    * through tmp-write + rename swaps; a crash inside a swap strands a
+    * recoverable artifact that this sweep repairs (ADVICE r16 items
+    * 1–3). Rules, each keyed on an artifact that never exists in a
+    * healthy index:
+    *
+    *  - `lists` missing + `lists.old` present → crash between
+    *    compactIvf's two renames: restore `lists.old` → `lists` (the
+    *    pre-compact lists + the still-present tombstones are a
+    *    consistent state; the compaction simply re-runs).
+    *  - `lists` AND `lists.old` present → swap-in finished, the .old
+    *    delete didn't: drop `lists.old`. (If `tombstones` also
+    *    survived, applying them to the already-compacted lists is a
+    *    semantic no-op — the anti-join removes nothing.)
+    *  - `tombstones` missing + `tombstones.old` present → crash between
+    *    upsertIntoIvf's tombstone renames: restore the .old (the
+    *    conservative superset — the crashed upsert never reached its
+    *    append, so no new row is masked; a retry re-filters).
+    *  - both tombstone dirs present → drop the stale `.old`.
+    *  - a hidden per-list `lists/.centroid_id=N.old` (upsertIntoIvf's
+    *    per-directory swap): if the visible directory exists the
+    *    swap-in completed → drop the .old; if not, the crash hit
+    *    between swap-out and swap-in → restore it, making the list
+    *    visible to probes again.
+    *  - dead `*.tmp` staging dirs → dropped (their writers also clear
+    *    them on entry, but a recovered index shouldn't carry them).
+    *
+    * Same single-maintenance-writer assumption as the mutators; returns
+    * the actions taken (empty on a healthy index) so callers/specs can
+    * observe what was repaired. Called automatically on entry by
+    * [[readIvf]], [[compactIvf]] and [[upsertIntoIvf]].
+    */
+  def recoverIvf(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lists = new Path(root, "lists")
+    val listsOld = new Path(root, "lists.old")
+    if (fs.exists(listsOld)) {
+      if (!fs.exists(lists)) {
+        require(fs.rename(listsOld, lists),
+          s"recoverIvf($path): could not restore lists.old")
+        actions += "restored lists from lists.old"
+      } else {
+        fs.delete(listsOld, true)
+        actions += "dropped stale lists.old"
+      }
+    }
+    val tomb = new Path(root, "tombstones")
+    val tombOld = new Path(root, "tombstones.old")
+    if (fs.exists(tombOld)) {
+      if (!fs.exists(tomb)) {
+        require(fs.rename(tombOld, tomb),
+          s"recoverIvf($path): could not restore tombstones.old")
+        actions += "restored tombstones from tombstones.old"
+      } else {
+        fs.delete(tombOld, true)
+        actions += "dropped stale tombstones.old"
+      }
+    }
+    if (fs.exists(lists)) {
+      val HiddenOld = """\.(centroid_id=\d+)\.old""".r
+      fs.listStatus(lists).foreach { st =>
+        st.getPath.getName match {
+          case HiddenOld(visible) =>
+            val dst = new Path(lists, visible)
+            if (fs.exists(dst)) {
+              fs.delete(st.getPath, true)
+              actions += s"dropped stale hidden $visible.old"
+            } else {
+              require(fs.rename(st.getPath, dst),
+                s"recoverIvf($path): could not restore list $visible")
+              actions += s"restored list $visible from its hidden .old"
+            }
+          case _ => ()
+        }
+      }
+    }
+    for (t <- Seq("lists.compact.tmp", "lists.upsert.tmp",
+                  "tombstones.upsert.tmp")) {
+      val p = new Path(root, t)
+      if (fs.exists(p)) { fs.delete(p, true); actions += s"dropped dead $t" }
+    }
+    actions.toSeq
+  }
+
   /** Fold tombstones into the lists: rewrite the inverted lists minus
     * the deleted ids (same partitioned layout) and drop the tombstone
     * table. Safe to call with no tombstones (no-op). The rewrite goes
     * through a temporary sibling directory + rename so a crash mid-way
     * leaves EITHER the old lists + tombstones (not yet swapped) OR the
-    * new lists (swap done) — never a half-written lists directory being
-    * read by probes.
+    * new lists (swap done, `lists.old` pending delete) — and a crash
+    * landing exactly between the two renames (no visible `lists` at
+    * all) is repaired by [[recoverIvf]] on the next entry to any
+    * maintenance or read path. Refuses to compact an index whose rows
+    * are ALL tombstoned: the rewrite would produce an empty partitioned
+    * parquet directory that subsequent reads cannot infer a schema
+    * from — a fully-deleted index should be removed, not compacted.
     */
   def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                  idCol: String = "vec_id"): Unit = {
+    recoverIvf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = new org.apache.hadoop.fs.Path(root, "tombstones")
     if (!fs.exists(tomb)) return
+    val survivors = listsMinusTombstones(spark, path, idCol)
+    require(!survivors.isEmpty,
+      s"compactIvf($path): every row is tombstoned — compaction would " +
+      "write an unreadable empty lists directory; delete the index " +
+      "directory instead")
     val tmp = new org.apache.hadoop.fs.Path(root, "lists.compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // dead prior attempt
-    listsMinusTombstones(spark, path, idCol)
+    survivors
       .write.partitionBy("centroid_id").mode("overwrite")
       .parquet(tmp.toString)
     val lists = new org.apache.hadoop.fs.Path(root, "lists")
@@ -1597,6 +1699,7 @@ object Ann {
   def upsertIntoIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                     rows: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
+    recoverIvf(spark, path) // repair any crashed prior swap (ADVICE r16)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
@@ -1638,8 +1741,19 @@ object Ann {
       if (live.isEmpty) fs.delete(tomb, true)
       else {
         live.write.mode("overwrite").parquet(tmpT.toString)
-        fs.delete(tomb, true)
-        require(fs.rename(tmpT, tomb), s"upsertIntoIvf($path): tombstone swap failed")
+        // rename-swap, never delete-then-rename: a crash after a bare
+        // delete(tomb) would drop every tombstone for UNRELATED ids,
+        // resurrecting previously deleted vectors (ADVICE r16, medium).
+        // A crash between these renames strands tombstones.old, which
+        // recoverIvf restores (conservative superset — the append below
+        // hasn't happened yet, so no new row gets masked).
+        val oldT = new org.apache.hadoop.fs.Path(root, "tombstones.old")
+        if (fs.exists(oldT)) fs.delete(oldT, true)
+        require(fs.rename(tomb, oldT),
+          s"upsertIntoIvf($path): tombstone swap-out failed")
+        require(fs.rename(tmpT, tomb),
+          s"upsertIntoIvf($path): tombstone swap-in failed")
+        fs.delete(oldT, true)
       }
     }
     appendToIvf(spark, path, rows, vecCol)
@@ -1666,8 +1780,10 @@ object Ann {
     * Two stages, not a loop — O(1) extra jobs, worst case one full
     * filtered scan, which is what a correct answer costs at that point.
     *
-    * Output: (idCol, extraCols…, rank, score) ordered by (score desc,
-    * id asc), rank 1..k, score rounded 6dp after the ordering.
+    * Output: (idCol, extraCols…, score) ordered by (score desc, id
+    * asc), at most k rows, score rounded 6dp after the ordering. (No
+    * rank column — callers wanting one apply `row_number` over the
+    * already-ordered frame; q212's oracle pins this exact schema.)
     */
   def ivfSearchFiltered(spark: org.apache.spark.sql.SparkSession,
                         path: String, queryVec: Seq[Double], pred: Column,

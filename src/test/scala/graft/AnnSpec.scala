@@ -928,6 +928,88 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/lists").filter($"vec_id" === 99L).count() == 1)
   }
 
+  test("recoverIvf: repairs every crash-stranded maintenance artifact " +
+    "(ADVICE r16) and is a no-op on a healthy index") {
+    import org.apache.hadoop.fs.Path
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rec").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    Ann.deleteFromIvf(spark, p, Seq(0L, 13L))
+    val fs = new Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def probe(): Seq[Long] = {
+      graft.plans.AnnTopKRewrite.clearCache()
+      val qdf = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("query_id", "query_vec")
+      Ann.ivfSearchBatch(spark, p, qdf, k = 5, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    val healthy = probe()
+    assert(!healthy.contains(0L), "sanity: tombstoned id excluded")
+    assert(Ann.recoverIvf(spark, p).isEmpty,
+      "recoverIvf acted on a healthy index")
+
+    // 1. compactIvf crash BETWEEN its two renames: lists stranded at
+    //    lists.old, no visible lists at all
+    require(fs.rename(new Path(p, "lists"), new Path(p, "lists.old")))
+    val a1 = Ann.recoverIvf(spark, p)
+    assert(a1 == Seq("restored lists from lists.old"), a1.toString)
+    assert(probe() == healthy, "recovery from stranded lists.old lost data")
+
+    // 2. crash after swap-in but before the .old delete: stale lists.old
+    //    beside a live lists — dropped, lists untouched
+    fs.mkdirs(new Path(p, "lists.old"))
+    assert(Ann.recoverIvf(spark, p) == Seq("dropped stale lists.old"))
+    assert(probe() == healthy)
+
+    // 3. upsert tombstone-swap crash between renames: tombstones
+    //    stranded at tombstones.old — restored (deletes keep masking)
+    require(fs.rename(new Path(p, "tombstones"), new Path(p, "tombstones.old")))
+    assert(Ann.recoverIvf(spark, p) ==
+      Seq("restored tombstones from tombstones.old"))
+    assert(probe() == healthy, "restored tombstones stopped masking")
+
+    // 4. per-list swap crash between swap-out and swap-in: a whole
+    //    inverted list hidden at .centroid_id=N.old — restored, and the
+    //    repair ALSO rides readIvf (the probe path), not just the
+    //    maintenance entries
+    val visible = fs.listStatus(new Path(p, "lists"))
+      .map(_.getPath.getName).filter(_.startsWith("centroid_id=")).sorted
+    val victim = visible.head
+    require(fs.rename(new Path(p, s"lists/$victim"),
+      new Path(p, s"lists/.$victim.old")))
+    Ann.readIvf(spark, p) // entry-point recovery
+    assert(fs.exists(new Path(p, s"lists/$victim")),
+      "readIvf did not restore a hidden per-list .old")
+    assert(probe() == healthy, "hidden-list recovery changed serving")
+
+    // 5. stale hidden .old beside a live list (crash after swap-in) —
+    //    dropped without touching the visible directory
+    fs.mkdirs(new Path(p, s"lists/.$victim.old"))
+    assert(Ann.recoverIvf(spark, p) ==
+      Seq(s"dropped stale hidden $victim.old"))
+    assert(probe() == healthy)
+
+    // 6. dead staging dirs are swept
+    fs.mkdirs(new Path(p, "lists.compact.tmp"))
+    fs.mkdirs(new Path(p, "tombstones.upsert.tmp"))
+    assert(Ann.recoverIvf(spark, p).toSet ==
+      Set("dropped dead lists.compact.tmp", "dropped dead tombstones.upsert.tmp"))
+
+    // 7. the maintenance ops still work end-to-end after all repairs
+    Ann.compactIvf(spark, p)
+    assert(probe() == healthy, "compaction after recovery changed serving")
+
+    // 8. compacting a fully-tombstoned index is refused, not written
+    Ann.deleteFromIvf(spark, p, (0L until 24L).filter(i => i != 0L && i != 13L))
+    val ex = intercept[IllegalArgumentException](Ann.compactIvf(spark, p))
+    assert(ex.getMessage.contains("every row is tombstoned"))
+    assert(fs.exists(new Path(p, "lists")),
+      "refused compaction must leave the lists intact")
+  }
+
   test("ivfSearchFiltered: nprobe=all == exact filtered scan; pushed " +
     "predicate; widenToFill rescues a starved selective filter") {
     val p = java.nio.file.Files
