@@ -1846,6 +1846,60 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q217: SQ8 scalar-quantized search — per-dim min/max affine int8
+    * codes, integer-dot approximate ranking over the whole corpus,
+    * exact-cosine rescore of a 32-row shortlist ([[Ann.sq8TopK]]).
+    * The model trains once per data dir (one MinMaxAgg pass).
+    */
+  private def qSq8Search(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val model = sq8ModelFor(s, dir)
+    sq8ForOracle = model
+    Ann.sq8AffineTopK(emb, model, qVec, k = 5, shortlist = 32)
+  }
+
+  private val sq8Cache = collection.mutable.Map.empty[String, Ann.Sq8Model]
+
+  private def sq8ModelFor(s: SparkSession, dir: String): Ann.Sq8Model =
+    sq8Cache.synchronized {
+      sq8Cache.getOrElseUpdate(dirCacheKey(s, dir, "embeddings"),
+        Ann.sq8Train(rd(s, dir, "embeddings")))
+    }
+
+  @volatile private var sq8ForOracle: Ann.Sq8Model = _
+
+  /** DuckDB replay of the SQ8 path with the trained lo/span injected as
+    * DOUBLE[] literals into BOTH engines: the query AND every corpus
+    * row encode through the identical IEEE operation tree
+    * (⌊(x−lo)·255/span + 0.5⌋ clamped to 0..255 as BIGINT), the
+    * approximate rank is an exact integer dot product, and the
+    * shortlist-32 / exact-cosine rerank replays q174's two-stage cut.
+    */
+  private def sq8OracleSql(m: Ann.Sq8Model): String = {
+    val d = m.lo.length
+    val enc = (v: String) =>
+      s"""[CASE WHEN s[i+1] = 0 THEN 0
+         |  ELSE least(255, greatest(0,
+         |    floor(($v[i+1] - l[i+1]) * 255.0 / s[i+1] + 0.5)::BIGINT))
+         |  END for i in range(0, $d)]""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | mdl(l, s) AS (VALUES ([${m.lo.mkString(", ")}]::DOUBLE[],
+       |   [${m.span.mkString(", ")}]::DOUBLE[])),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | qc AS (SELECT ${enc("q")} AS c FROM qv, mdl),
+       | encd AS (SELECT vec_id, e, ${enc("e")} AS cd FROM base, mdl),
+       | scored AS (SELECT vec_id, e,
+       |   list_sum([cd[i+1] * c[i+1] for i in range(0, $d)])::BIGINT AS ascore
+       |  FROM encd, qc),
+       | short AS (SELECT * FROM scored ORDER BY ascore DESC, vec_id ASC LIMIT 32),
+       | topk AS (SELECT vec_id, ascore, ${cosSqlAB("e", "q")} AS score
+       |  FROM short, qv ORDER BY score DESC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, ascore, round(score, 6) AS score FROM topk""".stripMargin
+  }
+
   /** DuckDB replay of everything downstream of IVF-PQ training: coarse
     * assignment + probe ranking (q28's rules), per-subspace encode + ADC
     * (q65's rules), then the shortlist-32 cut and the exact-cosine
@@ -5081,6 +5135,7 @@ object SparkEntry {
     "q214_ivf_delete" -> (qIvfDelete _),
     "q215_ivf_upsert" -> (qIvfUpsert _),
     "q216_filtered_batch" -> (qFilteredBatch _),
+    "q217_sq8_affine" -> (qSq8Search _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5338,6 +5393,7 @@ object SparkEntry {
       Option(pqDistBooksForOracle).map(b => "q203_pq_distortion" -> pqDistortionOracleSql(b)) ++
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfPqResForOracle).map { case (c, b) => "q211_ivfpq_residual" -> ivfPqResOracleSql(c, b) } ++
+      Option(sq8ForOracle).map(m => "q217_sq8_affine" -> sq8OracleSql(m)) ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(retrievalCentersForOracle)
         .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++

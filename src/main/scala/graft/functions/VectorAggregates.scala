@@ -121,4 +121,67 @@ object VectorAggregates {
     val f = udaf(MomentsAgg)
     (c: Column) => f(c)
   }
+
+  /** Element-wise running min/max accumulator. */
+  final case class MinMaxBuf(var mn: Array[Double], var mx: Array[Double],
+                             var n: Long)
+
+  /** Per-dimension corpus min and max. */
+  final case class VecMinMax(mn: Seq[Double], mx: Seq[Double], n: Long)
+
+  /** Per-dimension min AND max in ONE typed aggregate — the training
+    * statistic for scalar quantization ([[graft.search.Ann.sq8Train]]).
+    * Same scale story as [[CentroidAgg]]/[[MomentsAgg]]: map-side
+    * partials shuffle 2·dim doubles per partition, never exploded rows.
+    */
+  object MinMaxAgg extends Aggregator[Seq[Double], MinMaxBuf, VecMinMax] {
+    override def zero: MinMaxBuf =
+      MinMaxBuf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: MinMaxBuf, a: Seq[Double]): MinMaxBuf = {
+      if (a == null || a.isEmpty) return b
+      if (b.n == 0L && b.mn.isEmpty) {
+        b.mn = Array.fill(a.length)(Double.PositiveInfinity)
+        b.mx = Array.fill(a.length)(Double.NegativeInfinity)
+      }
+      require(b.mn.length == a.length,
+        s"minmax: dimension mismatch (${b.mn.length} vs ${a.length})")
+      var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (x < b.mn(i)) b.mn(i) = x
+        if (x > b.mx(i)) b.mx(i) = x
+        i += 1
+      }
+      b.n += 1
+      b
+    }
+
+    override def merge(x: MinMaxBuf, y: MinMaxBuf): MinMaxBuf = {
+      if (y.n == 0L) return x
+      if (x.n == 0L) return y
+      require(x.mn.length == y.mn.length,
+        s"minmax: dimension mismatch (${x.mn.length} vs ${y.mn.length})")
+      var i = 0
+      while (i < x.mn.length) {
+        if (y.mn(i) < x.mn(i)) x.mn(i) = y.mn(i)
+        if (y.mx(i) > x.mx(i)) x.mx(i) = y.mx(i)
+        i += 1
+      }
+      x.n += y.n
+      x
+    }
+
+    override def finish(b: MinMaxBuf): VecMinMax =
+      VecMinMax(b.mn.toSeq, b.mx.toSeq, b.n)
+
+    override def bufferEncoder: Encoder[MinMaxBuf] = Encoders.product[MinMaxBuf]
+    override def outputEncoder: Encoder[VecMinMax] = Encoders.product[VecMinMax]
+  }
+
+  /** Column form: `minMax($"embedding")` (input array<double>). */
+  val minMax: Column => Column = {
+    val f = udaf(MinMaxAgg)
+    (c: Column) => f(c)
+  }
 }

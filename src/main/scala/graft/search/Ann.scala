@@ -1963,4 +1963,106 @@ object Ann {
         round(col("approx_dist2"), 6).as("approx_dist2"),
         round(col("score"), 6).as("score"))
   }
+
+  // =========================================================================
+  // SQ8 scalar quantization — int8-coded search with exact rescore
+  // (FAISS's ScalarQuantizer QT_8bit layout, public knowledge; the
+  // reference only ships the exact scan, mock_vector_db_api.py:275-282)
+  // =========================================================================
+
+  /** Per-dimension affine SQ8 quantizer: code = clamp₀₂₅₅(⌊(x − lo) ·
+    * 255 / span + 0.5⌋). Training is corpus min/max per dimension; a
+    * degenerate dimension (span 0) codes to 0 everywhere (constant
+    * contribution — rank-neutral). 4 bytes/dim float32 → 1 byte/dim:
+    * a 100 TB float corpus scans as 25 TB of codes, and the ranking
+    * inner loop is integer multiply-adds (SIMD-able, no FP).
+    */
+  final case class Sq8Model(lo: Array[Double], span: Array[Double]) {
+    require(lo.length == span.length, "sq8: lo/span length mismatch")
+    /** Driver-side encode — the SAME arithmetic (and the same IEEE
+      * operation tree) as [[sq8CodesCol]], so a query encodes
+      * identically to the corpus.
+      */
+    def encode(x: Seq[Double]): Array[Long] = {
+      require(x.length == lo.length,
+        s"sq8: dim mismatch (${x.length} vs ${lo.length})")
+      Array.tabulate(x.length) { i =>
+        if (span(i) == 0.0) 0L
+        else {
+          val c = math.floor((x(i) - lo(i)) * 255.0 / span(i) + 0.5).toLong
+          math.min(255L, math.max(0L, c))
+        }
+      }
+    }
+  }
+
+  /** Train an [[Sq8Model]] on the corpus: ONE typed aggregate
+    * ([[graft.functions.VectorAggregates.MinMaxAgg]]) shuffling 2·dim
+    * doubles per partition — never an exploded per-element pass.
+    */
+  def sq8Train(corpus: DataFrame, vecCol: String = "embedding"): Sq8Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mm = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .select(graft.functions.VectorAggregates.MinMaxAgg.toColumn)
+      .head()
+    require(mm.n > 0, "sq8Train: empty corpus")
+    Sq8Model(mm.mn.toArray,
+      mm.mn.zip(mm.mx).map { case (a, b) => b - a }.toArray)
+  }
+
+  /** The code array as a Column (array<bigint>, values 0..255) — pure
+    * built-in zip_with/floor arithmetic, so encoding stays inside
+    * whole-stage codegen and replays bit-identically in the DuckDB
+    * oracle (identical double operation tree, then integer clamp).
+    */
+  def sq8CodesCol(model: Sq8Model, vecCol: String = "embedding"): Column = {
+    val lo = array(model.lo.map(lit): _*)
+    val sp = array(model.span.map(lit): _*)
+    val shifted = zip_with(col(vecCol).cast("array<double>"), lo,
+      (x, l) => x - l)
+    zip_with(shifted, sp, (d, s) =>
+      when(s === 0.0, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor(d * lit(255.0) / s + lit(0.5))))))
+  }
+
+  /** AFFINE-SQ8 two-stage top-k — the TRAINED counterpart of the
+    * untrained per-vector symmetric [[sq8TopK]] (q114): rank the WHOLE
+    * corpus by the integer dot product of its codes against the
+    * pre-encoded query codes (exact 64-bit arithmetic —
+    * hash-replayable), keep a `shortlist`, rescore ONLY the shortlist
+    * with exact float cosine, return top-k.
+    *
+    * Plan shape: one corpus scan → codegen'd encode + int dot →
+    * TakeOrderedAndProject(shortlist) → driver-sized exact rescore.
+    * The scan carries no shuffle; at scale the codes column would be
+    * PRE-computed at ingest (see [[sq8CodesCol]]) so the scan reads
+    * 1 byte/dim instead of 4. Output: (idCol, ascore, score) by
+    * (score desc, id asc), score rounded 6dp.
+    */
+  def sq8AffineTopK(corpus: DataFrame, model: Sq8Model, queryVec: Seq[Double],
+                    k: Int = 5, shortlist: Int = 32,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    val qc = model.encode(queryVec)
+    val qcArr = array(qc.map(lit): _*)
+    val ascore = aggregate(
+      zip_with(sq8CodesCol(model, vecCol), qcArr, (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val q = array(queryVec.map(lit): _*)
+    corpus
+      .withColumn("ascore", ascore)
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(shortlist)
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("ascore"),
+        round(col("score"), 6).as("score"))
+  }
 }

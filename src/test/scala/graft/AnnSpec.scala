@@ -352,6 +352,50 @@ class AnnSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L, 3L, 4L), s"got $got")
   }
 
+  test("sq8AffineTopK: full-corpus shortlist equals the exact scan; " +
+    "column and driver encodes agree; degenerate dims code to 0") {
+    val rnd = new scala.util.Random(7)
+    // dim 0 constant (span 0), the rest gaussian — the degenerate dim
+    // must quantize to 0 everywhere without poisoning the ranking
+    val data = (0L until 40L).map(i =>
+      (i, 3.5f +: Seq.fill(15)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Ann.sq8Train(data)
+    assert(model.span(0) == 0.0, "constant dim should have span 0")
+    val qVec = data.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    // shortlist = corpus → rescore sees everything → exact by construction
+    val got = Ann.sq8AffineTopK(data, model, qVec, k = 5, shortlist = 40)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    val exact = Search.topK(
+        data.select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+        qVec, k = 5, threshold = -2.0)
+      .select($"vec_id", round($"score", 6)).as[(Long, Double)].collect().toSeq
+    assert(got == exact, s"got=$got exact=$exact")
+    assert(got.head._1 == 0L && math.abs(got.head._2 - 1.0) < 1e-9)
+    // the Column encode and the driver encode are the same arithmetic
+    val colCodes = data.filter($"vec_id" === 0)
+      .select(Ann.sq8CodesCol(model).as("c")).head().getSeq[Long](0)
+    assert(colCodes == model.encode(qVec).toSeq,
+      "sq8CodesCol and Sq8Model.encode disagree")
+    assert(colCodes.head == 0L, "degenerate dim must code to 0")
+    assert(colCodes.forall(c => c >= 0L && c <= 255L))
+  }
+
+  test("sq8Affine stage-1 int-dot pruning finds the exact top-k on " +
+    "separated clusters with a tight shortlist") {
+    val rnd = new scala.util.Random(11)
+    def near(base: Double) = Seq.fill(8)((base + rnd.nextGaussian() * 0.01).toFloat)
+    val data = ((0L until 5L).map(i => (i, near(1.0))) ++
+      (10L until 30L).map(i => (i, near(-1.0)))).toDF("vec_id", "embedding")
+    val model = Ann.sq8Train(data)
+    val qVec = data.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val got = Ann.sq8AffineTopK(data, model, qVec, k = 5, shortlist = 6)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L, 3L, 4L), s"got $got")
+  }
+
   test("rebalanceIvf splits over-full lists; corpus preserved; probes still exact") {
     // one tight cluster of 12 near (1,0), one of 3 near (0,1): k=2 puts
     // 12 members in one list — cap 8 forces a bisection of that list
