@@ -1846,6 +1846,22 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q218: Z-order layout audit over orders (o_custkey × order day) —
+    * Morton-interleaved bucketing vs a linear o_custkey sort, cut into
+    * 64 simulated files, zone-map skipping counted for the middle-
+    * decile box query on both dims ([[graft.sources.Layout]]). The
+    * all-integer audit that justifies re-clustering a 100 TB table.
+    */
+  private def qZorderAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = rd(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("a"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .cast("long").as("b"))
+    graft.sources.Layout.skippingAudit(base, "a", "b", "k",
+      bits = 8, nFiles = 64)
+  }
+
   /** q217: SQ8 scalar-quantized search — per-dim min/max affine int8
     * codes, integer-dot approximate ranking over the whole corpus,
     * exact-cosine rescore of a 32-row shortlist ([[Ann.sq8TopK]]).
@@ -5136,6 +5152,7 @@ object SparkEntry {
     "q215_ivf_upsert" -> (qIvfUpsert _),
     "q216_filtered_batch" -> (qFilteredBatch _),
     "q217_sq8_affine" -> (qSq8Search _),
+    "q218_zorder_audit" -> (qZorderAudit _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7187,6 +7204,50 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id::BIGINT AS query_id, vec_id, rank, round(score, 6) AS score
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Z-order audit replay: same integer bucketing (// = Spark's div),
+    // the same Morton interleave unrolled as shift/mask bit ops, exact
+    // row_number ranks with the o_orderkey tie-break, 64 equal file
+    // ranges, zone-map disjointness against the middle-decile box
+    "q218_zorder_audit" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_custkey::BIGINT AS a,
+         |    datediff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS b
+         |  FROM orders),
+         | st AS (SELECT min(a) AS la, max(a) AS ha, min(b) AS lb,
+         |    max(b) AS hb, count(*) AS n FROM base),
+         | bk AS (SELECT k, a, b,
+         |    least(255, ((a - la) * 256) // (ha - la + 1)) AS za,
+         |    least(255, ((b - lb) * 256) // (hb - lb + 1)) AS zb,
+         |    n, la, ha, lb, hb
+         |  FROM base, st),
+         | enc AS (SELECT *, ${(0 until 8).map(i =>
+             s"((((za >> $i) & 1) << ${2 * i}) | (((zb >> $i) & 1) << ${2 * i + 1}))")
+             .mkString(" | ")} AS zv FROM bk),
+         | assigned AS (
+         |   SELECT 'zorder' AS layout, a, b, n, la, ha, lb, hb,
+         |     row_number() OVER (ORDER BY zv ASC, k ASC) AS rn FROM enc
+         |   UNION ALL
+         |   SELECT 'linear' AS layout, a, b, n, la, ha, lb, hb,
+         |     row_number() OVER (ORDER BY a ASC, k ASC) AS rn FROM bk),
+         | files AS (SELECT layout, ((rn - 1) * 64) // n AS fid,
+         |    min(a) AS fla, max(a) AS fha, min(b) AS flb, max(b) AS fhb,
+         |    count(*) AS rows_, any_value(la) AS la, any_value(ha) AS ha,
+         |    any_value(lb) AS lb, any_value(hb) AS hb
+         |  FROM assigned GROUP BY 1, 2),
+         | boxes(box, alo, ahi, blo, bhi) AS (VALUES
+         |   ('a_mid', 45, 55, 0, 100),
+         |   ('b_mid', 0, 100, 45, 55),
+         |   ('ab_mid', 45, 55, 45, 55)),
+         | flagged AS (SELECT layout, box, rows_,
+         |    (fha < la + ((ha - la) * alo) // 100
+         |     OR fla > la + ((ha - la) * ahi) // 100
+         |     OR fhb < lb + ((hb - lb) * blo) // 100
+         |     OR flb > lb + ((hb - lb) * bhi) // 100) AS skip
+         |  FROM files, boxes)
+         |SELECT layout, box, count(*) AS files_total,
+         |  sum(CASE WHEN skip THEN 1 ELSE 0 END)::BIGINT AS files_skipped,
+         |  sum(CASE WHEN skip THEN 0 ELSE rows_ END)::BIGINT AS rows_scanned
+         |FROM flagged GROUP BY layout, box ORDER BY layout, box""".stripMargin,
 
     // q42's bucket rule + q121's 13-token-window h60 phrasing; the train
     // gram set is DISTINCT so the presence check is an IN, and sub-13-
