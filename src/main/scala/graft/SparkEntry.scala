@@ -1846,6 +1846,28 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q219: salted skew join ([[graft.ops.Skew.saltedJoinAuto]]) —
+    * documents enriched with their source dimension row through the
+    * hot-key-salted join (every source is heavy at threshold 100, so
+    * each key's rows fan out across 8 sub-keys), then an integer
+    * above-source-average audit. The oracle replays the PLAIN join:
+    * identical output is the operator's contract.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val dim = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs_src"),
+      sum(col("n_chars")).as("chars_src"))
+    graft.ops.Skew.saltedJoinAuto(docs, dim, "source",
+        heavyThreshold = 100L, salt = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_docs_src")).as("n_docs_src"),
+        sum(when(col("n_chars") * col("n_docs_src") > col("chars_src"), 1L)
+          .otherwise(0L)).as("n_above_avg"))
+      .orderBy(col("source"))
+  }
+
   /** q218: Z-order layout audit over orders (o_custkey × order day) —
     * Morton-interleaved bucketing vs a linear o_custkey sort, cut into
     * 64 simulated files, zone-map skipping counted for the middle-
@@ -5153,6 +5175,7 @@ object SparkEntry {
     "q216_filtered_batch" -> (qFilteredBatch _),
     "q217_sq8_affine" -> (qSq8Search _),
     "q218_zorder_audit" -> (qZorderAudit _),
+    "q219_salted_join" -> (qSaltedJoin _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7248,6 +7271,19 @@ object SparkEntry {
          |  sum(CASE WHEN skip THEN 1 ELSE 0 END)::BIGINT AS files_skipped,
          |  sum(CASE WHEN skip THEN 0 ELSE rows_ END)::BIGINT AS rows_scanned
          |FROM flagged GROUP BY layout, box ORDER BY layout, box""".stripMargin,
+
+    // plain-join replay: the salted join's contract is output identity
+    // with the unsalted phrasing, so the oracle IS the unsalted join
+    "q219_salted_join" ->
+      s"""WITH dim AS (SELECT source, count(*) AS n_docs_src,
+         |    sum(n_chars)::BIGINT AS chars_src
+         |  FROM documents GROUP BY 1),
+         | j AS (SELECT d.source, d.n_chars, m.n_docs_src, m.chars_src
+         |  FROM documents d JOIN dim m USING (source))
+         |SELECT source, count(*) AS n_docs, max(n_docs_src) AS n_docs_src,
+         |  sum(CASE WHEN n_chars * n_docs_src > chars_src THEN 1 ELSE 0
+         |    END)::BIGINT AS n_above_avg
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // q42's bucket rule + q121's 13-token-window h60 phrasing; the train
     // gram set is DISTINCT so the presence check is an IN, and sub-13-
