@@ -1846,6 +1846,21 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q220: late-interaction MaxSim retrieval
+    * ([[Search.maxSimTopK]]) — multi-vector documents (8 consecutive
+    * embeddings per synthetic doc), a 3-token query bag, score =
+    * Σ_q max_v cos. One scan, per-token partial maxes, no join.
+    */
+  private def qMaxSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    Search.maxSimTopK(emb.withColumn("doc_id", expr("vec_id div 8")),
+      qs, k = 5)
+  }
+
   /** q219: salted skew join ([[graft.ops.Skew.saltedJoinAuto]]) —
     * documents enriched with their source dimension row through the
     * hot-key-salted join (every source is heavy at threshold 100, so
@@ -5176,6 +5191,7 @@ object SparkEntry {
     "q217_sq8_affine" -> (qSq8Search _),
     "q218_zorder_audit" -> (qZorderAudit _),
     "q219_salted_join" -> (qSaltedJoin _),
+    "q220_maxsim" -> (qMaxSim _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7284,6 +7300,22 @@ object SparkEntry {
          |  sum(CASE WHEN n_chars * n_docs_src > chars_src THEN 1 ELSE 0
          |    END)::BIGINT AS n_above_avg
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // MaxSim replay: per-token maxes are order-free; the sum folds in
+    // the fixed token order on both engines ((m0 + m1) + m2)
+    "q220_maxsim" ->
+      s"""WITH base AS (SELECT vec_id, vec_id // 8 AS doc_id,
+         |    embedding::DOUBLE[] AS e FROM embeddings),
+         | t0 AS (SELECT embedding::DOUBLE[] AS q0v FROM embeddings WHERE vec_id = 0),
+         | t1 AS (SELECT embedding::DOUBLE[] AS q1v FROM embeddings WHERE vec_id = 1),
+         | t2 AS (SELECT embedding::DOUBLE[] AS q2v FROM embeddings WHERE vec_id = 2),
+         | m AS (SELECT doc_id, count(*) AS n_vecs,
+         |    max(${cosSqlAB("e", "q0v")}) AS m0,
+         |    max(${cosSqlAB("e", "q1v")}) AS m1,
+         |    max(${cosSqlAB("e", "q2v")}) AS m2
+         |  FROM base, t0, t1, t2 GROUP BY doc_id)
+         |SELECT doc_id, n_vecs, round(m0 + m1 + m2, 6) AS score
+         |FROM m ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
 
     // q42's bucket rule + q121's 13-token-window h60 phrasing; the train
     // gram set is DISTINCT so the presence check is an IN, and sub-13-

@@ -327,4 +327,52 @@ object Search {
       .select(col("rank"), col(idCol),
         round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
   }
+
+  /** Late-interaction (MaxSim) top-k — ColBERT's scoring rule
+    * (Khattab & Zaharia 2020, public knowledge) over a MULTI-VECTOR
+    * corpus: each document is a bag of token vectors (one corpus row
+    * per vector, `docCol` groups them), each query a small driver-side
+    * bag, and score(doc) = Σ_q max_{v∈doc} cos(q, v) — every query
+    * token finds its best-matching document token, no pooling loss.
+    * This is the retrieval family single-vector cosine cannot express:
+    * q01's pooled score collapses a document to one point; MaxSim keeps
+    * per-token alignment (the quality/cost midpoint between bi-encoder
+    * and cross-encoder reranking).
+    *
+    * Scale shape: the query bag ships as |Q| literal arrays, so the
+    * plan is ONE corpus scan computing |Q| codegen'd cosines per row,
+    * a partial-max hash aggregate per (doc) — map-side combine reduces
+    * the shuffle to |docs| × |Q| doubles — and a
+    * TakeOrderedAndProject over the doc frame. No join, no corpus
+    * shuffle. Float discipline: per-token maxes are order-independent;
+    * the final sum folds left over the FIXED token order (a literal
+    * expression tree), so the score replays bit-identically.
+    *
+    * Output: (docCol, n_vecs, score) by (score desc, doc asc), score
+    * rounded 6dp after ordering.
+    */
+  def maxSimTopK(corpus: DataFrame, queryVecs: Seq[Seq[Double]],
+                 k: Int = 5, docCol: String = "doc_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(queryVecs.nonEmpty, "need at least one query token vector")
+    require(queryVecs.map(_.length).distinct.size == 1,
+      "query token vectors must share one dimension")
+    require(k > 0, s"k must be > 0, got $k")
+    val cosCols = queryVecs.zipWithIndex.map { case (q, i) =>
+      CosineSimilarity(col(vecCol).cast("array<double>"),
+        array(q.map(lit): _*)).as(s"__c$i")
+    }
+    val maxAggs = queryVecs.indices.map(i =>
+      max(col(s"__c$i")).as(s"__m$i"))
+    val score = queryVecs.indices.map(i => col(s"__m$i")).reduce(_ + _)
+    corpus
+      .select(col(docCol) +: cosCols: _*)
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_vecs"), maxAggs: _*)
+      .withColumn("__score", score)
+      .orderBy(col("__score").desc, col(docCol).asc)
+      .limit(k)
+      .select(col(docCol), col("n_vecs"),
+        round(col("__score"), 6).as("score"))
+  }
 }

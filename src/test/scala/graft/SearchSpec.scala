@@ -159,4 +159,48 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.mmrTopK(corpus, Seq(1.0, 0.0), k = 1, lambda = 1.5))
   }
+
+  test("maxSimTopK: hand-computed MaxSim on orthogonal token bags; " +
+    "per-token alignment beats pooling") {
+    // doc 0 holds exactly the two query directions (MaxSim 2.0);
+    // doc 1 matches one token (1.0); doc 2 matches none (0.0);
+    // doc 3 holds BOTH query directions mixed into one pooled-ish
+    // vector — each token maxes at cos 1/sqrt(2), total sqrt(2)
+    val multi = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (0L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f, 0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val q = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val got = Search.maxSimTopK(multi, q, k = 4)
+      .select($"doc_id", $"n_vecs", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 3L, 1L, 2L), s"order wrong: $got")
+    assert(got.map(_._2) == Seq(2L, 2L, 2L, 2L))
+    val scores = got.map(_._3)
+    assert(scores(0) == 2.0 && scores(2) == 1.0 && scores(3) == 0.0)
+    assert(math.abs(scores(1) - math.sqrt(2.0)) < 1e-6,
+      s"mixed-vector doc should score sqrt(2), got ${scores(1)}")
+    // the pooled single-vector phrasing CANNOT distinguish doc 0 from
+    // doc 3 (their vector sums are identical) — MaxSim does
+    assert(scores(0) > scores(1))
+  }
+
+  test("maxSimTopK: single-token query reduces to best-vector-per-doc; " +
+    "parameter validation") {
+    val multi = Seq(
+      (0L, Seq(1.0f, 0.0f)), (0L, Seq(0.6f, 0.8f)),
+      (1L, Seq(0.0f, 1.0f)), (1L, Seq(0.8f, 0.6f)))
+      .toDF("doc_id", "embedding")
+    val got = Search.maxSimTopK(multi, Seq(Seq(1.0, 0.0)), k = 2)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1.0), (1L, 0.8)), s"got $got")
+    intercept[IllegalArgumentException](
+      Search.maxSimTopK(multi, Seq.empty, k = 1))
+    intercept[IllegalArgumentException](
+      Search.maxSimTopK(multi, Seq(Seq(1.0), Seq(1.0, 0.0)), k = 1))
+    intercept[IllegalArgumentException](
+      Search.maxSimTopK(multi, Seq(Seq(1.0, 0.0)), k = 0))
+  }
 }
