@@ -1846,6 +1846,66 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q221: margin-adaptive IVF probing
+    * ([[graft.search.Ann.ivfSearchAdaptive]]) over the persisted q28
+    * index — each query probes the centroids within 0.2 (6dp-rounded
+    * cosine) of its best centroid, clamped to 8; easy queries pay one
+    * list, boundary queries widen. Oracle replays center ranking,
+    * margin membership, assignment, and the windowed top-k.
+    */
+  private def qAdaptiveProbe(s: SparkSession, dir: String): DataFrame = {
+    adaptiveCentersForOracle = ivfIndexFor(s, dir).centers
+    val queries = rd(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    Ann.ivfSearchAdaptive(s, ivfPathFor(s, dir), queries, k = 10,
+      margin = 0.2, maxProbe = 8)
+  }
+
+  @volatile private var adaptiveCentersForOracle: Array[Array[Double]] = _
+
+  /** DuckDB replay of the adaptive probe: center cosines ranked raw
+    * (ivfSearch's rule), the margin test on 6dp-ROUNDED scores against
+    * the rank-1 center, maxProbe clamp BEFORE the margin filter (the
+    * Spark slice-then-filter order), q28's argmin assignment, then the
+    * per-query windowed top-k over exactly the probed lists.
+    */
+  private def adaptiveOracleSql(centers: Array[Array[Double]]): String = {
+    val d = centers(0).length
+    val rows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+       |   FROM embeddings WHERE vec_id < 4),
+       | ctr(cid, c) AS (VALUES ${rows.mkString(",\n   ")}),
+       | cs AS (SELECT query_id, cid, round(${cosSqlAB("c", "q")}, 6) AS cscore,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC) AS prank
+       |   FROM ctr, qs),
+       | probes AS (SELECT query_id, cid FROM cs
+       |   JOIN (SELECT query_id, cscore AS bscore FROM cs WHERE prank = 1) b
+       |     USING (query_id)
+       |  WHERE prank <= 8 AND cscore >= bscore - 0.2),
+       | np AS (SELECT query_id, count(*) AS n_probes FROM probes GROUP BY 1),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | scored AS (SELECT p.query_id, a.vec_id, a.cid AS centroid_id,
+       |    ${cosSqlAB("a.e", "q.q")} AS score
+       |   FROM assign a JOIN probes p ON p.cid = a.cid
+       |   JOIN qs q ON q.query_id = p.query_id),
+       | rk AS (SELECT query_id, vec_id, centroid_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+       |SELECT r.query_id, r.vec_id, r.centroid_id, np.n_probes, r.rank,
+       | round(r.score, 6) AS score
+       |FROM rk r JOIN np USING (query_id) WHERE r.rank <= 10""".stripMargin
+  }
+
   /** q220: late-interaction MaxSim retrieval
     * ([[Search.maxSimTopK]]) — multi-vector documents (8 consecutive
     * embeddings per synthetic doc), a 3-token query bag, score =
@@ -5192,6 +5252,7 @@ object SparkEntry {
     "q218_zorder_audit" -> (qZorderAudit _),
     "q219_salted_join" -> (qSaltedJoin _),
     "q220_maxsim" -> (qMaxSim _),
+    "q221_adaptive_probe" -> (qAdaptiveProbe _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5450,6 +5511,8 @@ object SparkEntry {
       Option(ivfPqForOracle).map { case (c, b) => "q174_ivfpq" -> ivfPqOracleSql(c, b) } ++
       Option(ivfPqResForOracle).map { case (c, b) => "q211_ivfpq_residual" -> ivfPqResOracleSql(c, b) } ++
       Option(sq8ForOracle).map(m => "q217_sq8_affine" -> sq8OracleSql(m)) ++
+      Option(adaptiveCentersForOracle)
+        .map(c => "q221_adaptive_probe" -> adaptiveOracleSql(c)) ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(retrievalCentersForOracle)
         .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++

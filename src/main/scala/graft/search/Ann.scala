@@ -1503,6 +1503,77 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** MARGIN-ADAPTIVE batched IVF probe: instead of a fixed nprobe,
+    * each query probes exactly the centroids whose (6dp-rounded)
+    * cosine is within `margin` of its best centroid, clamped to
+    * `maxProbe` — the query-adaptive serving policy (cf. FAISS/SPANN
+    * adaptive-probing discussions, public knowledge). An easy query
+    * (one dominant centroid) pays 1 list; an ambiguous query near a
+    * Voronoi boundary automatically widens. At a fixed recall target
+    * this probes strictly fewer lists than the fixed-nprobe worst case
+    * — the knob that matters when the p50 query is easy and the p99
+    * is not.
+    *
+    * Same plan discipline as [[ivfSearchBatch]] (map-side probe
+    * ranking over center literals, probe-union static partition
+    * pruning, broadcast-gated probe join, window top-k); the margin
+    * test runs on 6dp-ROUNDED scores so the probe-set membership
+    * replays deterministically in the oracle. Output adds `n_probes`
+    * (that query's probe count): (queryIdCol, idCol, centroid_id,
+    * n_probes, rank, score).
+    */
+  def ivfSearchAdaptive(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, k: Int = 5,
+                        margin: Double = 0.05, maxProbe: Int = 8,
+                        queryIdCol: String = "query_id",
+                        queryVecCol: String = "query_vec",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxBroadcastQueries: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(margin >= 0.0, s"margin must be >= 0, got $margin")
+    require(maxProbe > 0, s"maxProbe must be >= 1, got $maxProbe")
+    val centers = readIvf(spark, path).centers
+    val qv = asDouble(col(queryVecCol))
+    val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+      struct((-CosineSimilarity(qv, array(c.map(lit).toSeq: _*))).as("ns"),
+        lit(i).as("cid"))
+    }.toSeq: _*))
+    // clamp to the maxProbe best first (row-local, bounded), then keep
+    // those within margin of the best — the first element always
+    // qualifies, so every query probes >= 1 list
+    val clamped = slice(ranked, 1, math.min(maxProbe, centers.length))
+    val probeArr = transform(
+      filter(clamped, p => round(-p.getField("ns"), 6) >=
+        round(-element_at(ranked, 1).getField("ns"), 6) - lit(margin)),
+      p => p.getField("cid"))
+    val probes = queries.select(col(queryIdCol), qv.as("__qv"),
+        size(probeArr).cast("long").as("n_probes"),
+        explode(probeArr).as("centroid_id"))
+      .localCheckpoint(false) // one evaluation: pruning literal == join side
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = listsMinusTombstones(spark, path, idCol)
+      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    val probeRowCap = math.min(Int.MaxValue.toLong - 1,
+      maxBroadcastQueries.toLong * math.min(maxProbe, centers.length)).toInt
+    val probeSide =
+      if (probes.limit(probeRowCap + 1).count() <= probeRowCap)
+        broadcast(probes)
+      else probes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    lists.join(probeSide, Seq("centroid_id"))
+      .withColumn("score", CosineSimilarity(col(vecCol), col("__qv")))
+      .select(col(queryIdCol), col(idCol), col("centroid_id"),
+        col("n_probes"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("centroid_id"),
+        col("n_probes"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   // =========================================================================
   // Filtered search + delete-by-id on the persisted IVF layout — the two
   // remaining table-stakes vector-store operations (every production

@@ -1054,6 +1054,41 @@ class AnnSpec extends SparkSpec {
       "refused compaction must leave the lists intact")
   }
 
+  test("ivfSearchAdaptive: an easy query probes one list, a boundary " +
+    "query widens and matches brute force; maxProbe clamps") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_adapt").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    // query 0 sits on cluster A's axis (easy); query 1 on the exact
+    // A/B diagonal (Voronoi boundary — ambiguous)
+    val queries = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 0.0, 0.0))).toDF("query_id", "query_vec")
+    val got = Ann.ivfSearchAdaptive(spark, p, queries, k = 5,
+      margin = 0.2, maxProbe = 2)
+      .select($"query_id", $"vec_id", $"n_probes", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ(0L).head._3 == 1L, s"easy query should probe 1 list: $got")
+    assert(byQ(1L).head._3 == 2L, s"boundary query should widen: $got")
+    // the widened query probed EVERY list -> exact by construction
+    val exact1 = bruteTopK(corp, Seq(1.0, 1.0, 0.0, 0.0), 5)
+    assert(byQ(1L).sortBy(_._4).map(_._2) == exact1,
+      "boundary query != brute force despite full probe")
+    // margin 0 degenerates to nprobe=1 for every query
+    val tight = Ann.ivfSearchAdaptive(spark, p, queries, k = 5,
+      margin = 0.0, maxProbe = 2)
+      .select($"n_probes").distinct().as[Long].collect().toSeq
+    assert(tight == Seq(1L), s"margin 0 must probe exactly 1: $tight")
+    // validation
+    intercept[IllegalArgumentException](
+      Ann.ivfSearchAdaptive(spark, p, queries, k = 0))
+    intercept[IllegalArgumentException](
+      Ann.ivfSearchAdaptive(spark, p, queries, margin = -0.1))
+  }
+
   test("ivfSearchFiltered: nprobe=all == exact filtered scan; pushed " +
     "predicate; widenToFill rescues a starved selective filter") {
     val p = java.nio.file.Files
