@@ -1846,6 +1846,98 @@ object SparkEntry {
        | round(score, 6) AS score FROM topk""".stripMargin
   }
 
+  /** q222: IVF-SQ8 — the compressed-at-rest index layout
+    * ([[graft.search.Ann.sq8AugmentIvf]] + [[Ann.ivfSq8Search]]): the
+    * persisted lists carry an int8 code column, the ranking probe
+    * projects (id, centroid_id, codes) so the float vectors never
+    * leave disk (columnar projection = 4× less scan), and only the
+    * 32-row shortlist's floats are fetched for the exact rescore.
+    * Own index path: augmenting the shared q28 index mid-process would
+    * invalidate its cached scan frames (the swapped-out files vanish).
+    */
+  private def qIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfSq8IndexFor(s, dir)
+    ivfSq8ForOracle = (Ann.readIvf(s, path).centers, Ann.readSq8Model(s, path))
+    val qVec = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    sq8QueryVecForOracle = qVec
+    Ann.ivfSq8Search(s, path, qVec, k = 5, nprobe = 2, shortlist = 32)
+  }
+
+  @volatile private var sq8QueryVecForOracle: Seq[Double] = _
+
+  /** Build-once seam for q222: a dedicated IVF index (q28's training
+    * recipe) augmented with SQ8 codes, persisted per data dir.
+    */
+  private def ivfSq8IndexFor(s: SparkSession, dir: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfsq8-" +
+      dirCacheKey(s, dir, "embeddings")
+    ivfSq8Built.synchronized {
+      if (!ivfSq8Built.contains(path)) {
+        val marker = new org.apache.hadoop.fs.Path(path, "sq8_model")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val t0 = System.nanoTime()
+          Ann.writeIvf(Ann.buildIvf(rd(s, dir, "embeddings"),
+            nCentroids = 16, seed = 42L, maxIter = 4, initMode = "random"),
+            path)
+          Ann.sq8AugmentIvf(s, path, sq8ModelFor(s, dir))
+          System.err.println(
+            f"[graft] q222 IVF-SQ8 build+augment ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        ivfSq8Built += path
+      }
+    }
+    path
+  }
+
+  private val ivfSq8Built = collection.mutable.Set.empty[String]
+
+  @volatile private var ivfSq8ForOracle
+    : (Array[Array[Double]], Ann.Sq8Model) = _
+
+  /** DuckDB replay of the IVF-SQ8 probe: q28's argmin assignment and
+    * probe ranking, q217's encode tree on the probed rows (lo/span
+    * literals), the exact-integer code dot against the DRIVER-encoded
+    * query literal, the shortlist-32 cut, and the exact-cosine rerank.
+    */
+  private def ivfSq8OracleSql(centers: Array[Array[Double]],
+                              m: Ann.Sq8Model, qc: Array[Long]): String = {
+    val d = centers(0).length
+    val crows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | ctr(cid, c) AS (VALUES ${crows.mkString(",\n   ")}),
+       | mdl(l, s) AS (VALUES ([${m.lo.mkString(", ")}]::DOUBLE[],
+       |   [${m.span.mkString(", ")}]::DOUBLE[])),
+       | qc(cq) AS (VALUES ([${qc.mkString(", ")}]::BIGINT[])),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | probes AS (SELECT cid FROM ctr, qv
+       |   ORDER BY ${cosSqlAB("c", "q")} DESC, cid ASC LIMIT 2),
+       | enc AS (SELECT a.vec_id, a.cid, a.e,
+       |    [CASE WHEN s[i+1] = 0 THEN 0
+       |      ELSE least(255, greatest(0,
+       |        floor((a.e[i+1] - l[i+1]) * 255.0 / s[i+1] + 0.5)::BIGINT))
+       |      END for i in range(0, $d)] AS cd
+       |   FROM assign a JOIN probes p ON p.cid = a.cid, mdl),
+       | scored AS (SELECT vec_id, cid, e,
+       |    list_sum([cd[i+1] * cq[i+1] for i in range(0, $d)])::BIGINT AS ascore
+       |   FROM enc, qc),
+       | short AS (SELECT * FROM scored ORDER BY ascore DESC, vec_id ASC LIMIT 32),
+       | topk AS (SELECT vec_id, cid AS centroid_id, ascore,
+       |    ${cosSqlAB("e", "q")} AS score
+       |   FROM short, qv ORDER BY score DESC, vec_id ASC LIMIT 5)
+       |SELECT vec_id, centroid_id, ascore, round(score, 6) AS score
+       |FROM topk""".stripMargin
+  }
+
   /** q221: margin-adaptive IVF probing
     * ([[graft.search.Ann.ivfSearchAdaptive]]) over the persisted q28
     * index — each query probes the centroids within 0.2 (6dp-rounded
@@ -5253,6 +5345,7 @@ object SparkEntry {
     "q219_salted_join" -> (qSaltedJoin _),
     "q220_maxsim" -> (qMaxSim _),
     "q221_adaptive_probe" -> (qAdaptiveProbe _),
+    "q222_ivf_sq8" -> (qIvfSq8 _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5513,6 +5606,9 @@ object SparkEntry {
       Option(sq8ForOracle).map(m => "q217_sq8_affine" -> sq8OracleSql(m)) ++
       Option(adaptiveCentersForOracle)
         .map(c => "q221_adaptive_probe" -> adaptiveOracleSql(c)) ++
+      Option(ivfSq8ForOracle).map { case (c, m) =>
+        "q222_ivf_sq8" -> ivfSq8OracleSql(c, m, m.encode(
+          sq8QueryVecForOracle)) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(retrievalCentersForOracle)
         .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++

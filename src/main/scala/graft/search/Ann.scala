@@ -2114,6 +2114,113 @@ object Ann {
     * 1 byte/dim instead of 4. Output: (idCol, ascore, score) by
     * (score desc, id asc), score rounded 6dp.
     */
+  /** Materialize affine-SQ8 codes INTO a persisted IVF index
+    * ([[writeIvf]] layout): the inverted lists are rewritten with an
+    * extra `sq8_codes` column (same rename-swap discipline as
+    * [[compactIvf]]) and the model's lo/span vectors persist beside
+    * them as `$path/sq8_model`. Because parquet is columnar, a probe
+    * that projects (id, codes) READS 1 byte/dim while the float
+    * vectors stay on disk — the compressed-at-rest serving layout
+    * ([[ivfSq8Search]]); the floats remain available for the
+    * shortlist rescore and for every existing float-path probe, which
+    * is unchanged (extra columns are invisible to them).
+    */
+  def sq8AugmentIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    model: Sq8Model,
+                    vecCol: String = "embedding"): Unit = {
+    recoverIvf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
+      s"$path is not an ivf-v2 index (missing $path/lists)")
+    import spark.implicits._
+    model.lo.zip(model.span).zipWithIndex
+      .map { case ((l, sp), i) => (i, l, sp) }.toSeq
+      .toDF("dim", "lo", "span")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sq8_model")
+    val tmp = new org.apache.hadoop.fs.Path(root, "lists.compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(s"$path/lists")
+      .drop("sq8_codes") // idempotent re-augment
+      .withColumn("sq8_codes", sq8CodesCol(model, vecCol))
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(tmp.toString)
+    val lists = new org.apache.hadoop.fs.Path(root, "lists")
+    val old = new org.apache.hadoop.fs.Path(root, "lists.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(lists, old), s"sq8AugmentIvf($path): swap-out failed")
+    require(fs.rename(tmp, lists), s"sq8AugmentIvf($path): swap-in failed")
+    fs.delete(old, true)
+    graft.plans.AnnTopKRewrite.clearCache()
+  }
+
+  /** Reload the SQ8 model persisted by [[sq8AugmentIvf]]. */
+  def readSq8Model(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Sq8Model = {
+    val rows = spark.read.parquet(s"$path/sq8_model")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no SQ8 model at $path/sq8_model")
+    Sq8Model(rows.map(_._2), rows.map(_._3))
+  }
+
+  /** IVF-SQ8 probe — the production compressed-serving shape: partition
+    * pruning cuts to `nprobe` inverted lists, the RANKING pass projects
+    * only (id, centroid_id, sq8_codes) — the float column never leaves
+    * disk, 4× less scan at equal recall (PlanAuditSpec asserts the
+    * ReadSchema) — ranks by the exact-integer code dot against the
+    * driver-encoded query, keeps `shortlist`, and ONLY those rows'
+    * floats are fetched (a second pruned scan semi-joined on the
+    * broadcast shortlist ids) for the exact-cosine top-k.
+    * Output: (idCol, centroid_id, ascore, score) by (score desc, id
+    * asc), score rounded 6dp.
+    */
+  def ivfSq8Search(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryVec: Seq[Double], k: Int = 5, nprobe: Int = 2,
+                   shortlist: Int = 32, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
+    val index = readIvf(spark, path)
+    val model = readSq8Model(spark, path)
+    def cos(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * queryVec(i); na += a(i) * a(i)
+        nb += queryVec(i) * queryVec(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = index.centers.zipWithIndex
+      .map { case (c, i) => (i, cos(c)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(math.min(nprobe, index.centers.length)).map(_._1).toSeq
+    val qc = model.encode(queryVec)
+    val qcArr = array(qc.map(lit): _*)
+    val ascore = aggregate(
+      zip_with(col("sq8_codes"), qcArr, (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    // tombstone-aware like every persisted-layout probe; no extra plan
+    // node when the index has no tombstone table
+    val pruned = listsMinusTombstones(spark, path, idCol)
+      .filter(col("centroid_id").isin(probes: _*))
+    val short = pruned
+      .select(col(idCol), col("centroid_id"), ascore.as("ascore"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(shortlist)
+    val q = array(queryVec.map(lit): _*)
+    pruned
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .withColumn("score", CosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("centroid_id"), col("ascore"),
+        round(col("score"), 6).as("score"))
+  }
+
   def sq8AffineTopK(corpus: DataFrame, model: Sq8Model, queryVec: Seq[Double],
                     k: Int = 5, shortlist: Int = 32,
                     idCol: String = "vec_id",

@@ -1089,6 +1089,60 @@ class AnnSpec extends SparkSpec {
       Ann.ivfSearchAdaptive(spark, p, queries, margin = -0.1))
   }
 
+  test("ivfSq8Search: full probe+shortlist equals brute force; the " +
+    "ranking scan projects codes WITHOUT the float column; augment is " +
+    "idempotent; tombstones honored") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sq8").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    val model = Ann.sq8Train(corp)
+    Ann.sq8AugmentIvf(spark, p, model)
+    val qVec = corp.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val got = Ann.ivfSq8Search(spark, p, qVec, k = 5, nprobe = 2,
+      shortlist = 24)
+    assert(got.select($"vec_id").as[Long].collect().toSeq ==
+      bruteTopK(corp, qVec, 5),
+      "full-probe IVF-SQ8 != brute force")
+    // the ranking (codes) scan must NOT read the float vectors — the
+    // 4x-scan-reduction claim, visible as a lists scan whose output
+    // carries sq8_codes and not embedding; and it partition-prunes.
+    // AQE hides the physical tree from collect(), so audit without it
+    // (the PruningAuditSpec idiom — AQE never widens a ReadSchema)
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans =
+      try Ann.ivfSq8Search(spark, p, qVec, k = 5, nprobe = 2,
+          shortlist = 24)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    val codeScan = scans.find(_.output.exists(_.name == "sq8_codes"))
+    assert(codeScan.isDefined, "no scan projecting sq8_codes")
+    assert(!codeScan.get.output.exists(_.name == "embedding"),
+      s"ranking scan reads the float column: ${codeScan.get.output}")
+    assert(codeScan.get.partitionFilters.exists(
+      _.references.exists(_.name == "centroid_id")),
+      "codes scan is not partition-pruned")
+    // persisted model round-trips; re-augment is a no-op for serving
+    val m2 = Ann.readSq8Model(spark, p)
+    assert(m2.lo.toSeq == model.lo.toSeq && m2.span.toSeq == model.span.toSeq)
+    Ann.sq8AugmentIvf(spark, p, model)
+    assert(Ann.ivfSq8Search(spark, p, qVec, k = 5, nprobe = 2,
+        shortlist = 24).select($"vec_id").as[Long].collect().toSeq ==
+      bruteTopK(corp, qVec, 5))
+    // deletes mask on the compressed path too
+    val victim = bruteTopK(corp, qVec, 5).head
+    Ann.deleteFromIvf(spark, p, Seq(victim))
+    val after = Ann.ivfSq8Search(spark, p, qVec, k = 5, nprobe = 2,
+      shortlist = 24).select($"vec_id").as[Long].collect().toSeq
+    assert(!after.contains(victim), "tombstoned id leaked")
+    assert(after == bruteTopK(corp.filter($"vec_id" =!= victim), qVec, 5))
+  }
+
   test("ivfSearchFiltered: nprobe=all == exact filtered scan; pushed " +
     "predicate; widenToFill rescues a starved selective filter") {
     val p = java.nio.file.Files
