@@ -1938,6 +1938,80 @@ object SparkEntry {
        |FROM topk""".stripMargin
   }
 
+  /** q223: PLAID-style two-stage MaxSim
+    * ([[Search.maxSimPlaidTopK]]) — stage 1 scores every doc from its
+    * DISTINCT centroid set against driver-computed |Q|×K centroid
+    * cosine tables (the doc's vectors never load), stage 2 exact-MaxSim
+    * rescores the 20-doc shortlist. Rides the persisted q28 index's
+    * assignment; docs are q220's 8-vector groups.
+    */
+  private def qMaxSimPlaid(s: SparkSession, dir: String): DataFrame = {
+    val index = ivfIndexFor(s, dir)
+    val qs = rd(s, dir, "embeddings").filter(col("vec_id").isin(0L, 1L, 2L))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    plaidForOracle = (index.centers, qs)
+    Search.maxSimPlaidTopK(
+      index.assigned.withColumn("doc_id", expr("vec_id div 8")),
+      index.centers, qs, k = 5, shortlist = 20)
+  }
+
+  @volatile private var plaidForOracle
+    : (Array[Array[Double]], Seq[Seq[Double]]) = _
+
+  /** DuckDB replay of the PLAID probe: q28's argmin assignment, the
+    * per-doc distinct centroid sets, stage-1 maxes over the SAME
+    * centroid-cosine literals the Spark side shipped
+    * ([[Search.centroidCosTables]]), the fixed-fold approx sum and
+    * shortlist cut, then q220's exact MaxSim on the survivors.
+    */
+  private def plaidOracleSql(centers: Array[Array[Double]],
+                             queryVecs: Seq[Seq[Double]]): String = {
+    val d = centers(0).length
+    val crows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    val ctabs = Search.centroidCosTables(centers, queryVecs)
+    val tabDefs = ctabs.zipWithIndex.map { case (tab, i) =>
+      s"t$i(a$i) AS (VALUES ([${tab.mkString(", ")}]::DOUBLE[]))"
+    }.mkString(",\n ")
+    val qDefs = queryVecs.zipWithIndex.map { case (q, i) =>
+      s"q$i(qv$i) AS (VALUES ([${q.mkString(", ")}]::DOUBLE[]))"
+    }.mkString(",\n ")
+    val idx = queryVecs.indices
+    s"""WITH base AS (SELECT vec_id, vec_id // 8 AS doc_id,
+       |    embedding::DOUBLE[] AS e FROM embeddings),
+       | ctr(cid, c) AS (VALUES ${crows.mkString(",\n   ")}),
+       | $tabDefs,
+       | $qDefs,
+       | assign AS (SELECT vec_id, doc_id, e, cid FROM (
+       |    SELECT vec_id, doc_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | doccent AS (SELECT DISTINCT doc_id, cid FROM assign),
+       | stage1 AS (SELECT doc_id,
+       |    ${idx.map(i => s"max(a$i[cid + 1]) AS m$i").mkString(", ")}
+       |   FROM doccent, ${idx.map(i => s"t$i").mkString(", ")}
+       |   GROUP BY doc_id),
+       | short AS (SELECT doc_id,
+       |    ${idx.map(i => s"m$i").mkString(" + ")} AS approx
+       |   FROM stage1 ORDER BY approx DESC, doc_id ASC LIMIT 20),
+       | stage2 AS (SELECT a.doc_id, s.approx, count(*) AS n_vecs,
+       |    ${idx.map(i =>
+             s"max(${cosSqlAB("a.e", s"qv$i")}) AS x$i").mkString(", ")}
+       |   FROM assign a JOIN short s USING (doc_id),
+       |     ${idx.map(i => s"q$i").mkString(", ")}
+       |   GROUP BY a.doc_id, s.approx),
+       | topk AS (SELECT doc_id, n_vecs, approx,
+       |    ${idx.map(i => s"x$i").mkString(" + ")} AS score
+       |   FROM stage2 ORDER BY score DESC, doc_id ASC LIMIT 5)
+       |SELECT doc_id, n_vecs, round(approx, 6) AS approx_score,
+       | round(score, 6) AS score FROM topk""".stripMargin
+  }
+
   /** q221: margin-adaptive IVF probing
     * ([[graft.search.Ann.ivfSearchAdaptive]]) over the persisted q28
     * index — each query probes the centroids within 0.2 (6dp-rounded
@@ -2043,11 +2117,10 @@ object SparkEntry {
     */
   private def qZorderAudit(s: SparkSession, dir: String): DataFrame = {
     val base = rd(s, dir, "orders").select(
-      col("o_orderkey").as("k"),
       col("o_custkey").as("a"),
       datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
         .cast("long").as("b"))
-    graft.sources.Layout.skippingAudit(base, "a", "b", "k",
+    graft.sources.Layout.skippingAudit(base, "a", "b",
       bits = 8, nFiles = 64)
   }
 
@@ -5346,6 +5419,7 @@ object SparkEntry {
     "q220_maxsim" -> (qMaxSim _),
     "q221_adaptive_probe" -> (qAdaptiveProbe _),
     "q222_ivf_sq8" -> (qIvfSq8 _),
+    "q223_maxsim_plaid" -> (qMaxSimPlaid _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5609,6 +5683,8 @@ object SparkEntry {
       Option(ivfSq8ForOracle).map { case (c, m) =>
         "q222_ivf_sq8" -> ivfSq8OracleSql(c, m, m.encode(
           sq8QueryVecForOracle)) } ++
+      Option(plaidForOracle).map { case (c, q) =>
+        "q223_maxsim_plaid" -> plaidOracleSql(c, q) } ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(retrievalCentersForOracle)
         .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++
@@ -7404,16 +7480,17 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // Z-order audit replay: same integer bucketing (// = Spark's div),
-    // the same Morton interleave unrolled as shift/mask bit ops, exact
-    // row_number ranks with the o_orderkey tie-break, 64 equal file
-    // ranges, zone-map disjointness against the middle-decile box
+    // the same Morton interleave unrolled as shift/mask bit ops, file
+    // boundaries from the per-(layout, key) cumulative-count histogram
+    // (NO global row sort — the q117 discipline), zone-map
+    // disjointness against the 3-box sweep
     "q218_zorder_audit" ->
-      s"""WITH base AS (SELECT o_orderkey AS k, o_custkey::BIGINT AS a,
+      s"""WITH base AS (SELECT o_custkey::BIGINT AS a,
          |    datediff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS b
          |  FROM orders),
          | st AS (SELECT min(a) AS la, max(a) AS ha, min(b) AS lb,
          |    max(b) AS hb, count(*) AS n FROM base),
-         | bk AS (SELECT k, a, b,
+         | bk AS (SELECT a, b,
          |    least(255, ((a - la) * 256) // (ha - la + 1)) AS za,
          |    least(255, ((b - lb) * 256) // (hb - lb + 1)) AS zb,
          |    n, la, ha, lb, hb
@@ -7421,17 +7498,23 @@ object SparkEntry {
          | enc AS (SELECT *, ${(0 until 8).map(i =>
              s"((((za >> $i) & 1) << ${2 * i}) | (((zb >> $i) & 1) << ${2 * i + 1}))")
              .mkString(" | ")} AS zv FROM bk),
-         | assigned AS (
-         |   SELECT 'zorder' AS layout, a, b, n, la, ha, lb, hb,
-         |     row_number() OVER (ORDER BY zv ASC, k ASC) AS rn FROM enc
-         |   UNION ALL
-         |   SELECT 'linear' AS layout, a, b, n, la, ha, lb, hb,
-         |     row_number() OVER (ORDER BY a ASC, k ASC) AS rn FROM bk),
-         | files AS (SELECT layout, ((rn - 1) * 64) // n AS fid,
-         |    min(a) AS fla, max(a) AS fha, min(b) AS flb, max(b) AS fhb,
-         |    count(*) AS rows_, any_value(la) AS la, any_value(ha) AS ha,
+         | keyed AS (SELECT layout, key, min(a) AS ka, max(a) AS kha,
+         |    min(b) AS klb, max(b) AS khb, count(*) AS cnt,
+         |    any_value(n) AS n, any_value(la) AS la, any_value(ha) AS ha,
          |    any_value(lb) AS lb, any_value(hb) AS hb
-         |  FROM assigned GROUP BY 1, 2),
+         |  FROM (SELECT 'zorder' AS layout, zv AS key, a, b, n, la, ha, lb, hb FROM enc
+         |        UNION ALL
+         |        SELECT 'linear' AS layout, a AS key, a, b, n, la, ha, lb, hb FROM bk)
+         |  GROUP BY 1, 2),
+         | cum AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY layout
+         |    ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cumb FROM keyed),
+         | files AS (SELECT layout, (cumb * 64) // n AS fid,
+         |    min(ka) AS fla, max(kha) AS fha, min(klb) AS flb,
+         |    max(khb) AS fhb, sum(cnt) AS rows_,
+         |    any_value(la) AS la, any_value(ha) AS ha,
+         |    any_value(lb) AS lb, any_value(hb) AS hb
+         |  FROM cum GROUP BY 1, 2),
          | boxes(box, alo, ahi, blo, bhi) AS (VALUES
          |   ('a_mid', 45, 55, 0, 100),
          |   ('b_mid', 0, 100, 45, 55),

@@ -351,6 +351,84 @@ object Search {
     * Output: (docCol, n_vecs, score) by (score desc, doc asc), score
     * rounded 6dp after ordering.
     */
+  /** Two-stage MaxSim with centroid pruning — PLAID/ColBERTv2's
+    * serving shape (Santhanam et al. 2022, public knowledge): stage 1
+    * scores every document by the CENTROID approximation of MaxSim
+    * (each query token's best match among the doc's assigned k-means
+    * centroids — the doc's vectors never load), keeps `shortlist`
+    * docs, and stage 2 runs exact [[maxSimTopK]] scoring on only
+    * those. The centroid score table is |Q| × K driver-computed
+    * doubles shipped as literals, so stage 1 touches one
+    * (doc, centroid) DISTINCT frame — at 100 TB that is the entire
+    * difference between scanning every token vector and scanning a
+    * per-doc centroid-id set 100× smaller.
+    *
+    * `assigned` is a (docCol, vecCol, centroid_id) frame — an IVF
+    * build's assignment ([[Ann.buildIvf]]/[[Ann.readIvf]]) joined with
+    * the doc ids. Output: (docCol, n_vecs, approx_score, score) by
+    * (score desc, doc asc), both scores rounded 6dp; approx uses only
+    * literal-derived values, so it replays bit-identically.
+    */
+  /** The |Q| × K centroid-cosine tables [[maxSimPlaidTopK]]'s stage 1
+    * runs on — public so an oracle can embed the IDENTICAL doubles as
+    * literals (the shared-literal float discipline).
+    */
+  def centroidCosTables(centers: Array[Array[Double]],
+                        queryVecs: Seq[Seq[Double]]): Seq[Array[Double]] = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queryVecs.map(q => centers.map(c => cos(c, q)))
+  }
+
+  def maxSimPlaidTopK(assigned: DataFrame, centers: Array[Array[Double]],
+                      queryVecs: Seq[Seq[Double]], k: Int = 5,
+                      shortlist: Int = 20, docCol: String = "doc_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(queryVecs.nonEmpty, "need at least one query token vector")
+    require(k > 0 && shortlist >= k,
+      s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    // |Q| x K centroid-cosine tables, driver-computed, shipped as
+    // literal arrays (the q213 shared-literal discipline: no
+    // cross-engine float math anywhere in stage 1)
+    val ctabs = centroidCosTables(centers, queryVecs)
+    val approxAggs = ctabs.zipWithIndex.map { case (tab, i) =>
+      max(element_at(array(tab.map(lit).toSeq: _*),
+        col("centroid_id") + 1)).as(s"__a$i")
+    }
+    val approx = queryVecs.indices.map(i => col(s"__a$i")).reduce(_ + _)
+    val short = assigned
+      .select(col(docCol), col("centroid_id"))
+      .distinct()
+      .groupBy(col(docCol))
+      .agg(approxAggs.head, approxAggs.tail: _*)
+      .withColumn("__approx", approx)
+      .orderBy(col("__approx").desc, col(docCol).asc)
+      .limit(shortlist)
+      .select(col(docCol), col("__approx"))
+    val cosCols = queryVecs.zipWithIndex.map { case (q, i) =>
+      CosineSimilarity(col(vecCol).cast("array<double>"),
+        array(q.map(lit): _*)).as(s"__c$i")
+    }
+    val maxAggs = queryVecs.indices.map(i => max(col(s"__c$i")).as(s"__m$i"))
+    val score = queryVecs.indices.map(i => col(s"__m$i")).reduce(_ + _)
+    assigned
+      .join(broadcast(short), Seq(docCol))
+      .select(col(docCol) +: col("__approx") +: cosCols: _*)
+      .groupBy(col(docCol), col("__approx"))
+      .agg(count(lit(1)).as("n_vecs"), maxAggs: _*)
+      .withColumn("__score", score)
+      .orderBy(col("__score").desc, col(docCol).asc)
+      .limit(k)
+      .select(col(docCol), col("n_vecs"),
+        round(col("__approx"), 6).as("approx_score"),
+        round(col("__score"), 6).as("score"))
+  }
+
   def maxSimTopK(corpus: DataFrame, queryVecs: Seq[Seq[Double]],
                  k: Int = 5, docCol: String = "doc_id",
                  vecCol: String = "embedding"): DataFrame = {

@@ -65,7 +65,7 @@ object Layout {
 
   /** Zone-map skipping audit: lay `df` out two ways — Z-order on
     * (aCol, bCol) vs a linear sort on aCol alone — cut each layout
-    * into `nFiles` equal row ranges (simulated parquet files), compute
+    * into `nFiles` ~equal row ranges (simulated parquet files), compute
     * each file's per-column min/max (the zone map), and count how many
     * files each probe box can skip outright. Boxes are percent bounds
     * of each column's corpus range (e.g. 45..55 = the middle decile);
@@ -74,9 +74,18 @@ object Layout {
     * (layout, box, files_total, files_skipped, rows_scanned) — the
     * table that decides whether re-clustering a 100 TB table pays for
     * itself. Every number is exact integer arithmetic.
+    *
+    * NO GLOBAL SORT (the q117 histogram discipline): rows aggregate to
+    * per-(layout, sort-key) stats first — ONE corpus-scale hash
+    * aggregate — and file boundaries come from a cumulative-count
+    * window over that histogram (≤ 2·|key domain| rows: zv has at most
+    * 4^bits cells). Every row of a key lands in the file where its
+    * key's cumulative range starts, i.e. simulated row-group
+    * boundaries fall on key granularity — exactly how a real
+    * repartitionByRange write behaves, and files stay ~n/nFiles rows.
     */
   def skippingAudit(df: DataFrame, aCol: String, bCol: String,
-                    tieCol: String, bits: Int = 8, nFiles: Int = 64,
+                    bits: Int = 8, nFiles: Int = 64,
                     boxes: Seq[(String, Int, Int, Int, Int)] = defaultBoxes)
     : DataFrame = {
     require(nFiles > 0, s"nFiles must be > 0, got $nFiles")
@@ -86,29 +95,35 @@ object Layout {
       min(col(bCol)).cast("long").as("lb"), max(col(bCol)).cast("long").as("hb"),
       count(lit(1)).as("n"))
     val bk = df
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"),
-        col(tieCol).as("tie"))
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .crossJoin(broadcast(st))
       .withColumn("za", expr(zbucketExpr("a", "la", "ha", bits)))
       .withColumn("zb", expr(zbucketExpr("b", "lb", "hb", bits)))
       .withColumn("zv", interleave(col("za"), col("zb"), bits))
-    val zord = bk
-      .withColumn("layout", lit("zorder"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("zv").asc, col("tie").asc)))
-    val lin = bk
-      .withColumn("layout", lit("linear"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("a").asc, col("tie").asc)))
-    val cols = Seq("layout", "a", "b", "rn", "n", "la", "ha", "lb", "hb")
-    val assigned = zord.select(cols.map(col): _*)
-      .unionByName(lin.select(cols.map(col): _*))
-      .withColumn("fid", expr(s"((rn - 1) * ${nFiles}L) div n"))
-    val files = assigned
+    val cols = Seq("layout", "key", "a", "b", "n", "la", "ha", "lb", "hb")
+    val keyed = bk
+      .withColumn("layout", lit("zorder")).withColumn("key", col("zv"))
+      .select(cols.map(col): _*)
+      .unionByName(bk
+        .withColumn("layout", lit("linear")).withColumn("key", col("a"))
+        .select(cols.map(col): _*))
+      // the ONE corpus-scale pass: per-(layout, key) zone stats
+      .groupBy(col("layout"), col("key"))
+      .agg(min(col("a")).as("ka"), max(col("a")).as("kha"),
+        min(col("b")).as("klb"), max(col("b")).as("khb"),
+        count(lit(1)).as("cnt"),
+        first(col("n")).as("n"),
+        first(col("la")).as("la"), first(col("ha")).as("ha"),
+        first(col("lb")).as("lb"), first(col("hb")).as("hb"))
+    val w = Window.partitionBy(col("layout")).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val files = keyed
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("fid", expr(s"(cumb * ${nFiles}L) div n"))
       .groupBy(col("layout"), col("fid"))
-      .agg(min(col("a")).as("fla"), max(col("a")).as("fha"),
-        min(col("b")).as("flb"), max(col("b")).as("fhb"),
-        count(lit(1)).as("rows"),
+      .agg(min(col("ka")).as("fla"), max(col("kha")).as("fha"),
+        min(col("klb")).as("flb"), max(col("khb")).as("fhb"),
+        sum(col("cnt")).as("rows"),
         first(col("la")).as("la"), first(col("ha")).as("ha"),
         first(col("lb")).as("lb"), first(col("hb")).as("hb"))
     val spark = df.sparkSession

@@ -86,6 +86,19 @@ class JobAuditSpec extends SparkSpec {
     "q216_filtered_batch" -> (40,
       "rides the same q28 index (cold build); warm runs are the q205 " +
         "probe shape (~5) with the predicate pushed into the same scan"),
+    "q221_adaptive_probe" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd " +
+        "iterations); warm runs are the q205 probe shape (measured 9: " +
+        "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q223_maxsim_plaid" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd " +
+        "iterations); warm runs are two bounded stages (centroid-set " +
+        "distinct + shortlist rescore) plus the query-bag collect"),
+    "q222_ivf_sq8" -> (50,
+      "cold path = its OWN q28-recipe k-means build PLUS the one-time " +
+        "SQ8 augment rewrite (model write + lists rewrite + swap, all " +
+        "constant-stage; measured 15 cold); warm runs are the " +
+        "two-scan probe (~5)"),
     "q213_retrieval_quality" -> (40,
       "rides the same q28 index (cold build); warm runs pay the batched " +
         "probe's bounded collects plus the exact-panel scan (~6)"),

@@ -27,7 +27,7 @@ class LayoutSpec extends SparkSpec {
     // 64 x 64 uniform grid; 64 files of 64 rows each
     val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
       (a.toLong * 64 + b, a.toLong, b.toLong))).toDF("k", "a", "b")
-    val audit = Layout.skippingAudit(grid, "a", "b", "k",
+    val audit = Layout.skippingAudit(grid, "a", "b",
       bits = 6, nFiles = 64)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
@@ -57,7 +57,7 @@ class LayoutSpec extends SparkSpec {
     "divide by zero and every file trivially overlaps its box") {
     val flat = (0 until 100).map(i => (i.toLong, i.toLong, 7L))
       .toDF("k", "a", "b")
-    val audit = Layout.skippingAudit(flat, "a", "b", "k",
+    val audit = Layout.skippingAudit(flat, "a", "b",
       bits = 4, nFiles = 8)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
       .toMap

@@ -187,6 +187,40 @@ class SearchSpec extends SparkSpec {
     assert(scores(0) > scores(1))
   }
 
+  test("maxSimPlaidTopK: full shortlist equals exact maxSimTopK; " +
+    "stage-1 centroid pruning keeps the right doc at shortlist 1") {
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // doc 0 lives on centroid 0's axis, doc 1 on centroid 1's,
+    // doc 2 mixed — assignment hand-built to the nearest center
+    val assigned = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (0L, Seq(0.9f, 0.1f), 0),
+      (1L, Seq(0.0f, 1.0f), 1), (1L, Seq(0.1f, 0.9f), 1),
+      (2L, Seq(0.8f, 0.2f), 0), (2L, Seq(0.2f, 0.8f), 1))
+      .toDF("doc_id", "embedding", "centroid_id")
+    val q = Seq(Seq(1.0, 0.0))
+    val plaid = Search.maxSimPlaidTopK(assigned, centers, q, k = 3,
+        shortlist = 3)
+      .select($"doc_id", $"n_vecs", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val exact = Search.maxSimTopK(assigned, q, k = 3)
+      .select($"doc_id", $"n_vecs", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(plaid == exact, s"plaid=$plaid exact=$exact")
+    // stage-1 approx: docs touching centroid 0 score cos=1.0 approx,
+    // doc 1 (centroid 1 only) scores 0 — a shortlist of 1 keeps doc 0
+    // (approx ties broken by doc asc) and still rescores it exactly
+    val one = Search.maxSimPlaidTopK(assigned, centers, q, k = 1,
+        shortlist = 1)
+      .select($"doc_id", $"approx_score", $"score")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(one.map(_._1) == Seq(0L), s"got $one")
+    assert(one.head._2 == 1.0 && one.head._3 == 1.0)
+    intercept[IllegalArgumentException](
+      Search.maxSimPlaidTopK(assigned, centers, q, k = 3, shortlist = 2))
+    intercept[IllegalArgumentException](
+      Search.maxSimPlaidTopK(assigned, centers, Seq.empty, k = 1))
+  }
+
   test("maxSimTopK: single-token query reduces to best-vector-per-doc; " +
     "parameter validation") {
     val multi = Seq(
