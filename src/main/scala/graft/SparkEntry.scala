@@ -1938,6 +1938,176 @@ object SparkEntry {
        |FROM topk""".stripMargin
   }
 
+  /** q225: matryoshka dimension-recall curve
+    * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
+    * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
+    * dimension-budget chooser behind q89. One scan, one explode, two
+    * bounded windows.
+    */
+  private def qMatryoshkaCurve(s: SparkSession, dir: String): DataFrame = {
+    val qVec = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    matryoshkaQVecForOracle = qVec
+    Ann.matryoshkaRecallCurve(rd(s, dir, "embeddings"), qVec,
+      dims = Seq(4, 8, 16, 32, qVec.length), poolK = 50, k = 10)
+  }
+
+  @volatile private var matryoshkaQVecForOracle: Seq[Double] = _
+
+  /** DuckDB replay of the curve: sliced-prefix cosines, the per-dim
+    * pool-50 window, the full-score rerank window, and recall vs the
+    * full-dimension entry.
+    */
+  private def matryoshkaCurveOracleSql(d: Int): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+       | dims(dmm) AS (VALUES (4), (8), (16), (32), ($d)),
+       | stacked AS (SELECT vec_id, dmm,
+       |    ${cosSqlAB("e[1:dmm]", "q[1:dmm]")} AS ps,
+       |    ${cosSqlAB("e", "q")} AS fs
+       |   FROM base, qv, dims),
+       | pooled AS (SELECT * FROM (SELECT vec_id, dmm, ps, fs,
+       |    row_number() OVER (PARTITION BY dmm ORDER BY ps DESC, vec_id ASC) AS pr
+       |   FROM stacked) x WHERE pr <= 50),
+       | topk AS (SELECT dmm, vec_id FROM (SELECT dmm, vec_id,
+       |    row_number() OVER (PARTITION BY dmm ORDER BY fs DESC, vec_id ASC) AS fr
+       |   FROM pooled) y WHERE fr <= 10),
+       | exact AS (SELECT vec_id FROM topk WHERE dmm = $d)
+       |SELECT dmm::BIGINT AS prefix_dim, count(*) AS hits,
+       | (count(*) * 1000000) // 10 AS recall_ppm
+       |FROM topk JOIN exact USING (vec_id)
+       |GROUP BY dmm ORDER BY prefix_dim""".stripMargin
+
+  /** q224: margin→(cost, recall) frontier for the adaptive probe — the
+    * serving-policy chooser behind q221: for each margin in
+    * {50, 100, 200, 400} milli, the 4-query panel's probe sets are
+    * planned DRIVER-side from the stored centers (a serving planner is
+    * driver code for a panel; the probe-choice arithmetic itself is
+    * q221's cross-engine gate), and ONE pruned scan + windowed rank per
+    * (query, margin) measures total lists probed and recall@10 against
+    * the exact top-10. Output: (margin_pm, n_probes_total, hits,
+    * recall_ppm) — all-integer.
+    */
+  private def qMarginFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val index = ivfIndexFor(s, dir)
+    val qs = rd(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val margins = Seq(50, 100, 200, 400)
+    // q221's membership rule on 6dp-rounded scores, maxProbe 8
+    val probeRows = for {
+      (qid, qv) <- qs
+      ranked = index.centers.zipWithIndex
+        .map { case (c, i) => (i, cos(c, qv)) }
+        .sortBy { case (i, sc) => (-sc, i) }
+      best = BigDecimal(ranked.head._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      m <- margins
+      (cid, sc) <- ranked.take(8)
+      if BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= best - m / 1000.0
+    } yield (qid, m, cid)
+    marginFrontierForOracle = (index.centers, probeRows)
+    val probes = probeRows.toDF("query_id", "margin_pm", "centroid_id")
+    val probedIds = probeRows.map(_._3).distinct.sorted
+    val lists = s.read.parquet(s"${ivfPathFor(s, dir)}/lists")
+      .filter(col("centroid_id").isin(probedIds: _*))
+    val qArr = qs.map { case (qid, qv) => qid -> qv }.toMap
+    val qLit = map(qs.flatMap { case (qid, qv) =>
+      Seq(lit(qid), array(qv.map(lit): _*)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("margin_pm"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val ranked = lists.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col("embedding"), element_at(qLit, col("query_id"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("margin_pm"), col("vec_id"))
+    // exact top-10 per query: the full-probe margin-1000 pass would do,
+    // but phrase it directly as one batched exact scan
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = rd(s, dir, "embeddings")
+      .crossJoin(broadcast(qs.map(_._1).toDF("query_id")))
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col("embedding").cast("array<double>"),
+        element_at(qLit, col("query_id"))))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val nProbes = probeRows.groupBy(_._2).map { case (m, rows) =>
+      (m, rows.size.toLong) }
+    val nProbesDf = nProbes.toSeq.toDF("margin_pm", "n_probes_total")
+    ranked.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("margin_pm"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(nProbesDf), Seq("margin_pm"))
+      .select(col("margin_pm").cast("long").as("margin_pm"),
+        col("n_probes_total"),
+        col("hits"),
+        expr(s"(hits * 1000000L) div ${qs.size * 10}").as("recall_ppm"))
+      .orderBy(col("margin_pm"))
+  }
+
+  @volatile private var marginFrontierForOracle
+    : (Array[Array[Double]], Seq[(Long, Int, Int)]) = _
+
+  /** DuckDB replay of the frontier: the driver-planned probe sets ship
+    * as literals to BOTH engines (probe choice is q221's gate); the
+    * oracle re-derives assignment, the per-(query, margin) windowed
+    * rank, the exact top-10, and the integer recall arithmetic.
+    */
+  private def marginFrontierOracleSql(centers: Array[Array[Double]],
+                                      probeRows: Seq[(Long, Int, Int)]): String = {
+    val d = centers(0).length
+    val crows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }
+    val prows = probeRows.map { case (q, m, c) => s"($q, $m, $c)" }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+       |   FROM embeddings WHERE vec_id < 4),
+       | ctr(cid, c) AS (VALUES ${crows.mkString(",\n   ")}),
+       | probes(query_id, margin_pm, cid) AS (VALUES ${prows.mkString(", ")}),
+       | assign AS (SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      list_sum([(e[i+1] - c[i+1]) * (e[i+1] - c[i+1])
+       |                for i in range(0, $d)]) AS d2
+       |    FROM base, ctr)
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       | ranked AS (SELECT query_id, margin_pm, vec_id FROM (
+       |    SELECT p.query_id, p.margin_pm, a.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id, p.margin_pm
+       |        ORDER BY ${cosSqlAB("a.e", "q.q")} DESC, a.vec_id ASC) AS rank
+       |    FROM assign a JOIN probes p ON p.cid = a.cid
+       |    JOIN qs q ON q.query_id = p.query_id) t
+       |   WHERE rank <= 10),
+       | exact AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSqlAB("b.e", "q.q")} DESC, b.vec_id ASC) AS rank
+       |    FROM base b, qs q) x WHERE rank <= 10),
+       | np AS (SELECT margin_pm, count(*) AS n_probes_total
+       |   FROM probes GROUP BY 1)
+       |SELECT r.margin_pm::BIGINT AS margin_pm, np.n_probes_total,
+       | count(*) AS hits,
+       | (count(*) * 1000000) // 40 AS recall_ppm
+       |FROM ranked r JOIN exact x USING (query_id, vec_id)
+       | JOIN np USING (margin_pm)
+       |GROUP BY r.margin_pm, np.n_probes_total ORDER BY margin_pm""".stripMargin
+  }
+
   /** q223: PLAID-style two-stage MaxSim
     * ([[Search.maxSimPlaidTopK]]) — stage 1 scores every doc from its
     * DISTINCT centroid set against driver-computed |Q|×K centroid
@@ -5420,6 +5590,8 @@ object SparkEntry {
     "q221_adaptive_probe" -> (qAdaptiveProbe _),
     "q222_ivf_sq8" -> (qIvfSq8 _),
     "q223_maxsim_plaid" -> (qMaxSimPlaid _),
+    "q224_margin_frontier" -> (qMarginFrontier _),
+    "q225_matryoshka_curve" -> (qMatryoshkaCurve _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -5685,6 +5857,10 @@ object SparkEntry {
           sq8QueryVecForOracle)) } ++
       Option(plaidForOracle).map { case (c, q) =>
         "q223_maxsim_plaid" -> plaidOracleSql(c, q) } ++
+      Option(marginFrontierForOracle).map { case (c, p) =>
+        "q224_margin_frontier" -> marginFrontierOracleSql(c, p) } ++
+      Option(matryoshkaQVecForOracle).map(q =>
+        "q225_matryoshka_curve" -> matryoshkaCurveOracleSql(q.length)) ++
       Option(ivfCentersForOracle).map(c => "q28_ivf_kmeans" -> ivfOracleSql(c)) ++
       Option(retrievalCentersForOracle)
         .map(c => "q213_retrieval_quality" -> retrievalQualityOracleSql(c)) ++

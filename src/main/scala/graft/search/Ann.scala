@@ -2035,6 +2035,56 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** Matryoshka dimension-recall curve — the table that picks the
+    * prefix dimension budget for [[matryoshkaTopK]]: ONE corpus scan
+    * computes the prefix cosine for every candidate dimension AND the
+    * full-dimension score, a per-dim window keeps `poolK` stage-1
+    * survivors, a second per-dim window reranks them by the full
+    * score, and recall@k is measured against the full-dimension entry
+    * (exact by construction when dims includes the full width). The
+    * dims axis rides ONE explode (×|dims| rows), so the curve costs
+    * one scan + two bounded windows — not |dims| separate searches.
+    * Output: (prefix_dim, hits, recall_ppm) ordered by prefix_dim.
+    */
+  def matryoshkaRecallCurve(corpus: DataFrame, queryVec: Seq[Double],
+                            dims: Seq[Int], poolK: Int = 50, k: Int = 10,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(dd => dd > 0 && dd <= queryVec.length),
+      s"dims must be in 1..${queryVec.length}, got $dims")
+    require(dims.contains(queryVec.length),
+      "dims must include the full dimension (the exact baseline)")
+    require(k > 0 && poolK >= k, s"need 0 < k <= poolK, got k=$k pool=$poolK")
+    val v = col(vecCol).cast("array<double>")
+    val qFull = array(queryVec.map(lit): _*)
+    val structs = dims.map { dd =>
+      struct(lit(dd).as("dim"),
+        CosineSimilarity(slice(v, 1, dd),
+          array(queryVec.take(dd).map(lit): _*)).as("ps"))
+    }
+    val stacked = corpus
+      .select(col(idCol), CosineSimilarity(v, qFull).as("fs"),
+        explode(array(structs: _*)).as("x"))
+      .select(col(idCol), col("fs"),
+        col("x.dim").as("dim"), col("x.ps").as("ps"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim")).orderBy(col("ps").desc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim")).orderBy(col("fs").desc, col(idCol).asc)
+    val topk = stacked
+      .withColumn("pr", row_number().over(w1)).filter(col("pr") <= poolK)
+      .withColumn("fr", row_number().over(w2)).filter(col("fr") <= k)
+      .select(col("dim"), col(idCol))
+    val exact = topk.filter(col("dim") === queryVec.length)
+      .select(col(idCol))
+    topk.join(broadcast(exact), Seq(idCol))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("dim").cast("long").as("prefix_dim"), col("hits"),
+        expr(s"(hits * 1000000L) div ${k}L").as("recall_ppm"))
+      .orderBy(col("prefix_dim"))
+  }
+
   // =========================================================================
   // SQ8 scalar quantization — int8-coded search with exact rescore
   // (FAISS's ScalarQuantizer QT_8bit layout, public knowledge; the

@@ -1089,6 +1089,30 @@ class AnnSpec extends SparkSpec {
       Ann.ivfSearchAdaptive(spark, p, queries, margin = -0.1))
   }
 
+  test("matryoshkaRecallCurve: full dim always recalls 1.0; prefix-" +
+    "concentrated data reaches full recall at the prefix width") {
+    val rnd = new scala.util.Random(5)
+    // matryoshka-like: all signal in dims 0-1, dims 2-7 tiny noise —
+    // a 2-dim prefix already ranks like the full vector
+    val data = (0L until 30L).map { i =>
+      val base = if (i < 15) Seq(1.0, 0.1 * i) else Seq(-1.0, 0.05 * i)
+      (i, (base ++ Seq.fill(6)(rnd.nextGaussian() * 1e-4)).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val qVec = data.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val curve = Ann.matryoshkaRecallCurve(data, qVec,
+        dims = Seq(2, 4, 8), poolK = 12, k = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(curve(8L) == (5L, 1000000L), "full dim must recall 1.0")
+    assert(curve(2L)._2 == 1000000L,
+      s"prefix-concentrated data should recall 1.0 at dim 2: $curve")
+    intercept[IllegalArgumentException](
+      Ann.matryoshkaRecallCurve(data, qVec, dims = Seq(2, 4))) // no full
+    intercept[IllegalArgumentException](
+      Ann.matryoshkaRecallCurve(data, qVec, dims = Seq(8), poolK = 2, k = 5))
+  }
+
   test("ivfSq8Search: full probe+shortlist equals brute force; the " +
     "ranking scan projects codes WITHOUT the float column; augment is " +
     "idempotent; tombstones honored") {

@@ -90,6 +90,10 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the q205 probe shape (measured 9: " +
         "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q224_margin_frontier" -> (40,
+      "rides the same q28 index (cold build = constant Lloyd " +
+        "iterations); warm runs are the panel collect + one pruned " +
+        "ranked scan + the exact baseline scan (constant-stage)"),
     "q223_maxsim_plaid" -> (40,
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are two bounded stages (centroid-set " +
