@@ -7680,7 +7680,7 @@ object SparkEntry {
          |    any_value(lb) AS lb, any_value(hb) AS hb
          |  FROM (SELECT 'zorder' AS layout, zv AS key, a, b, n, la, ha, lb, hb FROM enc
          |        UNION ALL
-         |        SELECT 'linear' AS layout, a AS key, a, b, n, la, ha, lb, hb FROM bk)
+         |        SELECT 'linear' AS layout, za AS key, a, b, n, la, ha, lb, hb FROM bk)
          |  GROUP BY 1, 2),
          | cum AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY layout
          |    ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),

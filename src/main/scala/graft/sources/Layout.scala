@@ -78,11 +78,15 @@ object Layout {
     * NO GLOBAL SORT (the q117 histogram discipline): rows aggregate to
     * per-(layout, sort-key) stats first — ONE corpus-scale hash
     * aggregate — and file boundaries come from a cumulative-count
-    * window over that histogram (≤ 2·|key domain| rows: zv has at most
-    * 4^bits cells). Every row of a key lands in the file where its
-    * key's cumulative range starts, i.e. simulated row-group
+    * window over that histogram. Every row of a key lands in the file
+    * where its key's cumulative range starts, i.e. simulated row-group
     * boundaries fall on key granularity — exactly how a real
     * repartitionByRange write behaves, and files stay ~n/nFiles rows.
+    * BOTH layouts key at bucket granularity (the linear sort keys on
+    * the a-BUCKET `za`, not raw a), so the histogram is ≤ 4^bits +
+    * 2^bits rows at ANY corpus size — a raw high-cardinality key would
+    * make the histogram corpus-sized — and the two layouts' zone maps
+    * are compared at equal granularity.
     */
   def skippingAudit(df: DataFrame, aCol: String, bCol: String,
                     bits: Int = 8, nFiles: Int = 64,
@@ -105,7 +109,7 @@ object Layout {
       .withColumn("layout", lit("zorder")).withColumn("key", col("zv"))
       .select(cols.map(col): _*)
       .unionByName(bk
-        .withColumn("layout", lit("linear")).withColumn("key", col("a"))
+        .withColumn("layout", lit("linear")).withColumn("key", col("za"))
         .select(cols.map(col): _*))
       // the ONE corpus-scale pass: per-(layout, key) zone stats
       .groupBy(col("layout"), col("key"))
