@@ -1938,6 +1938,44 @@ object SparkEntry {
        |FROM topk""".stripMargin
   }
 
+  /** q226: versioned-table snapshot reads
+    * ([[graft.sources.Versioned]]) — documents committed as two
+    * versions (even doc_ids, then the odd append); the query reads
+    * BOTH snapshots and reports each version's row count and char
+    * mass. Time travel means v1's numbers are immune to the v2 append
+    * — exactly what the manifest commit point guarantees.
+    */
+  private def qVersionedReads(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedPathFor(s, dir)
+    def stats(v: Long) =
+      graft.sources.Versioned.readAsOf(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_chars"))
+    stats(1L).unionByName(stats(2L)).orderBy(col("version"))
+  }
+
+  /** Build-once seam for q226: a two-version table per data dir. */
+  private def versionedPathFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-versioned-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 === 0))
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  private val versionedBuilt = collection.mutable.Set.empty[String]
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -5592,6 +5630,7 @@ object SparkEntry {
     "q223_maxsim_plaid" -> (qMaxSimPlaid _),
     "q224_margin_frontier" -> (qMarginFrontier _),
     "q225_matryoshka_curve" -> (qMatryoshkaCurve _),
+    "q226_versioned_reads" -> (qVersionedReads _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7705,6 +7744,18 @@ object SparkEntry {
          |  sum(CASE WHEN skip THEN 1 ELSE 0 END)::BIGINT AS files_skipped,
          |  sum(CASE WHEN skip THEN 0 ELSE rows_ END)::BIGINT AS rows_scanned
          |FROM flagged GROUP BY layout, box ORDER BY layout, box""".stripMargin,
+
+    // snapshot-read replay: v1 committed the even doc_ids, v2 appended
+    // the odds — so v1 == the even filter and v2 == the whole table,
+    // REGARDLESS of when the reader runs (the time-travel contract)
+    "q226_versioned_reads" ->
+      s"""SELECT * FROM (
+         | SELECT 1::BIGINT AS version, count(*) AS n_rows,
+         |   sum(n_chars)::BIGINT AS sum_chars
+         |  FROM documents WHERE doc_id % 2 = 0
+         | UNION ALL
+         | SELECT 2::BIGINT, count(*), sum(n_chars)::BIGINT
+         |  FROM documents) ORDER BY version""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

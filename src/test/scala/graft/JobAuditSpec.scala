@@ -90,6 +90,10 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the q205 probe shape (measured 9: " +
         "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q226_versioned_reads" -> (20,
+      "cold path builds the two-version table (two appends: isEmpty " +
+        "probe + parquet write each, constant-stage); warm runs are " +
+        "two manifest-listed snapshot aggregates"),
     "q224_margin_frontier" -> (40,
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the panel collect + one pruned " +

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Versioned
+
+/** Versioned table with manifest-committed snapshots (q226). */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_versioned").toString + "/t"
+
+  test("append commits monotonic versions; snapshot reads are stable " +
+    "under later appends (time travel)") {
+    val root = freshRoot()
+    assert(Versioned.latestVersion(spark, root) == 0L)
+    assert(Versioned.append(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")) == 1L)
+    assert(Versioned.append(spark, root,
+      Seq((3L, "c")).toDF("id", "s")) == 2L)
+    assert(Versioned.latestVersion(spark, root) == 2L)
+    val v1Before = Versioned.readAsOf(spark, root, 1L)
+      .as[(Long, String)].collect().toSet
+    assert(v1Before == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.readAsOf(spark, root).count() == 3L) // latest
+    // a third append must not change what v1 or v2 readers see
+    Versioned.append(spark, root, Seq((4L, "d")).toDF("id", "s"))
+    assert(Versioned.readAsOf(spark, root, 1L)
+      .as[(Long, String)].collect().toSet == v1Before)
+    assert(Versioned.readAsOf(spark, root, 2L).count() == 3L)
+    assert(Versioned.readAsOf(spark, root, 3L).count() == 4L)
+  }
+
+  test("a crashed append (orphan batch, no manifest) is invisible to " +
+    "readers; vacuum reclaims it and never touches committed files") {
+    val root = freshRoot()
+    Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    // simulate a writer that died after the data write, before the
+    // manifest rename: batch-3 exists, no v000003.manifest
+    Seq((99L, "orphan")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$root/data/batch-3")
+    assert(Versioned.latestVersion(spark, root) == 2L)
+    assert(Versioned.readAsOf(spark, root).count() == 2L,
+      "orphan batch leaked into a snapshot read")
+    val deleted = Versioned.vacuum(spark, root)
+    assert(deleted == Seq("batch-3"), s"vacuum deleted $deleted")
+    // every committed version still reads after vacuum
+    assert(Versioned.readAsOf(spark, root, 1L).count() == 1L)
+    assert(Versioned.readAsOf(spark, root, 2L).count() == 2L)
+    // and a subsequent append reuses the slot cleanly
+    assert(Versioned.append(spark, root,
+      Seq((3L, "c")).toDF("id", "s")) == 3L)
+    assert(Versioned.readAsOf(spark, root).count() == 3L)
+    assert(Versioned.vacuum(spark, root).isEmpty)
+  }
+
+  test("empty commits are refused; unknown versions error clearly") {
+    val root = freshRoot()
+    val ex = intercept[IllegalArgumentException](
+      Versioned.append(spark, root, Seq.empty[(Long, String)].toDF("id", "s")))
+    assert(ex.getMessage.contains("empty version"))
+    Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    val ex2 = intercept[IllegalArgumentException](
+      Versioned.readAsOf(spark, root, 7L))
+    assert(ex2.getMessage.contains("no version 7"))
+  }
+}
