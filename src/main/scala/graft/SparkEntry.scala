@@ -1976,6 +1976,52 @@ object SparkEntry {
 
   private val versionedBuilt = collection.mutable.Set.empty[String]
 
+  /** q227: stats-pruned snapshot read
+    * ([[graft.sources.Versioned.appendWithStats]] + [[Versioned
+    * .readWhere]]) — the versioned table committed as two files split
+    * at the integer mean of n_chars, each carrying manifest zone
+    * stats; a read of the low band opens 1 of the 2 files, decided
+    * entirely from the manifest. Emits the skip counts plus the
+    * range's row/char mass (pruning must lose nothing).
+    */
+  private def qStatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val (root, t) = statsVersionedFor(s, dir)
+    val (frame, read, total) =
+      graft.sources.Versioned.readWhere(s, root, "n_chars", 0L, t)
+    frame.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(total.toLong).as("n_files_total"),
+        lit(read.toLong).as("n_files_read"),
+        col("n_rows"), col("sum_chars"))
+  }
+
+  /** Build-once seam for q227: two stat-carrying commits split at the
+    * integer mean (exact sum div count — deterministic on both
+    * engines), each repartition(1) so the band is one file with a
+    * tight manifest range.
+    */
+  private def statsVersionedFor(s: SparkSession, dir: String): (String, Long) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vstats-" +
+      dirCacheKey(s, dir, "documents")
+    statsVersionedBuilt.synchronized {
+      statsVersionedBuilt.getOrElseUpdate(root, {
+        val docs = rd(s, dir, "documents")
+        val r = docs.agg(sum(col("n_chars")).as("s"),
+          count(lit(1)).as("n")).head()
+        val t = r.getLong(0) / r.getLong(1)
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("n_chars") <= t).repartition(1), "n_chars")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("n_chars") > t).repartition(1), "n_chars")
+        }
+        t
+      })
+    }
+    (root, statsVersionedBuilt.synchronized(statsVersionedBuilt(root)))
+  }
+
+  private val statsVersionedBuilt = collection.mutable.Map.empty[String, Long]
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -5631,6 +5677,7 @@ object SparkEntry {
     "q224_margin_frontier" -> (qMarginFrontier _),
     "q225_matryoshka_curve" -> (qMatryoshkaCurve _),
     "q226_versioned_reads" -> (qVersionedReads _),
+    "q227_stats_pruned_read" -> (qStatsPrunedRead _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7756,6 +7803,17 @@ object SparkEntry {
          | UNION ALL
          | SELECT 2::BIGINT, count(*), sum(n_chars)::BIGINT
          |  FROM documents) ORDER BY version""".stripMargin,
+
+    // stats-pruned-read replay: the split threshold is the integer
+    // mean (sum // count — exact on both engines); the low band is
+    // one file and the high band's manifest min exceeds the range by
+    // construction, so n_files_read == 1 always; the agg proves the
+    // pruned read lost no rows
+    "q227_stats_pruned_read" ->
+      s"""WITH t AS (SELECT sum(n_chars) // count(*) AS t FROM documents)
+         |SELECT 2::BIGINT AS n_files_total, 1::BIGINT AS n_files_read,
+         |  count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents, t WHERE n_chars <= t.t""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

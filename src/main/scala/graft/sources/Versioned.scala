@@ -98,6 +98,84 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** [[append]] that ALSO records per-file min/max zone stats of
+    * `statCol` (an integer column) in the manifest — Iceberg-style
+    * file-level stats (public knowledge). Stats ride the manifest as
+    * `relpath\tmin\tmax` lines (stat-less v1 lines stay readable and
+    * are simply never skipped), computed with ONE pass over the
+    * just-written batch grouped by `input_file_name()`. A
+    * [[readWhere]] on `statCol` then opens ONLY the overlapping files
+    * — the manifest IS the zone map, so a selective read on a 100 TB
+    * table is decided by one small metadata file, before any footer
+    * is touched.
+    */
+  def appendWithStats(spark: SparkSession, root: String, df: DataFrame,
+                      statCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    val f = fs(spark, root)
+    val v = latestVersion(spark, root) + 1
+    val batch = new Path(root, s"data/batch-$v")
+    if (f.exists(batch)) f.delete(batch, true)
+    df.write.mode("overwrite").parquet(batch.toString)
+    val stats = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(statCol).cast("long")).as("__mn"),
+        max(col(statCol).cast("long")).as("__mx"))
+      .collect()
+      .map { r =>
+        // URI scheme spellings vary (file:/ vs file:///): key on the
+        // basename — batch files sit flat under data/batch-<v>/
+        val name = r.getString(0).split('/').last
+        (s"data/batch-$v/$name", r.getLong(1), r.getLong(2))
+      }
+      .sortBy(_._1)
+    val newLines = stats.map { case (p, mn, mx) => s"$p\t$mn\t$mx" }
+    val prior = if (v == 1) Seq.empty else readManifest(spark, root, v - 1)
+    val all = prior ++ newLines
+    f.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
+    if (f.exists(tmp)) f.delete(tmp, false)
+    val out = f.create(tmp, true)
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, manifestPath(root, v)),
+      s"appendWithStats($root): manifest commit for v$v failed")
+    v
+  }
+
+  /** Stats-pruned snapshot read: keep only the files whose recorded
+    * [min, max] overlaps [lo, hi] — file skipping decided entirely
+    * from the manifest — then apply the exact predicate on the
+    * survivors (pruning is a superset cut, never a semantic change).
+    * Files committed without stats are conservatively always read.
+    * Returns (frame, filesRead, filesTotal) so callers can report the
+    * skipping win.
+    */
+  def readWhere(spark: SparkSession, root: String, statCol: String,
+                lo: Long, hi: Long,
+                version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    import org.apache.spark.sql.functions._
+    require(v > 0, s"no committed versions at $root")
+    val entries = readManifest(spark, root, v).map { line =>
+      line.split('\t') match {
+        case Array(p, mn, mx) => (p, Some((mn.toLong, mx.toLong)))
+        case Array(p)         => (p, None)
+      }
+    }
+    val keep = entries.filter {
+      case (_, Some((mn, mx))) => mx >= lo && mn <= hi
+      case (_, None)           => true // stat-less: cannot skip
+    }
+    require(keep.nonEmpty || entries.isEmpty,
+      s"readWhere($root): every file skipped — empty frame has no " +
+      "schema; read a wider range or readAsOf + filter")
+    val frame = spark.read.parquet(keep.map(e => s"$root/${e._1}"): _*)
+      .filter(col(statCol).cast("long").between(lo, hi))
+    (frame, keep.size, entries.size)
+  }
+
   /** Drop data files referenced by NO manifest (crashed appends,
     * aborted writers). Returns the deleted paths. Never touches a
     * file any committed version can still read — time travel to every

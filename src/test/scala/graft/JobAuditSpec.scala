@@ -90,6 +90,11 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the q205 probe shape (measured 9: " +
         "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q227_stats_pruned_read" -> (24,
+      "cold path builds the two-file stats table (threshold agg + two " +
+        "appendWithStats, each = isEmpty probe + parquet write + the " +
+        "per-file stats pass, constant-stage); warm runs are one " +
+        "manifest-pruned aggregate"),
     "q226_versioned_reads" -> (20,
       "cold path builds the two-version table (two appends: isEmpty " +
         "probe + parquet write each, constant-stage); warm runs are " +

@@ -55,6 +55,43 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, root).isEmpty)
   }
 
+  test("appendWithStats + readWhere: file skipping from the manifest " +
+    "zone stats; stat-less files are conservatively read; superset " +
+    "cut loses no rows") {
+    val root = freshRoot()
+    // three stat-carrying files with disjoint value bands
+    Versioned.appendWithStats(spark,
+      root, (0L until 10L).map(i => (i, i)).toDF("id", "v")
+        .repartition(1), "v")
+    Versioned.appendWithStats(spark,
+      root, (100L until 110L).map(i => (i, i)).toDF("id", "v")
+        .repartition(1), "v")
+    Versioned.appendWithStats(spark,
+      root, (200L until 210L).map(i => (i, i)).toDF("id", "v")
+        .repartition(1), "v")
+    val (f1, read1, total1) = Versioned.readWhere(spark, root, "v", 100L, 109L)
+    assert((read1, total1) == (1, 3), s"expected 1/3 files, got $read1/$total1")
+    assert(f1.count() == 10L)
+    // range straddling two bands reads exactly those two
+    val (f2, read2, _) = Versioned.readWhere(spark, root, "v", 5L, 105L)
+    assert(read2 == 2 && f2.count() == 11L) // 5..9 and 100..105
+    // a plain (stat-less) append can never be skipped, but the exact
+    // predicate still applies
+    Versioned.append(spark, root,
+      Seq((300L, 300L)).toDF("id", "v").repartition(1))
+    val (f3, read3, total3) = Versioned.readWhere(spark, root, "v", 100L, 109L)
+    assert((read3, total3) == (2, 4), "stat-less file must be read")
+    assert(f3.count() == 10L, "exact predicate must drop stat-less rows")
+    // every file skipped -> refused (empty frame has no schema)
+    val ex = intercept[IllegalArgumentException](
+      Versioned.readWhere(spark, root, "v", 5000L, 6000L, version = 3L))
+    assert(ex.getMessage.contains("every file skipped"))
+    // time travel composes with pruning: at v1 only the first file exists
+    val (_, read4, total4) = Versioned.readWhere(spark, root, "v", 0L, 9L,
+      version = 1L)
+    assert((read4, total4) == (1, 1))
+  }
+
   test("empty commits are refused; unknown versions error clearly") {
     val root = freshRoot()
     val ex = intercept[IllegalArgumentException](
