@@ -1976,6 +1976,57 @@ object SparkEntry {
 
   private val versionedBuilt = collection.mutable.Set.empty[String]
 
+  /** q228: copy-on-write MERGE at file granularity
+    * ([[graft.sources.Versioned.mergeByKey]]) — a two-file versioned
+    * table split by doc_id range takes an update batch touching only
+    * low ids: the zone stats prove file 2 untouched (it keeps its
+    * exact path — zero data movement), file 1 is rewritten, and the
+    * pre-merge snapshot still reads unchanged (time travel). Emits the
+    * rewrite counts plus before/after char masses.
+    */
+  private def qVersionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val (root, rewritten, kept) = mergedVersionedFor(s, dir)
+    val after = graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars_after"))
+    val before = graft.sources.Versioned.readAsOf(s, root, 2L)
+      .agg(sum(col("n_chars")).as("sum_chars_before"))
+    after.crossJoin(before)
+      .select(lit(rewritten.toLong).as("files_rewritten"),
+        lit(kept.toLong).as("files_kept"),
+        col("n_rows"), col("sum_chars_after"), col("sum_chars_before"))
+  }
+
+  /** Build-once seam for q228: v1 = low doc_id half, v2 = high half
+    * (both stat-committed, one file each), v3 = merge bumping
+    * n_chars by 1e6 for doc_id < 10.
+    */
+  private def mergedVersionedFor(s: SparkSession,
+                                 dir: String): (String, Int, Int) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vmerge-" +
+      dirCacheKey(s, dir, "documents")
+    mergedVersionedBuilt.synchronized {
+      mergedVersionedBuilt.getOrElseUpdate(root, {
+        val docs = rd(s, dir, "documents")
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") <= half).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") > half).repartition(1), "doc_id")
+          val updates = docs.filter(col("doc_id") < 10)
+            .withColumn("n_chars", col("n_chars") + 1000000L)
+          val (_, rw, kp) = graft.sources.Versioned.mergeByKey(
+            s, root, updates.repartition(1), "doc_id")
+          (root, rw, kp)
+        } else (root, 1, 1) // rebuilt table from a prior process
+      })
+    }
+  }
+
+  private val mergedVersionedBuilt =
+    collection.mutable.Map.empty[String, (String, Int, Int)]
+
   /** q227: stats-pruned snapshot read
     * ([[graft.sources.Versioned.appendWithStats]] + [[Versioned
     * .readWhere]]) — the versioned table committed as two files split
@@ -5678,6 +5729,7 @@ object SparkEntry {
     "q225_matryoshka_curve" -> (qMatryoshkaCurve _),
     "q226_versioned_reads" -> (qVersionedReads _),
     "q227_stats_pruned_read" -> (qStatsPrunedRead _),
+    "q228_versioned_merge" -> (qVersionedMerge _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7803,6 +7855,18 @@ object SparkEntry {
          | UNION ALL
          | SELECT 2::BIGINT, count(*), sum(n_chars)::BIGINT
          |  FROM documents) ORDER BY version""".stripMargin,
+
+    // COW-merge replay: updates bump n_chars by 1e6 for doc_id < 10;
+    // the after-sum applies the CASE, the before-sum is the plain
+    // table (time travel), the file counts are construction facts
+    // (low-id updates touch only the low-half file)
+    "q228_versioned_merge" ->
+      s"""SELECT 1::BIGINT AS files_rewritten, 1::BIGINT AS files_kept,
+         | count(*) AS n_rows,
+         | sum(CASE WHEN doc_id < 10 THEN n_chars + 1000000
+         |     ELSE n_chars END)::BIGINT AS sum_chars_after,
+         | sum(n_chars)::BIGINT AS sum_chars_before
+         |FROM documents""".stripMargin,
 
     // stats-pruned-read replay: the split threshold is the integer
     // mean (sum // count — exact on both engines); the low band is

@@ -57,6 +57,12 @@ object Versioned {
     finally in.close()
   }
 
+  /** The relpath of a manifest line — lines are `relpath` (v1) or
+    * `relpath\tmin\tmax` (stats); every path consumer MUST strip the
+    * stats columns.
+    */
+  private def pathOf(line: String): String = line.split('\t').head
+
   /** Append `df` as the next version: the data lands in a fresh
     * immutable `data/batch-<v>` directory, and the commit is ONE
     * manifest rename (prior files + the new ones). A crash before the
@@ -94,7 +100,8 @@ object Versioned {
                version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, root) else version
     require(v > 0, s"no committed versions at $root")
-    val files = readManifest(spark, root, v).map(rel => s"$root/$rel")
+    val files = readManifest(spark, root, v)
+      .map(line => s"$root/${pathOf(line)}")
     spark.read.parquet(files: _*)
   }
 
@@ -176,6 +183,80 @@ object Versioned {
     (frame, keep.size, entries.size)
   }
 
+  /** Copy-on-write MERGE by key — Delta/Iceberg's upsert, at FILE
+    * granularity: rows of `updates` replace same-key rows, new keys
+    * insert. Only the files whose manifest [min, max] key range
+    * overlaps the update keys are rewritten (everything the zone
+    * stats can prove untouched keeps its EXACT file path in the new
+    * manifest — zero data movement, the property that makes a 1%-key
+    * merge on a 100 TB table cost 1%, not 100%). The rewritten
+    * survivors and the update rows land in the new version's batch
+    * directory with fresh stats; the commit is the usual manifest
+    * rename, so a crash mid-merge leaves only an orphan batch and
+    * every committed version still time-travels.
+    *
+    * Requires a table whose commits all carried stats on `keyCol`
+    * ([[appendWithStats]]) — a stat-less file cannot be proven
+    * untouched, and this refuses rather than silently rewriting the
+    * world. Update keys are collected driver-side (an update batch is
+    * an ingest batch, not a corpus — the [[graft.search.Ann
+    * .upsertIntoIvf]] bound). Returns (newVersion, filesRewritten,
+    * filesKept).
+    */
+  def mergeByKey(spark: SparkSession, root: String, updates: DataFrame,
+                 keyCol: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(!updates.isEmpty, s"refusing an empty merge into $root")
+    val f = fs(spark, root)
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root to merge into")
+    val keys = updates.select(col(keyCol).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val (kLo, kHi) = (keys.min, keys.max)
+    val entries = readManifest(spark, root, prev).map { line =>
+      line.split('\t') match {
+        case Array(p, mn, mx) => (p, mn.toLong, mx.toLong)
+        case Array(p) => throw new IllegalArgumentException(
+          s"mergeByKey($root): file $p carries no $keyCol stats — " +
+          "merge needs a fully stat-committed table (appendWithStats)")
+      }
+    }
+    // file-level pruning: range first, then the exact key set (a file
+    // overlapping [kLo, kHi] may still hold none of the keys)
+    val keySet = keys.toSet
+    val (affected, kept) = entries.partition { case (_, mn, mx) =>
+      mx >= kLo && mn <= kHi && keys.exists(k => k >= mn && k <= mx)
+    }
+    val v = prev + 1
+    val batch = new Path(root, s"data/batch-$v")
+    if (f.exists(batch)) f.delete(batch, true)
+    val survivors =
+      if (affected.isEmpty) updates
+      else spark.read.parquet(affected.map(e => s"$root/${e._1}"): _*)
+        .filter(!col(keyCol).cast("long").isin(keySet.toSeq: _*))
+        .unionByName(updates)
+    survivors.write.mode("overwrite").parquet(batch.toString)
+    val stats = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(keyCol).cast("long")).as("__mn"),
+        max(col(keyCol).cast("long")).as("__mx"))
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        s"data/batch-$v/$name\t${r.getLong(1)}\t${r.getLong(2)}"
+      }.sorted
+    val all = kept.map { case (p, mn, mx) => s"$p\t$mn\t$mx" } ++ stats
+    f.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
+    if (f.exists(tmp)) f.delete(tmp, false)
+    val out = f.create(tmp, true)
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, manifestPath(root, v)),
+      s"mergeByKey($root): manifest commit for v$v failed")
+    (v, affected.size, kept.size)
+  }
+
   /** Drop data files referenced by NO manifest (crashed appends,
     * aborted writers). Returns the deleted paths. Never touches a
     * file any committed version can still read — time travel to every
@@ -189,7 +270,8 @@ object Versioned {
     val referenced: Set[String] =
       if (latest == 0) Set.empty
       else (1L to latest).flatMap(v =>
-        if (f.exists(manifestPath(root, v))) readManifest(spark, root, v)
+        if (f.exists(manifestPath(root, v)))
+          readManifest(spark, root, v).map(pathOf)
         else Seq.empty).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     for (batch <- f.listStatus(dataDir) if batch.isDirectory) {

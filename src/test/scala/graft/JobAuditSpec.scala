@@ -90,6 +90,11 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the q205 probe shape (measured 9: " +
         "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q228_versioned_merge" -> (30,
+      "cold path builds the two-file stats table AND runs the COW merge " +
+        "(threshold agg + two appendWithStats + the merge's key " +
+        "collect, survivor rewrite, stats pass — all constant-stage); " +
+        "warm runs are two snapshot aggregates"),
     "q227_stats_pruned_read" -> (24,
       "cold path builds the two-file stats table (threshold agg + two " +
         "appendWithStats, each = isEmpty probe + parquet write + the " +

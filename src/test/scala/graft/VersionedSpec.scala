@@ -92,6 +92,41 @@ class VersionedSpec extends SparkSpec {
     assert((read4, total4) == (1, 1))
   }
 
+  test("mergeByKey: file-granular copy-on-write — untouched files keep " +
+    "their paths, updates replace, inserts land, time travel intact") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 110L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    // regression (found by q228): readAsOf must parse stats manifests
+    assert(Versioned.readAsOf(spark, root).count() == 20L)
+    // update id 3, insert id 7000 -> only the low file's range is hit
+    val updates = Seq((3L, 999L), (7000L, 7L)).toDF("id", "v")
+    val (v, rewritten, kept) = Versioned.mergeByKey(spark, root,
+      updates.repartition(1), "id")
+    assert((v, rewritten, kept) == (3L, 1, 1), s"got ($v, $rewritten, $kept)")
+    val after = Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(after.size == 21 && after(3L) == 999L && after(7000L) == 7L &&
+      after(5L) == 50L && after(105L) == 1050L)
+    // the pre-merge snapshot is untouched
+    val before = Versioned.readAsOf(spark, root, 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(before.size == 20 && before(3L) == 30L && !before.contains(7000L))
+    // old files still referenced by old manifests survive vacuum
+    assert(Versioned.vacuum(spark, root).isEmpty)
+    assert(Versioned.readAsOf(spark, root, 1L).count() == 10L)
+    // a merge into a stat-less table is refused, not a silent rewrite
+    val root2 = freshRoot()
+    Versioned.append(spark, root2, Seq((1L, 1L)).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException](
+      Versioned.mergeByKey(spark, root2, Seq((1L, 2L)).toDF("id", "v"), "id"))
+    assert(ex.getMessage.contains("no id stats"))
+  }
+
   test("empty commits are refused; unknown versions error clearly") {
     val root = freshRoot()
     val ex = intercept[IllegalArgumentException](
