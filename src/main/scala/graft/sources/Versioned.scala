@@ -69,16 +69,29 @@ object Versioned {
     * rename leaves an orphan batch directory no reader can see.
     * Returns the committed version.
     */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    appendNamed(spark, root, df, dirName = null)
+
+  /** [[append]] with an explicit batch directory name (default
+    * `batch-<v>`): the hook the streaming sink uses to make commits
+    * IDEMPOTENT — a replayed micro-batch reuses its epoch-keyed name,
+    * so "is this batch already committed" is one manifest scan
+    * ([[graft.streaming.StreamingVersionedSink]]).
+    */
+  def appendNamed(spark: SparkSession, root: String, df: DataFrame,
+                  dirName: String): Long = {
     require(!df.isEmpty, s"refusing to commit an empty version to $root")
     val f = fs(spark, root)
     val v = latestVersion(spark, root) + 1
-    val batch = new Path(root, s"data/batch-$v")
+    val name = Option(dirName).getOrElse(s"batch-$v")
+    require(!name.contains('/') && !name.contains('\t'),
+      s"bad batch dir name: $name")
+    val batch = new Path(root, s"data/$name")
     if (f.exists(batch)) f.delete(batch, true) // dead prior attempt
     df.write.mode("overwrite").parquet(batch.toString)
     val newFiles = f.listStatus(batch)
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/batch-$v/${s.getPath.getName}").sorted
+      .map(s => s"data/$name/${s.getPath.getName}").sorted
     val prior = if (v == 1) Seq.empty else readManifest(spark, root, v - 1)
     val all = prior ++ newFiles
     f.mkdirs(manifestDir(root))
@@ -90,6 +103,16 @@ object Versioned {
     require(f.rename(tmp, manifestPath(root, v)),
       s"append($root): manifest commit for v$v failed")
     v
+  }
+
+  /** True iff the latest manifest references any file under
+    * `data/<dirName>/` — the streaming sink's replay test.
+    */
+  def hasBatchDir(spark: SparkSession, root: String,
+                  dirName: String): Boolean = {
+    val latest = latestVersion(spark, root)
+    latest > 0 && readManifest(spark, root, latest)
+      .exists(l => pathOf(l).startsWith(s"data/$dirName/"))
   }
 
   /** Snapshot read of `version` (default: latest): exactly that

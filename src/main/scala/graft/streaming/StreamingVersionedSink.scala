@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Versioned
+
+/** Exactly-once streaming sink onto a [[graft.sources.Versioned]]
+  * table — the Delta-style streaming writer (public knowledge), built
+  * from two pieces the table already has:
+  *
+  *  - **Idempotent commits.** Structured Streaming's `foreachBatch`
+  *    guarantees at-least-once delivery with a stable `batchId`; the
+  *    sink keys each commit's data directory on that epoch
+  *    (`data/stream-<batchId>`) and SKIPS any batch the latest
+  *    manifest already references — a replay after a crash (the
+  *    batch that committed but whose offsets didn't) becomes a no-op
+  *    instead of duplicate rows. At-least-once + idempotence =
+  *    exactly-once table contents.
+  *  - **Atomic visibility.** The manifest rename is the commit point,
+  *    so a reader never sees a half-written micro-batch, and a crash
+  *    between the parquet write and the rename leaves an orphan
+  *    directory [[Versioned.vacuum]] reclaims.
+  *
+  * Each micro-batch is ALSO a queryable version: `readAsOf` gives the
+  * table as of any epoch — streaming ingest with time travel for free.
+  *
+  * Use: `ds.writeStream.foreachBatch(StreamingVersionedSink.handler(
+  * spark, root) _)...` or call [[commitBatch]] from an existing
+  * foreachBatch body.
+  */
+object StreamingVersionedSink {
+
+  /** Commit one micro-batch idempotently. Returns the committed
+    * version, or None when the epoch was already committed (replay)
+    * or the batch is empty (streams deliver empty epochs routinely —
+    * an empty commit would violate the table's non-empty invariant
+    * for no information).
+    */
+  def commitBatch(spark: SparkSession, root: String, df: DataFrame,
+                  batchId: Long): Option[Long] = {
+    val name = s"stream-$batchId"
+    if (Versioned.hasBatchDir(spark, root, name)) None
+    else if (df.isEmpty) None
+    else Some(Versioned.appendNamed(spark, root, df, name))
+  }
+
+  /** A ready-made `foreachBatch` handler. */
+  def handler(spark: SparkSession, root: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    commitBatch(spark, root, df, batchId)
+    ()
+  }
+}

@@ -127,6 +127,44 @@ class VersionedSpec extends SparkSpec {
     assert(ex.getMessage.contains("no id stats"))
   }
 
+  test("StreamingVersionedSink: streamed micro-batches land as " +
+    "versions, replays are no-ops, empties skipped, table == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingVersionedSink
+    val root = freshRoot()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("id", "s")
+      .writeStream
+      .foreachBatch(StreamingVersionedSink.handler(spark, root) _)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(Versioned.readAsOf(spark, root)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // each micro-batch is its own time-travelable version
+      assert(Versioned.readAsOf(spark, root, 1L).count() == 2L)
+    } finally q.stop()
+    val vAfterStream = Versioned.latestVersion(spark, root)
+    // replay of an already-committed epoch is a no-op (the
+    // at-least-once crash case): same batchId, even different data
+    val replay = Seq((99L, "dup")).toDF("id", "s")
+    assert(StreamingVersionedSink.commitBatch(spark, root, replay, 0L).isEmpty)
+    assert(Versioned.latestVersion(spark, root) == vAfterStream)
+    assert(Versioned.readAsOf(spark, root).count() == 3L,
+      "replayed epoch added duplicate rows")
+    // empty epochs are skipped, not committed
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq.empty[(Long, String)].toDF("id", "s"), 50L).isEmpty)
+    // a NEW epoch still commits
+    assert(StreamingVersionedSink.commitBatch(spark, root, replay, 60L)
+      .contains(vAfterStream + 1))
+    assert(Versioned.readAsOf(spark, root).count() == 4L)
+  }
+
   test("empty commits are refused; unknown versions error clearly") {
     val root = freshRoot()
     val ex = intercept[IllegalArgumentException](
