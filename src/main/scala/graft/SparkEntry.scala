@@ -2027,6 +2027,22 @@ object SparkEntry {
   private val mergedVersionedBuilt =
     collection.mutable.Map.empty[String, (String, Int, Int)]
 
+  /** q229: change-data-feed read ([[graft.sources.Versioned
+    * .readChanges]]) across q228's COW merge — the manifest diff opens
+    * only the rewritten + new files, the EXCEPT ALL cancels the
+    * carried-over rows, and what remains is EXACTLY the update batch
+    * (doc_id < 10 with the 1e6 char bump). The consumer-side
+    * incremental read every downstream pipeline wants.
+    */
+  private def qVersionedChanges(s: SparkSession, dir: String): DataFrame = {
+    val (root, _, _) = mergedVersionedFor(s, dir)
+    graft.sources.Versioned.readChanges(s, root, 2L, 3L)
+      .agg(count(lit(1)).as("n_changed"),
+        sum(col("n_chars")).as("sum_chars_changed"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** q227: stats-pruned snapshot read
     * ([[graft.sources.Versioned.appendWithStats]] + [[Versioned
     * .readWhere]]) — the versioned table committed as two files split
@@ -5730,6 +5746,7 @@ object SparkEntry {
     "q226_versioned_reads" -> (qVersionedReads _),
     "q227_stats_pruned_read" -> (qStatsPrunedRead _),
     "q228_versioned_merge" -> (qVersionedMerge _),
+    "q229_versioned_changes" -> (qVersionedChanges _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7855,6 +7872,14 @@ object SparkEntry {
          | UNION ALL
          | SELECT 2::BIGINT, count(*), sum(n_chars)::BIGINT
          |  FROM documents) ORDER BY version""".stripMargin,
+
+    // CDC replay: the v2->v3 change set IS the update batch — the
+    // rewritten file's carried-over rows cancel in the EXCEPT ALL
+    "q229_versioned_changes" ->
+      s"""SELECT count(*) AS n_changed,
+         | sum(n_chars + 1000000)::BIGINT AS sum_chars_changed,
+         | min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents WHERE doc_id < 10""".stripMargin,
 
     // COW-merge replay: updates bump n_chars by 1e6 for doc_id < 10;
     // the after-sum applies the CASE, the before-sum is the plain

@@ -280,6 +280,42 @@ object Versioned {
     (v, affected.size, kept.size)
   }
 
+  /** Change-data-feed read between two committed versions — Delta's
+    * `readChangeFeed` in miniature: the manifests' file-list DIFF
+    * bounds the I/O (only files ADDED or REMOVED between the versions
+    * are opened; a 1-file append on a million-file table reads 1
+    * file), and the row-level change set is
+    * `read(added) EXCEPT ALL read(removed)` — exact for pure appends
+    * (removed is empty → the new rows) AND for copy-on-write merges
+    * (a rewritten file's carried-over rows cancel against the removed
+    * file, leaving exactly the updated/inserted rows). The EXCEPT ALL
+    * shuffles only the changed files' rows, never the table. Returns
+    * the net-new row multiset of `toV` relative to `fromV`.
+    */
+  def readChanges(spark: SparkSession, root: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && toV > fromV,
+      s"need 0 <= fromV < toV, got $fromV, $toV")
+    val fromFiles =
+      if (fromV == 0) Set.empty[String]
+      else readManifest(spark, root, fromV).map(pathOf).toSet
+    val toFiles = readManifest(spark, root, toV).map(pathOf).toSet
+    val added = (toFiles -- fromFiles).toSeq.sorted
+    val removed = (fromFiles -- toFiles).toSeq.sorted
+    require(added.nonEmpty || removed.nonEmpty, {
+      s"readChanges($root): v$fromV and v$toV share every file — no changes"
+    })
+    val addedDf =
+      if (added.isEmpty)
+        // removal-only version: nothing new; surface the empty frame
+        // with the table's schema via an impossible filter on removed
+        spark.read.parquet(removed.map(p => s"$root/$p"): _*).limit(0)
+      else spark.read.parquet(added.map(p => s"$root/$p"): _*)
+    if (removed.isEmpty) addedDf
+    else addedDf.exceptAll(
+      spark.read.parquet(removed.map(p => s"$root/$p"): _*))
+  }
+
   /** Drop data files referenced by NO manifest (crashed appends,
     * aborted writers). Returns the deleted paths. Never touches a
     * file any committed version can still read — time travel to every

@@ -90,6 +90,10 @@ class JobAuditSpec extends SparkSpec {
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the q205 probe shape (measured 9: " +
         "probe-union collect + broadcast-gate count + the serving scan)"),
+    "q229_versioned_changes" -> (30,
+      "cold path rides q228's table build+merge seam (shared per-dir " +
+        "cache); warm runs are one manifest-diff EXCEPT-ALL aggregate " +
+        "over the changed files only"),
     "q228_versioned_merge" -> (30,
       "cold path builds the two-file stats table AND runs the COW merge " +
         "(threshold agg + two appendWithStats + the merge's key " +

@@ -165,6 +165,39 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, root).count() == 4L)
   }
 
+  test("readChanges: manifest-diff CDC — appends yield the new rows, " +
+    "a COW merge yields exactly the updates+inserts, I/O bounded to " +
+    "the diffed files") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 105L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    // pure append: changes v1 -> v2 are the second batch, verbatim
+    assert(Versioned.readChanges(spark, root, 1L, 2L)
+      .as[(Long, Long)].collect().toSet ==
+      (100L until 105L).map(i => (i, i * 10)).toSet)
+    // changes since table birth (fromV = 0) are everything
+    assert(Versioned.readChanges(spark, root, 0L, 2L).count() == 15L)
+    // COW merge: update id 3, insert id 7000 -> the v2 -> v3 change
+    // set is exactly those two rows (carried-over rows cancel)
+    Versioned.mergeByKey(spark, root,
+      Seq((3L, 999L), (7000L, 7L)).toDF("id", "v").repartition(1), "id")
+    assert(Versioned.readChanges(spark, root, 2L, 3L)
+      .as[(Long, Long)].collect().toSet == Set((3L, 999L), (7000L, 7L)))
+    // and spanning append + merge composes
+    assert(Versioned.readChanges(spark, root, 1L, 3L)
+      .as[(Long, Long)].collect().toSet ==
+      ((100L until 105L).map(i => (i, i * 10)).toSet +
+        ((3L, 999L)) + ((7000L, 7L))))
+    // identical versions refused (no change files to read)
+    val ex = intercept[IllegalArgumentException](
+      Versioned.readChanges(spark, root, 3L, 3L))
+    assert(ex.getMessage.contains("fromV < toV"))
+  }
+
   test("empty commits are refused; unknown versions error clearly") {
     val root = freshRoot()
     val ex = intercept[IllegalArgumentException](
