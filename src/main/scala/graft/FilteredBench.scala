@@ -91,7 +91,7 @@ object FilteredBench {
 
     for ((label, pred) <- filters) {
       // exact filtered top-k: full lists scan, predicate pushed, no probe
-      def exact(): DataFrame = spark.read.parquet(s"$idxDir/lists")
+      def exact(): DataFrame = Ann.listsFrame(spark, idxDir)
         .filter(pred)
         .withColumn("score", graft.functions.CosineSimilarity(
           col("embedding"), array(qVec.map(lit): _*)))

@@ -47,7 +47,7 @@ object RewriteBench {
 
     val qVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-    def query(): DataFrame = spark.read.parquet(s"$idxDir/lists")
+    def query(): DataFrame = Ann.listsFrame(spark, idxDir)
       .withColumn("score", graft.functions.CosineSimilarity(
         col("embedding"), array(qVec.map(lit): _*)))
       .orderBy(col("score").desc, col("vec_id").asc)

@@ -856,7 +856,7 @@ object SparkEntry {
     ivfIndexFor(s, dir) // build+persist on first touch (the q28 seam)
     val qVec = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-    s.read.parquet(s"${ivfPathFor(s, dir)}/lists")
+    Ann.listsFrame(s, ivfPathFor(s, dir))
       .withColumn("score", graft.functions.CosineSimilarity(
         col("embedding"), array(qVec.map(lit): _*)))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -1074,7 +1074,6 @@ object SparkEntry {
       val path = ivfDeletePathFor(s, dir)
       val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val tomb = new org.apache.hadoop.fs.Path(path, "tombstones")
       if (!fs.exists(marker)) {
         ivfIndexFor(s, dir) // ensure the source index exists
         val t0 = System.nanoTime()
@@ -1082,7 +1081,7 @@ object SparkEntry {
         Ann.deleteFromIvf(s, path, DeletedVecIds)
         System.err.println(
           f"[graft] q214 delete-index clone+tombstone ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      } else if (!fs.exists(tomb)) {
+      } else if (Ann.readIvfManifest(s, path).tombstones.isEmpty) {
         // writeIvf's marker landed but the process died before the
         // tombstone append — re-delete rather than serve undeleted rows
         Ann.deleteFromIvf(s, path, DeletedVecIds)
@@ -2170,7 +2169,7 @@ object SparkEntry {
     marginFrontierForOracle = (index.centers, probeRows)
     val probes = probeRows.toDF("query_id", "margin_pm", "centroid_id")
     val probedIds = probeRows.map(_._3).distinct.sorted
-    val lists = s.read.parquet(s"${ivfPathFor(s, dir)}/lists")
+    val lists = Ann.listsFrame(s, ivfPathFor(s, dir))
       .filter(col("centroid_id").isin(probedIds: _*))
     val qArr = qs.map { case (qid, qv) => qid -> qv }.toMap
     val qLit = map(qs.flatMap { case (qid, qv) =>

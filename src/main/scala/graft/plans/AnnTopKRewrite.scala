@@ -19,9 +19,10 @@ import graft.functions.{CosineSimilarity, SignBucket}
   * is being scanned:
   *
   *   1. **Persisted-IVF probe** — when the scan is a
-  *      [[graft.search.Ann.writeIvf]] lists layout (`<index>/lists`
-  *      partitioned by centroid_id, sibling `centroids` + IVF_FORMAT
-  *      marker): insert `Filter(centroid_id IN <nprobe ranked probes>)`
+  *      [[graft.search.Ann.writeIvf]] lists layout (a live WHOLE
+  *      `<index>/gen-N/lists` generation of the latest ivf-v3
+  *      manifest, partitioned by centroid_id, IVF_FORMAT marker at
+  *      the root): insert `Filter(centroid_id IN <nprobe ranked probes>)`
   *      with ivfSearch's exact probe ranking (centroid cosine desc, id
   *      asc; `spark.graft.ann.topkRewrite.nprobe`, default 2). The IN
   *      predicate partition-prunes the scan to nprobe directories —
@@ -161,8 +162,8 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
   // ---------------------------------------------------------------------
   // Persisted-IVF probe (VERDICT r12 item 5): when the scanned relation
-  // IS a writeIvf lists layout (`<index>/lists`, partitioned by
-  // centroid_id, sibling `centroids` table + IVF_FORMAT marker — the
+  // IS a writeIvf lists layout (a live whole `<index>/gen-N/lists`
+  // generation, partitioned by centroid_id, IVF_FORMAT marker — the
   // storage layout a 100 TB corpus keeps its vectors in), an exact
   // top-k rewrites to `Filter(centroid_id IN probes)`: probe ranking is
   // ivfSearch's exactly (centroid cosine desc, id asc, take nprobe), and
@@ -182,12 +183,12 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     n
   }
 
-  /** Trained centers per (centroids-dir, IVF_FORMAT marker mtime),
-    * cached per JVM: the table is nCentroids tiny rows but loading it
-    * is a (sub-second) Spark job, and the optimizer may re-enter many
-    * times. ADVICE r13: the key carries the marker's modification time
-    * (writeIvf re-stamps it on every persist/rebalance), so an in-place
-    * index rebuild — even from another process — can no longer serve
+  /** Trained centers per (centroids-dir, manifest version), cached per
+    * JVM: the table is nCentroids tiny rows but loading it is a
+    * (sub-second) Spark job, and the optimizer may re-enter many
+    * times. The freshness stamp is the index's committed MANIFEST
+    * VERSION (ivf-v3): every mutation commits a new version, so an
+    * in-place rebuild — even from another process — can never serve
     * stale centers and mis-prune; [[Ann.writeIvf]] also calls
     * [[clearCache]] to drop the dead entry eagerly.
     */
@@ -196,10 +197,13 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
   def clearCache(): Unit = centersCache.clear()
 
-  /** The child's single parquet relation rooted at `<p>/lists` of an
-    * ivf-v2 index, if that is what is being scanned. Returns the
-    * centroids dir plus the IVF_FORMAT marker's mtime (the cache
-    * freshness stamp).
+  /** The child's single parquet relation rooted at a live whole lists
+    * generation (`<index>/gen-N/lists`) of an ivf-v3 index, if that is
+    * what is being scanned: the dir must appear WHOLE in the LATEST
+    * committed manifest (a superseded or partial generation scan is a
+    * user's time-travel/debug read — not safe to probe-prune against
+    * the current centers). Returns the manifest's centroids dir plus
+    * the committed version (the cache freshness stamp).
     */
   private def indexCentroidsDir(child: LogicalPlan): Option[(String, Long)] = {
     val roots = child.collect {
@@ -207,16 +211,23 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
     }
     roots match {
-      case Seq(Seq(root)) if root.getName == "lists" =>
-        val parent = root.getParent
+      case Seq(Seq(root)) if root.getName == "lists" &&
+          root.getParent != null &&
+          root.getParent.getName.startsWith("gen-") &&
+          root.getParent.getParent != null =>
+        val idxRoot = root.getParent.getParent
         try {
-          val fs = parent.getFileSystem(org.apache.spark.sql.SparkSession
-            .active.sparkContext.hadoopConfiguration)
-          val marker = new org.apache.hadoop.fs.Path(parent, "IVF_FORMAT")
-          val cdir = new org.apache.hadoop.fs.Path(parent, "centroids")
-          if (fs.exists(marker) && fs.exists(cdir))
-            Some((cdir.toString, fs.getFileStatus(marker).getModificationTime))
-          else None
+          val spark = org.apache.spark.sql.SparkSession.active
+          val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(idxRoot, "IVF_FORMAT")
+          if (!fs.exists(marker)) None
+          else {
+            val m = graft.search.Ann.readIvfManifest(spark, idxRoot.toString)
+            val rel = s"${root.getParent.getName}/lists"
+            if (m.listDirs.exists(ld => ld.dir == rel && ld.whole))
+              Some((s"$idxRoot/${m.centroids}", m.version))
+            else None
+          }
         } catch { case _: Exception => None }
       case _ => None
     }

@@ -758,66 +758,226 @@ object Ann {
       model.clusterCenters.map(_.toArray))
   }
 
+  // =========================================================================
+  // IVF v3 on-disk protocol: immutable generations + atomic manifest
+  // commits — the [[graft.sources.Versioned]] commit discipline applied
+  // to the index (VERDICT r17 item 1). Every mutation (writeIvf,
+  // appendToIvf, upsertIntoIvf, deleteFromIvf, compactIvf,
+  // sq8AugmentIvf) writes fresh files under a new `gen-<v>` directory
+  // and commits by renaming ONE small manifest into `_manifests/` —
+  // nothing a committed manifest references is ever rewritten or
+  // renamed, so a probe planned at version N resolves N's immutable
+  // files no matter how many mutations commit while it runs. The
+  // probe-vs-maintenance race of the v2 in-place directory swaps is
+  // gone by construction; crash recovery shrinks to orphan-sweeping
+  // (a crashed writer leaves only an unreferenced gen dir + maybe a
+  // manifest .tmp — invisible to every reader). Old generations are
+  // reclaimed by [[gcIvf]] under an explicit retention contract.
+  // =========================================================================
+
+  /** One live inverted-list tree of an [[IvfManifest]]: a
+    * hive-partitioned parquet dir (`…/lists/centroid_id=N`)
+    * contributing `cids`' lists to the version. `whole` records that
+    * the dir's physical partition set equals `cids`, so readers scan it
+    * BARE — a single relation with PartitionFilters intact (the
+    * q28/q193 plan gates). A dir some of whose lists were superseded by
+    * a later generation is partial (`whole = false`) and is scanned
+    * with an explicit `centroid_id IN (live)` filter — still partition
+    * pruning, never row filtering.
+    */
+  final case class IvfListDir(dir: String, cids: Seq[Int], whole: Boolean)
+
+  /** A committed version of a persisted IVF index: every path is
+    * relative to the index root and points into an immutable
+    * generation directory. Tombstone dirs accumulate one per
+    * [[deleteFromIvf]] commit and are consolidated by
+    * [[upsertIntoIvf]] / dropped by [[compactIvf]].
+    */
+  final case class IvfManifest(version: Long, centroids: String,
+                               listDirs: Seq[IvfListDir],
+                               tombstones: Seq[String],
+                               sq8Model: Option[String])
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ivfManifestDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_manifests")
+
+  private def ivfManifestPath(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(ivfManifestDir(path), f"v$v%06d.manifest")
+
+  private def ivfGenDir(v: Long): String = f"gen-$v%06d"
+
+  /** Highest committed version of the index at `path`, 0 if none. */
+  def latestIvfVersion(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Long = {
+    val fs = ivfFs(spark, path)
+    val dir = ivfManifestDir(path)
+    if (!fs.exists(dir)) return 0L
+    val V = """v(\d+)\.manifest""".r
+    fs.listStatus(dir).map(_.getPath.getName).collect {
+      case V(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** Parse a committed manifest (default: latest). Fails with a layout
+    * diagnosis — pre-v3 index, empty dir, non-index path — rather than
+    * Spark's raw path/schema error.
+    */
+  private[graft] def readIvfManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long = -1L): IvfManifest = {
+    val fs = ivfFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(root), s"no IVF index at $path (path missing)")
+    val v = if (version < 0) latestIvfVersion(spark, path) else version
+    require(v > 0, {
+      val preV3 = fs.exists(new org.apache.hadoop.fs.Path(root, "lists"))
+      if (preV3) s"$path is a pre-v3 IVF layout (lists at the root, no " +
+        "manifest) — rebuild with writeIvf"
+      else s"$path has no committed IVF manifest (build with writeIvf)"
+    })
+    val p = ivfManifestPath(path, v)
+    require(fs.exists(p), s"no version $v at $path (missing ${p.getName} — " +
+      "reclaimed by gcIvf or never committed)")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    var centroids: String = null
+    var sq8: Option[String] = None
+    val lists = scala.collection.mutable.ArrayBuffer.empty[IvfListDir]
+    val tombs = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.foreach { line =>
+      line.split('\t') match {
+        case Array("centroids", rel)  => centroids = rel
+        case Array("sq8_model", rel)  => sq8 = Some(rel)
+        case Array("tombstones", rel) => tombs += rel
+        case Array("lists", rel, cids, w) =>
+          lists += IvfListDir(rel,
+            cids.split(',').filter(_.nonEmpty).map(_.toInt).toSeq,
+            w == "whole")
+        case _ => throw new IllegalArgumentException(
+          s"corrupt IVF manifest line at $path v$v: '$line'")
+      }
+    }
+    require(centroids != null && lists.nonEmpty,
+      s"corrupt IVF manifest at $path v$v (missing centroids/lists entries)")
+    IvfManifest(v, centroids, lists.toSeq, tombs.toSeq, sq8)
+  }
+
+  /** Serialize + atomically commit `m` as version `m.version`. The
+    * rename IS the commit point; the `IVF_FORMAT` marker is stamped on
+    * first commit only (the manifest version, not the marker mtime, is
+    * the freshness signal — [[graft.plans.AnnTopKRewrite]]).
+    */
+  private def commitIvfManifest(spark: org.apache.spark.sql.SparkSession,
+                                path: String, m: IvfManifest): Unit = {
+    val fs = ivfFs(spark, path)
+    val lines =
+      Seq(s"centroids\t${m.centroids}") ++
+      m.listDirs.map(ld => s"lists\t${ld.dir}\t${ld.cids.mkString(",")}\t" +
+        (if (ld.whole) "whole" else "partial")) ++
+      m.tombstones.map(t => s"tombstones\t$t") ++
+      m.sq8Model.map(s => s"sq8_model\t$s").toSeq
+    fs.mkdirs(ivfManifestDir(path))
+    val tmp = new org.apache.hadoop.fs.Path(ivfManifestDir(path),
+      f".v${m.version}%06d.manifest.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, ivfManifestPath(path, m.version)),
+      s"IVF manifest commit for v${m.version} at $path failed")
+    val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
+    if (!fs.exists(marker)) {
+      val mo = fs.create(marker, true)
+      try mo.write("ivf-v3:manifest\n".getBytes("UTF-8"))
+      finally mo.close()
+    }
+  }
+
+  /** The physical centroid_id partition set under an absolute lists
+    * dir — what the writer records as the new generation's `cids`.
+    */
+  private def physicalCids(spark: org.apache.spark.sql.SparkSession,
+                           absListsDir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(absListsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName).collect {
+      case s if s.startsWith("centroid_id=") =>
+        s.stripPrefix("centroid_id=").toInt
+    }.sorted.toSeq
+  }
+
+  /** The CURRENT inverted lists of a persisted index as one frame —
+    * the bare single-relation partition-pruned scan in the common
+    * single-generation case (fresh build / post-compaction), a union
+    * of partition-pruned scans after appends/upserts fragmented the
+    * index across generations ([[compactIvf]] collapses it back).
+    */
+  def listsFrame(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    listsFrameOf(spark, path, readIvfManifest(spark, path))
+
+  private def listsFrameOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, m: IvfManifest): DataFrame =
+    m.listDirs.map { ld =>
+      val df = spark.read.parquet(s"$path/${ld.dir}")
+      if (ld.whole) df
+      else df.filter(col("centroid_id").isin(ld.cids: _*))
+    }.reduce(_.unionByName(_))
+
   /** Persist an IVF index: the assigned corpus partitioned by inverted
-    * list (one directory per centroid_id under `path`/lists) plus the
-    * trained centroid table (`path`/centroids — tiny, one file). A probe
-    * that filters on centroid_id then reads only nprobe directories
-    * (PartitionFilters in the scan, zero I/O for the other lists) — the
-    * storage layout that makes IVF an actual index at 100 TB rather than
-    * a full-scan-with-a-filter. Persisting the trained centers (rather
+    * list (one directory per centroid_id) plus the trained centroid
+    * table (tiny, one file), both under a fresh immutable generation,
+    * committed with one manifest rename. A probe that filters on
+    * centroid_id reads only nprobe directories (PartitionFilters in
+    * the scan, zero I/O for the other lists) — the storage layout that
+    * makes IVF an actual index at 100 TB rather than a
+    * full-scan-with-a-filter. Persisting the trained centers (rather
     * than re-deriving list means on load) keeps probe ranking identical
     * to the in-memory index even when training stopped short of
-    * convergence.
+    * convergence. On an existing index this is a REBUILD: the new
+    * manifest references only the new generation (tombstones and SQ8
+    * codes are intentionally not carried — they describe the old
+    * corpus assignment), while readers of prior versions keep resolving
+    * their own files until [[gcIvf]] reclaims them.
     */
   def writeIvf(index: IvfIndex, path: String): Unit = {
     require(!index.assigned.isEmpty,
       s"refusing to persist an empty IVF index to $path (no vectors assigned)")
+    val spark = index.assigned.sparkSession
+    recoverIvf(spark, path) // writer entry: sweep crashed-commit orphans
+    val v = latestIvfVersion(spark, path) + 1
+    val gen = ivfGenDir(v)
     index.assigned.write
       .partitionBy("centroid_id")
       .mode("overwrite")
-      .parquet(s"$path/lists")
-    val spark = index.assigned.sparkSession
+      .parquet(s"$path/$gen/lists")
     import spark.implicits._
     index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("centroid_id", "centroid")
       .coalesce(1) // nCentroids tiny rows — one file
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    // format marker: lets readIvf distinguish "old/foreign layout" from
-    // "corrupt" with a clear message, and future layouts version-bump
-    val marker = new org.apache.hadoop.fs.Path(path, "IVF_FORMAT")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, true)
-    try out.write("ivf-v2:lists+centroids\n".getBytes("UTF-8"))
-    finally out.close()
+      .write.mode("overwrite").parquet(s"$path/$gen/centroids")
+    val cids = physicalCids(spark, s"$path/$gen/lists")
+    commitIvfManifest(spark, path, IvfManifest(v, s"$gen/centroids",
+      Seq(IvfListDir(s"$gen/lists", cids, whole = true)), Nil, None))
     // ADVICE r13: an in-place rebuild must not leave the plan rewrite
     // pruning on the old centers — the rewrite's cache is keyed on the
-    // marker mtime (re-stamped just above) AND dropped eagerly here
+    // manifest version (bumped by the commit above) AND dropped eagerly
     graft.plans.AnnTopKRewrite.clearCache()
   }
 
-  /** Reload a persisted IVF index. The centroid table is driver-sized
-    * (nCentroids rows); the inverted lists stay distributed and
-    * partition-prunable.
-    */
-  def readIvf(spark: org.apache.spark.sql.SparkSession,
-              path: String): IvfIndex = {
-    // Fail with a layout diagnosis rather than Spark's raw path/schema
-    // error when pointed at a pre-v2 index (parquet directly at `path`),
-    // an empty directory, or a non-index path.
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"no IVF index at $path (path missing)")
-    recoverIvf(spark, path) // repair any crashed maintenance swap first
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
-      s"$path is not an ivf-v2 index (missing $path/centroids — a pre-v2 " +
-      "index stored parquet directly at the root; rebuild with writeIvf)")
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
-      s"$path is not an ivf-v2 index (missing $path/lists)")
-    // deletes ride along: an index with a tombstone table reloads as the
-    // surviving rows (no extra plan node when there are none)
-    val assigned = listsMinusTombstones(spark, path)
-    val byId = spark.read.parquet(s"$path/centroids").collect()
+  /** The driver-resident centroid table of a committed version. */
+  private def readCentersOf(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            m: IvfManifest): Array[Array[Double]] = {
+    val byId = spark.read.parquet(s"$path/${m.centroids}").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
     require(byId.nonEmpty, s"IVF store at $path has no centroids")
@@ -826,9 +986,23 @@ object Ann {
     // which cosine-scores 0 and is never probed first)
     val k = byId.keys.max + 1
     val dim = byId.values.head.length
-    val centers = Array.tabulate(k)(i =>
-      byId.getOrElse(i, new Array[Double](dim)))
-    IvfIndex(assigned, centers)
+    Array.tabulate(k)(i => byId.getOrElse(i, new Array[Double](dim)))
+  }
+
+  /** Reload a persisted IVF index — a PURE read: one manifest resolve,
+    * no filesystem mutation of any kind (ADVICE r17: a reader must
+    * never race a writer's commit; under the manifest protocol it
+    * cannot). `version` opts into time travel to any retained commit.
+    * The centroid table is driver-sized (nCentroids rows); the
+    * inverted lists stay distributed and partition-prunable.
+    */
+  def readIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String, version: Long = -1L): IvfIndex = {
+    val m = readIvfManifest(spark, path, version)
+    // deletes ride along: an index with tombstone dirs reloads as the
+    // surviving rows (no extra plan node when there are none)
+    val assigned = listsMinusTombstonesOf(spark, path, m, "vec_id")
+    IvfIndex(assigned, readCentersOf(spark, path, m))
   }
 
   // =========================================================================
@@ -1010,18 +1184,15 @@ object Ann {
       .select(col(idCol), round(col("approx_dist2"), 6).as("approx_dist2"))
   }
 
-  /** IVF probe: rank centroids against the query DRIVER-side (the
-    * centroid table is tiny), then score only the rows of the `nprobe`
-    * nearest inverted lists — a partition-pruned scan when the assigned
-    * table is stored bucketed by centroid_id, never a corpus shuffle.
-    */
   /** Append a batch to a persisted IVF index WITHOUT retraining: each
     * new vector is assigned to its nearest stored centroid (argmin
     * squared L2, centroid-index tie-break — the same rule as
     * spark.ml's KMeansModel.transform and the q28 oracle) with the
     * centroids inlined as literals, so assignment is a pure map-side
-    * expression over the batch; rows land in the existing
-    * `lists/centroid_id=N` partitions via parquet append. The
+    * expression over the batch; rows land in a fresh generation's
+    * `lists/centroid_id=N` partitions, committed with one manifest
+    * rename (probes keep resolving the prior version until the commit
+    * lands; [[compactIvf]] collapses generation fragmentation). The
     * quantizer is intentionally FROZEN — an index must not re-rank its
     * existing lists every ingest; retrain with buildIvf + writeIvf
     * when drift warrants (the stored centers keep probe ranking
@@ -1030,9 +1201,31 @@ object Ann {
     */
   def appendToIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                   batch: DataFrame, vecCol: String = "embedding"): Unit = {
-    val index = readIvf(spark, path)
-    val centers = index.centers
-    require(centers.nonEmpty, s"IVF index at $path has no centroids")
+    recoverIvf(spark, path) // writer entry: sweep crashed-commit orphans
+    val m = readIvfManifest(spark, path)
+    val assigned = withIndexSchema(spark, path, m,
+      assignToCenters(batch, readCentersOf(spark, path, m), vecCol), vecCol)
+    val v = m.version + 1
+    val gen = ivfGenDir(v)
+    assigned.write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(s"$path/$gen/lists")
+    val cids = physicalCids(spark, s"$path/$gen/lists")
+    commitIvfManifest(spark, path, m.copy(version = v,
+      listDirs = m.listDirs :+ IvfListDir(s"$gen/lists", cids, whole = true)))
+  }
+
+  /** The frozen-quantizer assignment expression shared by
+    * [[appendToIvf]] and [[upsertIntoIvf]]: nearest stored centroid by
+    * squared L2, lowest-index tie-break — the same rule as spark.ml's
+    * KMeansModel.transform and the q28 oracle — with the centroids
+    * inlined as literals, so assignment is a pure map-side expression
+    * over the batch (cost O(batch × nCentroids × dim), the corpus is
+    * never read).
+    */
+  private def assignToCenters(batch: DataFrame,
+                              centers: Array[Array[Double]],
+                              vecCol: String): DataFrame = {
+    require(centers.nonEmpty, "assignToCenters: no centroids")
     // dimension guard: a mismatched vector would null-pad in zip_with,
     // make its d2 null, and — struct ordering being nulls-first —
     // silently land in centroid 0. Enforced PER ROW inside the
@@ -1051,15 +1244,13 @@ object Ann {
     }
     // struct ordering compares d2 first, then cid — array_min IS the
     // argmin with the lowest-index tie-break
-    val assigned = batch.withColumn("centroid_id",
+    batch.withColumn("centroid_id",
       when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
         raise_error(concat(
-          lit(s"appendToIvf: vector dim != index dim $dim at $path (got "),
+          lit(s"appendToIvf: vector dim != index dim $dim (got "),
           coalesce(size(col(vecCol)).cast("string"), lit("null")),
           lit(")"))).cast("int"))
       .otherwise(array_min(array(d2s: _*)).getField("cid")))
-    assigned.write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/lists")
   }
 
   /** IVF list maintenance: split every inverted list larger than
@@ -1371,6 +1562,11 @@ object Ann {
         col("db_ratio"))
   }
 
+  /** IVF probe: rank centroids against the query DRIVER-side (the
+    * centroid table is tiny), then score only the rows of the `nprobe`
+    * nearest inverted lists — a partition-pruned scan when the assigned
+    * table is stored bucketed by centroid_id, never a corpus shuffle.
+    */
   def ivfSearch(index: IvfIndex, queryVec: Seq[Double], k: Int = 5,
                 nprobe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
@@ -1594,68 +1790,59 @@ object Ann {
     */
   private[graft] def listsMinusTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String = "vec_id"): DataFrame = {
-    val lists = spark.read.parquet(s"$path/lists")
-    val tomb = new org.apache.hadoop.fs.Path(path, "tombstones")
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) lists
-    else lists.join(spark.read.parquet(tomb.toString)
-      .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      idCol: String = "vec_id"): DataFrame =
+    listsMinusTombstonesOf(spark, path, readIvfManifest(spark, path), idCol)
+
+  private def listsMinusTombstonesOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      m: IvfManifest, idCol: String): DataFrame = {
+    val lists = listsFrameOf(spark, path, m)
+    if (m.tombstones.isEmpty) lists
+    else lists.join(
+      spark.read.parquet(m.tombstones.map(t => s"$path/$t"): _*)
+        .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
-  /** Delete-by-id on a persisted IVF index: the ids land in an
-    * append-only `tombstones` table beside the lists, and every probe
+  /** Delete-by-id on a persisted IVF index: the ids land in a fresh
+    * tombstone dir committed as the next version, and every probe
     * path over the persisted layout ([[ivfSearchBatch]],
-    * [[ivfSearchFiltered]]) anti-joins them out. The lists parquet is
-    * NOT rewritten — at 100 TB a delete must be O(deleted ids), not
-    * O(index); reclaiming the space is [[compactIvf]]'s job (the
-    * LSM-style tombstone/compaction split every mutable columnar store
-    * uses). Idempotent: re-deleting an id appends a duplicate row that
-    * the probe-side `distinct` collapses and the next compaction drops.
+    * [[ivfSearchFiltered]]) anti-joins the manifest's tombstone dirs
+    * out. The lists parquet is NOT rewritten — at 100 TB a delete must
+    * be O(deleted ids), not O(index); reclaiming the space is
+    * [[compactIvf]]'s job (the LSM-style tombstone/compaction split
+    * every mutable columnar store uses). Idempotent: re-deleting an id
+    * commits a duplicate row that the probe-side `distinct` collapses
+    * and the next compaction drops.
     */
   def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                     ids: Seq[Long], idCol: String = "vec_id"): Unit = {
     require(ids.nonEmpty, s"deleteFromIvf($path): empty id list")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
-      s"$path is not an ivf-v2 index (missing $path/lists)")
+    recoverIvf(spark, path) // writer entry: sweep crashed-commit orphans
+    val m = readIvfManifest(spark, path)
+    val v = m.version + 1
+    val gen = ivfGenDir(v)
     import spark.implicits._
-    ids.toDF(idCol).write.mode("append").parquet(s"$path/tombstones")
+    ids.toDF(idCol).write.mode("overwrite").parquet(s"$path/$gen/tombstones")
+    commitIvfManifest(spark, path, m.copy(version = v,
+      tombstones = m.tombstones :+ s"$gen/tombstones"))
   }
 
-  /** Crash-recovery sweep over the maintenance artifacts of a persisted
-    * IVF index. [[compactIvf]] and [[upsertIntoIvf]] mutate the store
-    * through tmp-write + rename swaps; a crash inside a swap strands a
-    * recoverable artifact that this sweep repairs (ADVICE r16 items
-    * 1–3). Rules, each keyed on an artifact that never exists in a
-    * healthy index:
+  /** Crash-recovery sweep over a persisted IVF index. Under the v3
+    * manifest protocol a crashed writer can strand only two artifact
+    * kinds, both INVISIBLE to readers (a reader resolves committed
+    * manifests exclusively), so recovery is pure garbage collection:
     *
-    *  - `lists` missing + `lists.old` present → crash between
-    *    compactIvf's two renames: restore `lists.old` → `lists` (the
-    *    pre-compact lists + the still-present tombstones are a
-    *    consistent state; the compaction simply re-runs).
-    *  - `lists` AND `lists.old` present → swap-in finished, the .old
-    *    delete didn't: drop `lists.old`. (If `tombstones` also
-    *    survived, applying them to the already-compacted lists is a
-    *    semantic no-op — the anti-join removes nothing.)
-    *  - `tombstones` missing + `tombstones.old` present → crash between
-    *    upsertIntoIvf's tombstone renames: restore the .old (the
-    *    conservative superset — the crashed upsert never reached its
-    *    append, so no new row is masked; a retry re-filters).
-    *  - both tombstone dirs present → drop the stale `.old`.
-    *  - a hidden per-list `lists/.centroid_id=N.old` (upsertIntoIvf's
-    *    per-directory swap): if the visible directory exists the
-    *    swap-in completed → drop the .old; if not, the crash hit
-    *    between swap-out and swap-in → restore it, making the list
-    *    visible to probes again.
-    *  - dead `*.tmp` staging dirs → dropped (their writers also clear
-    *    them on entry, but a recovered index shouldn't carry them).
+    *  - a dead `_manifests/.v*.manifest.tmp` (crash between manifest
+    *    write and rename) → dropped;
+    *  - an orphan `gen-*` directory referenced by NO committed
+    *    manifest (crash before the manifest rename) → dropped.
     *
-    * Same single-maintenance-writer assumption as the mutators; returns
-    * the actions taken (empty on a healthy index) so callers/specs can
-    * observe what was repaired. Called automatically on entry by
-    * [[readIvf]], [[compactIvf]] and [[upsertIntoIvf]].
+    * Called on entry by every WRITER (writeIvf, appendToIvf,
+    * upsertIntoIvf, deleteFromIvf, compactIvf, sq8AugmentIvf) under
+    * the single-maintenance-writer contract — and by nothing else:
+    * [[readIvf]] and the probe paths never mutate the filesystem
+    * (ADVICE r17 medium). Returns the actions taken (empty on a
+    * healthy index) so callers/specs can observe what was swept.
     */
   def recoverIvf(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[String] = {
@@ -1664,172 +1851,201 @@ object Ann {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    val lists = new Path(root, "lists")
-    val listsOld = new Path(root, "lists.old")
-    if (fs.exists(listsOld)) {
-      if (!fs.exists(lists)) {
-        require(fs.rename(listsOld, lists),
-          s"recoverIvf($path): could not restore lists.old")
-        actions += "restored lists from lists.old"
-      } else {
-        fs.delete(listsOld, true)
-        actions += "dropped stale lists.old"
-      }
-    }
-    val tomb = new Path(root, "tombstones")
-    val tombOld = new Path(root, "tombstones.old")
-    if (fs.exists(tombOld)) {
-      if (!fs.exists(tomb)) {
-        require(fs.rename(tombOld, tomb),
-          s"recoverIvf($path): could not restore tombstones.old")
-        actions += "restored tombstones from tombstones.old"
-      } else {
-        fs.delete(tombOld, true)
-        actions += "dropped stale tombstones.old"
-      }
-    }
-    if (fs.exists(lists)) {
-      val HiddenOld = """\.(centroid_id=\d+)\.old""".r
-      fs.listStatus(lists).foreach { st =>
-        st.getPath.getName match {
-          case HiddenOld(visible) =>
-            val dst = new Path(lists, visible)
-            if (fs.exists(dst)) {
-              fs.delete(st.getPath, true)
-              actions += s"dropped stale hidden $visible.old"
-            } else {
-              require(fs.rename(st.getPath, dst),
-                s"recoverIvf($path): could not restore list $visible")
-              actions += s"restored list $visible from its hidden .old"
-            }
-          case _ => ()
+    val mDir = ivfManifestDir(path)
+    if (fs.exists(mDir)) {
+      fs.listStatus(mDir).foreach { st =>
+        if (st.getPath.getName.endsWith(".manifest.tmp")) {
+          fs.delete(st.getPath, false)
+          actions += s"dropped dead manifest tmp ${st.getPath.getName}"
         }
       }
     }
-    for (t <- Seq("lists.compact.tmp", "lists.upsert.tmp",
-                  "tombstones.upsert.tmp")) {
-      val p = new Path(root, t)
-      if (fs.exists(p)) { fs.delete(p, true); actions += s"dropped dead $t" }
+    val latest = latestIvfVersion(spark, path)
+    val referenced: Set[String] = (1L to latest).flatMap { v =>
+      if (!fs.exists(ivfManifestPath(path, v))) Seq.empty
+      else {
+        val m = readIvfManifest(spark, path, v)
+        (m.centroids +: (m.listDirs.map(_.dir) ++ m.tombstones ++
+          m.sq8Model.toSeq)).map(_.split('/').head)
+      }
+    }.toSet
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("gen-") &&
+          !referenced.contains(name)) {
+        fs.delete(st.getPath, true)
+        actions += s"dropped orphan generation $name"
+      }
     }
     actions.toSeq
   }
 
-  /** Fold tombstones into the lists: rewrite the inverted lists minus
-    * the deleted ids (same partitioned layout) and drop the tombstone
-    * table. Safe to call with no tombstones (no-op). The rewrite goes
-    * through a temporary sibling directory + rename so a crash mid-way
-    * leaves EITHER the old lists + tombstones (not yet swapped) OR the
-    * new lists (swap done, `lists.old` pending delete) — and a crash
-    * landing exactly between the two renames (no visible `lists` at
-    * all) is repaired by [[recoverIvf]] on the next entry to any
-    * maintenance or read path. Refuses to compact an index whose rows
-    * are ALL tombstoned: the rewrite would produce an empty partitioned
-    * parquet directory that subsequent reads cannot infer a schema
-    * from — a fully-deleted index should be removed, not compacted.
+  /** Reclaim old generations: drop every manifest below
+    * `latest - keepVersions + 1` and every `gen-*` directory no
+    * RETAINED manifest references. Retention is the serving contract
+    * for lock-free reads: a probe planned at version N stays valid
+    * while N's manifest is retained, so run gcIvf with `keepVersions`
+    * covering the longest in-flight query (the Iceberg
+    * expire-snapshots discipline). `keepVersions = 1` reclaims
+    * everything but the current version — correct only under an
+    * external no-readers-in-flight guarantee. Same single-writer
+    * contract as the mutators. Returns the deleted names.
+    */
+  def gcIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+            keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val fs = ivfFs(spark, path)
+    val latest = latestIvfVersion(spark, path)
+    if (latest == 0) return Seq.empty
+    val cutoff = math.max(1L, latest - keepVersions + 1)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retained: Set[String] = (cutoff to latest).flatMap { v =>
+      if (!fs.exists(ivfManifestPath(path, v))) Seq.empty
+      else {
+        val m = readIvfManifest(spark, path, v)
+        (m.centroids +: (m.listDirs.map(_.dir) ++ m.tombstones ++
+          m.sq8Model.toSeq)).map(_.split('/').head)
+      }
+    }.toSet
+    (1L until cutoff).foreach { v =>
+      val p = ivfManifestPath(path, v)
+      if (fs.exists(p)) { fs.delete(p, false); actions += s"expired ${p.getName}" }
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("gen-") &&
+          !retained.contains(name)) {
+        fs.delete(st.getPath, true)
+        actions += s"reclaimed generation $name"
+      }
+    }
+    actions.toSeq
+  }
+
+  /** Compact a persisted IVF index: fold the tombstones into the lists
+    * (rewrite minus the deleted ids) AND collapse generation
+    * fragmentation (appends/upserts each add a generation; compaction
+    * rewrites the live rows into ONE whole generation, restoring the
+    * single-relation probe scan). No-op when the index is already
+    * compact (one whole generation, no tombstones). The commit is one
+    * manifest rename; nothing the prior versions reference is touched,
+    * so in-flight probes and time travel are unaffected until
+    * [[gcIvf]] reclaims the old generations. Refuses to compact an
+    * index whose rows are ALL tombstoned: the rewrite would produce an
+    * empty partitioned parquet directory that subsequent reads cannot
+    * infer a schema from — a fully-deleted index should be removed,
+    * not compacted.
     */
   def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                  idCol: String = "vec_id"): Unit = {
     recoverIvf(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tomb = new org.apache.hadoop.fs.Path(root, "tombstones")
-    if (!fs.exists(tomb)) return
-    val survivors = listsMinusTombstones(spark, path, idCol)
+    val m = readIvfManifest(spark, path)
+    if (m.tombstones.isEmpty && m.listDirs.size == 1 &&
+        m.listDirs.head.whole) return // already compact
+    val survivors = listsMinusTombstonesOf(spark, path, m, idCol)
     require(!survivors.isEmpty,
       s"compactIvf($path): every row is tombstoned — compaction would " +
       "write an unreadable empty lists directory; delete the index " +
       "directory instead")
-    val tmp = new org.apache.hadoop.fs.Path(root, "lists.compact.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // dead prior attempt
+    val v = m.version + 1
+    val gen = ivfGenDir(v)
     survivors
       .write.partitionBy("centroid_id").mode("overwrite")
-      .parquet(tmp.toString)
-    val lists = new org.apache.hadoop.fs.Path(root, "lists")
-    val old = new org.apache.hadoop.fs.Path(root, "lists.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(lists, old), s"compactIvf($path): could not swap lists out")
-    require(fs.rename(tmp, lists), s"compactIvf($path): could not swap lists in")
-    fs.delete(old, true)
-    fs.delete(tomb, true)
+      .parquet(s"$path/$gen/lists")
+    val cids = physicalCids(spark, s"$path/$gen/lists")
+    commitIvfManifest(spark, path, m.copy(version = v,
+      listDirs = Seq(IvfListDir(s"$gen/lists", cids, whole = true)),
+      tombstones = Nil))
     graft.plans.AnnTopKRewrite.clearCache()
   }
 
   /** UPSERT on a persisted IVF index: replace any existing rows carrying
-    * the incoming ids, then append the new rows under the frozen
-    * quantizer ([[appendToIvf]]'s assignment rule). The replacement is a
-    * TARGETED list rewrite: one pushed-filter scan finds which inverted
-    * lists hold the incoming ids (parquet row-group stats prune
-    * everything else), ONLY those list directories are rewritten minus
-    * the ids (per-directory old→new swap), and any tombstones for the
-    * ids are dropped so the fresh rows aren't masked by a past delete.
-    * Cost is O(affected lists + batch), never O(index) — the granularity
-    * a 100 TB index needs for row updates. Same single-maintenance-
-    * writer assumption as writeIvf/appendToIvf/compactIvf; a concurrent
-    * probe can race one directory swap, the same window compactIvf has.
+    * the incoming ids and insert the new rows under the frozen
+    * quantizer ([[appendToIvf]]'s assignment rule) — ONE atomic commit.
+    * The replacement is a TARGETED list rewrite: one pushed-filter scan
+    * finds which inverted lists hold the incoming ids (parquet
+    * row-group stats prune everything else), ONLY those lists are
+    * rewritten minus the ids into the new generation alongside the
+    * assigned batch, prior manifests' entries for the affected lists
+    * are superseded, and any tombstones for the ids are consolidated
+    * away so the fresh rows aren't masked by a past delete. Cost is
+    * O(affected lists + batch), never O(index) — the granularity a
+    * 100 TB index needs for row updates. On an SQ8-augmented index the
+    * incoming rows are encoded with the persisted model so every
+    * generation carries the same schema. Same single-maintenance-writer
+    * assumption as the other mutators; concurrent PROBES are safe at
+    * any point — they resolve the previous manifest's immutable files
+    * until the commit rename lands.
     */
   def upsertIntoIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                     rows: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
-    recoverIvf(spark, path) // repair any crashed prior swap (ADVICE r16)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
-      s"$path is not an ivf-v2 index (missing $path/lists)")
+    recoverIvf(spark, path) // writer entry: sweep crashed-commit orphans
+    val m = readIvfManifest(spark, path)
     // batch-sized by assumption (an upsert batch is an ingest batch,
     // not a corpus) — the same bound appendToIvf already relies on
     val ids = rows.select(col(idCol)).distinct().collect().map(_.get(0))
     require(ids.nonEmpty, s"upsertIntoIvf($path): empty batch")
-    val lists = spark.read.parquet(s"$path/lists")
-    val affected = lists.filter(col(idCol).isin(ids.toSeq: _*))
-      .select(col("centroid_id")).distinct().collect().map(_.getInt(0))
-    if (affected.nonEmpty) {
-      val tmp = new org.apache.hadoop.fs.Path(root, "lists.upsert.tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true) // dead prior attempt
-      lists.filter(col("centroid_id").isin(affected.toSeq: _*))
-        .filter(!col(idCol).isin(ids.toSeq: _*))
-        .write.partitionBy("centroid_id").mode("overwrite")
-        .parquet(tmp.toString)
-      for (cid <- affected) {
-        val dst = new org.apache.hadoop.fs.Path(root, s"lists/centroid_id=$cid")
-        val src = new org.apache.hadoop.fs.Path(tmp, s"centroid_id=$cid")
-        val old = new org.apache.hadoop.fs.Path(root, s"lists/.centroid_id=$cid.old")
-        if (fs.exists(old)) fs.delete(old, true)
-        require(fs.rename(dst, old), s"upsertIntoIvf($path): swap-out of list $cid failed")
-        // src absent = the list held ONLY upserted ids; it simply vanishes
-        if (fs.exists(src))
-          require(fs.rename(src, dst), s"upsertIntoIvf($path): swap-in of list $cid failed")
-        fs.delete(old, true)
-      }
-      fs.delete(tmp, true)
+    val live = listsFrameOf(spark, path, m)
+    val affected = live.filter(col(idCol).isin(ids.toSeq: _*))
+      .select(col("centroid_id")).distinct().collect().map(_.getInt(0)).sorted
+    val assigned = withIndexSchema(spark, path, m,
+      assignToCenters(rows, readCentersOf(spark, path, m), vecCol), vecCol)
+    val newRows =
+      if (affected.isEmpty) assigned
+      else live.filter(col("centroid_id").isin(affected.toSeq: _*) &&
+          !col(idCol).isin(ids.toSeq: _*))
+        .unionByName(assigned)
+    val v = m.version + 1
+    val gen = ivfGenDir(v)
+    newRows.write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(s"$path/$gen/lists")
+    val cids = physicalCids(spark, s"$path/$gen/lists")
+    // prior generations lose the affected lists (superseded, not touched)
+    val affSet = affected.toSet
+    val prunedDirs = m.listDirs.flatMap { ld =>
+      val keep = ld.cids.filterNot(affSet)
+      if (keep.isEmpty) None
+      else Some(ld.copy(cids = keep,
+        whole = ld.whole && keep.size == ld.cids.size))
     }
-    // unmask: a tombstone for an upserted id would hide the NEW row
-    val tomb = new org.apache.hadoop.fs.Path(root, "tombstones")
-    if (fs.exists(tomb)) {
-      val live = spark.read.parquet(tomb.toString)
-        .filter(!col(idCol).isin(ids.toSeq: _*))
-      val tmpT = new org.apache.hadoop.fs.Path(root, "tombstones.upsert.tmp")
-      if (fs.exists(tmpT)) fs.delete(tmpT, true)
-      if (live.isEmpty) fs.delete(tomb, true)
+    // unmask: a tombstone for an upserted id would hide the NEW row —
+    // consolidate the surviving tombstones into this generation
+    val tombLines =
+      if (m.tombstones.isEmpty) Seq.empty[String]
       else {
-        live.write.mode("overwrite").parquet(tmpT.toString)
-        // rename-swap, never delete-then-rename: a crash after a bare
-        // delete(tomb) would drop every tombstone for UNRELATED ids,
-        // resurrecting previously deleted vectors (ADVICE r16, medium).
-        // A crash between these renames strands tombstones.old, which
-        // recoverIvf restores (conservative superset — the append below
-        // hasn't happened yet, so no new row gets masked).
-        val oldT = new org.apache.hadoop.fs.Path(root, "tombstones.old")
-        if (fs.exists(oldT)) fs.delete(oldT, true)
-        require(fs.rename(tomb, oldT),
-          s"upsertIntoIvf($path): tombstone swap-out failed")
-        require(fs.rename(tmpT, tomb),
-          s"upsertIntoIvf($path): tombstone swap-in failed")
-        fs.delete(oldT, true)
+        val liveT = spark.read
+          .parquet(m.tombstones.map(t => s"$path/$t"): _*)
+          .filter(!col(idCol).isin(ids.toSeq: _*))
+        if (liveT.isEmpty) Seq.empty[String]
+        else {
+          liveT.write.mode("overwrite").parquet(s"$path/$gen/tombstones")
+          Seq(s"$gen/tombstones")
+        }
       }
-    }
-    appendToIvf(spark, path, rows, vecCol)
+    commitIvfManifest(spark, path, m.copy(version = v,
+      listDirs = prunedDirs :+ IvfListDir(s"$gen/lists", cids, whole = true),
+      tombstones = tombLines))
     graft.plans.AnnTopKRewrite.clearCache()
   }
+
+  /** Align an assigned batch with the index's stored row schema: on an
+    * SQ8-augmented index ([[sq8AugmentIvf]]) every stored row carries
+    * `sq8_codes`, so incoming rows are encoded with the persisted
+    * model — otherwise a later bare generation scan / strict union
+    * would see mixed schemas.
+    */
+  private def withIndexSchema(spark: org.apache.spark.sql.SparkSession,
+                              path: String, m: IvfManifest,
+                              assigned: DataFrame,
+                              vecCol: String): DataFrame =
+    m.sq8Model match {
+      case Some(rel) => assigned.drop("sq8_codes")
+        .withColumn("sq8_codes",
+          sq8CodesCol(readSq8ModelAt(spark, s"$path/$rel"), vecCol))
+      case None => assigned
+    }
 
   /** Metadata-FILTERED ANN over a persisted IVF index — the "vector
     * search with a WHERE clause" every vector store serves (cosine
@@ -2150,68 +2366,61 @@ object Ann {
           floor(d * lit(255.0) / s + lit(0.5))))))
   }
 
-  /** AFFINE-SQ8 two-stage top-k — the TRAINED counterpart of the
-    * untrained per-vector symmetric [[sq8TopK]] (q114): rank the WHOLE
-    * corpus by the integer dot product of its codes against the
-    * pre-encoded query codes (exact 64-bit arithmetic —
-    * hash-replayable), keep a `shortlist`, rescore ONLY the shortlist
-    * with exact float cosine, return top-k.
-    *
-    * Plan shape: one corpus scan → codegen'd encode + int dot →
-    * TakeOrderedAndProject(shortlist) → driver-sized exact rescore.
-    * The scan carries no shuffle; at scale the codes column would be
-    * PRE-computed at ingest (see [[sq8CodesCol]]) so the scan reads
-    * 1 byte/dim instead of 4. Output: (idCol, ascore, score) by
-    * (score desc, id asc), score rounded 6dp.
-    */
   /** Materialize affine-SQ8 codes INTO a persisted IVF index
-    * ([[writeIvf]] layout): the inverted lists are rewritten with an
-    * extra `sq8_codes` column (same rename-swap discipline as
-    * [[compactIvf]]) and the model's lo/span vectors persist beside
-    * them as `$path/sq8_model`. Because parquet is columnar, a probe
+    * ([[writeIvf]] layout): the live inverted lists are rewritten with
+    * an extra `sq8_codes` column into a fresh generation and the
+    * model's lo/span vectors persist beside them — one manifest
+    * commit, like every mutator. Because parquet is columnar, a probe
     * that projects (id, codes) READS 1 byte/dim while the float
     * vectors stay on disk — the compressed-at-rest serving layout
     * ([[ivfSq8Search]]); the floats remain available for the
     * shortlist rescore and for every existing float-path probe, which
-    * is unchanged (extra columns are invisible to them).
+    * is unchanged (extra columns are invisible to them). Tombstones
+    * are carried (the augment rewrites raw rows; deletes keep masking
+    * at probe time), and later [[appendToIvf]]/[[upsertIntoIvf]]
+    * batches are encoded with this model so every generation shares
+    * one schema.
     */
   def sq8AugmentIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                     model: Sq8Model,
                     vecCol: String = "embedding"): Unit = {
     recoverIvf(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "lists")),
-      s"$path is not an ivf-v2 index (missing $path/lists)")
+    val m = readIvfManifest(spark, path)
+    val v = m.version + 1
+    val gen = ivfGenDir(v)
     import spark.implicits._
     model.lo.zip(model.span).zipWithIndex
       .map { case ((l, sp), i) => (i, l, sp) }.toSeq
       .toDF("dim", "lo", "span")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/sq8_model")
-    val tmp = new org.apache.hadoop.fs.Path(root, "lists.compact.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(s"$path/lists")
+      .write.mode("overwrite").parquet(s"$path/$gen/sq8_model")
+    listsFrameOf(spark, path, m)
       .drop("sq8_codes") // idempotent re-augment
       .withColumn("sq8_codes", sq8CodesCol(model, vecCol))
       .write.partitionBy("centroid_id").mode("overwrite")
-      .parquet(tmp.toString)
-    val lists = new org.apache.hadoop.fs.Path(root, "lists")
-    val old = new org.apache.hadoop.fs.Path(root, "lists.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(lists, old), s"sq8AugmentIvf($path): swap-out failed")
-    require(fs.rename(tmp, lists), s"sq8AugmentIvf($path): swap-in failed")
-    fs.delete(old, true)
+      .parquet(s"$path/$gen/lists")
+    val cids = physicalCids(spark, s"$path/$gen/lists")
+    commitIvfManifest(spark, path, m.copy(version = v,
+      listDirs = Seq(IvfListDir(s"$gen/lists", cids, whole = true)),
+      sq8Model = Some(s"$gen/sq8_model")))
     graft.plans.AnnTopKRewrite.clearCache()
   }
 
   /** Reload the SQ8 model persisted by [[sq8AugmentIvf]]. */
   def readSq8Model(spark: org.apache.spark.sql.SparkSession,
                    path: String): Sq8Model = {
-    val rows = spark.read.parquet(s"$path/sq8_model")
+    val m = readIvfManifest(spark, path)
+    require(m.sq8Model.nonEmpty,
+      s"no SQ8 model at $path (index was never sq8AugmentIvf'd)")
+    readSq8ModelAt(spark, s"$path/${m.sq8Model.get}")
+  }
+
+  private def readSq8ModelAt(spark: org.apache.spark.sql.SparkSession,
+                             absDir: String): Sq8Model = {
+    val rows = spark.read.parquet(absDir)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
-    require(rows.nonEmpty, s"no SQ8 model at $path/sq8_model")
+    require(rows.nonEmpty, s"no SQ8 model at $absDir")
     Sq8Model(rows.map(_._2), rows.map(_._3))
   }
 
@@ -2271,6 +2480,20 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** AFFINE-SQ8 two-stage top-k — the TRAINED counterpart of the
+    * untrained per-vector symmetric [[sq8TopK]] (q114): rank the WHOLE
+    * corpus by the integer dot product of its codes against the
+    * pre-encoded query codes (exact 64-bit arithmetic —
+    * hash-replayable), keep a `shortlist`, rescore ONLY the shortlist
+    * with exact float cosine, return top-k.
+    *
+    * Plan shape: one corpus scan → codegen'd encode + int dot →
+    * TakeOrderedAndProject(shortlist) → driver-sized exact rescore.
+    * The scan carries no shuffle; at scale the codes column would be
+    * PRE-computed at ingest (see [[sq8CodesCol]]) so the scan reads
+    * 1 byte/dim instead of 4. Output: (idCol, ascore, score) by
+    * (score desc, id asc), score rounded 6dp.
+    */
   def sq8AffineTopK(corpus: DataFrame, model: Sq8Model, queryVec: Seq[Double],
                     k: Int = 5, shortlist: Int = 32,
                     idCol: String = "vec_id",

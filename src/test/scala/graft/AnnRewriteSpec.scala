@@ -99,7 +99,7 @@ class AnnRewriteSpec extends SparkSpec {
   }
 
   private def ivfQuery(qv: Seq[Double], k: Int) =
-    spark.read.parquet(s"$ivfIndexPath/lists")
+    Ann.listsFrame(spark, ivfIndexPath)
       .withColumn("score", graft.functions.CosineSimilarity(
         $"embedding", array(qv.map(lit): _*)))
       .orderBy($"score".desc, $"vec_id".asc)
@@ -188,10 +188,11 @@ class AnnRewriteSpec extends SparkSpec {
               if f.condition.references.exists(_.name == "centroid_id") => f
         }
         assert(probes.size == 1, s"expected one probe after re-optimize:\n$again")
-        // a centroid_id-partitioned table that is NOT an ivf-v2 layout
-        // (no IVF_FORMAT/centroids sibling) must not get the IVF probe
+        // a centroid_id-partitioned table that is NOT a live ivf-v3
+        // generation (no IVF_FORMAT marker / manifest above it) must
+        // not get the IVF probe
         val p = java.nio.file.Files.createTempDirectory("graft_annrw_plain").toString
-        spark.read.parquet(s"$ivfIndexPath/lists")
+        Ann.listsFrame(spark, ivfIndexPath)
           .write.partitionBy("centroid_id").mode("overwrite").parquet(p)
         val plainDf = spark.read.parquet(p)
           .withColumn("score", graft.functions.CosineSimilarity(
@@ -215,13 +216,13 @@ class AnnRewriteSpec extends SparkSpec {
     // batched path is the explicit Ann.ivfSearchBatch; this pins that
     // the rule leaves the batched plan byte-identical rather than
     // half-rewriting it (see the rule Scaladoc's negative-result note).
-    val queries = spark.read.parquet(s"$ivfIndexPath/lists")
+    val queries = Ann.listsFrame(spark, ivfIndexPath)
       .filter($"vec_id" < 2)
       .select($"vec_id".as("query_id"),
         $"embedding".cast("array<double>").as("query_vec"))
     def batchedPlan(on: Boolean): String = withFlag(on) {
       val df = Search.topKBatch(
-        spark.read.parquet(s"$ivfIndexPath/lists"), queries,
+        Ann.listsFrame(spark, ivfIndexPath), queries,
         k = 3, threshold = -2.0)
       // expression IDs (#NNN) differ per invocation; shape is the claim
       df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#")
@@ -231,7 +232,7 @@ class AnnRewriteSpec extends SparkSpec {
     assert(!on.contains("centroid_id IN") && !on.contains("sign_bucket"))
     // and the explicit batched probe at nprobe=all equals the exact scan
     val exact = withFlag(false) {
-      Search.topKBatch(spark.read.parquet(s"$ivfIndexPath/lists"), queries,
+      Search.topKBatch(Ann.listsFrame(spark, ivfIndexPath), queries,
         k = 3, threshold = -2.0)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     }

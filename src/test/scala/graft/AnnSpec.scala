@@ -909,18 +909,22 @@ class AnnSpec extends SparkSpec {
     // delete is idempotent (duplicate tombstone rows collapse)
     Ann.deleteFromIvf(spark, p, Seq(0L))
     assert(probe() == after)
-    // compaction: lists rewritten minus tombstones, tombstone table gone,
-    // serving unchanged; a second compact is a clean no-op
+    // compaction: lists rewritten minus tombstones into one whole
+    // generation, tombstone dirs dropped from the manifest, serving
+    // unchanged; a second compact is a clean no-op (no new version)
     Ann.compactIvf(spark, p)
-    val fs = new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, "tombstones")),
-      "compactIvf left the tombstone table behind")
-    assert(spark.read.parquet(s"$p/lists")
+    val m = Ann.readIvfManifest(spark, p)
+    assert(m.tombstones.isEmpty,
+      "compactIvf left tombstone dirs in the manifest")
+    assert(m.listDirs.size == 1 && m.listDirs.head.whole,
+      s"compactIvf did not collapse to one whole generation: ${m.listDirs}")
+    assert(Ann.listsFrame(spark, p)
       .filter($"vec_id".isin(0L, 13L)).count() == 0,
       "compacted lists still hold deleted rows")
     assert(probe() == after, "compaction changed serving results")
     Ann.compactIvf(spark, p)
+    assert(Ann.readIvfManifest(spark, p).version == m.version,
+      "a no-op compaction committed a new version")
     assert(probe() == after)
   }
 
@@ -947,7 +951,7 @@ class AnnSpec extends SparkSpec {
       .union(Seq((5L, newVec5, 2)).toDF("vec_id", "embedding", "label"))
     assert(probeIds(qB) == bruteTopK(updated, qB, 5),
       "post-move probe != brute force over the updated corpus")
-    assert(spark.read.parquet(s"$p/lists").filter($"vec_id" === 5L).count() == 1,
+    assert(Ann.listsFrame(spark, p).filter($"vec_id" === 5L).count() == 1,
       "upsert left a stale or doubled row")
     // 2. UNMASK: delete id 6, then upsert it back with a new vector —
     //    the tombstone must not hide the fresh row
@@ -969,11 +973,12 @@ class AnnSpec extends SparkSpec {
     // idempotence: re-upserting the same row changes nothing
     Ann.upsertIntoIvf(spark, p,
       Seq((99L, newVec99, 1)).toDF("vec_id", "embedding", "label"))
-    assert(spark.read.parquet(s"$p/lists").filter($"vec_id" === 99L).count() == 1)
+    assert(Ann.listsFrame(spark, p).filter($"vec_id" === 99L).count() == 1)
   }
 
-  test("recoverIvf: repairs every crash-stranded maintenance artifact " +
-    "(ADVICE r16) and is a no-op on a healthy index") {
+  test("ivf-v3 manifest protocol: crashed commits are invisible and " +
+    "swept; probes planned before a mutation collect correctly after " +
+    "it; gcIvf enforces the retention contract (VERDICT r17 item 1)") {
     import org.apache.hadoop.fs.Path
     val p = java.nio.file.Files
       .createTempDirectory("graft_ivf_rec").toString + "/ivf"
@@ -983,9 +988,10 @@ class AnnSpec extends SparkSpec {
     Ann.deleteFromIvf(spark, p, Seq(0L, 13L))
     val fs = new Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qA = Seq(1.0, 0.0, 0.0, 0.0)
     def probe(): Seq[Long] = {
       graft.plans.AnnTopKRewrite.clearCache()
-      val qdf = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      val qdf = Seq((0L, qA.map(_.toFloat)))
         .toDF("query_id", "query_vec")
       Ann.ivfSearchBatch(spark, p, qdf, k = 5, nprobe = 2)
         .select("vec_id").as[Long].collect().toSeq
@@ -995,62 +1001,60 @@ class AnnSpec extends SparkSpec {
     assert(Ann.recoverIvf(spark, p).isEmpty,
       "recoverIvf acted on a healthy index")
 
-    // 1. compactIvf crash BETWEEN its two renames: lists stranded at
-    //    lists.old, no visible lists at all
-    require(fs.rename(new Path(p, "lists"), new Path(p, "lists.old")))
-    val a1 = Ann.recoverIvf(spark, p)
-    assert(a1 == Seq("restored lists from lists.old"), a1.toString)
-    assert(probe() == healthy, "recovery from stranded lists.old lost data")
-
-    // 2. crash after swap-in but before the .old delete: stale lists.old
-    //    beside a live lists — dropped, lists untouched
-    fs.mkdirs(new Path(p, "lists.old"))
-    assert(Ann.recoverIvf(spark, p) == Seq("dropped stale lists.old"))
+    // 1. a crashed writer strands ONLY reader-invisible artifacts: an
+    //    orphan generation (data written, manifest rename never landed)
+    //    and a dead manifest tmp. Probes never see them; the next
+    //    writer's entry sweep reclaims both.
+    fs.mkdirs(new Path(p, "gen-000099/lists/centroid_id=0"))
+    fs.create(new Path(p, "_manifests/.v000099.manifest.tmp"), true).close()
+    assert(probe() == healthy, "an uncommitted generation leaked into a probe")
+    val a1 = Ann.recoverIvf(spark, p).toSet
+    assert(a1 == Set("dropped orphan generation gen-000099",
+      "dropped dead manifest tmp .v000099.manifest.tmp"), a1.toString)
     assert(probe() == healthy)
 
-    // 3. upsert tombstone-swap crash between renames: tombstones
-    //    stranded at tombstones.old — restored (deletes keep masking)
-    require(fs.rename(new Path(p, "tombstones"), new Path(p, "tombstones.old")))
-    assert(Ann.recoverIvf(spark, p) ==
-      Seq("restored tombstones from tombstones.old"))
-    assert(probe() == healthy, "restored tombstones stopped masking")
-
-    // 4. per-list swap crash between swap-out and swap-in: a whole
-    //    inverted list hidden at .centroid_id=N.old — restored, and the
-    //    repair ALSO rides readIvf (the probe path), not just the
-    //    maintenance entries
-    val visible = fs.listStatus(new Path(p, "lists"))
-      .map(_.getPath.getName).filter(_.startsWith("centroid_id=")).sorted
-    val victim = visible.head
-    require(fs.rename(new Path(p, s"lists/$victim"),
-      new Path(p, s"lists/.$victim.old")))
-    Ann.readIvf(spark, p) // entry-point recovery
-    assert(fs.exists(new Path(p, s"lists/$victim")),
-      "readIvf did not restore a hidden per-list .old")
-    assert(probe() == healthy, "hidden-list recovery changed serving")
-
-    // 5. stale hidden .old beside a live list (crash after swap-in) —
-    //    dropped without touching the visible directory
-    fs.mkdirs(new Path(p, s"lists/.$victim.old"))
-    assert(Ann.recoverIvf(spark, p) ==
-      Seq(s"dropped stale hidden $victim.old"))
-    assert(probe() == healthy)
-
-    // 6. dead staging dirs are swept
-    fs.mkdirs(new Path(p, "lists.compact.tmp"))
-    fs.mkdirs(new Path(p, "tombstones.upsert.tmp"))
-    assert(Ann.recoverIvf(spark, p).toSet ==
-      Set("dropped dead lists.compact.tmp", "dropped dead tombstones.upsert.tmp"))
-
-    // 7. the maintenance ops still work end-to-end after all repairs
+    // 2. THE RACE the v2 in-place swaps had (carried r16→r17): plan a
+    //    probe and resolve an index BEFORE mutations, collect AFTER.
+    //    Manifest commits never touch the files prior versions
+    //    reference, so both still resolve the pre-mutation snapshot.
+    val plannedProbe = {
+      val qdf = Seq((0L, qA.map(_.toFloat))).toDF("query_id", "query_vec")
+      Ann.ivfSearchBatch(spark, p, qdf, k = 5, nprobe = 2).select("vec_id")
+    }
+    val plannedIdx = Ann.readIvf(spark, p)
+    val v0 = Ann.latestIvfVersion(spark, p)
+    val newVec5 = Seq(0.01f, 1.5f, 0.0f, 0.0f) // id 5 moves A → B
+    Ann.upsertIntoIvf(spark, p,
+      Seq((5L, newVec5, 2)).toDF("vec_id", "embedding", "label"))
     Ann.compactIvf(spark, p)
-    assert(probe() == healthy, "compaction after recovery changed serving")
+    assert(Ann.latestIvfVersion(spark, p) == v0 + 2,
+      "each mutation must commit exactly one version")
+    assert(plannedProbe.as[Long].collect().toSeq == healthy,
+      "a probe planned before the mutations did not survive them")
+    assert(plannedIdx.assigned.count() == 22,
+      "an index resolved before the mutations did not survive them")
+    // fresh probes serve the POST-mutation truth (id 5 left cluster A)
+    val live = corp.filter(!$"vec_id".isin(0L, 13L, 5L))
+      .union(Seq((5L, newVec5, 2)).toDF("vec_id", "embedding", "label"))
+    assert(probe() == bruteTopK(live, qA, 5),
+      "post-mutation probe != brute force over the mutated corpus")
+    // time travel: the pre-mutation version still reads while retained
+    assert(Ann.readIvf(spark, p, v0).assigned.count() == 22)
 
-    // 8. compacting a fully-tombstoned index is refused, not written
+    // 3. gcIvf: retention keeps in-flight reads valid; expiry reclaims
+    //    superseded generations and refuses time travel below cutoff
+    val reclaimed = Ann.gcIvf(spark, p, keepVersions = 1)
+    assert(reclaimed.nonEmpty, "gcIvf reclaimed nothing after 2 mutations")
+    val ex0 = intercept[IllegalArgumentException](Ann.readIvf(spark, p, v0))
+    assert(ex0.getMessage.contains("reclaimed by gcIvf"), ex0.getMessage)
+    assert(probe() == bruteTopK(live, qA, 5),
+      "gcIvf broke the current version")
+
+    // 4. compacting a fully-tombstoned index is refused, not written
     Ann.deleteFromIvf(spark, p, (0L until 24L).filter(i => i != 0L && i != 13L))
     val ex = intercept[IllegalArgumentException](Ann.compactIvf(spark, p))
     assert(ex.getMessage.contains("every row is tombstoned"))
-    assert(fs.exists(new Path(p, "lists")),
+    assert(Ann.listsFrame(spark, p).count() > 0,
       "refused compaction must leave the lists intact")
   }
 

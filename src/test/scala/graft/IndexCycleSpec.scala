@@ -56,21 +56,16 @@ class IndexCycleSpec extends SparkSpec {
       }
     } finally q.stop()
 
-    // fragmentation metric: files in the WORST single inverted list —
-    // every append batch drops its own file(s) into the hot list's dir,
-    // and the rewrite must collapse them (total file count is the wrong
-    // yardstick here because rebalancing legitimately ADDS list dirs)
+    // fragmentation metric: generation dirs feeding the WORST single
+    // inverted list — under the v3 manifest protocol every append batch
+    // commits its own generation, so the hot list's rows spread across
+    // one dir per batch until a compacting rewrite collapses them back
+    // to a single whole generation (total list-dir count is the wrong
+    // yardstick here because rebalancing legitimately ADDS lists)
     def maxFilesPerList(): Long = {
-      val s = Files.list(Paths.get(path, "lists"))
-      try {
-        val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
-          .filter(p => Files.isDirectory(p)).toSeq
-        dirs.map { d =>
-          val w = Files.walk(d)
-          try w.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).count()
-          finally w.close()
-        }.max
-      } finally s.close()
+      val m = Ann.readIvfManifest(spark, path)
+      m.listDirs.flatMap(ld => ld.cids.map(c => (c, ld.dir)))
+        .groupBy(_._1).values.map(_.size.toLong).max
     }
 
     // drift materialized: the hot list blew past the cap, and each
@@ -155,7 +150,8 @@ class IndexCycleSpec extends SparkSpec {
     assert(afterMut.assigned.count() == 43) // 44 − 1 deleted
     Ann.compactIvf(spark, path)
     val compacted = Ann.readIvf(spark, path)
-    assert(!Files.exists(Paths.get(path, "tombstones")))
+    assert(Ann.readIvfManifest(spark, path).tombstones.isEmpty,
+      "compaction left tombstone dirs in the manifest")
     assert(Ann.ivfSearch(compacted, qB, k = 5,
       nprobe = compacted.centers.length)
       .select("vec_id").as[Long].collect().toSeq == bruteM(qB),
