@@ -2018,7 +2018,14 @@ object SparkEntry {
           val (_, rw, kp) = graft.sources.Versioned.mergeByKey(
             s, root, updates.repartition(1), "doc_id")
           (root, rw, kp)
-        } else (root, 1, 1) // rebuilt table from a prior process
+        } else {
+          // table built by a prior process: derive the merge's counts
+          // from the v2→v3 manifest diff instead of hardcoding the
+          // standard construction (ADVICE r17)
+          val v2 = graft.sources.Versioned.fileList(s, root, 2L).toSet
+          val v3 = graft.sources.Versioned.fileList(s, root, 3L).toSet
+          (root, (v2 -- v3).size, (v2 & v3).size)
+        }
       })
     }
   }

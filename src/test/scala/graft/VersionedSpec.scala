@@ -43,7 +43,12 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, root) == 2L)
     assert(Versioned.readAsOf(spark, root).count() == 2L,
       "orphan batch leaked into a snapshot read")
-    val deleted = Versioned.vacuum(spark, root)
+    // default retention: a YOUNG unreferenced dir could be an append
+    // in flight (data written, rename pending) — left alone
+    assert(Versioned.vacuum(spark, root).isEmpty,
+      "vacuum deleted a dir younger than the retention window")
+    // under single-writer exclusion, retention 0 reclaims it
+    val deleted = Versioned.vacuum(spark, root, retentionMs = 0L)
     assert(deleted == Seq("batch-3"), s"vacuum deleted $deleted")
     // every committed version still reads after vacuum
     assert(Versioned.readAsOf(spark, root, 1L).count() == 1L)
@@ -207,5 +212,153 @@ class VersionedSpec extends SparkSpec {
     val ex2 = intercept[IllegalArgumentException](
       Versioned.readAsOf(spark, root, 7L))
     assert(ex2.getMessage.contains("no version 7"))
+  }
+
+  test("delta manifests + checkpoints: commit cost is O(batch) flat in " +
+    "table size, every historical version resolves across checkpoint " +
+    "boundaries, and a missing checkpoint only lengthens the replay") {
+    val root = freshRoot()
+    // 23 single-file commits: two checkpoints land (v10, v20)
+    (1 to 23).foreach { i =>
+      Versioned.append(spark, root,
+        Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1))
+    }
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def size(name: String): Long =
+      f.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/$name")).getLen
+    // the O(delta) commit claim, mechanically: the 23rd delta is no
+    // bigger than the 2nd (one `+` line each) even though the table
+    // grew 20 files — the pre-checkpoint design rewrote the FULL list
+    // per commit (O(total files), VERDICT r17 item 2)
+    assert(size("v000023.delta") <= size("v000002.delta") + 8,
+      s"late commit grew with table size: ${size("v000023.delta")} vs " +
+      s"${size("v000002.delta")}")
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/v000010.checkpoint")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/v000020.checkpoint")))
+    // every version resolves, across both checkpoint boundaries
+    for (v <- Seq(1L, 9L, 10L, 11L, 19L, 20L, 21L, 23L))
+      assert(Versioned.readAsOf(spark, root, v).count() == v,
+        s"version $v resolved wrong")
+    // a checkpoint is a cache, not the commit: drop one and every
+    // read still resolves by replaying more deltas
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/v000020.checkpoint"), false)
+    assert(Versioned.readAsOf(spark, root, 21L).count() == 21L)
+    assert(Versioned.readAsOf(spark, root, 23L).count() == 23L)
+  }
+
+  test("compact (OPTIMIZE): content byte-identical before/after, file " +
+    "count collapses, history still time-travels, stats stay tight " +
+    "under range arrangement") {
+    val root = freshRoot()
+    // a streaming-shaped table: 12 tiny single-file stat commits
+    (0 until 12).foreach { b =>
+      Versioned.appendWithStats(spark, root,
+        (b * 10L until b * 10L + 10L).map(i => (i, i * 2))
+          .toDF("id", "v").repartition(1), "id")
+    }
+    val before = Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val (v, nBefore, nAfter) =
+      Versioned.compact(spark, root, numFiles = 2, statCol = Some("id"))
+    assert(v == 13L && nBefore == 12 && nAfter == 2,
+      s"got ($v, $nBefore, $nAfter)")
+    // CONTENT UNCHANGED — the whole point of OPTIMIZE
+    assert(Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    // pre-compaction versions still read (time travel intact)
+    assert(Versioned.readAsOf(spark, root, 12L).count() == 120L)
+    assert(Versioned.readAsOf(spark, root, 3L).count() == 30L)
+    // range arrangement keeps zone pruning selective: a narrow key
+    // range opens ONE of the two compacted files
+    val (_, read, total) = Versioned.readWhere(spark, root, "id", 0L, 9L)
+    assert(total == 2 && read == 1, s"expected 1/2 files, got $read/$total")
+    // a later mergeByKey composes with the compacted layout
+    val (_, rw, kp) = Versioned.mergeByKey(spark, root,
+      Seq((5L, 999L)).toDF("id", "v").repartition(1), "id")
+    assert(rw == 1 && kp == 1)
+    assert(Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().toMap.apply(5L) == 999L)
+  }
+
+  test("deleteWhere: stats-pruned COW delete; typed CDC emits " +
+    "insert/delete rows; whole-file deletes become removal-only " +
+    "versions; no-op deletes refused") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 110L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    // delete two low ids: only file 1 overlaps -> rewritten; file 2 kept
+    val (v, hit, rw, kp) = Versioned.deleteWhere(spark, root,
+      Seq(3L, 7L).toDF("id"), "id")
+    assert((v, hit, rw, kp) == (3L, 2L, 1, 1), s"got ($v, $hit, $rw, $kp)")
+    val after = Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(after.size == 18 && !after.contains(3L) && !after.contains(7L))
+    // time travel across the delete
+    assert(Versioned.readAsOf(spark, root, 2L).count() == 20L)
+    // typed CDC of the delete: 8 carried-over rows cancel; the two
+    // deleted rows surface as _change_type = delete
+    val cdc = Versioned.readChangesTyped(spark, root, 2L, 3L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(cdc == Set((3L, 30L, "delete"), (7L, 70L, "delete")), cdc.toString)
+    // typed CDC of a MERGE: update = delete(old) + insert(new)
+    Versioned.mergeByKey(spark, root,
+      Seq((5L, 999L)).toDF("id", "v").repartition(1), "id")
+    val cdc2 = Versioned.readChangesTyped(spark, root, 3L, 4L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(cdc2 == Set((5L, 50L, "delete"), (5L, 999L, "insert")), cdc2.toString)
+    // whole-file delete: every remaining low id -> removal-only version
+    val (v2, hit2, rw2, kp2) = Versioned.deleteWhere(spark, root,
+      ((0L until 10L).filter(i => i != 3L && i != 7L)).toDF("id"), "id")
+    assert(v2 == 5L && hit2 == 8L && rw2 >= 1 && kp2 == 1,
+      s"got ($v2, $hit2, $rw2, $kp2)")
+    assert(Versioned.readAsOf(spark, root).count() == 10L)
+    val cdc3 = Versioned.readChangesTyped(spark, root, 4L, 5L)
+    assert(cdc3.filter(col("_change_type") === "insert").count() == 0L)
+    assert(cdc3.filter(col("_change_type") === "delete").count() == 8L)
+    // deleting absent keys is refused, not an empty commit
+    val ex = intercept[IllegalArgumentException](
+      Versioned.deleteWhere(spark, root, Seq(55555L).toDF("id"), "id"))
+    assert(ex.getMessage.contains("no file's key range overlaps") ||
+      ex.getMessage.contains("matches no rows"))
+    assert(Versioned.latestVersion(spark, root) == 5L)
+  }
+
+  test("replay guard survives compaction (ADVICE r17): a streamed " +
+    "epoch rewritten out of the latest snapshot still refuses its " +
+    "replay, and its committed dir is never deleted") {
+    import graft.streaming.StreamingVersionedSink
+    val root = freshRoot()
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((1L, 10L)).toDF("id", "v").repartition(1), 0L).contains(1L))
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((2L, 20L)).toDF("id", "v").repartition(1), 1L).contains(2L))
+    // compaction rewrites every stream file out of the LATEST snapshot
+    Versioned.compact(spark, root, numFiles = 1)
+    // the replayed epoch must still be a no-op — a latest-only guard
+    // would re-commit it AND delete data/stream-0, breaking v1/v2 reads
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((99L, 990L)).toDF("id", "v"), 0L).isEmpty,
+      "replayed epoch re-committed after compaction")
+    assert(Versioned.readAsOf(spark, root).count() == 2L)
+    assert(Versioned.readAsOf(spark, root, 1L).count() == 1L,
+      "time travel to the streamed epoch broke")
+    // mergeByKey is refused on this stat-less table; the key-bound
+    // guard on a stats table refuses oversized batches loudly
+    val root2 = freshRoot()
+    Versioned.appendWithStats(spark, root2,
+      (0L until 10L).map(i => (i, i)).toDF("id", "v").repartition(1), "id")
+    val ex = intercept[IllegalArgumentException](
+      Versioned.mergeByKey(spark, root2,
+        (0L until 20L).map(i => (i, i)).toDF("id", "v"), "id", maxKeys = 10))
+    assert(ex.getMessage.contains("more than 10 distinct keys"))
   }
 }
