@@ -2095,6 +2095,197 @@ object SparkEntry {
 
   private val statsVersionedBuilt = collection.mutable.Map.empty[String, Long]
 
+  /** q230: OPTIMIZE on the versioned table ([[graft.sources.Versioned
+    * .compact]]) — a streaming-shaped table of six tiny stat-committed
+    * files collapses to two range-arranged files in ONE
+    * content-preserving commit: the latest snapshot reads IDENTICAL
+    * to its pre-compaction parent (the whole point of OPTIMIZE), time
+    * travel still serves the fragmented version, and the fresh
+    * per-file zone stats stay tight — a min-doc_id point read opens
+    * 1 of the 2 compacted files, decided from the manifest.
+    */
+  private def qVersionedCompact(s: SparkSession, dir: String): DataFrame = {
+    val (root, before, after) = compactedVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+    val pre = graft.sources.Versioned.readAsOf(s, root, 6L)
+      .agg(count(lit(1)).as("pre_rows"),
+        sum(col("n_chars")).as("pre_chars"))
+    val minId = rd(s, dir, "documents")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val (narrow, nRead, _) =
+      graft.sources.Versioned.readWhere(s, root, "doc_id", minId, minId)
+    val nar = narrow.agg(count(lit(1)).as("narrow_rows"))
+    latest.crossJoin(pre).crossJoin(nar)
+      .select(lit(before.toLong).as("files_before"),
+        lit(after.toLong).as("files_after"),
+        col("n_rows"), col("sum_chars"), col("pre_rows"), col("pre_chars"),
+        lit(nRead.toLong).as("narrow_files_read"), col("narrow_rows"))
+  }
+
+  /** Build-once seam for q230: six single-file stat commits
+    * (doc_id % 6 slices — the per-epoch tiny files a streaming sink
+    * accretes) then one compact(numFiles = 2, range-arranged on
+    * doc_id). Rebuilt-table fallback derives the file counts from the
+    * v6→v7 manifest diff, never hardcodes them.
+    */
+  private def compactedVersionedFor(s: SparkSession,
+                                    dir: String): (String, Int, Int) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vcompact-" +
+      dirCacheKey(s, dir, "documents")
+    compactedVersionedBuilt.synchronized {
+      compactedVersionedBuilt.getOrElseUpdate(root, {
+        if (graft.sources.Versioned.latestVersion(s, root) < 7) {
+          val docs = rd(s, dir, "documents")
+          (0 until 6).foreach { i =>
+            graft.sources.Versioned.appendWithStats(s, root,
+              docs.filter(col("doc_id") % 6 === i).repartition(1), "doc_id")
+          }
+          val (_, b, a) = graft.sources.Versioned.compact(s, root,
+            numFiles = 2, statCol = Some("doc_id"))
+          (root, b, a)
+        } else {
+          val v6 = graft.sources.Versioned.fileList(s, root, 6L).toSet
+          val v7 = graft.sources.Versioned.fileList(s, root, 7L).toSet
+          (root, (v6 -- v7).size, (v7 -- v6).size)
+        }
+      })
+    }
+  }
+
+  private val compactedVersionedBuilt =
+    collection.mutable.Map.empty[String, (String, Int, Int)]
+
+  /** The doc_ids q231 deletes: a fixed, scale-independent panel, all
+    * inside the low-half file so exactly one file is rewritten.
+    */
+  private val DeletedDocIds = Seq(2L, 3L, 5L, 7L, 11L, 13L)
+
+  /** q231: copy-on-write DELETE on the versioned table
+    * ([[graft.sources.Versioned.deleteWhere]]) — the fixed low-id
+    * panel prunes to the low-half file via the manifest zone stats
+    * (the high file keeps its exact path — zero data movement), the
+    * post-delete snapshot is the table minus the panel, and the
+    * pre-delete version still time-travels.
+    */
+  private def qVersionedDelete(s: SparkSession, dir: String): DataFrame = {
+    val (root, hit, rw, kp) = deletedVersionedFor(s, dir)
+    val after = graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars_after"))
+    val before = graft.sources.Versioned.readAsOf(s, root, 2L)
+      .agg(count(lit(1)).as("pre_rows"))
+    after.crossJoin(before)
+      .select(lit(hit).as("rows_deleted"),
+        lit(rw.toLong).as("files_rewritten"),
+        lit(kp.toLong).as("files_kept"),
+        col("n_rows"), col("sum_chars_after"), col("pre_rows"))
+  }
+
+  /** Build-once seam for q231: the q228 construction (low/high halves,
+    * one stat-committed file each) then deleteWhere on
+    * [[DeletedDocIds]]. Rebuilt-table fallback derives every count
+    * from the manifests / snapshots, never hardcodes.
+    */
+  private def deletedVersionedFor(s: SparkSession,
+                                  dir: String): (String, Long, Int, Int) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vdelete-" +
+      dirCacheKey(s, dir, "documents")
+    deletedVersionedBuilt.synchronized {
+      deletedVersionedBuilt.getOrElseUpdate(root, {
+        import s.implicits._
+        val docs = rd(s, dir, "documents")
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") <= half).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") > half).repartition(1), "doc_id")
+          val (_, hit, rw, kp) = graft.sources.Versioned.deleteWhere(
+            s, root, DeletedDocIds.toDF("doc_id"), "doc_id")
+          (root, hit, rw, kp)
+        } else {
+          val v2 = graft.sources.Versioned.fileList(s, root, 2L).toSet
+          val v3 = graft.sources.Versioned.fileList(s, root, 3L).toSet
+          val hit = graft.sources.Versioned.readAsOf(s, root, 2L).count() -
+            graft.sources.Versioned.readAsOf(s, root, 3L).count()
+          (root, hit, (v2 -- v3).size, (v2 & v3).size)
+        }
+      })
+    }
+  }
+
+  private val deletedVersionedBuilt =
+    collection.mutable.Map.empty[String, (String, Long, Int, Int)]
+
+  /** q232: TYPED change-data-feed ([[graft.sources.Versioned
+    * .readChangesTyped]]) across q228's COW merge — the consumer-facing
+    * CDC shape: the update surfaces as delete(pre-image) +
+    * insert(post-image) row sets, summarized per change type. The
+    * carried-over rows of the rewritten file cancel in both EXCEPT
+    * ALLs, so each side is EXACTLY the 10-row update panel.
+    */
+  private def qCdcTyped(s: SparkSession, dir: String): DataFrame = {
+    val (root, _, _) = mergedVersionedFor(s, dir)
+    graft.sources.Versioned.readChangesTyped(s, root, 2L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("_change_type"))
+  }
+
+  /** On-disk home of the q233 generation-cycle index clone. */
+  private def ivfGenPathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfgen-" +
+      dirCacheKey(s, dir, "embeddings")
+
+  /** Build-once clone of the q28 index taken through one full
+    * mutation cycle under the v3 manifest protocol: append (v2),
+    * delete (v3), compact (v4). A partial prior build (crash between
+    * commits) is wiped and rebuilt — the version numbers ARE the
+    * query's contract.
+    */
+  private def ivfGenIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      val path = ivfGenPathFor(s, dir)
+      if (Ann.latestIvfVersion(s, path) != 4L) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        ivfIndexFor(s, dir) // ensure the source index exists
+        val t0 = System.nanoTime()
+        Ann.writeIvf(Ann.readIvf(s, ivfPathFor(s, dir)), path) // v1
+        val batch = rd(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"))
+        Ann.appendToIvf(s, path, batch)                        // v2
+        Ann.deleteFromIvf(s, path, Seq(3L))                    // v3
+        Ann.compactIvf(s, path)                                // v4
+        System.err.println(
+          f"[graft] q233 generation-cycle clone ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      path
+    }
+
+  /** q233: the IVF manifest protocol's generation audit — one clone of
+    * the q28 index taken through append → delete → compact, then every
+    * committed version read back: generation count, tombstone-dir
+    * count and ROW COUNT per version. Time travel must show the append
+    * (+3), the tombstone mask (−1), and the compaction collapsing to
+    * one whole generation with the same rows — the audit that proves
+    * mutations commit versions instead of mutating files in place.
+    */
+  private def qIvfGenerations(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfGenIndexFor(s, dir)
+    import s.implicits._
+    (1L to 4L).map { v =>
+      val m = Ann.readIvfManifest(s, path, v)
+      (v, m.listDirs.size.toLong, m.tombstones.size.toLong,
+        Ann.readIvf(s, path, v).assigned.count())
+    }.toDF("version", "n_list_dirs", "n_tombstone_dirs", "n_rows")
+      .orderBy(col("version"))
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -5753,6 +5944,10 @@ object SparkEntry {
     "q227_stats_pruned_read" -> (qStatsPrunedRead _),
     "q228_versioned_merge" -> (qVersionedMerge _),
     "q229_versioned_changes" -> (qVersionedChanges _),
+    "q230_versioned_compact" -> (qVersionedCompact _),
+    "q231_versioned_delete" -> (qVersionedDelete _),
+    "q232_cdc_typed" -> (qCdcTyped _),
+    "q233_ivf_generations" -> (qIvfGenerations _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -7909,6 +8104,61 @@ object SparkEntry {
          |SELECT 2::BIGINT AS n_files_total, 1::BIGINT AS n_files_read,
          |  count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars
          |FROM documents, t WHERE n_chars <= t.t""".stripMargin,
+
+    // OPTIMIZE replay: content identity before/after is the contract,
+    // so both snapshot aggs are the plain table; the file counts are
+    // construction facts (6 modulo slices -> 2 range files) and the
+    // min-doc_id point read opens exactly the low range file
+    "q230_versioned_compact" ->
+      s"""SELECT 6::BIGINT AS files_before, 2::BIGINT AS files_after,
+         | count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars,
+         | count(*) AS pre_rows, sum(n_chars)::BIGINT AS pre_chars,
+         | 1::BIGINT AS narrow_files_read,
+         | (SELECT count(*) FROM documents
+         |   WHERE doc_id = (SELECT min(doc_id) FROM documents))
+         |   AS narrow_rows
+         |FROM documents""".stripMargin,
+
+    // COW-delete replay: the post-delete snapshot is the table minus
+    // the fixed panel; the panel sits entirely in the low-half file
+    // (files 1 rewritten / 1 kept by construction); rows_deleted is
+    // the panel's actual hit count, not a hardcoded 6
+    "q231_versioned_delete" ->
+      s"""SELECT
+         | (SELECT count(*) FROM documents
+         |   WHERE doc_id IN (2, 3, 5, 7, 11, 13)) AS rows_deleted,
+         | 1::BIGINT AS files_rewritten, 1::BIGINT AS files_kept,
+         | count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars_after,
+         | (SELECT count(*) FROM documents) AS pre_rows
+         |FROM documents WHERE doc_id NOT IN (2, 3, 5, 7, 11, 13)""".stripMargin,
+
+    // typed-CDC replay: q228's merge bumps n_chars by 1e6 for
+    // doc_id < 10 — the delete side is the pre-image panel, the
+    // insert side the post-image panel, carried-over rows cancel
+    "q232_cdc_typed" ->
+      s"""SELECT * FROM (
+         | SELECT 'delete' AS _change_type, count(*) AS n_rows,
+         |   sum(n_chars)::BIGINT AS sum_chars,
+         |   min(doc_id) AS min_id, max(doc_id) AS max_id
+         |  FROM documents WHERE doc_id < 10
+         | UNION ALL
+         | SELECT 'insert', count(*), sum(n_chars + 1000000)::BIGINT,
+         |   min(doc_id), max(doc_id)
+         |  FROM documents WHERE doc_id < 10) ORDER BY _change_type""".stripMargin,
+
+    // generation-audit replay: the cycle is append(+3 rows), delete
+    // (vec_id 3 masked), compact (collapse, same rows); generation and
+    // tombstone-dir counts are protocol facts, row counts replay from
+    // the corpus count
+    "q233_ivf_generations" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM embeddings)
+         |SELECT * FROM (
+         | SELECT 1::BIGINT AS version, 1::BIGINT AS n_list_dirs,
+         |   0::BIGINT AS n_tombstone_dirs, c AS n_rows FROM n
+         | UNION ALL SELECT 2::BIGINT, 2::BIGINT, 0::BIGINT, c + 3 FROM n
+         | UNION ALL SELECT 3::BIGINT, 2::BIGINT, 1::BIGINT, c + 2 FROM n
+         | UNION ALL SELECT 4::BIGINT, 1::BIGINT, 0::BIGINT, c + 2 FROM n)
+         |ORDER BY version""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

@@ -40,6 +40,26 @@ class CatalogSpec extends AnyFunSuite {
       s"SQL functions missing from README catalog: ${missing.toSeq.sorted}")
   }
 
+  test("every registered query appears in SURVEY.md §8 (the coverage " +
+    "map is a checked contract, not prose — VERDICT r16/r17)") {
+    val survey = {
+      val s = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val sec8 = survey.substring(survey.indexOf("## 8."))
+    assert(sec8.length > 1000, "SURVEY.md §8 not found or empty")
+    // §8 rows cite queries by bare qNN token (sometimes the full name);
+    // require at least the bare token for every registered query
+    val names = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet
+    val tokens = """\bq\d+\b""".r.findAllIn(sec8).toSet
+    val missing = names.filterNot { n =>
+      tokens.contains(n.takeWhile(c => c != '_')) || sec8.contains(n)
+    }
+    assert(missing.isEmpty,
+      s"queries missing from SURVEY.md §8 coverage map: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every oracled query name in the catalog is actually registered " +
     "(no stale rows)") {
     val catalogued = """`(q[0-9]+[a-z_0-9]*)`""".r

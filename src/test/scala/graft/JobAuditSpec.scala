@@ -108,6 +108,26 @@ class JobAuditSpec extends SparkSpec {
       "cold path builds the two-version table (two appends: isEmpty " +
         "probe + parquet write each, constant-stage); warm runs are " +
         "two manifest-listed snapshot aggregates"),
+    "q230_versioned_compact" -> (44,
+      "cold path builds the six-slice streaming-shaped table (six " +
+        "appendWithStats: isEmpty probe + write + per-file stats pass " +
+        "each) and runs the OPTIMIZE rewrite (snapshot read + range " +
+        "write + stats pass) — all constant-stage; warm runs are three " +
+        "snapshot aggregates + the manifest-pruned point read"),
+    "q231_versioned_delete" -> (26,
+      "cold path builds the two-file stats table (two appendWithStats) " +
+        "and runs the COW delete (hit count + survivor rewrite + stats " +
+        "pass, constant-stage); warm runs are two snapshot aggregates"),
+    "q232_cdc_typed" -> (30,
+      "cold path rides q228's table build+merge seam (shared per-dir " +
+        "cache); warm runs are the two EXCEPT-ALL sides over the " +
+        "diffed files only, one bounded aggregate"),
+    "q233_ivf_generations" -> (60,
+      "cold path = q28 build (constant Lloyd iterations) PLUS the " +
+        "one-time generation-cycle clone (writeIvf, append commit, " +
+        "tombstone commit, compaction rewrite — each a constant-stage " +
+        "manifest commit); warm runs are four per-version row counts " +
+        "over manifest-resolved immutable files"),
     "q224_margin_frontier" -> (40,
       "rides the same q28 index (cold build = constant Lloyd " +
         "iterations); warm runs are the panel collect + one pruned " +
@@ -133,9 +153,10 @@ class JobAuditSpec extends SparkSpec {
         "the upsert itself (affected-list discovery, targeted rewrite, " +
         "append — ~10 bounded jobs); warm runs are the q205 probe " +
         "shape (~5)"),
-    "q174_ivfpq" -> (30,
-      "(20) IVF-PQ builder: coarse k-means + per-subspace PQ training, " +
-        "all constant-iteration Lloyd; warm (in-JVM cache) runs are ~2"),
+    "q174_ivfpq" -> (36,
+      "(32 fully-cold r18) IVF-PQ builder: coarse k-means + per-subspace " +
+        "PQ training, all constant-iteration Lloyd; warm (in-JVM cache) " +
+        "runs are ~2"),
     "q211_ivfpq_residual" -> (30,
       "(24 cold) q174's builder shape with residual coding: coarse " +
         "k-means + per-subspace PQ over residuals, constant-iteration " +

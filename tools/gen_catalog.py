@@ -16,7 +16,7 @@ src = open('src/main/scala/graft/SparkEntry.scala').read()
 regs = re.findall(r'"(q[0-9]+[a-z_0-9]*)" -> \((\w+) _\)', src)
 
 MODULES = ('text|dedup|search|stats|ops|streaming|multimodal|embed|ingest|'
-           'api|functions|estimate')
+           'api|functions|estimate|sources')
 CLASSES = ('Dedup|Ann|Search|Stats|CorpusOps|TextAnalysis|QualityRules|'
            'TokenBudget|DupClusters|Multimodal|QuantileSketch|Chunker|'
            'Ingest|VectorDb')
