@@ -238,15 +238,48 @@ object Bench {
     * (VERDICT r15 item 7).
     */
   private[graft] val FullJsonPath = "perf/bench_full.json"
+
+  /** Provenance stamp for the committed artifact (VERDICT r16 item 8):
+    * the git SHA the bench ran against plus the wall-clock time — a
+    * bench_full.json is meaningless without knowing WHICH code it
+    * measured. Best-effort: a missing git binary degrades to "unknown".
+    */
+  private[graft] def provenance(): String = {
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val ts = java.time.Instant.now().toString
+    s""""git_sha":"$sha","bench_time":"$ts""""
+  }
+
   private[graft] def writeFull(json: String, path: String = FullJsonPath): Unit =
     try {
+      val stamped = "{" + provenance() + "," + json.stripPrefix("{")
       val f = new java.io.File(path)
       Option(f.getParentFile).foreach(_.mkdirs())
-      java.nio.file.Files.write(f.toPath, (json + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full JSON written: $path (${json.length} chars)")
+      java.nio.file.Files.write(f.toPath, (stamped + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written: $path (${stamped.length} chars)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full JSON write failed: ${e.getMessage}")
     }
+
+  /** The SOLO LANE (VERDICT r17 item 3): queries whose sf1 readings have
+    * needed in-band adjudication three rounds running — the in-bench
+    * number reads 5–50× the committed ledger, every solo recheck lands
+    * back at 0.1–3.7 s. The divergence is not the queries: it is WHERE
+    * they sit in the single-pass sf1 sweep — right after heavyweight
+    * predecessors whose shuffle files only unlink on a driver GC, so
+    * the measurement pays the debris of the queries before it. Lane
+    * members are pulled out of the sweep and measured LAST, each after
+    * an explicit `System.gc()` (the Stress battery discipline), under
+    * their normal ledger keys — same artifact fields, quieter readings.
+    */
+  private[graft] val SoloLane: Set[String] = Set(
+    "q131_kmv_overlap", "q25_decode_stats", "q26_lang_histogram",
+    "q27_display_results", "q28_ivf_kmeans")
 
   /** Fixed-size CPU-bound job used as the per-pass noise floor: a 2^22-row
     * range with a multiply-hash aggregate. No I/O, no shuffle beyond the
@@ -506,19 +539,25 @@ object Bench {
         } else System.err.println(s"[bench] sf1 replica reused at $dir")
         val sf1Samples = collection.mutable.ListBuffer.empty[(String, Double)]
         var sf1Failed = 0
-        names.foreach { case (name, fn) =>
+        val (laneQs, sweepQs) = names.partition(n => SoloLane.contains(n._1))
+        def sf1Run(tag: String)(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
           val t0 = System.nanoTime()
           try {
             fn(spark, dir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             sf1Samples += name -> sec
-            System.err.println(f"[bench] sf1 $name%-24s $sec%8.3f s")
+            System.err.println(f"[bench] sf1 $name%-24s $sec%8.3f s$tag")
           } catch {
             case e: Throwable =>
               sf1Failed += 1
               System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
           }
         }
+        sweepQs.foreach { case (n, f) => sf1Run("")(n, f) }
+        // chronic contention rows measured last, each after a driver GC
+        // (shuffle files unlink on GC) — see SoloLane
+        laneQs.foreach { case (n, f) => System.gc(); sf1Run("  (lane)")(n, f) }
         // production-hash column at sf1 too (same registry entries,
         // conf flipped — the former q137x/q175x twins' sf1 signal)
         val sf1Xxh = collection.mutable.ListBuffer.empty[(String, Double)]

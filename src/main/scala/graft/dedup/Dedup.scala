@@ -291,6 +291,20 @@ object Dedup {
     * collisions (~|corpus shingles|²/2^61) merge two shingles into one
     * for BOTH sides of every comparison, and the oracle replays the
     * identical md5-prefix hash, so parity is unaffected.
+    *
+    * **Count-prefilter hybrid — PINNED NEGATIVE** (VERDICT r16 item 3 /
+    * r17 item 9): replacing the set-verification join with a
+    * group-count of index collisions per candidate pair (count ≥ α ⇒
+    * verified) was tried and measured WORSE: the count aggregates the
+    * EXPLODED probe⋈index rows, while the verify join's input is the
+    * already-DEDUPED candidate pairs — orders of magnitude fewer at
+    * prefix selectivity — so the "prefilter" shuffles strictly more
+    * bytes than the stage it would skip. The committed scaling curve
+    * (PERF.md, solo fresh sessions: 127.9 s at 100×, 200.7 s at 200× —
+    * 2× data → 1.57× time) is linear in shingle mass with no
+    * verify-bound segment left to cut; the 1000× ceiling is single-box
+    * shuffle DISK, which a count-prefilter does not change. Do not
+    * re-litigate without a plan that reduces shuffled bytes.
     */
   def containmentPairsExact(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text", n: Int = 3,

@@ -205,6 +205,45 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FILTERED single-query top-k over the lists layout rewrites to " +
+    "the centroid probe WITH the user predicate retained — partition " +
+    "pruning + pushed data filter in one scan (VERDICT r17 item 8)") {
+    withFlag(true) {
+      withNprobe(2) {
+        def filtered() = Ann.listsFrame(spark, ivfIndexPath)
+          .filter($"vec_id" % 3 === 1)
+          .withColumn("score", graft.functions.CosineSimilarity(
+            $"embedding", array(ivfQVec.map(lit): _*)))
+          .orderBy($"score".desc, $"vec_id".asc)
+          .limit(5)
+        val df = filtered()
+        val probes = df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.references.exists(_.name == "centroid_id") => f
+        }
+        assert(probes.size == 1,
+          s"expected one centroid probe in:\n${df.queryExecution.optimizedPlan}")
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty &&
+          scans.head.partitionFilters.exists(
+            _.references.exists(_.name == "centroid_id")),
+          s"probe not in partitionFilters: ${scans.map(_.partitionFilters)}")
+        assert(scans.head.dataFilters.nonEmpty,
+          "user predicate must push into the same scan (filter-during-" +
+            "search, not post-filter)")
+        // answer == the explicit filtered probe API at the same k/nprobe
+        val want = Ann.ivfSearchFiltered(spark, ivfIndexPath, ivfQVec,
+          pred = $"vec_id" % 3 === 1, k = 5, nprobe = 2,
+          extraCols = Seq.empty)
+          .select($"vec_id").as[Long].collect().toSeq
+        val got = df.select($"vec_id").as[Long].collect().toSeq
+        assert(got == want, s"got $got want $want")
+      }
+    }
+  }
+
   test("batched window top-k is deliberately NOT rewritten, flag on or off " +
     "(negative result, VERDICT r15 item 6)") {
     // The batched exact top-k (rank window over a broadcast-queries
