@@ -328,29 +328,22 @@ object Search {
         round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
   }
 
-  /** Late-interaction (MaxSim) top-k — ColBERT's scoring rule
-    * (Khattab & Zaharia 2020, public knowledge) over a MULTI-VECTOR
-    * corpus: each document is a bag of token vectors (one corpus row
-    * per vector, `docCol` groups them), each query a small driver-side
-    * bag, and score(doc) = Σ_q max_{v∈doc} cos(q, v) — every query
-    * token finds its best-matching document token, no pooling loss.
-    * This is the retrieval family single-vector cosine cannot express:
-    * q01's pooled score collapses a document to one point; MaxSim keeps
-    * per-token alignment (the quality/cost midpoint between bi-encoder
-    * and cross-encoder reranking).
-    *
-    * Scale shape: the query bag ships as |Q| literal arrays, so the
-    * plan is ONE corpus scan computing |Q| codegen'd cosines per row,
-    * a partial-max hash aggregate per (doc) — map-side combine reduces
-    * the shuffle to |docs| × |Q| doubles — and a
-    * TakeOrderedAndProject over the doc frame. No join, no corpus
-    * shuffle. Float discipline: per-token maxes are order-independent;
-    * the final sum folds left over the FIXED token order (a literal
-    * expression tree), so the score replays bit-identically.
-    *
-    * Output: (docCol, n_vecs, score) by (score desc, doc asc), score
-    * rounded 6dp after ordering.
+  /** The |Q| × K centroid-cosine tables [[maxSimPlaidTopK]]'s stage 1
+    * runs on — public so an oracle can embed the IDENTICAL doubles as
+    * literals (the shared-literal float discipline).
     */
+  def centroidCosTables(centers: Array[Array[Double]],
+                        queryVecs: Seq[Seq[Double]]): Seq[Array[Double]] = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queryVecs.map(q => centers.map(c => cos(c, q)))
+  }
+
   /** Two-stage MaxSim with centroid pruning — PLAID/ColBERTv2's
     * serving shape (Santhanam et al. 2022, public knowledge): stage 1
     * scores every document by the CENTROID approximation of MaxSim
@@ -369,22 +362,6 @@ object Search {
     * (score desc, doc asc), both scores rounded 6dp; approx uses only
     * literal-derived values, so it replays bit-identically.
     */
-  /** The |Q| × K centroid-cosine tables [[maxSimPlaidTopK]]'s stage 1
-    * runs on — public so an oracle can embed the IDENTICAL doubles as
-    * literals (the shared-literal float discipline).
-    */
-  def centroidCosTables(centers: Array[Array[Double]],
-                        queryVecs: Seq[Seq[Double]]): Seq[Array[Double]] = {
-    def cos(a: Array[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    queryVecs.map(q => centers.map(c => cos(c, q)))
-  }
-
   def maxSimPlaidTopK(assigned: DataFrame, centers: Array[Array[Double]],
                       queryVecs: Seq[Seq[Double]], k: Int = 5,
                       shortlist: Int = 20, docCol: String = "doc_id",
@@ -429,6 +406,29 @@ object Search {
         round(col("__score"), 6).as("score"))
   }
 
+  /** Late-interaction (MaxSim) top-k — ColBERT's scoring rule
+    * (Khattab & Zaharia 2020, public knowledge) over a MULTI-VECTOR
+    * corpus: each document is a bag of token vectors (one corpus row
+    * per vector, `docCol` groups them), each query a small driver-side
+    * bag, and score(doc) = Σ_q max_{v∈doc} cos(q, v) — every query
+    * token finds its best-matching document token, no pooling loss.
+    * This is the retrieval family single-vector cosine cannot express:
+    * q01's pooled score collapses a document to one point; MaxSim keeps
+    * per-token alignment (the quality/cost midpoint between bi-encoder
+    * and cross-encoder reranking).
+    *
+    * Scale shape: the query bag ships as |Q| literal arrays, so the
+    * plan is ONE corpus scan computing |Q| codegen'd cosines per row,
+    * a partial-max hash aggregate per (doc) — map-side combine reduces
+    * the shuffle to |docs| × |Q| doubles — and a
+    * TakeOrderedAndProject over the doc frame. No join, no corpus
+    * shuffle. Float discipline: per-token maxes are order-independent;
+    * the final sum folds left over the FIXED token order (a literal
+    * expression tree), so the score replays bit-identically.
+    *
+    * Output: (docCol, n_vecs, score) by (score desc, doc asc), score
+    * rounded 6dp after ordering.
+    */
   def maxSimTopK(corpus: DataFrame, queryVecs: Seq[Seq[Double]],
                  k: Int = 5, docCol: String = "doc_id",
                  vecCol: String = "embedding"): DataFrame = {
