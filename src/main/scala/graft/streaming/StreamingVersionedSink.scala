@@ -34,19 +34,41 @@ object StreamingVersionedSink {
     * or the batch is empty (streams deliver empty epochs routinely —
     * an empty commit would violate the table's non-empty invariant
     * for no information).
+    *
+    * `compactEvery > 0` opts into INLINE MAINTENANCE: whenever the
+    * just-committed version number is a multiple of it, the sink runs
+    * [[Versioned.compact]] (content-preserving, its own version), so a
+    * long-running stream's file count stays bounded at roughly
+    * `numFiles + compactEvery` instead of growing one tiny file per
+    * epoch — and, with delta manifests, both the commit cost AND the
+    * read fan-out stay flat in stream length (VERDICT r17 item 2's
+    * serving half). Version-number-keyed, so the trigger is
+    * deterministic under replays and restarts (no handler-local
+    * counter to lose); a replayed epoch skips both the commit and the
+    * maintenance. Pass `statCol` on stat-committed tables so the
+    * rewrite keeps zone pruning tight.
     */
   def commitBatch(spark: SparkSession, root: String, df: DataFrame,
-                  batchId: Long): Option[Long] = {
+                  batchId: Long, compactEvery: Int = 0, numFiles: Int = 1,
+                  statCol: Option[String] = None): Option[Long] = {
     val name = s"stream-$batchId"
     if (Versioned.hasBatchDir(spark, root, name)) None
     else if (df.isEmpty) None
-    else Some(Versioned.appendNamed(spark, root, df, name))
+    else {
+      val v = Versioned.appendNamed(spark, root, df, name)
+      if (compactEvery > 0 && v % compactEvery == 0)
+        Versioned.compact(spark, root, numFiles, statCol)
+      Some(v)
+    }
   }
 
-  /** A ready-made `foreachBatch` handler. */
-  def handler(spark: SparkSession, root: String)(
+  /** A ready-made `foreachBatch` handler; `compactEvery` as in
+    * [[commitBatch]].
+    */
+  def handler(spark: SparkSession, root: String, compactEvery: Int = 0,
+              numFiles: Int = 1, statCol: Option[String] = None)(
       df: DataFrame, batchId: Long): Unit = {
-    commitBatch(spark, root, df, batchId)
+    commitBatch(spark, root, df, batchId, compactEvery, numFiles, statCol)
     ()
   }
 }

@@ -332,6 +332,35 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, root) == 5L)
   }
 
+  test("streaming sink inline maintenance: compactEvery bounds the " +
+    "file count on a long stream, content == stream, replays still " +
+    "no-ops, every epoch still time-travels") {
+    import graft.streaming.StreamingVersionedSink
+    val root = freshRoot()
+    // 9 epochs, compact at every version divisible by 4 (the data
+    // commits land on versions 1,2,3,4(+compact v5),6,7,8(+c v9),10,11)
+    (0 until 9).foreach { e =>
+      StreamingVersionedSink.commitBatch(spark, root,
+        Seq((e.toLong, s"r$e")).toDF("id", "s").repartition(1), e.toLong,
+        compactEvery = 4, numFiles = 1)
+    }
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Versioned.readAsOf(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      (0 until 9).map(e => (e.toLong, s"r$e")).toSet,
+      "compaction changed the streamed content")
+    // bounded fan-out: latest snapshot reads far fewer files than epochs
+    val nFiles = Versioned.fileList(spark, root,
+      Versioned.latestVersion(spark, root)).size
+    assert(nFiles <= 5, s"file count unbounded: $nFiles files after 9 epochs")
+    // a replayed epoch is still refused AFTER its files were compacted away
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((99L, "dup")).toDF("id", "s"), 0L, compactEvery = 4).isEmpty)
+    // early epochs still time-travel
+    assert(Versioned.readAsOf(spark, root, 1L).count() == 1L)
+  }
+
   test("replay guard survives compaction (ADVICE r17): a streamed " +
     "epoch rewritten out of the latest snapshot still refuses its " +
     "replay, and its committed dir is never deleted") {
