@@ -2218,6 +2218,53 @@ object SparkEntry {
   private val deletedVersionedBuilt =
     collection.mutable.Map.empty[String, (String, Long, Int, Int)]
 
+  /** q234: ADDITIVE schema evolution on the versioned table — v1
+    * commits (doc_id, n_chars) for the even ids, v2 appends the odd
+    * ids WITH a new `source` column. The table schema lives in the
+    * manifest (resolved O(1), never a footer-merge over data files):
+    * the latest read null-fills `source` for every v1 row, and time
+    * travel to v1 reads v1's OWN two-column schema. The query pins
+    * all of it: total mass, the null count (= the pre-evolution
+    * rows), the distinct sources (= the post-evolution rows'), and
+    * v1's column count.
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = evolvedVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root)
+    val v1 = graft.sources.Versioned.readAsOf(s, root, 1L)
+    latest.agg(
+        count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
+        countDistinct(col("source")).as("n_distinct_source"))
+      .crossJoin(v1.agg(count(lit(1)).as("v1_rows")))
+      .select(col("n_rows"), col("sum_chars"), col("n_null_source"),
+        col("n_distinct_source"),
+        lit(v1.columns.length.toLong).as("v1_n_cols"), col("v1_rows"))
+  }
+
+  /** Build-once seam for q234: two plain appends, the second adding
+    * the `source` column (additive evolution recorded in the manifest).
+    */
+  private def evolvedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vevolve-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id"), col("n_chars")))
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0)
+              .select(col("doc_id"), col("n_chars"), col("source")))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
   /** q232: TYPED change-data-feed ([[graft.sources.Versioned
     * .readChangesTyped]]) across q228's COW merge — the consumer-facing
     * CDC shape: the update surfaces as delete(pre-image) +
@@ -5948,6 +5995,7 @@ object SparkEntry {
     "q231_versioned_delete" -> (qVersionedDelete _),
     "q232_cdc_typed" -> (qCdcTyped _),
     "q233_ivf_generations" -> (qIvfGenerations _),
+    "q234_schema_evolution" -> (qSchemaEvolution _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8145,6 +8193,20 @@ object SparkEntry {
          | SELECT 'insert', count(*), sum(n_chars + 1000000)::BIGINT,
          |   min(doc_id), max(doc_id)
          |  FROM documents WHERE doc_id < 10) ORDER BY _change_type""".stripMargin,
+
+    // schema-evolution replay: v1 = the even ids without `source`
+    // (null-filled under the evolved manifest schema), v2 = the odd
+    // ids with it; v1's own schema is two columns by construction
+    "q234_schema_evolution" ->
+      s"""SELECT (SELECT count(*) FROM documents) AS n_rows,
+         | (SELECT sum(n_chars)::BIGINT FROM documents) AS sum_chars,
+         | (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+         |   AS n_null_source,
+         | (SELECT count(DISTINCT source) FROM documents
+         |   WHERE doc_id % 2 <> 0) AS n_distinct_source,
+         | 2::BIGINT AS v1_n_cols,
+         | (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+         |   AS v1_rows""".stripMargin,
 
     // generation-audit replay: the cycle is append(+3 rows), delete
     // (vec_id 3 masked), compact (collapse, same rows); generation and

@@ -22,6 +22,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    only by NEW deltas, and a crashed append leaves an orphan data
   *    directory that no manifest references — invisible to every
   *    reader, reclaimed by [[vacuum]].
+  *  - **Additive schema evolution.** The table schema is recorded in
+  *    the manifest (a `schema` line per evolving commit), so reads
+  *    resolve it O(1) — never a `mergeSchema` footer sweep — old
+  *    files null-fill evolved-in columns, and time travel reads each
+  *    version under its OWN schema.
   *
   * Layout: `root/data/batch-<v>/part-*.parquet` (immutable),
   * `root/_manifests/v<00000v>.delta` (lines `+\t<entry>` /
@@ -80,26 +85,36 @@ object Versioned {
     */
   private def pathOf(entry: String): String = entry.split('\t').head
 
-  /** Resolve version `v`'s full entry list: nearest checkpoint at or
+  /** Resolve version `v`'s full entry list plus its table schema (DDL,
+    * when the table's commits recorded one): nearest checkpoint at or
     * below `v`, then the delta replay up to `v`. Entry order is
     * deterministic (checkpoint order, removals in place, additions
-    * appended in commit order).
+    * appended in commit order); the schema is the LAST one committed at
+    * or below `v` — the Delta discipline: schema lives in the
+    * transaction log, so resolving it is O(manifest), never a
+    * footer-merge over the data files (`mergeSchema` reads every
+    * footer — the wrong cost at a million files).
     */
-  private def resolveEntries(spark: SparkSession, root: String,
-                             v: Long): Seq[String] = {
+  private def resolveState(spark: SparkSession, root: String,
+                           v: Long): (Seq[String], Option[String]) = {
     val f = fs(spark, root)
     require(f.exists(deltaPath(root, v)),
       s"no version $v at $root (missing ${deltaPath(root, v).getName})")
     val base = (v to 1L by -1L).find(b => f.exists(checkpointPath(root, b)))
-    var entries: Seq[String] =
+    val baseLines =
       base.map(b => readLines(spark, root, checkpointPath(root, b)))
         .getOrElse(Seq.empty)
+    var schema: Option[String] = baseLines
+      .find(_.startsWith("schema\t")).map(_.substring(7))
+    var entries: Seq[String] = baseLines.filterNot(_.startsWith("schema\t"))
     var w = base.getOrElse(0L) + 1
     while (w <= v) {
       val p = deltaPath(root, w)
       require(f.exists(p),
         s"corrupt manifest chain at $root: v$w.delta missing below v$v")
       val lines = readLines(spark, root, p)
+      lines.find(_.startsWith("schema\t"))
+        .foreach(l => schema = Some(l.substring(7)))
       val removed = lines.collect { case l if l.startsWith("-\t") =>
         l.substring(2) }.toSet
       val added = lines.collect { case l if l.startsWith("+\t") =>
@@ -107,8 +122,12 @@ object Versioned {
       entries = entries.filterNot(e => removed.contains(pathOf(e))) ++ added
       w += 1
     }
-    entries
+    (entries, schema)
   }
+
+  private def resolveEntries(spark: SparkSession, root: String,
+                             v: Long): Seq[String] =
+    resolveState(spark, root, v)._1
 
   /** The file relpaths of a committed version — the manifest's answer,
     * no directory listing (used by callers that need to DIFF versions,
@@ -123,10 +142,11 @@ object Versioned {
     * only lengthens later replays, never loses a commit.
     */
   private def commitDelta(spark: SparkSession, root: String, v: Long,
-                          added: Seq[String],
-                          removed: Seq[String]): Unit = {
+                          added: Seq[String], removed: Seq[String],
+                          schema: Option[String] = None): Unit = {
     val f = fs(spark, root)
-    val lines = removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
+    val lines = schema.map(s => s"schema\t$s").toSeq ++
+      removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
     require(lines.nonEmpty, s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), f".v$v%06d.delta.tmp")
@@ -137,16 +157,52 @@ object Versioned {
     require(f.rename(tmp, deltaPath(root, v)),
       s"commit of v$v at $root failed")
     if (v % CheckpointEvery == 0L) {
-      val entries = resolveEntries(spark, root, v)
+      val (entries, sch) = resolveState(spark, root, v)
       val ctmp = new Path(manifestDir(root), f".v$v%06d.checkpoint.tmp")
       if (f.exists(ctmp)) f.delete(ctmp, false)
       val cout = f.create(ctmp, true)
-      try cout.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+      val cLines = sch.map(s => s"schema\t$s").toSeq ++ entries
+      try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally cout.close()
       require(f.rename(ctmp, checkpointPath(root, v)),
         s"checkpoint of v$v at $root failed")
     }
   }
+
+  /** ADDITIVE schema evolution (Delta's default): the next table
+    * schema is the prior columns followed by the batch's new ones. A
+    * same-name column must keep its exact type (silent widening breaks
+    * time-travel readers); a batch missing prior columns is fine —
+    * old columns null-fill nothing, NEW files simply don't carry them
+    * and reads under the table schema null-fill the gaps.
+    */
+  private def evolveSchema(prior: Option[String],
+                           df: DataFrame, root: String): String = {
+    val cur = df.schema
+    prior match {
+      case None => cur.toDDL
+      case Some(ddl) =>
+        val old = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        cur.fields.foreach { fNew =>
+          old.fields.find(_.name == fNew.name).foreach { fOld =>
+            require(fOld.dataType == fNew.dataType,
+              s"schema evolution at $root: column ${fNew.name} would " +
+              s"change type ${fOld.dataType.simpleString} -> " +
+              s"${fNew.dataType.simpleString}; additive evolution only")
+          }
+        }
+        val extra = cur.fields.filterNot(f => old.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(old.fields ++ extra).toDDL
+    }
+  }
+
+  /** The schema a snapshot read applies: recorded DDL when present
+    * (O(1) from the manifest — old files' missing columns null-fill
+    * under it), else None (pre-schema tables read file-inferred).
+    */
+  private def readSchema(spark: SparkSession,
+                         sch: Option[String]): Option[org.apache.spark.sql.types.StructType] =
+    sch.map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** Write `df` into `data/<name>` and return its manifest entries
     * (with `statCol` zone stats when given — min/max per file,
@@ -232,8 +288,24 @@ object Versioned {
     require(!name.contains('/') && !name.contains('\t'),
       s"bad batch dir name: $name")
     val added = writeBatchDir(spark, root, name, df, None)
-    commitDelta(spark, root, v, added, Seq.empty)
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
     v
+  }
+
+  /** The schema line the next commit records: additive evolution over
+    * the prior version's recorded schema. A pre-schema table (older
+    * commits never recorded one) stays schema-less — starting to
+    * record mid-history could silently drop historical columns the
+    * manifest never knew about.
+    */
+  private def nextSchema(spark: SparkSession, root: String, v: Long,
+                         df: DataFrame): Option[String] = {
+    val prior =
+      if (v == 1) None else resolveState(spark, root, v - 1)._2
+    if (v == 1 || prior.isDefined)
+      Some(evolveSchema(prior, df, root))
+    else None
   }
 
   /** True iff any committed version ever referenced a file under
@@ -255,12 +327,17 @@ object Versioned {
                version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, root) else version
     require(v > 0, s"no committed versions at $root")
-    val files = resolveEntries(spark, root, v)
-      .map(e => s"$root/${pathOf(e)}")
+    val (entries, sch) = resolveState(spark, root, v)
+    val files = entries.map(e => s"$root/${pathOf(e)}")
     require(files.nonEmpty,
       s"version $v at $root is removal-only down to zero files — " +
       "an empty frame has no schema; read an earlier version")
-    spark.read.parquet(files: _*)
+    readSchema(spark, sch) match {
+      // the manifest-recorded schema AS OF v: evolved-away gaps
+      // null-fill, later columns don't exist yet — and no footer merge
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
   }
 
   /** [[append]] that ALSO records per-file min/max zone stats of
@@ -277,7 +354,8 @@ object Versioned {
     require(!df.isEmpty, s"refusing to commit an empty version to $root")
     val v = latestVersion(spark, root) + 1
     val added = writeBatchDir(spark, root, s"batch-$v", df, Some(statCol))
-    commitDelta(spark, root, v, added, Seq.empty)
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
     v
   }
 
@@ -295,7 +373,8 @@ object Versioned {
     val v = if (version < 0) latestVersion(spark, root) else version
     import org.apache.spark.sql.functions._
     require(v > 0, s"no committed versions at $root")
-    val entries = resolveEntries(spark, root, v).map { line =>
+    val (rawEntries, sch) = resolveState(spark, root, v)
+    val entries = rawEntries.map { line =>
       line.split('\t') match {
         case Array(p, mn, mx) => (p, Some((mn.toLong, mx.toLong)))
         case Array(p)         => (p, None)
@@ -308,8 +387,12 @@ object Versioned {
     require(keep.nonEmpty || entries.isEmpty,
       s"readWhere($root): every file skipped — empty frame has no " +
       "schema; read a wider range or readAsOf + filter")
-    val frame = spark.read.parquet(keep.map(e => s"$root/${e._1}"): _*)
-      .filter(col(statCol).cast("long").between(lo, hi))
+    val files = keep.map(e => s"$root/${e._1}")
+    val base = readSchema(spark, sch) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    val frame = base.filter(col(statCol).cast("long").between(lo, hi))
     (frame, keep.size, entries.size)
   }
 
@@ -399,11 +482,19 @@ object Versioned {
       anyKeyInRange(keys, mn, mx)
     }
     val v = prev + 1
+    val sch = readSchema(spark, resolveState(spark, root, prev)._2)
     val survivors =
       if (affected.isEmpty) updates
-      else spark.read.parquet(affected.map(e => s"$root/${e._1}"): _*)
-        .filter(!keyPred(keyCol, keys))
-        .unionByName(updates)
+      else {
+        val files = affected.map(e => s"$root/${e._1}")
+        // survivors read under the table schema so a schema-evolved
+        // table's older files null-fill before the strict union
+        val scan = sch match {
+          case Some(st) => spark.read.schema(st).parquet(files: _*)
+          case None     => spark.read.parquet(files: _*)
+        }
+        scan.filter(!keyPred(keyCol, keys)).unionByName(updates)
+      }
     val added = writeBatchDir(spark, root, s"batch-$v", survivors,
       Some(keyCol))
     commitDelta(spark, root, v, added, affected.map(_._1))
@@ -436,7 +527,11 @@ object Versioned {
     require(affected.nonEmpty,
       s"deleteWhere($root): no file's key range overlaps the batch — " +
       "nothing to delete")
-    val scan = spark.read.parquet(affected.map(e => s"$root/${e._1}"): _*)
+    val files = affected.map(e => s"$root/${e._1}")
+    val scan = readSchema(spark, resolveState(spark, root, prev)._2) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
     val hit = scan.filter(keyPred(keyCol, keys)).count()
     require(hit > 0,
       s"deleteWhere($root): the key batch matches no rows — refusing " +
@@ -531,14 +626,23 @@ object Versioned {
     val fromFiles =
       if (fromV == 0) Set.empty[String]
       else resolveEntries(spark, root, fromV).map(pathOf).toSet
-    val toFiles = resolveEntries(spark, root, toV).map(pathOf).toSet
+    val (toEntries, toSchema) = resolveState(spark, root, toV)
+    val toFiles = toEntries.map(pathOf).toSet
     val added = (toFiles -- fromFiles).toSeq.sorted
     val removed = (fromFiles -- toFiles).toSeq.sorted
     require(added.nonEmpty || removed.nonEmpty,
       s"readChanges($root): v$fromV and v$toV share every file — no changes")
-    def frame(files: Seq[String], other: Seq[String]): DataFrame =
-      if (files.nonEmpty) spark.read.parquet(files.map(p => s"$root/$p"): _*)
-      else spark.read.parquet(other.map(p => s"$root/$p"): _*).limit(0)
+    // BOTH sides read under toV's schema (when recorded) so the
+    // EXCEPT ALLs align even across a schema-evolving range
+    val st = readSchema(spark, toSchema)
+    def frame(files: Seq[String], other: Seq[String]): DataFrame = {
+      val fs0 = (if (files.nonEmpty) files else other).map(p => s"$root/$p")
+      val df = st match {
+        case Some(s) => spark.read.schema(s).parquet(fs0: _*)
+        case None    => spark.read.parquet(fs0: _*)
+      }
+      if (files.nonEmpty) df else df.limit(0)
+    }
     (frame(added, removed), frame(removed, added))
   }
 

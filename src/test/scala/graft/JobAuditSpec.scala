@@ -118,6 +118,10 @@ class JobAuditSpec extends SparkSpec {
       "cold path builds the two-file stats table (two appendWithStats) " +
         "and runs the COW delete (hit count + survivor rewrite + stats " +
         "pass, constant-stage); warm runs are two snapshot aggregates"),
+    "q234_schema_evolution" -> (20,
+      "cold path builds the two-version evolving table (two appends: " +
+        "isEmpty probe + write each, constant-stage); warm runs are the " +
+        "latest-snapshot aggregate + the v1 count"),
     "q232_cdc_typed" -> (30,
       "cold path rides q228's table build+merge seam (shared per-dir " +
         "cache); warm runs are the two EXCEPT-ALL sides over the " +

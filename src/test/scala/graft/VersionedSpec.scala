@@ -361,6 +361,52 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, root, 1L).count() == 1L)
   }
 
+  test("additive schema evolution: a later append adds columns, old " +
+    "rows null-fill under the manifest-recorded schema (no footer " +
+    "merge), time travel reads each version's own schema, type " +
+    "changes refused, merge composes") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 5L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(1), "id")
+    // v2 adds a string column
+    Versioned.appendWithStats(spark, root,
+      (100L until 105L).map(i => (i, i * 10, s"tag$i"))
+        .toDF("id", "v", "tag").repartition(1), "id")
+    val latest = Versioned.readAsOf(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "v", "tag"),
+      s"evolved schema wrong: ${latest.columns.toSeq}")
+    latest.as[(Long, Long, Option[String])].collect() // decode round-trips
+    assert(latest.count() == 10L)
+    assert(latest.filter($"tag".isNull).count() == 5L,
+      "old rows must null-fill the evolved column")
+    assert(latest.filter($"tag" === "tag100").count() == 1L)
+    // time travel: v1 reads its OWN schema — no tag column yet
+    assert(Versioned.readAsOf(spark, root, 1L).columns.toSeq ==
+      Seq("id", "v"))
+    // a type change on an existing column is refused loudly
+    val ex = intercept[IllegalArgumentException](
+      Versioned.append(spark, root,
+        Seq(("oops", 1L, "t")).toDF("id", "v", "tag")))
+    assert(ex.getMessage.contains("would change type"), ex.getMessage)
+    // merge across the evolution boundary: survivors of a PRE-evolution
+    // file null-fill before the union, updates carry the full schema
+    val (_, rw, kp) = Versioned.mergeByKey(spark, root,
+      Seq((3L, 999L, "upd")).toDF("id", "v", "tag").repartition(1), "id")
+    assert(rw == 1 && kp == 1)
+    val after = Versioned.readAsOf(spark, root)
+    assert(after.filter($"id" === 3L).select("tag").head().getString(0) == "upd")
+    assert(after.filter($"id" === 4L).select("tag").head() != null &&
+      after.filter($"id" === 4L).select("tag").head().isNullAt(0),
+      "carried-over pre-evolution row must keep a null tag")
+    assert(after.count() == 10L)
+    // typed CDC across the evolving range aligns both sides on toV's schema
+    val cdc = Versioned.readChangesTyped(spark, root, 2L, 3L)
+      .as[(Long, Long, Option[String], String)].collect().toSet
+    assert(cdc == Set((3L, 30L, None, "delete"), (3L, 999L, Some("upd"), "insert")),
+      cdc.toString)
+  }
+
   test("replay guard survives compaction (ADVICE r17): a streamed " +
     "epoch rewritten out of the latest snapshot still refuses its " +
     "replay, and its committed dir is never deleted") {
