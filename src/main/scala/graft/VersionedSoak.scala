@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+import graft.streaming.StreamingVersionedSink
+
+/** Long-running streaming-sink soak for the versioned table (VERDICT
+  * r17 item 2's "Done" evidence): N epoch-keyed commits through
+  * [[StreamingVersionedSink.commitBatch]], two lanes —
+  *
+  *   - `nocompact`: raw accretion (one tiny file + one delta per epoch);
+  *   - `compact`:   the same stream with `compactEvery = 10` inline
+  *                  maintenance.
+  *
+  * Per-epoch COMMIT seconds are windowed (first 10 vs last 10): with
+  * delta manifests both lanes' commit cost must stay flat in stream
+  * length (the old full-rewrite manifests grew O(total files) per
+  * commit). READ latency and the snapshot's file count are probed
+  * every 20 epochs: the nocompact lane's file count grows linearly
+  * (and read fan-out with it); the compact lane stays bounded near
+  * `compactEvery`. Prints a markdown table + one JSON line.
+  *
+  * Usage: runMain graft.VersionedSoak [epochs] (default 120)
+  */
+object VersionedSoak {
+  def main(args: Array[String]): Unit = {
+    val epochs = args.headOption.map(_.toInt).getOrElse(120)
+    val work = sys.env.getOrElse("SPARK_GRAFT_VSOAK_DIR", "/tmp/graft-vsoak")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-versioned-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+
+    final case class Lane(name: String, root: String, compactEvery: Int) {
+      val commits = collection.mutable.ArrayBuffer.empty[Double]
+      val probes = collection.mutable.ArrayBuffer.empty[(Int, Double, Int)]
+    }
+    val lanes = Seq(Lane("nocompact", s"$work/nc", 0),
+      Lane("compact", s"$work/c", 10))
+
+    for (lane <- lanes; e <- 0 until epochs) {
+      val batch = spark.range(e * 100L, (e + 1) * 100L)
+        .select(col("id"), (col("id") * 7 % 1000).as("v")).repartition(1)
+      val t0 = System.nanoTime()
+      StreamingVersionedSink.commitBatch(spark, lane.root, batch, e.toLong,
+        compactEvery = lane.compactEvery, numFiles = 1)
+      lane.commits += (System.nanoTime() - t0) / 1e9
+      if ((e + 1) % 20 == 0) {
+        val r0 = System.nanoTime()
+        Versioned.readAsOf(spark, lane.root)
+          .agg(count(lit(1)), sum(col("v"))).collect()
+        val rs = (System.nanoTime() - r0) / 1e9
+        val nf = Versioned.fileList(spark, lane.root,
+          Versioned.latestVersion(spark, lane.root)).size
+        lane.probes += ((e + 1, rs, nf))
+        System.err.println(f"[vsoak] ${lane.name}%-10s epoch ${e + 1}%4d " +
+          f"read $rs%6.3f s  files $nf%4d")
+      }
+    }
+
+    def win(xs: Seq[Double]): (Double, Double) = {
+      val first = xs.take(10); val last = xs.takeRight(10)
+      (first.sum / first.size, last.sum / last.size)
+    }
+    println(s"| lane | commit s (first 10 avg) | commit s (last 10 avg) | " +
+      s"files @20 | files @$epochs | read s @20 | read s @$epochs |")
+    println("|---|---|---|---|---|---|---|")
+    val parts = lanes.map { l =>
+      val (cf, cl) = win(l.commits.toSeq)
+      val p0 = l.probes.head; val pN = l.probes.last
+      println(f"| ${l.name} | $cf%.3f | $cl%.3f | ${p0._3} | ${pN._3} | " +
+        f"${p0._2}%.3f | ${pN._2}%.3f |")
+      f""""${l.name}":{"commit_first10":$cf%.3f,"commit_last10":$cl%.3f,""" +
+        f""""files_first":${p0._3},"files_last":${pN._3},""" +
+        f""""read_first":${p0._2}%.3f,"read_last":${pN._2}%.3f}"""
+    }
+    println(s"""{"metric":"versioned_soak","epochs":$epochs,""" +
+      parts.mkString(",") + "}")
+    spark.stop()
+  }
+}
