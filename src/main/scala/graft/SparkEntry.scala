@@ -2265,6 +2265,49 @@ object SparkEntry {
     root
   }
 
+  /** q235: categorical value-set file skipping ([[graft.sources
+    * .Versioned.appendWithValueStats]] + [[Versioned.readWhereEq]]) —
+    * Hive/Iceberg-style partition pruning WITHOUT the physical
+    * partition layout: four commits bucket the 20 sources, each file's
+    * manifest entry records its distinct source SET, and a read of one
+    * source opens 1 of the 4 files — decided entirely from the
+    * manifest. Emits the skip counts plus the source's row/char mass
+    * (pruning must lose nothing).
+    */
+  private def qValuePrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val root = valueVersionedFor(s, dir)
+    val (frame, read, total) =
+      graft.sources.Versioned.readWhereEq(s, root, "source", "src0")
+    frame.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(total.toLong).as("n_files_total"),
+        lit(read.toLong).as("n_files_read"),
+        col("n_rows"), col("sum_chars"))
+  }
+
+  /** Build-once seam for q235: four single-file value-stat commits,
+    * sources bucketed by their numeric suffix mod 4 (deterministic on
+    * both engines; src0 lands alone in bucket 0's file among
+    * src0/4/8/12/16).
+    */
+  private def valueVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vvalue-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 4) {
+          val docs = rd(s, dir, "documents")
+          val bucket = expr("CAST(SUBSTRING(source, 4) AS INT) % 4")
+          (0 until 4).foreach { b =>
+            graft.sources.Versioned.appendWithValueStats(s, root,
+              docs.filter(bucket === b).repartition(1), "source")
+          }
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
   /** q232: TYPED change-data-feed ([[graft.sources.Versioned
     * .readChangesTyped]]) across q228's COW merge — the consumer-facing
     * CDC shape: the update surfaces as delete(pre-image) +
@@ -5996,6 +6039,7 @@ object SparkEntry {
     "q232_cdc_typed" -> (qCdcTyped _),
     "q233_ivf_generations" -> (qIvfGenerations _),
     "q234_schema_evolution" -> (qSchemaEvolution _),
+    "q235_value_pruned_read" -> (qValuePrunedRead _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8207,6 +8251,14 @@ object SparkEntry {
          | 2::BIGINT AS v1_n_cols,
          | (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
          |   AS v1_rows""".stripMargin,
+
+    // value-pruned-read replay: src0 sits in bucket-0's single file
+    // (suffix mod 4), so 1 of 4 files opens; the agg proves the
+    // manifest-decided skip lost no rows
+    "q235_value_pruned_read" ->
+      s"""SELECT 4::BIGINT AS n_files_total, 1::BIGINT AS n_files_read,
+         | count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents WHERE source = 'src0'""".stripMargin,
 
     // generation-audit replay: the cycle is append(+3 rows), delete
     // (vec_id 3 masked), compact (collapse, same rows); generation and

@@ -359,6 +359,86 @@ object Versioned {
     v
   }
 
+  /** [[append]] that records each file's DISTINCT VALUE SET of a
+    * low-cardinality string column in the manifest — the categorical
+    * complement of [[appendWithStats]]'s numeric zone stats, i.e.
+    * Hive/Iceberg partition pruning without the physical partition
+    * layout (the value set rides the manifest as
+    * `relpath\t#v1|v2|…`). A [[readWhereEq]] on the column then opens
+    * ONLY the files whose set contains the value. A file exceeding
+    * `maxDistinct` values records `#*` (read-always — a high-cardinality
+    * column belongs in numeric zone stats or a sort order, not a value
+    * list); values must not contain tab/pipe/newline.
+    */
+  def appendWithValueStats(spark: SparkSession, root: String, df: DataFrame,
+                           catCol: String, maxDistinct: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    val v = latestVersion(spark, root) + 1
+    val name = s"batch-$v"
+    val f = fs(spark, root)
+    val batch = new Path(root, s"data/$name")
+    if (f.exists(batch)) {
+      require(!dirEverCommitted(spark, root, name),
+        s"refusing to overwrite data/$name at $root: a committed " +
+        "version references it")
+      f.delete(batch, true)
+    }
+    df.write.mode("overwrite").parquet(batch.toString)
+    val added = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(sort_array(collect_set(col(catCol).cast("string"))).as("__vs"))
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val vs = r.getSeq[String](1)
+        vs.foreach(s0 => require(
+          s0 != null && !s0.exists(c => c == '\t' || c == '|' || c == '\n'),
+          s"appendWithValueStats($root): $catCol value '$s0' carries a " +
+          "reserved character (tab/pipe/newline)"))
+        val set = if (vs.size > maxDistinct) "*" else vs.mkString("|")
+        s"data/$name/$base\t#$set"
+      }.sorted.toSeq
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
+    v
+  }
+
+  /** Value-pruned snapshot read: open only the files whose recorded
+    * value set contains `value` (or that carry no / overflowed value
+    * stats — conservatively read), then apply the exact equality on
+    * the survivors. Returns (frame, filesRead, filesTotal).
+    */
+  def readWhereEq(spark: SparkSession, root: String, catCol: String,
+                  value: String,
+                  version: Long = -1L): (DataFrame, Int, Int) = {
+    // functions._ would shadow the `version` param (functions.version)
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) latestVersion(spark, root) else version
+    require(v > 0, s"no committed versions at $root")
+    val (rawEntries, sch) = resolveState(spark, root, v)
+    val entries = rawEntries.map { line =>
+      line.split('\t') match {
+        case Array(p, s) if s.startsWith("#") =>
+          (p, if (s == "#*") None else Some(s.substring(1).split('|').toSet))
+        case parts => (parts.head, None) // numeric/stat-less: cannot skip
+      }
+    }
+    val keep = entries.filter {
+      case (_, Some(set)) => set.contains(value)
+      case (_, None)      => true
+    }
+    require(keep.nonEmpty || entries.isEmpty,
+      s"readWhereEq($root): every file skipped — empty frame has no " +
+      s"schema; no file contains $catCol = '$value'")
+    val files = keep.map(e => s"$root/${e._1}")
+    val base = readSchema(spark, sch) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    (base.filter(col(catCol).cast("string") === value), keep.size, entries.size)
+  }
+
   /** Stats-pruned snapshot read: keep only the files whose recorded
     * [min, max] overlaps [lo, hi] — file skipping decided entirely
     * from the manifest — then apply the exact predicate on the
@@ -377,7 +457,9 @@ object Versioned {
     val entries = rawEntries.map { line =>
       line.split('\t') match {
         case Array(p, mn, mx) => (p, Some((mn.toLong, mx.toLong)))
-        case Array(p)         => (p, None)
+        // stat-less OR categorical value stats: numeric skipping
+        // cannot prove these files untouched — always read
+        case parts => (parts.head, None)
       }
     }
     val keep = entries.filter {
@@ -406,9 +488,11 @@ object Versioned {
     resolveEntries(spark, root, v).map { line =>
       line.split('\t') match {
         case Array(p, mn, mx) => (p, mn.toLong, mx.toLong)
-        case Array(p) => throw new IllegalArgumentException(
-          s"$op($root): file $p carries no $keyCol stats — this " +
-          "rewrite needs a fully stat-committed table (appendWithStats)")
+        case parts => throw new IllegalArgumentException(
+          s"$op($root): file ${parts.head} carries no numeric $keyCol " +
+          "stats — this rewrite needs a fully stat-committed table " +
+          "(appendWithStats; categorical value stats cannot prove a " +
+          "key range untouched)")
       }
     }
 

@@ -118,6 +118,11 @@ class JobAuditSpec extends SparkSpec {
       "cold path builds the two-file stats table (two appendWithStats) " +
         "and runs the COW delete (hit count + survivor rewrite + stats " +
         "pass, constant-stage); warm runs are two snapshot aggregates"),
+    "q235_value_pruned_read" -> (30,
+      "cold path builds the four-bucket value-stats table (four " +
+        "appendWithValueStats: isEmpty probe + write + per-file " +
+        "value-set pass each, constant-stage); warm runs are one " +
+        "manifest-pruned aggregate"),
     "q234_schema_evolution" -> (20,
       "cold path builds the two-version evolving table (two appends: " +
         "isEmpty probe + write each, constant-stage); warm runs are the " +

@@ -129,7 +129,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.append(spark, root2, Seq((1L, 1L)).toDF("id", "v"))
     val ex = intercept[IllegalArgumentException](
       Versioned.mergeByKey(spark, root2, Seq((1L, 2L)).toDF("id", "v"), "id"))
-    assert(ex.getMessage.contains("no id stats"))
+    assert(ex.getMessage.contains("no numeric id stats"))
   }
 
   test("StreamingVersionedSink: streamed micro-batches land as " +
@@ -359,6 +359,44 @@ class VersionedSpec extends SparkSpec {
       Seq((99L, "dup")).toDF("id", "s"), 0L, compactEvery = 4).isEmpty)
     // early epochs still time-travel
     assert(Versioned.readAsOf(spark, root, 1L).count() == 1L)
+  }
+
+  test("categorical value-set stats: readWhereEq opens only the files " +
+    "whose manifest set contains the value; overflowed and stat-less " +
+    "files are conservatively read; numeric readers ignore the lines") {
+    val root = freshRoot()
+    Versioned.appendWithValueStats(spark, root,
+      Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang")
+        .repartition(1), "lang")
+    Versioned.appendWithValueStats(spark, root,
+      Seq((4L, "fr"), (5L, "fr")).toDF("id", "lang")
+        .repartition(1), "lang")
+    // a high-cardinality file overflows to #* (read-always)
+    Versioned.appendWithValueStats(spark, root,
+      (0 until 40).map(i => (100L + i, s"z$i")).toDF("id", "lang")
+        .repartition(1), "lang", maxDistinct = 16)
+    val (f1, read1, total1) = Versioned.readWhereEq(spark, root, "lang", "de")
+    assert((read1, total1) == (2, 3), s"expected 2/3 files, got $read1/$total1")
+    assert(f1.as[(Long, String)].collect().toSeq == Seq((3L, "de")))
+    val (f2, read2, _) = Versioned.readWhereEq(spark, root, "lang", "fr")
+    assert(read2 == 2 && f2.count() == 2L) // fr file + the #* file
+    // a value in the overflowed file is still found (conservative read)
+    val (f3, read3, _) = Versioned.readWhereEq(spark, root, "lang", "z7")
+    assert(read3 == 1 && f3.count() == 1L)
+    // a stat-less append can never be skipped
+    Versioned.append(spark, root, Seq((999L, "xx")).toDF("id", "lang"))
+    val (_, read4, total4) = Versioned.readWhereEq(spark, root, "lang", "de")
+    assert((read4, total4) == (3, 4), "stat-less file must be read")
+    // the numeric COW rewrites refuse a value-stats table loudly
+    val ex = intercept[IllegalArgumentException](
+      Versioned.mergeByKey(spark, root,
+        Seq((1L, "en")).toDF("id", "lang"), "id"))
+    assert(ex.getMessage.contains("no numeric id stats"), ex.getMessage)
+    // reserved characters in values are refused at commit time
+    val ex2 = intercept[IllegalArgumentException](
+      Versioned.appendWithValueStats(spark, root,
+        Seq((7L, "a|b")).toDF("id", "lang"), "lang"))
+    assert(ex2.getMessage.contains("reserved character"))
   }
 
   test("additive schema evolution: a later append adds columns, old " +
