@@ -204,7 +204,19 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   private val centersCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Array[Array[Double]])]()
 
-  def clearCache(): Unit = centersCache.clear()
+  /** Parsed-manifest summary per index root, keyed by the manifest
+    * DIRECTORY's mtime (a commit adds a file there, bumping it):
+    * (mtime, version, centroids dir, whole list-dir relpaths). Without
+    * it every optimizer invocation re-listed `_manifests` and
+    * re-parsed the latest manifest — planning-time filesystem I/O on
+    * hot single-query serving paths (ADVICE r18 low). One
+    * getFileStatus per invocation instead; [[clearCache]] and a
+    * commit's mtime bump both invalidate.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, String, Set[String])]()
+
+  def clearCache(): Unit = { centersCache.clear(); manifestCache.clear() }
 
   /** The child's single parquet relation rooted at a live whole lists
     * generation (`<index>/gen-N/lists`) of an ivf-v3 index, if that is
@@ -231,10 +243,23 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
           val marker = new org.apache.hadoop.fs.Path(idxRoot, "IVF_FORMAT")
           if (!fs.exists(marker)) None
           else {
-            val m = graft.search.Ann.readIvfManifest(spark, idxRoot.toString)
+            // ONE stat per invocation: the _manifests dir's mtime is
+            // the freshness key (a commit creates a file there); the
+            // listing + manifest parse run only on a miss
+            val mDir = new org.apache.hadoop.fs.Path(idxRoot, "_manifests")
+            val mtime = fs.getFileStatus(mDir).getModificationTime
+            val (_, version, centroidsRel, wholeDirs) =
+              manifestCache.compute(idxRoot.toString, (_, cur) => {
+                if (cur != null && cur._1 == mtime) cur
+                else {
+                  val m = graft.search.Ann.readIvfManifest(spark, idxRoot.toString)
+                  (mtime, m.version, m.centroids,
+                    m.listDirs.filter(_.whole).map(_.dir).toSet)
+                }
+              })
             val rel = s"${root.getParent.getName}/lists"
-            if (m.listDirs.exists(ld => ld.dir == rel && ld.whole))
-              Some((s"$idxRoot/${m.centroids}", m.version))
+            if (wholeDirs.contains(rel))
+              Some((s"$idxRoot/$centroidsRel", version))
             else None
           }
         } catch { case _: Exception => None }

@@ -3,6 +3,18 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+/** A commit lost an optimistic-concurrency race: another writer
+  * published the same version number first. The loser's DATA files are
+  * an unreferenced orphan batch (invisible to every reader, reclaimed
+  * by [[Versioned.vacuum]]); nothing the winner committed is damaged.
+  * [[Versioned.appendConcurrent]] catches this and retries at the new
+  * head; every other mutator surfaces it — the documented
+  * single-writer contract for COW rewrites, where a blind retry could
+  * base the rewrite on a stale snapshot.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** Versioned parquet table with manifest-committed snapshot reads —
   * the Iceberg/Delta commit protocol in miniature (public knowledge),
   * for the things a 100 TB table cannot live without:
@@ -34,11 +46,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * zone stats) and `root/_manifests/v<00000v>.checkpoint` (the full
   * resolved entry list — a read CACHE, never the commit point: a
   * missing checkpoint only means a longer delta replay). Manifests
-  * are written to a hidden `.tmp` and renamed in — the same
-  * discipline as the IVF index's manifest protocol
-  * ([[graft.search.Ann]]). Single writer assumed (the usual
-  * external-coordination contract); readers need no coordination at
-  * all.
+  * are staged to a hidden writer-unique `.tmp` and PUBLISHED with
+  * create-if-absent semantics — the same discipline as the IVF
+  * index's manifest protocol ([[graft.search.Ann]]), hardened so a
+  * same-version race always surfaces as
+  * [[ConcurrentCommitException]] for exactly one writer (never a
+  * silent lost commit). Concurrency contract: [[appendConcurrent]]
+  * retries the commit optimistically (appends are commutative — both
+  * writers' rows land); every OTHER mutator (merge/delete/compact and
+  * the plain appends) assumes a single maintenance writer and
+  * surfaces the exception — its rewrite was computed against a
+  * specific parent snapshot and must not be blindly re-based. The
+  * loser's data batch is an unreferenced orphan [[vacuum]] reclaims.
+  * Readers need no coordination at all.
   */
 object Versioned {
 
@@ -59,19 +79,38 @@ object Versioned {
   private def checkpointPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%06d.checkpoint")
 
-  /** Highest committed version, or 0 if the table has none. */
+  /** Highest committed version, or 0 if the table has none. Fails
+    * loudly on a PRE-DELTA table (the r17 `v*.manifest` full-list
+    * format): silently reading it as version 0 would make [[vacuum]]
+    * compute an empty referenced set and delete every committed data
+    * directory of the old-format table (ADVICE r18 — the same layout
+    * diagnosis [[graft.search.Ann.readIvfManifest]] gives pre-v3
+    * indexes).
+    */
   def latestVersion(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return 0L
     val V = """v(\d+)\.delta""".r
-    f.listStatus(dir).map(_.getPath.getName).collect {
-      case V(n) => n.toLong
-    }.foldLeft(0L)(math.max)
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    require(!names.exists(_.matches("""v\d+\.manifest""")),
+      s"$root carries pre-delta v*.manifest files in _manifests — a " +
+      "table written by the retired full-list manifest format; rebuild " +
+      "it (read the parquet directly and re-append), this code will " +
+      "not guess which files its versions referenced")
+    names.collect { case V(n) => n.toLong }.foldLeft(0L)(math.max)
   }
+
+  /** Manifest files opened since JVM start — the observability hook
+    * the replay-guard cost spec counts (a streaming epoch's metadata
+    * cost must stay O(CheckpointEvery), not O(versions)).
+    */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def readLines(spark: SparkSession, root: String,
                         p: Path): Seq[String] = {
+    manifestReads.incrementAndGet()
     val f = fs(spark, root)
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -80,10 +119,23 @@ object Versioned {
   }
 
   /** The relpath of a manifest entry — entries are `relpath` (no
-    * stats) or `relpath\tmin\tmax`; every path consumer MUST strip
-    * the stats columns.
+    * stats), `relpath\tmin\tmax` (single numeric zone stats),
+    * `relpath\t#v1|v2` (categorical value set), or
+    * `relpath\t@col:min:max\t@col2:min:max…` (NAMED multi-column zone
+    * stats — what [[compact]]'s z-order rewrite records); every path
+    * consumer MUST strip the stats columns.
     */
   private def pathOf(entry: String): String = entry.split('\t').head
+
+  /** The named per-column [min, max] stats of an entry (empty for the
+    * legacy/categorical/stat-less forms).
+    */
+  private def namedStatsOf(entry: String): Map[String, (Long, Long)] =
+    entry.split('\t').drop(1).collect {
+      case s if s.startsWith("@") && s.count(_ == ':') == 2 =>
+        val parts = s.substring(1).split(':')
+        parts(0) -> ((parts(1).toLong, parts(2).toLong))
+    }.toMap
 
   /** Resolve version `v`'s full entry list plus its table schema (DDL,
     * when the table's commits recorded one): nearest checkpoint at or
@@ -106,7 +158,11 @@ object Versioned {
         .getOrElse(Seq.empty)
     var schema: Option[String] = baseLines
       .find(_.startsWith("schema\t")).map(_.substring(7))
-    var entries: Seq[String] = baseLines.filterNot(_.startsWith("schema\t"))
+    // `dir\t` lines are the checkpoint's cumulative batch-dir ledger
+    // (the O(1) replay guard's state — [[dirEverCommitted]]), not
+    // entries of the snapshot
+    var entries: Seq[String] = baseLines
+      .filterNot(l => l.startsWith("schema\t") || l.startsWith("dir\t"))
     var w = base.getOrElse(0L) + 1
     while (w <= v) {
       val p = deltaPath(root, w)
@@ -136,10 +192,60 @@ object Versioned {
   def fileList(spark: SparkSession, root: String, v: Long): Seq[String] =
     resolveEntries(spark, root, v).map(pathOf)
 
-  /** Atomically commit version `v` as a delta; the rename is the
-    * commit point. A checkpoint (read cache) lands after the commit
-    * every [[CheckpointEvery]] versions — a crash between the two
-    * only lengthens later replays, never loses a commit.
+  /** Publish `tmp` as `dst` with CREATE-IF-ABSENT semantics — the
+    * optimistic-concurrency commit point. POSIX rename OVERWRITES an
+    * existing destination, so a bare rename would let the loser of a
+    * same-version race silently clobber the winner's committed delta
+    * (a lost commit — strictly worse than a crash). On `file:` the
+    * publish is a hard link, which the kernel makes atomically fail
+    * with EEXIST when the destination exists; elsewhere (HDFS rename
+    * already refuses an existing destination) it is exists-check +
+    * rename + read-back verification. The loser always surfaces as
+    * [[ConcurrentCommitException]] with the winner's commit intact.
+    */
+  private def publish(f: org.apache.hadoop.fs.FileSystem, tmp: Path,
+                      dst: Path, written: Seq[String]): Unit = {
+    def lost(): Nothing = {
+      f.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"${dst.getName} was committed by a concurrent writer — this " +
+        "writer lost the optimistic race; its data batch is an orphan " +
+        "(vacuum reclaims it)")
+    }
+    if (f.exists(dst)) lost()
+    if ("file" == f.getUri.getScheme) {
+      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri)
+      try java.nio.file.Files.createLink(d, t)
+      catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+      f.delete(tmp, false)
+    } else {
+      if (!f.rename(tmp, dst)) lost()
+      // defense in depth on overwrite-rename filesystems: the content
+      // at dst must be OURS, else a racing rename clobbered someone
+      val in = f.open(dst)
+      val back =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      if (back != written.toList)
+        throw new ConcurrentCommitException(
+          s"${dst.getName} read back a different writer's content after " +
+          "the rename — a same-version race on an overwrite-rename " +
+          "filesystem; treat BOTH commits as suspect and re-append")
+    }
+  }
+
+  /** Atomically commit version `v` as a delta; the create-if-absent
+    * publish is the commit point (a same-version race throws
+    * [[ConcurrentCommitException]] for the loser). A checkpoint (read
+    * cache) lands after the commit every [[CheckpointEvery]] versions —
+    * a crash between the two only lengthens later replays, never loses
+    * a commit. The checkpoint carries, besides the resolved entry list
+    * and schema, the cumulative `dir\t<name>` ledger of every batch
+    * directory ANY delta up to `v` ever added — the state that keeps
+    * the streaming sink's replay guard O(CheckpointEvery) per epoch
+    * instead of O(versions) ([[dirEverCommitted]], VERDICT r18 item 1).
     */
   private def commitDelta(spark: SparkSession, root: String, v: Long,
                           added: Seq[String], removed: Seq[String],
@@ -149,32 +255,62 @@ object Versioned {
       removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
     require(lines.nonEmpty, s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
-    val tmp = new Path(manifestDir(root), f".v$v%06d.delta.tmp")
-    if (f.exists(tmp)) f.delete(tmp, false)
+    // tmp name carries a writer-unique nonce: two racers sharing one
+    // tmp path could interleave create/link and publish EACH OTHER'S
+    // content — the nonce makes every writer stage privately
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(manifestDir(root), f".v$v%06d.delta.$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    require(f.rename(tmp, deltaPath(root, v)),
-      s"commit of v$v at $root failed")
+    publish(f, tmp, deltaPath(root, v), lines)
     if (v % CheckpointEvery == 0L) {
       val (entries, sch) = resolveState(spark, root, v)
+      val dirs = resolveDirSet(spark, root, v)
       val ctmp = new Path(manifestDir(root), f".v$v%06d.checkpoint.tmp")
       if (f.exists(ctmp)) f.delete(ctmp, false)
       val cout = f.create(ctmp, true)
-      val cLines = sch.map(s => s"schema\t$s").toSeq ++ entries
+      val cLines = sch.map(s => s"schema\t$s").toSeq ++
+        dirs.toSeq.sorted.map(d => s"dir\t$d") ++ entries
       try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally cout.close()
+      // the checkpoint is a cache: on a race, last-writer-wins is fine
+      // (both writers compute it from the same committed deltas)
+      if (f.exists(checkpointPath(root, v))) f.delete(checkpointPath(root, v), false)
       require(f.rename(ctmp, checkpointPath(root, v)),
         s"checkpoint of v$v at $root failed")
     }
   }
 
-  /** ADDITIVE schema evolution (Delta's default): the next table
-    * schema is the prior columns followed by the batch's new ones. A
-    * same-name column must keep its exact type (silent widening breaks
-    * time-travel readers); a batch missing prior columns is fine —
-    * old columns null-fill nothing, NEW files simply don't carry them
-    * and reads under the table schema null-fill the gaps.
+  /** The declared WIDENING lattice (Delta's type widening, public
+    * knowledge): a parquet file written with the narrower type reads
+    * losslessly under the wider read schema (Spark 4's parquet readers
+    * promote int32→int64 and float→double at scan time), so widening a
+    * table column is a metadata-only migration — no file rewrite.
+    * Narrowing (or any other change) stays refused: it would corrupt
+    * values already on disk.
+    */
+  private val Widens: Set[(org.apache.spark.sql.types.DataType,
+                           org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    val chain = for {
+      (narrow, i) <- integral.zipWithIndex
+      wide <- integral.drop(i + 1)
+    } yield (narrow: DataType, wide: DataType)
+    chain.toSet + ((FloatType: DataType, DoubleType: DataType))
+  }
+
+  /** ADDITIVE schema evolution plus declared TYPE WIDENING (Delta's
+    * defaults): the next table schema is the prior columns followed by
+    * the batch's new ones; a same-name column may WIDEN along
+    * [[Widens]] (INT→LONG, FLOAT→DOUBLE — the recorded type becomes
+    * the wider one, old files read promoted under it), and a batch
+    * writing the NARROWER type into an already-widened column is fine
+    * (its new files read promoted too). Any other type change is
+    * refused — silent arbitrary changes break time-travel readers. A
+    * batch missing prior columns is fine — NEW files simply don't
+    * carry them and reads under the table schema null-fill the gaps.
     */
   private def evolveSchema(prior: Option[String],
                            df: DataFrame, root: String): String = {
@@ -183,16 +319,24 @@ object Versioned {
       case None => cur.toDDL
       case Some(ddl) =>
         val old = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        cur.fields.foreach { fNew =>
-          old.fields.find(_.name == fNew.name).foreach { fOld =>
-            require(fOld.dataType == fNew.dataType,
-              s"schema evolution at $root: column ${fNew.name} would " +
-              s"change type ${fOld.dataType.simpleString} -> " +
-              s"${fNew.dataType.simpleString}; additive evolution only")
+        val widened = old.fields.map { fOld =>
+          cur.fields.find(_.name == fOld.name) match {
+            case Some(fNew) if fNew.dataType == fOld.dataType => fOld
+            case Some(fNew) if Widens((fOld.dataType, fNew.dataType)) =>
+              fOld.copy(dataType = fNew.dataType) // widen the table type
+            case Some(fNew) if Widens((fNew.dataType, fOld.dataType)) =>
+              fOld // narrower batch under an already-wide column
+            case Some(fNew) =>
+              throw new IllegalArgumentException(
+                s"schema evolution at $root: column ${fNew.name} would " +
+                s"change type ${fOld.dataType.simpleString} -> " +
+                s"${fNew.dataType.simpleString}; only additive columns " +
+                "and declared widenings (int->long, float->double) evolve")
+            case None => fOld
           }
         }
         val extra = cur.fields.filterNot(f => old.fieldNames.contains(f.name))
-        org.apache.spark.sql.types.StructType(old.fields ++ extra).toDDL
+        org.apache.spark.sql.types.StructType(widened ++ extra).toDDL
     }
   }
 
@@ -248,22 +392,111 @@ object Versioned {
     }
   }
 
+  /** [[writeBatchDir]] recording NAMED zone stats for SEVERAL integer
+    * columns per file (`relpath\t@col:min:max…`) — what a multi-column
+    * clustering rewrite needs: a z-ordered file is selective on every
+    * interleaved column, so the manifest must carry every column's
+    * range for [[readWhereBox]] to prune on any of them. One pass over
+    * the just-written batch, all columns' min/max in a single
+    * aggregate. Requires `statCols` non-empty and tab/colon-free.
+    */
+  private def writeBatchDirNamed(spark: SparkSession, root: String,
+                                 name: String, df: DataFrame,
+                                 statCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    require(statCols.nonEmpty, "writeBatchDirNamed needs >= 1 stat column")
+    statCols.foreach(c => require(!c.exists(ch => ch == '\t' || ch == ':'),
+      s"stat column name '$c' carries a reserved character"))
+    val f = fs(spark, root)
+    val batch = new Path(root, s"data/$name")
+    if (f.exists(batch)) {
+      require(!dirEverCommitted(spark, root, name),
+        s"refusing to overwrite data/$name at $root: a committed " +
+        "version references it")
+      f.delete(batch, true)
+    }
+    df.write.mode("overwrite").parquet(batch.toString)
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val stats = statCols.zipWithIndex.map { case (c, i) =>
+          s"@$c:${r.getLong(1 + 2 * i)}:${r.getLong(2 + 2 * i)}"
+        }
+        s"data/$name/$base\t${stats.mkString("\t")}"
+      }.sorted.toSeq
+  }
+
+  /** The batch-dir name a delta's `+\tdata/<name>/<file>` line added. */
+  private def dirOfAddLine(l: String): Option[String] =
+    if (!l.startsWith("+\tdata/")) None
+    else {
+      val rest = l.substring(7) // past "+\tdata/"
+      val slash = rest.indexOf('/')
+      if (slash > 0) Some(rest.substring(0, slash)) else None
+    }
+
+  /** Every batch-dir name ANY delta up to `v` ever added, resolved the
+    * checkpoint way: the nearest checkpoint's cumulative `dir\t` ledger
+    * plus the ≤ [[CheckpointEvery]] deltas above it — O(CheckpointEvery)
+    * manifest reads regardless of table age (VERDICT r18 item 1: the
+    * previous all-deltas scan made a streaming sink's per-epoch replay
+    * guard O(versions), quadratic over the stream). A checkpoint written
+    * BEFORE the ledger existed carries no `dir\t` lines; since v1 is
+    * always an append, a dir-less checkpoint is unambiguously
+    * pre-ledger and falls back to the full replay from v1 — correct,
+    * just slow, until the next checkpoint rewrites the state.
+    */
+  private def resolveDirSet(spark: SparkSession, root: String,
+                            v: Long): Set[String] = {
+    val f = fs(spark, root)
+    val base = (v to 1L by -1L).find(b => f.exists(checkpointPath(root, b)))
+    val (baseDirs, from) = base match {
+      case Some(b) =>
+        val dirs = readLines(spark, root, checkpointPath(root, b))
+          .collect { case l if l.startsWith("dir\t") => l.substring(4) }
+        if (dirs.nonEmpty) (dirs.toSet, b + 1) // ledger-carrying
+        else (Set.empty[String], 1L)           // pre-ledger checkpoint
+      case None => (Set.empty[String], 1L)
+    }
+    var dirs = baseDirs
+    var w = from
+    while (w <= v) {
+      if (f.exists(deltaPath(root, w)))
+        readLines(spark, root, deltaPath(root, w))
+          .foreach(l => dirOfAddLine(l).foreach(dirs += _))
+      w += 1
+    }
+    dirs
+  }
+
   /** True iff ANY committed delta ever added a file under
     * `data/<dirName>/` — the durable form of the streaming sink's
     * replay test: a batch dir whose files were later rewritten out of
     * the current snapshot (compaction, merge) still counts as
-    * committed, so a replayed epoch stays a no-op (ADVICE r17).
+    * committed, so a replayed epoch stays a no-op (ADVICE r17). Cost:
+    * one checkpoint + ≤ [[CheckpointEvery]] delta reads, flat in
+    * stream length (VERDICT r18 item 1).
     */
   private def dirEverCommitted(spark: SparkSession, root: String,
                                dirName: String): Boolean = {
-    val f = fs(spark, root)
-    val prefix = s"+\tdata/$dirName/"
-    (1L to latestVersion(spark, root)).exists { v =>
-      f.exists(deltaPath(root, v)) &&
-        readLines(spark, root, deltaPath(root, v))
-          .exists(_.startsWith(prefix))
-    }
+    val latest = latestVersion(spark, root)
+    latest > 0 && resolveDirSet(spark, root, latest).contains(dirName)
   }
+
+  /** Test seam for the optimistic-concurrency publish: stage and
+    * commit a crafted delta at an EXPLICIT version so VersionedSpec
+    * can collide two writers on the same version number
+    * deterministically (a wall-clock race in a spec would be flaky).
+    */
+  private[graft] def commitForTest(spark: SparkSession, root: String,
+                                   v: Long, added: Seq[String]): Unit =
+    commitDelta(spark, root, v, added, Seq.empty)
 
   /** Append `df` as the next version: the data lands in a fresh
     * immutable `data/batch-<v>` directory, and the commit is ONE
@@ -291,6 +524,44 @@ object Versioned {
     commitDelta(spark, root, v, added, Seq.empty,
       schema = nextSchema(spark, root, v, df))
     v
+  }
+
+  /** [[append]] safe under CONCURRENT WRITERS — the Delta-style
+    * optimistic-concurrency loop (VERDICT r18 item 2). The batch is
+    * written ONCE to a collision-free `txn-<nonce>` directory; the
+    * commit step then races for `latest + 1`, and a loser (another
+    * writer published that version first —
+    * [[ConcurrentCommitException]] from the create-if-absent publish)
+    * re-reads the new head and retries JUST the commit: appends are
+    * commutative (a pure `+` delta is valid against any head), so no
+    * data is rewritten and both writers' rows land. `maxRetries`
+    * bounds livelock under pathological contention; the COW mutators
+    * (merge/delete/compact) deliberately do NOT retry — their rewrite
+    * is computed against a specific parent snapshot, and re-basing it
+    * is a semantic decision the caller must make.
+    */
+  def appendConcurrent(spark: SparkSession, root: String, df: DataFrame,
+                       maxRetries: Int = 20): Long = {
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    val name = "txn-" + java.util.UUID.randomUUID().toString.take(12)
+    val added = writeBatchDir(spark, root, name, df, None)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, root) + 1
+      try {
+        commitDelta(spark, root, v, added, Seq.empty,
+          schema = nextSchema(spark, root, v, df))
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new ConcurrentCommitException(
+            s"appendConcurrent($root): lost $maxRetries consecutive " +
+            s"commit races; giving up (orphan batch data/$name — " +
+            s"vacuum reclaims it). Last: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The schema line the next commit records: additive evolution over
@@ -454,14 +725,7 @@ object Versioned {
     import org.apache.spark.sql.functions._
     require(v > 0, s"no committed versions at $root")
     val (rawEntries, sch) = resolveState(spark, root, v)
-    val entries = rawEntries.map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) => (p, Some((mn.toLong, mx.toLong)))
-        // stat-less OR categorical value stats: numeric skipping
-        // cannot prove these files untouched — always read
-        case parts => (parts.head, None)
-      }
-    }
+    val entries = rawEntries.map(line => (pathOf(line), statRangeOf(line, statCol)))
     val keep = entries.filter {
       case (_, Some((mn, mx))) => mx >= lo && mn <= hi
       case (_, None)           => true // stat-less: cannot skip
@@ -478,18 +742,80 @@ object Versioned {
     (frame, keep.size, entries.size)
   }
 
-  /** The stat-carrying entries of a version, failing loudly on any
-    * stat-less file — the precondition shared by every COW rewrite
-    * (a file without stats cannot be proven untouched).
+  /** MULTI-COLUMN box read over named zone stats: open only the files
+    * whose recorded [min, max] overlaps EVERY box dimension — the read
+    * path that makes [[compact]]'s z-order rewrite pay (a z-ordered
+    * file covers a small hyper-rectangle of the interleaved key space,
+    * so a box on ANY subset of the clustered columns skips most
+    * files). A file lacking a named range for some queried column is
+    * conservatively read (pruning is a superset cut, never a semantic
+    * change); the exact conjunctive predicate applies on the
+    * survivors. Returns (frame, filesRead, filesTotal).
+    */
+  def readWhereBox(spark: SparkSession, root: String,
+                   box: Seq[(String, Long, Long)],
+                   version: Long = -1L): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(box.nonEmpty, "readWhereBox needs >= 1 (column, lo, hi)")
+    val v = if (version < 0) latestVersion(spark, root) else version
+    require(v > 0, s"no committed versions at $root")
+    val (rawEntries, sch) = resolveState(spark, root, v)
+    // NAMED stats only: the legacy anonymous `mn\tmx` form doesn't
+    // record WHICH column it describes, and a multi-column box has no
+    // single caller-vouched column — pruning a b-box with a-stats
+    // would silently lose rows. Unnamed files are conservatively read.
+    val keep = rawEntries.filter { line =>
+      val named = namedStatsOf(line)
+      box.forall { case (c, lo, hi) =>
+        named.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true // unprovable: read it
+        }
+      }
+    }
+    require(keep.nonEmpty || rawEntries.isEmpty,
+      s"readWhereBox($root): every file skipped — empty frame has no " +
+      "schema; widen the box or readAsOf + filter")
+    val files = keep.map(e => s"$root/${pathOf(e)}")
+    val base = readSchema(spark, sch) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    val frame = box.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).cast("long").between(lo, hi))
+    }
+    (frame, keep.size, rawEntries.size)
+  }
+
+  /** The [min, max] range an entry records for `statCol`: the legacy
+    * anonymous `relpath\tmn\tmx` form (the caller vouches for which
+    * column it was committed on, as [[readWhere]] always has), or the
+    * named `@col:mn:mx` form looked up BY NAME. None = this entry
+    * cannot prove anything about `statCol` — conservatively read.
+    */
+  private def statRangeOf(entry: String,
+                          statCol: String): Option[(Long, Long)] = {
+    val parts = entry.split('\t')
+    if (parts.length == 3 && !parts(1).startsWith("@") &&
+        !parts(1).startsWith("#"))
+      try Some((parts(1).toLong, parts(2).toLong))
+      catch { case _: NumberFormatException => None }
+    else namedStatsOf(entry).get(statCol)
+  }
+
+  /** The stat-carrying entries of a version (legacy single-column or
+    * named multi-column form), failing loudly on any file without a
+    * usable `keyCol` range — the precondition shared by every COW
+    * rewrite (a file without stats cannot be proven untouched).
     */
   private def statEntries(spark: SparkSession, root: String, v: Long,
                           keyCol: String,
                           op: String): Seq[(String, Long, Long)] =
     resolveEntries(spark, root, v).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) => (p, mn.toLong, mx.toLong)
-        case parts => throw new IllegalArgumentException(
-          s"$op($root): file ${parts.head} carries no numeric $keyCol " +
+      statRangeOf(line, keyCol) match {
+        case Some((mn, mx)) => (pathOf(line), mn, mx)
+        case None => throw new IllegalArgumentException(
+          s"$op($root): file ${pathOf(line)} carries no numeric $keyCol " +
           "stats — this rewrite needs a fully stat-committed table " +
           "(appendWithStats; categorical value stats cannot prove a " +
           "key range untouched)")
@@ -535,6 +861,18 @@ object Versioned {
     col(keyCol).cast("long").isin(keys.toSeq: _*)
   }
 
+  /** The SURVIVOR side of a COW rewrite: rows NOT matched by the key
+    * batch. `!isin` alone is three-valued — a NULL (or
+    * null-after-cast) key yields NULL, which `filter` drops, silently
+    * DELETING every null-key row of a rewritten file (ADVICE r18
+    * medium). Survivors are "not definitely matched":
+    * `NOT coalesce(pred, false)`.
+    */
+  private def survivorPred(keyCol: String, keys: Array[Long]): Column = {
+    import org.apache.spark.sql.functions._
+    not(coalesce(keyPred(keyCol, keys), lit(false)))
+  }
+
   /** Copy-on-write MERGE by key — Delta/Iceberg's upsert, at FILE
     * granularity: rows of `updates` replace same-key rows, new keys
     * insert. Only the files whose manifest [min, max] key range
@@ -577,7 +915,7 @@ object Versioned {
           case Some(st) => spark.read.schema(st).parquet(files: _*)
           case None     => spark.read.parquet(files: _*)
         }
-        scan.filter(!keyPred(keyCol, keys)).unionByName(updates)
+        scan.filter(survivorPred(keyCol, keys)).unionByName(updates)
       }
     val added = writeBatchDir(spark, root, s"batch-$v", survivors,
       Some(keyCol))
@@ -620,7 +958,7 @@ object Versioned {
     require(hit > 0,
       s"deleteWhere($root): the key batch matches no rows — refusing " +
       "a no-op version")
-    val survivors = scan.filter(!keyPred(keyCol, keys))
+    val survivors = scan.filter(survivorPred(keyCol, keys))
     val v = prev + 1
     val added =
       if (survivors.isEmpty) Seq.empty[String] // whole files deleted
@@ -640,23 +978,57 @@ object Versioned {
     * the rewrite RANGE-partitions on it so the fresh per-file zone
     * stats stay tight (a hash repartition would smear every file
     * across the key space and lobotomize [[readWhere]] pruning).
-    * Returns (newVersion, filesBefore, filesAfter).
+    * Alternatively pass `zorderBy = Seq(colA, colB)` (VERDICT r18
+    * item 5): the rewrite range-arranges on the MORTON INTERLEAVE of
+    * the two columns' equal-width buckets ([[Layout.interleave]] — the
+    * Delta/Iceberg `ZORDER BY`), so every file covers a small 2-D
+    * rectangle and a [[readWhereBox]] on EITHER column — or both —
+    * skips most files; the manifest records NAMED per-file stats for
+    * both columns. Returns (newVersion, filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, root: String, numFiles: Int = 1,
-              statCol: Option[String] = None): (Long, Int, Int) = {
+              statCol: Option[String] = None,
+              zorderBy: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions._
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy takes exactly 2 columns, got ${zorderBy.size}")
+    require(zorderBy.isEmpty || statCol.isEmpty,
+      "pass statCol OR zorderBy, not both")
     val prev = latestVersion(spark, root)
     require(prev > 0, s"no committed versions at $root to compact")
     val before = resolveEntries(spark, root, prev)
     val snapshot = readAsOf(spark, root, prev)
-    val arranged = statCol match {
-      case Some(c) if numFiles > 1 =>
-        snapshot.repartitionByRange(numFiles, col(c))
-      case _ => snapshot.repartition(numFiles)
-    }
     val v = prev + 1
-    val added = writeBatchDir(spark, root, s"batch-$v", arranged, statCol)
+    val added = zorderBy match {
+      case Seq(a, b) =>
+        // corpus min/max per column (driver literals, exact ints) feed
+        // the equal-width bucketing; 8 bits/dim = a 65k-cell grid, the
+        // usual zone-map granularity
+        val bits = 8
+        val r = snapshot.agg(
+          min(col(a).cast("long")), max(col(a).cast("long")),
+          min(col(b).cast("long")), max(col(b).cast("long"))).head()
+        val (la, ha, lb, hb) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        def zb(c: String, lo: Long, hi: Long) = expr(
+          s"least(${(1L << bits) - 1}L, " +
+          s"((cast($c as long) - ${lo}L) * ${1L << bits}L) div " +
+          s"(${hi}L - ${lo}L + 1))")
+        val zv = Layout.interleave(zb(a, la, ha), zb(b, lb, hb), bits)
+        val arranged = snapshot.withColumn("__zv", zv)
+          .repartitionByRange(numFiles, col("__zv"))
+          .sortWithinPartitions(col("__zv"))
+          .drop("__zv")
+        writeBatchDirNamed(spark, root, s"batch-$v", arranged, zorderBy)
+      case _ =>
+        val arranged = statCol match {
+          case Some(c) if numFiles > 1 =>
+            snapshot.repartitionByRange(numFiles, col(c))
+          case _ => snapshot.repartition(numFiles)
+        }
+        writeBatchDir(spark, root, s"batch-$v", arranged, statCol)
+    }
     commitDelta(spark, root, v, added, before.map(pathOf))
     (v, before.size, added.size)
   }
@@ -737,10 +1109,17 @@ object Versioned {
     * orphan, so anything younger than `retentionMs` is left alone —
     * the Delta vacuum-retention discipline (ADVICE r17). Pass 0 only
     * under the same single-writer exclusion as the appends. The
-    * referenced set is every file ANY delta ever added — O(versions)
-    * tiny manifest reads, no snapshot resolution. Returns the deleted
-    * batch-dir names. Never touches a file any committed version can
-    * still read — time travel to every version stays intact.
+    * referenced test is the checkpoint's cumulative batch-dir ledger
+    * ([[resolveDirSet]] — one checkpoint + ≤ [[CheckpointEvery]] delta
+    * reads, a dir is deletable only if NO delta ever added a file
+    * under it). Returns the deleted batch-dir names. Never touches a
+    * file any committed version can still read — time travel to every
+    * version stays intact; in particular [[compact]]'s rewrites are
+    * safe around it (a compacted-away batch dir WAS committed, so it
+    * stays on disk for the older versions that read it — vacuum only
+    * ever removes never-committed orphans; reclaiming superseded
+    * HISTORY is version expiry, which this table deliberately does not
+    * do).
     */
   def vacuum(spark: SparkSession, root: String,
              retentionMs: Long = 600000L): Seq[String] = {
@@ -748,24 +1127,19 @@ object Versioned {
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val latest = latestVersion(spark, root)
-    val referenced: Set[String] = (1L to latest).flatMap { v =>
-      if (!f.exists(deltaPath(root, v))) Seq.empty
-      else readLines(spark, root, deltaPath(root, v))
-        .collect { case l if l.startsWith("+\t") => pathOf(l.substring(2)) }
-    }.toSet
+    val committedDirs: Set[String] =
+      if (latest == 0) Set.empty else resolveDirSet(spark, root, latest)
     val now = System.currentTimeMillis()
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     for (batch <- f.listStatus(dataDir) if batch.isDirectory) {
+      val name = batch.getPath.getName
       val stats = f.listStatus(batch.getPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
-      val rels = stats.map(s =>
-        s"data/${batch.getPath.getName}/${s.getPath.getName}")
       val young = batch.getModificationTime > now - retentionMs ||
         stats.exists(_.getModificationTime > now - retentionMs)
-      if (rels.nonEmpty && !young &&
-          rels.forall(r => !referenced.contains(r))) {
+      if (stats.nonEmpty && !young && !committedDirs.contains(name)) {
         f.delete(batch.getPath, true)
-        deleted += batch.getPath.getName
+        deleted += name
       }
     }
     deleted.toSeq

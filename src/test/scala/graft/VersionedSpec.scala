@@ -474,4 +474,237 @@ class VersionedSpec extends SparkSpec {
         (0L until 20L).map(i => (i, i)).toDF("id", "v"), "id", maxKeys = 10))
     assert(ex.getMessage.contains("more than 10 distinct keys"))
   }
+
+  test("streaming replay guard is O(CheckpointEvery), not O(versions): " +
+    "on a 101-version stream the guard opens <= 11 manifest files " +
+    "(VERDICT r18 item 1), stays correct through a legacy pre-ledger " +
+    "checkpoint, and replays stay no-ops") {
+    import graft.streaming.StreamingVersionedSink
+    val root = freshRoot()
+    (1 to 101).foreach { e =>
+      assert(StreamingVersionedSink.commitBatch(spark, root,
+        Seq((e.toLong, e.toLong)).toDF("id", "v").repartition(1),
+        e.toLong).contains(e.toLong))
+    }
+    Versioned.manifestReads.set(0L)
+    assert(Versioned.hasBatchDir(spark, root, "stream-5"))
+    val reads = Versioned.manifestReads.get()
+    assert(reads <= 11,
+      s"replay guard opened $reads manifests on a 101-version table — " +
+      "the O(versions) scan is back")
+    Versioned.manifestReads.set(0L)
+    assert(!Versioned.hasBatchDir(spark, root, "stream-999"))
+    assert(Versioned.manifestReads.get() <= 11)
+    // an actually replayed epoch is still a no-op at this depth
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((9L, 9L)).toDF("id", "v"), 5L).isEmpty)
+    // legacy pre-ledger checkpoint (no dir lines): the guard falls back
+    // to the full replay — CORRECT first, fast after the next checkpoint
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = new org.apache.hadoop.fs.Path(s"$root/_manifests/v000100.checkpoint")
+    val lines = {
+      val in = f.open(cp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val stripped = lines.filterNot(_.startsWith("dir\t"))
+    f.delete(cp, false)
+    val out = f.create(cp, true)
+    try out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(Versioned.hasBatchDir(spark, root, "stream-5"),
+      "pre-ledger fallback lost a committed epoch")
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq((9L, 9L)).toDF("id", "v"), 5L).isEmpty)
+  }
+
+  test("pre-delta (v*.manifest) tables fail loudly instead of reading " +
+    "as version 0 — vacuum on one must never run (ADVICE r18)") {
+    val root = freshRoot()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/v000001.manifest"), true)
+    try out.write("data/batch-1/part-0.parquet\n".getBytes("UTF-8"))
+    finally out.close()
+    // the data an old-format vacuum would have deleted
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$root/data/batch-1")
+    val ex = intercept[IllegalArgumentException](
+      Versioned.latestVersion(spark, root))
+    assert(ex.getMessage.contains("pre-delta"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      Versioned.vacuum(spark, root, retentionMs = 0L))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/data/batch-1")),
+      "vacuum deleted a pre-delta table's data")
+  }
+
+  test("COW rewrites keep NULL-key rows (ADVICE r18): merge and delete " +
+    "on a file holding null keys rewrite the survivors INCLUDING the " +
+    "nulls, never silently dropping untargeted rows") {
+    val root = freshRoot()
+    val rows = (0L until 10L).map(i => (Option(i), i * 10L)) ++
+      Seq((Option.empty[Long], 777L), (Option.empty[Long], 888L))
+    Versioned.appendWithStats(spark, root,
+      rows.toDF("id", "v").repartition(1), "id")
+    // merge touching id 3: the two null-id rows share its file and
+    // must survive the rewrite
+    Versioned.mergeByKey(spark, root,
+      Seq((3L, 999L)).toDF("id", "v").repartition(1), "id")
+    val after = Versioned.readAsOf(spark, root)
+    assert(after.count() == 12L, "merge dropped rows")
+    assert(after.filter($"id".isNull).count() == 2L,
+      "merge silently deleted null-key rows")
+    assert(after.filter($"id" === 3L).select("v").head().getLong(0) == 999L)
+    // delete of id 5: nulls survive again, only the target goes
+    Versioned.deleteWhere(spark, root, Seq(5L).toDF("id"), "id")
+    val after2 = Versioned.readAsOf(spark, root)
+    assert(after2.count() == 11L)
+    assert(after2.filter($"id".isNull).count() == 2L,
+      "delete silently removed null-key rows")
+    assert(after2.filter($"id" === 5L).count() == 0L)
+  }
+
+  test("optimistic concurrency: a same-version race fails exactly one " +
+    "writer with ConcurrentCommitException (winner's commit intact, " +
+    "loser's batch an orphan vacuum reclaims); appendConcurrent " +
+    "retries so parallel writers all land") {
+    import graft.sources.ConcurrentCommitException
+    val root = freshRoot()
+    Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "s")) // v1
+    Versioned.append(spark, root, Seq((2L, "b")).toDF("id", "s")) // v2
+    // a loser writer that computed v2 concurrently: its staged batch is
+    // on disk, its publish must fail CLEANLY without touching v2
+    Seq((99L, "loser")).toDF("id", "s")
+      .write.parquet(s"$root/data/txn-loser")
+    val ex = intercept[ConcurrentCommitException](
+      Versioned.commitForTest(spark, root, 2L,
+        Seq("data/txn-loser/part-loser.parquet")))
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    assert(Versioned.readAsOf(spark, root, 2L)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "the losing publish damaged the winner's committed version")
+    assert(Versioned.vacuum(spark, root, retentionMs = 0L) == Seq("txn-loser"))
+    // genuinely parallel appendConcurrent writers: every row lands,
+    // versions stay a contiguous chain
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = (0 until 3).map { i =>
+            Versioned.appendConcurrent(spark, root,
+              Seq((1000L * t + i, s"w$t-$i")).toDF("id", "s"))
+          }
+        })
+      }
+      val versions = futs.flatMap(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.distinct.size == 12, s"duplicate versions: $versions")
+      assert(versions.toSet == (3L to 14L).toSet, s"non-contiguous: $versions")
+    } finally pool.shutdown()
+    assert(Versioned.latestVersion(spark, root) == 14L)
+    val all = Versioned.readAsOf(spark, root).as[(Long, String)].collect()
+    assert(all.length == 14 && all.count(_._2.startsWith("w")) == 12,
+      s"lost commits: ${all.length} rows")
+    // no orphans: every txn batch committed
+    assert(Versioned.vacuum(spark, root, retentionMs = 0L).isEmpty)
+    for (v <- 1L to 14L)
+      assert(Versioned.readAsOf(spark, root, v).count() == v,
+        s"version $v unreadable after concurrent appends")
+  }
+
+  test("type widening (VERDICT r18 item 4): int->long and " +
+    "float->double widen the recorded schema, old files read promoted, " +
+    "a narrower later batch reads promoted too, narrowing/incompatible " +
+    "changes refused, time travel reads each version's own type") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    Versioned.append(spark, root,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score"))      // int, float
+    Versioned.append(spark, root,
+      Seq((5000000000L, 3.25)).toDF("id", "score"))        // long, double
+    val latest = Versioned.readAsOf(spark, root)
+    assert(latest.schema("id").dataType == LongType &&
+      latest.schema("score").dataType == DoubleType,
+      s"schema did not widen: ${latest.schema.simpleString}")
+    assert(latest.agg(sum($"id")).head().getLong(0) == 5000000003L)
+    assert(latest.agg(sum($"score")).head().getDouble(0) == 7.25)
+    // time travel: v1 reads its own narrow types
+    val v1 = Versioned.readAsOf(spark, root, 1L)
+    assert(v1.schema("id").dataType == IntegerType &&
+      v1.schema("score").dataType == FloatType)
+    // a narrower batch into the widened table is fine (promoted read)
+    Versioned.append(spark, root, Seq((7, 0.5f)).toDF("id", "score"))
+    val l2 = Versioned.readAsOf(spark, root)
+    assert(l2.schema("id").dataType == LongType && l2.count() == 4L)
+    assert(l2.agg(sum($"score")).head().getDouble(0) == 7.75)
+    // incompatible change still refused
+    val ex = intercept[IllegalArgumentException](
+      Versioned.append(spark, root,
+        Seq(("oops", 1.0)).toDF("id", "score")))
+    assert(ex.getMessage.contains("would change type"), ex.getMessage)
+    // NARROWING a long table to int is NOT a widening: refused
+    val root2 = freshRoot()
+    Versioned.append(spark, root2, Seq(("x", 5L)).toDF("k", "n"))
+    Versioned.append(spark, root2, Seq(("y", 6)).toDF("k", "n")) // int under long: fine
+    assert(Versioned.readAsOf(spark, root2).schema("n").dataType == LongType)
+    val ex2 = intercept[IllegalArgumentException](
+      Versioned.append(spark, root2, Seq(("z", true)).toDF("k", "n")))
+    assert(ex2.getMessage.contains("would change type"))
+  }
+
+  test("z-order compact (VERDICT r18 item 5): the 2-D Morton rewrite " +
+    "records named per-file stats for BOTH columns; box reads on " +
+    "either axis — or both — skip most files; COW merge composes with " +
+    "the named stats") {
+    val root = freshRoot()
+    // a 32x32 grid appended as 4 a-sliced commits (the linear layout:
+    // selective on a, useless on b)
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L)
+      yield (a, b, a * 100 + b)
+    grid.grouped(256).foreach { slice =>
+      Versioned.appendWithStats(spark, root,
+        slice.toDF("a", "b", "p").repartition(1), "a")
+    }
+    // control: on the LINEAR layout a b-box cannot skip anything
+    // (legacy stats are on a, so b-pruning has nothing to use) — the
+    // box read degrades to reading all files, correctly
+    val (c0, cRead, cTotal) =
+      Versioned.readWhereBox(spark, root, Seq(("b", 0L, 3L)), version = 4L)
+    assert(cRead == cTotal && c0.count() == 32L * 4L)
+    val (v, nBefore, nAfter) = Versioned.compact(spark, root,
+      numFiles = 16, zorderBy = Seq("a", "b"))
+    assert(v == 5L && nBefore == 4 && nAfter >= 12,
+      s"got ($v, $nBefore, $nAfter)")
+    // content preserved
+    assert(Versioned.readAsOf(spark, root)
+      .as[(Long, Long, Long)].collect().toSet == grid.toSet)
+    // b-only box: the z-order layout skips most files
+    val (fb, readB, totalB) = Versioned.readWhereBox(spark, root,
+      Seq(("b", 0L, 3L)))
+    assert(readB * 2 <= totalB,
+      s"z-order read $readB/$totalB files on a b-box — no skipping")
+    assert(fb.count() == 32L * 4L)
+    // a-only box still prunes
+    val (fa, readA, totalA) = Versioned.readWhereBox(spark, root,
+      Seq(("a", 0L, 3L)))
+    assert(readA * 2 <= totalA && fa.count() == 4L * 32L)
+    // the 2-D box prunes hardest
+    val (fab, readAB, totalAB) = Versioned.readWhereBox(spark, root,
+      Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+    assert(readAB * 4 <= totalAB,
+      s"2-D box read $readAB/$totalAB files")
+    assert(fab.count() == 64L)
+    // named stats satisfy the COW precondition on either column
+    val (_, rw, kp) = Versioned.mergeByKey(spark, root,
+      Seq((0L, 0L, 424242L)).toDF("a", "b", "p").repartition(1), "a")
+    assert(rw >= 1 && rw + kp == nAfter)
+    val after = Versioned.readAsOf(spark, root)
+    assert(after.count() == grid.size - 32L + 1L) // 32 a=0 rows -> 1 update
+    assert(after.filter($"a" === 0L).count() == 1L)
+    // readWhere (single col) understands the named form too
+    val (f1, read1, _) = Versioned.readWhere(spark, root, "b", 0L, 3L,
+      version = 5L)
+    assert(read1 * 2 <= totalB && f1.count() == 128L)
+  }
 }
