@@ -1058,6 +1058,46 @@ class AnnSpec extends SparkSpec {
       "refused compaction must leave the lists intact")
   }
 
+  test("writer-entry cost is O(1) in index age (VERDICT r18 item 3): " +
+    "on a 50-version index a mutation opens <= 2 manifests — the " +
+    "orphan sweep reads NONE (gen numbering vs latest version decides); " +
+    "a same-version manifest race fails cleanly (r18 item 2)") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cost").toString + "/ivf"
+    val corp = twoClusterLabeled
+    Ann.writeIvf(Ann.buildIvf(corp, nCentroids = 2, seed = 7L,
+      initMode = "random"), p)
+    // 49 cheap mutations (tombstone commits) age the index to v50
+    (1 to 49).foreach(i => Ann.deleteFromIvf(spark, p, Seq((i % 7).toLong)))
+    assert(Ann.latestIvfVersion(spark, p) == 50L)
+    Ann.ivfManifestReads.set(0L)
+    Ann.deleteFromIvf(spark, p, Seq(8L))
+    val reads = Ann.ivfManifestReads.get()
+    assert(reads <= 2,
+      s"a writer entry on a 50-version index read $reads manifests — " +
+      "the O(versions) sweep is back")
+    // the sweep itself is read-free AND still sweeps true orphans:
+    // a crashed commit's gen is numbered above every committed version
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "gen-000077/lists/centroid_id=0"))
+    Ann.ivfManifestReads.set(0L)
+    val swept = Ann.recoverIvf(spark, p)
+    assert(swept == Seq("dropped orphan generation gen-000077"), swept.toString)
+    assert(Ann.ivfManifestReads.get() == 0L,
+      "the orphan sweep read manifests")
+    // same-version race: the loser throws, the winner's manifest and
+    // the index content are untouched
+    val before = Ann.listsFrame(spark, p).count()
+    val m = Ann.readIvfManifest(spark, p, 51L)
+    val ex = intercept[graft.sources.ConcurrentCommitException](
+      Ann.commitIvfManifestForTest(spark, p, m.copy(tombstones = Nil)))
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    assert(Ann.readIvfManifest(spark, p, 51L).tombstones.nonEmpty,
+      "the losing commit clobbered the winner's manifest")
+    assert(Ann.listsFrame(spark, p).count() == before)
+  }
+
   test("ivfSearchAdaptive: an easy query probes one list, a boundary " +
     "query widens and matches brute force; maxProbe clamps") {
     val p = java.nio.file.Files
