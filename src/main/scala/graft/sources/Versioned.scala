@@ -301,6 +301,32 @@ object Versioned {
     chain.toSet + ((FloatType: DataType, DoubleType: DataType))
   }
 
+  /** Structural type equality that ignores nullability flags at every
+    * nesting level: the recorded schema round-trips through DDL, which
+    * drops `containsNull = false` on arrays (and the analogous flags
+    * on maps/structs), so a strict `==` would refuse to re-append the
+    * very type the table already holds (found by IndexCycleSpec: an
+    * `array<float>` batch "changing type" to `array<float>`).
+    * Nullability is not a layout property — parquet reads either way.
+    */
+  private def sameTypeIgnoringNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) =>
+        sameTypeIgnoringNullability(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameTypeIgnoringNullability(ak, bk) &&
+          sameTypeIgnoringNullability(av, bv)
+      case (StructType(af), StructType(bf)) =>
+        af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+          x.name == y.name && sameTypeIgnoringNullability(x.dataType, y.dataType)
+        }
+      case _ => a == b
+    }
+  }
+
   /** ADDITIVE schema evolution plus declared TYPE WIDENING (Delta's
     * defaults): the next table schema is the prior columns followed by
     * the batch's new ones; a same-name column may WIDEN along
@@ -321,7 +347,9 @@ object Versioned {
         val old = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         val widened = old.fields.map { fOld =>
           cur.fields.find(_.name == fOld.name) match {
-            case Some(fNew) if fNew.dataType == fOld.dataType => fOld
+            case Some(fNew)
+                if sameTypeIgnoringNullability(fNew.dataType, fOld.dataType) =>
+              fOld
             case Some(fNew) if Widens((fOld.dataType, fNew.dataType)) =>
               fOld.copy(dataType = fNew.dataType) // widen the table type
             case Some(fNew) if Widens((fNew.dataType, fOld.dataType)) =>
