@@ -2376,6 +2376,205 @@ object SparkEntry {
       .orderBy(col("version"))
   }
 
+  /** q236: TYPE-WIDENING schema evolution ([[graft.sources.Versioned]],
+    * VERDICT r18 item 4) — v1 commits (doc_id INT, n_chars INT,
+    * score FLOAT) for the even ids, v2 appends the odd ids as LONGs
+    * offset past the int range plus DOUBLE scores: the recorded schema
+    * widens int→bigint / float→double as a METADATA-ONLY migration
+    * (v1's narrow files read PROMOTED under the wide schema — never
+    * rewritten), the aggregates cross the boundary exactly, and time
+    * travel still reads v1 under its own narrow types. `score` is
+    * integer-valued (n_chars mod 97), so its double sum is exact and
+    * order-free on both engines.
+    */
+  private def qTypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val root = widenedVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root)
+    val v1 = graft.sources.Versioned.readAsOf(s, root, 1L)
+    latest
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("score")).cast("long").as("sum_score"))
+      .select(col("n_rows"), col("sum_id"), col("sum_chars"),
+        col("sum_score"),
+        lit(v1.schema("doc_id").dataType.simpleString).as("v1_id_type"),
+        lit(latest.schema("doc_id").dataType.simpleString).as("id_type"),
+        lit(v1.schema("score").dataType.simpleString).as("v1_score_type"),
+        lit(latest.schema("score").dataType.simpleString).as("score_type"))
+  }
+
+  /** Build-once seam for q236: v1 narrow (int/float), v2 wide
+    * (long ids offset by 5e9, double scores).
+    */
+  private def widenedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vwiden-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id").cast("int").as("doc_id"),
+                col("n_chars").cast("int").as("n_chars"),
+                (col("n_chars") % 97).cast("float").as("score")))
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0)
+              .select((col("doc_id") + 5000000000L).as("doc_id"),
+                col("n_chars").cast("long").as("n_chars"),
+                (col("n_chars") % 97).cast("double").as("score")))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q237: Z-ORDER OPTIMIZE ([[graft.sources.Versioned.compact]] with
+    * `zorderBy`, VERDICT r18 item 5) — four doc_id-sliced commits
+    * compact into a Morton-interleaved (doc_id, n_chars) layout whose
+    * manifest carries NAMED per-file stats for BOTH columns; a box on
+    * the n_chars axis ALONE — the axis a single-column arrangement
+    * cannot prune — opens a strict minority of the files, decided
+    * entirely from the manifest, and the box's row/char mass proves
+    * the skip lost nothing. The box is the bottom quartile of the
+    * n_chars range (exact integer arithmetic, replayable).
+    */
+  private def qZorderCompact(s: SparkSession, dir: String): DataFrame = {
+    val (root, lo, hi) = zorderVersionedFor(s, dir)
+    val (frame, read, total) = graft.sources.Versioned.readWhereBox(
+      s, root, Seq(("n_chars", lo, hi)))
+    frame.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(if (read * 2 <= total) 1L else 0L).as("pruned"),
+        col("n_rows"), col("sum_chars"))
+  }
+
+  /** Build-once seam for q237: four modulo slices stat-committed on
+    * doc_id, then compact(numFiles = 8, zorderBy = (doc_id, n_chars)).
+    * Returns the root plus the bottom-quartile n_chars box bounds
+    * (min, min + (max - min) div 4 — exact ints on both engines).
+    */
+  private def zorderVersionedFor(s: SparkSession,
+                                 dir: String): (String, Long, Long) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vzorder-" +
+      dirCacheKey(s, dir, "documents")
+    zorderVersionedBuilt.synchronized {
+      zorderVersionedBuilt.getOrElseUpdate(root, {
+        val docs = rd(s, dir, "documents")
+        val r = docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        if (graft.sources.Versioned.latestVersion(s, root) < 5) {
+          (0 until 4).foreach { i =>
+            graft.sources.Versioned.appendWithStats(s, root,
+              docs.filter(col("doc_id") % 4 === i)
+                .select(col("doc_id"), col("n_chars")).repartition(1),
+              "doc_id")
+          }
+          graft.sources.Versioned.compact(s, root, numFiles = 8,
+            zorderBy = Seq("doc_id", "n_chars"))
+        }
+        (root, mn, mn + (mx - mn) / 4)
+      })
+    }
+  }
+
+  private val zorderVersionedBuilt =
+    collection.mutable.Map.empty[String, (String, Long, Long)]
+
+  /** On-disk homes of the q238 living-corpus table + synced index. */
+  private def syncTablePathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-synctbl-" +
+      dirCacheKey(s, dir, "embeddings")
+
+  private def syncIndexPathFor(s: SparkSession, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-syncidx-" +
+      dirCacheKey(s, dir, "embeddings")
+
+  /** Build-once seam for q238: the embeddings corpus as a versioned
+    * table (range-arranged stat commits so the COW merge prunes), the
+    * q28 index cloned as its serving index anchored at corpus v1, then
+    * the corpus LIVES — one COW merge (ids < 5 re-embedded + ids < 3
+    * cloned to +1e6 inserts, v2) and one delete (ids 7, 11, v3) — and
+    * ONE [[graft.search.IndexSync.syncToLatest]] maps v3 onto index
+    * mutations. A partial prior build is wiped: the version numbers
+    * ARE the query's contract.
+    */
+  private def syncedIndexFor(s: SparkSession,
+                             dir: String): (String, String, graft.search.IndexSync.SyncReport) =
+    ivfIndexCache.synchronized {
+      val table = syncTablePathFor(s, dir)
+      val idx = syncIndexPathFor(s, dir)
+      syncCycleBuilt.getOrElseUpdate(table, {
+        val ok = graft.sources.Versioned.latestVersion(s, table) == 3L &&
+          Ann.latestIvfVersion(s, idx) == 3L &&
+          graft.search.IndexSync.syncedCorpusVersion(s, idx).contains(3L)
+        if (!ok) {
+          val fs = new org.apache.hadoop.fs.Path(table)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(table), true)
+          fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+          ivfIndexFor(s, dir) // ensure the source index exists
+          val t0 = System.nanoTime()
+          val emb = rd(s, dir, "embeddings")
+          graft.sources.Versioned.appendWithStats(s, table,
+            emb.repartitionByRange(8, col("vec_id")), "vec_id")
+          Ann.writeIvf(Ann.readIvf(s, ivfPathFor(s, dir)), idx) // v1
+          graft.search.IndexSync.markSynced(s, idx, 1L)
+          val updates = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+              col("label"))
+            .unionByName(emb.filter(col("vec_id") < 3)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                reverse(col("embedding")).as("embedding"), col("label")))
+          graft.sources.Versioned.mergeByKey(s, table,
+            updates.repartition(1), "vec_id")                  // v2
+          import s.implicits._
+          graft.sources.Versioned.deleteWhere(s, table,
+            Seq(7L, 11L).toDF("vec_id"), "vec_id")             // v3
+          System.err.println(
+            f"[graft] q238 sync-cycle build ($dir): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val report = graft.search.IndexSync.syncToLatest(s, table, idx)
+          .getOrElse(graft.search.IndexSync.SyncReport(1L, 3L,
+            // already synced by a prior process: replay the counts
+            // from the corpus construction, not hardcoded literals
+            rd(s, dir, "embeddings").filter(col("vec_id") < 5).count() +
+              rd(s, dir, "embeddings").filter(col("vec_id") < 3).count(),
+            2L, Ann.latestIvfVersion(s, idx)))
+        (table, idx, report)
+      })
+    }
+
+  private val syncCycleBuilt = collection.mutable.Map.empty[
+    String, (String, String, graft.search.IndexSync.SyncReport)]
+
+  /** q238: CDC-DRIVEN INCREMENTAL INDEX MAINTENANCE
+    * ([[graft.search.IndexSync]], VERDICT r18 item 6) — the living
+    * corpus's merge + delete flow through the typed change feed into
+    * IVF upsert + tombstone commits, and the gate pins the whole
+    * cycle: the sync report's version map and mutation counts, plus
+    * the synced INDEX content (rows + id mass, read from the index's
+    * own files) against the mutated corpus — proven equal to the
+    * table snapshot AND independently recomputed by the oracle from
+    * the base embeddings table.
+    */
+  private def qIndexSync(s: SparkSession, dir: String): DataFrame = {
+    val (table, idx, r) = syncedIndexFor(s, dir)
+    val idxAgg = Ann.readIvf(s, idx).assigned
+      .agg(count(lit(1)).as("n_rows_index"),
+        sum(col("vec_id")).as("sum_id_index"))
+    val tblAgg = graft.sources.Versioned.readAsOf(s, table)
+      .agg(count(lit(1)).as("n_rows_table"),
+        sum(col("vec_id")).as("sum_id_table"))
+    idxAgg.crossJoin(tblAgg)
+      .select(lit(r.corpusToV).as("corpus_v"),
+        lit(r.indexVersion).as("index_v"),
+        lit(r.nUpserted).as("n_upserted"),
+        lit(r.nDeleted).as("n_deleted"),
+        col("n_rows_index"), col("sum_id_index"),
+        col("n_rows_table"), col("sum_id_table"))
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6040,6 +6239,9 @@ object SparkEntry {
     "q233_ivf_generations" -> (qIvfGenerations _),
     "q234_schema_evolution" -> (qSchemaEvolution _),
     "q235_value_pruned_read" -> (qValuePrunedRead _),
+    "q236_type_widening" -> (qTypeWidening _),
+    "q237_zorder_compact" -> (qZorderCompact _),
+    "q238_index_sync" -> (qIndexSync _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8273,6 +8475,54 @@ object SparkEntry {
          | UNION ALL SELECT 3::BIGINT, 2::BIGINT, 1::BIGINT, c + 2 FROM n
          | UNION ALL SELECT 4::BIGINT, 1::BIGINT, 0::BIGINT, c + 2 FROM n)
          |ORDER BY version""".stripMargin,
+
+    // type-widening replay: v1 = even ids as int/float, v2 = odd ids
+    // offset past the int range as long/double; the schema-type
+    // strings pin the widening the oracle cannot observe, the sums
+    // pin that no value was lost or truncated crossing the boundary
+    // (score is integer-valued mod-97, exact in any float order)
+    "q236_type_widening" ->
+      s"""SELECT (SELECT count(*) FROM documents) AS n_rows,
+         | ((SELECT sum(doc_id) FROM documents WHERE doc_id % 2 = 0)
+         |  + (SELECT sum(doc_id + 5000000000)
+         |     FROM documents WHERE doc_id % 2 <> 0))::BIGINT AS sum_id,
+         | (SELECT sum(n_chars)::BIGINT FROM documents) AS sum_chars,
+         | (SELECT sum(n_chars % 97)::BIGINT FROM documents) AS sum_score,
+         | 'int' AS v1_id_type, 'bigint' AS id_type,
+         | 'float' AS v1_score_type, 'double' AS score_type""".stripMargin,
+
+    // z-order replay: the bottom-quartile n_chars box (exact integer
+    // bounds) must return the same row/char mass through the
+    // manifest-pruned box read as the plain predicate; `pruned` pins
+    // that the Morton layout actually skipped at least half the files
+    // on the axis the linear arrangement couldn't serve
+    "q237_zorder_compact" ->
+      s"""WITH b AS (SELECT min(n_chars) AS lo,
+         |  min(n_chars) + (max(n_chars) - min(n_chars)) // 4 AS hi
+         |  FROM documents)
+         |SELECT 1::BIGINT AS pruned, count(*) AS n_rows,
+         |  sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents, b WHERE n_chars BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // index-sync replay: the corpus lives (merge re-embeds ids < 5 and
+    // clones ids < 3 to +1e6, delete kills 7 and 11), the sync maps
+    // corpus v3 onto index v3 (clone + upsert + tombstone commits),
+    // and BOTH the synced index's own files and the table snapshot
+    // must carry exactly the mutated corpus's row/id mass
+    "q238_index_sync" ->
+      s"""WITH base AS (SELECT count(*) AS n, sum(vec_id)::BIGINT AS s
+         |    FROM embeddings),
+         |  ins AS (SELECT count(*) AS n,
+         |    coalesce(sum(vec_id + 1000000), 0)::BIGINT AS s
+         |    FROM embeddings WHERE vec_id < 3),
+         |  upd AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 5)
+         |SELECT 3::BIGINT AS corpus_v, 3::BIGINT AS index_v,
+         |  (upd.n + ins.n)::BIGINT AS n_upserted, 2::BIGINT AS n_deleted,
+         |  (base.n - 2 + ins.n)::BIGINT AS n_rows_index,
+         |  (base.s - 18 + ins.s)::BIGINT AS sum_id_index,
+         |  (base.n - 2 + ins.n)::BIGINT AS n_rows_table,
+         |  (base.s - 18 + ins.s)::BIGINT AS sum_id_table
+         |FROM base, ins, upd""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

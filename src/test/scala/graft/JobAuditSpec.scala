@@ -131,6 +131,21 @@ class JobAuditSpec extends SparkSpec {
       "cold path rides q228's table build+merge seam (shared per-dir " +
         "cache); warm runs are the two EXCEPT-ALL sides over the " +
         "diffed files only, one bounded aggregate"),
+    "q237_zorder_compact" -> (32,
+      "(24 cold) cold path builds the four-slice stats table (four " +
+        "appendWithStats: isEmpty probe + write + per-file stats pass " +
+        "each) and runs the z-order OPTIMIZE (min/max agg + Morton " +
+        "range write + the two-column named-stats pass) — all " +
+        "constant-stage; warm runs are one manifest-pruned box " +
+        "aggregate"),
+    "q238_index_sync" -> (70,
+      "(46 with the q28 index warm) cold path = q28 build (constant " +
+        "Lloyd iterations) PLUS the one-time living-corpus cycle: the " +
+        "range-arranged stats append of the embeddings table, the index " +
+        "clone (writeIvf), the COW merge + delete (bounded key collects " +
+        "+ survivor rewrites), and the ONE sync (CDC frames, upsert " +
+        "commit, tombstone commit) — every piece constant-stage; warm " +
+        "runs are the two snapshot/index aggregates"),
     "q233_ivf_generations" -> (60,
       "cold path = q28 build (constant Lloyd iterations) PLUS the " +
         "one-time generation-cycle clone (writeIvf, append commit, " +
