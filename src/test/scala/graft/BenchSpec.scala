@@ -158,4 +158,36 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.ledgerDiff(Map.empty, med, None) == """"ledger_diff":null""")
     assert(Bench.ledgerDiff(hist, Seq("qz" -> 1.0), None) == """"ledger_diff":null""")
   }
+
+  test("self-tuning solo lane (VERDICT r18 item 7): a query suspect in " +
+    "BOTH of the two most recent runs is promoted; one-off suspects " +
+    "and tagged measurement variants are not; history round-trips " +
+    "capped") {
+    // promotion logic: two consecutive rounds required
+    assert(Bench.dynamicLane(Seq.empty) == Set.empty[String])
+    assert(Bench.dynamicLane(Seq(Seq("qa"))) == Set.empty[String])
+    assert(Bench.dynamicLane(Seq(Seq("qa", "qb"), Seq("qb", "qc"))) ==
+      Set("qb"))
+    // only the two MOST RECENT runs count — a stale chronic that went
+    // quiet is not re-promoted
+    assert(Bench.dynamicLane(
+      Seq(Seq("qa"), Seq("qa", "qb"), Seq("qb"))) == Set("qb"))
+    // tagged variants never promote (they are conf-flipped re-measures,
+    // not sweep members the lane could reorder)
+    assert(Bench.dynamicLane(
+      Seq(Seq("qa@xxh", "qb"), Seq("qa@xxh", "qb"))) == Set("qb"))
+    // persistence: append/read round-trip, capped at SuspectRunsKept
+    val tmp = java.nio.file.Files.createTempDirectory("graft_susp")
+      .resolve("h.json").toString
+    (1 to Bench.SuspectRunsKept + 3).foreach(i =>
+      Bench.appendSuspectRun("sf1", Seq(s"q$i"), tmp))
+    val runs = Bench.readSuspectRuns("sf1", tmp)
+    assert(runs.size == Bench.SuspectRunsKept, s"cap broken: ${runs.size}")
+    assert(runs.last == Seq(s"q${Bench.SuspectRunsKept + 3}"))
+    // keys are independent; a missing key reads empty
+    assert(Bench.readSuspectRuns("sf0.1", tmp).isEmpty)
+    Bench.appendSuspectRun("sf1", Seq("qx", "qy"), tmp)
+    Bench.appendSuspectRun("sf1", Seq("qy", "qz"), tmp)
+    assert(Bench.dynamicLane(Bench.readSuspectRuns("sf1", tmp)) == Set("qy"))
+  }
 }
