@@ -82,8 +82,32 @@ object VersionedSoak {
         f""""files_first":${p0._3},"files_last":${pN._3},""" +
         f""""read_first":${p0._2}%.3f,"read_last":${pN._2}%.3f}"""
     }
+    // --- 1000-file prune probe (VERDICT r18 item 8c): manifest-decided
+    // categorical skipping must stay sub-second when the snapshot holds
+    // a thousand files. ONE value-stats commit written as 1000 files
+    // (cat hash-routed so each file carries few distinct values), then
+    // a point read: the decision is pure manifest parsing — no footer,
+    // no listing — and opens only the containing files.
+    val pruneRoot = s"$work/prune1000"
+    val cats = spark.range(2000000L)
+      .select(col("id"), concat(lit("c"),
+        format_string("%04d", col("id") % 1000)).as("cat"))
+      .repartitionByRange(1000, col("cat"))
+    val b0 = System.nanoTime()
+    Versioned.appendWithValueStats(spark, pruneRoot, cats, "cat",
+      maxDistinct = 16)
+    val buildS = (System.nanoTime() - b0) / 1e9
+    val q0 = System.nanoTime()
+    val (pf, pRead, pTotal) =
+      Versioned.readWhereEq(spark, pruneRoot, "cat", "c0007")
+    val pRows = pf.count()
+    val pruneS = (System.nanoTime() - q0) / 1e9
+    println(f"| prune1000 | files $pRead/$pTotal | rows $pRows | " +
+      f"decide+read $pruneS%.3f s | build $buildS%.1f s |")
     println(s"""{"metric":"versioned_soak","epochs":$epochs,""" +
-      parts.mkString(",") + "}")
+      parts.mkString(",") +
+      f""","prune1000":{"files_read":$pRead,"files_total":$pTotal,""" +
+      f""""rows":$pRows,"seconds":$pruneS%.3f}}""")
     spark.stop()
   }
 }
