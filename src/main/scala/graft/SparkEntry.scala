@@ -2413,14 +2413,17 @@ object SparkEntry {
       if (!versionedBuilt.contains(root)) {
         if (graft.sources.Versioned.latestVersion(s, root) < 2) {
           val docs = rd(s, dir, "documents")
+          // ids folded mod 1e6 so the int column is valid by
+          // construction at ANY replica scale (the stress batteries
+          // shift doc_id by r*1e9 — a raw cast would ANSI-overflow)
           graft.sources.Versioned.append(s, root,
             docs.filter(col("doc_id") % 2 === 0)
-              .select(col("doc_id").cast("int").as("doc_id"),
+              .select((col("doc_id") % 1000000L).cast("int").as("doc_id"),
                 col("n_chars").cast("int").as("n_chars"),
                 (col("n_chars") % 97).cast("float").as("score")))
           graft.sources.Versioned.append(s, root,
             docs.filter(col("doc_id") % 2 =!= 0)
-              .select((col("doc_id") + 5000000000L).as("doc_id"),
+              .select((col("doc_id") % 1000000L + 5000000000L).as("doc_id"),
                 col("n_chars").cast("long").as("n_chars"),
                 (col("n_chars") % 97).cast("double").as("score")))
         }
@@ -8483,8 +8486,8 @@ object SparkEntry {
     // (score is integer-valued mod-97, exact in any float order)
     "q236_type_widening" ->
       s"""SELECT (SELECT count(*) FROM documents) AS n_rows,
-         | ((SELECT sum(doc_id) FROM documents WHERE doc_id % 2 = 0)
-         |  + (SELECT sum(doc_id + 5000000000)
+         | ((SELECT sum(doc_id % 1000000) FROM documents WHERE doc_id % 2 = 0)
+         |  + (SELECT sum(doc_id % 1000000 + 5000000000)
          |     FROM documents WHERE doc_id % 2 <> 0))::BIGINT AS sum_id,
          | (SELECT sum(n_chars)::BIGINT FROM documents) AS sum_chars,
          | (SELECT sum(n_chars % 97)::BIGINT FROM documents) AS sum_score,
