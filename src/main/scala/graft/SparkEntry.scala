@@ -2578,6 +2578,50 @@ object SparkEntry {
         col("n_rows_table"), col("sum_id_table"))
   }
 
+  /** q239: COLUMN DROP as a metadata-only commit
+    * ([[graft.sources.Versioned.dropColumn]]) — v1 commits the full
+    * (doc_id, n_chars, source) table, v2 DROPS `source`: the file list
+    * is IDENTICAL across the drop (zero data movement — the only sane
+    * cost at 100 TB; `files_moved` is the real manifest diff, not a
+    * literal), the latest read projects two columns with the full row
+    * mass intact, and time travel to v1 still reads the dropped
+    * column's values. The tombstoned name can never be re-added
+    * (VersionedSpec pins the resurrection refusal).
+    */
+  private def qColumnDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = droppedVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root)
+    val v1 = graft.sources.Versioned.readAsOf(s, root, 1L)
+    val moved = (graft.sources.Versioned.fileList(s, root, 2L).toSet diff
+      graft.sources.Versioned.fileList(s, root, 1L).toSet).size
+    latest.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(v1.agg(
+        countDistinct(col("source")).as("v1_distinct_source")))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(latest.columns.length.toLong).as("n_cols"),
+        lit(v1.columns.length.toLong).as("v1_n_cols"),
+        col("v1_distinct_source"),
+        lit(moved.toLong).as("files_moved"))
+  }
+
+  /** Build-once seam for q239: one three-column commit, one drop. */
+  private def droppedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vdrop-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          graft.sources.Versioned.append(s, root,
+            rd(s, dir, "documents")
+              .select(col("doc_id"), col("n_chars"), col("source")))
+          graft.sources.Versioned.dropColumn(s, root, "source")
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6245,6 +6289,7 @@ object SparkEntry {
     "q236_type_widening" -> (qTypeWidening _),
     "q237_zorder_compact" -> (qZorderCompact _),
     "q238_index_sync" -> (qIndexSync _),
+    "q239_column_drop" -> (qColumnDrop _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8526,6 +8571,18 @@ object SparkEntry {
          |  (base.n - 2 + ins.n)::BIGINT AS n_rows_table,
          |  (base.s - 18 + ins.s)::BIGINT AS sum_id_table
          |FROM base, ins, upd""".stripMargin,
+
+    // column-drop replay: the drop is metadata-only (files_moved is
+    // the REAL v1->v2 manifest diff and must be zero), the two-column
+    // read keeps the full mass, and time travel still serves the
+    // dropped column's distinct count
+    "q239_column_drop" ->
+      s"""SELECT count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars,
+         | 2::BIGINT AS n_cols, 3::BIGINT AS v1_n_cols,
+         | (SELECT count(DISTINCT source) FROM documents)
+         |   AS v1_distinct_source,
+         | 0::BIGINT AS files_moved
+         |FROM documents""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

@@ -137,9 +137,17 @@ object Versioned {
         parts(0) -> ((parts(1).toLong, parts(2).toLong))
     }.toMap
 
-  /** Resolve version `v`'s full entry list plus its table schema (DDL,
-    * when the table's commits recorded one): nearest checkpoint at or
-    * below `v`, then the delta replay up to `v`. Entry order is
+  /** A resolved version: its file entry list, its recorded table
+    * schema (DDL, when the table's commits recorded one), and the set
+    * of column names EVER dropped at or below it ([[dropColumn]]'s
+    * resurrection guard — cumulative, like the dir ledger).
+    */
+  private final case class State(entries: Seq[String],
+                                 schema: Option[String],
+                                 dropped: Set[String])
+
+  /** Resolve version `v`'s [[State]]: nearest checkpoint at or below
+    * `v`, then the delta replay up to `v`. Entry order is
     * deterministic (checkpoint order, removals in place, additions
     * appended in commit order); the schema is the LAST one committed at
     * or below `v` — the Delta discipline: schema lives in the
@@ -148,7 +156,7 @@ object Versioned {
     * footer — the wrong cost at a million files).
     */
   private def resolveState(spark: SparkSession, root: String,
-                           v: Long): (Seq[String], Option[String]) = {
+                           v: Long): State = {
     val f = fs(spark, root)
     require(f.exists(deltaPath(root, v)),
       s"no version $v at $root (missing ${deltaPath(root, v).getName})")
@@ -158,11 +166,15 @@ object Versioned {
         .getOrElse(Seq.empty)
     var schema: Option[String] = baseLines
       .find(_.startsWith("schema\t")).map(_.substring(7))
+    var dropped: Set[String] = baseLines
+      .collect { case l if l.startsWith("dropcol\t") => l.substring(8) }
+      .toSet
     // `dir\t` lines are the checkpoint's cumulative batch-dir ledger
     // (the O(1) replay guard's state — [[dirEverCommitted]]), not
     // entries of the snapshot
-    var entries: Seq[String] = baseLines
-      .filterNot(l => l.startsWith("schema\t") || l.startsWith("dir\t"))
+    var entries: Seq[String] = baseLines.filterNot(l =>
+      l.startsWith("schema\t") || l.startsWith("dir\t") ||
+        l.startsWith("dropcol\t"))
     var w = base.getOrElse(0L) + 1
     while (w <= v) {
       val p = deltaPath(root, w)
@@ -171,6 +183,8 @@ object Versioned {
       val lines = readLines(spark, root, p)
       lines.find(_.startsWith("schema\t"))
         .foreach(l => schema = Some(l.substring(7)))
+      lines.foreach(l =>
+        if (l.startsWith("dropcol\t")) dropped += l.substring(8))
       val removed = lines.collect { case l if l.startsWith("-\t") =>
         l.substring(2) }.toSet
       val added = lines.collect { case l if l.startsWith("+\t") =>
@@ -178,12 +192,12 @@ object Versioned {
       entries = entries.filterNot(e => removed.contains(pathOf(e))) ++ added
       w += 1
     }
-    (entries, schema)
+    State(entries, schema, dropped)
   }
 
   private def resolveEntries(spark: SparkSession, root: String,
                              v: Long): Seq[String] =
-    resolveState(spark, root, v)._1
+    resolveState(spark, root, v).entries
 
   /** The file relpaths of a committed version — the manifest's answer,
     * no directory listing (used by callers that need to DIFF versions,
@@ -249,9 +263,11 @@ object Versioned {
     */
   private def commitDelta(spark: SparkSession, root: String, v: Long,
                           added: Seq[String], removed: Seq[String],
-                          schema: Option[String] = None): Unit = {
+                          schema: Option[String] = None,
+                          dropCol: Option[String] = None): Unit = {
     val f = fs(spark, root)
     val lines = schema.map(s => s"schema\t$s").toSeq ++
+      dropCol.map(c => s"dropcol\t$c").toSeq ++
       removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
     require(lines.nonEmpty, s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
@@ -265,13 +281,14 @@ object Versioned {
     finally out.close()
     publish(f, tmp, deltaPath(root, v), lines)
     if (v % CheckpointEvery == 0L) {
-      val (entries, sch) = resolveState(spark, root, v)
+      val st = resolveState(spark, root, v)
       val dirs = resolveDirSet(spark, root, v)
       val ctmp = new Path(manifestDir(root), f".v$v%06d.checkpoint.tmp")
       if (f.exists(ctmp)) f.delete(ctmp, false)
       val cout = f.create(ctmp, true)
-      val cLines = sch.map(s => s"schema\t$s").toSeq ++
-        dirs.toSeq.sorted.map(d => s"dir\t$d") ++ entries
+      val cLines = st.schema.map(s => s"schema\t$s").toSeq ++
+        st.dropped.toSeq.sorted.map(c => s"dropcol\t$c") ++
+        dirs.toSeq.sorted.map(d => s"dir\t$d") ++ st.entries
       try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally cout.close()
       // the checkpoint is a cache: on a race, last-writer-wins is fine
@@ -299,6 +316,21 @@ object Versioned {
       wide <- integral.drop(i + 1)
     } yield (narrow: DataType, wide: DataType)
     chain.toSet + ((FloatType: DataType, DoubleType: DataType))
+  }
+
+  /** Does `narrow` widen losslessly to `wide`? Scalars along
+    * [[Widens]], plus ELEMENT-WISE array widening (array<float> →
+    * array<double> — the embedding-table migration; Spark 4's parquet
+    * reader promotes nested elements at scan time too, pinned by
+    * VersionedSpec).
+    */
+  private def widensTo(narrow: org.apache.spark.sql.types.DataType,
+                       wide: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.ArrayType
+    (narrow, wide) match {
+      case (ArrayType(ne, _), ArrayType(we, _)) => widensTo(ne, we)
+      case _ => Widens((narrow, wide))
+    }
   }
 
   /** Structural type equality that ignores nullability flags at every
@@ -338,9 +370,16 @@ object Versioned {
     * batch missing prior columns is fine — NEW files simply don't
     * carry them and reads under the table schema null-fill the gaps.
     */
-  private def evolveSchema(prior: Option[String],
-                           df: DataFrame, root: String): String = {
+  private def evolveSchema(prior: Option[String], df: DataFrame,
+                           root: String,
+                           dropped: Set[String] = Set.empty): String = {
     val cur = df.schema
+    val resurrected = cur.fieldNames.filter(dropped.contains)
+    require(resurrected.isEmpty,
+      s"schema evolution at $root: column(s) ${resurrected.mkString(", ")} " +
+      "were DROPPED from this table — re-adding the name would resurrect " +
+      "the old files' physical values under it (reads project by name); " +
+      "use a new column name")
     prior match {
       case None => cur.toDDL
       case Some(ddl) =>
@@ -350,16 +389,17 @@ object Versioned {
             case Some(fNew)
                 if sameTypeIgnoringNullability(fNew.dataType, fOld.dataType) =>
               fOld
-            case Some(fNew) if Widens((fOld.dataType, fNew.dataType)) =>
+            case Some(fNew) if widensTo(fOld.dataType, fNew.dataType) =>
               fOld.copy(dataType = fNew.dataType) // widen the table type
-            case Some(fNew) if Widens((fNew.dataType, fOld.dataType)) =>
+            case Some(fNew) if widensTo(fNew.dataType, fOld.dataType) =>
               fOld // narrower batch under an already-wide column
             case Some(fNew) =>
               throw new IllegalArgumentException(
                 s"schema evolution at $root: column ${fNew.name} would " +
                 s"change type ${fOld.dataType.simpleString} -> " +
                 s"${fNew.dataType.simpleString}; only additive columns " +
-                "and declared widenings (int->long, float->double) evolve")
+                "and declared widenings (int->long, float->double, " +
+                "array element-wise) evolve")
             case None => fOld
           }
         }
@@ -592,6 +632,40 @@ object Versioned {
     throw new IllegalStateException("unreachable")
   }
 
+  /** DROP a column — a METADATA-ONLY commit (Delta's `ALTER TABLE …
+    * DROP COLUMN`): the next version's recorded schema omits the
+    * column, reads under it never project the dropped values from the
+    * old files (parquet projection is by name — no rewrite, no data
+    * movement, the only sane cost at 100 TB), and time travel still
+    * reads earlier versions WITH the column. The dropped NAME is
+    * tombstoned forever (`dropcol` manifest lines, cumulative in
+    * checkpoints): a later append re-introducing it is refused,
+    * because by-name projection would silently resurrect the old
+    * files' physical values under the "new" column — the hazard
+    * column-id table formats exist to solve, handled here by the
+    * refusal (use a new name). Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, root: String,
+                 column: String): Long = {
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root")
+    val st = resolveState(spark, root, prev)
+    val ddl = st.schema.getOrElse(throw new IllegalArgumentException(
+      s"dropColumn($root): the table records no manifest schema " +
+      "(pre-schema commits) — a drop would have nothing authoritative " +
+      "to remove the column from"))
+    val cur = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(cur.fieldNames.contains(column),
+      s"dropColumn($root): no column $column in ${cur.fieldNames.mkString(", ")}")
+    require(cur.fields.length > 1,
+      s"dropColumn($root): refusing to drop the only column")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == column))
+    commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
+      schema = Some(next.toDDL), dropCol = Some(column))
+    prev + 1
+  }
+
   /** The schema line the next commit records: additive evolution over
     * the prior version's recorded schema. A pre-schema table (older
     * commits never recorded one) stays schema-less — starting to
@@ -600,10 +674,10 @@ object Versioned {
     */
   private def nextSchema(spark: SparkSession, root: String, v: Long,
                          df: DataFrame): Option[String] = {
-    val prior =
-      if (v == 1) None else resolveState(spark, root, v - 1)._2
-    if (v == 1 || prior.isDefined)
-      Some(evolveSchema(prior, df, root))
+    if (v == 1) return Some(evolveSchema(None, df, root))
+    val st = resolveState(spark, root, v - 1)
+    if (st.schema.isDefined)
+      Some(evolveSchema(st.schema, df, root, st.dropped))
     else None
   }
 
@@ -626,7 +700,8 @@ object Versioned {
                version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, root) else version
     require(v > 0, s"no committed versions at $root")
-    val (entries, sch) = resolveState(spark, root, v)
+    val st0 = resolveState(spark, root, v)
+    val (entries, sch) = (st0.entries, st0.schema)
     val files = entries.map(e => s"$root/${pathOf(e)}")
     require(files.nonEmpty,
       s"version $v at $root is removal-only down to zero files — " +
@@ -715,7 +790,8 @@ object Versioned {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(spark, root) else version
     require(v > 0, s"no committed versions at $root")
-    val (rawEntries, sch) = resolveState(spark, root, v)
+    val st0 = resolveState(spark, root, v)
+    val (rawEntries, sch) = (st0.entries, st0.schema)
     val entries = rawEntries.map { line =>
       line.split('\t') match {
         case Array(p, s) if s.startsWith("#") =>
@@ -752,7 +828,8 @@ object Versioned {
     val v = if (version < 0) latestVersion(spark, root) else version
     import org.apache.spark.sql.functions._
     require(v > 0, s"no committed versions at $root")
-    val (rawEntries, sch) = resolveState(spark, root, v)
+    val st0 = resolveState(spark, root, v)
+    val (rawEntries, sch) = (st0.entries, st0.schema)
     val entries = rawEntries.map(line => (pathOf(line), statRangeOf(line, statCol)))
     val keep = entries.filter {
       case (_, Some((mn, mx))) => mx >= lo && mn <= hi
@@ -787,7 +864,8 @@ object Versioned {
     require(box.nonEmpty, "readWhereBox needs >= 1 (column, lo, hi)")
     val v = if (version < 0) latestVersion(spark, root) else version
     require(v > 0, s"no committed versions at $root")
-    val (rawEntries, sch) = resolveState(spark, root, v)
+    val st0 = resolveState(spark, root, v)
+    val (rawEntries, sch) = (st0.entries, st0.schema)
     // NAMED stats only: the legacy anonymous `mn\tmx` form doesn't
     // record WHICH column it describes, and a multi-column box has no
     // single caller-vouched column — pruning a b-box with a-stats
@@ -932,7 +1010,7 @@ object Versioned {
       anyKeyInRange(keys, mn, mx)
     }
     val v = prev + 1
-    val sch = readSchema(spark, resolveState(spark, root, prev)._2)
+    val sch = readSchema(spark, resolveState(spark, root, prev).schema)
     val survivors =
       if (affected.isEmpty) updates
       else {
@@ -978,7 +1056,7 @@ object Versioned {
       s"deleteWhere($root): no file's key range overlaps the batch — " +
       "nothing to delete")
     val files = affected.map(e => s"$root/${e._1}")
-    val scan = readSchema(spark, resolveState(spark, root, prev)._2) match {
+    val scan = readSchema(spark, resolveState(spark, root, prev).schema) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
     }
@@ -1110,7 +1188,8 @@ object Versioned {
     val fromFiles =
       if (fromV == 0) Set.empty[String]
       else resolveEntries(spark, root, fromV).map(pathOf).toSet
-    val (toEntries, toSchema) = resolveState(spark, root, toV)
+    val toState = resolveState(spark, root, toV)
+    val (toEntries, toSchema) = (toState.entries, toState.schema)
     val toFiles = toEntries.map(pathOf).toSet
     val added = (toFiles -- fromFiles).toSeq.sorted
     val removed = (fromFiles -- toFiles).toSeq.sorted

@@ -651,6 +651,67 @@ class VersionedSpec extends SparkSpec {
     val ex2 = intercept[IllegalArgumentException](
       Versioned.append(spark, root2, Seq(("z", true)).toDF("k", "n")))
     assert(ex2.getMessage.contains("would change type"))
+    // ARRAY ELEMENT widening: array<float> -> array<double> (the
+    // embedding-table migration), old files read promoted elementwise
+    val root3 = freshRoot()
+    Versioned.append(spark, root3,
+      Seq((1L, Seq(1.5f, 2.5f))).toDF("id", "emb"))
+    Versioned.append(spark, root3,
+      Seq((2L, Seq(0.25, 0.75))).toDF("id", "emb"))
+    val l3 = Versioned.readAsOf(spark, root3)
+    assert(l3.schema("emb").dataType == ArrayType(DoubleType),
+      l3.schema.simpleString)
+    assert(l3.orderBy($"id").as[(Long, Seq[Double])].collect().toSeq ==
+      Seq((1L, Seq(1.5, 2.5)), (2L, Seq(0.25, 0.75))))
+    // v1's own schema keeps the narrow element type (the recorded DDL
+    // normalizes containsNull to true — nullability is not a layout
+    // property)
+    assert(Versioned.readAsOf(spark, root3, 1L)
+      .schema("emb").dataType == ArrayType(FloatType))
+  }
+
+  test("dropColumn: metadata-only commit — no rewrite, reads omit the " +
+    "column, time travel keeps it, the dropped NAME can never be " +
+    "re-added (by-name projection would resurrect old values)") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 5L).map(i => (i, i * 10, s"s$i")).toDF("id", "v", "tag")
+        .repartition(1), "id")
+    val filesBefore = Versioned.fileList(spark, root, 1L)
+    val v = Versioned.dropColumn(spark, root, "tag")
+    assert(v == 2L)
+    // metadata-only: the file list is IDENTICAL (zero data movement)
+    assert(Versioned.fileList(spark, root, 2L) == filesBefore)
+    val latest = Versioned.readAsOf(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "v"), latest.columns.toSeq)
+    assert(latest.count() == 5L)
+    // time travel: v1 still reads the column
+    assert(Versioned.readAsOf(spark, root, 1L).columns.contains("tag"))
+    // later appends and COW merges work under the narrowed schema
+    Versioned.appendWithStats(spark, root,
+      Seq((100L, 1000L)).toDF("id", "v").repartition(1), "id")
+    Versioned.mergeByKey(spark, root,
+      Seq((3L, 999L)).toDF("id", "v").repartition(1), "id")
+    val after = Versioned.readAsOf(spark, root)
+    assert(after.columns.toSeq == Seq("id", "v") && after.count() == 6L)
+    assert(after.filter($"id" === 3L).head().getLong(1) == 999L)
+    // resurrection refused: the dropped name is tombstoned forever
+    val ex = intercept[IllegalArgumentException](
+      Versioned.append(spark, root,
+        Seq((200L, 1L, "sneaky")).toDF("id", "v", "tag")))
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // a DIFFERENT new column is still plain additive evolution
+    Versioned.append(spark, root,
+      Seq((300L, 2L, "ok")).toDF("id", "v", "tag2"))
+    assert(Versioned.readAsOf(spark, root).columns.toSeq ==
+      Seq("id", "v", "tag2"))
+    // guards: unknown column, last column, schema-less table
+    intercept[IllegalArgumentException](
+      Versioned.dropColumn(spark, root, "nope"))
+    val root2 = freshRoot()
+    Versioned.append(spark, root2, Seq(Tuple1(1L)).toDF("only"))
+    intercept[IllegalArgumentException](
+      Versioned.dropColumn(spark, root2, "only"))
   }
 
   test("z-order compact (VERDICT r18 item 5): the 2-D Morton rewrite " +
