@@ -91,6 +91,57 @@ class IndexCycleSpec extends SparkSpec {
     assert(ex.getMessage.contains("_corpus_sync"), ex.getMessage)
   }
 
+  test("streaming ingest -> versioned table -> CDC -> index: the " +
+    "exactly-once sink's epochs drive incremental index syncs, probes " +
+    "track the stream, replays stay invisible to the index") {
+    import graft.streaming.StreamingVersionedSink
+    val table = fresh("graft_stream_tbl")
+    val idx = fresh("graft_stream_idx")
+    def vecs(ids: Range, axis: Int): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val e = Array.fill(4)(0.0f); e(axis) = 1.0f + 0.01f * i
+        (i.toLong, e.toSeq, i % 3)
+      }.toDF("vec_id", "embedding", "label")
+    // epoch 0 seeds the corpus; the index anchors at that version
+    assert(StreamingVersionedSink.commitBatch(spark, table,
+      vecs(0 until 12, 0).repartition(1), 0L).contains(1L))
+    Ann.writeIvf(Ann.buildIvf(Versioned.readAsOf(spark, table, 1L),
+      nCentroids = 2, seed = 7L, initMode = "random"), idx)
+    IndexSync.markSynced(spark, idx, 1L)
+    // epochs 1-2 stream in new neighborhoods
+    StreamingVersionedSink.commitBatch(spark, table,
+      vecs(100 until 106, 1).repartition(1), 1L)
+    StreamingVersionedSink.commitBatch(spark, table,
+      vecs(200 until 203, 2).repartition(1), 2L)
+    val r1 = IndexSync.syncToLatest(spark, table, idx).get
+    assert(r1.corpusFromV == 1L && r1.corpusToV == 3L &&
+      r1.nUpserted == 9L && r1.nDeleted == 0L, r1.toString)
+    val snap1 = Versioned.readAsOf(spark, table)
+    val i1 = Ann.readIvf(spark, idx)
+    assert(i1.assigned.count() == snap1.count())
+    for (axis <- 0 to 2) {
+      val q = Seq.tabulate(4)(j => if (j == axis) 1.0 else 0.0)
+      assert(Ann.ivfSearch(i1, q, k = 5, nprobe = i1.centers.length)
+        .select("vec_id").as[Long].collect().toSeq == bruteTopK(snap1, q, 5),
+        s"probe != brute after streamed sync, axis $axis")
+    }
+    // a REPLAYED epoch is a table no-op, so the next sync sees nothing
+    assert(StreamingVersionedSink.commitBatch(spark, table,
+      vecs(999 until 1000, 0), 1L).isEmpty)
+    assert(IndexSync.syncToLatest(spark, table, idx).isEmpty,
+      "a replayed epoch leaked into the index feed")
+    // one more genuine epoch; only ITS rows sync
+    StreamingVersionedSink.commitBatch(spark, table,
+      vecs(300 until 302, 3).repartition(1), 3L)
+    val r2 = IndexSync.syncToLatest(spark, table, idx).get
+    assert(r2.corpusFromV == 3L && r2.nUpserted == 2L, r2.toString)
+    val snap2 = Versioned.readAsOf(spark, table)
+    val i2 = Ann.readIvf(spark, idx)
+    val q3 = Seq(0.0, 0.0, 0.0, 1.0)
+    assert(Ann.ivfSearch(i2, q3, k = 2, nprobe = i2.centers.length)
+      .select("vec_id").as[Long].collect().toSeq == bruteTopK(snap2, q3, 2))
+  }
+
   test("a pure-append corpus change syncs as one upsert commit; null " +
     "delete keys and oversized ranges are refused") {
     val table = fresh("graft_sync_tbl2")
