@@ -47,28 +47,61 @@ object StreamingVersionedSink {
     * counter to lose); a replayed epoch skips both the commit and the
     * maintenance. Pass `statCol` on stat-committed tables so the
     * rewrite keeps zone pruning tight.
+    *
+    * **Multiple concurrent streams into one table**: give each stream
+    * its own `sinkId` — the idempotence key is `<sinkId>-<batchId>`,
+    * so two streams' epoch 0 are DIFFERENT batches (one shared default
+    * would silently drop the second stream's data as a "replay"), and
+    * each stream replays only its own history. The commit step is
+    * version-agnostic (the data dir is epoch-keyed, a pure `+` delta
+    * is valid against any head), so losing an optimistic same-version
+    * race to the other stream is retried safely; the epoch guard
+    * re-checks before every retry so an epoch can never double-commit.
+    * Inline compaction under concurrent sinks is NOT safe (a COW
+    * rewrite races the other writer's head) — leave `compactEvery = 0`
+    * and run OPTIMIZE from one maintenance owner.
     */
   def commitBatch(spark: SparkSession, root: String, df: DataFrame,
                   batchId: Long, compactEvery: Int = 0, numFiles: Int = 1,
-                  statCol: Option[String] = None): Option[Long] = {
-    val name = s"stream-$batchId"
+                  statCol: Option[String] = None,
+                  sinkId: String = "stream"): Option[Long] = {
+    require(!sinkId.contains('/') && !sinkId.contains('\t'),
+      s"bad sinkId: $sinkId")
+    val name = s"$sinkId-$batchId"
     if (Versioned.hasBatchDir(spark, root, name)) None
     else if (df.isEmpty) None
     else {
-      val v = Versioned.appendNamed(spark, root, df, name)
+      var attempts = 0
+      var committed: Option[Long] = None
+      while (committed.isEmpty) {
+        try committed = Some(Versioned.appendNamed(spark, root, df, name))
+        catch {
+          case e: graft.sources.ConcurrentCommitException =>
+            attempts += 1
+            if (attempts > 20) throw e
+            // another sink took our version number; our epoch dir is
+            // either still ours to commit (retry at the new head) or —
+            // only under a misconfigured DUPLICATE sinkId — already
+            // committed by the racer (then this is a replay: no-op)
+            if (Versioned.hasBatchDir(spark, root, name)) return None
+        }
+      }
+      val v = committed.get
       if (compactEvery > 0 && v % compactEvery == 0)
         Versioned.compact(spark, root, numFiles, statCol)
       Some(v)
     }
   }
 
-  /** A ready-made `foreachBatch` handler; `compactEvery` as in
-    * [[commitBatch]].
+  /** A ready-made `foreachBatch` handler; `compactEvery` and `sinkId`
+    * as in [[commitBatch]].
     */
   def handler(spark: SparkSession, root: String, compactEvery: Int = 0,
-              numFiles: Int = 1, statCol: Option[String] = None)(
+              numFiles: Int = 1, statCol: Option[String] = None,
+              sinkId: String = "stream")(
       df: DataFrame, batchId: Long): Unit = {
-    commitBatch(spark, root, df, batchId, compactEvery, numFiles, statCol)
+    commitBatch(spark, root, df, batchId, compactEvery, numFiles, statCol,
+      sinkId)
     ()
   }
 }

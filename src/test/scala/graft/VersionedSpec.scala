@@ -613,6 +613,44 @@ class VersionedSpec extends SparkSpec {
         s"version $v unreadable after concurrent appends")
   }
 
+  test("two concurrent streams into one table: per-sink idempotence " +
+    "keys, optimistic commit retry — every epoch of both streams " +
+    "lands exactly once, replays stay per-sink no-ops") {
+    import graft.streaming.StreamingVersionedSink
+    val root = freshRoot()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = Seq("a", "b").map { sink =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Option[Long]]] {
+          def call(): Seq[Option[Long]] = (0 until 6).map { e =>
+            StreamingVersionedSink.commitBatch(spark, root,
+              Seq((s"$sink-$e", e.toLong)).toDF("k", "v").repartition(1),
+              e.toLong, sinkId = sink)
+          }
+        })
+      }
+      val results = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.forall(_.forall(_.isDefined)),
+        s"an epoch failed to commit: $results")
+      val versions = results.flatten.flatten
+      assert(versions.distinct.size == 12 &&
+        versions.toSet == (1L to 12L).toSet, s"versions: $versions")
+    } finally pool.shutdown()
+    val all = Versioned.readAsOf(spark, root).as[(String, Long)].collect()
+    assert(all.length == 12, s"lost or duplicated epochs: ${all.length}")
+    assert(all.map(_._1).toSet ==
+      (for (s <- Seq("a", "b"); e <- 0 until 6) yield s"$s-$e").toSet)
+    // replays are judged PER SINK: sink a's epoch 0 is done, but the
+    // same batchId under a third sink is genuinely new data
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq(("dup", 0L)).toDF("k", "v"), 0L, sinkId = "a").isEmpty)
+    assert(StreamingVersionedSink.commitBatch(spark, root,
+      Seq(("c-0", 0L)).toDF("k", "v"), 0L, sinkId = "c").contains(13L))
+    assert(Versioned.readAsOf(spark, root).count() == 13L)
+    assert(Versioned.vacuum(spark, root, retentionMs = 0L).isEmpty,
+      "concurrent sinks left orphans")
+  }
+
   test("type widening (VERDICT r18 item 4): int->long and " +
     "float->double widen the recorded schema, old files read promoted, " +
     "a narrower later batch reads promoted too, narrowing/incompatible " +
