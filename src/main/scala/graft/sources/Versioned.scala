@@ -137,6 +137,30 @@ object Versioned {
         parts(0) -> ((parts(1).toLong, parts(2).toLong))
     }.toMap
 
+  /** The categorical value set an entry records for `catCol`:
+    * `None` = no usable stats for this column (conservatively read);
+    * `Some(None)` = recorded but overflowed (`*` — read-always);
+    * `Some(Some(set))` = prune on membership. The NAMED form
+    * `#col:v1|v2` (multi-column — [[appendWithValueStatsMulti]]) wins
+    * when present; the legacy anonymous `#v1|v2` form (single-column
+    * [[appendWithValueStats]]) applies under the caller-vouches
+    * contract, exactly like the anonymous numeric stats. `:` is
+    * reserved in values so the two forms can never be confused.
+    */
+  private def valueSetOf(entry: String,
+                         catCol: String): Option[Option[Set[String]]] = {
+    val fields = entry.split('\t').drop(1).filter(_.startsWith("#"))
+    fields.collectFirst {
+      case f if f.startsWith(s"#$catCol:") =>
+        val s = f.substring(catCol.length + 2)
+        if (s == "*") None else Some(s.split('|').toSet)
+    }.orElse(fields.collectFirst {
+      case f if !f.drop(1).contains(':') =>
+        val s = f.substring(1)
+        if (s == "*") None else Some(s.split('|').toSet)
+    })
+  }
+
   /** A resolved version: its file entry list, its recorded table
     * schema (DDL, when the table's commits recorded one), and the set
     * of column names EVER dropped at or below it ([[dropColumn]]'s
@@ -767,9 +791,11 @@ object Versioned {
         val base = r.getString(0).split('/').last
         val vs = r.getSeq[String](1)
         vs.foreach(s0 => require(
-          s0 != null && !s0.exists(c => c == '\t' || c == '|' || c == '\n'),
+          s0 != null && !s0.exists(c =>
+            c == '\t' || c == '|' || c == '\n' || c == ':'),
           s"appendWithValueStats($root): $catCol value '$s0' carries a " +
-          "reserved character (tab/pipe/newline)"))
+          "reserved character (tab/pipe/newline/colon — colon is the " +
+          "named-form separator, see appendWithValueStatsMulti)"))
         val set = if (vs.size > maxDistinct) "*" else vs.mkString("|")
         s"data/$name/$base\t#$set"
       }.sorted.toSeq
@@ -792,26 +818,76 @@ object Versioned {
     require(v > 0, s"no committed versions at $root")
     val st0 = resolveState(spark, root, v)
     val (rawEntries, sch) = (st0.entries, st0.schema)
-    val entries = rawEntries.map { line =>
-      line.split('\t') match {
-        case Array(p, s) if s.startsWith("#") =>
-          (p, if (s == "#*") None else Some(s.substring(1).split('|').toSet))
-        case parts => (parts.head, None) // numeric/stat-less: cannot skip
+    val keep = rawEntries.filter { line =>
+      valueSetOf(line, catCol) match {
+        case Some(Some(set)) => set.contains(value)
+        case _               => true // overflow / no usable stats: read
       }
     }
-    val keep = entries.filter {
-      case (_, Some(set)) => set.contains(value)
-      case (_, None)      => true
-    }
-    require(keep.nonEmpty || entries.isEmpty,
+    require(keep.nonEmpty || rawEntries.isEmpty,
       s"readWhereEq($root): every file skipped — empty frame has no " +
       s"schema; no file contains $catCol = '$value'")
-    val files = keep.map(e => s"$root/${e._1}")
+    val files = keep.map(e => s"$root/${pathOf(e)}")
     val base = readSchema(spark, sch) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
     }
-    (base.filter(col(catCol).cast("string") === value), keep.size, entries.size)
+    (base.filter(col(catCol).cast("string") === value), keep.size,
+      rawEntries.size)
+  }
+
+  /** [[appendWithValueStats]] for SEVERAL low-cardinality columns per
+    * file: each file's manifest entry records a NAMED value set per
+    * column (`relpath\t#col:v1|v2\t#col2:x|y`, overflow `#col:*`), so
+    * [[readWhereEq]] prunes on ANY of them — the Hive multi-level
+    * partition key without the physical layout (a table physically
+    * partitioned by (source, lang) explodes into the directory
+    * cross-product; value sets cost one manifest line per file).
+    * Reserved characters per value: tab/pipe/newline AND `:` (the
+    * name/set separator).
+    */
+  def appendWithValueStatsMulti(spark: SparkSession, root: String,
+                                df: DataFrame, catCols: Seq[String],
+                                maxDistinct: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    require(catCols.nonEmpty, "appendWithValueStatsMulti needs >= 1 column")
+    catCols.foreach(c => require(!c.exists(ch =>
+      ch == '\t' || ch == ':' || ch == '|' || ch == '\n'),
+      s"column name '$c' carries a reserved character"))
+    val v = latestVersion(spark, root) + 1
+    val name = s"batch-$v"
+    val f = fs(spark, root)
+    val batch = new Path(root, s"data/$name")
+    if (f.exists(batch)) {
+      require(!dirEverCommitted(spark, root, name),
+        s"refusing to overwrite data/$name at $root: a committed " +
+        "version references it")
+      f.delete(batch, true)
+    }
+    df.write.mode("overwrite").parquet(batch.toString)
+    val aggs = catCols.map(c =>
+      sort_array(collect_set(col(c).cast("string"))).as(s"__vs_$c"))
+    val added = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val sets = catCols.zipWithIndex.map { case (c, i) =>
+          val vs = r.getSeq[String](1 + i)
+          vs.foreach(s0 => require(s0 != null && !s0.exists(ch =>
+            ch == '\t' || ch == '|' || ch == '\n' || ch == ':'),
+            s"appendWithValueStatsMulti($root): $c value '$s0' carries " +
+            "a reserved character (tab/pipe/newline/colon)"))
+          val set = if (vs.size > maxDistinct) "*" else vs.mkString("|")
+          s"#$c:$set"
+        }
+        s"data/$name/$base\t${sets.mkString("\t")}"
+      }.sorted.toSeq
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
+    v
   }
 
   /** Stats-pruned snapshot read: keep only the files whose recorded

@@ -399,6 +399,52 @@ class VersionedSpec extends SparkSpec {
     assert(ex2.getMessage.contains("reserved character"))
   }
 
+  test("multi-column value stats: named per-column sets prune " +
+    "readWhereEq on ANY recorded column, overflow is per-column, " +
+    "reserved colon refused, anonymous single-column form coexists") {
+    val root = freshRoot()
+    // two files: (en, web) and (de, book) + a 40-distinct lang column
+    // in the third file that overflows ONLY on lang
+    Versioned.appendWithValueStatsMulti(spark, root,
+      Seq((1L, "en", "web"), (2L, "en", "web")).toDF("id", "lang", "kind")
+        .repartition(1), Seq("lang", "kind"))
+    Versioned.appendWithValueStatsMulti(spark, root,
+      Seq((3L, "de", "book")).toDF("id", "lang", "kind")
+        .repartition(1), Seq("lang", "kind"))
+    Versioned.appendWithValueStatsMulti(spark, root,
+      (0 until 40).map(i => (100L + i, s"z$i", "web"))
+        .toDF("id", "lang", "kind").repartition(1),
+      Seq("lang", "kind"), maxDistinct = 16)
+    // prune on the FIRST column
+    val (f1, r1, t1) = Versioned.readWhereEq(spark, root, "lang", "de")
+    assert((r1, t1) == (2, 3), s"got $r1/$t1") // de file + lang-overflow file
+    assert(f1.count() == 1L)
+    // prune on the SECOND column — kind never overflowed
+    val (f2, r2, _) = Versioned.readWhereEq(spark, root, "kind", "book")
+    assert(r2 == 1 && f2.count() == 1L)
+    val (f3, r3, _) = Versioned.readWhereEq(spark, root, "kind", "web")
+    assert(r3 == 2 && f3.count() == 42L)
+    // a value in the overflowed column is still found (conservative)
+    val (f4, r4, _) = Versioned.readWhereEq(spark, root, "lang", "z7")
+    assert(r4 == 1 && f4.count() == 1L)
+    // an UNRECORDED column can never prune
+    val (_, r5, t5) = Versioned.readWhereEq(spark, root, "id", "1")
+    assert(r5 == t5)
+    // anonymous single-column commits coexist (caller-vouched)
+    Versioned.appendWithValueStats(spark, root,
+      Seq((500L, "fr", "web")).toDF("id", "lang", "kind")
+        .repartition(1), "lang")
+    val (f6, r6, t6) = Versioned.readWhereEq(spark, root, "lang", "fr")
+    assert(t6 == 4 && r6 == 2 && f6.count() == 1L)
+    // colon is reserved in both forms
+    intercept[IllegalArgumentException](
+      Versioned.appendWithValueStatsMulti(spark, root,
+        Seq((9L, "a:b", "x")).toDF("id", "lang", "kind"), Seq("lang")))
+    intercept[IllegalArgumentException](
+      Versioned.appendWithValueStats(spark, root,
+        Seq((9L, "a:b", "x")).toDF("id", "lang", "kind"), "lang"))
+  }
+
   test("additive schema evolution: a later append adds columns, old " +
     "rows null-fill under the manifest-recorded schema (no footer " +
     "merge), time travel reads each version's own schema, type " +
