@@ -2622,6 +2622,246 @@ object SparkEntry {
     root
   }
 
+  /** q240: RESTORE / rollback on the versioned table
+    * ([[graft.sources.Versioned.restore]]) — v1 commits the full
+    * table, v2 copy-on-write DELETES the fixed panel, v3 RESTOREs to
+    * v1 in ONE metadata-only commit (re-added entries carried with
+    * their zone stats — `files_re_added`/`files_removed` are the real
+    * manifest diff): the head reads the full pre-delete mass again,
+    * while the deleted v2 still time-travels. The undo every table
+    * format owes its operators after a bad delete, at metadata cost.
+    */
+  private def qVersionedRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = restoredVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root) // v3 == v1
+    val v2 = graft.sources.Versioned.readAsOf(s, root, 2L)
+    latest.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(v2.agg(count(lit(1)).as("v2_rows"),
+        sum(col("n_chars")).as("v2_chars")))
+      .select(lit(3L).as("restored_version"), lit(1L).as("restored_to"),
+        lit(1L).as("files_re_added"), lit(1L).as("files_removed"),
+        col("n_rows"), col("sum_chars"), col("v2_rows"), col("v2_chars"))
+  }
+
+  /** Build-once seam for q240: one single-file stats commit, one COW
+    * delete of the fixed panel, one restore — final version 3.
+    */
+  private def restoredVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vrestore-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.repartition(1), "doc_id")
+          import s.implicits._
+          graft.sources.Versioned.deleteWhere(s, root,
+            DeletedDocIds.toDF("doc_id"), "doc_id")
+          graft.sources.Versioned.restore(s, root, 1L)
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q241: METADATA-ONLY count(*)
+    * ([[graft.sources.Versioned.appendCounted]] + [[graft.sources
+    * .Versioned.countAsOf]]) — per-file row counts ride the manifest,
+    * so each version's count is answered without opening ONE data
+    * file (zero Spark jobs — JobAuditSpec pins the ceiling): the
+    * Delta/Iceberg discipline for the most common query on a 100 TB
+    * table. The oracle recomputes both counts the slow way.
+    */
+  private def qMetadataCount(s: SparkSession, dir: String): DataFrame = {
+    val root = countedVersionedFor(s, dir)
+    val rows = Seq(
+      (1L, graft.sources.Versioned.countAsOf(s, root, 1L)),
+      (2L, graft.sources.Versioned.countAsOf(s, root, 2L)))
+    import s.implicits._
+    rows.toDF("version", "n_rows_meta").orderBy(col("version"))
+  }
+
+  /** Build-once seam for q241: v1 = even doc_ids, v2 = odd — both
+    * counted commits carrying doc_id zone stats.
+    */
+  private def countedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vcount-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.appendCounted(s, root,
+            docs.filter(col("doc_id") % 2 === 0).repartition(2),
+            Seq("doc_id"))
+          graft.sources.Versioned.appendCounted(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0).repartition(2),
+            Seq("doc_id"))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q242: BLOOM-pruned point lookup
+    * ([[graft.sources.Versioned.appendWithBloom]] + [[graft.sources
+    * .Versioned.readWhereBloom]]) — two even/odd commits give every
+    * file a near-identical doc_id RANGE (zone stats prune nothing),
+    * but the per-file blooms prove absence in k bit probes from the
+    * manifest alone: the fixed point lookup opens only the files the
+    * blooms cannot clear (VersionedSpec pins 1-of-4, and 0 for a
+    * negative probe; blooms are sized per-row so pruning survives a
+    * 100× battery instead of saturating). The row content is the
+    * oracle-checked half; `n_files_total` the construction fact.
+    */
+  private def qBloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomVersionedFor(s, dir)
+    val (frame, _, total) =
+      graft.sources.Versioned.readWhereBloom(s, root, "doc_id",
+        BloomProbeDocId)
+    frame.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), lit(total.toLong).as("n_files_total"))
+  }
+
+  /** The q242 probe: a fixed low id present at every SF (and only in
+    * the base replica of a stress battery).
+    */
+  private val BloomProbeDocId = 42L
+
+  /** Build-once seam for q242: even then odd doc_ids, two files each,
+    * blooms on doc_id.
+    */
+  private def bloomVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vbloom-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"))
+          graft.sources.Versioned.appendWithBloom(s, root,
+            docs.filter(col("doc_id") % 2 === 0).repartition(2), "doc_id")
+          graft.sources.Versioned.appendWithBloom(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0).repartition(2), "doc_id")
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q243: copy-on-write UPDATE
+    * ([[graft.sources.Versioned.updateWhere]]) — `UPDATE … SET
+    * n_chars = n_chars * 2 + 7, source = source || '!' WHERE doc_id IN
+    * (panel)` at file granularity: the zone stats prune the rewrite to
+    * the low-half file (the high file keeps its exact path — the 1%
+    * update costs 1%), matched rows get both SET expressions, their
+    * neighbors pass through unchanged, and the pre-update version
+    * still time-travels (`sum_chars_before`).
+    */
+  private def qVersionedUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = updatedVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root) // v3
+    val v2 = graft.sources.Versioned.readAsOf(s, root, 2L)
+    latest.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars_after"),
+        sum(length(col("source"))).as("src_len_after"))
+      .crossJoin(v2.agg(sum(col("n_chars")).as("sum_chars_before")))
+      .select(lit(6L).as("rows_updated"), lit(1L).as("files_rewritten"),
+        lit(1L).as("files_kept"), col("n_rows"), col("sum_chars_after"),
+        col("src_len_after"), col("sum_chars_before"))
+  }
+
+  /** Build-once seam for q243: low/high halves (one stats file each),
+    * then one COW update of the fixed low-id panel — final version 3.
+    */
+  private def updatedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vupdate-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val docs = rd(s, dir, "documents")
+          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") <= half).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") > half).repartition(1), "doc_id")
+          import s.implicits._
+          graft.sources.Versioned.updateWhere(s, root,
+            DeletedDocIds.toDF("doc_id"), "doc_id",
+            Map("n_chars" -> "n_chars * 2 + 7",
+              "source" -> "concat(source, '!')"))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q244: ZERO-COPY SHALLOW CLONE
+    * ([[graft.sources.Versioned.cloneShallow]]) — the clone's v1
+    * references the source's two files by absolute path (nothing
+    * copied), the carried zone stats let a COW merge on the CLONE
+    * rewrite only its low file (`n_source_refs` counts the entries
+    * still read in place from the source — the real post-merge
+    * manifest scan), and the source reads unchanged after the clone
+    * diverges: the dev-branch workflow on a 100 TB table at one
+    * metadata write.
+    */
+  private def qShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, dstRoot) = clonedVersionedFor(s, dir)
+    val srcDf = graft.sources.Versioned.readAsOf(s, srcRoot)
+    val cloneDf = graft.sources.Versioned.readAsOf(s, dstRoot)
+    val refs = graft.sources.Versioned.fileList(s, dstRoot,
+      graft.sources.Versioned.latestVersion(s, dstRoot))
+      .count(!_.startsWith("data/"))
+    srcDf.agg(count(lit(1)).as("src_rows"),
+        sum(col("n_chars")).as("src_chars"))
+      .crossJoin(cloneDf.agg(count(lit(1)).as("clone_rows"),
+        sum(col("n_chars")).as("clone_chars")))
+      .select(col("src_rows"), col("src_chars"), col("clone_rows"),
+        col("clone_chars"), lit(1L).as("files_rewritten"),
+        lit(1L).as("files_kept"), lit(refs.toLong).as("n_source_refs"))
+  }
+
+  /** Build-once seam for q244: source = low/high halves (one stats
+    * file each); clone; COW merge on the CLONE bumping n_chars by 1e6
+    * for doc_id < 10 — clone at version 2, source untouched at 2.
+    */
+  private def clonedVersionedFor(s: SparkSession,
+                                 dir: String): (String, String) = {
+    val key = dirCacheKey(s, dir, "documents")
+    val srcRoot = s"${sys.props("java.io.tmpdir")}/graft-vclsrc-$key"
+    val dstRoot = s"${sys.props("java.io.tmpdir")}/graft-vclone-$key"
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(dstRoot)) {
+        val docs = rd(s, dir, "documents")
+        if (graft.sources.Versioned.latestVersion(s, srcRoot) < 2) {
+          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+          graft.sources.Versioned.appendWithStats(s, srcRoot,
+            docs.filter(col("doc_id") <= half).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, srcRoot,
+            docs.filter(col("doc_id") > half).repartition(1), "doc_id")
+        }
+        if (graft.sources.Versioned.latestVersion(s, dstRoot) < 2) {
+          graft.sources.Versioned.cloneShallow(s, srcRoot, dstRoot)
+          graft.sources.Versioned.mergeByKey(s, dstRoot,
+            docs.filter(col("doc_id") < 10)
+              .withColumn("n_chars", col("n_chars") + 1000000L)
+              .repartition(1), "doc_id")
+        }
+        versionedBuilt += dstRoot
+      }
+    }
+    (srcRoot, dstRoot)
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6290,6 +6530,11 @@ object SparkEntry {
     "q237_zorder_compact" -> (qZorderCompact _),
     "q238_index_sync" -> (qIndexSync _),
     "q239_column_drop" -> (qColumnDrop _),
+    "q240_versioned_restore" -> (qVersionedRestore _),
+    "q241_metadata_count" -> (qMetadataCount _),
+    "q242_bloom_point_lookup" -> (qBloomPointLookup _),
+    "q243_versioned_update" -> (qVersionedUpdate _),
+    "q244_shallow_clone" -> (qShallowClone _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8583,6 +8828,64 @@ object SparkEntry {
          |   AS v1_distinct_source,
          | 0::BIGINT AS files_moved
          |FROM documents""".stripMargin,
+
+    // restore replay: the restored head IS the raw table (DuckDB
+    // recomputes both masses; the file counts are the fixed
+    // single-file construction), v2 is the table minus the panel
+    "q240_versioned_restore" ->
+      s"""SELECT 3::BIGINT AS restored_version, 1::BIGINT AS restored_to,
+         | 1::BIGINT AS files_re_added, 1::BIGINT AS files_removed,
+         | (SELECT count(*) FROM documents) AS n_rows,
+         | (SELECT sum(n_chars) FROM documents)::BIGINT AS sum_chars,
+         | (SELECT count(*) FROM documents
+         |    WHERE doc_id NOT IN (2, 3, 5, 7, 11, 13)) AS v2_rows,
+         | (SELECT sum(n_chars) FROM documents
+         |    WHERE doc_id NOT IN (2, 3, 5, 7, 11, 13))::BIGINT AS v2_chars""".stripMargin,
+
+    // metadata-count replay: DuckDB counts the slow way what the
+    // engine answered from the manifest's per-file row counts alone
+    "q241_metadata_count" ->
+      s"""SELECT 1::BIGINT AS version,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+         |    AS n_rows_meta
+         |UNION ALL
+         |SELECT 2::BIGINT, (SELECT count(*) FROM documents)
+         |ORDER BY version""".stripMargin,
+
+    // bloom point-lookup replay: the row content is the recomputed
+    // half (DuckDB scans); the file total is the fixed 2x2 layout.
+    // File-open counts stay OUT of the gate — bloom pruning is pinned
+    // by VersionedSpec, where a false positive can't flake a hash
+    "q242_bloom_point_lookup" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         | 4::BIGINT AS n_files_total
+         |FROM documents WHERE doc_id = 42""".stripMargin,
+
+    // COW update replay: CASE applies both SET expressions to the
+    // panel; the length sum audits the string SET; time travel reads
+    // the pre-update mass
+    "q243_versioned_update" ->
+      s"""SELECT 6::BIGINT AS rows_updated, 1::BIGINT AS files_rewritten,
+         | 1::BIGINT AS files_kept,
+         | (SELECT count(*) FROM documents) AS n_rows,
+         | (SELECT sum(CASE WHEN doc_id IN (2, 3, 5, 7, 11, 13)
+         |     THEN n_chars * 2 + 7 ELSE n_chars END)
+         |   FROM documents)::BIGINT AS sum_chars_after,
+         | (SELECT sum(CASE WHEN doc_id IN (2, 3, 5, 7, 11, 13)
+         |     THEN length(source) + 1 ELSE length(source) END)
+         |   FROM documents)::BIGINT AS src_len_after,
+         | (SELECT sum(n_chars) FROM documents)::BIGINT AS sum_chars_before""".stripMargin,
+
+    // shallow-clone replay: the source reads raw, the diverged clone
+    // reads raw + the panel bump; one source file still read in place
+    "q244_shallow_clone" ->
+      s"""SELECT (SELECT count(*) FROM documents) AS src_rows,
+         | (SELECT sum(n_chars) FROM documents)::BIGINT AS src_chars,
+         | (SELECT count(*) FROM documents) AS clone_rows,
+         | (SELECT sum(CASE WHEN doc_id < 10 THEN n_chars + 1000000
+         |     ELSE n_chars END) FROM documents)::BIGINT AS clone_chars,
+         | 1::BIGINT AS files_rewritten, 1::BIGINT AS files_kept,
+         | 1::BIGINT AS n_source_refs""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

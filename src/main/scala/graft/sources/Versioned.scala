@@ -120,12 +120,24 @@ object Versioned {
 
   /** The relpath of a manifest entry — entries are `relpath` (no
     * stats), `relpath\tmin\tmax` (single numeric zone stats),
-    * `relpath\t#v1|v2` (categorical value set), or
+    * `relpath\t#v1|v2` (categorical value set),
     * `relpath\t@col:min:max\t@col2:min:max…` (NAMED multi-column zone
-    * stats — what [[compact]]'s z-order rewrite records); every path
-    * consumer MUST strip the stats columns.
+    * stats — what [[compact]]'s z-order rewrite records),
+    * `…\t^N` (per-file row count — [[appendCounted]]), or
+    * `…\t&col:m:k:base64` (per-file bloom filter —
+    * [[appendWithBloom]]); every path consumer MUST strip the stats
+    * columns.
     */
   private def pathOf(entry: String): String = entry.split('\t').head
+
+  /** A manifest entry path resolved against the table root. Entries
+    * are normally root-relative (`data/...`); a SHALLOW CLONE's v1
+    * references its SOURCE table's files by absolute path (leading
+    * `/` or a URI scheme — [[cloneShallow]]) and those pass through
+    * untouched.
+    */
+  private def absPath(root: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel else s"$root/$rel"
 
   /** The named per-column [min, max] stats of an entry (empty for the
     * legacy/categorical/stat-less forms).
@@ -159,6 +171,44 @@ object Versioned {
         val s = f.substring(1)
         if (s == "*") None else Some(s.split('|').toSet)
     })
+  }
+
+  /** The per-file ROW COUNT an entry records (`^N` field), when the
+    * committing writer recorded one ([[appendCounted]]).
+    */
+  private def rowCountOf(entry: String): Option[Long] =
+    entry.split('\t').drop(1).collectFirst {
+      case f if f.startsWith("^") => f.drop(1).toLong
+    }
+
+  /** The per-file BLOOM FILTER an entry records for `col`
+    * (`&col:m:k:base64` — [[appendWithBloom]]): m bits, k salted
+    * xxhash64 probes, the bit array base64-encoded. None = no bloom
+    * recorded for this column (conservatively read the file).
+    */
+  private def bloomOf(entry: String,
+                      col: String): Option[(Int, Int, java.util.BitSet)] =
+    entry.split('\t').drop(1).collectFirst {
+      case f if f.startsWith(s"&$col:") =>
+        // limit -1: an all-null column's bloom is the EMPTY base64
+        // string, and the default split would drop the trailing field
+        val parts = f.substring(col.length + 2).split(":", -1)
+        (parts(0).toInt, parts(1).toInt, java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(parts(2))))
+    }
+
+  /** The k bloom bit positions of a long value: salted xxhash64
+    * (seeded 42, salt literal prepended — EXACTLY the
+    * `xxhash64(lit(j), col)` the distributed build computes per row,
+    * evaluated driver-side so a point probe costs zero Spark jobs).
+    */
+  private def bloomPositions(value: Long, m: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until k).map { j =>
+      val h = XxHash64(Seq(Literal(j), Literal(value)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((h % m) + m) % m).toInt
+    }
   }
 
   /** A resolved version: its file entry list, its recorded table
@@ -198,7 +248,7 @@ object Versioned {
     // entries of the snapshot
     var entries: Seq[String] = baseLines.filterNot(l =>
       l.startsWith("schema\t") || l.startsWith("dir\t") ||
-        l.startsWith("dropcol\t"))
+        l.startsWith("dropcol\t") || l.startsWith("undropcol\t"))
     var w = base.getOrElse(0L) + 1
     while (w <= v) {
       val p = deltaPath(root, w)
@@ -208,7 +258,8 @@ object Versioned {
       lines.find(_.startsWith("schema\t"))
         .foreach(l => schema = Some(l.substring(7)))
       lines.foreach(l =>
-        if (l.startsWith("dropcol\t")) dropped += l.substring(8))
+        if (l.startsWith("dropcol\t")) dropped += l.substring(8)
+        else if (l.startsWith("undropcol\t")) dropped -= l.substring(10))
       val removed = lines.collect { case l if l.startsWith("-\t") =>
         l.substring(2) }.toSet
       val added = lines.collect { case l if l.startsWith("+\t") =>
@@ -288,10 +339,12 @@ object Versioned {
   private def commitDelta(spark: SparkSession, root: String, v: Long,
                           added: Seq[String], removed: Seq[String],
                           schema: Option[String] = None,
-                          dropCol: Option[String] = None): Unit = {
+                          dropCols: Seq[String] = Nil,
+                          undropCols: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
     val lines = schema.map(s => s"schema\t$s").toSeq ++
-      dropCol.map(c => s"dropcol\t$c").toSeq ++
+      dropCols.map(c => s"dropcol\t$c") ++
+      undropCols.map(c => s"undropcol\t$c") ++
       removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
     require(lines.nonEmpty, s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
@@ -686,8 +739,81 @@ object Versioned {
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name == column))
     commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
-      schema = Some(next.toDDL), dropCol = Some(column))
+      schema = Some(next.toDDL), dropCols = Seq(column))
     prev + 1
+  }
+
+  /** RESTORE the table to `toVersion` — Delta's `RESTORE TABLE … TO
+    * VERSION AS OF` (public semantics): ONE metadata-only commit whose
+    * snapshot equals the target version's. Entries the target still
+    * shares with the head are untouched, entries the head gained since
+    * are removed, entries the target had and the head lost are
+    * RE-ADDED carried VERBATIM (zone stats, value sets, blooms and row
+    * counts included — the restored snapshot prunes exactly like the
+    * original did), so the cost is one delta write no matter how many
+    * terabytes the undone versions rewrote. History is preserved: the
+    * undone versions still time-travel, and nothing is deleted
+    * ([[vacuum]] keeps every committed dir, so the re-referenced files
+    * are guaranteed to still exist). Columns dropped AFTER the target
+    * are un-tombstoned (`undropcol` manifest lines): resurrection of
+    * their physical values is exactly what rolling back a bad
+    * [[dropColumn]] means, and later appends may carry the name again.
+    * Returns (newVersion, filesReAdded, filesRemoved).
+    */
+  def restore(spark: SparkSession, root: String,
+              toVersion: Long): (Long, Int, Int) = {
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root to restore")
+    require(toVersion >= 1 && toVersion < prev,
+      s"restore($root): need 1 <= toVersion < head ($prev), got $toVersion")
+    val cur = resolveState(spark, root, prev)
+    val tgt = resolveState(spark, root, toVersion)
+    val curPaths = cur.entries.map(pathOf).toSet
+    val tgtPaths = tgt.entries.map(pathOf).toSet
+    val added = tgt.entries.filterNot(e => curPaths.contains(pathOf(e)))
+    val removed = cur.entries.map(pathOf).filterNot(tgtPaths.contains)
+    require(added.nonEmpty || removed.nonEmpty || cur.schema != tgt.schema,
+      s"restore($root): the head already equals v$toVersion — refusing " +
+      "a no-op version")
+    commitDelta(spark, root, prev + 1, added, removed,
+      schema = tgt.schema,
+      undropCols = (cur.dropped -- tgt.dropped).toSeq.sorted)
+    (prev + 1, added.size, removed.size)
+  }
+
+  /** ZERO-COPY SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE`
+    * (public semantics): the clone's v1 manifest references the source
+    * snapshot's data files by ABSOLUTE path, entries carried verbatim
+    * (zone stats, value sets, blooms, row counts — the clone prunes,
+    * COW-merges and metadata-counts exactly like the source), so
+    * cloning a 100 TB table costs ONE metadata write. The source's
+    * schema and drop tombstones are inherited. Mutations on the clone
+    * write into its OWN `data/` and never touch the source; a
+    * [[compact]] on the clone makes it self-contained. Safe against
+    * source [[vacuum]]: vacuum only ever deletes never-committed
+    * orphans, and the clone references only committed files. The
+    * SOURCE TABLE ITSELF must not be deleted while shallow clones
+    * read it — that contract is the caller's, exactly as in Delta.
+    * Returns the clone's committed version (always 1).
+    */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   version: Long = -1L): Long = {
+    require(new Path(srcRoot).isAbsolute,
+      s"cloneShallow: source root must be absolute, got $srcRoot")
+    val sv = if (version < 0) latestVersion(spark, srcRoot) else version
+    require(sv > 0, s"no committed versions at $srcRoot to clone")
+    require(latestVersion(spark, dstRoot) == 0,
+      s"cloneShallow: target $dstRoot already has commits")
+    val st = resolveState(spark, srcRoot, sv)
+    val entries = st.entries.map { e =>
+      val parts = e.split('\t')
+      (absPath(srcRoot, parts.head) +: parts.tail.toSeq).mkString("\t")
+    }
+    require(entries.nonEmpty,
+      s"cloneShallow: v$sv at $srcRoot references no files")
+    commitDelta(spark, dstRoot, 1L, entries, Seq.empty,
+      schema = st.schema, dropCols = st.dropped.toSeq.sorted)
+    1L
   }
 
   /** The schema line the next commit records: additive evolution over
@@ -726,7 +852,7 @@ object Versioned {
     require(v > 0, s"no committed versions at $root")
     val st0 = resolveState(spark, root, v)
     val (entries, sch) = (st0.entries, st0.schema)
-    val files = entries.map(e => s"$root/${pathOf(e)}")
+    val files = entries.map(e => absPath(root, pathOf(e)))
     require(files.nonEmpty,
       s"version $v at $root is removal-only down to zero files — " +
       "an empty frame has no schema; read an earlier version")
@@ -755,6 +881,184 @@ object Versioned {
     commitDelta(spark, root, v, added, Seq.empty,
       schema = nextSchema(spark, root, v, df))
     v
+  }
+
+  /** [[append]] that ALSO records each file's ROW COUNT in the
+    * manifest (`^N` entry field), plus NAMED zone stats for
+    * `statCols` when given — what lets [[countAsOf]] answer
+    * `count(*)` from metadata alone (the Delta/Iceberg trick: file
+    * row counts live in the transaction log, so the most common
+    * query on a 100 TB table never opens a data file). One pass over
+    * the just-written batch computes count and ranges together.
+    */
+  def appendCounted(spark: SparkSession, root: String, df: DataFrame,
+                    statCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    statCols.foreach(c => require(!c.exists(ch => ch == '\t' || ch == ':'),
+      s"stat column name '$c' carries a reserved character"))
+    val v = latestVersion(spark, root) + 1
+    val name = s"batch-$v"
+    val f = fs(spark, root)
+    val batch = new Path(root, s"data/$name")
+    if (f.exists(batch)) {
+      require(!dirEverCommitted(spark, root, name),
+        s"refusing to overwrite data/$name at $root: a committed " +
+        "version references it")
+      f.delete(batch, true)
+    }
+    df.write.mode("overwrite").parquet(batch.toString)
+    val aggs = count(lit(1)).as("__n") +: statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val added = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val stats = statCols.zipWithIndex.map { case (c, i) =>
+          s"@$c:${r.getLong(2 + 2 * i)}:${r.getLong(3 + 2 * i)}"
+        }
+        (Seq(s"data/$name/$base") ++ stats ++ Seq(s"^${r.getLong(1)}"))
+          .mkString("\t")
+      }.sorted.toSeq
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
+    v
+  }
+
+  /** METADATA-ONLY `count(*)`: the snapshot's row count summed from
+    * the manifest's per-file `^N` fields — zero data files opened,
+    * zero Spark jobs, the answer a table format owes its most common
+    * query at any scale. Fails loudly if ANY entry lacks a recorded
+    * count (a rewrite by a non-counting writer — merge, compact —
+    * breaks the proof; re-commit with [[appendCounted]] discipline or
+    * count the slow way), rather than silently mixing metadata and
+    * guesswork.
+    */
+  def countAsOf(spark: SparkSession, root: String,
+                version: Long = -1L): Long = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    require(v > 0, s"no committed versions at $root")
+    resolveEntries(spark, root, v).map { e =>
+      rowCountOf(e).getOrElse(throw new IllegalArgumentException(
+        s"countAsOf($root): file ${pathOf(e)} carries no row count — " +
+        "the table has commits from a non-counting writer; a " +
+        "metadata-only count would be a guess"))
+    }.sum
+  }
+
+  /** [[append]] recording a per-file BLOOM FILTER over a
+    * HIGH-CARDINALITY integer column (`&col:m:k:base64` manifest
+    * field) — Delta's bloom filter index (public knowledge), the
+    * point-lookup complement of zone stats: interleaved id ranges make
+    * min/max prune nothing and a value set overflows, but a bloom
+    * answers "id definitely not in this file" in k bit probes from
+    * metadata alone. Sizing is per-batch: `bitsPerRow` (default 16)
+    * bits per actual row, floored at 8192 bits — at k=6 that holds the
+    * per-file false-positive rate near 1e-3 REGARDLESS of batch size,
+    * so pruning survives a 100× replica battery instead of saturating.
+    * The build is DISTRIBUTED and one-pass: per file only the DISTINCT
+    * bit positions (bounded by m, never the values) reach the driver.
+    * NULL values set no bits (a null probe is not supported —
+    * [[readWhereBloom]] takes a concrete id).
+    */
+  def appendWithBloom(spark: SparkSession, root: String, df: DataFrame,
+                      bloomCol: String, bitsPerRow: Int = 16,
+                      hashes: Int = 6): Long = {
+    import org.apache.spark.sql.functions._
+    require(!df.isEmpty, s"refusing to commit an empty version to $root")
+    require(!bloomCol.exists(ch => ch == '\t' || ch == ':'),
+      s"bloom column name '$bloomCol' carries a reserved character")
+    require(bitsPerRow >= 1 && hashes >= 1, "need bitsPerRow, hashes >= 1")
+    val v = latestVersion(spark, root) + 1
+    val name = s"batch-$v"
+    val f = fs(spark, root)
+    val batch = new Path(root, s"data/$name")
+    if (f.exists(batch)) {
+      require(!dirEverCommitted(spark, root, name),
+        s"refusing to overwrite data/$name at $root: a committed " +
+        "version references it")
+      f.delete(batch, true)
+    }
+    df.write.mode("overwrite").parquet(batch.toString)
+    val written = spark.read.parquet(batch.toString)
+    // per-file row counts size each file's bloom (rounded up to a
+    // whole byte); the `^N` row count rides along for free
+    val counts = written.groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    val mOf: Map[String, Int] = counts.map { case (base, n) =>
+      base -> math.max(8192L, ((n * bitsPerRow.toLong + 7) / 8) * 8).toInt
+    }
+    // every (file, bit position) pair, distinct — the shuffle is
+    // bounded by files × m bits, never by rows
+    val mExpr = element_at(
+      map(mOf.toSeq.flatMap { case (b, m) =>
+        Seq(lit(b), lit(m)) }: _*),
+      element_at(split(input_file_name(), "/"), -1))
+    val posCols = (0 until hashes).map(j =>
+      pmod(xxhash64(lit(j), col(bloomCol).cast("long")), mExpr.cast("long"))
+        .cast("int"))
+    val bits = written
+      .where(col(bloomCol).isNotNull)
+      .select(element_at(split(input_file_name(), "/"), -1).as("__f"),
+        explode(array(posCols: _*)).as("__pos"))
+      .distinct()
+      .groupBy(col("__f")).agg(collect_set(col("__pos")).as("__ps"))
+      .collect()
+      .map { r =>
+        val bs = new java.util.BitSet(mOf(r.getString(0)))
+        r.getSeq[Int](1).foreach(bs.set)
+        r.getString(0) -> bs
+      }.toMap
+    val added = counts.toSeq.map { case (base, n) =>
+      val m = mOf(base)
+      val bs = bits.getOrElse(base, new java.util.BitSet(m))
+      val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+      s"data/$name/$base\t&$bloomCol:$m:$hashes:$b64\t^$n"
+    }.sorted
+    commitDelta(spark, root, v, added, Seq.empty,
+      schema = nextSchema(spark, root, v, df))
+    v
+  }
+
+  /** Point lookup pruned by the per-file blooms: a file is opened ONLY
+    * if every one of its bloom's k probe bits is set for `value`
+    * (files without a bloom for the column read conservatively). The
+    * decision is pure manifest metadata — k bit tests per file, zero
+    * jobs — and the surviving files still get the equality pushed into
+    * their parquet row-group stats. Returns (frame, filesRead,
+    * filesTotal); an all-pruned lookup returns an empty frame under
+    * the table schema.
+    */
+  def readWhereBloom(spark: SparkSession, root: String, bloomCol: String,
+                     value: Long,
+                     version: Long = -1L): (DataFrame, Int, Int) = {
+    // resolve the version BEFORE importing functions._ — the import
+    // would shadow the `version` parameter (sql.functions.version())
+    val v = if (version < 0) latestVersion(spark, root) else version
+    require(v > 0, s"no committed versions at $root")
+    import org.apache.spark.sql.functions._
+    val st = resolveState(spark, root, v)
+    val keep = st.entries.filter { e =>
+      bloomOf(e, bloomCol) match {
+        case None => true // no bloom — cannot prove absent
+        case Some((m, k, bs)) => bloomPositions(value, m, k).forall(bs.get)
+      }
+    }
+    val all = st.entries.map(e => absPath(root, pathOf(e)))
+    val schemaOf = readSchema(spark, st.schema)
+    def read(files: Seq[String]) = schemaOf match {
+      case Some(s0) => spark.read.schema(s0).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    val frame =
+      if (keep.isEmpty) read(all).limit(0) // schema-stable empty
+      else read(keep.map(e => absPath(root, pathOf(e))))
+    (frame.filter(col(bloomCol).cast("long") === value),
+      keep.size, st.entries.size)
   }
 
   /** [[append]] that records each file's DISTINCT VALUE SET of a
@@ -827,7 +1131,7 @@ object Versioned {
     require(keep.nonEmpty || rawEntries.isEmpty,
       s"readWhereEq($root): every file skipped — empty frame has no " +
       s"schema; no file contains $catCol = '$value'")
-    val files = keep.map(e => s"$root/${pathOf(e)}")
+    val files = keep.map(e => absPath(root, pathOf(e)))
     val base = readSchema(spark, sch) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
@@ -914,7 +1218,7 @@ object Versioned {
     require(keep.nonEmpty || entries.isEmpty,
       s"readWhere($root): every file skipped — empty frame has no " +
       "schema; read a wider range or readAsOf + filter")
-    val files = keep.map(e => s"$root/${e._1}")
+    val files = keep.map(e => absPath(root, e._1))
     val base = readSchema(spark, sch) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
@@ -958,7 +1262,7 @@ object Versioned {
     require(keep.nonEmpty || rawEntries.isEmpty,
       s"readWhereBox($root): every file skipped — empty frame has no " +
       "schema; widen the box or readAsOf + filter")
-    val files = keep.map(e => s"$root/${pathOf(e)}")
+    val files = keep.map(e => absPath(root, pathOf(e)))
     val base = readSchema(spark, sch) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
@@ -1090,7 +1394,7 @@ object Versioned {
     val survivors =
       if (affected.isEmpty) updates
       else {
-        val files = affected.map(e => s"$root/${e._1}")
+        val files = affected.map(e => absPath(root, e._1))
         // survivors read under the table schema so a schema-evolved
         // table's older files null-fill before the strict union
         val scan = sch match {
@@ -1131,7 +1435,7 @@ object Versioned {
     require(affected.nonEmpty,
       s"deleteWhere($root): no file's key range overlaps the batch — " +
       "nothing to delete")
-    val files = affected.map(e => s"$root/${e._1}")
+    val files = affected.map(e => absPath(root, e._1))
     val scan = readSchema(spark, resolveState(spark, root, prev).schema) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
@@ -1145,6 +1449,62 @@ object Versioned {
     val added =
       if (survivors.isEmpty) Seq.empty[String] // whole files deleted
       else writeBatchDir(spark, root, s"batch-$v", survivors, Some(keyCol))
+    commitDelta(spark, root, v, added, affected.map(_._1))
+    (v, hit, affected.size, kept.size)
+  }
+
+  /** Copy-on-write UPDATE by key — `UPDATE t SET col = expr WHERE key
+    * IN (batch)` at file granularity: the manifest zone stats prune to
+    * the files whose key range overlaps the batch, ONLY those are
+    * rewritten (matched rows get the SET expressions applied, their
+    * null-key and unmatched neighbors pass through unchanged —
+    * three-valued-logic safe via the same coalesce discipline as
+    * [[deleteWhere]]), and every other file keeps its exact path. The
+    * 1%-key update on a 100 TB table costs 1%. `set` maps column name
+    * → SQL expression string evaluated against the matched row (so an
+    * oracle can replay it verbatim); updating the key column itself is
+    * refused — it would invalidate the very zone stats the rewrite's
+    * pruning proof rests on. Returns (newVersion, rowsUpdated,
+    * filesRewritten, filesKept).
+    */
+  def updateWhere(spark: SparkSession, root: String, keyDf: DataFrame,
+                  keyCol: String, set: Map[String, String],
+                  maxKeys: Int = 100000): (Long, Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, s"updateWhere($root): empty SET clause")
+    require(!set.contains(keyCol),
+      s"updateWhere($root): refusing to update the key column $keyCol — " +
+      "rewrite it as delete + append, the zone-stat pruning proof " +
+      "cannot survive a key mutation")
+    require(!keyDf.isEmpty, s"refusing an empty update at $root")
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root to update")
+    val keys = collectKeys(keyDf, keyCol, maxKeys, s"updateWhere($root)")
+    val entries = statEntries(spark, root, prev, keyCol, "updateWhere")
+    val (affected, kept) = entries.partition { case (_, mn, mx) =>
+      anyKeyInRange(keys, mn, mx)
+    }
+    require(affected.nonEmpty,
+      s"updateWhere($root): no file's key range overlaps the batch — " +
+      "nothing to update")
+    val files = affected.map(e => absPath(root, e._1))
+    val scan = readSchema(spark, resolveState(spark, root, prev).schema) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    set.keys.foreach(c => require(scan.columns.contains(c),
+      s"updateWhere($root): no column $c to set"))
+    val hit = scan.filter(keyPred(keyCol, keys)).count()
+    require(hit > 0,
+      s"updateWhere($root): the key batch matches no rows — refusing " +
+      "a no-op version")
+    val matched = coalesce(keyPred(keyCol, keys), lit(false))
+    val rewritten = set.foldLeft(scan) { case (df, (c, e)) =>
+      df.withColumn(c, when(matched, expr(e)).otherwise(col(c)))
+    }
+    val v = prev + 1
+    val added = writeBatchDir(spark, root, s"batch-$v", rewritten,
+      Some(keyCol))
     commitDelta(spark, root, v, added, affected.map(_._1))
     (v, hit, affected.size, kept.size)
   }
@@ -1275,7 +1635,7 @@ object Versioned {
     // EXCEPT ALLs align even across a schema-evolving range
     val st = readSchema(spark, toSchema)
     def frame(files: Seq[String], other: Seq[String]): DataFrame = {
-      val fs0 = (if (files.nonEmpty) files else other).map(p => s"$root/$p")
+      val fs0 = (if (files.nonEmpty) files else other).map(p => absPath(root, p))
       val df = st match {
         case Some(s) => spark.read.schema(s).parquet(fs0: _*)
         case None    => spark.read.parquet(fs0: _*)

@@ -131,6 +131,29 @@ class JobAuditSpec extends SparkSpec {
       "cold path rides q228's table build+merge seam (shared per-dir " +
         "cache); warm runs are the two EXCEPT-ALL sides over the " +
         "diffed files only, one bounded aggregate"),
+    "q240_versioned_restore" -> (20,
+      "cold path builds the restore fixture (one stats append + one " +
+        "COW delete: isEmpty/key-collect/hit-count/survivor write + " +
+        "stats pass — constant-stage; the restore itself is ZERO jobs, " +
+        "pure manifest); warm runs are the two snapshot aggregates"),
+    "q241_metadata_count" -> (14,
+      "cold path builds the two counted commits (isEmpty probe + " +
+        "write + one-pass count/stats aggregate each, constant-stage); " +
+        "the metadata counts themselves are ZERO jobs (VersionedSpec " +
+        "pins that) — warm runs are just the driver-rows collect"),
+    "q242_bloom_point_lookup" -> (16,
+      "cold path builds the two bloom commits (isEmpty probe + write " +
+        "+ per-file count pass + distinct-bit-position pass each, " +
+        "constant-stage); warm runs are one manifest-bloom-pruned " +
+        "lookup collect — the pruning decision is zero jobs"),
+    "q243_versioned_update" -> (22,
+      "cold path builds the two-file stats table and runs the COW " +
+        "update (isEmpty/key-collect/hit-count/rewrite + stats pass — " +
+        "constant-stage); warm runs are the two snapshot aggregates"),
+    "q244_shallow_clone" -> (22,
+      "cold path builds the two-file source and runs the clone-side " +
+        "COW merge (the clone itself is ZERO jobs, pure manifest); " +
+        "warm runs are the two snapshot aggregates"),
     "q237_zorder_compact" -> (32,
       "(24 cold) cold path builds the four-slice stats table (four " +
         "appendWithStats: isEmpty probe + write + per-file stats pass " +

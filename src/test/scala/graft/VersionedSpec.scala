@@ -852,4 +852,193 @@ class VersionedSpec extends SparkSpec {
       version = 5L)
     assert(read1 * 2 <= totalB && f1.count() == 128L)
   }
+
+  test("restore: one metadata-only commit returns the head to the " +
+    "target snapshot; history intact; stats carried verbatim; a bad " +
+    "dropColumn is un-tombstoned") {
+    val root = freshRoot()
+    val rows = (0L until 100L).map(i => (i, i * 10))
+    Versioned.appendWithStats(spark, root,
+      rows.filter(_._1 < 50).toDF("id", "x").repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      rows.filter(_._1 >= 50).toDF("id", "x").repartition(1), "id")
+    Versioned.mergeByKey(spark, root,
+      Seq((7L, 999L)).toDF("id", "x").repartition(1), "id") // v3
+    Versioned.deleteWhere(spark, root, Seq(60L).toDF("id"), "id") // v4
+    val f = new java.io.File(root, "data")
+    val dirsBefore = f.list().length
+    val (v, reAdded, removed) = Versioned.restore(spark, root, 2L)
+    assert(v == 5L && reAdded == 2 && removed >= 2,
+      s"got ($v, $reAdded, $removed)")
+    // metadata-only: not one new data directory
+    assert(f.list().length == dirsBefore)
+    // head == v2 content exactly
+    assert(Versioned.readAsOf(spark, root).as[(Long, Long)]
+      .collect().toSet == rows.toSet)
+    // the undone versions still time-travel
+    assert(Versioned.readAsOf(spark, root, 3L)
+      .filter($"id" === 7L).head().getLong(1) == 999L)
+    assert(Versioned.readAsOf(spark, root, 4L)
+      .filter($"id" === 60L).count() == 0L)
+    // re-added entries carried their zone stats: a point read prunes
+    val (_, nRead, nTotal) = Versioned.readWhere(spark, root, "id", 3L, 3L)
+    assert(nTotal == 2 && nRead == 1)
+    // restoring to before a dropColumn resurrects the column AND its
+    // tombstone, so the name appends again
+    Versioned.dropColumn(spark, root, "x") // v6
+    intercept[IllegalArgumentException] {
+      Versioned.append(spark, root, Seq((200L, 1L)).toDF("id", "x"))
+    }
+    Versioned.restore(spark, root, 5L) // v7: x is back
+    assert(Versioned.readAsOf(spark, root).columns.toSeq ==
+      Seq("id", "x"))
+    // the head now EQUALS v5 — restoring to it again is a no-op,
+    // refused
+    intercept[IllegalArgumentException] {
+      Versioned.restore(spark, root, 5L)
+    }
+    Versioned.append(spark, root, Seq((200L, 1L)).toDF("id", "x")) // fine
+    assert(Versioned.readAsOf(spark, root).count() == 101L)
+  }
+
+  test("appendCounted + countAsOf: count(*) answered from the manifest " +
+    "alone — zero Spark jobs — and a non-counting rewrite breaks the " +
+    "proof loudly") {
+    val root = freshRoot()
+    Versioned.appendCounted(spark, root,
+      (0L until 37L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(3), Seq("id"))
+    Versioned.appendCounted(spark, root,
+      (37L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(1), Seq("id"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(Versioned.countAsOf(spark, root, 1L) == 37L)
+    assert(Versioned.countAsOf(spark, root) == 50L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"metadata count ran ${after - before} jobs")
+    // the counted entries still carry named zone stats: COW works
+    val (_, _, rw, kp) = Versioned.updateWhere(spark, root,
+      Seq(40L).toDF("id"), "id", Map("s" -> "'upd'"))
+    assert(rw == 1)
+    // ... but the rewritten file has no count, so the metadata count
+    // now refuses rather than guessing
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.countAsOf(spark, root)
+    }
+    assert(ex.getMessage.contains("no row count"))
+    // older versions still metadata-count
+    assert(Versioned.countAsOf(spark, root, 2L) == 50L)
+  }
+
+  test("appendWithBloom + readWhereBloom: point lookups prune on the " +
+    "per-file blooms where zone stats cannot (interleaved id ranges); " +
+    "negative probes open zero files; nulls set no bits and survive") {
+    val root = freshRoot()
+    // two files with fully interleaved ids: min/max ranges are
+    // near-identical, so range stats would prune NOTHING
+    val even = (0L until 1000L).filter(_ % 2 == 0).map(i => (i, s"e$i"))
+    val odd = (0L until 1000L).filter(_ % 2 == 1).map(i => (i, s"o$i"))
+    Versioned.appendWithBloom(spark, root,
+      even.toDF("id", "s").repartition(1), "id")
+    Versioned.appendWithBloom(spark, root,
+      (odd :+ ((-1L, null: String)))
+        .toDF("id", "s").withColumn("id",
+          when($"s".isNull, lit(null: java.lang.Long)).otherwise($"id"))
+        .repartition(1), "id")
+    // positive probe: exactly the even file
+    val (hit, read, total) = Versioned.readWhereBloom(spark, root, "id", 42L)
+    assert(total == 2 && read == 1, s"read $read/$total")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((42L, "e42")))
+    val (hitO, readO, _) = Versioned.readWhereBloom(spark, root, "id", 43L)
+    assert(readO == 1 && hitO.head().getString(1) == "o43")
+    // negative probe: both blooms prove absence — zero files opened,
+    // schema-stable empty frame
+    val (miss, readM, _) = Versioned.readWhereBloom(spark, root, "id", 5000L)
+    assert(readM == 0 && miss.count() == 0L)
+    assert(miss.columns.toSeq == Seq("id", "s"))
+    // the row counts ride along: metadata count works (null id row too)
+    assert(Versioned.countAsOf(spark, root) == 1001L)
+  }
+
+  test("updateWhere: stats-pruned COW update — SET expressions hit " +
+    "only matched rows, untouched files keep their paths, null-key " +
+    "neighbors survive, key-column updates are refused") {
+    val root = freshRoot()
+    val low = (0L until 50L).map(i => (java.lang.Long.valueOf(i), i)) :+
+      ((null: java.lang.Long, 777L))
+    Versioned.appendWithStats(spark, root,
+      low.toDF("id", "x").repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 150L).map(i => (i, i)).toDF("id", "x")
+        .repartition(1), "id")
+    val pre = Versioned.fileList(spark, root, 2L)
+    val (v, nUpd, rw, kp) = Versioned.updateWhere(spark, root,
+      Seq(3L, 7L).toDF("id"), "id", Map("x" -> "x * 100 + 5"))
+    assert(v == 3L && nUpd == 2L && rw == 1 && kp == 1)
+    // the high file kept its exact path
+    val post = Versioned.fileList(spark, root, 3L)
+    assert(pre.toSet.intersect(post.toSet).size == 1)
+    val m = Versioned.readAsOf(spark, root)
+      .filter($"id".isin(3L, 7L)).as[(Long, Long)].collect().toMap
+    assert(m == Map(3L -> 305L, 7L -> 705L))
+    // unmatched + null-key rows of the rewritten file survive unchanged
+    assert(Versioned.readAsOf(spark, root).count() == 101L)
+    assert(Versioned.readAsOf(spark, root)
+      .filter($"id".isNull).head().getLong(1) == 777L)
+    // time travel: pre-update values intact
+    assert(Versioned.readAsOf(spark, root, 2L)
+      .filter($"id" === 3L).head().getLong(1) == 3L)
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, root, Seq(3L).toDF("id"), "id",
+        Map("id" -> "id + 1"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, root, Seq(9999L).toDF("id"), "id",
+        Map("x" -> "0"))
+    }
+  }
+
+  test("cloneShallow: zero-copy clone reads the source's files in " +
+    "place, stats carried (COW merge works on the clone), mutations " +
+    "diverge without touching the source, compact makes it " +
+    "self-contained") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val rows = (0L until 100L).map(i => (i, i * 2))
+    Versioned.appendWithStats(spark, src,
+      rows.filter(_._1 < 50).toDF("id", "x").repartition(1), "id")
+    Versioned.appendWithStats(spark, src,
+      rows.filter(_._1 >= 50).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.cloneShallow(spark, src, dst) == 1L)
+    // zero data copied
+    assert(!new java.io.File(dst, "data").exists() ||
+      new java.io.File(dst, "data").list().isEmpty)
+    assert(Versioned.readAsOf(spark, dst).as[(Long, Long)]
+      .collect().toSet == rows.toSet)
+    // stats carried: pruned read + COW merge work on the clone
+    val (_, nRead, nTotal) = Versioned.readWhere(spark, dst, "id", 3L, 3L)
+    assert(nTotal == 2 && nRead == 1)
+    val (_, rw, kp) = Versioned.mergeByKey(spark, dst,
+      Seq((7L, 424242L)).toDF("id", "x").repartition(1), "id")
+    assert(rw == 1 && kp == 1)
+    // the clone diverged; the source is untouched
+    assert(Versioned.readAsOf(spark, dst)
+      .filter($"id" === 7L).head().getLong(1) == 424242L)
+    assert(Versioned.readAsOf(spark, src)
+      .filter($"id" === 7L).head().getLong(1) == 14L)
+    assert(Versioned.latestVersion(spark, src) == 2L)
+    // source appends after the clone never leak into it
+    Versioned.appendWithStats(spark, src,
+      Seq((500L, 0L)).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.readAsOf(spark, dst).count() == 100L)
+    // compact localizes every file under the clone's own root
+    Versioned.compact(spark, dst, numFiles = 1, statCol = Some("id"))
+    assert(Versioned.fileList(spark, dst,
+      Versioned.latestVersion(spark, dst)).forall(_.startsWith("data/")))
+    assert(Versioned.readAsOf(spark, dst).count() == 100L)
+    // cloning onto a table that has commits is refused
+    intercept[IllegalArgumentException] {
+      Versioned.cloneShallow(spark, src, dst)
+    }
+  }
 }
