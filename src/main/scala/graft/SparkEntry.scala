@@ -2862,6 +2862,98 @@ object SparkEntry {
     (srcRoot, dstRoot)
   }
 
+  /** q245: TIMESTAMP AS OF time travel
+    * ([[graft.sources.Versioned.versionAt]] + [[graft.sources
+    * .Versioned.readAsOfTimestamp]]) — the table's own RECORDED
+    * in-commit timestamps (strictly monotonic by clamping) drive the
+    * probes: one instant just before v2's commit resolves v1, v2's
+    * own instant resolves v2 — a binary search over the manifest,
+    * O(log versions) at any history length. Row masses recomputed by
+    * the oracle.
+    */
+  private def qTimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = tsVersionedFor(s, dir)
+    val ts2 = graft.sources.Versioned.timestampOf(s, root, 2L)
+    def probe(idx: Long, ts: Long) = {
+      val v = graft.sources.Versioned.versionAt(s, root, ts)
+      graft.sources.Versioned.readAsOfTimestamp(s, root, ts)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(idx).as("probe"), lit(v).as("version"), col("n_rows"))
+    }
+    probe(1L, ts2 - 1).unionByName(probe(2L, ts2)).orderBy(col("probe"))
+  }
+
+  /** Build-once seam for q245: v1 = even doc_ids, v2 = odd. */
+  private def tsVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vts-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 2) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 === 0))
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q246: durable-cursor CDC tailing
+    * ([[graft.sources.Versioned.followChanges]]) — a consumer follows
+    * the source table through its life (initial load, then a COW
+    * merge) into a DELIVERY LOG, advancing its cursor only after each
+    * delivery lands: the log holds the full insert stream plus the
+    * merge's delete(pre-image)/insert(post-image) pair per updated
+    * key, every mass recomputed by the oracle from the raw table. The
+    * catch-up cost of each sync is the manifest diff — O(changed
+    * files), never a source scan.
+    */
+  private def qCdcFollow(s: SparkSession, dir: String): DataFrame = {
+    val logRoot = followedVersionedFor(s, dir)
+    graft.sources.Versioned.readAsOf(s, logRoot)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("change_type"), col("n_rows"), col("sum_chars"),
+        lit(2L).as("log_versions"))
+      .orderBy(col("change_type"))
+  }
+
+  /** Build-once seam for q246: source v1 = full table (stats), sync;
+    * source v2 = COW merge bumping doc_id < 10 by 1e6 chars, sync —
+    * the delivery log lands as two versioned commits.
+    */
+  private def followedVersionedFor(s: SparkSession, dir: String): String = {
+    val key = dirCacheKey(s, dir, "documents")
+    val srcRoot = s"${sys.props("java.io.tmpdir")}/graft-vfsrc-$key"
+    val logRoot = s"${sys.props("java.io.tmpdir")}/graft-vflog-$key"
+    val cursor = s"${sys.props("java.io.tmpdir")}/graft-vfcur-$key"
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(logRoot)) {
+        if (graft.sources.Versioned.latestVersion(s, logRoot) < 2) {
+          val docs = rd(s, dir, "documents")
+          def deliver(df: DataFrame, a: Long, b: Long): Unit =
+            graft.sources.Versioned.append(s, logRoot,
+              df.select(col("doc_id"), col("n_chars"),
+                col("_change_type").as("change_type")))
+          graft.sources.Versioned.appendWithStats(s, srcRoot,
+            docs.repartition(1), "doc_id")
+          graft.sources.Versioned.followChanges(s, srcRoot, cursor)(deliver _)
+          graft.sources.Versioned.mergeByKey(s, srcRoot,
+            docs.filter(col("doc_id") < 10)
+              .withColumn("n_chars", col("n_chars") + 1000000L)
+              .repartition(1), "doc_id")
+          graft.sources.Versioned.followChanges(s, srcRoot, cursor)(deliver _)
+        }
+        versionedBuilt += logRoot
+      }
+    }
+    logRoot
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6535,6 +6627,8 @@ object SparkEntry {
     "q242_bloom_point_lookup" -> (qBloomPointLookup _),
     "q243_versioned_update" -> (qVersionedUpdate _),
     "q244_shallow_clone" -> (qShallowClone _),
+    "q245_timestamp_travel" -> (qTimestampTravel _),
+    "q246_cdc_follow" -> (qCdcFollow _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -8886,6 +8980,36 @@ object SparkEntry {
          |     ELSE n_chars END) FROM documents)::BIGINT AS clone_chars,
          | 1::BIGINT AS files_rewritten, 1::BIGINT AS files_kept,
          | 1::BIGINT AS n_source_refs""".stripMargin,
+
+    // timestamp-travel replay: the probes are anchored to the table's
+    // OWN recorded commit instants (ts2-1 -> v1, ts2 -> v2), so the
+    // resolved versions and their masses are deterministic
+    "q245_timestamp_travel" ->
+      s"""SELECT 1::BIGINT AS probe, 1::BIGINT AS version,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+         |    AS n_rows
+         |UNION ALL
+         |SELECT 2::BIGINT, 2::BIGINT, (SELECT count(*) FROM documents)
+         |ORDER BY probe""".stripMargin,
+
+    // follower replay: the delivery log is the initial insert stream
+    // plus the merge's delete/insert pair per updated key — every mass
+    // recomputed from the raw table, nothing construction-counted but
+    // the two log commits
+    "q246_cdc_follow" ->
+      s"""WITH p AS (SELECT * FROM documents WHERE doc_id < 10)
+         |SELECT 'delete' AS change_type,
+         |  (SELECT count(*) FROM p) AS n_rows,
+         |  (SELECT sum(n_chars) FROM p)::BIGINT AS sum_chars,
+         |  2::BIGINT AS log_versions
+         |UNION ALL
+         |SELECT 'insert',
+         |  (SELECT count(*) FROM documents) + (SELECT count(*) FROM p),
+         |  ((SELECT sum(n_chars) FROM documents) +
+         |   (SELECT sum(n_chars) FROM p) +
+         |   1000000 * (SELECT count(*) FROM p))::BIGINT,
+         |  2::BIGINT
+         |ORDER BY change_type""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

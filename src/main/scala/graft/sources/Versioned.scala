@@ -182,20 +182,47 @@ object Versioned {
     }
 
   /** The per-file BLOOM FILTER an entry records for `col`
-    * (`&col:m:k:base64` — [[appendWithBloom]]): m bits, k salted
-    * xxhash64 probes, the bit array base64-encoded. None = no bloom
-    * recorded for this column (conservatively read the file).
+    * (`&col:m:k:base64` or `&col:m:k:*` — [[appendWithBloom]]): m
+    * bits, k salted xxhash64 probes; the bit array is base64 INLINE
+    * up to the inline cap, `*` beyond it (bits live in the
+    * `<file>.bloom` SIDECAR next to the data file — a 100 GB file's
+    * bloom must not fatten every manifest replay). The bitset is
+    * `None` for the sidecar form — the caller decides whether to pay
+    * the sidecar read. No `&col` field at all = no bloom recorded
+    * (conservatively read the file).
     */
-  private def bloomOf(entry: String,
-                      col: String): Option[(Int, Int, java.util.BitSet)] =
+  private def bloomOf(entry: String, col: String)
+      : Option[(Int, Int, Option[java.util.BitSet])] =
     entry.split('\t').drop(1).collectFirst {
       case f if f.startsWith(s"&$col:") =>
         // limit -1: an all-null column's bloom is the EMPTY base64
         // string, and the default split would drop the trailing field
         val parts = f.substring(col.length + 2).split(":", -1)
-        (parts(0).toInt, parts(1).toInt, java.util.BitSet.valueOf(
-          java.util.Base64.getDecoder.decode(parts(2))))
+        val bits =
+          if (parts(2) == "*") None
+          else Some(java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(parts(2))))
+        (parts(0).toInt, parts(1).toInt, bits)
     }
+
+  /** Load a sidecar bloom (`<data file>.bloom`). Absent sidecar =
+    * conservatively `None` (the file will simply be read) — a missing
+    * index must never fail a query, only slow it.
+    */
+  private def sidecarBloom(spark: SparkSession, root: String,
+                           entry: String): Option[java.util.BitSet] = {
+    val p = new Path(absPath(root, pathOf(entry)) + ".bloom")
+    val f = fs(spark, root)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(java.util.BitSet.valueOf(out.toByteArray))
+    } finally in.close()
+  }
 
   /** The k bloom bit positions of a long value: salted xxhash64
     * (seeded 42, salt literal prepended — EXACTLY the
@@ -336,17 +363,50 @@ object Versioned {
     * the streaming sink's replay guard O(CheckpointEvery) per epoch
     * instead of O(versions) ([[dirEverCommitted]], VERDICT r18 item 1).
     */
+  /** Wall-clock seam for the in-commit timestamps — settable only by
+    * tests (a timestamp-resolution spec against the real clock would
+    * be flaky by construction).
+    */
+  @volatile private[graft] var clockForTest: Option[() => Long] = None
+
+  private def nowMs(): Long =
+    clockForTest.map(_()).getOrElse(System.currentTimeMillis())
+
+  /** The commit timestamp of version `v`: the delta's in-commit
+    * `ts\t<epochMs>` line when present (written since this feature —
+    * clock-skew-clamped to stay strictly monotonic, the Delta
+    * in-commit-timestamp discipline), else the delta FILE's
+    * modification time (Delta's original `TIMESTAMP AS OF` resolution
+    * — correct for pre-feature tables, fragile only under file
+    * copies, which is exactly why the in-commit line exists).
+    */
+  def timestampOf(spark: SparkSession, root: String, v: Long): Long = {
+    val p = deltaPath(root, v)
+    val f = fs(spark, root)
+    require(f.exists(p), s"no version $v at $root")
+    readLines(spark, root, p).collectFirst {
+      case l if l.startsWith("ts\t") => l.substring(3).toLong
+    }.getOrElse(f.getFileStatus(p).getModificationTime)
+  }
+
   private def commitDelta(spark: SparkSession, root: String, v: Long,
                           added: Seq[String], removed: Seq[String],
                           schema: Option[String] = None,
                           dropCols: Seq[String] = Nil,
                           undropCols: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
-    val lines = schema.map(s => s"schema\t$s").toSeq ++
+    // in-commit timestamp, clamped strictly above the parent's so
+    // TIMESTAMP AS OF resolution can binary-search (clock skew between
+    // writers must not reorder history) — one O(1) parent read
+    val ts =
+      if (v <= 1) nowMs()
+      else math.max(nowMs(), timestampOf(spark, root, v - 1) + 1)
+    val lines = s"ts\t$ts" +: (schema.map(s => s"schema\t$s").toSeq ++
       dropCols.map(c => s"dropcol\t$c") ++
       undropCols.map(c => s"undropcol\t$c") ++
-      removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e")
-    require(lines.nonEmpty, s"refusing an empty commit to $root")
+      removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e"))
+    require(lines.exists(!_.startsWith("ts\t")),
+      s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
     // tmp name carries a writer-unique nonce: two racers sharing one
     // tmp path could interleave create/link and publish EACH OTHER'S
@@ -864,6 +924,88 @@ object Versioned {
     }
   }
 
+  /** Resolve `TIMESTAMP AS OF`: the LATEST version whose commit
+    * timestamp is <= `tsMs` — Delta's public semantics. In-commit
+    * timestamps are strictly monotonic (clamped at commit), so the
+    * resolution is a BINARY SEARCH over version numbers: O(log
+    * versions) small manifest reads, never a linear scan of a
+    * 100k-commit history. Fails loudly for a timestamp before the
+    * first commit.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMs: Long): Long = {
+    val latest = latestVersion(spark, root)
+    require(latest > 0, s"no committed versions at $root")
+    require(timestampOf(spark, root, 1L) <= tsMs,
+      s"versionAt($root): $tsMs is before the first commit " +
+      s"(${timestampOf(spark, root, 1L)})")
+    var lo = 1L
+    var hi = latest
+    while (lo < hi) { // invariant: ts(lo) <= tsMs
+      val mid = (lo + hi + 1) / 2
+      if (timestampOf(spark, root, mid) <= tsMs) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Snapshot read as of a wall-clock instant ([[versionAt]] +
+    * [[readAsOf]]).
+    */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMs: Long): DataFrame =
+    readAsOf(spark, root, versionAt(spark, root, tsMs))
+
+  /** Tail the table's change feed with a DURABLE CURSOR — the
+    * Kafka-consumer shape on a table: the cursor file records the last
+    * version whose changes were handed to the consumer; each call
+    * delivers `readChangesTyped(cursor, latest)` to `handler` and
+    * advances the cursor ATOMICALLY (tmp + rename) only after the
+    * handler returns. A crash mid-handler redelivers the SAME range
+    * next call — at-least-once delivery, upgraded to exactly-once by
+    * an idempotent consumer (e.g. a [[graft.streaming
+    * .StreamingVersionedSink]]-style keyed append), exactly the
+    * contract streaming systems document. Catch-up cost is O(changed
+    * files) regardless of how far behind the cursor is — the manifest
+    * diff, never a table scan. Returns the delivered (fromV, toV), or
+    * None when the cursor is already at the head.
+    */
+  def followChanges(spark: SparkSession, root: String, cursorPath: String)
+                   (handler: (DataFrame, Long, Long) => Unit)
+      : Option[(Long, Long)] = {
+    val f = fs(spark, root)
+    val cp = new Path(cursorPath)
+    val from =
+      if (!f.exists(cp)) 0L
+      else {
+        val in = f.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toLong
+        finally in.close()
+      }
+    val latest = latestVersion(spark, root)
+    require(from <= latest,
+      s"followChanges($root): cursor $from is ahead of the table head " +
+      s"$latest — wrong table or a rolled-back manifest dir")
+    if (from == latest) return None
+    // a metadata-only range (dropColumn, schema-only restore) moves no
+    // rows: advance the cursor without a delivery rather than tripping
+    // the CDC's no-change refusal
+    val fromFiles =
+      if (from == 0) Set.empty[String]
+      else resolveEntries(spark, root, from).map(pathOf).toSet
+    val toFiles = resolveEntries(spark, root, latest).map(pathOf).toSet
+    if (fromFiles != toFiles)
+      handler(readChangesTyped(spark, root, from, latest), from, latest)
+    val tmp = new Path(cp.getParent,
+      s".${cp.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    f.mkdirs(cp.getParent)
+    val out = f.create(tmp, true)
+    try out.write(s"$latest\n".getBytes("UTF-8")) finally out.close()
+    if (f.exists(cp)) f.delete(cp, false)
+    require(f.rename(tmp, cp),
+      s"followChanges($root): cursor advance to $latest failed")
+    Some((from, latest))
+  }
+
   /** [[append]] that ALSO records per-file min/max zone stats of
     * `statCol` (an integer column) in the manifest — Iceberg-style
     * file-level stats (public knowledge). Stats ride the manifest as
@@ -963,10 +1105,20 @@ object Versioned {
     * bit positions (bounded by m, never the values) reach the driver.
     * NULL values set no bits (a null probe is not supported —
     * [[readWhereBloom]] takes a concrete id).
+    *
+    * Blooms up to `maxInlineBits` ride the manifest entry inline
+    * (`:base64` — one manifest read serves every lookup); a bigger
+    * file's bloom goes to a `<file>.bloom` SIDECAR next to the data
+    * file and the entry records `:*` — a 100 GB file carries a
+    * ~200 MB bloom, and inlining that would fatten every manifest
+    * replay for every reader forever (Delta keeps bloom indexes in
+    * sidecar files for the same reason). Lookups only pay sidecar
+    * reads for files the OTHER stats could not already prune.
     */
   def appendWithBloom(spark: SparkSession, root: String, df: DataFrame,
                       bloomCol: String, bitsPerRow: Int = 16,
-                      hashes: Int = 6): Long = {
+                      hashes: Int = 6,
+                      maxInlineBits: Int = 1 << 20): Long = {
     import org.apache.spark.sql.functions._
     require(!df.isEmpty, s"refusing to commit an empty version to $root")
     require(!bloomCol.exists(ch => ch == '\t' || ch == ':'),
@@ -1016,8 +1168,16 @@ object Versioned {
     val added = counts.toSeq.map { case (base, n) =>
       val m = mOf(base)
       val bs = bits.getOrElse(base, new java.util.BitSet(m))
-      val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
-      s"data/$name/$base\t&$bloomCol:$m:$hashes:$b64\t^$n"
+      val payload =
+        if (m <= maxInlineBits)
+          java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+        else {
+          val side = new Path(batch, s"$base.bloom")
+          val out = f.create(side, true)
+          try out.write(bs.toByteArray) finally out.close()
+          "*"
+        }
+      s"data/$name/$base\t&$bloomCol:$m:$hashes:$payload\t^$n"
     }.sorted
     commitDelta(spark, root, v, added, Seq.empty,
       schema = nextSchema(spark, root, v, df))
@@ -1045,7 +1205,13 @@ object Versioned {
     val keep = st.entries.filter { e =>
       bloomOf(e, bloomCol) match {
         case None => true // no bloom — cannot prove absent
-        case Some((m, k, bs)) => bloomPositions(value, m, k).forall(bs.get)
+        case Some((m, k, Some(bs))) =>
+          bloomPositions(value, m, k).forall(bs.get)
+        case Some((m, k, None)) => // sidecar form — pay one small read
+          sidecarBloom(spark, root, e) match {
+            case Some(bs) => bloomPositions(value, m, k).forall(bs.get)
+            case None     => true // sidecar lost — read, never fail
+          }
       }
     }
     val all = st.entries.map(e => absPath(root, pathOf(e)))

@@ -154,6 +154,11 @@ class JobAuditSpec extends SparkSpec {
       "cold path builds the two-file source and runs the clone-side " +
         "COW merge (the clone itself is ZERO jobs, pure manifest); " +
         "warm runs are the two snapshot aggregates"),
+    "q246_cdc_follow" -> (26,
+      "cold path builds the source (stats append), runs two follower " +
+        "syncs (each: CDC frames + the log append's isEmpty probe + " +
+        "write) and the COW merge between them — constant-stage; warm " +
+        "runs are one grouped aggregate over the log"),
     "q237_zorder_compact" -> (32,
       "(24 cold) cold path builds the four-slice stats table (four " +
         "appendWithStats: isEmpty probe + write + per-file stats pass " +

@@ -960,6 +960,155 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.countAsOf(spark, root) == 1001L)
   }
 
+  test("bloom sidecars: above maxInlineBits the bits live next to the " +
+    "data file, the manifest entry stays O(1), pruning is identical, " +
+    "and a LOST sidecar degrades to a conservative read — never a " +
+    "failure") {
+    val root = freshRoot()
+    val even = (0L until 400L).filter(_ % 2 == 0).map(i => (i, s"e$i"))
+    val odd = (0L until 400L).filter(_ % 2 == 1).map(i => (i, s"o$i"))
+    // force the sidecar path: every bloom is bigger than 64 bits
+    Versioned.appendWithBloom(spark, root,
+      even.toDF("id", "s").repartition(1), "id", maxInlineBits = 64)
+    Versioned.appendWithBloom(spark, root,
+      odd.toDF("id", "s").repartition(1), "id", maxInlineBits = 64)
+    // the manifest entries carry the `*` marker, not megabytes of bits
+    val entries = Versioned.fileList(spark, root, 2L)
+    assert(entries.size == 2)
+    val deltas = new java.io.File(root, "_manifests").listFiles()
+      .filter(_.getName.endsWith(".delta"))
+    deltas.foreach(d => assert(d.length() < 1024,
+      s"${d.getName} is ${d.length()} bytes — sidecar bloom leaked inline"))
+    val sidecars = new java.io.File(root, "data").listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".bloom"))
+    assert(sidecars.length == 2)
+    // pruning identical to the inline form
+    val (hit, read, total) = Versioned.readWhereBloom(spark, root, "id", 42L)
+    assert(total == 2 && read == 1)
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((42L, "e42")))
+    val (_, readM, _) = Versioned.readWhereBloom(spark, root, "id", 9999L)
+    assert(readM == 0)
+    // losing a sidecar only costs conservatism
+    sidecars.foreach(_.delete())
+    val (hit2, read2, _) = Versioned.readWhereBloom(spark, root, "id", 42L)
+    assert(read2 == 2 && hit2.count() == 1L)
+  }
+
+  test("vacuum x compact interplay (VERDICT r18 polish 8a): compacted-" +
+    "away batch dirs WERE committed, so vacuum at zero retention keeps " +
+    "them readable for time travel; only the never-committed orphan " +
+    "goes") {
+    val root = freshRoot()
+    (0 until 3).foreach { i =>
+      Versioned.appendWithStats(spark, root,
+        (i * 10 until (i + 1) * 10).map(j => (j.toLong, j.toLong))
+          .toDF("id", "x").repartition(1), "id")
+    }
+    Versioned.compact(spark, root, numFiles = 1, statCol = Some("id"))
+    // plant a crashed-writer orphan AFTER the compact
+    val orphan = new java.io.File(root, "data/orphan-1")
+    orphan.mkdirs()
+    Seq((99L, 99L)).toDF("id", "x").write.mode("overwrite")
+      .parquet(orphan.getPath)
+    // backdate so retention can't protect it
+    orphan.listFiles().foreach(_.setLastModified(1000L))
+    orphan.setLastModified(1000L)
+    val gone = Versioned.vacuum(spark, root, retentionMs = 0L)
+    assert(gone == Seq("orphan-1"), s"vacuum deleted $gone")
+    // every pre-compaction version still reads its own files
+    (1 to 3).foreach { v =>
+      assert(Versioned.readAsOf(spark, root, v.toLong).count() == v * 10L)
+    }
+    assert(Versioned.readAsOf(spark, root).count() == 30L)
+  }
+
+  test("TIMESTAMP AS OF: in-commit timestamps are clock-skew-clamped " +
+    "strictly monotonic; resolution is a binary search (O(log V) " +
+    "manifest reads); boundaries land on the latest commit at-or-" +
+    "before the instant") {
+    val root = freshRoot()
+    val fakeNow = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    Versioned.clockForTest = Some(() => fakeNow.get())
+    try {
+      Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      fakeNow.set(2000000L)
+      Versioned.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+      // a SKEWED writer whose clock runs behind must not reorder
+      // history: v3's recorded ts clamps to v2's + 1
+      fakeNow.set(1500000L)
+      Versioned.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+      assert(Versioned.timestampOf(spark, root, 1L) == 1000000L)
+      assert(Versioned.timestampOf(spark, root, 2L) == 2000000L)
+      assert(Versioned.timestampOf(spark, root, 3L) == 2000001L)
+      // boundary resolution
+      assert(Versioned.versionAt(spark, root, 1000000L) == 1L)
+      assert(Versioned.versionAt(spark, root, 1999999L) == 1L)
+      assert(Versioned.versionAt(spark, root, 2000000L) == 2L)
+      assert(Versioned.versionAt(spark, root, 3000000L) == 3L)
+      assert(Versioned.readAsOfTimestamp(spark, root, 1999999L)
+        .count() == 1L)
+      assert(Versioned.readAsOfTimestamp(spark, root, 9999999L)
+        .count() == 3L)
+      intercept[IllegalArgumentException] {
+        Versioned.versionAt(spark, root, 999999L) // before first commit
+      }
+      // resolution cost: binary search, not a linear history scan
+      val before = Versioned.manifestReads.get()
+      Versioned.versionAt(spark, root, 2000000L)
+      assert(Versioned.manifestReads.get() - before <= 4,
+        s"versionAt read ${Versioned.manifestReads.get() - before} manifests")
+    } finally Versioned.clockForTest = None
+    // a PRE-FEATURE delta (no ts line) falls back to file mtime —
+    // strip v1's ts line and pin the fallback
+    val d1 = new java.io.File(root, "_manifests/v000001.delta")
+    val stripped = scala.io.Source.fromFile(d1).getLines()
+      .filterNot(_.startsWith("ts\t")).mkString("\n") + "\n"
+    val w = new java.io.FileWriter(d1); w.write(stripped); w.close()
+    d1.setLastModified(500000L)
+    assert(Versioned.timestampOf(spark, root, 1L) == 500000L)
+  }
+
+  test("followChanges: durable-cursor CDC tailing — at-least-once " +
+    "delivery (a crashed handler redelivers the same range), cursor " +
+    "advances only after the handler returns, up-to-date returns " +
+    "None, metadata-only ranges advance without a delivery") {
+    val root = freshRoot()
+    val cursor = freshRoot() + ".cursor"
+    Versioned.appendWithStats(spark, root,
+      (0L until 20L).map(i => (i, i)).toDF("id", "x").repartition(1), "id")
+    val seen = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def record(df: org.apache.spark.sql.DataFrame, a: Long, b: Long): Unit = {
+      val ins = df.filter($"_change_type" === "insert").count()
+      val del = df.filter($"_change_type" === "delete").count()
+      seen += ((a, b, ins, del))
+    }
+    // first sync: everything since version 0
+    assert(Versioned.followChanges(spark, root, cursor)(record _)
+      .contains((0L, 1L)))
+    assert(seen.last == ((0L, 1L, 20L, 0L)))
+    // caught up
+    assert(Versioned.followChanges(spark, root, cursor)(record _).isEmpty)
+    // a COW update: delete pre-image + insert post-image
+    Versioned.updateWhere(spark, root, Seq(3L).toDF("id"), "id",
+      Map("x" -> "x + 100"))
+    // crashed consumer: the cursor must NOT advance
+    intercept[RuntimeException] {
+      Versioned.followChanges(spark, root, cursor) { (_, _, _) =>
+        throw new RuntimeException("consumer died")
+      }
+    }
+    // ... so the SAME range redelivers
+    assert(Versioned.followChanges(spark, root, cursor)(record _)
+      .contains((1L, 2L)))
+    assert(seen.last == ((1L, 2L, 1L, 1L)))
+    // metadata-only commit: cursor advances, no rows delivered
+    Versioned.dropColumn(spark, root, "x")
+    assert(Versioned.followChanges(spark, root, cursor)(record _)
+      .contains((2L, 3L)))
+    assert(seen.size == 2) // handler not called for the drop
+    assert(Versioned.followChanges(spark, root, cursor)(record _).isEmpty)
+  }
+
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
     "only matched rows, untouched files keep their paths, null-key " +
     "neighbors survive, key-column updates are refused") {
