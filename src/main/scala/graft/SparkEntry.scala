@@ -2954,6 +2954,99 @@ object SparkEntry {
     logRoot
   }
 
+  /** q247: VERSION EXPIRY ([[graft.sources.Versioned.expireVersions]])
+    * — Iceberg's `expire_snapshots`: after an OPTIMIZE supersedes the
+    * first two commits, expiring below the compacted head reclaims
+    * both original data files and both old deltas (storage back to
+    * O(live data)), while the head still reads the FULL mass (the
+    * oracle recomputes it) and stays appendable — the retention
+    * operation an append-mostly table needs to not grow without
+    * bound.
+    */
+  private def qVersionExpiry(s: SparkSession, dir: String): DataFrame = {
+    val root = expiredVersionedFor(s, dir)
+    val nLive = graft.sources.Versioned.fileList(s, root,
+      graft.sources.Versioned.latestVersion(s, root)).size
+    graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(2L).as("deltas_expired"), lit(2L).as("files_deleted"),
+        lit(graft.sources.Versioned.earliestVersion(s, root))
+          .as("earliest_version"),
+        lit(nLive.toLong).as("n_live_files"),
+        col("n_rows"), col("sum_chars"))
+  }
+
+  /** Build-once seam for q247: two single-file stats commits, one
+    * compact(1), then expire below the compacted head (keepFrom = 3).
+    */
+  private def expiredVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vexpire-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") < 10).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") >= 10).repartition(1), "doc_id")
+          graft.sources.Versioned.compact(s, root, numFiles = 1,
+            statCol = Some("doc_id"))
+          graft.sources.Versioned.expireVersions(s, root, keepFrom = 3L)
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
+  /** q248: `INSERT OVERWRITE … WHERE` backfill
+    * ([[graft.sources.Versioned.overwriteWhere]]) — the low-id band is
+    * REPLACED by a recomputed batch (n_chars*3+1) in one file-granular
+    * commit: the zone stats prove the high file disjoint (it keeps its
+    * exact path), the straddling file keeps only its out-of-band rows,
+    * and the pre-overwrite version still time-travels. The
+    * daily-partition backfill idiom at 100 TB: one band, one commit.
+    */
+  private def qOverwriteWhere(s: SparkSession, dir: String): DataFrame = {
+    val root = overwrittenVersionedFor(s, dir)
+    val latest = graft.sources.Versioned.readAsOf(s, root) // v3
+    val v2 = graft.sources.Versioned.readAsOf(s, root, 2L)
+    latest.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars_after"))
+      .crossJoin(v2.agg(sum(col("n_chars")).as("sum_chars_before")))
+      .select(lit(10L).as("rows_replaced"), lit(1L).as("files_rewritten"),
+        lit(1L).as("files_kept"), col("n_rows"), col("sum_chars_after"),
+        col("sum_chars_before"))
+  }
+
+  /** Build-once seam for q248: low/high halves (one stats file each),
+    * then one band overwrite of [0, 9] with the recomputed batch.
+    */
+  private def overwrittenVersionedFor(s: SparkSession,
+                                      dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vover-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val docs = rd(s, dir, "documents")
+          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") <= half).repartition(1), "doc_id")
+          graft.sources.Versioned.appendWithStats(s, root,
+            docs.filter(col("doc_id") > half).repartition(1), "doc_id")
+          graft.sources.Versioned.overwriteWhere(s, root,
+            docs.filter(col("doc_id") < 10)
+              .withColumn("n_chars", col("n_chars") * 3 + 1)
+              .repartition(1), "doc_id", 0L, 9L)
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6629,6 +6722,8 @@ object SparkEntry {
     "q244_shallow_clone" -> (qShallowClone _),
     "q245_timestamp_travel" -> (qTimestampTravel _),
     "q246_cdc_follow" -> (qCdcFollow _),
+    "q247_version_expiry" -> (qVersionExpiry _),
+    "q248_overwrite_where" -> (qOverwriteWhere _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -9010,6 +9105,25 @@ object SparkEntry {
          |   1000000 * (SELECT count(*) FROM p))::BIGINT,
          |  2::BIGINT
          |ORDER BY change_type""".stripMargin,
+
+    // expiry replay: the retained head is the FULL table (DuckDB
+    // recomputes the mass); the reclaim counts and horizon are the
+    // fixed 2-commit + compact construction
+    "q247_version_expiry" ->
+      s"""SELECT 2::BIGINT AS deltas_expired, 2::BIGINT AS files_deleted,
+         | 3::BIGINT AS earliest_version, 1::BIGINT AS n_live_files,
+         | (SELECT count(*) FROM documents) AS n_rows,
+         | (SELECT sum(n_chars) FROM documents)::BIGINT AS sum_chars""".stripMargin,
+
+    // band-overwrite replay: the low band reads recomputed (CASE),
+    // everything else raw; the pre-overwrite version reads raw
+    "q248_overwrite_where" ->
+      s"""SELECT 10::BIGINT AS rows_replaced, 1::BIGINT AS files_rewritten,
+         | 1::BIGINT AS files_kept,
+         | (SELECT count(*) FROM documents) AS n_rows,
+         | (SELECT sum(CASE WHEN doc_id < 10 THEN n_chars * 3 + 1
+         |     ELSE n_chars END) FROM documents)::BIGINT AS sum_chars_after,
+         | (SELECT sum(n_chars) FROM documents)::BIGINT AS sum_chars_before""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

@@ -101,6 +101,20 @@ object Versioned {
     names.collect { case V(n) => n.toLong }.foldLeft(0L)(math.max)
   }
 
+  /** Lowest RETAINED version (0 if the table has none): 1 for a
+    * full-history table, higher after [[expireVersions]] reclaimed the
+    * old deltas.
+    */
+  def earliestVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) return 0L
+    val V = """v(\d+)\.delta""".r
+    val vs = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case V(n) => n.toLong }
+    if (vs.isEmpty) 0L else vs.min
+  }
+
   /** Manifest files opened since JVM start — the observability hook
     * the replay-guard cost spec counts (a streaming epoch's metadata
     * cost must stay O(CheckpointEvery), not O(versions)).
@@ -260,7 +274,8 @@ object Versioned {
                            v: Long): State = {
     val f = fs(spark, root)
     require(f.exists(deltaPath(root, v)),
-      s"no version $v at $root (missing ${deltaPath(root, v).getName})")
+      s"no version $v at $root (missing ${deltaPath(root, v).getName} — " +
+      "the version never existed, or expireVersions reclaimed it)")
     val base = (v to 1L by -1L).find(b => f.exists(checkpointPath(root, b)))
     val baseLines =
       base.map(b => readLines(spark, root, checkpointPath(root, b)))
@@ -417,23 +432,30 @@ object Versioned {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     publish(f, tmp, deltaPath(root, v), lines)
-    if (v % CheckpointEvery == 0L) {
-      val st = resolveState(spark, root, v)
-      val dirs = resolveDirSet(spark, root, v)
-      val ctmp = new Path(manifestDir(root), f".v$v%06d.checkpoint.tmp")
-      if (f.exists(ctmp)) f.delete(ctmp, false)
-      val cout = f.create(ctmp, true)
-      val cLines = st.schema.map(s => s"schema\t$s").toSeq ++
-        st.dropped.toSeq.sorted.map(c => s"dropcol\t$c") ++
-        dirs.toSeq.sorted.map(d => s"dir\t$d") ++ st.entries
-      try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally cout.close()
-      // the checkpoint is a cache: on a race, last-writer-wins is fine
-      // (both writers compute it from the same committed deltas)
-      if (f.exists(checkpointPath(root, v))) f.delete(checkpointPath(root, v), false)
-      require(f.rename(ctmp, checkpointPath(root, v)),
-        s"checkpoint of v$v at $root failed")
-    }
+    if (v % CheckpointEvery == 0L) writeCheckpoint(spark, root, v)
+  }
+
+  /** Write (or rewrite) the full-state checkpoint of version `v`. The
+    * checkpoint is a read CACHE, never the commit point: on a race,
+    * last-writer-wins is fine (both writers compute it from the same
+    * committed deltas).
+    */
+  private def writeCheckpoint(spark: SparkSession, root: String,
+                              v: Long): Unit = {
+    val f = fs(spark, root)
+    val st = resolveState(spark, root, v)
+    val dirs = resolveDirSet(spark, root, v)
+    val ctmp = new Path(manifestDir(root), f".v$v%06d.checkpoint.tmp")
+    if (f.exists(ctmp)) f.delete(ctmp, false)
+    val cout = f.create(ctmp, true)
+    val cLines = st.schema.map(s => s"schema\t$s").toSeq ++
+      st.dropped.toSeq.sorted.map(c => s"dropcol\t$c") ++
+      dirs.toSeq.sorted.map(d => s"dir\t$d") ++ st.entries
+    try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally cout.close()
+    if (f.exists(checkpointPath(root, v))) f.delete(checkpointPath(root, v), false)
+    require(f.rename(ctmp, checkpointPath(root, v)),
+      s"checkpoint of v$v at $root failed")
   }
 
   /** The declared WIDENING lattice (Delta's type widening, public
@@ -935,10 +957,11 @@ object Versioned {
   def versionAt(spark: SparkSession, root: String, tsMs: Long): Long = {
     val latest = latestVersion(spark, root)
     require(latest > 0, s"no committed versions at $root")
-    require(timestampOf(spark, root, 1L) <= tsMs,
-      s"versionAt($root): $tsMs is before the first commit " +
-      s"(${timestampOf(spark, root, 1L)})")
-    var lo = 1L
+    val first = earliestVersion(spark, root)
+    require(timestampOf(spark, root, first) <= tsMs,
+      s"versionAt($root): $tsMs is before the earliest retained " +
+      s"commit v$first (${timestampOf(spark, root, first)})")
+    var lo = first
     var hi = latest
     while (lo < hi) { // invariant: ts(lo) <= tsMs
       val mid = (lo + hi + 1) / 2
@@ -1675,6 +1698,59 @@ object Versioned {
     (v, hit, affected.size, kept.size)
   }
 
+  /** `INSERT OVERWRITE … WHERE` — the partition-overwrite / backfill
+    * idiom (Delta's `replaceWhere`, public semantics) on the stat
+    * range [lo, hi] of `statCol`: every existing row in the band is
+    * replaced by `df`, rows OUTSIDE the band are untouched — files the
+    * zone stats prove disjoint keep their exact paths, straddling
+    * files are rewritten keeping only their out-of-band (and
+    * null-stat) rows. `df` must lie entirely inside the band: a
+    * replacement leaking outside its declared range would silently
+    * overwrite data the caller never named (Delta refuses this too).
+    * The daily-partition backfill on a 100 TB table costs one
+    * partition. Returns (newVersion, rowsReplaced, filesRewritten,
+    * filesKept).
+    */
+  def overwriteWhere(spark: SparkSession, root: String, df: DataFrame,
+                     statCol: String, lo: Long, hi: Long)
+      : (Long, Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(lo <= hi, s"overwriteWhere($root): need lo <= hi, got $lo > $hi")
+    require(!df.isEmpty, s"refusing an empty overwrite at $root " +
+      "(use deleteWhere to empty a band)")
+    val leaked = df.filter(not(coalesce(
+      col(statCol).cast("long").between(lo, hi), lit(false)))).count()
+    require(leaked == 0,
+      s"overwriteWhere($root): $leaked replacement row(s) fall outside " +
+      s"[$lo, $hi] on $statCol (or have a null key) — a replacement " +
+      "must stay inside its declared band")
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root to overwrite")
+    val entries = statEntries(spark, root, prev, statCol, "overwriteWhere")
+    val (affected, kept) = entries.partition { case (_, mn, mx) =>
+      mn <= hi && mx >= lo
+    }
+    val v = prev + 1
+    val inBand = coalesce(
+      col(statCol).cast("long").between(lo, hi), lit(false))
+    val (newData, replaced) =
+      if (affected.isEmpty) (df, 0L)
+      else {
+        val files = affected.map(e => absPath(root, e._1))
+        val scan =
+          readSchema(spark, resolveState(spark, root, prev).schema) match {
+            case Some(st) => spark.read.schema(st).parquet(files: _*)
+            case None     => spark.read.parquet(files: _*)
+          }
+        (scan.filter(not(inBand)).unionByName(df),
+          scan.filter(inBand).count())
+      }
+    val added = writeBatchDir(spark, root, s"batch-$v", newData,
+      Some(statCol))
+    commitDelta(spark, root, v, added, affected.map(_._1))
+    (v, replaced, affected.size, kept.size)
+  }
+
   /** OPTIMIZE — the version-preserving small-file rewrite: read the
     * current snapshot, rewrite it as `numFiles` files in one new
     * batch directory, commit (removed = every prior file, added = the
@@ -1852,5 +1928,77 @@ object Versioned {
       }
     }
     deleted.toSeq
+  }
+
+  /** EXPIRE history below `keepFrom` — Iceberg's `expire_snapshots` /
+    * Delta's log retention (public semantics), the operation [[vacuum]]
+    * deliberately is NOT: an append-mostly table's history grows
+    * without bound, and reclaiming superseded versions is how storage
+    * stays O(live data) instead of O(every byte ever written).
+    * Keeps every version in [keepFrom, head] fully time-travelable;
+    * versions below `keepFrom` stop being readable (their reads fail
+    * loudly) and the data files ONLY they referenced are deleted,
+    * sidecars included. Ordering is crash-safe: a full checkpoint is
+    * (re)written AT `keepFrom` FIRST — it carries the resolved state
+    * plus the cumulative dir ledger, so the replay guard and vacuum
+    * stay correct across the expiry — then old data files go, then the
+    * old deltas/checkpoints; a crash between steps leaves a table
+    * that is merely less expired than asked. Returns (deltasExpired,
+    * dataFilesDeleted).
+    */
+  def expireVersions(spark: SparkSession, root: String,
+                     keepFrom: Long): (Int, Int) = {
+    val f = fs(spark, root)
+    val latest = latestVersion(spark, root)
+    require(latest > 0, s"no committed versions at $root")
+    val first = earliestVersion(spark, root)
+    require(keepFrom > first && keepFrom <= latest,
+      s"expireVersions($root): need earliest ($first) < keepFrom <= " +
+      s"head ($latest), got $keepFrom")
+    // 1. checkpoint at the new horizon (resolution for keepFrom..head
+    // must never need an expired delta)
+    writeCheckpoint(spark, root, keepFrom)
+    // 2. the KEEP set: every file any retained version references —
+    // entries at keepFrom plus every later delta's adds (removals
+    // never shrink the set: the removing version's PARENT still reads
+    // the file)
+    var keep = resolveEntries(spark, root, keepFrom).map(pathOf).toSet
+    var w = keepFrom + 1
+    while (w <= latest) {
+      readLines(spark, root, deltaPath(root, w)).foreach { l =>
+        if (l.startsWith("+\t")) keep += pathOf(l.substring(2))
+      }
+      w += 1
+    }
+    // 3. files only the expired versions referenced: every add below
+    // keepFrom that the keep set does not claim
+    var filesDeleted = 0
+    var v0 = first
+    while (v0 < keepFrom) {
+      readLines(spark, root, deltaPath(root, v0)).foreach { l =>
+        if (l.startsWith("+\t")) {
+          val p = pathOf(l.substring(2))
+          if (!keep.contains(p)) {
+            val dp = new Path(absPath(root, p))
+            if (f.exists(dp)) { f.delete(dp, false); filesDeleted += 1 }
+            val side = new Path(absPath(root, p) + ".bloom")
+            if (f.exists(side)) f.delete(side, false)
+          }
+        }
+      }
+      v0 += 1
+    }
+    // 4. drop the expired deltas and any checkpoint below the horizon
+    var deltasExpired = 0
+    var v1 = first
+    while (v1 < keepFrom) {
+      if (f.exists(deltaPath(root, v1))) {
+        f.delete(deltaPath(root, v1), false); deltasExpired += 1
+      }
+      if (f.exists(checkpointPath(root, v1)))
+        f.delete(checkpointPath(root, v1), false)
+      v1 += 1
+    }
+    (deltasExpired, filesDeleted)
   }
 }

@@ -154,6 +154,16 @@ class JobAuditSpec extends SparkSpec {
       "cold path builds the two-file source and runs the clone-side " +
         "COW merge (the clone itself is ZERO jobs, pure manifest); " +
         "warm runs are the two snapshot aggregates"),
+    "q247_version_expiry" -> (20,
+      "cold path builds the expiry fixture (two stats appends + the " +
+        "compact rewrite — isEmpty probes, writes, per-file stat " +
+        "passes, all constant-stage; the expiry itself is ZERO jobs, " +
+        "pure manifest); warm runs are one snapshot aggregate"),
+    "q248_overwrite_where" -> (22,
+      "cold path builds the two-file stats table and runs the band " +
+        "overwrite (leak-guard count + isEmpty + band count + rewrite " +
+        "+ stats pass — constant-stage); warm runs are the two " +
+        "snapshot aggregates"),
     "q246_cdc_follow" -> (26,
       "cold path builds the source (stats append), runs two follower " +
         "syncs (each: CDC frames + the log append's isEmpty probe + " +

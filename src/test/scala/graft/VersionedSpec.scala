@@ -1109,6 +1109,103 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.followChanges(spark, root, cursor)(record _).isEmpty)
   }
 
+  test("expireVersions: history below the horizon is reclaimed — " +
+    "retained versions still time-travel, expired reads fail loudly, " +
+    "only expired-exclusive files are deleted, and the replay guard / " +
+    "vacuum / timestamp resolution survive the expiry") {
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      Versioned.appendWithStats(spark, root,
+        (i * 10 until (i + 1) * 10).map(j => (j.toLong, j.toLong))
+          .toDF("id", "x").repartition(1), "id")
+    }
+    // v5 = compact: v1..v4's files become expired-exclusive BELOW it
+    Versioned.compact(spark, root, numFiles = 1, statCol = Some("id"))
+    // v6 keeps building on the compacted head
+    Versioned.appendWithStats(spark, root,
+      Seq((100L, 100L)).toDF("id", "x").repartition(1), "id")
+    val (deltas, files) = Versioned.expireVersions(spark, root, 5L)
+    assert(deltas == 4 && files == 4, s"got ($deltas, $files)")
+    assert(Versioned.earliestVersion(spark, root) == 5L)
+    // retained versions read; expired ones refuse with the expiry hint
+    assert(Versioned.readAsOf(spark, root, 5L).count() == 40L)
+    assert(Versioned.readAsOf(spark, root, 6L).count() == 41L)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, root, 3L)
+    }
+    assert(ex.getMessage.contains("expireVersions"))
+    // the compacted file (still referenced) survived; the four
+    // original batch files are gone
+    val live = new java.io.File(root, "data").listFiles()
+      .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
+      .count(_.getName.endsWith(".parquet"))
+    assert(live == 2, s"$live data files on disk after expiry")
+    // appends continue (parent-ts read rides the retained head)
+    Versioned.appendWithStats(spark, root,
+      Seq((101L, 101L)).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.readAsOf(spark, root).count() == 42L)
+    // timestamp resolution anchors at the earliest RETAINED commit
+    val t5 = Versioned.timestampOf(spark, root, 5L)
+    assert(Versioned.versionAt(spark, root, t5) == 5L)
+    intercept[IllegalArgumentException] {
+      Versioned.versionAt(spark, root, t5 - 1000000L)
+    }
+    // vacuum after expiry: the dir ledger rode the horizon checkpoint,
+    // so surviving committed dirs are never reclaimed
+    assert(Versioned.vacuum(spark, root, retentionMs = 0L).isEmpty)
+    assert(Versioned.readAsOf(spark, root, 5L).count() == 40L)
+    // bounds: can't expire the head away or expire below the earliest
+    intercept[IllegalArgumentException] {
+      Versioned.expireVersions(spark, root, 8L)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.expireVersions(spark, root, 5L)
+    }
+  }
+
+  test("overwriteWhere: band replacement at file granularity — " +
+    "disjoint files keep their paths, straddling files keep only " +
+    "out-of-band + null-key rows, replacements leaking outside the " +
+    "declared band are refused") {
+    val root = freshRoot()
+    val low = (0L until 50L).map(i => (java.lang.Long.valueOf(i), i)) :+
+      ((null: java.lang.Long, 777L))
+    Versioned.appendWithStats(spark, root,
+      low.toDF("id", "x").repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 150L).map(i => (i, i)).toDF("id", "x")
+        .repartition(1), "id")
+    val pre = Versioned.fileList(spark, root, 2L)
+    // backfill the [10, 19] band with recomputed values (and fewer
+    // rows than it had — an overwrite is not an update)
+    val repl = (10L until 15L).map(i => (i, i * 1000L)).toDF("id", "x")
+    val (v, replaced, rw, kp) =
+      Versioned.overwriteWhere(spark, root, repl, "id", 10L, 19L)
+    assert(v == 3L && replaced == 10L && rw == 1 && kp == 1)
+    val post = Versioned.fileList(spark, root, 3L)
+    assert(pre.toSet.intersect(post.toSet).size == 1) // high file kept
+    val now = Versioned.readAsOf(spark, root)
+    assert(now.count() == (51L - 10L + 5L) + 50L)
+    assert(now.filter($"id" === 12L).head().getLong(1) == 12000L)
+    assert(now.filter($"id" === 17L).count() == 0L) // replaced away
+    assert(now.filter($"id" === 9L).head().getLong(1) == 9L) // out-of-band
+    assert(now.filter($"id".isNull).head().getLong(1) == 777L) // null kept
+    // time travel reads the pre-overwrite band
+    assert(Versioned.readAsOf(spark, root, 2L)
+      .filter($"id" === 17L).count() == 1L)
+    // a replacement row outside the band is refused
+    intercept[IllegalArgumentException] {
+      Versioned.overwriteWhere(spark, root,
+        Seq((25L, 0L)).toDF("id", "x"), "id", 10L, 19L)
+    }
+    // a band nothing overlaps is a pure insert
+    val (_, rep2, rw2, kp2) = Versioned.overwriteWhere(spark, root,
+      Seq((500L, 1L)).toDF("id", "x"), "id", 500L, 509L)
+    assert(rep2 == 0L && rw2 == 0 &&
+      kp2 == Versioned.fileList(spark, root, 3L).size)
+    assert(Versioned.readAsOf(spark, root).count() == 97L)
+  }
+
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
     "only matched rows, untouched files keep their paths, null-key " +
     "neighbors survive, key-column updates are refused") {
