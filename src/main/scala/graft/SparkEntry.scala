@@ -3047,6 +3047,52 @@ object SparkEntry {
     root
   }
 
+  /** q249: CHECK constraints on the versioned table
+    * ([[graft.sources.Versioned.addConstraint]]) — declared between
+    * the two appends, so the second commit was VALIDATED at the choke
+    * point before landing (VersionedSpec pins the refusal paths): the
+    * snapshot's violation count is recomputed by BOTH engines from the
+    * predicate itself, the recorded constraint count from the
+    * manifest.
+    */
+  private def qCheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    val root = constrainedVersionedFor(s, dir)
+    val nCons = graft.sources.Versioned.constraintsOf(s, root).size
+    graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        sum(when(not(coalesce(expr(CheckConstraintPred), lit(false))),
+          lit(1L)).otherwise(lit(0L))).as("n_violations"))
+      .select(lit(nCons.toLong).as("n_constraints"), col("n_rows"),
+        col("sum_chars"), col("n_violations"))
+  }
+
+  /** The q249 constraint — holds for every generated document. */
+  private val CheckConstraintPred =
+    "n_chars >= 0 AND doc_id IS NOT NULL"
+
+  /** Build-once seam for q249: even docs, the constraint, odd docs
+    * (the last append validated under it) — final version 3.
+    */
+  private def constrainedVersionedFor(s: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-vcheck-" +
+      dirCacheKey(s, dir, "documents")
+    versionedBuilt.synchronized {
+      if (!versionedBuilt.contains(root)) {
+        if (graft.sources.Versioned.latestVersion(s, root) < 3) {
+          val docs = rd(s, dir, "documents")
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 === 0))
+          graft.sources.Versioned.addConstraint(s, root, "chars_valid",
+            CheckConstraintPred)
+          graft.sources.Versioned.append(s, root,
+            docs.filter(col("doc_id") % 2 =!= 0))
+        }
+        versionedBuilt += root
+      }
+    }
+    root
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6724,6 +6770,7 @@ object SparkEntry {
     "q246_cdc_follow" -> (qCdcFollow _),
     "q247_version_expiry" -> (qVersionExpiry _),
     "q248_overwrite_where" -> (qOverwriteWhere _),
+    "q249_check_constraints" -> (qCheckConstraints _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -9124,6 +9171,16 @@ object SparkEntry {
          | (SELECT sum(CASE WHEN doc_id < 10 THEN n_chars * 3 + 1
          |     ELSE n_chars END) FROM documents)::BIGINT AS sum_chars_after,
          | (SELECT sum(n_chars) FROM documents)::BIGINT AS sum_chars_before""".stripMargin,
+
+    // constraint replay: the violation count is the SAME predicate
+    // recomputed by DuckDB over the raw table (zero by construction of
+    // the generator — but COUNTED, not asserted)
+    "q249_check_constraints" ->
+      s"""SELECT 1::BIGINT AS n_constraints,
+         | count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_chars,
+         | sum(CASE WHEN NOT coalesce(n_chars >= 0 AND doc_id IS NOT NULL,
+         |   false) THEN 1 ELSE 0 END)::BIGINT AS n_violations
+         |FROM documents""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

@@ -253,13 +253,16 @@ object Versioned {
   }
 
   /** A resolved version: its file entry list, its recorded table
-    * schema (DDL, when the table's commits recorded one), and the set
+    * schema (DDL, when the table's commits recorded one), the set
     * of column names EVER dropped at or below it ([[dropColumn]]'s
-    * resurrection guard — cumulative, like the dir ledger).
+    * resurrection guard — cumulative, like the dir ledger), and the
+    * CHECK constraints in force (name -> SQL predicate,
+    * [[addConstraint]]).
     */
   private final case class State(entries: Seq[String],
                                  schema: Option[String],
-                                 dropped: Set[String])
+                                 dropped: Set[String],
+                                 constraints: Map[String, String])
 
   /** Resolve version `v`'s [[State]]: nearest checkpoint at or below
     * `v`, then the delta replay up to `v`. Entry order is
@@ -285,12 +288,18 @@ object Versioned {
     var dropped: Set[String] = baseLines
       .collect { case l if l.startsWith("dropcol\t") => l.substring(8) }
       .toSet
+    var constraints: Map[String, String] = baseLines
+      .collect { case l if l.startsWith("constraint\t") =>
+        val parts = l.substring(11).split('\t')
+        parts(0) -> parts(1)
+      }.toMap
     // `dir\t` lines are the checkpoint's cumulative batch-dir ledger
     // (the O(1) replay guard's state — [[dirEverCommitted]]), not
     // entries of the snapshot
     var entries: Seq[String] = baseLines.filterNot(l =>
       l.startsWith("schema\t") || l.startsWith("dir\t") ||
-        l.startsWith("dropcol\t") || l.startsWith("undropcol\t"))
+        l.startsWith("dropcol\t") || l.startsWith("undropcol\t") ||
+        l.startsWith("constraint\t"))
     var w = base.getOrElse(0L) + 1
     while (w <= v) {
       val p = deltaPath(root, w)
@@ -301,7 +310,12 @@ object Versioned {
         .foreach(l => schema = Some(l.substring(7)))
       lines.foreach(l =>
         if (l.startsWith("dropcol\t")) dropped += l.substring(8)
-        else if (l.startsWith("undropcol\t")) dropped -= l.substring(10))
+        else if (l.startsWith("undropcol\t")) dropped -= l.substring(10)
+        else if (l.startsWith("constraint\t")) {
+          val parts = l.substring(11).split('\t')
+          constraints += (parts(0) -> parts(1))
+        } else if (l.startsWith("unconstraint\t"))
+          constraints -= l.substring(13))
       val removed = lines.collect { case l if l.startsWith("-\t") =>
         l.substring(2) }.toSet
       val added = lines.collect { case l if l.startsWith("+\t") =>
@@ -309,7 +323,7 @@ object Versioned {
       entries = entries.filterNot(e => removed.contains(pathOf(e))) ++ added
       w += 1
     }
-    State(entries, schema, dropped)
+    State(entries, schema, dropped, constraints)
   }
 
   private def resolveEntries(spark: SparkSession, root: String,
@@ -408,8 +422,42 @@ object Versioned {
                           added: Seq[String], removed: Seq[String],
                           schema: Option[String] = None,
                           dropCols: Seq[String] = Nil,
-                          undropCols: Seq[String] = Nil): Unit = {
+                          undropCols: Seq[String] = Nil,
+                          constraintAdd: Seq[(String, String)] = Nil,
+                          constraintDrop: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
+    // CHECK-constraint enforcement at the single choke point every
+    // writer passes through: the parent's constraints (O(checkpoint +
+    // <=10 deltas) to resolve — the same cost class as the schema
+    // resolution the append already paid) must hold on every file this
+    // commit ADDS, whether it came from an append, a COW rewrite, or a
+    // restore re-adding pre-constraint history. NULL predicate results
+    // count as violations (Delta's semantics: a constraint must
+    // evaluate TRUE). Validation happens BEFORE the delta is staged:
+    // a refused commit leaves only an orphan batch for vacuum. The
+    // `.has_constraints` marker (written by addConstraint, never
+    // removed) keeps constraint-free tables at ZERO extra metadata
+    // reads per commit — only a table that ever declared a constraint
+    // pays the parent resolution here.
+    if (added.nonEmpty && v > 1 &&
+        f.exists(new Path(manifestDir(root), ".has_constraints"))) {
+      val parent = resolveState(spark, root, v - 1)
+      if (parent.constraints.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val files = added.map(e => absPath(root, pathOf(e)))
+        val df = readSchema(spark, schema.orElse(parent.schema)) match {
+          case Some(st) => spark.read.schema(st).parquet(files: _*)
+          case None     => spark.read.parquet(files: _*)
+        }
+        parent.constraints.toSeq.sortBy(_._1).foreach { case (name, pred) =>
+          val bad = df.filter(not(coalesce(expr(pred), lit(false)))).count()
+          if (bad > 0) throw new IllegalArgumentException(
+            s"commit v$v at $root violates CHECK constraint $name " +
+            s"($pred): $bad row(s) fail — the batch is refused (its " +
+            "data directory is an orphan; vacuum reclaims it)")
+        }
+      }
+    }
     // in-commit timestamp, clamped strictly above the parent's so
     // TIMESTAMP AS OF resolution can binary-search (clock skew between
     // writers must not reorder history) — one O(1) parent read
@@ -419,6 +467,8 @@ object Versioned {
     val lines = s"ts\t$ts" +: (schema.map(s => s"schema\t$s").toSeq ++
       dropCols.map(c => s"dropcol\t$c") ++
       undropCols.map(c => s"undropcol\t$c") ++
+      constraintAdd.map { case (n, p) => s"constraint\t$n\t$p" } ++
+      constraintDrop.map(n => s"unconstraint\t$n") ++
       removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e"))
     require(lines.exists(!_.startsWith("ts\t")),
       s"refusing an empty commit to $root")
@@ -450,6 +500,8 @@ object Versioned {
     val cout = f.create(ctmp, true)
     val cLines = st.schema.map(s => s"schema\t$s").toSeq ++
       st.dropped.toSeq.sorted.map(c => s"dropcol\t$c") ++
+      st.constraints.toSeq.sortBy(_._1)
+        .map { case (n, p) => s"constraint\t$n\t$p" } ++
       dirs.toSeq.sorted.map(d => s"dir\t$d") ++ st.entries
     try cout.write((cLines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally cout.close()
@@ -944,6 +996,68 @@ object Versioned {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
     }
+  }
+
+  /** The CHECK constraints in force at `version` (name → SQL
+    * predicate).
+    */
+  def constraintsOf(spark: SparkSession, root: String,
+                    version: Long = -1L): Map[String, String] = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    require(v > 0, s"no committed versions at $root")
+    resolveState(spark, root, v).constraints
+  }
+
+  /** ADD a CHECK constraint — Delta's `ALTER TABLE … ADD CONSTRAINT
+    * CHECK (pred)` (public semantics): the EXISTING snapshot is
+    * validated first (a constraint the table already violates is
+    * refused — otherwise it would be a lie to every later reader),
+    * then the constraint is recorded in ONE metadata commit and every
+    * later commit's ADDED files are validated against it at the
+    * commit choke point — appends, COW rewrites (an UPDATE writing a
+    * violating value is refused), and restores re-adding
+    * pre-constraint history alike. A NULL predicate result is a
+    * violation. Returns the committed version.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    pred: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.exists(ch => ch == '\t' || ch == '\n'),
+      s"bad constraint name: '$name'")
+    require(!pred.exists(ch => ch == '\t' || ch == '\n'),
+      s"constraint predicate must be tab/newline-free: '$pred'")
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root to constrain")
+    val st = resolveState(spark, root, prev)
+    require(!st.constraints.contains(name),
+      s"addConstraint($root): $name already exists " +
+      s"(${st.constraints(name)}); drop it first")
+    val bad = readAsOf(spark, root, prev)
+      .filter(not(coalesce(expr(pred), lit(false)))).count()
+    require(bad == 0,
+      s"addConstraint($root): the current snapshot already violates " +
+      s"$name ($pred) on $bad row(s) — a constraint must hold before " +
+      "it is declared")
+    // marker BEFORE the commit publishes: losing that race costs a
+    // harmless extra resolution, never a missed validation
+    val marker = new Path(manifestDir(root), ".has_constraints")
+    val mf = fs(spark, root)
+    if (!mf.exists(marker)) mf.create(marker, true).close()
+    commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
+      constraintAdd = Seq(name -> pred))
+    prev + 1
+  }
+
+  /** DROP a CHECK constraint (metadata-only). */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Long = {
+    val prev = latestVersion(spark, root)
+    require(prev > 0, s"no committed versions at $root")
+    require(resolveState(spark, root, prev).constraints.contains(name),
+      s"dropConstraint($root): no constraint $name")
+    commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
+      constraintDrop = Seq(name))
+    prev + 1
   }
 
   /** Resolve `TIMESTAMP AS OF`: the LATEST version whose commit

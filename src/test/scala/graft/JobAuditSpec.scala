@@ -164,6 +164,11 @@ class JobAuditSpec extends SparkSpec {
         "overwrite (leak-guard count + isEmpty + band count + rewrite " +
         "+ stats pass — constant-stage); warm runs are the two " +
         "snapshot aggregates"),
+    "q249_check_constraints" -> (16,
+      "cold path builds the constrained table (two appends + the " +
+        "declaration's snapshot validation + the second append's " +
+        "choke-point validation — one bounded count each, " +
+        "constant-stage); warm runs are one snapshot aggregate"),
     "q246_cdc_follow" -> (26,
       "cold path builds the source (stats append), runs two follower " +
         "syncs (each: CDC frames + the log append's isEmpty probe + " +

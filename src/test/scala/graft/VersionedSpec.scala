@@ -1206,6 +1206,70 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, root).count() == 97L)
   }
 
+  test("CHECK constraints: declared after validation, enforced at the " +
+    "commit choke point for appends AND COW rewrites, NULL fails, " +
+    "refused batches are invisible orphans, drop re-opens, and " +
+    "constraint-free tables skip the enforcement entirely") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 20L).map(i => (i, i + 1)).toDF("id", "x")
+        .repartition(1), "id")
+    // declaring a constraint the data already violates is refused
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, root, "x_big", "x > 10")
+    }
+    assert(Versioned.addConstraint(spark, root, "x_pos", "x > 0") == 2L)
+    assert(Versioned.constraintsOf(spark, root) == Map("x_pos" -> "x > 0"))
+    // a violating append is refused; the table is untouched
+    intercept[IllegalArgumentException] {
+      Versioned.appendWithStats(spark, root,
+        Seq((100L, 0L)).toDF("id", "x").repartition(1), "id")
+    }
+    assert(Versioned.latestVersion(spark, root) == 2L)
+    assert(Versioned.readAsOf(spark, root).count() == 20L)
+    // NULL predicate result = violation (Delta semantics)
+    intercept[IllegalArgumentException] {
+      Versioned.appendWithStats(spark, root,
+        Seq((java.lang.Long.valueOf(101L), null: java.lang.Long))
+          .toDF("id", "x").repartition(1), "id")
+    }
+    // a valid append lands
+    Versioned.appendWithStats(spark, root,
+      Seq((102L, 5L)).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.readAsOf(spark, root).count() == 21L)
+    // a COW UPDATE writing a violating value is refused at commit
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, root, Seq(3L).toDF("id"), "id",
+        Map("x" -> "x - 100"))
+    }
+    assert(Versioned.readAsOf(spark, root)
+      .filter($"id" === 3L).head().getLong(1) == 4L)
+    // ... a valid update passes
+    Versioned.updateWhere(spark, root, Seq(3L).toDF("id"), "id",
+      Map("x" -> "x + 100"))
+    // dropping re-opens the door
+    Versioned.dropConstraint(spark, root, "x_pos")
+    Versioned.appendWithStats(spark, root,
+      Seq((103L, 0L)).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.readAsOf(spark, root).count() == 22L)
+    // the constraint survives a checkpoint boundary: rebuild one past
+    // v10 and the re-added constraint still enforces
+    Versioned.addConstraint(spark, root, "x_nonneg", "x >= 0")
+    (0 until 6).foreach { i =>
+      Versioned.appendWithStats(spark, root,
+        Seq((200L + i, 1L)).toDF("id", "x").repartition(1), "id")
+    }
+    assert(Versioned.latestVersion(spark, root) >= Versioned.CheckpointEvery)
+    intercept[IllegalArgumentException] {
+      Versioned.appendWithStats(spark, root,
+        Seq((300L, -1L)).toDF("id", "x").repartition(1), "id")
+    }
+    // a fresh constraint-free table never pays the enforcement scan
+    val root2 = freshRoot()
+    Versioned.append(spark, root2, Seq((1L, 1L)).toDF("id", "x"))
+    assert(!new java.io.File(root2, "_manifests/.has_constraints").exists())
+  }
+
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
     "only matched rows, untouched files keep their paths, null-key " +
     "neighbors survive, key-column updates are refused") {
