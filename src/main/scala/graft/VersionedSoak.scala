@@ -104,10 +104,83 @@ object VersionedSoak {
     val pruneS = (System.nanoTime() - q0) / 1e9
     println(f"| prune1000 | files $pRead/$pTotal | rows $pRows | " +
       f"decide+read $pruneS%.3f s | build $buildS%.1f s |")
+
+    // --- bloom sidecar probe: 2 M rows in 20 files (100 k rows/file →
+    // every bloom beyond maxInlineBits, so the SIDECAR path carries the
+    // index). A positive point lookup opens 1 file, a negative opens 0
+    // — decided by 20 sidecar bit-tests, timed end to end.
+    val bloomRoot = s"$work/bloom1m"
+    val bb0 = System.nanoTime()
+    Versioned.appendWithBloom(spark, bloomRoot,
+      spark.range(2000000L).select(col("id"),
+        (col("id") * 31 % 1000000).as("v")).repartition(20), "id")
+    val bloomBuildS = (System.nanoTime() - bb0) / 1e9
+    val bq0 = System.nanoTime()
+    val (bf, bRead, bTotal) =
+      Versioned.readWhereBloom(spark, bloomRoot, "id", 1234567L)
+    val bRows = bf.count()
+    val bloomPosS = (System.nanoTime() - bq0) / 1e9
+    val bn0 = System.nanoTime()
+    val (_, bReadNeg, _) =
+      Versioned.readWhereBloom(spark, bloomRoot, "id", 99999999L)
+    val bloomNegS = (System.nanoTime() - bn0) / 1e9
+    println(f"| bloom1m | pos $bRead/$bTotal files, $bRows row, " +
+      f"$bloomPosS%.3f s | neg $bReadNeg files, $bloomNegS%.3f s | " +
+      f"build $bloomBuildS%.1f s |")
+
+    // --- expiry probe on the compact lane: inline maintenance left a
+    // long superseded history; expiring below the head reclaims the
+    // per-epoch files in one metadata pass and the head still reads.
+    val cLane = lanes.find(_.name == "compact").get
+    val headV = Versioned.latestVersion(spark, cLane.root)
+    val preRows = Versioned.readAsOf(spark, cLane.root).count()
+    val e0 = System.nanoTime()
+    val (deltasExp, filesExp) =
+      Versioned.expireVersions(spark, cLane.root, headV)
+    val expireS = (System.nanoTime() - e0) / 1e9
+    val postRows = Versioned.readAsOf(spark, cLane.root).count()
+    require(postRows == preRows,
+      s"expiry changed the head: $preRows -> $postRows")
+    println(f"| expire | $deltasExp deltas + $filesExp files reclaimed " +
+      f"in $expireS%.3f s | head rows intact $postRows |")
+
+    // --- follower catch-up probe on the nocompact lane: a cursor 10
+    // epochs behind catches up in O(changed files), not O(table).
+    val nLane = lanes.find(_.name == "nocompact").get
+    val nHead = Versioned.latestVersion(spark, nLane.root)
+    val curDir = s"$work/cursor"
+    val fsP = new org.apache.hadoop.fs.Path(curDir)
+    fs.mkdirs(fsP)
+    val curPath = s"$curDir/lag10"
+    val cw = fs.create(new org.apache.hadoop.fs.Path(curPath), true)
+    cw.write(s"${nHead - 10}\n".getBytes("UTF-8")); cw.close()
+    val f0 = System.nanoTime()
+    var lagRows = 0L
+    Versioned.followChanges(spark, nLane.root, curPath) { (df, _, _) =>
+      lagRows = df.count()
+    }
+    val lagS = (System.nanoTime() - f0) / 1e9
+    val curPathFull = s"$curDir/full"
+    val ff0 = System.nanoTime()
+    var fullRows = 0L
+    Versioned.followChanges(spark, nLane.root, curPathFull) { (df, _, _) =>
+      fullRows = df.count()
+    }
+    val fullS = (System.nanoTime() - ff0) / 1e9
+    println(f"| follow | 10-behind: $lagRows rows $lagS%.3f s | " +
+      f"from-zero: $fullRows rows $fullS%.3f s |")
+
     println(s"""{"metric":"versioned_soak","epochs":$epochs,""" +
       parts.mkString(",") +
       f""","prune1000":{"files_read":$pRead,"files_total":$pTotal,""" +
-      f""""rows":$pRows,"seconds":$pruneS%.3f}}""")
+      f""""rows":$pRows,"seconds":$pruneS%.3f},""" +
+      f""""bloom1m":{"pos_files":$bRead,"total":$bTotal,""" +
+      f""""pos_s":$bloomPosS%.3f,"neg_files":$bReadNeg,""" +
+      f""""neg_s":$bloomNegS%.3f,"build_s":$bloomBuildS%.1f},""" +
+      f""""expire":{"deltas":$deltasExp,"files":$filesExp,""" +
+      f""""seconds":$expireS%.3f},""" +
+      f""""follow":{"lag10_rows":$lagRows,"lag10_s":$lagS%.3f,""" +
+      f""""full_rows":$fullRows,"full_s":$fullS%.3f}}""")
     spark.stop()
   }
 }
