@@ -3093,6 +3093,24 @@ object SparkEntry {
     root
   }
 
+  /** q250: DESCRIBE HISTORY ([[graft.sources.Versioned.history]]) —
+    * q243's table (two appends + one COW update) reads back as its
+    * own operation log, newest first: in-commit `op` lines make the
+    * manifest self-describing, and the file counts per version are
+    * the REAL delta line counts, not bookkeeping. The head mass rides
+    * along recomputed by both engines.
+    */
+  private def qTableHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = updatedVersionedFor(s, dir)
+    val head = graft.sources.Versioned.readAsOf(s, root)
+      .agg(count(lit(1)).as("head_rows"))
+    graft.sources.Versioned.history(s, root)
+      .select(col("version"), col("operation"),
+        col("n_files_added"), col("n_files_removed"))
+      .crossJoin(head)
+      .orderBy(col("version").desc)
+  }
+
   /** q225: matryoshka dimension-recall curve
     * ([[graft.search.Ann.matryoshkaRecallCurve]]) — recall@10 of the
     * prefix-dim two-stage search at dims {4, 8, 16, 32, 64}, the
@@ -6771,6 +6789,7 @@ object SparkEntry {
     "q247_version_expiry" -> (qVersionExpiry _),
     "q248_overwrite_where" -> (qOverwriteWhere _),
     "q249_check_constraints" -> (qCheckConstraints _),
+    "q250_table_history" -> (qTableHistory _),
   )
 
   /** Shared DuckDB SQL fragment: cosine(e, q) over DOUBLE[] with the
@@ -9181,6 +9200,18 @@ object SparkEntry {
          | sum(CASE WHEN NOT coalesce(n_chars >= 0 AND doc_id IS NOT NULL,
          |   false) THEN 1 ELSE 0 END)::BIGINT AS n_violations
          |FROM documents""".stripMargin,
+
+    // history replay: q243's construction IS the operation log; the
+    // head mass is the recomputed half
+    "q250_table_history" ->
+      s"""WITH h(version, operation, n_files_added, n_files_removed) AS
+         | (VALUES (3, 'update', 1, 1), (2, 'append', 1, 0),
+         |         (1, 'append', 1, 0))
+         |SELECT version::BIGINT AS version, operation,
+         | n_files_added::BIGINT AS n_files_added,
+         | n_files_removed::BIGINT AS n_files_removed,
+         | (SELECT count(*) FROM documents) AS head_rows
+         |FROM h ORDER BY version DESC""".stripMargin,
 
     // plain-join replay: the salted join's contract is output identity
     // with the unsalted phrasing, so the oracle IS the unsalted join

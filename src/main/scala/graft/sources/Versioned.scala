@@ -424,7 +424,8 @@ object Versioned {
                           dropCols: Seq[String] = Nil,
                           undropCols: Seq[String] = Nil,
                           constraintAdd: Seq[(String, String)] = Nil,
-                          constraintDrop: Seq[String] = Nil): Unit = {
+                          constraintDrop: Seq[String] = Nil,
+                          op: String = "commit"): Unit = {
     val f = fs(spark, root)
     // CHECK-constraint enforcement at the single choke point every
     // writer passes through: the parent's constraints (O(checkpoint +
@@ -464,13 +465,14 @@ object Versioned {
     val ts =
       if (v <= 1) nowMs()
       else math.max(nowMs(), timestampOf(spark, root, v - 1) + 1)
-    val lines = s"ts\t$ts" +: (schema.map(s => s"schema\t$s").toSeq ++
+    val lines = s"ts\t$ts" +: s"op\t$op" +: (schema.map(s => s"schema\t$s").toSeq ++
       dropCols.map(c => s"dropcol\t$c") ++
       undropCols.map(c => s"undropcol\t$c") ++
       constraintAdd.map { case (n, p) => s"constraint\t$n\t$p" } ++
       constraintDrop.map(n => s"unconstraint\t$n") ++
       removed.map(p => s"-\t$p") ++ added.map(e => s"+\t$e"))
-    require(lines.exists(!_.startsWith("ts\t")),
+    require(lines.exists(l =>
+      !l.startsWith("ts\t") && !l.startsWith("op\t")),
       s"refusing an empty commit to $root")
     f.mkdirs(manifestDir(root))
     // tmp name carries a writer-unique nonce: two racers sharing one
@@ -775,7 +777,7 @@ object Versioned {
     */
   private[graft] def commitForTest(spark: SparkSession, root: String,
                                    v: Long, added: Seq[String]): Unit =
-    commitDelta(spark, root, v, added, Seq.empty)
+    commitDelta(spark, root, v, added, Seq.empty, op = "test")
 
   /** Append `df` as the next version: the data lands in a fresh
     * immutable `data/batch-<v>` directory, and the commit is ONE
@@ -801,7 +803,7 @@ object Versioned {
       s"bad batch dir name: $name")
     val added = writeBatchDir(spark, root, name, df, None)
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -829,7 +831,7 @@ object Versioned {
       val v = latestVersion(spark, root) + 1
       try {
         commitDelta(spark, root, v, added, Seq.empty,
-          schema = nextSchema(spark, root, v, df))
+          schema = nextSchema(spark, root, v, df), op = "append")
         return v
       } catch {
         case e: ConcurrentCommitException =>
@@ -873,7 +875,8 @@ object Versioned {
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name == column))
     commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
-      schema = Some(next.toDDL), dropCols = Seq(column))
+      schema = Some(next.toDDL), dropCols = Seq(column),
+      op = "dropColumn")
     prev + 1
   }
 
@@ -911,7 +914,8 @@ object Versioned {
       "a no-op version")
     commitDelta(spark, root, prev + 1, added, removed,
       schema = tgt.schema,
-      undropCols = (cur.dropped -- tgt.dropped).toSeq.sorted)
+      undropCols = (cur.dropped -- tgt.dropped).toSeq.sorted,
+      op = "restore")
     (prev + 1, added.size, removed.size)
   }
 
@@ -946,7 +950,8 @@ object Versioned {
     require(entries.nonEmpty,
       s"cloneShallow: v$sv at $srcRoot references no files")
     commitDelta(spark, dstRoot, 1L, entries, Seq.empty,
-      schema = st.schema, dropCols = st.dropped.toSeq.sorted)
+      schema = st.schema, dropCols = st.dropped.toSeq.sorted,
+      op = "clone")
     1L
   }
 
@@ -1044,7 +1049,7 @@ object Versioned {
     val mf = fs(spark, root)
     if (!mf.exists(marker)) mf.create(marker, true).close()
     commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
-      constraintAdd = Seq(name -> pred))
+      constraintAdd = Seq(name -> pred), op = "addConstraint")
     prev + 1
   }
 
@@ -1056,8 +1061,38 @@ object Versioned {
     require(resolveState(spark, root, prev).constraints.contains(name),
       s"dropConstraint($root): no constraint $name")
     commitDelta(spark, root, prev + 1, Seq.empty, Seq.empty,
-      constraintDrop = Seq(name))
+      constraintDrop = Seq(name), op = "dropConstraint")
     prev + 1
+  }
+
+  /** `DESCRIBE HISTORY` — one row per RETAINED version: (version,
+    * ts_ms, operation, n_files_added, n_files_removed), newest first
+    * (Delta's shape). Operations are the in-commit `op` lines
+    * (append/merge/delete/update/overwrite/compact/restore/clone/
+    * dropColumn/addConstraint/…); a pre-feature delta reads as
+    * `unknown`. Cost is O(retained versions) small manifest reads —
+    * inherent to a history listing, and bounded by [[expireVersions]]
+    * exactly like the history itself.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val latest = latestVersion(spark, root)
+    require(latest > 0, s"no committed versions at $root")
+    val f = fs(spark, root)
+    val rows = (earliestVersion(spark, root) to latest).reverse.map { v =>
+      val lines = readLines(spark, root, deltaPath(root, v))
+      val ts = lines.collectFirst {
+        case l if l.startsWith("ts\t") => l.substring(3).toLong
+      }.getOrElse(f.getFileStatus(deltaPath(root, v)).getModificationTime)
+      val op = lines.collectFirst {
+        case l if l.startsWith("op\t") => l.substring(3)
+      }.getOrElse("unknown")
+      (v, ts, op,
+        lines.count(_.startsWith("+\t")).toLong,
+        lines.count(_.startsWith("-\t")).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "ts_ms", "operation",
+      "n_files_added", "n_files_removed")
   }
 
   /** Resolve `TIMESTAMP AS OF`: the LATEST version whose commit
@@ -1158,7 +1193,7 @@ object Versioned {
     val v = latestVersion(spark, root) + 1
     val added = writeBatchDir(spark, root, s"batch-$v", df, Some(statCol))
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -1203,7 +1238,7 @@ object Versioned {
           .mkString("\t")
       }.sorted.toSeq
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -1317,7 +1352,7 @@ object Versioned {
       s"data/$name/$base\t&$bloomCol:$m:$hashes:$payload\t^$n"
     }.sorted
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -1407,7 +1442,7 @@ object Versioned {
         s"data/$name/$base\t#$set"
       }.sorted.toSeq
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -1493,7 +1528,7 @@ object Versioned {
         s"data/$name/$base\t${sets.mkString("\t")}"
       }.sorted.toSeq
     commitDelta(spark, root, v, added, Seq.empty,
-      schema = nextSchema(spark, root, v, df))
+      schema = nextSchema(spark, root, v, df), op = "append")
     v
   }
 
@@ -1708,7 +1743,8 @@ object Versioned {
       }
     val added = writeBatchDir(spark, root, s"batch-$v", survivors,
       Some(keyCol))
-    commitDelta(spark, root, v, added, affected.map(_._1))
+    commitDelta(spark, root, v, added, affected.map(_._1),
+      op = "merge")
     (v, affected.size, kept.size)
   }
 
@@ -1752,7 +1788,7 @@ object Versioned {
     val added =
       if (survivors.isEmpty) Seq.empty[String] // whole files deleted
       else writeBatchDir(spark, root, s"batch-$v", survivors, Some(keyCol))
-    commitDelta(spark, root, v, added, affected.map(_._1))
+    commitDelta(spark, root, v, added, affected.map(_._1), op = "delete")
     (v, hit, affected.size, kept.size)
   }
 
@@ -1808,7 +1844,8 @@ object Versioned {
     val v = prev + 1
     val added = writeBatchDir(spark, root, s"batch-$v", rewritten,
       Some(keyCol))
-    commitDelta(spark, root, v, added, affected.map(_._1))
+    commitDelta(spark, root, v, added, affected.map(_._1),
+      op = "update")
     (v, hit, affected.size, kept.size)
   }
 
@@ -1861,7 +1898,8 @@ object Versioned {
       }
     val added = writeBatchDir(spark, root, s"batch-$v", newData,
       Some(statCol))
-    commitDelta(spark, root, v, added, affected.map(_._1))
+    commitDelta(spark, root, v, added, affected.map(_._1),
+      op = "overwrite")
     (v, replaced, affected.size, kept.size)
   }
 
@@ -1927,7 +1965,8 @@ object Versioned {
         }
         writeBatchDir(spark, root, s"batch-$v", arranged, statCol)
     }
-    commitDelta(spark, root, v, added, before.map(pathOf))
+    commitDelta(spark, root, v, added, before.map(pathOf),
+      op = "compact")
     (v, before.size, added.size)
   }
 

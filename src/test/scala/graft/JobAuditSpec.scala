@@ -164,6 +164,11 @@ class JobAuditSpec extends SparkSpec {
         "overwrite (leak-guard count + isEmpty + band count + rewrite " +
         "+ stats pass — constant-stage); warm runs are the two " +
         "snapshot aggregates"),
+    "q250_table_history" -> (22,
+      "cold path rides q243's seam (two stats appends + the COW " +
+        "update); the history listing itself is ZERO jobs (pure " +
+        "manifest) — warm runs are the head aggregate + the " +
+        "driver-rows collect"),
     "q249_check_constraints" -> (16,
       "cold path builds the constrained table (two appends + the " +
         "declaration's snapshot validation + the second append's " +

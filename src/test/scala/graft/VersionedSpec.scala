@@ -1270,6 +1270,43 @@ class VersionedSpec extends SparkSpec {
     assert(!new java.io.File(root2, "_manifests/.has_constraints").exists())
   }
 
+  test("history (DESCRIBE HISTORY): the manifest is self-describing — " +
+    "one row per retained version, newest first, real op names and " +
+    "delta file counts; expiry truncates it; a pre-feature delta " +
+    "reads as unknown") {
+    val root = freshRoot()
+    Versioned.appendWithStats(spark, root,
+      (0L until 20L).map(i => (i, i)).toDF("id", "x")
+        .repartition(1), "id")
+    Versioned.appendWithStats(spark, root,
+      (100L until 120L).map(i => (i, i)).toDF("id", "x")
+        .repartition(1), "id")
+    Versioned.mergeByKey(spark, root,
+      Seq((5L, 999L)).toDF("id", "x").repartition(1), "id")
+    Versioned.deleteWhere(spark, root, Seq(100L).toDF("id"), "id")
+    Versioned.compact(spark, root, numFiles = 1, statCol = Some("id"))
+    Versioned.restore(spark, root, 4L)
+    val h = Versioned.history(spark, root)
+      .select($"version", $"operation").as[(Long, String)].collect()
+    assert(h.toSeq == Seq((6L, "restore"), (5L, "compact"),
+      (4L, "delete"), (3L, "merge"), (2L, "append"), (1L, "append")))
+    // timestamps come back monotonic non-increasing (newest first)
+    val ts = Versioned.history(spark, root)
+      .select($"ts_ms").as[Long].collect()
+    assert(ts.toSeq == ts.toSeq.sorted.reverse)
+    // strip v1's op line: pre-feature deltas read as unknown
+    val d1 = new java.io.File(root, "_manifests/v000001.delta")
+    val stripped = scala.io.Source.fromFile(d1).getLines()
+      .filterNot(_.startsWith("op\t")).mkString("\n") + "\n"
+    val w = new java.io.FileWriter(d1); w.write(stripped); w.close()
+    assert(Versioned.history(spark, root)
+      .filter($"version" === 1L).head().getString(2) == "unknown")
+    // expiry truncates the listing to the retained horizon
+    Versioned.expireVersions(spark, root, 5L)
+    assert(Versioned.history(spark, root)
+      .select($"version").as[Long].collect().toSeq == Seq(6L, 5L))
+  }
+
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
     "only matched rows, untouched files keep their paths, null-key " +
     "neighbors survive, key-column updates are refused") {
