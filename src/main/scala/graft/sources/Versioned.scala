@@ -1284,13 +1284,18 @@ object Versioned {
     * file and the entry records `:*` — a 100 GB file carries a
     * ~200 MB bloom, and inlining that would fatten every manifest
     * replay for every reader forever (Delta keeps bloom indexes in
-    * sidecar files for the same reason). Lookups only pay sidecar
-    * reads for files the OTHER stats could not already prune.
+    * sidecar files for the same reason). By default the same one-pass
+    * aggregate ALSO records NAMED `@col:min:max` range stats: the
+    * range check is free at lookup time, so [[readWhereBloom]] opens a
+    * sidecar only for files the range could not already clear — and
+    * the named stats satisfy the COW precondition, making a bloom
+    * table mergeable/deletable/updatable on its bloom column.
     */
   def appendWithBloom(spark: SparkSession, root: String, df: DataFrame,
                       bloomCol: String, bitsPerRow: Int = 16,
                       hashes: Int = 6,
-                      maxInlineBits: Int = 1 << 20): Long = {
+                      maxInlineBits: Int = 1 << 20,
+                      withRangeStats: Boolean = true): Long = {
     import org.apache.spark.sql.functions._
     require(!df.isEmpty, s"refusing to commit an empty version to $root")
     require(!bloomCol.exists(ch => ch == '\t' || ch == ':'),
@@ -1309,10 +1314,21 @@ object Versioned {
     df.write.mode("overwrite").parquet(batch.toString)
     val written = spark.read.parquet(batch.toString)
     // per-file row counts size each file's bloom (rounded up to a
-    // whole byte); the `^N` row count rides along for free
-    val counts = written.groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__n")).collect()
+    // whole byte); the `^N` row count and (by default) the NAMED
+    // range stats ride the same one-pass aggregate — the range check
+    // is FREE at lookup time, so composed pruning clears most files
+    // before any sidecar bloom is even opened
+    val statRows = written.groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(bloomCol).cast("long")).as("__mn"),
+        max(col(bloomCol).cast("long")).as("__mx")).collect()
+    val counts = statRows
       .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    val ranges: Map[String, Option[(Long, Long)]] = statRows.map { r =>
+      r.getString(0).split('/').last ->
+        (if (r.isNullAt(2) || !withRangeStats) None
+         else Some((r.getLong(2), r.getLong(3))))
+    }.toMap
     val mOf: Map[String, Int] = counts.map { case (base, n) =>
       base -> math.max(8192L, ((n * bitsPerRow.toLong + 7) / 8) * 8).toInt
     }
@@ -1349,7 +1365,9 @@ object Versioned {
           try out.write(bs.toByteArray) finally out.close()
           "*"
         }
-      s"data/$name/$base\t&$bloomCol:$m:$hashes:$payload\t^$n"
+      val range = ranges.getOrElse(base, None)
+        .map { case (mn, mx) => s"\t@$bloomCol:$mn:$mx" }.getOrElse("")
+      s"data/$name/$base$range\t&$bloomCol:$m:$hashes:$payload\t^$n"
     }.sorted
     commitDelta(spark, root, v, added, Seq.empty,
       schema = nextSchema(spark, root, v, df), op = "append")
@@ -1375,7 +1393,15 @@ object Versioned {
     import org.apache.spark.sql.functions._
     val st = resolveState(spark, root, v)
     val keep = st.entries.filter { e =>
-      bloomOf(e, bloomCol) match {
+      // FREE range check first: a recorded [min, max] that excludes
+      // the value prunes the file without touching its bloom — the
+      // composed discipline that keeps sidecar reads off the files
+      // cheaper metadata could already clear
+      val rangeHit = statRangeOf(e, bloomCol) match {
+        case Some((mn, mx)) => mn <= value && value <= mx
+        case None           => true
+      }
+      rangeHit && (bloomOf(e, bloomCol) match {
         case None => true // no bloom — cannot prove absent
         case Some((m, k, Some(bs))) =>
           bloomPositions(value, m, k).forall(bs.get)
@@ -1384,7 +1410,7 @@ object Versioned {
             case Some(bs) => bloomPositions(value, m, k).forall(bs.get)
             case None     => true // sidecar lost — read, never fail
           }
-      }
+      })
     }
     val all = st.entries.map(e => absPath(root, pathOf(e)))
     val schemaOf = readSchema(spark, st.schema)
@@ -2095,9 +2121,12 @@ object Versioned {
     * (re)written AT `keepFrom` FIRST — it carries the resolved state
     * plus the cumulative dir ledger, so the replay guard and vacuum
     * stay correct across the expiry — then old data files go, then the
-    * old deltas/checkpoints; a crash between steps leaves a table
-    * that is merely less expired than asked. Returns (deltasExpired,
-    * dataFilesDeleted).
+    * old deltas/checkpoints. A crash between steps never harms the
+    * RETAINED range (its resolution rides the horizon checkpoint);
+    * what it can leave is an expired version whose delta still exists
+    * but whose files are gone — readable as metadata, failing at scan
+    * time — and RE-RUNNING the expiry completes the cleanup (every
+    * step is idempotent). Returns (deltasExpired, dataFilesDeleted).
     */
   def expireVersions(spark: SparkSession, root: String,
                      keepFrom: Long): (Int, Int) = {

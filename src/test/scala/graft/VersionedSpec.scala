@@ -992,6 +992,17 @@ class VersionedSpec extends SparkSpec {
     sidecars.foreach(_.delete())
     val (hit2, read2, _) = Versioned.readWhereBloom(spark, root, "id", 42L)
     assert(read2 == 2 && hit2.count() == 1L)
+    // ... but the FREE range stats recorded alongside still prune an
+    // out-of-range probe with no bloom (and no sidecar) at all
+    val (_, read3, _) = Versioned.readWhereBloom(spark, root, "id", 5000L)
+    assert(read3 == 0, s"range stats did not prune: read $read3 files")
+    // the named range stats also satisfy the COW precondition — a
+    // bloom table is mergeable
+    val (_, rwB, _) = Versioned.mergeByKey(spark, root,
+      Seq((42L, "upd")).toDF("id", "s").repartition(1), "id")
+    assert(rwB >= 1)
+    assert(Versioned.readAsOf(spark, root)
+      .filter($"id" === 42L).head().getString(1) == "upd")
   }
 
   test("vacuum x compact interplay (VERDICT r18 polish 8a): compacted-" +
@@ -1305,6 +1316,50 @@ class VersionedSpec extends SparkSpec {
     Versioned.expireVersions(spark, root, 5L)
     assert(Versioned.history(spark, root)
       .select($"version").as[Long].collect().toSeq == Seq(6L, 5L))
+  }
+
+  test("constraints x concurrency x counting compose: parallel " +
+    "appendConcurrent writers all land under a CHECK constraint, a " +
+    "violating writer fails validation (not the race), and the " +
+    "metadata count stays exact") {
+    val root = freshRoot()
+    Versioned.appendCounted(spark, root,
+      Seq((0L, 1L)).toDF("id", "x").repartition(1), Seq("id"))
+    Versioned.addConstraint(spark, root, "x_pos", "x > 0")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 4).map { i =>
+      scala.concurrent.Future {
+        Versioned.appendConcurrent(spark, root,
+          Seq((i.toLong * 10, i.toLong)).toDF("id", "x").repartition(1))
+      }
+    }
+    val violator = scala.concurrent.Future {
+      Versioned.appendConcurrent(spark, root,
+        Seq((99L, -5L)).toDF("id", "x").repartition(1))
+      "landed"
+    }.recover { case e: IllegalArgumentException
+        if e.getMessage.contains("x_pos") => "refused" }
+    import scala.concurrent.duration._
+    val vs = futs.map(f =>
+      scala.concurrent.Await.result(f, 120.seconds))
+    val vOutcome = scala.concurrent.Await.result(violator, 120.seconds)
+    pool.shutdown()
+    assert(vOutcome == "refused")
+    assert(vs.toSet.size == 4) // four distinct committed versions
+    val table = Versioned.readAsOf(spark, root)
+    assert(table.count() == 5L)
+    assert(table.filter($"x" <= 0).count() == 0L)
+    // appendConcurrent commits are not counted writers — the proof
+    // breaks LOUDLY rather than guessing (v1 alone still counts)
+    assert(Versioned.countAsOf(spark, root, 1L) == 1L)
+    intercept[IllegalArgumentException] {
+      Versioned.countAsOf(spark, root)
+    }
+    // history shows the seed append + one per surviving writer
+    assert(Versioned.history(spark, root)
+      .filter($"operation" === "append").count() == 5L)
   }
 
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
