@@ -1086,13 +1086,68 @@ object Versioned {
       val op = lines.collectFirst {
         case l if l.startsWith("op\t") => l.substring(3)
       }.getOrElse("unknown")
+      // rows added this version, when every added entry carries a
+      // `^N` row count (a counted writer) — else null, never a guess
+      val addCounts = lines.collect {
+        case l if l.startsWith("+\t") => rowCountOf(l.substring(2))
+      }
+      val rowsAdded: Option[Long] =
+        if (addCounts.isEmpty) Some(0L)
+        else if (addCounts.forall(_.isDefined)) Some(addCounts.flatten.sum)
+        else None
       (v, ts, op,
         lines.count(_.startsWith("+\t")).toLong,
-        lines.count(_.startsWith("-\t")).toLong)
+        lines.count(_.startsWith("-\t")).toLong,
+        rowsAdded)
     }
     import spark.implicits._
     rows.toDF("version", "ts_ms", "operation",
-      "n_files_added", "n_files_removed")
+      "n_files_added", "n_files_removed", "n_rows_added")
+  }
+
+  /** What one [[maintain]] pass did. */
+  final case class MaintenanceReport(compactedTo: Option[Long],
+                                     expired: Option[(Int, Int)],
+                                     vacuumed: Seq[String])
+
+  /** ONE-CALL table maintenance — the ops loop every long-lived table
+    * runs on a schedule, composed from the primitives in the only
+    * safe order:
+    *
+    *  1. COMPACT when the snapshot holds more than `maxFiles` files
+    *     (range-arranged on `statCol` when given, so zone stats stay
+    *     tight);
+    *  2. EXPIRE history beyond `keepVersions` (the compaction just
+    *     superseded the old files, so expiry is what actually returns
+    *     the storage);
+    *  3. VACUUM never-committed orphans past `vacuumRetentionMs`.
+    *
+    * Each step is the documented primitive — same guarantees, same
+    * refusals; a no-op step is skipped, not an error. Single-writer,
+    * like the COW mutators it composes. Returns what happened.
+    */
+  def maintain(spark: SparkSession, root: String,
+               maxFiles: Int = 64,
+               statCol: Option[String] = None,
+               keepVersions: Int = 100,
+               vacuumRetentionMs: Long = 600000L): MaintenanceReport = {
+    require(maxFiles >= 1 && keepVersions >= 1,
+      s"maintain($root): need maxFiles, keepVersions >= 1")
+    val latest = latestVersion(spark, root)
+    require(latest > 0, s"no committed versions at $root to maintain")
+    val nFiles = resolveEntries(spark, root, latest).size
+    val compacted =
+      if (nFiles <= maxFiles) None
+      else Some(compact(spark, root, numFiles = maxFiles,
+        statCol = statCol)._1)
+    val head = latestVersion(spark, root)
+    val first = earliestVersion(spark, root)
+    val horizon = head - keepVersions + 1
+    val expired =
+      if (horizon <= first) None
+      else Some(expireVersions(spark, root, horizon))
+    val vacuumed = vacuum(spark, root, vacuumRetentionMs)
+    MaintenanceReport(compacted, expired, vacuumed)
   }
 
   /** Resolve `TIMESTAMP AS OF`: the LATEST version whose commit

@@ -1362,6 +1362,81 @@ class VersionedSpec extends SparkSpec {
       .filter($"operation" === "append").count() == 5L)
   }
 
+  test("exactly-once survives EXPIRY: the horizon checkpoint carries " +
+    "the cumulative dir ledger, so a replay of an epoch whose deltas " +
+    "were expired away is STILL a no-op — the production loop (sink + " +
+    "inline compaction + periodic expiry) never double-commits") {
+    val root = freshRoot()
+    (0 until 25).foreach { e =>
+      graft.streaming.StreamingVersionedSink.commitBatch(spark, root,
+        spark.range(e * 10L, (e + 1) * 10L).toDF("id").repartition(1),
+        e.toLong, compactEvery = 10, numFiles = 1)
+    }
+    val head = Versioned.latestVersion(spark, root)
+    val preRows = Versioned.readAsOf(spark, root).count()
+    assert(preRows == 250L)
+    Versioned.expireVersions(spark, root, head)
+    assert(Versioned.earliestVersion(spark, root) == head)
+    // epoch 3's commit history is gone from the delta chain — its
+    // replay must STILL refuse via the checkpointed ledger
+    graft.streaming.StreamingVersionedSink.commitBatch(spark, root,
+      spark.range(9999L, 10099L).toDF("id").repartition(1),
+      3L, compactEvery = 0, numFiles = 1)
+    assert(Versioned.readAsOf(spark, root).count() == preRows,
+      "an expired epoch's replay re-committed")
+    // a genuinely new epoch still lands
+    graft.streaming.StreamingVersionedSink.commitBatch(spark, root,
+      spark.range(250L, 260L).toDF("id").repartition(1),
+      25L, compactEvery = 0, numFiles = 1)
+    assert(Versioned.readAsOf(spark, root).count() == 260L)
+    // and vacuum at zero retention still reclaims nothing committed
+    assert(Versioned.vacuum(spark, root, retentionMs = 0L).isEmpty)
+    assert(Versioned.readAsOf(spark, root).count() == 260L)
+  }
+
+  test("maintain: the one-call ops loop — compact when fragmented, " +
+    "expire beyond the version budget, vacuum orphans; content " +
+    "identical across the pass; a tidy table is a no-op") {
+    val root = freshRoot()
+    (0 until 12).foreach { i =>
+      Versioned.appendCounted(spark, root,
+        Seq((i.toLong, i.toLong)).toDF("id", "x").repartition(1),
+        Seq("id"))
+    }
+    // plant an old orphan
+    val orphan = new java.io.File(root, "data/orphan-z")
+    orphan.mkdirs()
+    Seq((99L, 99L)).toDF("id", "x").write.mode("overwrite")
+      .parquet(orphan.getPath)
+    orphan.listFiles().foreach(_.setLastModified(1000L))
+    orphan.setLastModified(1000L)
+    val before = Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val rep = Versioned.maintain(spark, root, maxFiles = 2,
+      statCol = Some("id"), keepVersions = 3, vacuumRetentionMs = 0L)
+    assert(rep.compactedTo.contains(13L))
+    assert(rep.expired.isDefined && rep.expired.get._1 >= 10)
+    assert(rep.vacuumed == Seq("orphan-z"))
+    assert(Versioned.readAsOf(spark, root)
+      .as[(Long, Long)].collect().toSet == before)
+    assert(Versioned.fileList(spark, root,
+      Versioned.latestVersion(spark, root)).size <= 2)
+    assert(Versioned.earliestVersion(spark, root) == 11L)
+    // second pass: nothing to do
+    val rep2 = Versioned.maintain(spark, root, maxFiles = 2,
+      statCol = Some("id"), keepVersions = 3, vacuumRetentionMs = 0L)
+    assert(rep2.compactedTo.isEmpty && rep2.expired.isEmpty &&
+      rep2.vacuumed.isEmpty)
+    // history carries per-version row counts for counted commits
+    // (null for the compact rewrite — a non-counting writer)
+    val h = Versioned.history(spark, root)
+      .select($"version", $"operation", $"n_rows_added").collect()
+    val byOp = h.map(r => r.getString(1) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byOp("append") == Some(1L))
+    assert(byOp("compact").isEmpty) // un-counted rewrite -> null
+  }
+
   test("updateWhere: stats-pruned COW update — SET expressions hit " +
     "only matched rows, untouched files keep their paths, null-key " +
     "neighbors survive, key-column updates are refused") {
