@@ -949,8 +949,18 @@ object Versioned {
     }
     require(entries.nonEmpty,
       s"cloneShallow: v$sv at $srcRoot references no files")
+    // constraints are table properties and clones inherit them
+    // (Delta's semantics): a clone that silently dropped the source's
+    // CHECKs would accept data the source never would
+    if (st.constraints.nonEmpty) {
+      val marker = new Path(manifestDir(dstRoot), ".has_constraints")
+      val mf = fs(spark, dstRoot)
+      mf.mkdirs(manifestDir(dstRoot))
+      if (!mf.exists(marker)) mf.create(marker, true).close()
+    }
     commitDelta(spark, dstRoot, 1L, entries, Seq.empty,
       schema = st.schema, dropCols = st.dropped.toSeq.sorted,
+      constraintAdd = st.constraints.toSeq.sortBy(_._1),
       op = "clone")
     1L
   }

@@ -1517,5 +1517,21 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Versioned.cloneShallow(spark, src, dst)
     }
+    // a clone INHERITS the source's CHECK constraints (Delta
+    // semantics): data the source would refuse, the clone refuses
+    val src2 = freshRoot()
+    val dst2 = freshRoot()
+    Versioned.appendWithStats(spark, src2,
+      Seq((1L, 5L)).toDF("id", "x").repartition(1), "id")
+    Versioned.addConstraint(spark, src2, "x_pos", "x > 0")
+    Versioned.cloneShallow(spark, src2, dst2)
+    assert(Versioned.constraintsOf(spark, dst2) == Map("x_pos" -> "x > 0"))
+    intercept[IllegalArgumentException] {
+      Versioned.appendWithStats(spark, dst2,
+        Seq((2L, -1L)).toDF("id", "x").repartition(1), "id")
+    }
+    Versioned.appendWithStats(spark, dst2,
+      Seq((2L, 3L)).toDF("id", "x").repartition(1), "id")
+    assert(Versioned.readAsOf(spark, dst2).count() == 2L)
   }
 }
