@@ -4120,6 +4120,19 @@ object SparkEntry {
     * Scale shape: two two-phase count aggregates + one equi-join of the
     * bigram stream against its own stats — no windows, no broadcasts of
     * anything data-sized (V is one row).
+    *
+    * r19 optimization (guide §2.3/§2.4, profiled with StageProfile):
+    * the original phrasing consumed the exploded bigram stream THREE
+    * ways (c2 aggregate, join probe vs c2, join probe output vs c1), so
+    * the documents scan + tokenize + explosion ran twice and the
+    * corpus-sized stream shuffled twice (once on (w1,w2), once on w1).
+    * Now the per-bigram score ln((c1+V)/(c2+1)) is computed entirely on
+    * the vocabulary-sized c2 table (localCheckpoint-ed: it feeds c1, V
+    * and the join build side), and the exploded stream is scanned and
+    * shuffled exactly ONCE against that one nll table. Per-row nll
+    * values are bit-identical (same integer counts, same expression);
+    * only join/aggregation order changes, and the oracle replay at
+    * sf0.01/sf0.001 stays hash-exact.
     */
   private def qBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     val bg = rdWide(s, dir, "documents")
@@ -4131,14 +4144,19 @@ object SparkEntry {
           slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))))).as("b"))
       .select(col("doc_id"), col("source"),
         col("b.0").as("w1"), col("b.1").as("w2"))
+    // vocabulary-sized; checkpointed because it feeds c1, V and the join
+    // build side (3 consumers — without the cut the corpus explosion
+    // above re-runs per consumer)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = c2.select(countDistinct(col("w2")).as("v"))
-    bg.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val nllByBigram = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
-      .withColumn("nll",
-        log((col("c1") + col("v")).cast("double") / (col("c2") + 1).cast("double")))
+      .select(col("w1"), col("w2"),
+        log((col("c1") + col("v")).cast("double") / (col("c2") + 1).cast("double"))
+          .as("nll"))
+    bg.join(nllByBigram, Seq("w1", "w2"))
       .groupBy(col("doc_id"), col("source"))
       .agg(avg(col("nll")).as("doc_nll"))
       .groupBy(col("source"))
