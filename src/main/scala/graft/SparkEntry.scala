@@ -5157,10 +5157,19 @@ object SparkEntry {
     * regime (n ≫ m, n ≫ k) where the token vocabulary of this corpus
     * (~31/source) would degenerate both to near-exact small-range use.
     */
+  /** (source, 60-bit shingle hash) stream for the sketch family — the
+    * shingle→md5Int60 pass fused into the native
+    * [[graft.functions.ShingleHashes]] kernel (r19: the composed
+    * string-shingle explosion paid ~19 ms/doc of interpreted HOFs +
+    * array_distinct before a single hash was computed; values are the
+    * identical md5Int60 longs, so every downstream sketch and the
+    * DuckDB oracles replay unchanged).
+    */
   private def sourceShingles(s: SparkSession, dir: String): DataFrame =
     rdWide(s, dir, "documents")
       .select(col("source"),
-        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("sh"))
+        explode(graft.functions.ShingleHashes(
+          graft.dedup.Dedup.tokens(col("text")), 3)).as("sh"))
 
   /** HLL distinct-shingle estimate per source next to the exact
     * distinct — the bounded-memory cardinality path (64 registers per
@@ -5173,7 +5182,7 @@ object SparkEntry {
     */
   private def qHllVocab(s: SparkSession, dir: String): DataFrame =
     graft.stats.DistinctSketch
-      .hllDistinctWithExact(sourceShingles(s, dir), "source", "sh")
+      .hllDistinctWithExactHashed(sourceShingles(s, dir), "source", "sh")
       .select(col("source"), col("exact_distinct"), col("n_zero_registers"),
         col("hll_distinct"),
         round((col("hll_distinct") - col("exact_distinct")) /
@@ -5186,7 +5195,7 @@ object SparkEntry {
     */
   private def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
     graft.stats.DistinctSketch.kmvPairStats(
-      graft.stats.DistinctSketch.kmvSketch(sourceShingles(s, dir),
+      graft.stats.DistinctSketch.kmvSketchHashed(sourceShingles(s, dir),
         "source", "sh", k = 256),
       "source", k = 256)
 

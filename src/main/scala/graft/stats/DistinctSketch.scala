@@ -93,11 +93,31 @@ object DistinctSketch {
     * Output: (groupCol, exact_distinct, n_zero_registers, hll_distinct).
     */
   def hllDistinctWithExact(df: DataFrame, groupCol: String,
-                           valueCol: String): DataFrame = {
-    val h = HashFunctions.md5Int60(col(valueCol))
+                           valueCol: String): DataFrame =
+    hllWithExactFromDistinct(
+      df.select(col(groupCol), col(valueCol)).distinct(),
+      groupCol, HashFunctions.md5Int60(col(valueCol)))
+
+  /** [[hllDistinctWithExact]] over a PRE-HASHED 60-bit column (r19: the
+    * shingle consumers hash inside the native
+    * [[graft.functions.ShingleHashes]] kernel — same md5Int60 longs, so
+    * every register and the estimate are bit-identical; exact_distinct
+    * counts distinct HASHES, which equals distinct values modulo the
+    * measure-zero 60-bit collision the q97 index already pinned). The
+    * distinct pass shuffles 8-byte keys instead of value strings.
+    */
+  def hllDistinctWithExactHashed(df: DataFrame, groupCol: String,
+                                 hashCol: String): DataFrame =
+    hllWithExactFromDistinct(
+      df.select(col(groupCol), col(hashCol)).distinct(),
+      groupCol, col(hashCol))
+
+  private def hllWithExactFromDistinct(distinctDf: DataFrame,
+                                       groupCol: String,
+                                       h: Column): DataFrame = {
     val w = shiftright(h, 6)
     val rho = when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
-    df.select(col(groupCol), col(valueCol)).distinct()
+    distinctDf
       .select(col(groupCol), pmod(h, lit(HllM.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("rmax"), count(lit(1)).as("n_distinct"))
@@ -141,9 +161,21 @@ object DistinctSketch {
     * rank 1..k, h).
     */
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
-                k: Int = 256): DataFrame = {
+                k: Int = 256): DataFrame =
+    kmvSketchHashed(
+      df.select(col(groupCol), HashFunctions.md5Int60(col(valueCol)).as("h")),
+      groupCol, "h", k)
+
+  /** [[kmvSketch]] over a PRE-HASHED 60-bit column (r19: the shingle
+    * consumers hash inside the native [[graft.functions.ShingleHashes]]
+    * kernel, so the sketch must not re-hash — values are the same
+    * md5Int60 longs either way, and the distinct pass shuffles 8-byte
+    * keys instead of shingle strings).
+    */
+  def kmvSketchHashed(df: DataFrame, groupCol: String, hashCol: String,
+                      k: Int = 256): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    df.select(col(groupCol), HashFunctions.md5Int60(col(valueCol)).as("h"))
+    df.select(col(groupCol), col(hashCol).as("h"))
       .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("h").asc)))
