@@ -4474,6 +4474,18 @@ object SparkEntry {
     val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 3200)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val e = col("embedding"); val q = col("qv")
+    // r19 restructure (guide §2.3/§2.4, StageProfile): ranking the FULL
+    // panel×corpus frame three ways and left-joining it corpus-wide only
+    // to keep ranks ≤ 10/50 paid three full window sorts plus a
+    // corpus-sized join. Each rank filter now sits DIRECTLY above its
+    // window, so Spark's WindowGroupLimit prunes to per-partition top-k
+    // before the sort, and the hit counts become joins of ≤ panel×50-row
+    // frames. ham_hits/mat_hits are set-intersection sizes — identical
+    // integers to the flagged-join phrasing (oracle-gated) — and every
+    // qid stays present because the query's self-pair ranks 1 in every
+    // metric. The scored base is checkpointed narrow: it feeds the three
+    // top-k branches, and without the cut the panel×corpus cosine pass
+    // would run once per branch.
     val base = emb.crossJoin(broadcast(qs))
       .withColumn("score", round(graft.functions.CosineSimilarity(e, q), 6))
       .withColumn("h", size(filter(
@@ -4481,27 +4493,33 @@ object SparkEntry {
       .withColumn("p", round(graft.functions.CosineSimilarity(
         slice(e, 1, 16), slice(q, 1, 16)), 6))
       .select(col("qid"), col("vec_id"), col("score"), col("h"), col("p"))
-      .withColumn("exact_r", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("vec_id").asc)))
-      .withColumn("ham_r", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("h").asc, col("vec_id").asc)))
-      .withColumn("pre_r", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("p").desc, col("vec_id").asc)))
-      // localCheckpoint: matTop and the flag join both consume this
-      // scored table — without it the panel×corpus metric pass runs twice
       .localCheckpoint()
-    val matTop = base.filter(col("pre_r") <= 50)
+    def topBy(rankCol: String, k: Int,
+              ord: org.apache.spark.sql.Column*): DataFrame =
+      base.withColumn(rankCol, row_number().over(
+          Window.partitionBy(col("qid")).orderBy(ord: _*)))
+        .filter(col(rankCol) <= k)
+    val exactTop = topBy("exact_r", 10, col("score").desc, col("vec_id").asc)
+      .select(col("qid"), col("vec_id"))
+    val hamTop = topBy("ham_r", 10, col("h").asc, col("vec_id").asc)
+      .select(col("qid"), col("vec_id"))
+    val matTop = topBy("pre_r", 50, col("p").desc, col("vec_id").asc)
       .withColumn("mat_r", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("vec_id").asc)))
-      .select(col("qid"), col("vec_id"), col("mat_r"))
-    val flagged = base
-      .join(matTop, Seq("qid", "vec_id"), "left_outer")
-    val perQ = flagged.groupBy(col("qid"))
-      .agg(
-        sum(when(col("ham_r") <= 10 && col("exact_r") <= 10, 1L).otherwise(0L))
-          .as("ham_hits"),
-        sum(when(col("mat_r") <= 10 && col("exact_r") <= 10, 1L).otherwise(0L))
-          .as("mat_hits"))
+      .filter(col("mat_r") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val hamHits = hamTop.join(exactTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("ham_hits"))
+    val matHits = matTop.join(exactTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("mat_hits"))
+    // left joins from the panel itself: a zero-hit query must still
+    // contribute 0 to the average, exactly as in the flagged-join form
+    val perQ = qs.select(col("qid"))
+      .join(hamHits, Seq("qid"), "left")
+      .join(matHits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("ham_hits"), lit(0L)).as("ham_hits"),
+        coalesce(col("mat_hits"), lit(0L)).as("mat_hits"))
     perQ.agg(round(avg(col("ham_hits") / 10.0), 6).as("avg_recall"))
       .withColumn("method", lit("hamming"))
       .unionByName(

@@ -51,6 +51,22 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
   }
 
+  /** Distinct shingle 60-bit md5 hashes — the set the verify joins
+    * intersect (r19): every consumer below that only ever needs
+    * |A∩B| / |A∪B| / equality of shingles compares 8-byte longs instead
+    * of materializing shingle STRINGS through interpreted HOFs
+    * (StageProfile measured the composed string form at ~19 ms/doc
+    * before any set work). Values are md5Int60 of the exact same
+    * shingle strings ([[graft.functions.ShingleHashes]], spec-pinned),
+    * so intersect/union SIZES — and every downstream jaccard,
+    * containment, decile, and threshold count — are unchanged; two
+    * distinct shingles colliding in 60 bits is the same measure-zero
+    * caveat the q97 inverted index pinned, and every oracle gate
+    * re-proves it per corpus.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleHashes(tokens(text), n)
+
   /** 32-bit portable hash of one shingle (md5-prefix, DuckDB-replayable;
     * the single definition lives in HashFunctions — duplicating the
     * recipe here would let the oracle-critical hash drift).
@@ -153,7 +169,7 @@ object Dedup {
                    textCol: String = "text", minJaccard: Double = 0.0,
                    maxBucketSize: Int = Int.MaxValue,
                    keepRawJaccard: Boolean = false): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol)).as("sh"))
     val verified =
       candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
         .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -194,7 +210,7 @@ object Dedup {
                           textCol: String = "text", n: Int = 3,
                           minContainment: Double = 0.0,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), n).as("sh"))
     candidatePairs(minhashBands(docs, idCol, textCol, n), idCol, maxBucketSize)
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -386,9 +402,9 @@ object Dedup {
                          excludeSelf: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val c = corpus.select(col(idCol).as("corpus_id"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      explode(shingleHashes(col(textCol), n)).as("sh"))
     val b = benchmark.select(col(idCol).as("benchmark_id"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      explode(shingleHashes(col(textCol), n)).as("sh"))
     val joined = c.join(broadcast(b), "sh")
     val pairs = if (excludeSelf)
       joined.filter(col("corpus_id") =!= col("benchmark_id")) else joined
@@ -595,7 +611,7 @@ object Dedup {
       col(idCol) === col("keep_id"), "left_semi")
     val base = reps
       .select(col(idCol), tokens(col(textCol)).as("__w"),
-        shingles(col(textCol)).as("__sh"))
+        shingleHashes(col(textCol)).as("__sh"))
       .select(col(idCol),
         graft.functions.MinHashSignature(col("__w"), 3, NumHashes).as("__sig"),
         col("__sh"))
@@ -1139,9 +1155,9 @@ object Dedup {
     val oldSh = corpus
       .join(bc(cand.select(col("__old_id").as(idCol)).distinct()),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("__old_id"), shingles(col(textCol)).as("__sh_old"))
+      .select(col(idCol).as("__old_id"), shingleHashes(col(textCol)).as("__sh_old"))
     val newSh = afterExact
-      .select(col(idCol).as("__new_id"), shingles(col(textCol)).as("__sh_new"))
+      .select(col(idCol).as("__new_id"), shingleHashes(col(textCol)).as("__sh_new"))
     val nearIds = cand
       .join(bc(newSh), "__new_id")
       .join(oldSh, "__old_id")
@@ -1176,7 +1192,7 @@ object Dedup {
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(thresholdsPct.nonEmpty && thresholdsPct.forall(t => t > 0 && t <= 100),
       s"thresholdsPct must be in (0, 100], got $thresholdsPct")
-    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol)).as("sh"))
     val pairs = candidatePairs(minhashBands(docs, idCol, textCol), idCol, maxBucketSize)
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1275,7 +1291,7 @@ object Dedup {
     val reps = docs.join(groups, col(idCol) === col("keep_id"))
       .select(col(idCol), col(textCol), col("n_copies"))
     val sh = reps.select(col(idCol), col("n_copies"),
-      shingles(col(textCol)).as("sh"))
+      shingleHashes(col(textCol)).as("sh"))
     val repPairs = candidatePairs(minhashBands(reps, idCol, textCol), idCol, maxBucketSize)
       .join(sh.select(col(idCol).as("doc_a"), col("n_copies").as("m_a"),
         col("sh").as("sh_a")), "doc_a")
@@ -1487,9 +1503,9 @@ object Dedup {
     val pairs = nearDupPairs(union, "doc_id", "text",
       maxBucketSize = maxBucketSize)
     val shBase = base.select(col("doc_id").as("orig_id"),
-      shingles(col("text")).as("sh_o"))
+      shingleHashes(col("text")).as("sh_o"))
     val shClone = clones.select(col("orig_id"), col("doc_id").as("clone_id"),
-      shingles(col("text")).as("sh_c"))
+      shingleHashes(col("text")).as("sh_c"))
     val truth = shBase.join(shClone, Seq("orig_id"))
       .select(col("orig_id"), col("clone_id"),
         size(array_intersect(col("sh_o"), col("sh_c"))).cast("long").as("__i"),

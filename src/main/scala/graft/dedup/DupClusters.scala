@@ -218,9 +218,18 @@ object DupClusters {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
+    // r19 (StageProfile on q162): an EAGER checkpoint per iteration ran
+    // one serialized Spark job per round over a tiny label frame — at 3
+    // iterations that is 4 extra job floors of pure latency. With a
+    // small fixed iteration count the lineage is bounded by
+    // construction, and labels' two references per round (the neighbor
+    // join + the self-vote union) are deduplicated at runtime by
+    // exchange reuse, so the whole propagation now plans as ONE job.
+    // Long chains keep the per-round cut: lineage doubles per iteration
+    // (2^k subtree references), so past 4 rounds the checkpoint returns.
+    val cutEvery = iterations > 4
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
       val neighborVotes = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -233,7 +242,7 @@ object DupClusters {
           struct(col("__cnt"), (-col("label")).as("__nl")).as("__v"))
         .groupBy(col("id")).agg(max(col("__v")).as("__m"))
         .select(col("id"), (-col("__m.__nl")).as("label"))
-        .localCheckpoint(eager = true)
+      if (cutEvery) labels = labels.localCheckpoint(eager = true)
     }
     labels
   }
