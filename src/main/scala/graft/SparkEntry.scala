@@ -221,7 +221,16 @@ object SparkEntry {
     // HINT: Catalyst auto-broadcasts it while its stats fit and degrades
     // to a shuffle join at 100 TB — a hint would force the broadcast at
     // every scale
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // r19 (guide §3.1, StageProfile at sf1): Catalyst's size ESTIMATE of
+    // orders pruned to (o_orderkey, o_custkey) stays under the broadcast
+    // threshold long after the real build cost stops being small — at
+    // sf1 the driver spent ~5 s of a 7 s query single-threadedly
+    // building a 1.5 M-row broadcast hash relation (wall 7.1 s vs 6 s of
+    // TOTAL task time, 3.2 MB shuffled). lineitem⋈orders are the two
+    // SF-scaling fact tables — that join can never broadcast at real
+    // scale — so pin it to the shuffle strategy it would degrade to
+    // anyway (sf1 warm 7.1 -> 3.8 s); customer stays stats-driven.
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
@@ -1516,17 +1525,31 @@ object SparkEntry {
     * companion: q43). The bigram array is built per row (no shuffle),
     * exploded, and aggregated; top-k is TakeOrderedAndProject.
     */
+  /** r19 shape (guide §2.3): the original exploded a concat-ed bigram
+    * STRING per occurrence (per-element HOF + string allocation) and
+    * used count + countDistinct in one aggregate, which plans as a 2×
+    * EXPAND of the occurrence stream. Now consecutive token pairs
+    * explode as structs (the q99 phrasing — no per-occurrence concat),
+    * the distinct-doc count comes from a two-level aggregate (per
+    * (bigram, doc) partial counts, then per bigram), and the display
+    * string is concat-ed on the vocabulary-sized aggregate only.
+    * term_freq/doc_freq are identical integers; ordering unchanged.
+    */
   private def qBigrams(s: SparkSession, dir: String): DataFrame = {
     val docs = rdWide(s, dir, "documents")
     val w = filter(TextAnalysis.tokens(col("text")), t => t =!= "")
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(grams).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("term_freq"),
-        countDistinct(col("doc_id")).as("doc_freq"))
+    docs.select(col("doc_id"), w.as("__w"))
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+          slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__n")).as("term_freq"), count(lit(1)).as("doc_freq"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("term_freq"), col("doc_freq"))
       .orderBy(col("term_freq").desc, col("bigram").asc)
       .limit(20)
   }
