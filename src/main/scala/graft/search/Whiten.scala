@@ -50,17 +50,28 @@ object Whiten {
   def covarianceFixedPoint(emb: DataFrame, vecCol: String = "embedding",
                            dims: Int = 16, scale: Double = 1e6): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
+    // r19 (guide §2.3, StageProfile): exploding dims·(dims+1)/2 structs
+    // per row shipped the row machinery 136× per vector before the
+    // partial aggregate collapsed it. One global aggregate with a sum
+    // column per (i, j) pair keeps the whole pass inside one codegen
+    // stage (aggregate state = 137 longs), and the single aggregated
+    // row unpivots into the same (dim_i, dim_j, sum_xy, n) rows — the
+    // integer sums are identical.
     val pairs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
-    val terms = array(pairs.map { case (i, j) =>
-      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
-        (element_at(col("__q"), i) * element_at(col("__q"), j)).as("p"))
-    }: _*)
-    validRows(emb, vecCol, dims)
+    val sums = pairs.map { case (i, j) =>
+      sum(element_at(col("__q"), i) * element_at(col("__q"), j))
+        .as(s"s_${i}_$j")
+    } :+ count(lit(1)).as("n")
+    val one = validRows(emb, vecCol, dims)
       .select(quantized(vecCol, dims, scale).as("__q"))
-      .select(explode(terms).as("t"))
-      .groupBy(col("t.dim_i"), col("t.dim_j"))
-      .agg(sum(col("t.p")).as("sum_xy"), count(lit(1)).as("n"))
-      .select(col("dim_i"), col("dim_j"), col("sum_xy"), col("n"))
+      .agg(sums.head, sums.tail: _*)
+    val out = array(pairs.map { case (i, j) =>
+      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        col(s"s_${i}_$j").as("sum_xy"), col("n").as("n"))
+    }: _*)
+    one.select(explode(out).as("t"))
+      .select(col("t.dim_i").as("dim_i"), col("t.dim_j").as("dim_j"),
+        col("t.sum_xy").as("sum_xy"), col("t.n").as("n"))
   }
 
   /** First moments of the quantized prefix: Σ qᵢ per dimension plus the
@@ -69,14 +80,18 @@ object Whiten {
   def momentsFixedPoint(emb: DataFrame, vecCol: String = "embedding",
                         dims: Int = 16, scale: Double = 1e6): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
-    val terms = array((1 to dims).map(i =>
-      struct(lit(i.toLong).as("dim_i"), element_at(col("__q"), i).as("q"))): _*)
-    validRows(emb, vecCol, dims)
+    // same one-codegen-stage shape as covarianceFixedPoint (r19)
+    val sums = (1 to dims).map(i =>
+      sum(element_at(col("__q"), i)).as(s"s_$i")) :+ count(lit(1)).as("n")
+    val one = validRows(emb, vecCol, dims)
       .select(quantized(vecCol, dims, scale).as("__q"))
-      .select(explode(terms).as("t"))
-      .groupBy(col("t.dim_i"))
-      .agg(sum(col("t.q")).as("sum_x"), count(lit(1)).as("n"))
-      .select(col("dim_i"), col("sum_x"), col("n"))
+      .agg(sums.head, sums.tail: _*)
+    val out = array((1 to dims).map(i =>
+      struct(lit(i.toLong).as("dim_i"), col(s"s_$i").as("sum_x"),
+        col("n").as("n"))): _*)
+    one.select(explode(out).as("t"))
+      .select(col("t.dim_i").as("dim_i"), col("t.sum_x").as("sum_x"),
+        col("t.n").as("n"))
   }
 
   /** Driver-side: covariance matrix (as doubles, unscaled) from the two

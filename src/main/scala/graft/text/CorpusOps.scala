@@ -203,15 +203,37 @@ object CorpusOps {
     * cleaned text's length, and its 32-bit content hash (so the oracle
     * verifies the RECONSTRUCTED text, not just the counts).
     *
-    * Plan shape: scan → segment Generate (map-side) → keep-first Window
-    * PARTITIONED BY (doc, segment-text) — fine-grained keys, balanced
-    * regardless of corpus-wide segment skew — → per-doc hash aggregate
-    * whose state is bounded by the document's own segment count
-    * (sort_array over collect_list reassembles order without any global
-    * sort). Nothing driver-sized; TakeOrderedAndProject bounds output.
+    * Plan shape (r19): keep-first-within-doc has NO cross-document
+    * interaction, so the whole scrub — segmenting, first-occurrence
+    * dedup, cleaned-text reassembly, length and content hash — runs
+    * inside the native [[graft.functions.IntraDocScrub]] kernel as ONE
+    * map-side projection; the only exchange is the final
+    * TakeOrderedAndProject(topK). The previous composed form exploded
+    * every segment and shuffled the segment STRINGS corpus-wide twice
+    * (a (doc, seg) row_number window + a per-doc collect_list/
+    * array_sort/array_join aggregate), ~70 MB of shuffle per run at the
+    * sf1 replica — also the round-18 chronic bench-contention source.
+    * The kernel is value-identical (CorpusOpsSpec pins kernel ==
+    * composed); `kernelScrub = false` keeps the composed phrasing as
+    * the spec witness, the q137/q175 discipline.
     */
-  def intraDocScrub(docs: DataFrame, w: Int = 2, topK: Int = 20): DataFrame = {
+  def intraDocScrub(docs: DataFrame, w: Int = 2, topK: Int = 20,
+                    kernelScrub: Boolean = true): DataFrame = {
     require(w >= 1, s"segment width must be >= 1, got $w")
+    if (kernelScrub) {
+      // null-text docs carry no segments in the composed form (the
+      // explode emits no rows) — drop them here the same way
+      return docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.IntraDocScrub(TextAnalysis.tokens(col("text")), w)
+            .as("t"))
+        .select(col("doc_id"), col("t.n_segments").as("n_segments"),
+          col("t.n_dropped").as("n_dropped"),
+          col("t.cleaned_n_chars").as("cleaned_n_chars"),
+          col("t.cleaned_hash").as("cleaned_hash"))
+        .orderBy(col("n_dropped").desc, col("doc_id").asc)
+        .limit(topK)
+    }
     val tk = TextAnalysis.tokens(col("text"))
     val nSeg = ((size(tk) + w - 1) / w).cast("int") // int div on ints
     val segs = when(size(tk) > 0,

@@ -123,6 +123,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h1 == h9)
   }
 
+  test("intraDocScrub kernel == composed window/aggregate phrasing (r19)") {
+    val d = docs(
+      (1L, "a b a b c d a b", "s"),
+      (2L, "p q r s", "s"),
+      (3L, "m n m n e", "s"),
+      (4L, "", "s"),              // empty text -> one empty segment
+      (5L, "solo", "s"),          // single short token
+      (6L, "x x x x x x", "s"))   // all-identical segments
+    for (w <- Seq(1, 2, 3)) {
+      val kernel = CorpusOps.intraDocScrub(d, w = w, topK = 100)
+        .orderBy("doc_id").collect()
+      val composed = CorpusOps.intraDocScrub(d, w = w, topK = 100,
+        kernelScrub = false).orderBy("doc_id").collect()
+      assert(kernel.length == composed.length && kernel.nonEmpty, s"w=$w")
+      kernel.zip(composed).foreach { case (a, b) => assert(a == b, s"w=$w") }
+    }
+    // real-corpus sweep at the default width
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kr = CorpusOps.intraDocScrub(real, w = 2, topK = 1000)
+      .orderBy("doc_id").collect()
+    val cr = CorpusOps.intraDocScrub(real, w = 2, topK = 1000,
+      kernelScrub = false).orderBy("doc_id").collect()
+    assert(kr.length == cr.length && kr.nonEmpty)
+    kr.zip(cr).foreach { case (a, b) => assert(a == b) }
+  }
+
   /** JVM replica of the operator's md5-prefix hash (HashFunctions.md5Int32). */
   private def h32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
