@@ -18,12 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** 32-bit non-negative hash of a string column (md5 prefix, 8 hex chars). */
-  def md5Int32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  /** 32-bit non-negative hash of a string column (md5 prefix, 8 hex
+    * chars). r19: computed by the native [[Md5PrefixLong]] kernel —
+    * bit-identical to the documented conv/substring phrasing (which the
+    * DuckDB oracles keep), without allocating and re-parsing the hex
+    * string per evaluation. [[md5Int32Expr]] is the composed witness.
+    */
+  def md5Int32(c: Column): Column = Md5PrefixLong(c.cast("binary"), 8)
 
   /** 60-bit non-negative hash of a string column (md5 prefix, 15 hex chars). */
-  def md5Int60(c: Column): Column =
+  def md5Int60(c: Column): Column = Md5PrefixLong(c.cast("binary"), 15)
+
+  /** Composed expression-tree forms — the oracle-documenting twins the
+    * specs assert the kernels against.
+    */
+  def md5Int32Expr(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  def md5Int60Expr(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Universal-family hash h_j(x) = (a_j * md5_32(x) + b_j) mod p, used by

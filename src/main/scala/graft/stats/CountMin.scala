@@ -22,7 +22,15 @@ object CountMin {
     * mod width. All intermediates < 2^37 — exact in long arithmetic.
     */
   def bucket(tok: Column, j: Int, width: Int): Column =
-    ((HashFunctions.md5Int32(tok) * HashFunctions.minhashA(j)
+    bucketFromHash(HashFunctions.md5Int32(tok), j, width)
+
+  /** Bucket from a PRE-STAGED md5Int32 hash (r19): the digest is the
+    * expensive part and is shared by all `depth` hash rows — staging it
+    * as its own projection runs it once per occurrence instead of once
+    * per (occurrence, row).
+    */
+  def bucketFromHash(h32: Column, j: Int, width: Int): Column =
+    ((h32 * HashFunctions.minhashA(j)
       + HashFunctions.minhashB(j)) % HashFunctions.MinhashPrime) % width
 
   /** Build the sketch: one exploded pass over the tokens, one
@@ -31,10 +39,11 @@ object CountMin {
   def build(tokens: DataFrame, tokenCol: String,
             depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, s"need positive depth/width, got $depth×$width")
-    tokens.select(
+    tokens.select(HashFunctions.md5Int32(col(tokenCol)).as("__h32"))
+      .select(
         explode(array((0 until depth).map(j =>
           struct(lit(j).as("j"),
-            bucket(col(tokenCol), j, width).as("bucket"))): _*)).as("c"))
+            bucketFromHash(col("__h32"), j, width).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -77,8 +86,10 @@ object CountMin {
         ((total % 1000000L) * thresholdPpm + 999999L) / 1000000L, 1L)
     val est = least((0 until depth).map(j =>
       element_at(typedLit(cells(j).toSeq),
-        bucket(col(tokenCol), j, width).cast("int") + 1)): _*)
-    tokens.withColumn("est", est)
+        bucketFromHash(col("__h32"), j, width).cast("int") + 1)): _*)
+    tokens.withColumn("__h32", HashFunctions.md5Int32(col(tokenCol)))
+      .withColumn("est", est)
+      .drop("__h32")
       .filter(col("est") >= tau)
       .groupBy(col(tokenCol))
       .agg(count(lit(1)).as("cnt"), max(col("est")).as("est"))
