@@ -167,16 +167,25 @@ object SparkEntry {
     * value (generous 25% + 2 slack; the value-level guarantee is rank-,
     * not value-based) — which the oracle asserts literally TRUE.
     */
+  /** r19 (guide §2.3): the two count-distincts plan a 3× EXPAND of the
+    * input; the text branch used to carry the FULL document string
+    * through it. Staging md5(text) once below the aggregate ships a
+    * 32-char digest instead — n_distinct_texts counts distinct digests,
+    * equal to distinct texts modulo a 128-bit md5 collision (the
+    * __hll_texts sketch column already counted over exactly this
+    * digest), and the oracle gates re-prove equality per corpus.
+    */
   private def qApproxStats(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents")
+      .withColumn("__th", md5(col("text").cast("binary")))
       .groupBy(col("source"))
       .agg(
         countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("__th")).as("n_distinct_texts"),
         round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
         round(percentile(col("n_chars"), lit(0.95)), 6).as("p95_chars"),
         approx_count_distinct(col("lang"), rsd = 0.02).as("__hll_langs"),
-        approx_count_distinct(md5(col("text").cast("binary")), rsd = 0.02)
+        approx_count_distinct(col("__th"), rsd = 0.02)
           .as("__hll_texts"),
         percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("__ap50"),
         percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("__ap95"))
