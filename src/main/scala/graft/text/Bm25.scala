@@ -76,9 +76,13 @@ object Bm25 {
     // corpus for the second consumer (no common-subplan reuse across
     // different aggregates). The checkpointed frame is postings of the
     // query terms only — tiny relative to the corpus.
+    // r19 (guide §2.3): filter INSIDE the token array before exploding —
+    // a row per matching posting instead of a row per corpus token (the
+    // explode's per-row machinery dominated the scan; same rows survive)
     val tf = base
-      .select(col(idCol), col("dl"), explode(col("toks")).as("token"))
-      .filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("dl"),
+        explode(filter(col("toks"),
+          t => terms.map(t === lit(_)).reduce(_ || _))).as("token"))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .localCheckpoint(eager = true)
