@@ -410,8 +410,10 @@ object SparkEntry {
       .distinct()
       .withColumn("__dup", lit(1))
     reps
+      .select(col("doc_id"), col("n_copies"), col("text"),
+        TextAnalysis.tokenStats(col("text")).as("__st"))
       .select(col("doc_id"), col("n_copies"),
-        TextAnalysis.qualityScore(col("text")).as("__q"))
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__st")).as("__q"))
       .select(col("doc_id"), col("n_copies"),
         least(expr("cast(round(__q * 1000000, 0) as bigint) div 100000"), lit(9L))
           .as("q_decile"))
@@ -675,8 +677,8 @@ object SparkEntry {
   /** Per-source quality scores (composite heuristic over staged tokens). */
   private def qQualityScore(s: SparkSession, dir: String): DataFrame =
     rdWide(s, dir, "documents")
-      .withColumn("w", TextAnalysis.tokens(col("text")))
-      .withColumn("q", TextAnalysis.qualityScoreFromTokens(col("text"), col("w")))
+      .withColumn("__st", TextAnalysis.tokenStats(col("text")))
+      .withColumn("q", TextAnalysis.qualityScoreFromStats(col("text"), col("__st")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 4).as("avg_quality"))
 
@@ -4410,8 +4412,11 @@ object SparkEntry {
     // this query pays one corpus scan for the quality scores plus a
     // pair-graph-sized window, never the LSH + label-prop rebuild
     val clusters = dupGraphFor(s, dir)._3
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenStats(col("text")).as("__st"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__st")).as("q"))
     graft.dedup.DupClusters.keepBest(clusters, scored, "doc_id", "q")
       .select(col("cluster_id"), col("keep_id").as("keep_doc_id"),
         col("n_members"), col("best_score").as("best_quality"))
@@ -4423,11 +4428,18 @@ object SparkEntry {
     * replays the equivalent global-window prefix.
     */
   private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // r19 (guide §1.2/§5): quality integers via the one-pass TokenStats
+    // kernel (bit-equal scores — TokenStatsSpec), and the narrow scored
+    // frame checkpointed because TokenBudget passes over it twice
+    // (bucket histogram, then the offset-joined window) — without the
+    // cut each pass re-tokenized the corpus.
     val docs = rdWide(s, dir, "documents")
-      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("__st", TextAnalysis.tokenStats(col("text")))
       .select(col("doc_id"), col("lang"),
-        size(col("w")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("quality"))
+        col("__st.n_tok").as("n_tokens"),
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__st"))
+          .as("quality"))
+      .localCheckpoint(eager = true)
     graft.ops.TokenBudget.select(docs, "doc_id", "quality", "n_tokens",
         budget = 12000L)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
@@ -4443,11 +4455,16 @@ object SparkEntry {
     * window partition per group either.
     */
   private def qGroupBudget(s: SparkSession, dir: String): DataFrame = {
+    // r19: same TokenStats kernel + checkpoint discipline as q87 — this
+    // query passes over the scored frame three times (per-source budget
+    // count, bucket histogram, offset-joined window).
     val docs = rdWide(s, dir, "documents")
-      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("__st", TextAnalysis.tokenStats(col("text")))
       .select(col("doc_id"), col("source"),
-        size(col("w")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("w")).as("quality"))
+        col("__st.n_tok").as("n_tokens"),
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__st"))
+          .as("quality"))
+      .localCheckpoint(eager = true)
     val budgets = docs.groupBy(col("source")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1) * 15L).toMap
     graft.ops.TokenBudget.selectPerGroup(docs, "source", "doc_id",
@@ -4775,7 +4792,8 @@ object SparkEntry {
   private def qHostCap(s: SparkSession, dir: String): DataFrame = {
     val docs = rdWide(s, dir, "documents")
       .withColumn("host", concat(col("source"), lit(".example."), col("lang")))
-      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__st", TextAnalysis.tokenStats(col("text")))
+      .withColumn("q", TextAnalysis.qualityScoreFromStats(col("text"), col("__st")))
     val w = Window.partitionBy(col("host"))
       .orderBy(col("q").desc, col("doc_id").asc)
     docs.withColumn("rank", row_number().over(w))
@@ -4911,17 +4929,36 @@ object SparkEntry {
     // 60-bit collision (≈ n²/2^61 — immaterial below ~10^8 distinct
     // bigrams, and detectable: novelty only ever drops) is the
     // documented trade.
-    val docs = rdWide(s, dir, "documents")
+    // r19 restructure (guide §2.3/§2.4, the q99 discipline): the old
+    // shape joined the corpus-sized (doc_id, source, h) stream against
+    // the doc-frequency table ON THE HASH — a full shuffle of the
+    // exploded stream — only to count, per doc, how many of its hashes
+    // are corpus-unique. A df=1 hash has exactly ONE owner, so
+    // min(doc_id) inside the df aggregate already names it: novelty's
+    // numerator comes back as a doc-sized frame, the denominator is
+    // map-side (size of the distinct hash array — no explode), and the
+    // only join left is doc-sized ⋈ doc-sized. Identical integers per
+    // doc ⇒ identical novelty doubles ⇒ identical per-source averages.
+    val docsWide = rdWide(s, dir, "documents")
+    val perDoc = docsWide
       .select(col("doc_id"), col("source"),
+        size(array_distinct(
+          graft.functions.TokenBigramHashes(col("text")))).cast("long").as("n_h"))
+      .filter(col("n_h") > 0)
+    val uniquePerDoc = docsWide
+      .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.TokenBigramHashes(col("text")))).as("h"))
-    // hashes are per-doc distinct already: count(1) IS the doc frequency
-    val dfreq = docs.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-    docs.join(dfreq, "h")
-      .groupBy(col("doc_id"), col("source"))
-      .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double")).as("novelty"))
+      // hashes are per-doc distinct already: count(1) IS the doc
+      // frequency, and a df=1 hash's min(doc_id) is its only owner
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("source"),
+        (coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_h").cast("double")).as("novelty"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("novelty")), 6).as("avg_novelty"))
@@ -5506,14 +5543,22 @@ object SparkEntry {
     * moves both queries (and both oracles mirror this single pipeline).
     */
   private def perDocTokenStats(s: SparkSession, dir: String): DataFrame =
+    // r19 (guide §2.3/§1.2): the histogram has NO cross-document
+    // interaction, yet the composed form exploded the token stream and
+    // shuffled it twice (groupBy(doc, tok) then groupBy(doc)). The
+    // TokenStats kernel computes the same three integers map-side
+    // (TokenStatsSpec pins kernel == composed per doc); docs whose
+    // tokens are all empty vanish exactly like the explode+filter did.
+    // Checkpointed narrow: BOTH consumers (q155 calibration, q172
+    // striping) pass over it twice (bucketBounds + the bucketed scan),
+    // and without the cut each pass re-runs the corpus tokenize.
     rdWide(s, dir, "documents")
       .select(col("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__v"), sum(col("__c")).as("__n"),
-        max(col("__c")).as("__mx"))
+        graft.text.TextAnalysis.tokenStats(col("text")).as("__st"))
+      .select(col("doc_id"), col("__st.ne_v").as("__v"),
+        col("__st.ne_n").as("__n"), col("__st.ne_mx").as("__mx"))
+      .filter(col("__n") > 0)
+      .localCheckpoint(eager = true)
 
   private def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
     // ONE per-doc token histogram yields both sides: score = type-token

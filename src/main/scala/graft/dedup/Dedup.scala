@@ -992,24 +992,44 @@ object Dedup {
       .select(col(idCol),
         graft.functions.MinHashSignature(col("__w"), 3, NumHashes).as("__sig"))
       .localCheckpoint(eager = true) // one signature pass feeds 5 configs
-    PlannerConfigs.map { case (b, r) =>
-      val (t50, ps) = plannerCurve(b, r)
-      val bandStructs = array((0 until b).map { band =>
-        md5(concat_ws(",",
-          transform(slice(col("__sig"), band * r + 1, r), x => x.cast("string")))
-          .cast("binary")).as(s"b$band")
-      }: _*)
-      val curveCols = ps.map { case (jPct, p) =>
-        lit(p).as(s"p_at_0$jPct")
+    // r19 fuse (guide §2.4): the per-config form aggregated the
+    // checkpointed signatures FIVE times (5 scans, 5 exchanges, unioned).
+    // All 31 (config, band) hashes explode in ONE tagged stream —
+    // identical md5 band values, since `bands` is unique per config the
+    // grouped counts are the same — through ONE exchange; the static
+    // S-curve literals re-attach on the 5-row config frame.
+    val allBands = array(PlannerConfigs.flatMap { case (b, r) =>
+      (0 until b).map { band =>
+        struct(lit(b.toLong).as("bands"), lit(band).as("band"),
+          md5(concat_ws(",",
+            transform(slice(col("__sig"), band * r + 1, r), x => x.cast("string")))
+            .cast("binary")).as("bh"))
       }
-      sigs.select(posexplode(bandStructs).as(Seq("band", "bh")))
-        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"),
-          count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"))
-        .select(Seq(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("cand_pairs"), col("n_buckets"), col("max_bucket"),
-          lit(t50).as("threshold_50")) ++ curveCols: _*)
+    }: _*)
+    val stats = sigs.select(explode(allBands).as("e"))
+      // band STAYS in the key: two bands of one config can carry equal
+      // slice values (identical minhash slots) and must remain distinct
+      // buckets, exactly as the per-config posexplode kept them
+      .groupBy(col("e.bands").as("bands"), col("e.band").as("band"),
+        col("e.bh").as("bh"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("bands"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"),
+        count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"))
+    val cfgDf = PlannerConfigs.map { case (b, r) =>
+      val (t50, ps) = plannerCurve(b, r)
+      docs.sparkSession.range(1).select(
+        Seq(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(t50).as("threshold_50")) ++
+        ps.map { case (jPct, p) => lit(p).as(s"p_at_0$jPct") }: _*)
     }.reduce(_ unionByName _)
+    val curveNames = plannerCurve(2, 8)._2.map { case (jPct, _) => s"p_at_0$jPct" }
+    cfgDf.join(stats, Seq("bands"), "left")
+      .select(Seq(col("bands"), col("rows_per_band"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        col("max_bucket"), col("threshold_50")) ++
+        curveNames.map(col): _*)
   }
 
   /** Near-dup degree histogram, clone-collapsed (VERDICT r13 item 3 —

@@ -42,22 +42,36 @@ object Ppl {
     */
   def pplBuckets(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
                  idCol: String = "doc_id", langCol: String = "lang",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 kernelGrams: Boolean = true): DataFrame = {
     require(buckets >= 2, s"Ppl: buckets must be >= 2, got $buckets")
-    val w = graft.text.TextAnalysis.tokens(col(textCol))
-    // hashed word-bigram features — phrased exactly as Dsir's stream so
-    // the two operators share one oracle vocabulary
-    val bgs = docs
-      .select(col(idCol), col(langCol), isTarget.as("__tgt"), w.as("__w"))
-      .select(col(idCol), col(langCol), col("__tgt"),
-        explode(when(size(col("__w")) >= 2,
-          transform(sequence(lit(0), size(col("__w")) - 2),
-            i => concat_ws(" ", element_at(col("__w"), i + 1),
-              element_at(col("__w"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .select(col(idCol), col(langCol),
-        col("__tgt"),
-        (graft.functions.HashFunctions.md5Int60(col("bg")) % buckets).as("b"))
+    // hashed word-bigram features — the same md5Int60("tok1 SP tok2")
+    // values as Dsir's stream, so the two operators share one oracle
+    // vocabulary. Kernel path (r19, guide §1.2): TokenBigramHashes
+    // digests each bigram window in one codegen pass — no per-bigram
+    // string construction or md5-hex-parse tree; this stream is walked
+    // TWICE (LM training pass + scoring pass), so the per-row saving
+    // lands double. Composed form kept as PplSpec's equivalence witness.
+    val bgs =
+      if (kernelGrams)
+        docs.select(col(idCol), col(langCol), isTarget.as("__tgt"),
+            explode(graft.functions.TokenBigramHashes(col(textCol))).as("__h"))
+          .select(col(idCol), col(langCol), col("__tgt"),
+            (col("__h") % buckets).as("b"))
+      else {
+        val w = graft.text.TextAnalysis.tokens(col(textCol))
+        docs
+          .select(col(idCol), col(langCol), isTarget.as("__tgt"), w.as("__w"))
+          .select(col(idCol), col(langCol), col("__tgt"),
+            explode(when(size(col("__w")) >= 2,
+              transform(sequence(lit(0), size(col("__w")) - 2),
+                i => concat_ws(" ", element_at(col("__w"), i + 1),
+                  element_at(col("__w"), i + 2))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+          .select(col(idCol), col(langCol),
+            col("__tgt"),
+            (graft.functions.HashFunctions.md5Int60(col("bg")) % buckets).as("b"))
+      }
     // LM: target-subset feature counts; unseen buckets get the same
     // smoothed floor via the left join's coalesce
     // ≤ buckets rows, used by the total AND the scoring join —

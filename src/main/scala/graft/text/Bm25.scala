@@ -59,10 +59,19 @@ object Bm25 {
             k1: Double = DefaultK1,
             b: Double = DefaultB): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // r19 second pass (guide §2.3/§5): ONE tokenize pass. The old shape
+    // tokenized the corpus twice — once for the (N, avgdl) scalars, once
+    // for the postings — because `base` carried the full token array and
+    // was consumed by two separate jobs. Now the single corpus pass
+    // projects (id, dl, matched-terms-only array) and checkpoints that
+    // NARROW frame (the array holds only query-term occurrences); both
+    // the scalar aggregate and the postings explode read the checkpoint.
     val base = docs.select(
       col(idCol),
       size(cleanTokens(col(textCol))).cast("long").as("dl"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
+      filter(TextAnalysis.tokens(col(textCol)),
+        t => terms.map(t === lit(_)).reduce(_ || _)).as("__m"))
+      .localCheckpoint(eager = true)
 
     // Two corpus scalars (N, total token count) in one tiny job; avgdl as
     // exact-integer-sum ÷ count is the same double in any engine.
@@ -71,21 +80,14 @@ object Bm25 {
     require(n > 0, "BM25 over an empty corpus")
     val avgdl = g.getLong(1).toDouble / n
 
-    // localCheckpoint: tf feeds BOTH the score join and the df aggregate;
-    // without materialization Spark re-scans and re-tokenizes the whole
-    // corpus for the second consumer (no common-subplan reuse across
-    // different aggregates). The checkpointed frame is postings of the
-    // query terms only — tiny relative to the corpus.
-    // r19 (guide §2.3): filter INSIDE the token array before exploding —
-    // a row per matching posting instead of a row per corpus token (the
-    // explode's per-row machinery dominated the scan; same rows survive)
+    // tf feeds BOTH the score join and the df aggregate; deriving both
+    // from the checkpointed base keeps each a cheap postings-sized pass
+    // (r19 round 1: filter INSIDE the token array before exploding — a
+    // row per matching posting instead of a row per corpus token)
     val tf = base
-      .select(col(idCol), col("dl"),
-        explode(filter(col("toks"),
-          t => terms.map(t === lit(_)).reduce(_ || _))).as("token"))
+      .select(col(idCol), col("dl"), explode(col("__m")).as("token"))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(eager = true)
 
     val dfreq = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))

@@ -72,6 +72,33 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityScoreFromTokens(text, tokens(text))
 
+  /** One-pass native token statistics over the text (the
+    * [[graft.functions.TokenStats]] kernel with the English stopword
+    * list): struct(n_tok, n_uniq, stop_hits, ne_n, ne_v, ne_mx).
+    * Stage it as its own projection and derive quality + TTR from the
+    * integers — replaces the interpreted `filter(isin)` /
+    * `array_distinct` higher-order pass per row (r19, guide §1.2).
+    */
+  def tokenStats(text: Column): Column =
+    graft.functions.TokenStats(text, StopwordLists.head._2)
+
+  /** [[qualityScoreFromTokens]] over a precomputed [[tokenStats]]
+    * struct — the IDENTICAL double-arithmetic tree fed by the kernel's
+    * integers instead of the composed size/filter/array_distinct
+    * expressions, so scores are bit-equal (TokenStatsSpec pins it).
+    */
+  def qualityScoreFromStats(text: Column, st: Column): Column = {
+    val nTok = st.getField("n_tok").cast("double")
+    val nChars = length(text).cast("double")
+    val avgLen = nChars / nTok
+    val stopHits = st.getField("stop_hits").cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val avgLenScore = greatest(lit(0.0), lit(1.0) - abs(avgLen - 5.0) / 10.0)
+    val stopScore = least(stopHits / nTok * 5.0, lit(1.0))
+    val uniqScore = st.getField("n_uniq").cast("double") / nTok
+    round((lenScore + avgLenScore + stopScore + uniqScore) / 4.0, 6)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -679,4 +679,38 @@ class CorpusOpsSpec extends SparkSpec {
       scored.mkString(", "))
     assert(scored.forall(_.getDouble(2) > 0.0), scored.mkString(", "))
   }
+
+  test("q83 novelty restructure (r19): df=1 owner-recovery == hash-stream join") {
+    // the r19 shape replaces the corpus-sized (doc, h) ⋈ dfreq join with
+    // min(doc_id)-owner recovery inside the df aggregate + a doc-sized
+    // join; per-source averages must match the joined phrasing exactly
+    import graft.functions.TokenBigramHashes
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exploded = d.select(col("doc_id"), col("source"),
+      explode(array_distinct(TokenBigramHashes(col("text")))).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val joined = exploded.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("novelty"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("novelty")), 6).as("a"))
+      .orderBy("source").collect().toSeq
+    val perDoc = d.select(col("doc_id"), col("source"),
+        size(array_distinct(TokenBigramHashes(col("text")))).cast("long").as("n_h"))
+      .filter(col("n_h") > 0)
+    val uniq = d.select(col("doc_id"),
+        explode(array_distinct(TokenBigramHashes(col("text")))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    val restructured = perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("source"), (coalesce(col("n_unique"), lit(0L)).cast("double") /
+        col("n_h").cast("double")).as("novelty"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("novelty")), 6).as("a"))
+      .orderBy("source").collect().toSeq
+    assert(joined.nonEmpty)
+    assert(restructured == joined)
+  }
 }

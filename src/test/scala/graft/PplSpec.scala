@@ -57,4 +57,14 @@ class PplSpec extends SparkSpec {
       Ppl.pplBuckets(docs, col("lang") === "en", buckets = 1)
     }
   }
+
+  test("kernel bigram stream == composed (r19): identical rows on real docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = Ppl.pplBuckets(real, col("lang") === "en", kernelGrams = true)
+      .orderBy("lang", "bucket").collect().toSeq
+    val c = Ppl.pplBuckets(real, col("lang") === "en", kernelGrams = false)
+      .orderBy("lang", "bucket").collect().toSeq
+    assert(k.nonEmpty)
+    assert(k == c)
+  }
 }
