@@ -266,7 +266,12 @@ object SparkEntry {
     val rg = rd(s, dir, "region").filter(col("r_name") === "ASIA")
     // customer/supplier scale with SF — no broadcast hint (Catalyst
     // auto-broadcasts while small, shuffles at 100 TB); nation (25 rows)
-    // and region (5) are fixed-size at every SF, so their hints are safe
+    // and region (5) are fixed-size at every SF, so their hints are safe.
+    // r19 re-A/B of the q07 merge pin on l⋈o, still NEGATIVE here: the
+    // pin traded a ~4 s single-thread driver hash build for a 120 MB
+    // SMJ shuffle + 25 s of sort CPU (wall 5.2 → 4.5 s, CPU ×8) — q39's
+    // orders side prunes to two ints, so the broadcast build stays
+    // cheap enough to win until AQE flips it at real scale.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(su, col("l_suppkey") === col("s_suppkey") &&
@@ -4764,23 +4769,17 @@ object SparkEntry {
     * can never drift from the filter it describes.
     */
   private def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    // r19 (guide §2.4): fates come from incrementalDedup's OWN pipeline
+    // (Dedup.incrementalDedupFates) — the old shape re-derived the
+    // exact-dup set with a second corpus-wide md5 semi-join on top of
+    // the dedup run it was reporting on. Identical fate per doc:
+    // exact_dup ⟺ hash ∈ corpus hashes (the complement of the dedup's
+    // own afterExact set), kept ⟺ survived the dedup, near_dup = rest.
     val docs = rdWide(s, dir, "documents")
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val exactIds = batch
-      .withColumn("__h", md5(col("text").cast("binary")))
-      .join(corpus.select(md5(col("text").cast("binary")).as("__h")),
-        Seq("__h"), "left_semi")
-      .select(col("doc_id"))
-    val keptIds = Dedup.incrementalDedup(batch, corpus, minJaccard = 0.5,
-      maxBucketSize = 64).select(col("doc_id"))
-    batch.select(col("doc_id"))
-      .join(broadcast(exactIds.withColumn("__exact", lit(true))), Seq("doc_id"), "left")
-      .join(broadcast(keptIds.withColumn("__kept", lit(true))), Seq("doc_id"), "left")
-      .withColumn("fate",
-        when(col("__exact"), "exact_dup")
-          .when(col("__kept").isNull, "near_dup")
-          .otherwise("kept"))
+    Dedup.incrementalDedupFates(batch, corpus, minJaccard = 0.5,
+        maxBucketSize = 64)
       .groupBy(col("fate")).agg(count(lit(1)).as("n_docs"))
   }
 
@@ -6544,17 +6543,33 @@ object SparkEntry {
     * TakeOrderedAndProject(20) on an integer key.
     */
   private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    // r19 (guide §2.3/§2.4): ONE tokenize + explosion pass for BOTH
+    // count tables — unigrams ride the same tagged stream as the pairs
+    // (w2 = NULL marks a unigram row) through one exchange; the
+    // vocab+pair-sized aggregate is localCheckpoint-ed because four
+    // consumers derive from it (uc, pc, and the two totals). The old
+    // shape tokenized and exploded the corpus twice. Identical counts:
+    // a real pair always has w2 ≠ NULL, so the tag cannot collide.
     val docs = rdWide(s, dir, "documents")
       .withColumn("__w", filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
-    val uc = docs.select(explode(col("__w")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tTot = uc.agg(sum("c").as("t"))
-    val pc = docs.filter(size(col("__w")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("__w")) - 2),
-        i => struct(element_at(col("__w"), i + 1).as("w1"),
-          element_at(col("__w"), i + 2).as("w2")))).as("p"))
+    val pairT = "array<struct<w1:string,w2:string>>"
+    val tagged = docs
+      .select(explode(concat(
+        transform(col("__w"),
+          t => struct(t.as("w1"), lit(null).cast("string").as("w2"))),
+        when(size(col("__w")) >= 2,
+          transform(sequence(lit(0), size(col("__w")) - 2),
+            i => struct(element_at(col("__w"), i + 1).as("w1"),
+              element_at(col("__w"), i + 2).as("w2"))))
+          .otherwise(array().cast(pairT)))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c_ab"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val uc = tagged.filter(col("w2").isNull)
+      .select(col("w1").as("tok"), col("c"))
+    val tTot = uc.agg(sum("c").as("t"))
+    val pc = tagged.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c_ab"))
     val pTot = pc.agg(sum("c_ab").as("p"))
     pc.filter(col("c_ab") >= 5)
       .join(uc.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))

@@ -144,15 +144,22 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String = "doc_id",
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // r19 (guide §2.4): the cap keeps rows whose bucket holds <= cap
+    // members — a count window over the bucket key, not aggregate +
+    // left-semi join. The join form re-derived `bands` (usually an
+    // UN-cached MinHash signature pass over the corpus) for the probe
+    // side — one extra full tokenize+minhash per call; the window filters
+    // inside the bucket exchange the self-join needs anyway. Identical
+    // surviving rows. (Bucket groups are <= corpus doc count and the
+    // hot ones are exactly what the cap drops — no buffer hazard.)
     val bounded =
       if (maxBucketSize == Int.MaxValue) bands
-      else {
-        val small = bands.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n"))
+      else
+        bands.withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("band_hash"))))
           .filter(col("__n") <= maxBucketSize)
           .drop("__n")
-        bands.join(small, Seq("band", "band_hash"), "left_semi")
-      }
     val x = bounded.select(col("band"), col("band_hash"), col(idCol).as("doc_a"))
     val y = bounded.select(col("band"), col("band_hash"), col(idCol).as("doc_b"))
     x.join(y, Seq("band", "band_hash"))
@@ -1135,6 +1142,41 @@ object Dedup {
                        minJaccard: Double = 0.5,
                        maxBucketSize: Int = Int.MaxValue,
                        maxBroadcastBatch: Int = 1000000): DataFrame = {
+    val (afterExact, nearIds, bc) = incrementalDedupCore(batch, corpus,
+      idCol, textCol, minJaccard, maxBucketSize, maxBroadcastBatch)
+    afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
+  }
+
+  /** Per-doc fate report over [[incrementalDedup]]'s own pipeline —
+    * (idCol, fate ∈ exact_dup | near_dup | kept) for every batch doc.
+    * Sharing the core (r19, guide §2.4) means the funnel query pays the
+    * corpus md5 pass ONCE (it previously re-derived the exact-dup set
+    * with its own corpus-wide hash semi-join on top of the dedup run)
+    * and can never drift from the filter it describes.
+    */
+  def incrementalDedupFates(batch: DataFrame, corpus: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            minJaccard: Double = 0.5,
+                            maxBucketSize: Int = Int.MaxValue,
+                            maxBroadcastBatch: Int = 1000000): DataFrame = {
+    val (afterExact, nearIds, bc) = incrementalDedupCore(batch, corpus,
+      idCol, textCol, minJaccard, maxBucketSize, maxBroadcastBatch)
+    batch.select(col(idCol))
+      .join(bc(afterExact.select(col(idCol)).withColumn("__ae", lit(true))),
+        Seq(idCol), "left")
+      .join(bc(nearIds.withColumn("__near", lit(true))), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ae").isNull, lit("exact_dup"))
+          .when(col("__near").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("fate"))
+  }
+
+  private def incrementalDedupCore(batch: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minJaccard: Double, maxBucketSize: Int,
+                                   maxBroadcastBatch: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     require(maxBroadcastBatch > 0,
       s"maxBroadcastBatch must be > 0, got $maxBroadcastBatch")
     val small = batch.limit(maxBroadcastBatch + 1).count() <= maxBroadcastBatch
@@ -1154,15 +1196,16 @@ object Dedup {
 
     // 2. band-bucket candidates vs the corpus (corpus-side hot-bucket cap)
     val cBands = {
+      // count-window cap (see candidatePairs): one corpus signature
+      // pass instead of aggregate + semi-join re-deriving it
       val all = minhashBands(corpus, idCol, textCol)
       if (maxBucketSize == Int.MaxValue) all
-      else {
-        val small = all.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n"))
+      else
+        all.withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("band_hash"))))
           .filter(col("__n") <= maxBucketSize)
           .drop("__n")
-        all.join(small, Seq("band", "band_hash"), "left_semi")
-      }
     }
     val bBands = minhashBands(afterExact, idCol, textCol)
       .select(col("band"), col("band_hash"), col(idCol).as("__new_id"))
@@ -1186,7 +1229,7 @@ object Dedup {
       .select(col("__new_id").as(idCol))
       .distinct()
 
-    afterExact.join(bc(nearIds), Seq(idCol), "left_anti")
+    (afterExact, nearIds, bc)
   }
 
   /** Dedup threshold-sensitivity curve: for each candidate Jaccard
@@ -1453,6 +1496,16 @@ object Dedup {
           col("__t"))
         .select(col(idCol), col("pos"),
           md5Int60(expr(s"substring(__t, pos, $k)")).as("h"))
+    // r19 A/B (guide §2.4), MEASURED NEGATIVE — kept the agg + semi-join:
+    // a count-window-over-h variant (one gram pass, one h-exchange) was
+    // tried to avoid computing the gram stream twice, and LOST at sf1:
+    // 360 MB shuffled vs 237 MB here (the single exchange carries wide
+    // (doc, pos, h) rows, while map-side combine shrinks the (h, count)
+    // partials to 140 MB and the broadcast semi-join re-probe is only
+    // 97 MB), wall 5.1 -> 8.9 s warm (WindowExec's sort + per-group
+    // spill buffer cost more than the second KgramHashes pass). This
+    // shape's df aggregate also stays skew-proof: a boilerplate gram
+    // occurring 1M times is one counter, never a buffered group.
     val repeated = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select(col("h"))

@@ -573,16 +573,20 @@ object Ann {
                              labelCol: String = "label"): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
-    val bits = occupancyBits(corpus.count(), targetOccupancy)
     // distinct (vector, label) subgroups; several consumers → checkpoint
     val byVl = corpus
       .groupBy(col(vecCol).as("__v"), col(labelCol).as("__l"))
       .agg(count(lit(1)).as("m_vl"), min(col(idCol)).as("rep_vl"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // materialized by the bits agg below
+    // point count for the occupancy-derived width comes off the
+    // checkpoint (Σ m_vl ≡ corpus row count) — the separate
+    // corpus.count() job re-scanned the full (often unioned) input (r19)
+    val bits = occupancyBits(
+      byVl.agg(sum(col("m_vl"))).head().getLong(0), targetOccupancy)
     val byV = byVl.groupBy(col("__v"))
       .agg(sum(col("m_vl")).as("m_v"), min(col("rep_vl")).as("rep"))
       .withColumn("bucket", graft.functions.SignBucket(col("__v"), bits))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy: no extra job barrier (r19)
     val sized = byV.groupBy(col("bucket"))
       .agg(sum(col("m_v")).as("__pts"), count(lit(1)).as("__nvec"))
       .filter(col("__pts") >= 2 && col("__nvec") <= maxBucketSize)
@@ -644,7 +648,7 @@ object Ann {
       .filter(col("take_l") > 0)
       .groupBy(col("__vu"), col("__ln"))
       .agg(sum(col("take_l")).as("t"))
-      .localCheckpoint(eager = true) // consumed twice (totals + same-label)
+      .localCheckpoint(eager = false) // consumed twice (totals + same-label)
     val extTot = extLab.groupBy(col("__vu")).agg(sum(col("t")).as("nb_ext"))
 
     // ---- per-subgroup stats × multiplicity → per-label rollup
