@@ -727,14 +727,18 @@ object Dedup {
                                 minDocs: Int = 2): DataFrame = {
     require(segLen >= 1, s"segLen must be >= 1, got $segLen")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val segRows = segmentRows(docs, idCol, textCol, segLen)
-    val bp = segRows
-      .filter(col("idx") < col("__nseg"))
-      .groupBy(graft.functions.HashFunctions.md5Int32(col("seg")).as("__h"))
+    // r19 (§1.2): the counting pass hashes segments natively
+    // (SegmentHashes — no per-segment string build; one occurrence per
+    // full segment, so countDistinct(doc) is unchanged); only the
+    // rewrite pass still materializes segment text, which it must.
+    val bp = docs
+      .select(col(idCol),
+        explode(graft.functions.SegmentHashes(col(textCol), segLen)).as("__h"))
+      .groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"))
-    reassembleWithout(segRows, idCol, bp)
+    reassembleWithout(segmentRows(docs, idCol, textCol, segLen), idCol, bp)
   }
 
   /** Span-level decontamination: rewrite corpus documents without the
@@ -757,9 +761,11 @@ object Dedup {
                              textCol: String = "text",
                              segLen: Int = 8): DataFrame = {
     require(segLen >= 1, s"segLen must be >= 1, got $segLen")
-    val banned = segmentRows(benchmark, idCol, textCol, segLen)
-      .filter(col("idx") < col("__nseg"))
-      .select(graft.functions.HashFunctions.md5Int32(col("seg")).as("__h"))
+    // r19: banned set hashed natively (SegmentHashes) — same values as
+    // the segmentRows + md5Int32 phrasing, no per-segment string build
+    val banned = benchmark
+      .select(explode(
+        graft.functions.SegmentHashes(col(textCol), segLen)).as("__h"))
       .distinct()
     reassembleWithout(segmentRows(corpus, idCol, textCol, segLen), idCol,
       broadcast(banned))
